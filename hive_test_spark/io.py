@@ -1,0 +1,53 @@
+"""Table loading for the driver fixtures.
+
+All ten tables (TESTDATA.md) load as parquet DataFrames. Loads are lazy
+plan nodes; Catalyst pushes filters/column pruning into the vectorized
+parquet reader, so callers should never pre-materialize.
+
+Scale notes: at 100 TB each "table" is a directory of many files (or an
+external catalog table); ``load_table`` only depends on
+``spark.read.parquet(path)`` which handles both. Partition-pruned reads
+come for free when the warehouse layout is ``partitionBy`` -ed.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+# Scratch area for sink/round-trip operators (inside the repo; gitignored).
+SCRATCH_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def scratch_path(*parts: str) -> str:
+    p = os.path.join(SCRATCH_DIR, *parts)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    return p

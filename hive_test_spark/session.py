@@ -1,0 +1,67 @@
+"""SparkSession factory and per-query session tuning.
+
+The driver may hand us an arbitrary ``SparkSession``; everything that is
+runtime-settable (session timezone, Arrow, AQE) is (re-)applied by
+``tune()`` at the top of every query function so correctness does not
+depend on who built the session.
+
+Scale notes (100 TB design): these configs are the single place where
+cluster-level tuning lives. On a real cluster the same factory is used
+with ``master`` unset (picked up from spark-submit), AQE handles runtime
+shuffle-partition coalescing and skew-join splitting, and
+``autoBroadcastJoinThreshold`` keeps dimension joins map-side.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to ANY session we receive (driver's or ours).
+_RUNTIME_CONFS = {
+    # Oracle hash-match depends on UTC rendering (SURVEY.md §5.3).
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for all pandas_udf / toPandas paths (SURVEY.md §2.J).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # AQE: runtime shuffle coalescing, skew-join splitting, join demotion.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # ANSI off: Hive/legacy-permissive semantics (NULL on bad cast, not error),
+    # which is also what the DuckDB oracle's permissive functions expect.
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session. Idempotent, cheap."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf not settable on this build — non-fatal
+    return spark
+
+
+def get_spark(app_name: str = "hive-test-spark") -> SparkSession:
+    """Build the engine's own session (tests / bench).
+
+    ``local[$SPARK_GRAFT_CPUS]`` locally; on a cluster the master comes from
+    the environment and this builder only contributes SQL confs.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Files: pack small test files; at scale maxPartitionBytes governs
+        # scan parallelism (128m default keeps partitions executor-sized).
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -40,7 +40,21 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is TIMESTAMP(NANOS) parquet, which Spark's µs TimestampType
+    rejects outright (PARQUET_TYPE_ILLEGAL). Read the ns value as a raw long
+    (legacy conf) and truncate to µs explicitly — the same ns→µs floor DuckDB
+    applies when casting TIMESTAMP_NS → TIMESTAMP (SURVEY.md §1.2)."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, "events"))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,1 +1,293 @@
-"""stub — filled in by milestone (SURVEY.md §7.3)."""
+"""SURVEY.md §2.D — aggregation operators.
+
+Reference surface: HiveQL GROUP BY / DISTINCT aggregates / GROUPING SETS /
+ROLLUP / CUBE / percentile & stat UDAFs / HAVING / CASE-matrix pivots
+[Hive-public] (reference checkout empty — SURVEY.md §0.1).
+
+Scale notes (100 TB): every groupBy here is a hash aggregate with
+map-side partial aggregation (Spark plans partial_+final automatically),
+so the shuffle carries one row per (partition × group), not per input
+row. Group-by keys are low-cardinality dimension attributes; for
+high-cardinality keys AQE coalesces/splits post-shuffle partitions.
+COUNT(DISTINCT) expands to a two-phase expand+agg plan; approx variant
+(HLL sketch) is the 100 TB path for ungroupable cardinalities.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_test_spark.io import load_table
+from hive_test_spark.registry import register
+from hive_test_spark.session import tune
+
+
+@register(
+    "agg_groupby_basic",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS num_orders,
+           ROUND(SUM(o_totalprice), 6) AS sum_price,
+           ROUND(AVG(o_totalprice), 6) AS avg_price,
+           ROUND(MIN(o_totalprice), 6) AS min_price,
+           ROUND(MAX(o_totalprice), 6) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_groupby_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash group-by with count/sum/avg/min/max (partial+final agg)."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("num_orders"),
+        F.round(F.sum("o_totalprice"), 6).alias("sum_price"),
+        F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        F.round(F.min("o_totalprice"), 6).alias("min_price"),
+        F.round(F.max("o_totalprice"), 6).alias("max_price"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS distinct_parts,
+           COUNT(DISTINCT l_suppkey) AS distinct_supps,
+           SUM(DISTINCT l_linenumber) AS sum_distinct_lines
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple exact DISTINCT aggregates (Expand-based multi-distinct plan)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.sum_distinct(F.col("l_linenumber")).alias("sum_distinct_lines"),
+    )
+
+
+@register("agg_approx_distinct")  # rows-only: HLL estimate is not hash-comparable
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB cardinality path —
+    sketch merges instead of exact expand+shuffle. rsd=0.01 keeps the
+    estimate within ~1% of exact (sanity-asserted in tests vs exact)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.count(F.lit(1)).alias("num_rows"),
+    )
+
+
+@register(
+    "agg_collect",
+    """
+    WITH lists AS (
+      SELECT c_nationkey, list(c_mktsegment ORDER BY c_mktsegment) AS segments_all
+      FROM customer GROUP BY c_nationkey
+    ),
+    sets AS (
+      SELECT c_nationkey, list(seg ORDER BY seg) AS segments_distinct
+      FROM (SELECT DISTINCT c_nationkey, c_mktsegment AS seg FROM customer) d
+      GROUP BY c_nationkey
+    )
+    SELECT l.c_nationkey, l.segments_all, s.segments_distinct
+    FROM lists l JOIN sets s ON l.c_nationkey = s.c_nationkey
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list / collect_set with array_sort for deterministic hashing
+    (SURVEY.md §5.3 rule 3)."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_sort(F.collect_list("c_mktsegment")).alias("segments_all"),
+        F.array_sort(F.collect_set("c_mktsegment")).alias("segments_distinct"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS num_rows,
+           ROUND(SUM(l_quantity), 6) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL front end (SURVEY.md §3.2 path 2) —
+    single Expand node, one shuffle for all three grouping sets."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               COUNT(*) AS num_rows,
+               ROUND(SUM(l_quantity), 6) AS sum_qty
+        FROM {li}
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """,
+        li=li,
+    )
+
+
+@register(
+    "agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS num_rows,
+           ROUND(SUM(l_extendedprice), 6) AS sum_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH ROLLUP hierarchical subtotals via DataFrame API."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("num_rows"),
+        F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
+    )
+
+
+@register(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS num_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH CUBE all-combination subtotals via DataFrame API."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("num_rows"),
+    )
+
+
+@register(
+    "agg_percentile",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 6) AS q25,
+           ROUND(quantile_cont(l_quantity, 0.50), 6) AS median_qty,
+           ROUND(quantile_cont(l_quantity, 0.75), 6) AS q75,
+           ROUND(quantile_cont(l_extendedprice, 0.90), 6) AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (percentile_cont interpolation). At 100 TB use
+    approx_percentile (t-digest) — exact percentile sorts each group."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("q25"),
+        F.round(F.percentile("l_quantity", F.lit(0.50)), 6).alias("median_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("q75"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.90)), 6).alias("p90_price"),
+    )
+
+
+@register(
+    "agg_stats",
+    """
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+           ROUND(var_samp(l_extendedprice), 4) AS var_price,
+           ROUND(corr(l_extendedprice, l_quantity), 6) AS corr_price_qty,
+           ROUND(covar_samp(l_extendedprice, l_quantity), 4) AS covar_price_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical UDAF family: stddev/variance/corr/covar."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_extendedprice"), 4).alias("var_price"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_price_qty"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("covar_price_qty"),
+    )
+
+
+@register(
+    "agg_having",
+    """
+    SELECT o_custkey, COUNT(*) AS num_orders, ROUND(SUM(o_totalprice), 6) AS total_spent
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12 AND SUM(o_totalprice) > 500000.0
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING = post-aggregation filter over aggregate expressions."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("num_orders"),
+            F.round(F.sum("o_totalprice"), 6).alias("total_spent"),
+            F.sum("o_totalprice").alias("_raw_total"),
+        )
+        .filter((F.col("num_orders") >= 12) & (F.col("_raw_total") > 500000.0))
+        .drop("_raw_total")
+    )
+
+
+PIVOT_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+@register(
+    "agg_pivot",
+    """
+    SELECT c_nationkey,
+           ROUND(COALESCE(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN c_acctbal END), 0.0), 6) AS "AUTOMOBILE",
+           ROUND(COALESCE(SUM(CASE WHEN c_mktsegment = 'BUILDING'   THEN c_acctbal END), 0.0), 6) AS "BUILDING",
+           ROUND(COALESCE(SUM(CASE WHEN c_mktsegment = 'FURNITURE'  THEN c_acctbal END), 0.0), 6) AS "FURNITURE",
+           ROUND(COALESCE(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN c_acctbal END), 0.0), 6) AS "HOUSEHOLD",
+           ROUND(COALESCE(SUM(CASE WHEN c_mktsegment = 'MACHINERY'  THEN c_acctbal END), 0.0), 6) AS "MACHINERY"
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-wide (Hive expresses this as a CASE-WHEN matrix). Explicit
+    value list avoids the extra distinct-values job — mandatory at scale."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    piv = (
+        c.groupBy("c_nationkey")
+        .pivot("c_mktsegment", PIVOT_SEGMENTS)
+        .agg(F.sum("c_acctbal"))
+    )
+    return piv.select(
+        "c_nationkey",
+        *[F.round(F.coalesce(F.col(s), F.lit(0.0)), 6).alias(s) for s in PIVOT_SEGMENTS],
+    )

@@ -1,1 +1,394 @@
-"""stub — filled in by milestone (SURVEY.md §7.3)."""
+"""SURVEY.md §2.C — join operators.
+
+Reference surface: HiveQL JOIN forms incl. MAPJOIN and SMB bucketed joins
+[Hive-public] (reference checkout empty — SURVEY.md §0.1); as-of join is a
+driver-mandated extension (BASELINE.json:6).
+
+Scale notes (100 TB):
+- Equi-joins shuffle both sides on the key unless one side is broadcast;
+  dimension tables (region/nation/customer at warehouse scale) go through
+  ``F.broadcast`` so the fact table never shuffles for enrichment.
+- AQE converts to broadcast at runtime when a side turns out small, and
+  splits skewed partitions (skewJoin) — enabled in session.tune().
+- The theta/range joins are expressed so the small side is broadcast
+  (BroadcastNestedLoopJoin with a 5-row build side), never an all-pairs
+  shuffle; the as-of join is a single shuffle on user_id + one window
+  pass — the scalable alternative to a range self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_test_spark.io import load_table
+from hive_test_spark.registry import register
+from hive_test_spark.session import tune
+
+
+@register(
+    "join_inner_hash",
+    """
+    SELECT o.o_orderkey, c.c_custkey, c.c_mktsegment, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal > 0.0
+    """,
+)
+def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join orders↔customer (shuffled hash / SMJ; AQE may broadcast)."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0.0)
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_custkey", "c_mktsegment", "o_totalprice"
+    )
+
+
+@register(
+    "join_left_outer",
+    """
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey) AS num_orders,
+           ROUND(COALESCE(SUM(o.o_totalprice), 0.0), 6) AS total_spent
+    FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping order-less customers (NULL-extended rows)."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("num_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 6).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "join_right_outer",
+    """
+    SELECT o.o_orderkey, c.c_custkey, c.c_name
+    FROM orders o RIGHT OUTER JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join — all customers, NULL order columns where unmatched."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_full_outer",
+    """
+    WITH cn AS (SELECT c_nationkey AS nk, COUNT(*) AS num_customers
+                FROM customer WHERE c_acctbal > 9000.0 GROUP BY c_nationkey),
+         sn AS (SELECT s_nationkey AS nk, COUNT(*) AS num_suppliers
+                FROM supplier WHERE s_acctbal > 9000.0 GROUP BY s_nationkey)
+    SELECT COALESCE(cn.nk, sn.nk) AS nationkey,
+           cn.num_customers, sn.num_suppliers
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates with disjoint key coverage."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cn = (
+        c.filter(F.col("c_acctbal") > 9000.0)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("num_customers"))
+    )
+    sn = (
+        s.filter(F.col("s_acctbal") > 9000.0)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("num_suppliers"))
+    )
+    return cn.join(sn, cn.nk == sn.nk, "full").select(
+        F.coalesce(cn.nk, sn.nk).alias("nationkey"),
+        "num_customers",
+        "num_suppliers",
+    )
+
+
+@register(
+    "join_cross",
+    """
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (tiny dims only; never cross a fact table at scale)."""
+    tune(spark)
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "join_left_semi",
+    """
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0)
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI JOIN (Hive's canonical EXISTS): customers with a big order."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "join_left_anti",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI JOIN (NOT EXISTS rewrite): customers with no orders."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_broadcast",
+    """
+    SELECT p.p_brand,
+           COUNT(*) AS num_lines,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side join (Hive MAPJOIN): explicit broadcast of the part dim —
+    the fact scan never shuffles for the join, only for the final agg."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("num_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_sort_merge",
+    """
+    SELECT o.o_orderpriority,
+           COUNT(*) AS num_lines,
+           ROUND(SUM(l.l_quantity), 6) AS total_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-merge join (Hive SMB analogue): MERGE hint pins SMJ for the
+    fact-fact join; on a warehouse both sides would be bucketed on the key
+    (df.write.bucketBy) making this shuffle-free."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").hint("merge")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("num_lines"),
+            F.round(F.sum("l_quantity"), 6).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "join_theta",
+    """
+    SELECT s.s_suppkey, COUNT(*) AS richer_than_suppliers
+    FROM supplier s JOIN customer c ON s.s_acctbal > c.c_acctbal
+    GROUP BY s.s_suppkey
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join: BroadcastNestedLoopJoin with the supplier side
+    broadcast. At 100 TB a pure theta join must be banded (join on a coarse
+    bucket equi-key + residual predicate) — see join_range_interval."""
+    tune(spark)
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    c = load_table(spark, sf_dir, "customer").select("c_acctbal")
+    return (
+        c.join(F.broadcast(s), s.s_acctbal > c.c_acctbal)
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("richer_than_suppliers"))
+    )
+
+
+@register(
+    "join_range_interval",
+    """
+    SELECT b.band_id, COUNT(*) AS num_orders, ROUND(SUM(o.o_totalprice), 6) AS band_total
+    FROM orders o
+    JOIN (SELECT r_regionkey AS band_id,
+                 r_regionkey * 60000.0 AS lo,
+                 (r_regionkey + 1) * 60000.0 AS hi
+          FROM region) b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band_id
+    """,
+)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: fact rows land in value bands. The band table is
+    broadcast, so the plan is a map-side nested-loop over 5 rows — the
+    scalable shape for banded range joins (no shuffle of the fact side)."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    bands = (
+        load_table(spark, sf_dir, "region")
+        .select(
+            F.col("r_regionkey").alias("band_id"),
+            (F.col("r_regionkey") * 60000.0).alias("lo"),
+            ((F.col("r_regionkey") + 1) * 60000.0).alias("hi"),
+        )
+    )
+    return (
+        o.join(F.broadcast(bands), (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi))
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("num_orders"),
+            F.round(F.sum("o_totalprice"), 6).alias("band_total"),
+        )
+    )
+
+
+@register(
+    "join_asof",
+    """
+    WITH clicks AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    purchases AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+           c.ts AS last_click_ts, c.click_value
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (driver extension, BASELINE.json:6): for each purchase,
+    the latest click by the same user at-or-before the purchase time.
+
+    Implemented as union-tag + window ``last(..., ignorenulls)`` — one
+    shuffle on user_id and one sorted window pass, which scales linearly;
+    the naive alternative (range self-join + row_number) is quadratic per
+    user. Clicks are pre-deduped per (user, ts) so ties are deterministic.
+    """
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+        .select(
+            "user_id",
+            "ts",
+            "click_value",
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(0).alias("side"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("double").alias("click_value"),
+        "event_id",
+        "value",
+        F.lit(1).alias("side"),
+    )
+    tagged = clicks.unionByName(purchases)
+    # side=0 (click) sorts before side=1 (purchase) at equal ts → "at-or-before".
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_click = F.col("side") == 0
+    enriched = tagged.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "side",
+        F.last(F.when(is_click, F.col("ts")), ignorenulls=True).over(w).alias("last_click_ts"),
+        F.last(F.when(is_click, F.col("click_value")), ignorenulls=True)
+        .over(w)
+        .alias("click_value"),
+    )
+    return enriched.filter(F.col("side") == 1).drop("side")
+
+
+@register(
+    "join_star_multiway",
+    """
+    SELECT n.n_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join (TPC-H Q5 shape): fact + 5 dims. Dims are
+    broadcast (nation/region explicitly, supplier/customer by AQE at
+    warehouse scale they'd be bucketed); Catalyst pushes the region filter
+    through the join chain and prunes everything else."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("revenue")
+        )
+    )

@@ -1,1 +1,285 @@
-"""stub — filled in by milestone (SURVEY.md §7.3)."""
+"""SURVEY.md §2.E — window functions.
+
+Reference surface: HiveQL windowing (OVER / PARTITION BY / ORDER BY /
+frames) [Hive-public] (reference checkout empty — SURVEY.md §0.1).
+
+Scale notes (100 TB): a window = one shuffle on the partition key + a
+per-partition sort. All windows below partition on real keys (never a
+global ``Window.orderBy`` without partitioning, which funnels everything
+to one task — the classic window scale bug). Rank-based top-k pushes the
+filter immediately after the window so AQE can drop data early.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_test_spark.io import load_table
+from hive_test_spark.registry import register
+from hive_test_spark.session import tune
+
+
+@register(
+    "win_row_number",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+    FROM orders
+    """,
+)
+def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW_NUMBER per customer in order-date order (o_orderkey tiebreak
+    keeps it deterministic — SURVEY.md §5.3)."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rn"))
+
+
+@register(
+    "win_rank_dense",
+    """
+    SELECT c_nationkey, c_custkey,
+           RANK() OVER (PARTITION BY c_nationkey ORDER BY FLOOR(c_acctbal) DESC) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY FLOOR(c_acctbal) DESC) AS drnk
+    FROM customer
+    """,
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK / DENSE_RANK with gaps (floored balance induces real ties;
+    floor, not int-cast — double→int cast truncates in Spark but rounds
+    in DuckDB, a dialect trap for the oracle)."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.floor("c_acctbal").desc())
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "win_ntile",
+    """
+    SELECT c_custkey,
+           NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS quartile
+    FROM customer
+    """,
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) quartile assignment within market segment."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select("c_custkey", F.ntile(4).over(w).alias("quartile"))
+
+
+@register(
+    "win_percent_cume",
+    """
+    SELECT s_suppkey,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal), 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal), 6) AS cume
+    FROM supplier
+    """,
+)
+def win_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK / CUME_DIST relative-position functions."""
+    tune(spark)
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal")
+    return s.select(
+        "s_suppkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    """
+    SELECT o_custkey, o_orderkey,
+           LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+           LEAD(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price,
+           ROUND(o_totalprice - COALESCE(LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0.0), 6) AS delta
+    FROM orders
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD offset access + derived delta column."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    lagp = F.lag("o_totalprice", 1).over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        lagp.alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.round(F.col("o_totalprice") - F.coalesce(lagp, F.lit(0.0)), 6).alias("delta"),
+    )
+
+
+@register(
+    "win_first_last",
+    """
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+           LAST_VALUE(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
+    FROM orders
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE / LAST_VALUE with explicit frames (LAST needs the full
+    frame — the default frame stops at CURRENT ROW)."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_first = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_full = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w_first).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+    )
+
+
+@register(
+    "win_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_total,
+           COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+    FROM orders
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate with a ROWS frame."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 6).alias("running_total"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+    )
+
+
+@register(
+    "win_range_frame",
+    """
+    SELECT user_id, event_id,
+           ROUND(SUM(value) OVER (
+             PARTITION BY user_id ORDER BY epoch_s
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6) AS sum_1h,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_s
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_1h
+    FROM (SELECT user_id, event_id, value,
+                 epoch(CAST(ts AS TIMESTAMP)) AS epoch_s
+          FROM events) e
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (value-based) frame: trailing 1-hour sum per user — the batch
+    sliding-window idiom. Epoch seconds make the RANGE bound portable."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "epoch_s", F.unix_timestamp("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("epoch_s").rangeBetween(-3600, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 6).alias("sum_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
+
+
+@register(
+    "win_topk_per_group",
+    """
+    SELECT c_nationkey, c_custkey, c_acctbal
+    FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+                 ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                    ORDER BY c_acctbal DESC, c_custkey) AS rn
+          FROM customer) t
+    WHERE rn <= 3
+    """,
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group (the classic Hive-test exercise): row_number + filter.
+    Spark pushes a per-partition rank limit (WindowGroupLimit) before the
+    shuffle, so only K rows per group per input partition move."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return (
+        c.select("c_nationkey", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@register(
+    "win_sessionize_batch",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN epoch(CAST(ts AS TIMESTAMP))
+                       - epoch(LAG(CAST(ts AS TIMESTAMP)) OVER
+                               (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                       OR LAG(CAST(ts AS TIMESTAMP)) OVER
+                               (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def win_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap): lag → new-session flag →
+    running sum as session id → per-session rollup. One shuffle on
+    user_id serves both windows and feeds the final agg."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    order = ["ts", "event_id"]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(prev_ts.isNull() | (gap_s > 1800), 1).otherwise(0).alias("new_session"),
+    )
+    sess = flagged.select(
+        "user_id", "event_id", F.sum("new_session").over(w_run).alias("session_id")
+    )
+    return sess.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events"))

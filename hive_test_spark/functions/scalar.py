@@ -1,1 +1,296 @@
-"""stub — filled in by milestone (SURVEY.md §7.3)."""
+"""SURVEY.md §2.I — scalar function families, one query per family.
+
+Reference surface: the Hive built-in UDF catalog (string / regex / date
+/ math / conditional / array / map / JSON / hash families) [Hive-public]
+(reference checkout empty — SURVEY.md §0.1). Spark implements the same
+names JVM-side; every expression below stays inside whole-stage codegen
+(no Python in the hot path).
+
+Oracle dialect notes (SURVEY.md §7.5.3): DuckDB `regexp_replace` needs
+the 'g' flag to match Spark's replace-all; double→int CAST rounds in
+DuckDB but truncates in Spark (use FLOOR); `list_distinct` is unsorted
+(wrap in list_sort); no `initcap` (omitted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_test_spark.io import load_table
+from hive_test_spark.registry import register
+from hive_test_spark.session import tune
+
+
+@register(
+    "fn_string",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           lower(c_mktsegment) AS seg_lower,
+           length(c_name) AS name_len,
+           substr(c_name, 1, 8) AS name_pfx,
+           concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_pad,
+           reverse(c_mktsegment) AS seg_rev,
+           repeat(substr(c_mktsegment, 1, 2), 2) AS seg_rep,
+           trim(concat(' ', c_name, ' ')) AS name_trim,
+           instr(c_name, '1') AS pos_one,
+           replace(c_mktsegment, 'E', '_') AS seg_repl
+    FROM customer
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: upper/lower/length/substr/concat_ws/lpad/reverse/
+    repeat/trim/instr/replace."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_pfx"),
+        F.concat_ws("-", F.col("c_mktsegment"), F.col("c_custkey").cast("string")).alias("seg_key"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_pad"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.repeat(F.substring("c_mktsegment", 1, 2), 2).alias("seg_rep"),
+        F.trim(F.concat(F.lit(" "), F.col("c_name"), F.lit(" "))).alias("name_trim"),
+        F.instr("c_name", "1").alias("pos_one"),
+        F.replace(F.col("c_mktsegment"), F.lit("E"), F.lit("_")).alias("seg_repl"),
+    )
+
+
+@register(
+    "fn_regex",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS name_starred,
+           regexp_matches(p_type, 'BRUSHED|POLISHED') AS is_finished,
+           translate(p_brand, '#', '_') AS brand_t
+    FROM part
+    """,
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family: regexp_extract / regexp_replace (replace-all) /
+    rlike / translate."""
+    tune(spark)
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", "^([A-Z]+)", 1).alias("type_head"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("name_starred"),
+        F.col("p_type").rlike("BRUSHED|POLISHED").alias("is_finished"),
+        F.translate("p_brand", "#", "_").alias("brand_t"),
+    )
+
+
+@register(
+    "fn_date",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate) AS order_year,
+           month(o_orderdate) AS order_month,
+           day(o_orderdate) AS order_day,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
+           CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus3m,
+           epoch(o_orderdate) AS epoch_s
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date family: year/month/day/date_trunc/last_day/datediff/add_months/
+    unix_timestamp. DATE-typed outputs rendered as strings (hash rule)."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.last_day(F.col("o_orderdate").cast("date")).cast("string").alias("month_end"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+        F.add_months(F.col("o_orderdate").cast("date"), 3).cast("string").alias("plus3m"),
+        F.unix_timestamp("o_orderdate").cast("double").alias("epoch_s"),
+    )
+
+
+@register(
+    "fn_math",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1) AS price_r1,
+           floor(l_discount * 100) AS disc_pct_floor,
+           ceil(l_tax * 100) AS tax_pct_ceil,
+           abs(l_quantity - 25.0) AS qty_dev,
+           round(pow(l_quantity, 2), 6) AS qty_sq,
+           round(sqrt(l_extendedprice), 6) AS price_sqrt,
+           round(ln(l_extendedprice + 1.0), 6) AS price_ln,
+           round(log10(l_extendedprice + 1.0), 6) AS price_log10,
+           round(exp(l_discount), 6) AS disc_exp,
+           sign(l_quantity - 25.0) AS qty_sign,
+           greatest(l_quantity, 25.0) AS qty_hi,
+           least(l_quantity, 25.0) AS qty_lo,
+           ((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7 AS key_pmod
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: round/floor/ceil/abs/pow/sqrt/ln/log10/exp/sign/
+    greatest/least/pmod."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.floor(F.col("l_discount") * 100).alias("disc_pct_floor"),
+        F.ceil(F.col("l_tax") * 100).alias("tax_pct_ceil"),
+        F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("qty_sq"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1.0), 6).alias("price_ln"),
+        F.round(F.log10(F.col("l_extendedprice") + 1.0), 6).alias("price_log10"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.signum(F.col("l_quantity") - 25.0).alias("qty_sign"),
+        F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("qty_hi"),
+        F.least(F.col("l_quantity"), F.lit(25.0)).alias("qty_lo"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).alias("key_pmod"),
+    )
+
+
+@register(
+    "fn_conditional",
+    """
+    SELECT s_suppkey,
+           CASE WHEN s_acctbal > 5000.0 THEN 'rich' ELSE 'modest' END AS wealth,
+           COALESCE(NULLIF(s_name, ''), 'unknown') AS safe_name,
+           NULLIF(s_nationkey, 0) AS nation_or_null,
+           COALESCE(NULLIF(s_nationkey, 0), -1) AS nation_nvl,
+           (s_acctbal IS NOT NULL) AS has_bal
+    FROM supplier
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family: if/nvl/nullif/coalesce/isnull."""
+    tune(spark)
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.when(F.col("s_acctbal") > 5000.0, "rich").otherwise("modest").alias("wealth"),
+        F.coalesce(F.nullif(F.col("s_name"), F.lit("")), F.lit("unknown")).alias("safe_name"),
+        F.nullif(F.col("s_nationkey"), F.lit(0)).alias("nation_or_null"),
+        F.coalesce(F.nullif(F.col("s_nationkey"), F.lit(0)), F.lit(-1)).alias("nation_nvl"),
+        F.col("s_acctbal").isNotNull().alias("has_bal"),
+    )
+
+
+@register(
+    "fn_array",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_comp,
+           ROUND(list_aggregate(list_transform(embedding, (x) -> CAST(x AS DOUBLE)), 'sum'), 6) AS comp_sum,
+           ROUND(list_aggregate(list_transform(embedding, (x) -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 6) AS sq_sum,
+           len(list_filter(embedding, (x) -> x > 0)) AS n_pos,
+           ROUND(CAST(list_aggregate(list_transform(embedding, (x) -> CAST(x AS DOUBLE)), 'max') AS DOUBLE), 6) AS comp_max
+    FROM embeddings
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family + higher-order functions: size/element_at/transform/
+    filter/aggregate — the JVM-side vector-math primitives reused by the
+    LLM similarity operators (§2.L)."""
+    tune(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    as_dbl = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_comp"),
+        F.round(F.expr(f"aggregate({as_dbl}, 0D, (acc, x) -> acc + x)"), 6).alias("comp_sum"),
+        F.round(F.expr(f"aggregate({as_dbl}, 0D, (acc, x) -> acc + x * x)"), 6).alias("sq_sum"),
+        F.size(F.expr("filter(embedding, x -> x > 0)")).alias("n_pos"),
+        F.round(F.expr(f"array_max({as_dbl})"), 6).alias("comp_max"),
+    )
+
+
+@register(
+    "fn_map",
+    """
+    SELECT event_id,
+           ['type', 'user'] AS m_keys,
+           [event_type, CAST(user_id AS VARCHAR)] AS m_values,
+           event_type AS type_val
+    FROM events
+    WHERE event_id % 10 = 0
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: create_map / map_keys / map_values / element_at. The
+    oracle states the expected key/value arrays directly (map ordering is
+    engine-specific — SURVEY.md §2 flags this family as order-sensitive)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("user"), F.col("user_id").cast("string")
+    )
+    return ev.select(
+        "event_id",
+        F.map_keys(m).alias("m_keys"),
+        F.map_values(m).alias("m_values"),
+        F.element_at(m, F.lit("type")).alias("type_val"),
+    )
+
+
+@register(
+    "fn_json",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k_doubled
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: get_json_object + from_json (schema'd struct access)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_int"),
+        (parsed.getField("k") * 2).alias("k_doubled"),
+    ).filter(F.col("k_int") > 50)
+
+
+@register(
+    "fn_hash",
+    """
+    SELECT n_nationkey,
+           md5(n_name) AS name_md5,
+           sha256(n_name) AS name_sha256,
+           length(md5(n_name)) AS md5_len
+    FROM nation
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash family: md5 / sha2-256 (content fingerprints for dedup §2.L)."""
+    tune(spark)
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.md5("n_name").alias("name_md5"),
+        F.sha2(F.col("n_name"), 256).alias("name_sha256"),
+        F.length(F.md5("n_name")).alias("md5_len"),
+    )

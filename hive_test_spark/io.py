@@ -65,3 +65,10 @@ def scratch_path(*parts: str) -> str:
     p = os.path.join(SCRATCH_DIR, *parts)
     os.makedirs(os.path.dirname(p), exist_ok=True)
     return p
+
+
+def scratch_dir(*parts: str) -> str:
+    """Path for a scratch output directory (parent pre-created)."""
+    p = os.path.join(SCRATCH_DIR, *parts)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    return p

@@ -1,1 +1,166 @@
-"""stub — filled in by milestone (SURVEY.md §7.3)."""
+"""SURVEY.md §2.A (read side) — scans over parquet/CSV/JSON/ORC + views.
+
+Reference surface: Hive storage handlers & SerDes (TextFile, JsonSerDe,
+ORC, Parquet) [Hive-public] (reference checkout empty — SURVEY.md §0.1).
+
+CSV/JSON/ORC fixtures don't exist in /root/testdata, so each scan first
+materializes the format from the parquet source *with a distributed
+Spark write* (write-once, cached via _SUCCESS marker), then reads it
+back through the format's own reader — both legs exercise the real
+connector code path. The DuckDB oracle reads the original parquet view;
+the round-trip must therefore be value-exact.
+
+Scale notes (100 TB): all readers here are splittable, schema-explicit
+(no inference job), and support predicate/column pushdown where the
+format allows (parquet/ORC; CSV/JSON prune columns only after parse).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hive_test_spark.io import load_table, scratch_dir, table_path
+from hive_test_spark.registry import register
+from hive_test_spark.session import tune
+
+
+def _materialize(df: DataFrame, fmt: str, path: str, **options) -> str:
+    """Distributed write of df as fmt at path, once (cached by _SUCCESS)."""
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        df.write.mode("overwrite").options(**options).format(fmt).save(path)
+    return path
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+@register(
+    "scan_parquet",
+    """
+    SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_extendedprice), 6) AS total
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized columnar parquet scan: reads exactly 2 columns
+    (ReadSchema pruning) regardless of table width."""
+    tune(spark)
+    li = spark.read.parquet(table_path(sf_dir, "lineitem"))
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 6).alias("total"),
+    )
+
+
+CUSTOMER_SCHEMA = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_nationkey", T.IntegerType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+        T.StructField("c_mktsegment", T.StringType()),
+    ]
+)
+
+
+@register(
+    "scan_csv",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n, ROUND(SUM(c_acctbal), 6) AS total_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delimited-text scan (Hive TextFile+SerDe): explicit schema — never
+    inferSchema at scale (it is a full extra pass over the data)."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    path = _materialize(c, "csv", scratch_dir("fmt", _sf_tag(sf_dir), "customer_csv"),
+                        header="true")
+    df = spark.read.csv(path, header=True, schema=CUSTOMER_SCHEMA)
+    return df.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("c_acctbal"), 6).alias("total_bal"),
+    )
+
+
+@register(
+    "scan_json",
+    """
+    SELECT s_nationkey, COUNT(*) AS n, ROUND(SUM(s_acctbal), 6) AS total_bal
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan (Hive JsonSerDe analogue), explicit schema."""
+    tune(spark)
+    s = load_table(spark, sf_dir, "supplier")
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    )
+    path = _materialize(s, "json", scratch_dir("fmt", _sf_tag(sf_dir), "supplier_json"))
+    df = spark.read.json(path, schema=schema)
+    return df.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("s_acctbal"), 6).alias("total_bal"),
+    )
+
+
+@register(
+    "scan_orc",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n, ROUND(AVG(o_totalprice), 6) AS avg_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan (Hive's native columnar format) — full pushdown support."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    path = _materialize(o, "orc", scratch_dir("fmt", _sf_tag(sf_dir), "orders_orc"))
+    df = spark.read.orc(path)
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+    )
+
+
+@register(
+    "view_over_query",
+    """
+    SELECT c_mktsegment, big_customers
+    FROM (SELECT c_mktsegment, COUNT(*) AS big_customers
+          FROM customer WHERE c_acctbal > 5000.0
+          GROUP BY c_mktsegment) v
+    WHERE big_customers > 10
+    """,
+)
+def view_over_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE VIEW: named logical query re-used through the SQL front end.
+    Views are pure plan macros — the optimizer sees through them."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("hts_customer_v")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW hts_big_customers AS
+        SELECT c_mktsegment, COUNT(*) AS big_customers
+        FROM hts_customer_v WHERE c_acctbal > 5000.0
+        GROUP BY c_mktsegment
+        """
+    )
+    return spark.sql("SELECT c_mktsegment, big_customers FROM hts_big_customers WHERE big_customers > 10")

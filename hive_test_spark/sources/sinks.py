@@ -1,1 +1,110 @@
-"""stub — filled in by milestone (SURVEY.md §7.3)."""
+"""SURVEY.md §2.A (write side) — partitioned writes, append insert, CTAS.
+
+Reference surface: HiveQL INSERT OVERWRITE ... PARTITION / INSERT INTO /
+CREATE TABLE AS SELECT [Hive-public] (reference checkout empty —
+SURVEY.md §0.1).
+
+Each sink operator performs the real distributed write into .scratch/
+and re-reads the result, so the verified value flows through the writer
+AND the reader. Writes re-run on every invocation (they ARE the operator
+under test).
+
+Scale notes (100 TB): partitionBy writes one directory per key —
+partition columns must be low-cardinality (o_orderstatus: 3). Dynamic
+partition overwrite replaces only touched partitions. At warehouse scale
+add ``.sortWithinPartitions(key)`` before the write to get clustered
+files, and bucketBy for join-key co-location.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_test_spark.io import load_table, scratch_dir
+from hive_test_spark.registry import register
+from hive_test_spark.session import tune
+
+from hive_test_spark.sources.scans import _sf_tag
+
+
+@register(
+    "sink_parquet_partitioned",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 6) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT OVERWRITE ... PARTITION(col): partitionBy parquet write, then
+    a re-read that prunes to the partition dirs (partition pruning)."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    path = scratch_dir("sink", _sf_tag(sf_dir), "orders_by_status")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 6).alias("total"),
+    )
+
+
+@register(
+    "sink_append",
+    """
+    WITH unioned AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT COUNT(*) AS n, ROUND(SUM(o_totalprice), 6) AS total FROM unioned
+    """,
+)
+def sink_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT INTO (append): overwrite first batch, append second batch,
+    re-read — bag semantics of append are visible in the count."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    path = scratch_dir("sink", _sf_tag(sf_dir), "orders_append")
+    shutil.rmtree(path, ignore_errors=True)
+    first = o.filter(F.col("o_orderstatus") == "F").drop("o_orderstatus")
+    second = o.filter(F.col("o_orderstatus") == "O").drop("o_orderstatus")
+    first.write.mode("overwrite").parquet(path)
+    second.write.mode("append").parquet(path)
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 6).alias("total"),
+    )
+
+
+@register(
+    "ctas",
+    """
+    SELECT p_brand, num_parts, avg_retail
+    FROM (SELECT p_brand, COUNT(*) AS num_parts, ROUND(AVG(p_retailprice), 6) AS avg_retail
+          FROM part GROUP BY p_brand) t
+    """,
+)
+def ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE AS SELECT through the SQL front end and the session
+    catalog (in-memory catalog; on a warehouse this is the metastore),
+    with an explicit LOCATION so data lands in scratch."""
+    tune(spark)
+    p = load_table(spark, sf_dir, "part")
+    p.createOrReplaceTempView("hts_part_v")
+    path = scratch_dir("sink", _sf_tag(sf_dir), "ctas_brand_stats")
+    shutil.rmtree(path, ignore_errors=True)
+    spark.sql("DROP TABLE IF EXISTS hts_brand_stats")
+    spark.sql(
+        f"""
+        CREATE TABLE hts_brand_stats
+        USING PARQUET LOCATION '{path}'
+        AS SELECT p_brand, COUNT(*) AS num_parts, ROUND(AVG(p_retailprice), 6) AS avg_retail
+           FROM hts_part_v GROUP BY p_brand
+        """
+    )
+    return spark.table("hts_brand_stats")

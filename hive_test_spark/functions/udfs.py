@@ -1,1 +1,214 @@
-"""stub — filled in by milestone (SURVEY.md §7.3)."""
+"""SURVEY.md §2.J — UDF / UDAF / UDTF tiers.
+
+Reference surface: Hive Java UDF / GenericUDF / UDAF / UDTF
+[Hive-public] (reference checkout empty — SURVEY.md §0.1). The idiomatic
+PySpark equivalents are the UDF tiers, worst-to-best:
+row-at-a-time Python UDF (pickle per row) → Arrow-vectorized pandas_udf
+(Series per batch) → grouped-agg pandas_udf (UDAF) → applyInPandas
+(grouped-map UDTF) → mapInPandas (partition-stream transform).
+
+Scale notes (100 TB): every Python-touching operator here ships Arrow
+record batches executor↔worker — acceptable when the logic genuinely
+needs Python (the docstrings say why), and the row-at-a-time variant
+exists only to cover the Hive UDF surface; everything hot elsewhere in
+this engine stays JVM-side. applyInPandas shuffles on the group key and
+requires groups to fit in worker memory — keys here are bounded-size
+groups (per-nation ≤ thousands of rows even at 100 TB after projection).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from hive_test_spark.io import load_table
+from hive_test_spark.registry import register
+from hive_test_spark.session import tune
+
+
+# ---- row-at-a-time scalar UDF (the Hive `CREATE FUNCTION` analogue) ----
+
+_PRIORITY_RANK = {
+    "1-URGENT": 1,
+    "2-HIGH": 2,
+    "3-MEDIUM": 3,
+    "4-NOT SPECIFIED": 4,
+    "5-LOW": 5,
+}
+
+
+def _priority_rank(p: str | None) -> int | None:
+    if p is None:
+        return None
+    return _PRIORITY_RANK.get(p, -1)
+
+
+@register(
+    "udf_python_scalar",
+    """
+    SELECT o_orderkey,
+           CASE o_orderpriority
+             WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 WHEN '3-MEDIUM' THEN 3
+             WHEN '4-NOT SPECIFIED' THEN 4 WHEN '5-LOW' THEN 5 ELSE -1 END AS prio_rank
+    FROM orders
+    WHERE CASE o_orderpriority
+             WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 WHEN '3-MEDIUM' THEN 3
+             WHEN '4-NOT SPECIFIED' THEN 4 WHEN '5-LOW' THEN 5 ELSE -1 END <= 2
+    """,
+)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF, registered for SQL too. Covers Hive's
+    custom-UDF surface; 10-100× slower than pandas_udf — never in a hot
+    path, and this dict lookup would be a CASE expression in production."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    prio_udf = F.udf(_priority_rank, T.IntegerType())
+    spark.udf.register("hts_priority_rank", _priority_rank, T.IntegerType())
+    return (
+        o.select("o_orderkey", prio_udf(F.col("o_orderpriority")).alias("prio_rank"))
+        .filter(F.col("prio_rank") <= 2)
+    )
+
+
+# ---- Arrow-vectorized scalar pandas_udf ----
+
+
+def _net_price(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+    # Vectorized numpy arithmetic over Arrow batches (SNIPPETS.md:39-46 pattern).
+    return (price * (1.0 - disc) * (1.0 + tax)).round(6)
+
+
+@register(
+    "udf_pandas_scalar",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS net_price
+    FROM lineitem
+    WHERE l_quantity >= 30.0
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (Arrow) scalar UDF: Series→Series per batch."""
+    tune(spark)
+    # pandas_udf built here, not at import time: type resolution needs an
+    # active session, and the driver imports this module before creating one.
+    net_price_pdf = pandas_udf(_net_price, T.DoubleType())
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 30.0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net_price_pdf("l_extendedprice", "l_discount", "l_tax").alias("net_price"),
+    )
+
+
+# ---- grouped-agg pandas_udf (UDAF) ----
+
+
+def _weighted_avg_price(price: pd.Series, qty: pd.Series) -> float:
+    # Custom aggregate: quantity-weighted mean price.
+    tot = qty.sum()
+    if tot == 0:
+        return float("nan")
+    return round(float((price * qty).sum() / tot), 6)
+
+
+@register(
+    "udaf_pandas_grouped_agg",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6) AS wavg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udaf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via grouped-agg pandas_udf (SNIPPETS.md:49-58 pattern):
+    whole group's columns arrive as Series, returns one scalar."""
+    tune(spark)
+    from pyspark.sql.functions import PandasUDFType
+
+    wavg = pandas_udf(_weighted_avg_price, T.DoubleType(), functionType=PandasUDFType.GROUPED_AGG)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        wavg("l_extendedprice", "l_quantity").alias("wavg_price")
+    )
+
+
+# ---- grouped-map applyInPandas (UDTF-ish) ----
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    sd = pdf["c_acctbal"].std(ddof=1)  # sample std — matches stddev_samp
+    mu = pdf["c_acctbal"].mean()
+    if pd.isna(sd) or sd == 0.0:
+        z = pd.Series(0.0, index=pdf.index)
+    else:
+        z = (pdf["c_acctbal"] - mu) / sd
+    return pd.DataFrame(
+        {"c_custkey": pdf["c_custkey"], "c_nationkey": pdf["c_nationkey"], "bal_z": z.round(6)}
+    )
+
+
+@register(
+    "udtf_grouped_map",
+    """
+    SELECT c_custkey, c_nationkey,
+           ROUND(CASE WHEN stddev_samp(c_acctbal) OVER w IS NULL
+                       OR stddev_samp(c_acctbal) OVER w = 0.0
+                      THEN 0.0
+                      ELSE (c_acctbal - avg(c_acctbal) OVER w) / stddev_samp(c_acctbal) OVER w
+                 END, 6) AS bal_z
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey)
+    """,
+)
+def udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-transform (Hive UDTF analogue): applyInPandas z-score
+    normalization per nation — arbitrary pandas logic per group, schema
+    declared up front."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    schema = "c_custkey long, c_nationkey int, bal_z double"
+    return c.select("c_custkey", "c_nationkey", "c_acctbal").groupBy("c_nationkey").applyInPandas(
+        _zscore_group, schema
+    )
+
+
+# ---- partition-wise mapInPandas ----
+
+
+def _doc_features(batches):
+    for pdf in batches:
+        toks = pdf["text"].str.split(" ")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_tokens": toks.str.len().astype("int64"),
+                "n_uniq_tokens": toks.map(lambda t: len(set(t))).astype("int64"),
+                "mentions_spark": pdf["text"].str.contains("spark", regex=False),
+            }
+        )
+
+
+@register(
+    "udf_map_in_pandas",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+           contains(text, 'spark') AS mentions_spark
+    FROM documents
+    """,
+)
+def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-stream transform: mapInPandas iterates Arrow batches —
+    the plumbing tier used for multimodal decode (§2.L). Deterministic
+    row-wise features, so the oracle is still exact SQL."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    schema = "doc_id long, n_tokens long, n_uniq_tokens long, mentions_spark boolean"
+    return d.select("doc_id", "text").mapInPandas(_doc_features, schema)

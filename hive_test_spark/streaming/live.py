@@ -1,1 +1,308 @@
-"""stub — filled in by milestone (SURVEY.md §7.3)."""
+"""SURVEY.md §2.K (2/2) — live Structured Streaming operators.
+
+These run REAL micro-batch streaming queries (readStream file source →
+transformations → writeStream) with ``Trigger.AvailableNow`` so they
+terminate deterministically after consuming the fixture, then return the
+sink contents as a batch DataFrame. With a single micro-batch nothing is
+watermark-dropped, so the DuckDB batch twin is an exact oracle while the
+code path exercised is IncrementalExecution + StateStore for real.
+
+Scale notes (100 TB stream): file source is a stand-in for Kafka — the
+pipeline shape (watermark → stateful op → sink mode) is identical.
+Watermarks bound state stores; stream-stream joins keep both sides'
+state within the watermark horizon; foreachBatch gives exactly-once
+batch sinks via idempotent overwrite.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hive_test_spark.io import scratch_dir, table_path
+from hive_test_spark.registry import register
+from hive_test_spark.session import tune
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as raw long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _events_stream_dir(spark: SparkSession, sf_dir: str, copies: int = 1) -> str:
+    """Copy events.parquet into a scratch dir usable as a streaming file
+    source (optionally duplicated to create a dup-heavy stream)."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d = scratch_dir("stream_src", f"{tag}_x{copies}")
+    marker = os.path.join(d, ".ready")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        for i in range(copies):
+            shutil.copyfile(table_path(sf_dir, "events"), os.path.join(d, f"events_{i}.parquet"))
+        open(marker, "w").write("ok")
+    return d
+
+
+def _read_events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = _events_stream_dir(spark, sf_dir, copies)
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(src)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+    """Start the streaming query with AvailableNow into a memory sink, wait
+    for completion, return the sink table (fresh checkpoint every run)."""
+    spark = df.sparkSession
+    name = f"hts_mem_{uuid.uuid4().hex[:12]}"
+    ckpt = scratch_dir("ckpt", name)
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
+
+
+@register(
+    "stream_watermark_late",
+    """
+    SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS w_start,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling count executed as a LIVE streaming query.
+    The 10-minute watermark bounds window state; with one AvailableNow
+    batch no rows are late, so the batch twin is exact."""
+    tune(spark)
+    ev = _read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("w_start"), "n_events")
+    )
+    return _run_to_memory(agg, "complete")
+
+
+@register(
+    "stream_dedup",
+    """
+    SELECT event_type, COUNT(*) AS n_unique, ROUND(SUM(value), 6) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup within the watermark: the source is the events file
+    duplicated 2× (guaranteed dups); dropDuplicates('event_id') restores
+    exactly one copy — verified by aggregating the deduped stream."""
+    tune(spark)
+    ev = _read_events_stream(spark, sf_dir, copies=2)
+    deduped = ev.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    out = _run_to_memory(deduped, "append")
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+@register(
+    "stream_stateful",
+    """
+    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful per-key logic: applyInPandasWithState keeps a
+    running (count, sum) per user in a GroupState. One AvailableNow batch
+    → emitted state equals the batch aggregate (exact oracle)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    tune(spark)
+    ev = _read_events_stream(spark, sf_dir)
+
+    def update_counts(key, pdfs, state: GroupState):
+        n, tot = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            tot += float(pdf["value"].sum())
+        state.update((n, tot))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(tot, 6)]}
+        )
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, tot double"
+    stateful = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_counts, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+    return _run_to_memory(stateful, "update")
+
+
+@register(
+    "stream_static_join",
+    """
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e.value * w.weight), 6) AS weighted_value
+    FROM events e
+    JOIN (VALUES ('click', 1.0), ('view', 0.5), ('purchase', 10.0),
+                 ('signup', 5.0), ('error', 0.0)) AS w(event_type, weight)
+      ON e.event_type = w.event_type
+    GROUP BY e.event_type
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static enrichment: the static dim is broadcast into every
+    micro-batch (the canonical streaming dimension-join shape)."""
+    tune(spark)
+    ev = _read_events_stream(spark, sf_dir)
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 10.0), ("signup", 5.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    joined = ev.join(F.broadcast(dim), "event_type")
+    agg = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value") * F.col("weight")), 6).alias("weighted_value"),
+    )
+    return _run_to_memory(agg, "complete")
+
+
+@register(
+    "stream_stream_join",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE event_type = 'click'
+    )
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM purchases p JOIN clicks c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE
+     AND c.ts <= p.ts
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream inner join: purchases matched to same-user clicks in
+    the preceding 10 minutes, watermarks on both sides bound join state."""
+    tune(spark)
+    ev1 = _read_events_stream(spark, sf_dir)
+    ev2 = _read_events_stream(spark, sf_dir)
+    purchases = (
+        ev1.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        ev2.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
+    return _run_to_memory(joined, "append")
+
+
+@register(
+    "stream_sink_modes",
+    """
+    SELECT 'append' AS mode, (SELECT COUNT(*) FROM events WHERE event_type = 'error') AS rows_emitted
+    UNION ALL
+    SELECT 'complete', (SELECT COUNT(DISTINCT event_type) FROM events)
+    UNION ALL
+    SELECT 'update', (SELECT COUNT(DISTINCT user_id) FROM events)
+    UNION ALL
+    SELECT 'foreach_batch', (SELECT COUNT(*) FROM events)
+    """,
+)
+def stream_sink_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink/output-mode matrix: append (raw filter), complete (agg),
+    update (agg), and a foreachBatch sink — each run live; the emitted
+    row counts are deterministic under a single AvailableNow batch."""
+    tune(spark)
+    ev = _read_events_stream(spark, sf_dir)
+
+    append_out = _run_to_memory(ev.filter(F.col("event_type") == "error"), "append")
+    complete_out = _run_to_memory(
+        ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")), "complete"
+    )
+    update_out = _run_to_memory(
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")), "update"
+    )
+
+    counts = {"foreach_batch": 0}
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        counts["foreach_batch"] += batch_df.count()
+
+    name = f"hts_feb_{uuid.uuid4().hex[:12]}"
+    ckpt = scratch_dir("ckpt", name)
+    q = (
+        ev.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    rows = [
+        ("append", append_out.count()),
+        ("complete", complete_out.count()),
+        ("update", update_out.count()),
+        ("foreach_batch", counts["foreach_batch"]),
+    ]
+    return spark.createDataFrame(rows, "mode string, rows_emitted long")

@@ -1,1 +1,192 @@
-"""stub — filled in by milestone (SURVEY.md §7.3)."""
+"""SURVEY.md §2.L (1/4) — deduplication operators for LLM data pipelines
+(driver-mandated extension, BASELINE.json:6).
+
+Exact dedup, exact Jaccard (small-scale oracle), MinHash-LSH near-dedup,
+and SimHash fingerprint dedup over the `documents` table.
+
+Scale notes (100 TB): exact dedup = one hash-shuffle on the digest.
+MinHash-LSH is the linear-scale near-dup path: shingle → minhash
+signatures → band-bucket join (candidates only) — never the O(n²)
+all-pairs join; the exact-Jaccard operator exists as its correctness
+oracle on fixture scale and is itself blocked by a token-prefix key at
+scale. SimHash reduces each doc to one 48-bit integer whose buckets
+(exact-match or low-Hamming) are shuffle keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_test_spark.io import load_table
+from hive_test_spark.registry import register
+from hive_test_spark.session import tune
+
+
+@register(
+    "llm_exact_dedup",
+    """
+    SELECT doc_id, content_hash
+    FROM (
+      SELECT doc_id,
+             md5(lower(trim(text))) AS content_hash,
+             ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+      FROM documents
+    ) t
+    WHERE rn = 1
+    """,
+)
+def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact/normalized dedup: md5 of normalized text, keep lowest doc_id
+    per digest (deterministic winner — not dropDuplicates, whose survivor
+    is partition-order-dependent)."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    digest = F.md5(F.lower(F.trim(F.col("text"))))
+    w = Window.partitionBy(digest).orderBy("doc_id")
+    return (
+        d.select("doc_id", digest.alias("content_hash"), F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# Threshold chosen so the fixture vocabulary (small shared word pool,
+# FIXTURES.md documents.text) yields a non-trivial but bounded pair set.
+JACCARD_THRESHOLD = 0.5
+
+
+@register(
+    "llm_jaccard_exact",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.tok, b.tok))), 6) AS jaccard
+    FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.tok, b.tok))) >= 0.5
+    """,
+)
+def llm_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram/token Jaccard similarity pairs (≥ 0.5). All-pairs is
+    intentional here: it is the ground-truth oracle for the LSH variant;
+    the scale path IS llm_near_dedup_minhash."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.array_sort(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok"))).cast("double")
+    union = F.size(F.array_distinct(F.concat(F.col("a.tok"), F.col("b.tok"))))
+    jac = inter / union
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@register("llm_near_dedup_minhash")  # rows-only: LSH bucketing is approximate
+def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash-LSH (spark.ml):
+    tokens → HashingTF set-vectors → MinHashLSH.approxSimilarityJoin with
+    Jaccard distance ≤ 0.5.
+
+    Scale path: signatures are computed per-row (narrow), the join keys
+    on LSH band buckets — candidate pairs only, linear in data size.
+    Tests cross-check recall against llm_jaccard_exact ground truth.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.size("tok") > 0)
+    tf = HashingTF(inputCol="tok", outputCol="features", numFeatures=1 << 16, binary=True)
+    feat = tf.transform(toks)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1.0 - F.col("jaccard_dist"), 6).alias("est_jaccard"),
+        )
+    )
+
+
+# 48-bit SimHash: md5-derived per-token hashes keep Spark and DuckDB in
+# exact agreement (both have md5; 48 bits stays inside BIGINT).
+_SIMHASH_BITS = 48
+
+
+@register(
+    "llm_simhash",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+      FROM documents
+    ),
+    tok_hash AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT) AS h
+      FROM tok
+    ),
+    bits AS (
+      SELECT doc_id, b.bit,
+             SUM(CASE WHEN (h // (CAST(1 AS BIGINT) << b.bit)) % 2 = 1 THEN 1 ELSE -1 END) AS score
+      FROM tok_hash
+      CROSS JOIN (SELECT unnest(range(0, {_SIMHASH_BITS})) AS bit) b
+      GROUP BY doc_id, b.bit
+    )
+    SELECT doc_id,
+           SUM(CASE WHEN score > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+    FROM bits
+    GROUP BY doc_id
+    """,
+)
+def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprint (48-bit): per-token md5-derived hash,
+    per-bit ±1 vote, sign → bit. Near-dups share low-Hamming fingerprints.
+
+    All JVM-side set math (explode + bit ops + two hash aggs) — at scale
+    this is a linear pipeline; candidate pairing then joins on fingerprint
+    prefixes (bucketed Hamming search), not all-pairs.
+    """
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t"))
+    tok_hash = tok.select(
+        "doc_id", F.conv(F.substring(F.md5("t"), 1, 12), 16, 10).cast("bigint").alias("h")
+    )
+    bits = spark.range(_SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
+    scored = (
+        tok_hash.crossJoin(F.broadcast(bits))
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.sum(
+                F.when(F.expr("shiftright(h, bit) & 1") == 1, 1).otherwise(-1)
+            ).alias("score")
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("score") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        ).alias("simhash")
+    )

@@ -1,1 +1,112 @@
-"""stub — filled in by milestone (SURVEY.md §7.3)."""
+"""SURVEY.md §2.L (4/4) — multimodal (binary) column handling
+(driver-mandated extension, BASELINE.json:6).
+
+Images/audio/video are opaque ``binary`` payloads + typed metadata
+structs. No codec libraries exist in this container (SURVEY.md §2.L),
+so the decode step is STUBBED: ``decode_image_real`` raises
+NotImplementedError; the pipeline runs a clearly-marked deterministic
+fake decoder instead. Everything Spark-side — schema, Arrow batch shape,
+mapInPandas signature, partitioning — is real and tested.
+
+Scale notes (100 TB): payloads stay opaque bytes end-to-end (never
+parsed JVM-side); per-batch decode via mapInPandas streams Arrow batches
+so one row's blob never forces whole-partition materialization. Real
+deployments put blobs behind a path column + object store and keep only
+metadata in the table — the plumbing here is identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import hashlib
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_test_spark.io import load_table
+from hive_test_spark.registry import register
+from hive_test_spark.session import tune
+
+
+def decode_image_real(payload: bytes) -> dict:
+    """Real image decode (PIL/opencv) — NOT AVAILABLE in this container.
+
+    STUB: raises until an image codec is installed; the pipeline uses
+    ``_decode_fake`` below, which is deterministic from the payload bytes.
+    """
+    raise NotImplementedError("image codecs not installed; use the deterministic fake decoder")
+
+
+def _decode_fake(payload: bytes) -> tuple[int, int, str]:
+    """Deterministic fake 'decode': width/height derived from payload
+    length, format from the md5 first byte. Mirrors the real decoder's
+    output schema exactly."""
+    size = len(payload)
+    width = 64 + size % 640
+    height = 64 + (size * 7) % 480
+    fmt = "png" if hashlib.md5(payload).digest()[0] % 2 == 0 else "jpeg"
+    return width, height, fmt
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        decoded = pdf["payload"].map(_decode_fake)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "modality": pdf["modality"],
+                "byte_size": pdf["payload"].map(len).astype("int64"),
+                "payload_md5": pdf["payload"].map(lambda b: hashlib.md5(b).hexdigest()),
+                "width": decoded.map(lambda t: t[0]).astype("int64"),
+                "height": decoded.map(lambda t: t[1]).astype("int64"),
+                "format": decoded.map(lambda t: t[2]),
+            }
+        )
+
+
+@register(
+    "llm_multimodal_binary",
+    """
+    SELECT doc_id,
+           'image' AS modality,
+           CAST(n_chars AS BIGINT) AS byte_size,
+           md5(text) AS payload_md5,
+           64 + n_chars % 640 AS width,
+           64 + (n_chars * 7) % 480 AS height
+    FROM documents
+    WHERE n_chars >= 200
+    """,
+)
+def llm_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary pipeline: synthesize binary payloads (utf-8 text
+    bytes stand in for image blobs), attach a typed metadata struct,
+    'decode' via mapInPandas (stubbed codec, see module docstring), filter
+    on metadata. The oracle re-derives every output from the source text
+    (payload md5 == text md5; sizes are n_chars since the corpus is ascii).
+
+    `format` is fake-decoder-internal (md5-bit parity) — excluded from the
+    verified projection, asserted in tests instead.
+    """
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    binary = d.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.col("n_chars").alias("declared_size"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
+    ).withColumn("modality", F.col("meta.modality"))
+
+    schema = (
+        "doc_id long, modality string, byte_size long, payload_md5 string, "
+        "width long, height long, format string"
+    )
+    decoded = binary.select("doc_id", "modality", "payload").mapInPandas(_decode_batches, schema)
+    return decoded.filter(F.col("byte_size") >= 200).select(
+        "doc_id", "modality", "byte_size", "payload_md5", "width", "height"
+    )

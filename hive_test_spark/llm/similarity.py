@@ -1,1 +1,278 @@
-"""stub — filled in by milestone (SURVEY.md §7.3)."""
+"""SURVEY.md §2.L (2/4) — embedding similarity search
+(driver-mandated extension, BASELINE.json:6).
+
+Brute-force cosine top-k (exact baseline), KNN join per label,
+embedding-cosine near-dup pairs, and an IVF-style ANN probe — all over
+`embeddings` (array<float>, dim 64, FIXTURES.md).
+
+Scale notes (100 TB): dot products are pure JVM higher-order functions
+(F.aggregate over zip_with — no Python, no UDF). Exact top-k over N
+probes × M corpus is O(N·M): kept only as the ground-truth baseline and
+bounded probe sets. The scale paths are (a) IVF: partition corpus by
+coarse centroid (here: per-label mean), probe only the nearest cell(s);
+(b) random-projection LSH bucketing (BucketedRandomProjectionLSH) for
+euclidean. Norms are precomputed once per row, never per pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_test_spark.io import load_table
+from hive_test_spark.registry import register
+from hive_test_spark.session import tune
+
+# JVM-side vector math over array<float> (cast to double element-wise).
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+_NORM = "sqrt(aggregate({a}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+
+def _with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
+    return df.withColumn("norm", F.expr(_NORM.format(a=vec)))
+
+
+def cosine(a: str, b: str) -> "F.Column":
+    return F.expr(_DOT.format(a=a, b=b))
+
+
+# DuckDB list_cosine_similarity on raw float lists computes in float32 —
+# cast to double lists so it matches the Spark double-precision expression.
+_DUCK_COS = ("list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), "
+             "list_transform(b.embedding, x -> CAST(x AS DOUBLE)))")
+
+N_PROBES = 10  # fixed probe set: vec_id 0..9
+TOP_K = 5
+
+
+@register(
+    "llm_cosine_topk",
+    f"""
+    WITH probes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_PROBES}),
+         scored AS (
+           SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+                  ROUND({_DUCK_COS}, 6) AS cos_sim
+           FROM probes a JOIN embeddings b ON a.vec_id <> b.vec_id
+         )
+    SELECT probe_id, neighbor_id, cos_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rn
+          FROM scored) t
+    WHERE rn <= {TOP_K}
+    """,
+)
+def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: {N_PROBES} probe vectors × corpus, top-{TOP_K}
+    neighbors each. Probe side broadcast; per-row norms precomputed;
+    deterministic tie-break on neighbor_id."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    probes = e.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p_emb"),
+        F.col("norm").alias("p_norm"),
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(corpus, F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(cosine("p_emb", "c_emb") / (F.col("p_norm") * F.col("c_norm")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return scored.select("*", F.row_number().over(w).alias("rn")).filter(F.col("rn") <= TOP_K).drop("rn")
+
+
+@register(
+    "llm_knn_join",
+    f"""
+    WITH scored AS (
+      SELECT a.vec_id AS query_id, a.label, b.vec_id AS neighbor_id,
+             ROUND({_DUCK_COS}, 6) AS cos_sim
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+    )
+    SELECT query_id, label, neighbor_id, cos_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rn
+          FROM scored) t
+    WHERE rn <= 3
+    """,
+)
+def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN self-join blocked by label: each vector's 3 nearest cosine
+    neighbors within its cluster. The label equi-key turns the quadratic
+    all-pairs into per-cluster blocks — the blocked-KNN scale shape
+    (shuffle on label, pairs only within block)."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    a = e.select(
+        F.col("vec_id").alias("query_id"), "label",
+        F.col("embedding").alias("a_emb"), F.col("norm").alias("a_norm"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("b_label"),
+        F.col("embedding").alias("b_emb"), F.col("norm").alias("b_norm"),
+    )
+    scored = (
+        a.join(b, (F.col("label") == F.col("b_label")) & (F.col("query_id") != F.col("neighbor_id")))
+        .select(
+            "query_id", "label", "neighbor_id",
+            F.round(cosine("a_emb", "b_emb") / (F.col("a_norm") * F.col("b_norm")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return scored.select("*", F.row_number().over(w).alias("rn")).filter(F.col("rn") <= 3).drop("rn")
+
+
+@register(
+    "llm_embed_neardup",
+    f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_DUCK_COS}, 6) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND({_DUCK_COS}, 6) >= 0.25
+    """,
+)
+def llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.25 — the fixture
+    embeddings are weakly clustered, max intra-label cos ≈ 0.475), blocked by
+    label. At 100 TB the same query runs per LSH/IVF bucket instead of
+    per label — identical DataFrame shape, coarser blocking key."""
+    tune(spark)
+    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), "label",
+        F.col("embedding").alias("a_emb"), F.col("norm").alias("a_norm"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("b_label"),
+        F.col("embedding").alias("b_emb"), F.col("norm").alias("b_norm"),
+    )
+    return (
+        a.join(b, (F.col("label") == F.col("b_label")) & (F.col("vec_a") < F.col("vec_b")))
+        .select(
+            "vec_a", "vec_b",
+            F.round(cosine("a_emb", "b_emb") / (F.col("a_norm") * F.col("b_norm")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.25)
+    )
+
+
+@register(
+    "llm_ann_ivf",
+    f"""
+    WITH centroids AS (
+      SELECT label,
+             list(comp_avg ORDER BY pos) AS centroid
+      FROM (
+        SELECT label, pos, AVG(comp) AS comp_avg
+        FROM (
+          SELECT label,
+                 generate_subscripts(embedding, 1) AS pos,
+                 CAST(unnest(embedding) AS DOUBLE) AS comp
+          FROM embeddings
+        ) exploded
+        GROUP BY label, pos
+      ) per_pos
+      GROUP BY label
+    ),
+    probes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_PROBES}),
+    cell AS (
+      SELECT vec_id AS probe_id, label AS probe_label
+      FROM (
+        SELECT p.vec_id, c.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY list_cosine_similarity(list_transform(p.embedding, x -> CAST(x AS DOUBLE)), c.centroid) DESC, c.label) AS rn
+        FROM probes p CROSS JOIN centroids c
+      ) ranked WHERE rn = 1
+    ),
+    scored AS (
+      SELECT cell.probe_id, b.vec_id AS neighbor_id, cell.probe_label,
+             ROUND(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos_sim
+      FROM cell
+      JOIN embeddings a ON a.vec_id = cell.probe_id
+      JOIN embeddings b ON b.label = cell.probe_label AND b.vec_id <> cell.probe_id
+    )
+    SELECT probe_id, neighbor_id, probe_label, cos_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rn
+          FROM scored) t
+    WHERE rn <= {TOP_K}
+    """,
+)
+def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantizer = per-label mean vector (computed
+    distributed via posexplode + per-position avg), probe → nearest
+    centroid → exact top-k within that single cell only.
+
+    This is the 100 TB similarity-search shape: corpus partitioned by
+    cell id, probes routed by a tiny broadcast centroid table, per-cell
+    brute force. nprobe=1 here; raising nprobe = union more cells.
+    """
+    from pyspark.sql import Window
+
+    tune(spark)
+    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
+
+    # Distributed centroid computation: posexplode → avg per (label, pos) →
+    # re-assemble ordered arrays.
+    exploded = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("pos", "comp")
+    ).withColumn("comp", F.col("comp").cast("double"))
+    per_pos = exploded.groupBy("label", "pos").agg(F.avg("comp").alias("comp_avg"))
+    centroids = (
+        per_pos.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "comp_avg"))).alias("pc"))
+        .select("label", F.expr("transform(pc, x -> x.comp_avg)").alias("centroid"))
+        .withColumn("c_norm", F.expr(_NORM.format(a="centroid")))
+    )
+
+    probes = e.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p_emb"),
+        F.col("norm").alias("p_norm"),
+    )
+    routed = (
+        probes.crossJoin(F.broadcast(centroids))
+        .select(
+            "probe_id", "p_emb", "p_norm", "label",
+            (cosine("p_emb", "centroid") / (F.col("p_norm") * F.col("c_norm"))).alias("c_sim"),
+        )
+    )
+    w_route = Window.partitionBy("probe_id").orderBy(F.col("c_sim").desc(), "label")
+    cell = (
+        routed.select("*", F.row_number().over(w_route).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("probe_id", "p_emb", "p_norm", F.col("label").alias("probe_label"))
+    )
+
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("b_label"),
+        F.col("embedding").alias("b_emb"), F.col("norm").alias("b_norm"),
+    )
+    scored = (
+        F.broadcast(cell)
+        .join(corpus, (F.col("probe_label") == F.col("b_label")) & (F.col("probe_id") != F.col("neighbor_id")))
+        .select(
+            "probe_id", "neighbor_id", "probe_label",
+            F.round(cosine("p_emb", "b_emb") / (F.col("p_norm") * F.col("b_norm")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return scored.select("*", F.row_number().over(w).alias("rn")).filter(F.col("rn") <= TOP_K).drop("rn")

@@ -1,1 +1,281 @@
-"""stub — filled in by milestone (SURVEY.md §7.3)."""
+"""SURVEY.md §2.L (3/4) — text analysis for LLM data pipelines
+(driver-mandated extension, BASELINE.json:6): corpus stats, TF-IDF,
+quality filtering/scoring, language-ID heuristic, token counting,
+document fingerprinting.
+
+Scale notes (100 TB): everything is explode → hash-agg or pure narrow
+projection — JVM-only expressions (regexp, array HOFs, md5), no Python.
+The explode fan-out (~tokens-per-doc) is the only data inflation, and it
+feeds straight into map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_test_spark.io import load_table
+from hive_test_spark.registry import register
+from hive_test_spark.session import tune
+
+
+@register(
+    "llm_text_stats",
+    """
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           SUM(len(string_split(text, ' '))) AS total_tokens,
+           ROUND(AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS avg_tokens,
+           ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per (lang, source): doc counts, token counts,
+    length distribution."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ntok).alias("total_tokens"),
+        F.round(F.avg(ntok.cast("double")), 6).alias("avg_tokens"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "llm_tfidf",
+    """
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+      GROUP BY doc_id, token
+    ),
+    docfreq AS (SELECT token, COUNT(*) AS dfreq FROM tf GROUP BY token)
+    SELECT doc_id, token, tf,
+           ROUND(tf * ln((SELECT n_docs FROM n) / CAST(dfreq AS DOUBLE)), 6) AS tfidf
+    FROM (SELECT tf.doc_id, tf.token, tf.tf, docfreq.dfreq,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * ln((SELECT n_docs FROM n) / CAST(dfreq AS DOUBLE)) DESC,
+                            tf.token) AS rn
+          FROM tf JOIN docfreq ON tf.token = docfreq.token) ranked
+    WHERE rn <= 3
+    """,
+)
+def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit TF-IDF (tf × ln(N/df)), top-3 terms per document.
+    Explicit formulation (not ml.HashingTF+IDF) so the oracle is exact;
+    two hash-aggs + one broadcast-able df join — linear at scale."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar dimension, computed once per query build
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))).alias("_tfidf_raw"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("_tfidf_raw").desc(), "token")
+    return (
+        scored.select(
+            "doc_id", "token", "tf", F.round("_tfidf_raw", 6).alias("tfidf"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .drop("rn", "_tfidf_raw")
+    )
+
+
+@register(
+    "llm_quality_filter",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE n_chars BETWEEN 150 AND 400
+      AND lang IN ('en', 'es', 'de', 'fr')
+      AND NOT regexp_matches(text, '[^a-z0-9 ]')
+      AND len(list_distinct(string_split(text, ' '))) >= 10
+    """,
+)
+def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality gate: length bounds, language allowlist, charset
+    check, minimum lexical diversity — all pushdown-friendly predicates."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(
+        F.col("n_chars").between(150, 400)
+        & F.col("lang").isin("en", "es", "de", "fr")
+        & ~F.col("text").rlike("[^a-z0-9 ]")
+        & (F.size(F.array_distinct(F.split("text", " "))) >= 10)
+    ).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "llm_quality_score",
+    """
+    SELECT doc_id,
+           ROUND(LEAST(CAST(n_chars AS DOUBLE) / 300.0, 1.0), 6) AS len_score,
+           ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS diversity,
+           ROUND(CAST(len(list_filter(string_split(text, ' '),
+                                      t -> list_contains(['the','a','and','of','to'], t))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS stopword_ratio,
+           ROUND(0.5 * LEAST(CAST(n_chars AS DOUBLE) / 300.0, 1.0)
+                 + 0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                          / len(string_split(text, ' '))), 6) AS quality
+    FROM documents
+    """,
+)
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: length saturation, lexical diversity,
+    stopword ratio — the standard pretraining-corpus heuristics."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    ntok = F.size(toks).cast("double")
+    len_score = F.least(F.col("n_chars").cast("double") / 300.0, F.lit(1.0))
+    diversity = F.size(F.array_distinct(toks)).cast("double") / ntok
+    stop_ratio = (
+        F.size(F.expr("filter(split(text, ' '), t -> array_contains(array('the','a','and','of','to'), t))")).cast("double")
+        / ntok
+    )
+    return d.select(
+        "doc_id",
+        F.round(len_score, 6).alias("len_score"),
+        F.round(diversity, 6).alias("diversity"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(0.5 * len_score + 0.5 * diversity, 6).alias("quality"),
+    )
+
+
+# Marker token sets for the n-gram language heuristic. The fixture corpus
+# is synthetic engine-vocabulary text, so markers use that vocabulary;
+# real deployments swap in per-language stopword lists.
+_LANG_MARKERS = {
+    "en": ["join", "filter", "window"],
+    "es": ["agg", "scan", "shuffle"],
+    "de": ["spark", "hash", "sort"],
+}
+
+
+def _marker_sql(lang: str) -> str:
+    arr = ", ".join(f"'{t}'" for t in _LANG_MARKERS[lang])
+    return f"len(list_intersect(list_distinct(string_split(text, ' ')), [{arr}]))"
+
+
+@register(
+    "llm_lang_id",
+    f"""
+    SELECT doc_id, lang,
+           CASE
+             WHEN {_marker_sql('en')} >= {_marker_sql('es')}
+              AND {_marker_sql('en')} >= {_marker_sql('de')}
+              AND {_marker_sql('en')} > 0 THEN 'en'
+             WHEN {_marker_sql('es')} >= {_marker_sql('de')}
+              AND {_marker_sql('es')} > 0 THEN 'es'
+             WHEN {_marker_sql('de')} > 0 THEN 'de'
+             ELSE 'und'
+           END AS predicted_lang
+    FROM documents
+    """,
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-token hit counts with a deterministic
+    priority argmax (en > es > de on ties, 'und' when no markers hit)."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+
+    def hits(lang: str):
+        arr = ", ".join(f"'{t}'" for t in _LANG_MARKERS[lang])
+        return F.size(
+            F.array_intersect(F.array_distinct(F.split("text", " ")), F.expr(f"array({arr})"))
+        )
+
+    en, es, de = hits("en"), hits("es"), hits("de")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when((en >= es) & (en >= de) & (en > 0), "en")
+        .when((es >= de) & (es > 0), "es")
+        .when(de > 0, "de")
+        .otherwise("und")
+        .alias("predicted_lang"),
+    )
+
+
+@register(
+    "llm_token_count",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS re_tokens,
+           ROUND(CAST(n_chars AS DOUBLE) / len(regexp_extract_all(text, '[a-z]+|[0-9]+')), 6)
+             AS chars_per_token
+    FROM documents
+    """,
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace split vs BPE-ish regex tokenizer
+    ([a-z]+|[0-9]+ word pieces), plus chars-per-token — the standard
+    pretraining budget metric."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    re_tokens = F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)"))
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        re_tokens.alias("re_tokens"),
+        F.round(F.col("n_chars").cast("double") / re_tokens.cast("double"), 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+@register(
+    "llm_fingerprint",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, len(string_split(text, ' ')) - 1),
+               i -> CAST(('0x' || substr(md5(array_to_string(string_split(text, ' ')[i:i+2], ' ')), 1, 12)) AS BIGINT)
+             ) AS shingle_hashes
+      FROM documents
+    )
+    SELECT doc_id,
+           list_aggregate(shingle_hashes, 'min') AS fingerprint,
+           len(shingle_hashes) AS n_shingles
+    FROM sh
+    """,
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: minimum 48-bit md5 hash over 3-token shingles
+    (1-permutation MinHash / winnowing-style). Shared fingerprint ⇒
+    near-dup candidate bucket. Pure JVM array HOFs, narrow pipeline."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    shingle_hashes = F.expr(
+        "transform(sequence(0, size(split(text, ' ')) - 3), "
+        "i -> CAST(conv(substring(md5(concat_ws(' ', slice(split(text, ' '), i + 1, 3))), 1, 12), 16, 10) AS BIGINT))"
+    )
+    return d.select(
+        "doc_id",
+        F.array_min(shingle_hashes).alias("fingerprint"),
+        F.size(shingle_hashes).alias("n_shingles"),
+    )

@@ -1,0 +1,79 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with a noop-format write (full pipeline runs, no
+driver-side collect), matching how a cluster job would sink results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per major subsystem (scan+agg, star join, broadcast
+# join, as-of, windows, sessionization, streaming twin, pandas UDF,
+# dedup, similarity, tfidf) — breadth over repetition.
+HEADLINE = [
+    "flagship_pricing_summary",
+    "join_star_multiway",
+    "join_broadcast",
+    "join_asof",
+    "agg_rollup",
+    "agg_count_distinct",
+    "win_topk_per_group",
+    "win_sessionize_batch",
+    "stream_tumbling_window",
+    "udf_pandas_scalar",
+    "llm_exact_dedup",
+    "llm_cosine_topk",
+    "llm_tfidf",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from hive_test_spark.api import queries
+    from hive_test_spark.session import get_spark
+
+    qs = queries()
+    spark = get_spark("hts-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm-up: JVM/codegen/parquet-footer caches on a tiny sf, not timed.
+    qs["flagship_pricing_summary"](spark, "/root/testdata/sf0.001").write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+    per_query: dict[str, float] = {}
+    for key in HEADLINE:
+        t0 = time.perf_counter()
+        qs[key](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        per_query[key] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    try:
+        sf = float(tag)
+    except ValueError:
+        sf = tag
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Property-based spot checks (SURVEY.md §5.4): algebraic identities that
+catch operator-wiring bugs independently of the oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_semi_plus_anti_covers_left(spark):
+    """semi ∪ anti partitions the left keyset (on the same join pred)."""
+    from hive_test_spark.io import load_table
+
+    c = load_table(spark, SF_DIR, "customer")
+    o = load_table(spark, SF_DIR, "orders")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
+    assert semi + anti == c.count()
+
+
+def test_cube_contains_rollup_contains_groupby(spark, registry):
+    qs, _ = registry
+    cube = qs["agg_cube"](spark, SF_DIR).count()
+    rollup = qs["agg_rollup"](spark, SF_DIR).count()
+    from hive_test_spark.io import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    plain = li.groupBy("l_returnflag", "l_linestatus").count().count()
+    n_flags = li.select("l_returnflag").distinct().count()
+    assert rollup == plain + n_flags + 1
+    assert cube >= rollup
+
+
+def test_count_star_equals_sum_of_group_counts(spark, registry):
+    from hive_test_spark.io import load_table
+
+    qs, _ = registry
+    basic = qs["agg_groupby_basic"](spark, SF_DIR)
+    total = basic.agg(F.sum("num_orders")).collect()[0][0]
+    assert total == load_table(spark, SF_DIR, "orders").count()
+
+
+def test_approx_distinct_close_to_exact(spark, registry):
+    from hive_test_spark.io import load_table
+
+    qs, _ = registry
+    approx = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in qs["agg_approx_distinct"](spark, SF_DIR).collect()
+    }
+    li = load_table(spark, SF_DIR, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    for flag, n in exact.items():
+        assert abs(approx[flag] - n) / n < 0.05, (flag, approx[flag], n)
+
+
+def test_sort_within_partitions_monotone(spark, registry):
+    """Partition-local order: within every partition, keys are sorted
+    (the rows-only check promised in SURVEY.md §2.F)."""
+    qs, _ = registry
+    df = qs["sort_within_partitions"](spark, SF_DIR)
+    pdf = df.toPandas()
+    for _, grp in pdf.groupby("part_id"):
+        keys = list(zip(grp["l_suppkey"], grp["l_shipdate"]))
+        assert keys == sorted(keys)
+
+
+def test_union_all_minus_distinct_counts(spark, registry):
+    qs, _ = registry
+    bag = qs["set_union_all"](spark, SF_DIR)
+    st = qs["set_union_distinct"](spark, SF_DIR)
+    assert bag.count() == st.count()  # one row per distinct key in both
+    assert bag.agg(F.sum("n")).collect()[0][0] >= st.count()
+
+
+def test_topk_bounded_per_group(spark, registry):
+    qs, _ = registry
+    pdf = qs["win_topk_per_group"](spark, SF_DIR).toPandas()
+    assert pdf.groupby("c_nationkey").size().max() <= 3
+
+
+def test_bare_limit_rowcount(spark):
+    """Bare CollectLimit (nondeterministic row choice, exact row count)."""
+    from hive_test_spark.io import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    assert li.limit(100).count() == 100

@@ -1,0 +1,53 @@
+"""Plan-shape regression tests (SURVEY.md §4): the 100 TB checklist —
+pushdown reaches the scan, columns are pruned, dims broadcast, hinted SMJ
+holds, and nothing falls back to a cartesian product."""
+
+from __future__ import annotations
+
+from hive_test_spark.plans.inspect import analyze, has_pushed_filters, scan_read_columns
+from tests.conftest import SF_DIR
+
+
+def _facts(spark, registry, key):
+    qs, _ = registry
+    return analyze(qs[key](spark, SF_DIR))
+
+
+def test_flagship_pushdown_and_pruning(spark, registry):
+    f = _facts(spark, registry, "flagship_pricing_summary")
+    assert has_pushed_filters(f), "shipdate filter must reach the parquet scan"
+    assert scan_read_columns(f) == [7], "lineitem scan must read exactly the 7 needed columns"
+
+
+def test_star_join_broadcasts_dims(spark, registry):
+    f = _facts(spark, registry, "join_star_multiway")
+    assert f.broadcast_joins >= 4, "star-join dims must be broadcast, not shuffled"
+    assert f.cartesian == 0
+
+
+def test_broadcast_join_is_broadcast(spark, registry):
+    f = _facts(spark, registry, "join_broadcast")
+    assert f.broadcast_joins == 1
+    assert f.sort_merge_joins == 0
+
+
+def test_merge_hint_is_honored(spark, registry):
+    f = _facts(spark, registry, "join_sort_merge")
+    assert f.sort_merge_joins == 1
+
+
+def test_theta_and_range_joins_broadcast_small_side(spark, registry):
+    for key in ("join_theta", "join_range_interval"):
+        f = _facts(spark, registry, key)
+        assert f.broadcast_joins == 1, key
+        assert f.cartesian == 0, key
+
+
+def test_knn_join_no_cartesian(spark, registry):
+    f = _facts(spark, registry, "llm_knn_join")
+    assert f.cartesian == 0, "label-blocked KNN must not plan a cartesian product"
+
+
+def test_narrow_projection_prunes_scan(spark, registry):
+    f = _facts(spark, registry, "llm_exact_dedup")
+    assert scan_read_columns(f) == [2], "dedup reads only (doc_id, text)"

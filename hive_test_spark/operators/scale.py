@@ -1,0 +1,137 @@
+"""Scale-technique operators: Hive TABLESAMPLE, salted skew join, and
+bucketed-table SMB join (Hive bucket surface — SURVEY.md §1.1).
+
+These make the 100 TB playbook executable and testable, not just
+documented: sampling for estimation pipelines, manual key-salting for
+skew beyond what AQE's skew-join splitting handles, and bucketBy layout
+that removes the shuffle from repeated fact-fact joins entirely.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_test_spark.io import SCRATCH_DIR, load_table
+from hive_test_spark.registry import register
+from hive_test_spark.session import tune
+
+
+@register("scan_tablesample")  # rows-only: sample membership is engine-specific
+def scan_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive TABLESAMPLE: seeded Bernoulli sample + aggregate. Row membership
+    is sampler-specific (rows-only check; bounds asserted in tests) but the
+    shape — sample pushed onto the scan, then estimate — is the 100 TB
+    estimation pattern."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.sample(fraction=0.1, seed=42)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("sampled_rows"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price_est"),
+        )
+    )
+
+
+N_SALTS = 8
+
+
+@register(
+    "join_skew_salted",
+    """
+    SELECT n.n_name, COUNT(*) AS n_customers, ROUND(SUM(c.c_acctbal), 6) AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join for skewed keys: fact side gets a random-free
+    deterministic salt (hash of a high-cardinality column mod N_SALTS);
+    the dim side is exploded N_SALTS× so every (key, salt) pair matches.
+    Result is identical to the plain join — the oracle proves it — but the
+    hot key's rows now spread over N_SALTS reducers.
+
+    At 100 TB this is the fallback when AQE skew-split cannot help
+    (e.g. skewed *aggregation* keys or non-splittable join types).
+    """
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "salt", F.pmod(F.xxhash64("c_custkey"), F.lit(N_SALTS)).cast("int")
+    )
+    n = (
+        load_table(spark, sf_dir, "nation")
+        .withColumn("salt", F.explode(F.array([F.lit(i) for i in range(N_SALTS)])))
+    )
+    return (
+        c.join(n, (c.c_nationkey == n.n_nationkey) & (c.salt == n.salt))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 6).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "join_bucketed_smb",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS n_lines, ROUND(SUM(l.l_quantity), 6) AS total_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bucketed_smb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive SMB bucketed join: both fact tables written with
+    ``bucketBy(8, join_key)`` + ``sortBy`` into the session catalog, then
+    joined — Spark reads bucket layout and plans a SortMergeJoin with NO
+    shuffle exchange on either side (asserted in tests/test_plans).
+
+    This is THE repeated-join optimization at warehouse scale: pay the
+    bucketed write once, skip the join shuffle forever after.
+    """
+    tune(spark)
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    li_tbl, o_tbl = f"hts_li_b_{tag}", f"hts_o_b_{tag}"
+    warehouse = os.path.join(SCRATCH_DIR, "warehouse")
+    os.makedirs(warehouse, exist_ok=True)
+
+    def ensure(table: str, df_fn, key: str) -> None:
+        if not spark.catalog.tableExists(table):
+            loc = os.path.join(warehouse, table)
+            shutil.rmtree(loc, ignore_errors=True)
+            (
+                df_fn()
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", loc)
+                .mode("overwrite")
+                .saveAsTable(table)
+            )
+
+    ensure(
+        li_tbl,
+        lambda: load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity"),
+        "l_orderkey",
+    )
+    ensure(
+        o_tbl,
+        lambda: load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        "o_orderkey",
+    )
+    li = spark.table(li_tbl)
+    # MERGE hint pins SMJ (AQE would broadcast at fixture scale, hiding the
+    # shuffle-free bucketed path this operator demonstrates).
+    o = spark.table(o_tbl).hint("merge")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_quantity"), 6).alias("total_qty"),
+        )
+    )

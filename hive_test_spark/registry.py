@@ -40,6 +40,7 @@ def load_all() -> None:
         aggregates,
         joins,
         relational,
+        scale,
         setops,
         sorts,
         windows,

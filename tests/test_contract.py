@@ -26,6 +26,7 @@ def test_registry_consistency(registry):
         "agg_approx_distinct",
         "llm_near_dedup_minhash",
         "sort_within_partitions",
+        "scan_tablesample",
     }, f"unexpected rows-only keys: {rows_only}"
 
 

@@ -78,18 +78,24 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()  # scalar dimension, computed once per query build
+    # N as a broadcast 1-row plan (no separate driver-side count job —
+    # at 100 TB an eager .count() would be a second full pass).
+    n_df = d.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     tf = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(df), "token").select(
-        "doc_id",
-        "token",
-        "tf",
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))).alias("_tfidf_raw"),
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            (F.col("tf") * F.log(F.col("_n_docs") / F.col("df").cast("double"))).alias("_tfidf_raw"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("_tfidf_raw").desc(), "token")
     return (

@@ -31,6 +31,10 @@ _RUNTIME_CONFS = {
     # ANSI off: Hive/legacy-permissive semantics (NULL on bad cast, not error),
     # which is also what the DuckDB oracle's permissive functions expect.
     "spark.sql.ansi.enabled": "false",
+    # Right-size shuffles for the local[32] harness (default 200 wastes
+    # task overhead at fixture scale and pins streaming state stores).
+    # On a real cluster this is set per-deployment; AQE coalesces above it.
+    "spark.sql.shuffle.partitions": "32",
 }
 
 

@@ -26,30 +26,29 @@ from hive_test_spark.session import tune
 @register(
     "llm_exact_dedup",
     """
-    SELECT doc_id, content_hash
-    FROM (
-      SELECT doc_id,
-             md5(lower(trim(text))) AS content_hash,
-             ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
-      FROM documents
-    ) t
-    WHERE rn = 1
+    SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS content_hash
+    FROM documents
+    GROUP BY md5(lower(trim(text)))
     """,
 )
 def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact/normalized dedup: md5 of normalized text, keep lowest doc_id
     per digest (deterministic winner — not dropDuplicates, whose survivor
-    is partition-order-dependent)."""
-    tune(spark)
-    from pyspark.sql import Window
+    is partition-order-dependent).
 
+    Shape: groupBy(digest).agg(min) rather than a row_number() window —
+    the aggregate gets a map-side partial combine (each partition emits at
+    most one row per digest before the shuffle), where the window variant
+    must shuffle *every* row and sort each hash partition. At 100 TB
+    that's the difference between shuffling unique-digest counts and
+    shuffling the whole corpus."""
+    tune(spark)
     d = load_table(spark, sf_dir, "documents")
     digest = F.md5(F.lower(F.trim(F.col("text"))))
-    w = Window.partitionBy(digest).orderBy("doc_id")
     return (
-        d.select("doc_id", digest.alias("content_hash"), F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        d.groupBy(digest.alias("content_hash"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "content_hash")
     )
 
 

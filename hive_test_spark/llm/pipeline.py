@@ -87,8 +87,9 @@ _MINHASH_K = 16  # signature length
 _BAND_ROWS = 4   # rows per LSH band -> 4 bands, collision threshold ~ (1/4)^(1/4) ~ 0.71
 _MINHASH_VERIFY_TAU = 0.9
 
-_MINHASH_ORACLE = f"""
-    WITH toks AS (
+# CTE chain shared by llm_minhash_det and llm_dedup_clusters oracles.
+_MINHASH_CTES = f"""
+    toks AS (
       SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok FROM documents
     ),
     hashes AS (
@@ -105,43 +106,29 @@ _MINHASH_ORACLE = f"""
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             ROUND(CAST(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE)
+                   / len(list_distinct(list_concat(ta.tok, tb.tok))), 6) AS jaccard
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.doc_a
+      JOIN toks tb ON tb.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE)
+            / len(list_distinct(list_concat(ta.tok, tb.tok))) >= {_MINHASH_VERIFY_TAU}
     )
-    SELECT c.doc_a, c.doc_b,
-           ROUND(CAST(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE)
-                 / len(list_distinct(list_concat(ta.tok, tb.tok))), 6) AS jaccard
-    FROM cand c
-    JOIN toks ta ON ta.doc_id = c.doc_a
-    JOIN toks tb ON tb.doc_id = c.doc_b
-    WHERE CAST(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE)
-          / len(list_distinct(list_concat(ta.tok, tb.tok))) >= {_MINHASH_VERIFY_TAU}
+"""
+
+_MINHASH_ORACLE = f"""
+    WITH {_MINHASH_CTES}
+    SELECT doc_a, doc_b, jaccard FROM verified
 """
 
 
-@register("llm_minhash_det", _MINHASH_ORACLE)
-def llm_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic MinHash-LSH near-dedup, end to end: explicit md5-based
-    min-hash signatures → banded bucket keys → candidate pairs via a
-    self-join on (band, band_key) → exact-Jaccard verification ≥ 0.9.
-
-    Unlike ml.MinHashLSH (seeded random permutations → rows-only check,
-    see llm_near_dedup_minhash) every stage here is a pure function of the
-    content, so the whole pipeline hash-matches the DuckDB oracle.
-
-    Scale shape (the production near-dedup recipe):
-    - signatures: explode tokens ×K salts → groupBy(doc,k).min — narrow +
-      map-side combinable; K=16 keeps the blow-up constant-factor.
-    - candidates: join on the *band key*, never all-pairs; bucket sizes are
-      bounded by real collisions, and a hot bucket (boilerplate docs) is
-      exactly the skew AQE's skew-join split handles.
-    - verification: token arrays re-joined only for candidate pairs
-      (broadcast at this SF; at 100 TB both joins shuffle on doc_id).
-    - output: pair count grows quadratically *inside* near-dup clusters
-      (measured: 10.7k pairs over 500 docs → 954k over 5000 at sf0.1 on
-      this dup-heavy corpus). At 100 TB the last stage feeds connected
-      components (graphframes / iterative smallest-id propagation) and
-      emits one representative per cluster instead of all pairs.
-    """
-    tune(spark)
+def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared candidate-generation + verification stage (see
+    llm_minhash_det for the full docstring); also feeds
+    llm_dedup_clusters."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("tok"))
     tok_rows = toks.select("doc_id", F.explode("tok").alias("tok"))
@@ -178,6 +165,130 @@ def llm_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(tb), F.col("doc_b") == F.col("tb.doc_id"))
         .filter(jac >= _MINHASH_VERIFY_TAU)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register("llm_minhash_det", _MINHASH_ORACLE)
+def llm_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MinHash-LSH near-dedup, end to end: explicit md5-based
+    min-hash signatures → banded bucket keys → candidate pairs via a
+    self-join on (band, band_key) → exact-Jaccard verification ≥ 0.9.
+
+    Unlike ml.MinHashLSH (seeded random permutations → rows-only check,
+    see llm_near_dedup_minhash) every stage here is a pure function of the
+    content, so the whole pipeline hash-matches the DuckDB oracle.
+
+    Scale shape (the production near-dedup recipe):
+    - signatures: explode tokens ×K salts → groupBy(doc,k).min — narrow +
+      map-side combinable; K=16 keeps the blow-up constant-factor.
+    - candidates: join on the *band key*, never all-pairs; bucket sizes are
+      bounded by real collisions, and a hot bucket (boilerplate docs) is
+      exactly the skew AQE's skew-join split handles.
+    - verification: token arrays re-joined only for candidate pairs
+      (broadcast at this SF; at 100 TB both joins shuffle on doc_id).
+    - output: pair count grows quadratically *inside* near-dup clusters
+      (measured: 10.7k pairs over 500 docs → 954k over 5000 at sf0.1 on
+      this dup-heavy corpus). At 100 TB the last stage feeds connected
+      components (llm_dedup_clusters below) and emits one representative
+      per cluster instead of all pairs.
+    """
+    tune(spark)
+    return _minhash_verified_pairs(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Cluster-representative dedup (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION
+      SELECT doc_b, doc_a FROM verified
+    ),
+    reach (src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    )
+    SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+           (COALESCE(c.cluster_id, d.doc_id) = d.doc_id) AS is_representative
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+"""
+
+
+@register("llm_dedup_clusters", _CLUSTER_ORACLE)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified near-dup pair graph: every
+    document gets a cluster_id = smallest doc_id reachable through
+    near-duplicate edges; keeping `is_representative` rows IS the dedup.
+    This is the scale-correct final stage of near-dedup (emit one winner
+    per cluster, not O(cluster²) pairs).
+
+    Implementation: iterative min-label propagation — labels start as
+    doc_id; each round every node takes min(own label, neighbors' labels)
+    until a fixpoint. Deterministic, so the DuckDB recursive-CTE oracle
+    (transitive closure → min reachable id) hash-matches exactly.
+
+    Scale notes (100 TB): each round is one shuffle join on node id —
+    the same loop GraphX/GraphFrames connected-components runs. Rounds
+    needed = graph diameter (near-dup clusters are dense, so typically
+    ≤ 5). Each round materializes via persist() and drops the previous
+    round's lineage — without that the plan doubles per iteration. The
+    convergence check is an aggregate (one boolean), not a collect of
+    data rows.
+    """
+    tune(spark)
+    pairs = _minhash_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst").persist()
+
+    d = load_table(spark, sf_dir, "documents")
+    labels = d.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
+    labels.count()  # materialize
+
+    for _ in range(25):  # >= graph diameter; fixture graphs converge in <5
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("label propagation did not converge in 25 rounds")
+
+    edges.unpersist()
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("cluster_id") == F.col("doc_id")).alias("is_representative"),
     )
 
 

@@ -38,6 +38,7 @@ def load_all() -> None:
     """Import every operator module so registrations run (idempotent)."""
     from hive_test_spark.operators import (  # noqa: F401
         aggregates,
+        analytics,
         joins,
         relational,
         scale,

@@ -1,0 +1,142 @@
+"""Hive ACID DML surface — DELETE / UPDATE / MERGE [Hive-public: Hive 2.2+
+LanguageManual DML; ACID tables rewrite affected buckets/partitions].
+
+Plain Spark over parquet has no in-place DML; the idiomatic equivalent is
+copy-on-write: express the post-DML table as a query over the current
+snapshot (exactly what Delta/Iceberg/Hive-ACID compaction do underneath).
+Each operator here returns the post-DML relation, which makes the
+semantics DuckDB-oracle-able without a writable-table harness.
+
+Scale notes (100 TB): copy-on-write DML rewrites only affected files in
+production table formats; the *plan shape* below is the real one —
+DELETE = pushed-down negated filter, UPDATE = projection with CASE,
+MERGE = full-outer join on the key (shuffle both sides or broadcast the
+delta when small). AQE handles delta-side skew on hot keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_test_spark.io import load_table
+from hive_test_spark.registry import register
+from hive_test_spark.session import tune
+
+
+@register(
+    "dml_delete_rewrite",
+    """
+    SELECT l_returnflag, count(*) AS n_rows, ROUND(SUM(l_quantity), 6) AS sum_qty
+    FROM lineitem
+    WHERE NOT (l_quantity < 5)
+    GROUP BY l_returnflag
+    """,
+)
+def dml_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE FROM lineitem WHERE l_quantity < 5, as copy-on-write: the
+    surviving relation is the negated-predicate filter (pushed to the
+    parquet reader), profiled per returnflag so the oracle compares the
+    whole surviving content cheaply. In a real ACID table only files
+    containing hits are rewritten; the anti-predicate scan is identical."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(~(F.col("l_quantity") < 5))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "dml_update_rewrite",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 400000 THEN '0-URGENT' ELSE o_orderpriority END
+             AS o_orderpriority,
+           o_totalprice
+    FROM orders
+    """,
+)
+def dml_update_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE orders SET o_orderpriority='0-URGENT' WHERE o_totalprice >
+    400000, as copy-on-write: a CASE projection over the snapshot. The
+    non-updated columns pass through untouched — at scale the rewrite
+    touches only files whose zone-map says the predicate can hit."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 400000, F.lit("0-URGENT"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+        "o_totalprice",
+    )
+
+
+_MERGE_SRC_SQL = """
+      SELECT o_orderkey AS m_key, ROUND(o_totalprice * 1.1, 6) AS m_price
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000 AS m_key, ROUND(o_totalprice, 6) AS m_price
+      FROM orders WHERE o_orderkey % 1000 = 0
+"""
+
+
+@register(
+    "dml_merge_upsert",
+    f"""
+    WITH src AS ({_MERGE_SRC_SQL})
+    SELECT COALESCE(o.o_orderkey, s.m_key) AS o_orderkey,
+           COALESCE(s.m_price, ROUND(o.o_totalprice, 6)) AS o_totalprice,
+           CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+                WHEN s.m_key IS NULL THEN 'unchanged'
+                ELSE 'updated' END AS merge_action
+    FROM orders o FULL OUTER JOIN src s ON o.o_orderkey = s.m_key
+    """,
+)
+def dml_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO orders USING src ON key — WHEN MATCHED UPDATE (price
+    +10%), WHEN NOT MATCHED INSERT — as copy-on-write: a full-outer join
+    of snapshot and delta with COALESCE per column plus an action tag
+    (the tag doubles as the audit column real MERGE pipelines emit).
+    The delta here is derived deterministically from orders itself
+    (matched rows: key%7==0; new rows: key%1000==0 shifted past the key
+    range) so the oracle reproduces it exactly.
+
+    Scale: shuffle join on the merge key; broadcast the delta when it is
+    <10% of the table (the common CDC case); Delta/Iceberg turn the same
+    join into a file-level rewrite plan."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    upd = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            F.col("o_orderkey").alias("m_key"),
+            F.round(F.col("o_totalprice") * 1.1, 6).alias("m_price"),
+        )
+    )
+    ins = (
+        o.filter(F.col("o_orderkey") % 1000 == 0)
+        .select(
+            (F.col("o_orderkey") + 10000000).alias("m_key"),
+            F.round(F.col("o_totalprice"), 6).alias("m_price"),
+        )
+    )
+    src = upd.unionByName(ins)
+    return (
+        o.join(src, o.o_orderkey == src.m_key, "full_outer")
+        .select(
+            F.coalesce(F.col("o_orderkey"), F.col("m_key")).alias("o_orderkey"),
+            F.coalesce(F.col("m_price"), F.round(F.col("o_totalprice"), 6)).alias(
+                "o_totalprice"
+            ),
+            F.when(F.col("o_orderkey").isNull(), F.lit("inserted"))
+            .when(F.col("m_key").isNull(), F.lit("unchanged"))
+            .otherwise(F.lit("updated"))
+            .alias("merge_action"),
+        )
+    )

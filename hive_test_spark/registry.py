@@ -39,6 +39,7 @@ def load_all() -> None:
     from hive_test_spark.operators import (  # noqa: F401
         aggregates,
         analytics,
+        dml,
         joins,
         relational,
         scale,

@@ -294,3 +294,124 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("n_name"), 256).alias("name_sha256"),
         F.length(F.md5("n_name")).alias("md5_len"),
     )
+
+
+@register(
+    "fn_bitwise",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255 AS key_and,
+           l_orderkey | 4096 AS key_or,
+           xor(l_orderkey, l_linenumber) AS key_xor,
+           l_orderkey << 2 AS key_shl,
+           l_orderkey >> 3 AS key_shr
+    FROM lineitem
+    WHERE l_orderkey < 100
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family [Hive-public: &, |, ^, ~, shiftleft/shiftright] —
+    used in practice for hash-bucket math and bitmap flags; all JVM-side
+    codegen'd integer ops."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") < 100).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_orderkey").bitwiseAND(F.lit(255)).alias("key_and"),
+        F.col("l_orderkey").bitwiseOR(F.lit(4096)).alias("key_or"),
+        F.col("l_orderkey").bitwiseXOR(F.col("l_linenumber")).alias("key_xor"),
+        F.shiftleft(F.col("l_orderkey"), 2).alias("key_shl"),
+        F.shiftright(F.col("l_orderkey"), 3).alias("key_shr"),
+    )
+
+
+@register(
+    "fn_struct",
+    """
+    SELECT s_suppkey,
+           {'nation': s_nationkey, 'balance': round(s_acctbal, 2)} AS info,
+           s_nationkey AS info_nation,
+           round(s_acctbal, 2) AS info_balance
+    FROM supplier
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCT family [Hive-public: named_struct + field access]: build a
+    struct column and project fields back out. Structs are columnar-
+    shredded in parquet, so nested projection still prunes at the reader."""
+    tune(spark)
+    s = load_table(spark, sf_dir, "supplier")
+    info = F.struct(
+        F.col("s_nationkey").alias("nation"),
+        F.round(F.col("s_acctbal"), 2).alias("balance"),
+    )
+    return s.select(
+        "s_suppkey",
+        info.alias("info"),
+        info.getField("nation").alias("info_nation"),
+        info.getField("balance").alias("info_balance"),
+    )
+
+
+@register(
+    "fn_url",
+    """
+    WITH urls AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || doc_id
+               || '?lang=' || lang AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query
+    FROM urls
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL family [Hive-public: parse_url(HOST|PATH|QUERY)] — Spark's
+    parse_url is used natively; the oracle re-derives the same components
+    with portable regexes (DuckDB has no parse_url). URLs are synthesized
+    deterministically from fixture columns (web-corpus provenance columns
+    are the 100 TB use case: per-host dedup, domain quality priors)."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+    )
+
+
+@register(
+    "agg_bool",
+    """
+    SELECT l_returnflag,
+           bool_and(l_quantity > 1) AS all_qty_gt1,
+           bool_or(l_discount > 0.09) AS any_disc_gt9,
+           count(*) FILTER (WHERE l_tax = 0) AS n_tax_free
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates [Hive-public: min/max over booleans; ANSI
+    bool_and/bool_or] + FILTERed count — all map-side combinable."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 1).alias("all_qty_gt1"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_disc_gt9"),
+        F.count(F.when(F.col("l_tax") == 0, 1)).alias("n_tax_free"),
+    )

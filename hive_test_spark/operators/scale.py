@@ -15,7 +15,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hive_test_spark.io import SCRATCH_DIR, load_table
+from hive_test_spark.io import SCRATCH_DIR, load_table, scratch_dir
 from hive_test_spark.registry import register
 from hive_test_spark.session import tune
 
@@ -133,5 +133,113 @@ def join_bucketed_smb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
             F.round(F.sum("l_quantity"), 6).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "scale_dpp",
+    """
+    SELECT CAST(year(l_shipdate) AS BIGINT) AS l_shipyear,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    FROM lineitem
+    WHERE year(l_shipdate) IN (
+      SELECT DISTINCT year(o_orderdate) FROM orders
+      WHERE year(o_orderdate) IN (1996, 1997)
+    )
+    GROUP BY 1
+    """,
+)
+def scale_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (SURVEY.md §4 partition-pruning row):
+    lineitem is laid out partitioned by ship year (the warehouse layout a
+    Hive table would declare), then joined to a filtered dim on the
+    partition column. Catalyst injects a `dynamicpruning` subquery into
+    the fact scan's partition filters, so only the dim's surviving years
+    are *read at all* — at 100 TB this is the difference between scanning
+    2 year-partitions and scanning the table. Plan assertion lives in
+    tests/test_plans.py.
+
+    The re-read aggregate also round-trips the partitioned write
+    (partition-column values survive the directory encoding)."""
+    from hive_test_spark.sources.scans import _sf_tag
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    path = scratch_dir("scale", _sf_tag(sf_dir), "lineitem_by_year")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            li.withColumn("l_shipyear", F.year("l_shipdate"))
+            .write.mode("overwrite")
+            .partitionBy("l_shipyear")
+            .parquet(path)
+        )
+    fact = spark.read.parquet(path)
+    years = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.year("o_orderdate").alias("o_year"))
+        .filter(F.col("o_year").isin(1996, 1997))
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(years), fact.l_shipyear == years.o_year)
+        .groupBy(F.col("l_shipyear").cast("long").alias("l_shipyear"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "scale_cbo_stats",
+    """
+    SELECT n_name, count(*) AS n_sup, ROUND(SUM(s_acctbal), 6) AS total_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def scale_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based optimization path (SURVEY.md §4 CBO row): register the
+    join sides as catalog tables, run `ANALYZE TABLE ... COMPUTE
+    STATISTICS` (table-level + all columns), enable `spark.sql.cbo.enabled`,
+    and join WITHOUT a broadcast hint — the planner picks the broadcast
+    side from catalog statistics (row counts / sizes / NDVs), which is how
+    join ordering and strategy selection survive at 100 TB where file
+    listing alone misleads (e.g. highly compressed or wide tables).
+    Result is hint-free and stats-driven; values hash-match the plain
+    join oracle."""
+    tune(spark)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    from hive_test_spark.sources.scans import _sf_tag
+
+    tag = _sf_tag(sf_dir).replace(".", "_")
+    sup_t, nat_t = f"cbo_supplier_{tag}", f"cbo_nation_{tag}"
+
+    def ensure(table: str, source: str) -> None:
+        # External-table layout in scratch: the session catalog is
+        # in-memory, so a fresh session must be able to re-register over a
+        # stale on-disk location (managed saveAsTable would refuse).
+        if spark.catalog.tableExists(table):
+            return
+        loc = scratch_dir("cbo", tag, table)
+        shutil.rmtree(loc, ignore_errors=True)
+        load_table(spark, sf_dir, source).write.option("path", loc).mode(
+            "overwrite"
+        ).saveAsTable(table)
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR ALL COLUMNS")
+
+    ensure(sup_t, "supplier")
+    ensure(nat_t, "nation")
+    sup = spark.table(sup_t)
+    nat = spark.table(nat_t)
+    return (
+        sup.join(nat, sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_sup"),
+            F.round(F.sum("s_acctbal"), 6).alias("total_bal"),
         )
     )

@@ -51,3 +51,13 @@ def test_knn_join_no_cartesian(spark, registry):
 def test_narrow_projection_prunes_scan(spark, registry):
     f = _facts(spark, registry, "llm_exact_dedup")
     assert scan_read_columns(f) == [2], "dedup reads only (doc_id, text)"
+
+
+def test_dpp_injects_partition_pruning_subquery(spark, registry):
+    """scale_dpp: the year-partitioned fact scan must carry a
+    dynamicpruning partition filter derived from the dim side — the
+    mechanism that skips unreferenced partitions entirely at 100 TB."""
+    qs, _ = registry
+    df = qs["scale_dpp"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "DPP subquery missing from fact scan"

@@ -200,8 +200,10 @@ def llm_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Cluster-representative dedup (connected components over near-dup pairs)
 # ---------------------------------------------------------------------------
 
-_CLUSTER_ORACLE = f"""
-    WITH RECURSIVE {_MINHASH_CTES},
+# Extends _MINHASH_CTES with transitive closure → per-doc cluster labels;
+# shared by llm_dedup_clusters and llm_dedup_report oracles.
+_CLUSTER_CTES = f"""
+    {_MINHASH_CTES},
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM verified
       UNION
@@ -215,11 +217,17 @@ _CLUSTER_ORACLE = f"""
     comp AS (
       SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
       FROM reach GROUP BY src
+    ),
+    labels AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
     )
-    SELECT d.doc_id,
-           COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
-           (COALESCE(c.cluster_id, d.doc_id) = d.doc_id) AS is_representative
-    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+"""
+
+_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE {_CLUSTER_CTES}
+    SELECT doc_id, cluster_id, (cluster_id = doc_id) AS is_representative
+    FROM labels
 """
 
 
@@ -239,8 +247,8 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes (100 TB): each round is one shuffle join on node id —
     the same loop GraphX/GraphFrames connected-components runs. Rounds
     needed = graph diameter (near-dup clusters are dense, so typically
-    ≤ 5). Each round materializes via persist() and drops the previous
-    round's lineage — without that the plan doubles per iteration. The
+    ≤ 5). Each round materializes via localCheckpoint() which truncates the
+    previous round's lineage — without that the plan doubles per iteration. The
     convergence check is an aggregate (one boolean), not a collect of
     data rows.
     """
@@ -251,24 +259,43 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).toDF("src", "dst").persist()
 
     d = load_table(spark, sf_dir, "documents")
-    labels = d.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
-    labels.count()  # materialize
+    # localCheckpoint (eager) rather than persist: it truncates the logical
+    # plan to a leaf each round. The pointer-doubling step below references
+    # `labels` twice per round, so with persist alone the *plan* (not the
+    # data) doubles every iteration — Spark OOMs just stringifying it by
+    # round ~10. On a real cluster the same loop uses reliable
+    # checkpoint() into the job's checkpoint dir for fault tolerance.
+    labels = d.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint(
+        eager=True
+    )
 
-    for _ in range(25):  # >= graph diameter; fixture graphs converge in <5
+    # Min-label propagation with pointer doubling: each round takes the min
+    # of (own label, neighbors' labels, label-of-own-label). The third term
+    # is path compression — chains collapse in O(log diameter) rounds
+    # instead of O(diameter), the same trick GraphX's small-star/large-star
+    # CC uses.
+    for _ in range(25):  # ≥ log2(diameter) with slack; fixtures converge in ≤5
         nbr_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        x, y = labels.alias("x"), labels.alias("y")
+        lab2 = x.join(y, F.col("x.cluster_id") == F.col("y.doc_id")).select(
+            F.col("x.doc_id").alias("d2"), F.col("y.cluster_id").alias("ll")
+        )
         new_labels = (
             labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            .join(lab2, labels.doc_id == lab2.d2, "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                    F.coalesce(F.col("ll"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -277,7 +304,6 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -511,3 +537,31 @@ def llm_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     schema = "doc_id long, frame_idx long, frame_md5 string, frame_len long"
     return binary.mapInPandas(_framesample_batches, schema)
+
+
+@register(
+    "llm_dedup_report",
+    f"""
+    WITH RECURSIVE {_CLUSTER_CTES},
+    sizes AS (SELECT cluster_id, count(*) AS c FROM labels GROUP BY cluster_id)
+    SELECT c AS cluster_size, count(*) AS n_clusters, SUM(c - 1) AS n_removable
+    FROM sizes GROUP BY c
+    """,
+)
+def llm_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup audit report: distribution of near-dup cluster sizes plus how
+    many documents each size class would remove (size − 1 survivors per
+    cluster). This is the artifact a curation run ships for review before
+    committing a destructive dedup — at 100 TB you look at this table
+    (tiny: one row per distinct cluster size) before dropping petabytes.
+    Two map-side-combinable aggregations over the cluster labels."""
+    tune(spark)
+    labels = llm_dedup_clusters(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        sizes.groupBy(F.col("c").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum(F.col("c") - 1).alias("n_removable"),
+        )
+    )

@@ -9,7 +9,7 @@ codegen'd) with full DuckDB oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_test_spark.io import load_table
@@ -150,4 +150,82 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("l_extendedprice"), 6).alias("lo"),
             F.round(F.max("l_extendedprice"), 6).alias("hi"),
         )
+    )
+
+
+@register(
+    "evt_gapfill",
+    """
+    WITH bounds AS (
+      SELECT date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS d0,
+             date_trunc('day', max(CAST(ts AS TIMESTAMP))) AS d1
+      FROM events
+    ),
+    spine_days AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS event_day
+      FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    spine AS (SELECT t.event_type, s.event_day FROM types t CROSS JOIN spine_days s),
+    daily AS (
+      SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS event_day,
+             count(*) AS n, ROUND(avg(value), 6) AS a
+      FROM events WHERE value > 200 GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT s.event_type, s.event_day, COALESCE(d.n, 0) AS n_events, d.a,
+             COUNT(d.a) OVER (PARTITION BY s.event_type ORDER BY s.event_day) AS grp
+      FROM spine s
+      LEFT JOIN daily d ON d.event_type = s.event_type AND d.event_day = s.event_day
+    )
+    SELECT event_type, event_day, n_events,
+           MAX(a) OVER (PARTITION BY event_type, grp) AS avg_val_filled
+    FROM j
+    """,
+)
+def evt_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill + LOCF (the hypertable `time_bucket_gapfill` /
+    `locf` idiom): build a complete day spine per series key, left-join the
+    sparse daily aggregate (high-value events only — `value > 200` leaves
+    real gaps in the fixtures), fill counts with 0 and carry the last
+    observed daily average forward (null before the first observation).
+
+    Scale shape: the spine is (n_days x n_series) — tiny relative to the
+    fact table, generated with sequence()+explode, never collected. The
+    LOCF window partitions BY SERIES KEY, so at 100 TB each series fills
+    independently after one shuffle on event_type; there is no global
+    single-partition window anywhere. The DuckDB oracle expresses LOCF
+    portably via the grouped-carry trick (running COUNT of non-nulls as a
+    group id, then MAX within the group) — same results as Spark's
+    last(ignorenulls=True)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    spine_days = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("event_day")
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(spine_days))
+    daily = (
+        ev.filter(F.col("value") > 200)
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("event_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_val"),
+        )
+    )
+    j = spine.join(daily, ["event_type", "event_day"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        "event_day",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        F.last("avg_val", ignorenulls=True).over(w).alias("avg_val_filled"),
     )

@@ -41,6 +41,7 @@ def load_all() -> None:
         analytics,
         dml,
         joins,
+        profiling,
         relational,
         scale,
         setops,

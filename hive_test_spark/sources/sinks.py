@@ -108,3 +108,61 @@ def ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.table("hts_brand_stats")
+
+
+@register(
+    "sink_multi_insert",
+    """
+    SELECT 'by_returnflag' AS sink_name, l_returnflag AS group_key,
+           COUNT(*) AS n_rows, ROUND(SUM(l_quantity), 2) AS metric
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'by_linestatus' AS sink_name, l_linestatus AS group_key,
+           COUNT(*) AS n_rows, ROUND(SUM(l_extendedprice), 2) AS metric
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def sink_multi_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive multi-insert (`FROM src INSERT OVERWRITE t1 ... INSERT
+    OVERWRITE t2 ...` [Hive-public]): ONE source scan feeding two
+    different sinks. Spark has no multi-insert statement; the idiomatic
+    equivalent is persist() on the shared source — the first write
+    populates the cache, the second reads it, so the fact table is
+    scanned once (at 100 TB the scan IS the dominant cost; two scans vs
+    one is 2x the job). Both sinks are real parquet writes re-read for
+    the verified result, tagged and unioned into one summary.
+
+    Metric sums round to cents: they are ~1e9 where double addition-order
+    noise sits at ~1e-7, below round-6 but not round-2."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
+    ).persist()
+    try:
+        out_a = scratch_dir("sink", _sf_tag(sf_dir), "multi_by_returnflag")
+        out_b = scratch_dir("sink", _sf_tag(sf_dir), "multi_by_linestatus")
+        (
+            li.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("l_quantity").alias("m"))
+            .write.mode("overwrite").parquet(out_a)
+        )
+        (
+            li.groupBy("l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("l_extendedprice").alias("m"))
+            .write.mode("overwrite").parquet(out_b)
+        )
+        a = spark.read.parquet(out_a).select(
+            F.lit("by_returnflag").alias("sink_name"),
+            F.col("l_returnflag").alias("group_key"),
+            "n_rows",
+            F.round("m", 2).alias("metric"),
+        )
+        b = spark.read.parquet(out_b).select(
+            F.lit("by_linestatus").alias("sink_name"),
+            F.col("l_linestatus").alias("group_key"),
+            "n_rows",
+            F.round("m", 2).alias("metric"),
+        )
+        return a.unionByName(b)
+    finally:
+        li.unpersist()

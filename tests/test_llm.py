@@ -67,3 +67,20 @@ def test_exact_dedup_no_duplicate_hashes(spark, registry):
     qs, _ = registry
     pdf = qs["llm_exact_dedup"](spark, SF_DIR).toPandas()
     assert pdf["content_hash"].is_unique
+
+
+def test_ann_lsh_candidate_reduction(spark, registry):
+    """LSH must examine far fewer pairs than brute force and agree with the
+    exact near-dup contract on every pair it does emit."""
+    from hive_test_spark.io import load_table
+    from hive_test_spark.llm.similarity import LSH_TAU
+
+    qs, _ = registry
+    from tests.conftest import SF_DIR
+
+    n = load_table(spark, SF_DIR, "embeddings").count()
+    out = qs["llm_ann_lsh"](spark, SF_DIR).collect()
+    assert 0 < len(out) < n * (n - 1) / 2 / 10  # >10x below brute-force pairs
+    for r in out:
+        assert r["id_a"] < r["id_b"]
+        assert r["cos_sim"] >= LSH_TAU

@@ -110,3 +110,81 @@ def llm_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.filter(F.col("byte_size") >= 200).select(
         "doc_id", "modality", "byte_size", "payload_md5", "width", "height"
     )
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fake resize + feature-extract, deterministic from payload bytes.
+    Mirrors a real vision preprocessor's output schema: resized dims that
+    fit 224x224 preserving aspect ratio, plus a fixed-width feature vector
+    (here: 4 md5-derived doubles standing in for model features)."""
+    import math
+
+    for pdf in batches:
+        size = pdf["payload"].map(len)
+        width = (64 + size % 640).astype("int64")
+        height = (64 + (size * 7) % 480).astype("int64")
+        scale = pd.concat([224.0 / width, 224.0 / height], axis=1).min(axis=1)
+        out_w = (width * scale).map(math.floor).astype("int64")
+        out_h = (height * scale).map(math.floor).astype("int64")
+        digest = pdf["payload"].map(lambda b: hashlib.md5(b).hexdigest())
+        feats = {
+            f"f{k}": digest.map(
+                lambda h, k=k: round(int(h[k * 8 : (k + 1) * 8], 16) / 4294967296.0, 6)
+            )
+            for k in range(4)
+        }
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": width,
+                "height": height,
+                "out_w": out_w,
+                "out_h": out_h,
+                **feats,
+            }
+        )
+
+
+_MM_W = "(64 + n_chars % 640)"
+_MM_H = "(64 + (n_chars * 7) % 480)"
+_MM_SCALE = f"LEAST(224.0 / {_MM_W}, 224.0 / {_MM_H})"
+_MM_FEATS = ", ".join(
+    f"ROUND(CAST(concat('0x', substr(md5(text), {k * 8 + 1}, 8)) AS UBIGINT)"
+    f" / 4294967296.0, 6) AS f{k}"
+    for k in range(4)
+)
+
+
+@register(
+    "llm_multimodal_features",
+    f"""
+    SELECT doc_id,
+           CAST({_MM_W} AS BIGINT) AS width,
+           CAST({_MM_H} AS BIGINT) AS height,
+           CAST(FLOOR({_MM_W} * {_MM_SCALE}) AS BIGINT) AS out_w,
+           CAST(FLOOR({_MM_H} * {_MM_SCALE}) AS BIGINT) AS out_h,
+           {_MM_FEATS}
+    FROM documents
+    """,
+)
+def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize + feature-extract stage (the two preprocessing
+    steps between decode and model input): aspect-preserving resize to fit
+    224x224 and a fixed-width feature vector per payload, both computed in
+    ONE mapInPandas pass (one Arrow round trip — chaining separate
+    resize/featurize UDF stages would serialize the batch twice).
+
+    The codec-dependent parts are deterministic fakes (module docstring);
+    the oracle re-derives dims from n_chars and features from md5(text),
+    so the whole Arrow pipeline is hash-verified. At 100 TB this stage is
+    embarrassingly parallel map work — no shuffle; batch size is bounded
+    by spark.sql.execution.arrow.maxRecordsPerBatch so a partition of
+    large blobs never materializes at once."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    binary = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    schema = (
+        "doc_id long, width long, height long, out_w long, out_h long, "
+        "f0 double, f1 double, f2 double, f3 double"
+    )
+    return binary.mapInPandas(_feature_batches, schema)

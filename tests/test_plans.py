@@ -61,3 +61,39 @@ def test_dpp_injects_partition_pruning_subquery(spark, registry):
     df = qs["scale_dpp"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), "DPP subquery missing from fact scan"
+
+
+def test_unpivot_is_shuffle_free(spark, registry):
+    """Melt must be a narrow map-only transform — zero exchanges."""
+    f = _facts(spark, registry, "agg_unpivot")
+    assert f.exchanges == 0, "unpivot must not shuffle"
+    assert scan_read_columns(f) == [3], "part scan reads only the 3 melted columns"
+
+
+def test_gapfill_has_no_cartesian_fallback(spark, registry):
+    """The spine cross join is tiny×tiny and explicitly broadcast; the
+    fact-side joins are all equi-joins."""
+    f = _facts(spark, registry, "evt_gapfill")
+    assert f.cartesian <= 1, "only the intentional tiny spine cross join"
+    assert f.broadcast_joins >= 1
+
+
+def test_ann_lsh_no_cartesian(spark, registry):
+    """LSH candidate generation must be an equi-join on (band, sig),
+    never an all-pairs product."""
+    f = _facts(spark, registry, "llm_ann_lsh")
+    assert f.cartesian == 0
+
+
+def test_dq_audit_single_scan(spark, registry):
+    """All column profiles come from ONE pass over orders."""
+    from hive_test_spark.plans.inspect import explain_str
+
+    import re
+
+    qs, _ = registry
+    plan = explain_str(qs["dq_audit"](spark, SF_DIR))
+    # formatted explain lists each node twice (tree + detail) — count the
+    # numbered detail entries, one per physical scan node
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
+    assert len(scans) == 1, "dq_audit must profile all columns in one scan"

@@ -285,3 +285,48 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(shingle_hashes).alias("fingerprint"),
         F.size(shingle_hashes).alias("n_shingles"),
     )
+
+
+@register(
+    "llm_ngram_stats",
+    """
+    WITH t AS (
+      SELECT string_split(text, ' ') AS tok FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    b AS (
+      SELECT unnest(list_transform(generate_series(1, len(tok) - 1),
+                                   i -> tok[i] || ' ' || tok[i + 1])) AS bigram
+      FROM t
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM b GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def llm_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 bigrams — the n-gram statistics pass a curation
+    pipeline runs for boilerplate detection and shingle-threshold tuning
+    (complements the unigram passes: llm_token_count / llm_stopword_strip).
+
+    Bigrams are built JVM-side with transform(sequence(...)) over the
+    token array (no UDF), exploded, then counted. Scale shape: explode
+    inflates to ~tokens-per-doc rows but the bigram groupBy is map-side
+    combinable, and the final top-k compiles to TakeOrderedAndProject —
+    per-partition heaps, no global sort shuffle. Spark arrays are
+    0-indexed vs DuckDB's 1-indexed; both sides index explicitly."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.col("text"), " ").alias("t")).filter(F.size("t") >= 2)
+    bigrams = toks.select(
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )

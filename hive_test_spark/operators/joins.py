@@ -392,3 +392,39 @@ def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("revenue")
         )
     )
+
+
+@register(
+    "join_null_safe",
+    """
+    SELECT NULLIF(c.c_nationkey, 3) AS join_key, COUNT(*) AS n_pairs
+    FROM customer c
+    JOIN supplier s
+      ON NULLIF(c.c_nationkey, 3) IS NOT DISTINCT FROM NULLIF(s.s_nationkey, 3)
+    GROUP BY 1
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (HiveQL `<=>` [Hive-public] = Spark
+    `eqNullSafe` = SQL IS NOT DISTINCT FROM): NULL keys MATCH each other
+    instead of dropping out. NULLIF(nationkey, 3) manufactures a real
+    null population on both sides so the null-group row is non-vacuous.
+
+    Scale warning (the reason this operator exists in the inventory):
+    null-safe equality hashes every NULL to the SAME reducer — at 100 TB
+    a null-heavy key column makes this the single worst skew in the job.
+    The standard fix is to split the plan: plain equi-join for non-null
+    keys UNION the null×null block handled separately (or salted). Here
+    the whole join stays one shuffle on the coalesced key."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer").select(
+        F.expr("nullif(c_nationkey, 3)").alias("join_key")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.expr("nullif(s_nationkey, 3)").alias("s_key")
+    )
+    return (
+        c.join(s, c.join_key.eqNullSafe(s.s_key))
+        .groupBy("join_key")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

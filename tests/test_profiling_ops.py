@@ -74,3 +74,16 @@ def test_incremental_agg_merges_stored_partials(spark, registry, tmp_path):
     a = sorted(map(tuple, first.collect()))
     b = sorted(map(tuple, again.collect()))
     assert a == b
+
+
+def test_null_safe_join_matches_null_group(spark, registry):
+    """The NULL<=>NULL group must exist and equal the product of the two
+    null populations — the semantics that distinguish <=> from plain =."""
+    qs, _ = registry
+    from hive_test_spark.io import load_table
+
+    rows = {r["join_key"]: r["n_pairs"] for r in qs["join_null_safe"](spark, SF_DIR).collect()}
+    assert None in rows, "null-safe join must produce the NULL-key group"
+    nc = load_table(spark, SF_DIR, "customer").filter(F.col("c_nationkey") == 3).count()
+    ns = load_table(spark, SF_DIR, "supplier").filter(F.col("s_nationkey") == 3).count()
+    assert rows[None] == nc * ns

@@ -310,3 +310,90 @@ def scale_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("price_sum"), 2).alias("total_price"),
         F.round(F.col("price_sum") / F.col("n_orders"), 6).alias("avg_price"),
     )
+
+
+# Z-order (Morton) interleave of two 8-bit quantized dims, generated once
+# for both engines — Spark uses shiftleft/shiftright functions, DuckDB the
+# operator forms; both reduce to identical integer math.
+_Z_BITS = 8
+
+
+def _z_spark(qx: str, qy: str) -> str:
+    return " + ".join(
+        f"shiftleft(CAST(shiftright({qx}, {b}) AS INT) & 1, {2 * b + 1})"
+        f" + shiftleft(CAST(shiftright({qy}, {b}) AS INT) & 1, {2 * b})"
+        for b in range(_Z_BITS)
+    )
+
+
+def _z_duck(qx: str, qy: str) -> str:
+    return " + ".join(
+        f"((({qx} >> {b}) & 1) << {2 * b + 1}) + ((({qy} >> {b}) & 1) << {2 * b})"
+        for b in range(_Z_BITS)
+    )
+
+
+# Fixed, order-preserving 8-bit quantizers (fixture-stable constants:
+# l_quantity is 1..50, l_extendedprice ~900..110k).
+_QX_SQL = "LEAST(255, CAST(FLOOR(l_quantity * 5) AS INT))"
+_QY_SQL = "LEAST(255, CAST(FLOOR(l_extendedprice / 500) AS INT))"
+
+
+@register(
+    "scale_zorder",
+    f"""
+    WITH q AS (
+      SELECT {_QX_SQL} AS qx, {_QY_SQL} AS qy,
+             l_quantity, l_extendedprice
+      FROM lineitem
+    ),
+    z AS (SELECT ({_z_duck('qx', 'qy')}) AS zval, l_quantity, l_extendedprice FROM q)
+    SELECT CAST(FLOOR(zval / 4096.0) AS BIGINT) AS z_bucket,
+           COUNT(*) AS n_rows,
+           ROUND(MIN(l_quantity), 6) AS qty_min, ROUND(MAX(l_quantity), 6) AS qty_max,
+           ROUND(MIN(l_extendedprice), 6) AS price_min,
+           ROUND(MAX(l_extendedprice), 6) AS price_max
+    FROM z GROUP BY 1
+    """,
+)
+def scale_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering: quantize two columns to 8 bits
+    each with FIXED order-preserving scales, interleave the bits into one
+    z-value, then lay the table out with repartitionByRange(z) +
+    sortWithinPartitions(z). Files then have narrow min/max ranges on
+    BOTH columns simultaneously — so parquet row-group pruning works for
+    filters on either dimension, which a linear sort gives only to its
+    leading column. This is the Delta/Iceberg OPTIMIZE ZORDER technique
+    in plain Spark; at 100 TB it's how you keep two query dimensions
+    prunable from one physical layout. tests/test_scale_ops.py asserts
+    the per-file footer ranges are actually narrow on both dims.
+
+    The verified result aggregates per z-bucket over the WRITTEN layout
+    (round-trips the clustering write); the oracle recomputes the same
+    integer interleave, proving the z-math bit-identical."""
+    tune(spark)
+    from hive_test_spark.sources.scans import _sf_tag
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    z = li.withColumn("qx", F.expr(_QX_SQL)).withColumn("qy", F.expr(_QY_SQL)).withColumn(
+        "zval", F.expr(_z_spark("qx", "qy"))
+    )
+    path = scratch_dir("scale", _sf_tag(sf_dir), "lineitem_zorder")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            z.repartitionByRange(16, "zval")
+            .sortWithinPartitions("zval")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy(F.floor(F.col("zval") / 4096).cast("long").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("l_quantity"), 6).alias("qty_min"),
+            F.round(F.max("l_quantity"), 6).alias("qty_max"),
+            F.round(F.min("l_extendedprice"), 6).alias("price_min"),
+            F.round(F.max("l_extendedprice"), 6).alias("price_max"),
+        )
+    )

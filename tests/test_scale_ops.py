@@ -47,3 +47,40 @@ def test_tablesample_bounds(spark, registry):
     )
     total = load_table(spark, SF_DIR, "lineitem").count()
     assert 0.05 * total < sampled < 0.2 * total  # 10% Bernoulli, generous bounds
+
+
+def test_zorder_layout_clusters_both_dims(spark, registry):
+    """The point of z-order: per-file parquet footer min/max ranges must be
+    narrow on BOTH clustered columns (a linear sort narrows only its
+    leading column), so row-group pruning works for filters on either."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from hive_test_spark.io import scratch_dir
+    from hive_test_spark.sources.scans import _sf_tag
+    from tests.conftest import SF_DIR
+
+    qs, _ = registry
+    qs["scale_zorder"](spark, SF_DIR).collect()  # ensures the layout exists
+    path = scratch_dir("scale", _sf_tag(SF_DIR), "lineitem_zorder")
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    assert len(files) > 4, "repartitionByRange(16) must produce multiple files"
+
+    def avg_range_frac(col):
+        spans, glo, ghi = [], None, None
+        for f in files:
+            md = pq.read_metadata(f)
+            ci = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+            lo = min(md.row_group(i).column(ci).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(ci).statistics.max for i in range(md.num_row_groups))
+            spans.append(hi - lo)
+            glo = lo if glo is None else min(glo, lo)
+            ghi = hi if ghi is None else max(ghi, hi)
+        return (sum(spans) / len(spans)) / (ghi - glo)
+
+    # both dims must show real locality: average per-file span well under
+    # the global span (a random layout gives ~1.0 on both)
+    assert avg_range_frac("l_quantity") < 0.7
+    assert avg_range_frac("l_extendedprice") < 0.7

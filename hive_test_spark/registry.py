@@ -40,6 +40,7 @@ def load_all() -> None:
         aggregates,
         analytics,
         dml,
+        extras,
         joins,
         profiling,
         relational,

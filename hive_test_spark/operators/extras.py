@@ -11,10 +11,15 @@ Hive/Spark builtin family [Spark-public]) and in the event-analytics set
 
 from __future__ import annotations
 
+import glob
+import math
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hive_test_spark.io import load_table
+from hive_test_spark.io import load_table, scratch_dir
 from hive_test_spark.registry import register
 from hive_test_spark.session import tune
 
@@ -153,3 +158,91 @@ def evt_distinct_users_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "evt_sequence_match",
+    """
+    WITH s AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    v AS (
+      SELECT s.user_id, s.t1, min(CAST(e.ts AS TIMESTAMP)) AS t2
+      FROM s JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'view'
+       AND CAST(e.ts AS TIMESTAMP) > s.t1
+      GROUP BY s.user_id, s.t1),
+    p AS (
+      SELECT v.user_id, v.t1, v.t2, min(CAST(e.ts AS TIMESTAMP)) AS t3
+      FROM v JOIN events e
+        ON e.user_id = v.user_id AND e.event_type = 'purchase'
+       AND CAST(e.ts AS TIMESTAMP) > v.t2
+      GROUP BY v.user_id, v.t1, v.t2)
+    SELECT user_id, t1 AS signup_ts, t2 AS view_ts, t3 AS purchase_ts
+    FROM p
+    """,
+)
+def evt_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style ordered sequence: users whose events contain
+    signup → view → purchase in strict timestamp order (greedy
+    earliest-match at each step). Unlike ``evt_funnel``'s join-chain plan,
+    this collects each user's (ts, type) events in ONE shuffle and scans
+    the array JVM-side with higher-order lambdas — k sequence steps cost
+    zero extra shuffles (the join formulation costs k-1 extra shuffles of
+    the fact table). The trade: per-user state must fit in memory, so at
+    100 TB cap whale users (count filter first) or fall back to the join
+    chain; the oracle IS that join chain, which doubles as the proof the
+    two strategies agree."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    g = ev.groupBy("user_id").agg(
+        F.collect_list(F.struct("ts", "event_type")).alias("evs")
+    )
+    step = "array_min(transform(filter(evs, x -> x.event_type = '{t}'{after}), x -> x.ts))"
+    g = (
+        g.withColumn("t1", F.expr(step.format(t="signup", after="")))
+        .withColumn("t2", F.expr(step.format(t="view", after=" AND x.ts > t1")))
+        .withColumn("t3", F.expr(step.format(t="purchase", after=" AND x.ts > t2")))
+    )
+    return g.filter(F.col("t3").isNotNull()).select(
+        "user_id",
+        F.col("t1").alias("signup_ts"),
+        F.col("t2").alias("view_ts"),
+        F.col("t3").alias("purchase_ts"),
+    )
+
+
+@register(
+    "scale_compaction",
+    "SELECT * FROM orders",
+)
+def scale_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance op every 100 TB lake
+    needs (streaming ingest and over-parallel writes leave thousands of
+    KB-sized files; scan cost is then dominated by per-file open/footer
+    overhead). Deliberately fragments `orders` into 64 files, then rewrites
+    to ceil(total_bytes / 128 MiB) files via ``repartition(n)`` — the same
+    bin-packing rule as Delta/Iceberg OPTIMIZE. Sizing reads only driver-
+    side file metadata (never the data); the oracle proves the rewrite is
+    byte-lossless. At 100 TB run per partition with
+    ``spark.sql.files.maxRecordsPerFile`` as the secondary bound, and
+    prefer ``repartitionByRange`` on a filter column so compaction also
+    restores min/max pruning (see ``scale_zorder``)."""
+    tune(spark)
+    tag = _sf_tag(sf_dir)
+    frag = scratch_dir("compact", tag, "orders_frag")
+    compact = scratch_dir("compact", tag, "orders_compact")
+    shutil.rmtree(frag, ignore_errors=True)
+    shutil.rmtree(compact, ignore_errors=True)
+    load_table(spark, sf_dir, "orders").repartition(64).write.parquet(frag)
+    files = glob.glob(os.path.join(frag, "*.parquet"))
+    total = sum(os.path.getsize(f) for f in files)
+    n_target = max(1, math.ceil(total / (128 << 20)))
+    spark.read.parquet(frag).repartition(n_target).write.parquet(compact)
+    out_files = glob.glob(os.path.join(compact, "*.parquet"))
+    assert len(out_files) == n_target, (len(out_files), n_target)
+    return spark.read.parquet(compact)
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))

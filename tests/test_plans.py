@@ -97,3 +97,24 @@ def test_dq_audit_single_scan(spark, registry):
     # numbered detail entries, one per physical scan node
     scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
     assert len(scans) == 1, "dq_audit must profile all columns in one scan"
+
+
+def test_explode_outer_is_shuffle_free(spark, registry):
+    """OUTER Generate is narrow like plain explode — zero exchanges."""
+    f = _facts(spark, registry, "udtf_explode_outer")
+    assert f.exchanges == 0, "explode_outer must not shuffle"
+
+
+def test_sequence_match_single_shuffle(spark, registry):
+    """The collect+lambda-scan strategy's whole point: ONE shuffle on
+    user_id regardless of sequence length (the join chain would need 3)."""
+    f = _facts(spark, registry, "evt_sequence_match")
+    assert f.exchanges == 1, "sequence match must shuffle exactly once"
+    assert f.cartesian == 0
+
+
+def test_distinct_users_no_extra_exchange(spark, registry):
+    """COUNT(DISTINCT) plans as Expand + two-phase agg: one shuffle for
+    the dedup phase, one for the final rollup — never more."""
+    f = _facts(spark, registry, "evt_distinct_users_hourly")
+    assert f.exchanges <= 2, "distinct rollup must stay a two-phase aggregate"

@@ -23,9 +23,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     load_all()
-    return dict(registry.QUERIES)
+    return {k: registry.QUERIES[k] for k in registry.ordered_keys()}
 
 
 def oracle_sql() -> dict[str, str]:
     load_all()
-    return dict(registry.ORACLES)
+    return {
+        k: registry.ORACLES[k] for k in registry.ordered_keys() if k in registry.ORACLES
+    }

@@ -126,15 +126,15 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_orderkey, l_linenumber,
            round(l_extendedprice, 1) AS price_r1,
-           floor(l_discount * 100) AS disc_pct_floor,
-           ceil(l_tax * 100) AS tax_pct_ceil,
+           CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct_floor,
+           CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct_ceil,
            abs(l_quantity - 25.0) AS qty_dev,
            round(pow(l_quantity, 2), 6) AS qty_sq,
            round(sqrt(l_extendedprice), 6) AS price_sqrt,
            round(ln(l_extendedprice + 1.0), 6) AS price_ln,
            round(log10(l_extendedprice + 1.0), 6) AS price_log10,
            round(exp(l_discount), 6) AS disc_exp,
-           sign(l_quantity - 25.0) AS qty_sign,
+           CAST(sign(l_quantity - 25.0) AS DOUBLE) AS qty_sign,
            greatest(l_quantity, 25.0) AS qty_hi,
            least(l_quantity, 25.0) AS qty_lo,
            ((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7 AS key_pmod
@@ -226,8 +226,8 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_map",
     """
     SELECT event_id,
-           ['type', 'user'] AS m_keys,
-           [event_type, CAST(user_id AS VARCHAR)] AS m_values,
+           'type|user' AS m_keys,
+           concat(event_type, '|', CAST(user_id AS VARCHAR)) AS m_values,
            event_type AS type_val
     FROM events
     WHERE event_id % 10 = 0
@@ -235,8 +235,10 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map family: create_map / map_keys / map_values / element_at. The
-    oracle states the expected key/value arrays directly (map ordering is
-    engine-specific — SURVEY.md §2 flags this family as order-sensitive)."""
+    oracle states the expected key/value sequences directly (map ordering
+    is engine-specific — SURVEY.md §2 flags this family as order-sensitive).
+    Keys/values are '|'-serialized to scalar strings because the driver's
+    pandas canonicalizer cannot sort ndarray cells."""
     tune(spark)
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
     m = F.create_map(
@@ -244,8 +246,8 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.select(
         "event_id",
-        F.map_keys(m).alias("m_keys"),
-        F.map_values(m).alias("m_values"),
+        F.array_join(F.map_keys(m), "|").alias("m_keys"),
+        F.array_join(F.map_values(m), "|").alias("m_values"),
         F.element_at(m, F.lit("type")).alias("type_val"),
     )
 
@@ -330,7 +332,8 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_struct",
     """
     SELECT s_suppkey,
-           {'nation': s_nationkey, 'balance': round(s_acctbal, 2)} AS info,
+           concat('nation=', CAST(s_nationkey AS VARCHAR),
+                  ';balance=', CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS VARCHAR)) AS info,
            s_nationkey AS info_nation,
            round(s_acctbal, 2) AS info_balance
     FROM supplier
@@ -338,8 +341,10 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRUCT family [Hive-public: named_struct + field access]: build a
-    struct column and project fields back out. Structs are columnar-
-    shredded in parquet, so nested projection still prunes at the reader."""
+    struct column, project fields back out, and serialize the whole struct
+    to a key=value string for the driver compare (pandas canonicalizer
+    cannot sort struct/Row cells). Structs are columnar-shredded in
+    parquet, so nested projection still prunes at the reader."""
     tune(spark)
     s = load_table(spark, sf_dir, "supplier")
     info = F.struct(
@@ -348,7 +353,10 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.select(
         "s_suppkey",
-        info.alias("info"),
+        F.concat(
+            F.lit("nation="), info.getField("nation").cast("string"),
+            F.lit(";balance="), F.col("s_acctbal").cast("decimal(12,2)").cast("string"),
+        ).alias("info"),
         info.getField("nation").alias("info_nation"),
         info.getField("balance").alias("info_balance"),
     )
@@ -414,4 +422,65 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("l_quantity") > 1).alias("all_qty_gt1"),
         F.bool_or(F.col("l_discount") > 0.09).alias("any_disc_gt9"),
         F.count(F.when(F.col("l_tax") == 0, 1)).alias("n_tax_free"),
+    )
+
+
+@register(
+    "fn_decimal",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(l_extendedprice, 2) AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_price,
+           CAST(MIN(CAST(round(l_extendedprice, 2) AS DECIMAL(12,2))) AS DOUBLE)
+             AS min_price,
+           CAST(MAX(CAST(round(l_extendedprice, 2) AS DECIMAL(12,2))) AS DOUBLE)
+             AS max_price,
+           CAST(CAST(MAX(CAST(round(l_extendedprice, 2) AS DECIMAL(12,2)))
+                     * CAST(1.1 AS DECIMAL(2,1)) AS DECIMAL(16,3)) AS DOUBLE)
+             AS max_price_taxed,
+           CAST(SUM(CAST(round(CAST(l_quantity * 0.005 AS DECIMAL(12,3)), 2)
+                         AS DECIMAL(12,2))) AS DOUBLE) AS tie_rescale_sum,
+           CAST(MIN(CAST(round(l_extendedprice, 2) AS DECIMAL(12,2))) AS VARCHAR)
+             AS min_price_str
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def fn_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL(p,s) family [Hive-public: decimal cast / arithmetic /
+    rescale-rounding] — the warehouse-money type the all-double fixtures
+    otherwise never exercise. Semantics verified:
+
+    - double -> DECIMAL(12,2) ingest (pre-rounded so the rescale is
+      tie-free: raw doubles can sit exactly on x.xx5),
+    - exact decimal SUM/MIN/MAX (no fp accumulation error),
+    - decimal * decimal with scale growth (12,2)x(2,1) -> (15,3),
+    - tie rescale DECIMAL(12,3) -> (12,2): Spark CAST rounds HALF_UP
+      (0.025 -> 0.03) while DuckDB CAST rescales half-even (-> 0.02), so
+      the oracle expresses Spark's semantics as round() (half-away-from-
+      zero on decimals in DuckDB = HALF_UP for positives) before the cast,
+    - fixed-scale string rendering ('100.00', trailing zeros kept).
+
+    Outputs are cast DOUBLE/VARCHAR because the driver's pandas bridge
+    maps DuckDB DECIMAL to float64 but Spark DECIMAL to object(Decimal) —
+    same-typed scalars keep the hash comparable; the decimal arithmetic
+    itself all happens at decimal type on both engines.
+
+    100 TB note: decimal aggs are map-side combinable like any sum; Spark
+    promotes sum precision (22,2) to avoid overflow — no extra shuffle.
+    """
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    dec_price = F.round("l_extendedprice", 2).cast("decimal(12,2)")
+    tie = (F.col("l_quantity") * F.lit(0.005)).cast("decimal(12,3)").cast("decimal(12,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec_price).cast("double").alias("sum_price"),
+        F.min(dec_price).cast("double").alias("min_price"),
+        F.max(dec_price).cast("double").alias("max_price"),
+        (F.max(dec_price) * F.lit(1.1).cast("decimal(2,1)"))
+        .cast("decimal(16,3)").cast("double").alias("max_price_taxed"),
+        F.sum(tie).cast("double").alias("tie_rescale_sum"),
+        F.min(dec_price).cast("string").alias("min_price_str"),
     )

@@ -212,3 +212,60 @@ def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     schema = "doc_id long, n_tokens long, n_uniq_tokens long, mentions_spark boolean"
     return d.select("doc_id", "text").mapInPandas(_doc_features, schema)
+
+
+# ---- Hive TRANSFORM ... USING script contract ----
+
+
+def _transform_via_script(batches):
+    """Emulates the Hive streaming-script wire protocol per Arrow batch:
+    rows -> tab-delimited lines ('\\N' for NULL) on the script's stdin,
+    script emits tab-delimited lines on stdout, lines parsed back into
+    typed columns. The 'script' here is an in-process line transformer
+    with the exact stdin/stdout framing a real `TRANSFORM ... USING
+    'python my.py'` would see."""
+    for pdf in batches:
+        stdin_lines = (
+            pdf["c_custkey"].astype("int64").astype(str)
+            + "\t" + pdf["c_mktsegment"].fillna("\\N")
+            + "\t" + pdf["c_acctbal"].map(repr)
+        )
+        keys, segs, bands = [], [], []
+        for line in stdin_lines:  # the script reads line-by-line
+            key, seg, bal = line.rstrip("\n").split("\t")
+            seg = None if seg == "\\N" else seg.lower()
+            band = "HIGH" if float(bal) > 5000.0 else "LOW"
+            keys.append(int(key))
+            segs.append(seg)
+            bands.append(band)
+        yield pd.DataFrame({"c_custkey": keys, "seg_lower": segs, "bal_band": bands})
+
+
+@register(
+    "transform_script",
+    """
+    SELECT c_custkey,
+           lower(c_mktsegment) AS seg_lower,
+           CASE WHEN c_acctbal > 5000.0 THEN 'HIGH' ELSE 'LOW' END AS bal_band
+    FROM customer
+    """,
+)
+def transform_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive `SELECT TRANSFORM (...) USING 'script' AS (...)` [Hive-public
+    grammar; reference checkout empty — SURVEY.md §0.1]: arbitrary
+    row-stream rewrite through an external script's stdin/stdout, the
+    last HiveQL grammar family without a key. Spark-first construction:
+    the tab-delimited/'\\N' wire protocol is framed inside mapInPandas so
+    rows stream through the script per Arrow batch with zero driver
+    involvement — same contract, vectorized transport. The script logic
+    is deliberately SQL-expressible so the DuckDB oracle is exact.
+
+    100 TB note: this is a map-only op — no shuffle, scales linearly;
+    per-batch framing cost is the same O(rows) a real pipe would pay,
+    minus the process-spawn and context-switch overhead."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    schema = "c_custkey long, seg_lower string, bal_band string"
+    return c.select("c_custkey", "c_mktsegment", "c_acctbal").mapInPandas(
+        _transform_via_script, schema
+    )

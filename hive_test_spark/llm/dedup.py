@@ -153,7 +153,7 @@ _SIMHASH_BITS = 48
       GROUP BY doc_id, b.bit
     )
     SELECT doc_id,
-           SUM(CASE WHEN score > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+           CAST(SUM(CASE WHEN score > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
     FROM bits
     GROUP BY doc_id
     """,

@@ -544,7 +544,7 @@ def llm_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH RECURSIVE {_CLUSTER_CTES},
     sizes AS (SELECT cluster_id, count(*) AS c FROM labels GROUP BY cluster_id)
-    SELECT c AS cluster_size, count(*) AS n_clusters, SUM(c - 1) AS n_removable
+    SELECT c AS cluster_size, count(*) AS n_clusters, CAST(SUM(c - 1) AS BIGINT) AS n_removable
     FROM sizes GROUP BY c
     """,
 )

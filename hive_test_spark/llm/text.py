@@ -24,7 +24,7 @@ from hive_test_spark.session import tune
     """
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           SUM(len(string_split(text, ' '))) AS total_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            ROUND(AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS avg_tokens,
            ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars,
            MIN(n_chars) AS min_chars,
@@ -88,7 +88,10 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        tf.join(F.broadcast(df), "token")
+        # No broadcast hint on the docfreq side: its cardinality is the
+        # corpus vocabulary (10^8+ at 100 TB — a guaranteed OOM if forced).
+        # AQE picks broadcast at runtime when df is genuinely small.
+        tf.join(df, "token")
         .crossJoin(F.broadcast(n_df))
         .select(
             "doc_id",

@@ -55,7 +55,7 @@ def agg_groupby_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            COUNT(DISTINCT l_partkey) AS distinct_parts,
            COUNT(DISTINCT l_suppkey) AS distinct_supps,
-           SUM(DISTINCT l_linenumber) AS sum_distinct_lines
+           CAST(SUM(DISTINCT l_linenumber) AS BIGINT) AS sum_distinct_lines
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -88,11 +88,13 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     """
     WITH lists AS (
-      SELECT c_nationkey, list(c_mktsegment ORDER BY c_mktsegment) AS segments_all
+      SELECT c_nationkey,
+             array_to_string(list(c_mktsegment ORDER BY c_mktsegment), '|') AS segments_all
       FROM customer GROUP BY c_nationkey
     ),
     sets AS (
-      SELECT c_nationkey, list(seg ORDER BY seg) AS segments_distinct
+      SELECT c_nationkey,
+             array_to_string(list(seg ORDER BY seg), '|') AS segments_distinct
       FROM (SELECT DISTINCT c_nationkey, c_mktsegment AS seg FROM customer) d
       GROUP BY c_nationkey
     )
@@ -101,13 +103,15 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_list / collect_set with array_sort for deterministic hashing
-    (SURVEY.md §5.3 rule 3)."""
+    """collect_list / collect_set with array_sort for determinism, serialized
+    to '|'-joined strings: the driver's canonicalizer sorts result frames in
+    pandas, and array cells (numpy.ndarray) are unhashable there — scalar
+    string outputs keep the comparison exact (SURVEY.md §5.3 rule 3)."""
     tune(spark)
     c = load_table(spark, sf_dir, "customer")
     return c.groupBy("c_nationkey").agg(
-        F.array_sort(F.collect_list("c_mktsegment")).alias("segments_all"),
-        F.array_sort(F.collect_set("c_mktsegment")).alias("segments_distinct"),
+        F.array_join(F.array_sort(F.collect_list("c_mktsegment")), "|").alias("segments_all"),
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), "|").alias("segments_distinct"),
     )
 
 

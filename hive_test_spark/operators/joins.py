@@ -157,14 +157,19 @@ def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c.c_custkey, c.c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '1998-01-01')
     """,
 )
 def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI JOIN (NOT EXISTS rewrite): customers with no orders."""
+    """LEFT ANTI JOIN (NOT EXISTS rewrite): customers with no 1998+ order.
+    The orders side is date-filtered so the survivor set is non-empty at
+    every SF — an unfiltered anti-join returns 0 rows at sf0.01 (every
+    customer has orders), which would make the oracle hash-match vacuous."""
     tune(spark)
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1998-01-01")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 

@@ -254,12 +254,12 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions AS (
       SELECT user_id, event_id,
              SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id_raw
       FROM flagged
     )
-    SELECT user_id, session_id, COUNT(*) AS n_events
+    SELECT user_id, CAST(session_id_raw AS BIGINT) AS session_id, COUNT(*) AS n_events
     FROM sessions
-    GROUP BY user_id, session_id
+    GROUP BY user_id, CAST(session_id_raw AS BIGINT)
     """,
 )
 def win_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:

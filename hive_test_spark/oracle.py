@@ -86,6 +86,36 @@ def rows_equal(a: tuple, b: tuple) -> tuple[bool, bool]:
     return True, bitwise
 
 
+def _driver_hazards(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    """Divergences the DRIVER's canonicalizer rejects even though the
+    tolerant compare below would pass (diagnosed from CORRECTNESS_r01):
+    (a) numeric-kind drift — DuckDB HUGEINT/NULL-able ints surface as
+    float64 while Spark stays int64; the driver hashes 28 != 28.0;
+    (b) non-scalar cells (ndarray/list/dict/Row) — the driver's pandas
+    sort_values crashes with 'unhashable type'. Both must FAIL locally."""
+    notes = []
+    for c in spark_pdf.columns:
+        if c not in duck_pdf.columns:
+            continue
+        sk, dk = spark_pdf[c].dtype.kind, duck_pdf[c].dtype.kind
+        if sk != dk and {sk, dk} <= {"i", "u", "f"} | {"O"} and {sk, dk} != {"O"}:
+            notes.append(
+                f"dtype divergence on '{c}': spark={spark_pdf[c].dtype} "
+                f"duck={duck_pdf[c].dtype} — driver hash mismatch; CAST to align"
+            )
+    for side, pdf in (("spark", spark_pdf), ("duck", duck_pdf)):
+        for c in pdf.columns:
+            if pdf[c].dtype.kind != "O":
+                continue
+            v = next((x for x in pdf[c] if x is not None), None)
+            if isinstance(v, (list, tuple, dict)) or type(v).__name__ in ("ndarray", "Row"):
+                notes.append(
+                    f"non-scalar cells in {side}.'{c}' ({type(v).__name__}) — "
+                    "driver canonicalizer crash; serialize to string"
+                )
+    return notes
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> dict:
     res = {"key": name, "ok": False, "bitwise": True, "notes": []}
     if len(spark_pdf) != len(duck_pdf):
@@ -94,6 +124,10 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> dict:
     sc, dc = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
     if sc != dc:
         res["notes"].append(f"columns spark={sc} duck={dc}")
+        return res
+    hazards = _driver_hazards(spark_pdf, duck_pdf)
+    if hazards:
+        res["notes"].extend(hazards)
         return res
     a, b = canon_df(spark_pdf), canon_df(duck_pdf)
     for i, (ra, rb) in enumerate(zip(a, b)):

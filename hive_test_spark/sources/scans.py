@@ -164,3 +164,64 @@ def view_over_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.sql("SELECT c_mktsegment, big_customers FROM hts_big_customers WHERE big_customers > 10")
+
+
+@register(
+    "scan_regex_serde",
+    """
+    WITH lines AS (
+      SELECT 'order=' || CAST(o_orderkey AS VARCHAR)
+             || ' status=' || o_orderstatus
+             || ' date=' || strftime(o_orderdate, '%Y-%m-%d')
+             || ' cents=' || CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+               AS value
+      FROM orders
+    )
+    SELECT regexp_extract(value, 'status=([A-Z])', 1) AS status,
+           CAST(substr(regexp_extract(value, 'date=([0-9-]+)', 1), 1, 4) AS INTEGER) AS yr,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(regexp_extract(value, 'cents=([0-9]+)', 1) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM lines
+    GROUP BY 1, 2
+    """,
+)
+def scan_regex_serde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RegexSerDe-style text ingestion [Hive-public:
+    org.apache.hadoop.hive.serde2.RegexSerDe] — raw log lines parsed into
+    typed columns by capture groups, the classic Hive weblog pattern.
+    Both legs are real: a distributed text write materializes the log
+    fixture from `orders` (`order=.. status=.. date=.. cents=..` lines),
+    then `spark.read.text` + `regexp_extract` recovers typed columns and
+    aggregates. The oracle synthesizes identical lines inline and parses
+    them back with the same regexes, so the string round-trip is exact
+    (price is FLOOR-ed to integer cents before formatting — double
+    rendering never enters the line). The HUGEINT-sum trap is pre-empted
+    with CAST(... AS BIGINT).
+
+    100 TB note: text scans are splittable by line; the regex runs
+    JVM-side inside codegen. Schema-on-read costs one parse pass — the
+    op's own output shows why you convert logs to parquet once parsed."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    lines = o.select(
+        F.concat(
+            F.lit("order="), F.col("o_orderkey").cast("string"),
+            F.lit(" status="), F.col("o_orderstatus"),
+            F.lit(" date="), F.date_format("o_orderdate", "yyyy-MM-dd"),
+            F.lit(" cents="),
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        ).alias("value")
+    )
+    path = _materialize(lines, "text", scratch_dir("fmt", _sf_tag(sf_dir), "orders_log"))
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.regexp_extract("value", r"status=([A-Z])", 1).alias("status"),
+        F.substring(F.regexp_extract("value", r"date=([0-9-]+)", 1), 1, 4)
+        .cast("int").alias("yr"),
+        F.regexp_extract("value", r"cents=([0-9]+)", 1).cast("bigint").alias("cents"),
+    )
+    return parsed.groupBy("status", "yr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("total_cents"),
+    )

@@ -484,3 +484,44 @@ def fn_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(tie).cast("double").alias("tie_rescale_sum"),
         F.min(dec_price).cast("string").alias("min_price_str"),
     )
+
+
+@register(
+    "fn_mask",
+    """
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(
+             c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+             AS name_masked,
+           concat(
+             regexp_replace(regexp_replace(regexp_replace(
+               substr(c_name, 1, 4), '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+               '[0-9]', 'n', 'g'),
+             substr(c_name, 5)
+           ) AS name_mask_first4,
+           regexp_replace(c_mktsegment, '[A-Z]', '*', 'g') AS seg_starred,
+           sha256(c_name) AS name_hash
+    FROM customer
+    """,
+)
+def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-masking family [Hive-public: mask / mask_first_n / mask_hash
+    GenericUDFs — the column-level PII controls of a Hive warehouse].
+    Spark-first: `mask()` is a built-in (upper->X, lower->x, digit->n,
+    punctuation kept), mask_first_n is composed as mask(prefix)||suffix,
+    mask_hash as sha2-256. The oracle re-derives mask() with per-class
+    regexp_replace chains (DuckDB has no mask builtin). All JVM-side,
+    codegen-friendly — this is the redaction tier you run before text
+    corpora leave the warehouse (cousin of llm_pii_redact, which handles
+    free-text patterns instead of whole columns)."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.mask("c_name").alias("name_masked"),
+        F.concat(
+            F.mask(F.substring("c_name", 1, 4)), F.substring("c_name", 5, 100)
+        ).alias("name_mask_first4"),
+        F.mask("c_mktsegment", F.lit("*"), F.lit("*"), F.lit("*"), F.lit(None)).alias("seg_starred"),
+        F.lower(F.sha2("c_name", 256)).alias("name_hash"),
+    )

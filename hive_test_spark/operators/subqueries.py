@@ -77,3 +77,46 @@ def subq_not_in_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "subq_lateral",
+    """
+    SELECT n.n_name, c.c_name, c.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_name, c_acctbal
+      FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name
+      LIMIT 2
+    ) c
+    """,
+)
+def subq_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery [ANSI / Hive-adjacent: per-row derived
+    table]: for every nation, its top-2 customers by balance. Catalyst
+    decorrelates the LATERAL (DecorrelateInnerQuery) into a ranked window
+    over the child + an equi-join on the correlation key — NOT a per-row
+    re-execution, so the plan is one shuffle on c_nationkey regardless of
+    the outer row count. Tie-break on c_name keeps the LIMIT
+    deterministic so the DuckDB oracle (same LATERAL) is exact.
+
+    100 TB note: decorrelation is the whole game — a naive nested-loop
+    lateral is O(outer x inner); the window rewrite is one pass over the
+    inner table. Same shape as win_topk_per_group, driven through the
+    SQL front end to exercise the decorrelator itself."""
+    tune(spark)
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("lat_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_name, c.c_acctbal
+        FROM lat_nation n, LATERAL (
+          SELECT c_name, c_acctbal
+          FROM lat_customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name
+          LIMIT 2
+        ) c
+        """
+    )

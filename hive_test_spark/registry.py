@@ -59,6 +59,7 @@ _FRONT: tuple[str, ...] = (
     "agg_count_distinct", "agg_collect", "join_left_anti",
     "fn_map", "fn_struct",
     "fn_decimal", "transform_script", "scan_regex_serde",
+    "fn_mask", "subq_lateral",
 )
 
 # Unseen-key family priority inside the 50-key window: SURVEY §2 families

@@ -118,3 +118,25 @@ def test_distinct_users_no_extra_exchange(spark, registry):
     the dedup phase, one for the final rollup — never more."""
     f = _facts(spark, registry, "evt_distinct_users_hourly")
     assert f.exchanges <= 2, "distinct rollup must stay a two-phase aggregate"
+
+
+def test_lateral_subquery_is_decorrelated(spark, registry):
+    """LATERAL must decorrelate to a ranked window + join — a nested-loop
+    per-outer-row re-execution would be O(outer x inner) at 100 TB."""
+    f = _facts(spark, registry, "subq_lateral")
+    assert f.cartesian == 0, "lateral must not plan a cartesian/nested-loop product"
+
+
+def test_transform_script_is_map_only(spark, registry):
+    """The TRANSFORM wire protocol is a pure row-stream rewrite: no
+    shuffle may appear — it scales linearly or not at all."""
+    f = _facts(spark, registry, "transform_script")
+    assert f.exchanges == 0, "transform_script must be map-only"
+
+
+def test_regex_serde_pushes_nothing_but_stays_flat(spark, registry):
+    """Text scan → regex parse → two-phase agg: exactly the one shuffle
+    the groupBy needs (partial agg map-side)."""
+    f = _facts(spark, registry, "scan_regex_serde")
+    assert f.exchanges <= 1, "regex-serde agg must shuffle at most once"
+    assert f.cartesian == 0

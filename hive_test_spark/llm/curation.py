@@ -1,0 +1,287 @@
+"""SURVEY.md §2.M round-2 additions — corpus-curation operators a 100 TB
+pretraining pipeline runs between raw crawl and tokenizer: benchmark
+contamination detection, sequence packing, unigram-LM scoring, and
+source-weighted dataset mixing.
+
+Like llm/pipeline.py, every operator is DETERMINISTIC (md5-derived
+pseudo-uniforms, never rand()) and DuckDB-oracle-verified. Determinism is
+the operational requirement: re-running a mixing or packing stage on the
+same snapshot must produce the identical training set, or checkpointed
+downstream state (shard manifests, data orders) silently diverges.
+
+Scale theme: contamination is a semi-join against a *bounded* benchmark
+set (broadcast-able by construction); packing is windowed per shard so no
+global sort exists; the unigram LM is two map-side-combinable aggregates
+plus one vocabulary-keyed shuffle join (never broadcast — the llm_tfidf
+lesson); mixing is a pure map with an aggregate on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_test_spark.io import load_table
+from hive_test_spark.registry import register
+from hive_test_spark.session import tune
+
+# 5-token shingles; benchmark probe set = every 97th doc (deterministic,
+# ~1.2% of corpus — the size class of a real eval suite vs a crawl).
+_NGRAM = 5
+_PROBE_MOD = 97
+
+# Packing: context length in whitespace tokens; shard count bounds window
+# parallelism (at 100 TB this is #output shards, thousands).
+_CTX_LEN = 512
+_PACK_SHARDS = 8
+
+
+@register(
+    "llm_contamination",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, source, array_to_string(t[i:i+{_NGRAM - 1}], ' ') AS ng
+      FROM (
+        SELECT doc_id, source, t,
+               unnest(generate_series(1, len(t) - {_NGRAM - 1})) AS i
+        FROM toks WHERE len(t) >= {_NGRAM}
+      )
+    ),
+    probe AS (
+      SELECT DISTINCT doc_id AS p_id, ng FROM sh WHERE doc_id % {_PROBE_MOD} = 0
+    ),
+    train AS (
+      SELECT doc_id, source, ng FROM sh WHERE doc_id % {_PROBE_MOD} <> 0
+    )
+    SELECT t.doc_id, t.source,
+           COUNT(DISTINCT t.ng) AS n_shared_ngrams,
+           COUNT(DISTINCT p.p_id) AS n_probes_hit
+    FROM train t JOIN probe p USING (ng)
+    GROUP BY t.doc_id, t.source
+    """,
+)
+def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan [public method: GPT-3 App. C / PaLM
+    13-gram overlap decontamination]: flag training documents sharing any
+    token n-gram with a held-out eval set (here {_NGRAM}-grams, probe set
+    = doc_id % {_PROBE_MOD} == 0). Output = per-flagged-doc counts of
+    shared n-grams and distinct probes hit — the report a curation run
+    reviews before dropping/flagging.
+
+    Spark-first: shingle via a JVM higher-order transform over
+    sequence() (no Python), explode once, then an equi-join on the
+    n-gram string. The probe side is broadcast BY CONSTRUCTION: eval
+    suites are bounded (MBs) no matter how big the crawl is, so the join
+    is map-side against 100 TB of train shingles — no shuffle of the big
+    side at all. The n-gram count per doc is len(t) - k + 1, linear."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", F.split(F.lower("text"), " ").alias("t"))
+    sh = (
+        toks.filter(F.size("t") >= _NGRAM)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (_NGRAM - 1)),
+                    lambda i: F.array_join(F.slice("t", i, _NGRAM), " "),
+                )
+            ).alias("ng"),
+        )
+        .distinct()
+    )
+    probe = (
+        sh.filter(F.col("doc_id") % _PROBE_MOD == 0)
+        .select(F.col("doc_id").alias("p_id"), "ng")
+        .distinct()
+    )
+    train = sh.filter(F.col("doc_id") % _PROBE_MOD != 0)
+    return (
+        train.join(F.broadcast(probe), "ng")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.countDistinct("ng").alias("n_shared_ngrams"),
+            F.countDistinct("p_id").alias("n_probes_hit"),
+        )
+    )
+
+
+@register(
+    "llm_pack_sequences",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT shard, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM tok
+    )
+    SELECT shard,
+           CAST(FLOOR((cum - n_tok) / {_CTX_LEN}.0) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           ROUND(SUM(n_tok) / {_CTX_LEN}.0, 6) AS fill_ratio
+    FROM c GROUP BY shard, bin
+    """,
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing [public method: GPT-style pretraining packs docs
+    into fixed-length context windows by streaming concatenation]: assign
+    each doc to the {_CTX_LEN}-token bin where its first token lands
+    (bin = floor(running_total_before_doc / ctx)), then report per-bin
+    doc count and fill ratio — the packing manifest a shard writer
+    consumes.
+
+    Spark-first scale shape: the window is PARTITIONED BY shard
+    (doc_id % {_PACK_SHARDS}), so there is no global total order — each
+    shard packs independently in parallel, which is exactly how a
+    1000-executor packing job must run (a single ORDER BY over 100 TB of
+    docs would serialize on one reducer). Shard count becomes the output
+    shard manifest; determinism comes from the (shard, doc_id) order."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = tok.withColumn("cum", F.sum("n_tok").over(w))
+    return c.groupBy(
+        "shard",
+        F.floor((F.col("cum") - F.col("n_tok")) / float(_CTX_LEN)).alias("bin"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(F.sum("n_tok") / float(_CTX_LEN), 6).alias("fill_ratio"),
+    )
+
+
+@register(
+    "llm_perplexity_proxy",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok
+    ),
+    corpus AS (
+      SELECT tok, COUNT(*) AS ct FROM tok GROUP BY tok
+    ),
+    total AS (SELECT COUNT(*) AS t FROM tok)
+    SELECT d.doc_id,
+           CAST(SUM(d.c) AS BIGINT) AS n_tokens,
+           ROUND(-SUM(d.c * ln(co.ct * 1.0 / total.t)) / SUM(d.c), 6) AS xent_nats
+    FROM per_doc d JOIN corpus co USING (tok) CROSS JOIN total
+    GROUP BY d.doc_id
+    """,
+)
+def llm_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy per document [public method: CCNet /
+    RedPajama quality signals score docs with a cheap LM; the unigram
+    corpus model is the degenerate-but-useful baseline]: doc score =
+    -(1/|d|) * sum_t c(t,d) * ln(p_corpus(t)). Low = stereotypical text,
+    high = rare-token-heavy (gibberish or genuinely novel) — the ranking
+    signal a quality-filter threshold consumes.
+
+    Spark-first: two hash aggregates (per-doc-token and corpus-token,
+    both map-side-combinable) + one join keyed on token. The corpus side
+    is VOCABULARY-sized, so it is deliberately NOT broadcast (10^8+ terms
+    at 100 TB — the llm_tfidf lesson); AQE may still choose broadcast at
+    small scale. The corpus total is a 1-row plan, broadcast-crossed, not
+    an eager .count() (no second pass over the data)."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    per_doc = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    corpus = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("ct"))
+    total = tok.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        per_doc.join(corpus, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.round(
+                -F.sum(F.col("c") * F.log(F.col("ct") / F.col("t"))) / F.sum("c"), 6
+            ).alias("xent_nats"),
+        )
+    )
+
+
+@register(
+    "llm_dataset_mix",
+    """
+    WITH scored AS (
+      SELECT source,
+             CASE WHEN source IN ('src0','src1','src2','src3') THEN 1.0
+                  WHEN source IN ('src4','src5','src6','src7','src8','src9') THEN 0.5
+                  ELSE 0.2 END AS target_rate,
+             CAST(('0x' || substr(md5(concat(source, ':', CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT)
+               / 65536.0 AS u
+      FROM documents
+    )
+    SELECT source, MIN(target_rate) AS target_rate,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE u < target_rate) AS n_kept,
+           ROUND(COUNT(*) FILTER (WHERE u < target_rate) * 1.0 / COUNT(*), 6)
+             AS achieved_rate
+    FROM scored GROUP BY source
+    """,
+)
+def llm_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted dataset mixing [public method: The Pile / Dolma mix
+    corpora by per-source sampling weights]: keep each doc with
+    probability target_rate(source), decided by a DETERMINISTIC
+    md5-derived uniform in [0,1) keyed on (source, doc_id) — never
+    rand(), so a re-run selects the identical training set and upsampling
+    ratios are reproducible across the fleet. Output = the mixing report
+    (target vs achieved rate per source).
+
+    Spark-first: pure map (hash + compare) then one map-side-combinable
+    aggregate; no shuffle of doc payloads, no skew (md5 uniformizes), and
+    the same expression applied as a FILTER instead of a report is the
+    production sampler. 16-bit hash slice keeps the uniform exact in both
+    engines (no float64 precision loss)."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("source").isin("src0", "src1", "src2", "src3"), 1.0)
+        .when(
+            F.col("source").isin("src4", "src5", "src6", "src7", "src8", "src9"), 0.5
+        )
+        .otherwise(0.2)
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", "source", F.col("doc_id").cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        / 65536.0
+    )
+    scored = d.select("source", rate.alias("target_rate"), u.alias("u"))
+    return scored.groupBy("source").agg(
+        F.min("target_rate").alias("target_rate"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("u") < F.col("target_rate"), 1)).alias("n_kept"),
+        F.round(
+            F.count(F.when(F.col("u") < F.col("target_rate"), 1)) / F.count(F.lit(1)),
+            6,
+        ).alias("achieved_rate"),
+    )

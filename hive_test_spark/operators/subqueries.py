@@ -120,3 +120,54 @@ def subq_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) c
         """
     )
+
+
+@register(
+    "subq_recursive_cte",
+    """
+    WITH RECURSIVE tree AS (
+      SELECT c_custkey AS k, 0 AS depth, c_acctbal AS bal
+      FROM customer WHERE c_custkey = 1
+      UNION ALL
+      SELECT c.c_custkey, t.depth + 1, c.c_acctbal
+      FROM customer c JOIN tree t
+        ON CAST(FLOOR(c.c_custkey / 2.0) AS BIGINT) = t.k
+      WHERE c.c_custkey > 1
+    )
+    SELECT depth, COUNT(*) AS n_nodes, ROUND(SUM(bal), 6) AS depth_bal
+    FROM tree GROUP BY depth
+    """,
+)
+def subq_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, ANSI / Hive-4-adjacent): walk the
+    implicit binary-heap hierarchy over c_custkey (parent = floor(k/2),
+    root = 1) and aggregate node count + balance per depth. Spark 4
+    executes this as an iterative UnionLoop: each step joins the previous
+    frontier against the child table, terminating when the frontier is
+    empty — depth is O(log N) for this hierarchy (~11 levels at sf0.01,
+    ~24 at 100 TB key ranges), so the iteration count stays tiny even at
+    1000x data.
+
+    100 TB note: every iteration is an ordinary equi-join Catalyst plans
+    independently (broadcast when the frontier is small, shuffle when
+    wide), and each frontier is materialized once — the recursion never
+    re-scans prior levels. The same query text runs verbatim on DuckDB,
+    making this one of the few ops whose oracle is literally identical
+    SQL."""
+    tune(spark)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("rc_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE tree AS (
+          SELECT c_custkey AS k, 0 AS depth, c_acctbal AS bal
+          FROM rc_customer WHERE c_custkey = 1
+          UNION ALL
+          SELECT c.c_custkey, t.depth + 1, c.c_acctbal
+          FROM rc_customer c JOIN tree t
+            ON CAST(FLOOR(c.c_custkey / 2.0) AS BIGINT) = t.k
+          WHERE c.c_custkey > 1
+        )
+        SELECT depth, COUNT(*) AS n_nodes, ROUND(SUM(bal), 6) AS depth_bal
+        FROM tree GROUP BY depth
+        """
+    )

@@ -131,4 +131,11 @@ def load_all() -> None:
     from hive_test_spark.sources import scans, sinks  # noqa: F401
     from hive_test_spark.functions import lateral, scalar, udfs  # noqa: F401
     from hive_test_spark.streaming import batch_twins, live  # noqa: F401
-    from hive_test_spark.llm import dedup, multimodal, pipeline, similarity, text  # noqa: F401
+    from hive_test_spark.llm import (  # noqa: F401
+        curation,
+        dedup,
+        multimodal,
+        pipeline,
+        similarity,
+        text,
+    )

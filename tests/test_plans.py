@@ -140,3 +140,35 @@ def test_regex_serde_pushes_nothing_but_stays_flat(spark, registry):
     f = _facts(spark, registry, "scan_regex_serde")
     assert f.exchanges <= 1, "regex-serde agg must shuffle at most once"
     assert f.cartesian == 0
+
+
+def test_contamination_broadcasts_probe_set(spark, registry):
+    """The benchmark probe set is bounded by construction (eval suites
+    are MBs); the train-side shingle stream must join map-side against a
+    broadcast of it — never shuffle the crawl on the n-gram key."""
+    f = _facts(spark, registry, "llm_contamination")
+    assert f.broadcast_joins >= 1, "probe n-grams must be broadcast"
+    assert f.cartesian == 0
+
+
+def test_pack_sequences_single_shuffle(spark, registry):
+    """Packing is windowed per shard; the per-(shard,bin) rollup must
+    REUSE the shard hash partitioning (ClusteredDistribution subset rule)
+    — exactly one exchange end-to-end or the shard design is broken."""
+    f = _facts(spark, registry, "llm_pack_sequences")
+    assert f.exchanges == 1, "pack must shuffle once (window) and reuse it for the rollup"
+
+
+def test_perplexity_no_cartesian_no_forced_broadcast(spark, registry):
+    """Corpus-frequency join is vocabulary-keyed: AQE may broadcast at
+    toy scale but nothing may force it, and the 1-row total must come in
+    as a broadcast rather than a cartesian product."""
+    f = _facts(spark, registry, "llm_perplexity_proxy")
+    assert f.cartesian == 0
+    assert f.exchanges <= 4
+
+
+def test_dataset_mix_map_then_single_agg(spark, registry):
+    """Mixing is a pure map (md5 compare) + one rollup — one exchange."""
+    f = _facts(spark, registry, "llm_dataset_mix")
+    assert f.exchanges == 1

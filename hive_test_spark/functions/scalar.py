@@ -525,3 +525,46 @@ def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.mask("c_mktsegment", F.lit("*"), F.lit("*"), F.lit("*"), F.lit(None)).alias("seg_starred"),
         F.lower(F.sha2("c_name", 256)).alias("name_hash"),
     )
+
+
+@register(
+    "fn_date_extended",
+    """
+    SELECT o_orderkey,
+           quarter(CAST(o_orderdate AS DATE)) AS qtr,
+           week(CAST(o_orderdate AS DATE)) AS iso_week,
+           dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow_sun1,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+           CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS VARCHAR)
+             AS qtr_start,
+           CAST(make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), 1) AS VARCHAR)
+             AS month_first,
+           CAST(CAST(o_orderdate AS DATE)
+                + CAST(CASE WHEN (8 - isodow(CAST(o_orderdate AS DATE))) % 7 = 0
+                            THEN 7
+                            ELSE (8 - isodow(CAST(o_orderdate AS DATE))) % 7
+                       END AS INT) AS VARCHAR) AS next_monday
+    FROM orders
+    """,
+)
+def fn_date_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended date family beyond fn_date: quarter, ISO week, day-of-week,
+    date_format, quarter-trunc, make_date, next_day [Hive-public UDFs of
+    the same names]. Cross-engine parity notes baked into the oracle:
+    Spark ``dayofweek`` is 1=Sunday while DuckDB's is 0=Sunday (+1), and
+    ``next_day(d,'Mon')`` is strictly-after, reconstructed in DuckDB from
+    isodow arithmetic. DATE outputs are rendered as strings (hash rule).
+    All JVM-side, codegen-friendly, map-only."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.quarter(d).alias("qtr"),
+        F.weekofyear(d).alias("iso_week"),
+        F.dayofweek(d).alias("dow_sun1"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+        F.trunc(d, "quarter").cast("string").alias("qtr_start"),
+        F.make_date(F.year(d), F.month(d), F.lit(1)).cast("string").alias("month_first"),
+        F.next_day(d, "Mon").cast("string").alias("next_monday"),
+    )

@@ -140,3 +140,61 @@ def dml_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("merge_action"),
         )
     )
+
+
+@register(
+    "dml_insert_overwrite_partition",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'P'
+                          THEN o_totalprice * 0.9 ELSE o_totalprice END), 6)
+             AS sum_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def dml_insert_overwrite_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive dynamic-partition INSERT OVERWRITE [Hive-public: INSERT
+    OVERWRITE TABLE t PARTITION (col) SELECT ... — only partitions present
+    in the batch are replaced]. Spark-first: a partitioned parquet layout
+    plus ``partitionOverwriteMode=dynamic``; the restatement batch holds
+    only status='P' rows (price discounted 10%), so partitions F and O
+    must SURVIVE the overwrite byte-for-byte while P is replaced. The
+    re-read rollup hashes the post-overwrite table against an oracle that
+    computes the expected final state relationally — a wrong overwrite
+    mode (static would wipe F and O) fails the hash, so the mode itself
+    is what's being verified.
+
+    100 TB note: dynamic overwrite is THE idiom for restating one day of
+    an event warehouse in place — cost is proportional to the restated
+    partitions, never to the table. Discovery of untouched partitions is
+    metadata-only."""
+    import shutil
+
+    from hive_test_spark.io import scratch_dir
+    from hive_test_spark.sources.scans import _sf_tag
+
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    path = scratch_dir("dml", _sf_tag(sf_dir), "orders_dynpart")
+    shutil.rmtree(path, ignore_errors=True)
+    o.write.partitionBy("o_orderstatus").mode("overwrite").parquet(path)
+    restated = o.filter(F.col("o_orderstatus") == "P").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 0.9
+    )
+    (
+        restated.write.partitionBy("o_orderstatus")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 6).alias("sum_price"),
+        )
+    )

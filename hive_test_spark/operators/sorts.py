@@ -106,3 +106,41 @@ def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortWithinPartitions("l_suppkey", "l_shipdate")
         .select("l_suppkey", "l_shipdate", F.spark_partition_id().alias("part_id"))
     )
+
+
+@register(
+    "sort_cluster_by",
+    """
+    SELECT l_suppkey, CAST(1 AS BIGINT) AS n_partitions, COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def sort_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive CLUSTER BY (= DISTRIBUTE BY + SORT BY on the same key)
+    [Hive-public: LanguageManual SortBy — the pre-bucketing co-location
+    primitive]. Driven through the SQL front end, then verified by
+    OBSERVING the physical layout: spark_partition_id() is captured
+    post-shuffle and the rollup proves every l_suppkey landed in exactly
+    ONE partition (n_partitions == 1 for all keys, vs the oracle's
+    literal 1) while total row counts match. A broken distribution
+    (e.g. round-robin) would scatter keys across partitions and fail the
+    hash on n_partitions.
+
+    100 TB note: CLUSTER BY before a write is how you co-locate data for
+    downstream merge joins / bucketed tables; the per-key single-partition
+    invariant is exactly what bucket-map-join correctness rests on. The
+    follow-up groupBy reuses the HashPartitioning(l_suppkey) the shuffle
+    produced — one exchange total (asserted in tests/test_plans.py)."""
+    tune(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("cb_lineitem")
+    clustered = spark.sql(
+        "SELECT l_suppkey, l_extendedprice FROM cb_lineitem CLUSTER BY l_suppkey"
+    )
+    return (
+        clustered.withColumn("pid", F.spark_partition_id())
+        .groupBy("l_suppkey")
+        .agg(
+            F.countDistinct("pid").alias("n_partitions"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

@@ -172,3 +172,12 @@ def test_dataset_mix_map_then_single_agg(spark, registry):
     """Mixing is a pure map (md5 compare) + one rollup — one exchange."""
     f = _facts(spark, registry, "llm_dataset_mix")
     assert f.exchanges == 1
+
+
+def test_cluster_by_reuses_partitioning(spark, registry):
+    """CLUSTER BY shuffles once on l_suppkey; the verification rollup
+    groups on the same key and must reuse that partitioning — a second
+    exchange would mean the co-location invariant wasn't actually
+    observed on the clustered layout."""
+    f = _facts(spark, registry, "sort_cluster_by")
+    assert f.exchanges == 1, "cluster-by + same-key rollup must be one shuffle"

@@ -306,3 +306,103 @@ def stream_sink_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("foreach_batch", counts["foreach_batch"]),
     ]
     return spark.createDataFrame(rows, "mode string, rows_emitted long")
+
+
+@register(
+    "stream_foreach_batch_upsert",
+    """
+    SELECT user_id, event_type AS last_type, value AS last_value,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS last_ts_us
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY user_id
+      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
+    ) = 1
+    """,
+)
+def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch incremental upsert — the production exactly-once sink
+    pattern [Spark-public: Structured Streaming guide, foreachBatch]:
+    maintain a latest-event-per-user ledger across micro-batches. The
+    stream is the events fixture DUPLICATED (copies=2) and throttled to
+    one file per trigger, so AvailableNow genuinely executes MULTIPLE
+    micro-batches; each batch merges into the prior ledger generation and
+    writes a new one (generation dirs, never overwrite-while-read). The
+    duplicate copy proves idempotence: replayed rows collapse in the
+    merge, so the final ledger equals the batch latest-per-user oracle.
+
+    100 TB note: this is the CDC-compaction shape — per batch, work is
+    O(batch + ledger-partition touched); deterministic tie-break
+    (ts, event_id) makes replays and restarts converge to the same
+    ledger, which is what 'exactly-once via idempotent sink' means."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    ev = _read_events_stream_throttled(spark, sf_dir, copies=2)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = scratch_dir("stream_ledger", tag)
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+
+    cols = ["user_id", "last_type", "last_value", "last_ts_us", "event_id"]
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        incoming = batch.select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+            F.unix_micros("ts").alias("last_ts_us"),
+            "event_id",
+        )
+        prev = os.path.join(base, f"gen={batch_id - 1}")
+        if os.path.exists(os.path.join(prev, "_SUCCESS")):
+            incoming = sp.read.parquet(prev).unionByName(incoming)
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("last_ts_us"), F.desc("event_id")
+        )
+        latest = (
+            incoming.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        latest.select(*cols).write.mode("overwrite").parquet(
+            os.path.join(base, f"gen={batch_id}")
+        )
+
+    name = f"hts_upsert_{uuid.uuid4().hex[:12]}"
+    ckpt = scratch_dir("ckpt", name)
+    q = (
+        ev.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    gens = sorted(
+        int(d.split("=", 1)[1]) for d in os.listdir(base) if d.startswith("gen=")
+    )
+    assert len(gens) >= 2, f"expected multiple micro-batches, got {gens}"
+    final = spark.read.parquet(os.path.join(base, f"gen={gens[-1]}"))
+    return final.select("user_id", "last_type", "last_value", "last_ts_us")
+
+
+def _read_events_stream_throttled(
+    spark: SparkSession, sf_dir: str, copies: int
+) -> DataFrame:
+    """Like _read_events_stream but one file per micro-batch, so
+    AvailableNow runs `copies` incremental batches instead of one."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = _events_stream_dir(spark, sf_dir, copies)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

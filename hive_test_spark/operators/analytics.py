@@ -229,3 +229,51 @@ def evt_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
         F.last("avg_val", ignorenulls=True).over(w).alias("avg_val_filled"),
     )
+
+
+@register(
+    "evt_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS to_type
+      FROM events
+    )
+    SELECT from_type, to_type, COUNT(*) AS n_trans,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY from_type), 6)
+             AS p_trans
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def evt_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition (Markov) matrix: per-user consecutive event bigrams
+    via LEAD over (ts, event_id), rolled up to transition counts and
+    row-normalized probabilities — the user-behavior summary behind churn
+    and recommendation features.
+
+    Scale shape: ONE shuffle on user_id for the sequence window (the same
+    partitioning every sessionization op needs — at 100 TB you bucket the
+    event log by user_id and this becomes shuffle-free), then a tiny
+    (|event_types|^2)-row aggregate; the probability window runs on that
+    matrix, not on the raw events. Deterministic tie-break on event_id."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    mat = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n_trans"))
+    wf = Window.partitionBy("from_type")
+    return mat.select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.round(F.col("n_trans") / F.sum("n_trans").over(wf), 6).alias("p_trans"),
+    )

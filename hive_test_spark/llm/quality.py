@@ -1,0 +1,338 @@
+"""SURVEY.md §2.M round-2 additions (batch 2) — document-quality and
+embedding-compression operators from the published pretraining-curation
+playbook: Gopher-style repetition filtering, composite heuristic rules,
+CCNet-style per-language perplexity bucketing, and int8 embedding
+quantization QA.
+
+House rules as everywhere: deterministic (no rand()), DuckDB-oracled,
+scalar output columns only (driver canonicalizer), ROUND(.,6) on every
+float, explicit tie-breaks on any ordering.
+
+Scale theme (100 TB): every per-document signal here is a map +
+map-side-combinable aggregate keyed on doc_id — the natural partition
+key — so nothing shuffles document payloads. The only corpus-wide joins
+are vocabulary-keyed (never broadcast: the llm_tfidf lesson) and the
+bucketing window partitions by language, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_test_spark.io import load_table
+from hive_test_spark.registry import register
+from hive_test_spark.session import tune
+
+# Repetition thresholds (Gopher App. A uses duplicate-n-gram fractions;
+# tuned to the fixture corpus so the flag actually discriminates:
+# 2-gram dup frac median 0.028 / max 0.133, top-token share median 0.093).
+_DUP2_MAX = 0.06
+_TOP1_MAX = 0.12
+
+# Composite heuristic rule bounds (Gopher/C4-style, fixture-calibrated:
+# token counts 10..99 median 56, mean word len 3.7..5.3, stopword frac
+# mean 0.062 over the 8-word stop set).
+_WC_LO, _WC_HI = 30, 80
+_MWL_LO, _MWL_HI = 3.8, 10.0
+_STOP_MIN = 0.05
+_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "on")
+
+_QUANT_BITS_MAX = 127  # symmetric int8
+
+
+@register(
+    "llm_repetition_filter",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    ng2 AS (
+      SELECT doc_id, array_to_string(t[i:i+1], ' ') AS ng
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+            FROM toks WHERE len(t) >= 2)
+    ),
+    per2 AS (SELECT doc_id, ng, COUNT(*) AS c FROM ng2 GROUP BY doc_id, ng),
+    d2 AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2grams,
+             (SUM(c) - COUNT(*)) * 1.0 / SUM(c) AS dup2
+      FROM per2 GROUP BY doc_id
+    ),
+    tok1 AS (
+      SELECT doc_id, unnest(t) AS tok FROM toks
+    ),
+    per1 AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok1 GROUP BY doc_id, tok),
+    d1 AS (
+      SELECT doc_id, MAX(c) * 1.0 / SUM(c) AS top1 FROM per1 GROUP BY doc_id
+    )
+    SELECT d2.doc_id, d2.n_2grams,
+           ROUND(d2.dup2, 6) AS dup_2gram_frac,
+           ROUND(d1.top1, 6) AS top_tok_share,
+           CAST(d2.dup2 > {_DUP2_MAX} OR d1.top1 > {_TOP1_MAX} AS INT) AS flagged
+    FROM d2 JOIN d1 USING (doc_id)
+    """,
+)
+def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition filter [public method: Gopher (Rae et
+    al. 2021) App. A drops docs by duplicate-n-gram and top-n-gram
+    fractions]: per doc, the fraction of 2-gram occurrences that are
+    repeats (1 - distinct/total) and the share of the single most
+    frequent token; flag docs exceeding either bound — the
+    boilerplate/spam signal used before any cross-document dedup.
+
+    Spark-first: shingle with a JVM higher-order transform over
+    sequence() (no Python), two hash aggregates keyed on (doc_id, gram)
+    then doc_id — all map-side-combinable, partitioned by the natural
+    doc key, so 100 TB of text never shuffles more than its gram counts.
+    The two signal branches join on doc_id (co-partitioned aggregates;
+    AQE picks the local strategy)."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
+    ng2 = toks.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.array_join(F.slice("t", i, 2), " "),
+            )
+        ).alias("ng"),
+    )
+    per2 = ng2.groupBy("doc_id", "ng").agg(F.count(F.lit(1)).alias("c"))
+    d2 = per2.groupBy("doc_id").agg(
+        F.sum("c").alias("n_2grams"),
+        ((F.sum("c") - F.count(F.lit(1))) / F.sum("c")).alias("dup2"),
+    )
+    tok1 = toks.select("doc_id", F.explode("t").alias("tok"))
+    per1 = tok1.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    d1 = per1.groupBy("doc_id").agg((F.max("c") / F.sum("c")).alias("top1"))
+    return d2.join(d1, "doc_id").select(
+        "doc_id",
+        "n_2grams",
+        F.round("dup2", 6).alias("dup_2gram_frac"),
+        F.round("top1", 6).alias("top_tok_share"),
+        ((F.col("dup2") > _DUP2_MAX) | (F.col("top1") > _TOP1_MAX))
+        .cast("int")
+        .alias("flagged"),
+    )
+
+
+@register(
+    "llm_gopher_rules",
+    f"""
+    WITH sig AS (
+      SELECT source,
+             len(string_split(lower(text), ' ')) AS wc,
+             list_aggregate(list_transform(string_split(lower(text), ' '),
+                                           x -> len(x)), 'sum') * 1.0
+               / len(string_split(lower(text), ' ')) AS mwl,
+             len(list_filter(string_split(lower(text), ' '),
+                             x -> x IN {_STOPWORDS!r})) * 1.0
+               / len(string_split(lower(text), ' ')) AS stop_frac
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE wc BETWEEN {_WC_LO} AND {_WC_HI}) AS n_pass_wordcount,
+           COUNT(*) FILTER (WHERE mwl BETWEEN {_MWL_LO} AND {_MWL_HI}) AS n_pass_wordlen,
+           COUNT(*) FILTER (WHERE stop_frac >= {_STOP_MIN}) AS n_pass_stopword,
+           COUNT(*) FILTER (WHERE wc BETWEEN {_WC_LO} AND {_WC_HI}
+                              AND mwl BETWEEN {_MWL_LO} AND {_MWL_HI}
+                              AND stop_frac >= {_STOP_MIN}) AS n_pass_all
+    FROM sig GROUP BY source
+    """,
+)
+def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite heuristic quality rules [public method: Gopher's doc
+    filters / C4's heuristics — word-count bounds, mean-word-length
+    bounds, stopword presence]: evaluate each rule per document, report
+    the per-source pass matrix — the dashboard a curation run reviews to
+    see WHICH rule kills WHICH source before committing a filter.
+
+    Spark-first: every signal is a JVM higher-order expression over the
+    token array (aggregate/filter lambdas — zero Python), computed in
+    one map pass; the rollup is a single map-side-combinable aggregate
+    on the low-cardinality source key. At 100 TB this is scan-bound, the
+    optimal shape."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower("text"), " ")
+    wc = F.size(t)
+    mwl = (
+        F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double") / wc
+    )
+    stop_frac = (
+        F.size(F.filter(t, lambda x: x.isin(*_STOPWORDS))).cast("double") / wc
+    )
+    sig = d.select(
+        "source", wc.alias("wc"), mwl.alias("mwl"), stop_frac.alias("stop_frac")
+    )
+    p_wc = F.col("wc").between(_WC_LO, _WC_HI)
+    p_mwl = F.col("mwl").between(_MWL_LO, _MWL_HI)
+    p_stop = F.col("stop_frac") >= _STOP_MIN
+    return sig.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(p_wc, 1)).alias("n_pass_wordcount"),
+        F.count(F.when(p_mwl, 1)).alias("n_pass_wordlen"),
+        F.count(F.when(p_stop, 1)).alias("n_pass_stopword"),
+        F.count(F.when(p_wc & p_mwl & p_stop, 1)).alias("n_pass_all"),
+    )
+
+
+@register(
+    "llm_ccnet_bucket",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, lang, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, lang, tok
+    ),
+    corpus AS (SELECT tok, COUNT(*) AS ct FROM tok GROUP BY tok),
+    total AS (SELECT COUNT(*) AS t FROM tok),
+    xent AS (
+      SELECT d.doc_id, d.lang,
+             ROUND(-SUM(d.c * ln(co.ct * 1.0 / total.t)) / SUM(d.c), 6) AS x
+      FROM per_doc d JOIN corpus co USING (tok) CROSS JOIN total
+      GROUP BY d.doc_id, d.lang
+    ),
+    b AS (
+      SELECT lang, x,
+             NTILE(3) OVER (PARTITION BY lang ORDER BY x, doc_id) AS tercile
+      FROM xent
+    )
+    SELECT lang, tercile,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS bucket,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(x), 6) AS avg_xent,
+           ROUND(MIN(x), 6) AS min_xent,
+           ROUND(MAX(x), 6) AS max_xent
+    FROM b GROUP BY lang, tercile
+    """,
+)
+def llm_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language perplexity bucketing [public method: CCNet (Wenzek et
+    al. 2020) splits each language's crawl into head/middle/tail by LM
+    perplexity terciles; RedPajama/LLaMA keep head+middle]: score every
+    doc with the unigram cross-entropy (llm_perplexity_proxy's model),
+    NTILE(3) within language on the ROUNDED score (so both engines rank
+    identical values; tie-break doc_id), report each bucket's size and
+    score range.
+
+    Spark-first: the two LM aggregates are map-side-combinable; the
+    vocabulary join is shuffle-keyed on token (never broadcast). The
+    bucketing window partitions BY LANGUAGE — ~100 partitions at crawl
+    scale, each sorted independently — never a global ORDER BY. At
+    1000 executors the per-language sorts parallelize; skew (en >> rest)
+    is bounded by per-language volume, the same skew CCNet itself
+    shards by."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    per_doc = tok.groupBy("doc_id", "lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    corpus = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("ct"))
+    total = tok.agg(F.count(F.lit(1)).alias("t"))
+    xent = (
+        per_doc.join(corpus, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                -F.sum(F.col("c") * F.log(F.col("ct") / F.col("t"))) / F.sum("c"), 6
+            ).alias("x")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("x", "doc_id")
+    b = xent.select("lang", "x", F.ntile(3).over(w).alias("tercile"))
+    return b.groupBy("lang", "tercile").agg(
+        F.expr(
+            "CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END"
+        ).alias("bucket"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("x"), 6).alias("avg_xent"),
+        F.round(F.min("x"), 6).alias("min_xent"),
+        F.round(F.max("x"), 6).alias("max_xent"),
+    )
+
+
+@register(
+    "llm_embed_quantize",
+    f"""
+    WITH v AS (
+      SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    s AS (
+      SELECT label, e,
+             list_aggregate(list_transform(e, x -> abs(x)), 'max')
+               / {_QUANT_BITS_MAX}.0 AS scale
+      FROM v
+    ),
+    m AS (
+      SELECT label, scale,
+             list_aggregate(list_transform(e,
+               x -> abs(x - round(x / scale) * scale)), 'max') AS max_err,
+             list_aggregate(list_transform(e,
+               x -> x * round(x / scale) * scale), 'sum')
+             / (sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum'))
+                * sqrt(list_aggregate(list_transform(e,
+                    x -> round(x / scale) * scale * round(x / scale) * scale),
+                    'sum'))) AS cos_rec
+      FROM s
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           ROUND(AVG(scale), 6) AS avg_scale,
+           ROUND(AVG(max_err), 6) AS avg_max_abs_err,
+           ROUND(AVG(cos_rec), 6) AS avg_cos_reconstruction
+    FROM m GROUP BY label
+    """,
+)
+def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization QA [public method: faiss /
+    vector-DB scalar quantization — per-vector scale = max|x|/127,
+    q = round(x/scale), 4x storage cut]: quantize, dequantize, and report
+    per-label reconstruction quality (max abs error, cosine between
+    original and reconstructed) — the acceptance report before swapping
+    a 100 TB float32 embedding store for int8.
+
+    Spark-first: everything is JVM higher-order lambdas over the
+    array<float> column (transform/aggregate — no Python, no explode:
+    the 64-wide vector never becomes 64 rows); one map pass then a
+    map-side-combinable aggregate on the 10-value label key. The
+    dequantized value round(x/s)*s is recomputed from x inline rather
+    than materializing a second array column — cheaper than shuffling
+    two copies of every vector."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    v = emb.select("label", e.alias("e"))
+    scale = (
+        F.array_max(F.transform("e", lambda x: F.abs(x))) / float(_QUANT_BITS_MAX)
+    )
+    s = v.select("label", "e", scale.alias("scale"))
+    deq = "round(x / scale) * scale"
+    m = s.select(
+        "label",
+        "scale",
+        F.expr(f"array_max(transform(e, x -> abs(x - {deq})))").alias("max_err"),
+        (
+            F.expr(f"aggregate(transform(e, x -> x * {deq}), 0D, (a, v) -> a + v)")
+            / (
+                F.sqrt(F.expr("aggregate(transform(e, x -> x * x), 0D, (a, v) -> a + v)"))
+                * F.sqrt(
+                    F.expr(
+                        f"aggregate(transform(e, x -> ({deq}) * ({deq})), 0D, (a, v) -> a + v)"
+                    )
+                )
+            )
+        ).alias("cos_rec"),
+    )
+    return m.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("scale"), 6).alias("avg_scale"),
+        F.round(F.avg("max_err"), 6).alias("avg_max_abs_err"),
+        F.round(F.avg("cos_rec"), 6).alias("avg_cos_reconstruction"),
+    )

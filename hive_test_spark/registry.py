@@ -136,6 +136,7 @@ def load_all() -> None:
         dedup,
         multimodal,
         pipeline,
+        quality,
         similarity,
         text,
     )

@@ -181,3 +181,38 @@ def test_cluster_by_reuses_partitioning(spark, registry):
     observed on the clustered layout."""
     f = _facts(spark, registry, "sort_cluster_by")
     assert f.exchanges == 1, "cluster-by + same-key rollup must be one shuffle"
+
+
+def test_repetition_filter_doc_keyed_no_cartesian(spark, registry):
+    """Both signal branches aggregate on the natural doc key and join on
+    it; nothing may plan a cartesian product and the gram shuffles stay
+    bounded (2 per branch: (doc,gram) then doc)."""
+    f = _facts(spark, registry, "llm_repetition_filter")
+    assert f.cartesian == 0
+    assert f.exchanges <= 4
+
+
+def test_gopher_rules_single_pass(spark, registry):
+    """All rule signals are JVM lambdas in ONE map pass over (source,
+    text) + one rollup — one exchange, two-column scan."""
+    f = _facts(spark, registry, "llm_gopher_rules")
+    assert f.exchanges == 1
+    assert scan_read_columns(f) == [2], "reads only (source, text)"
+
+
+def test_ccnet_bucket_no_cartesian_bounded_shuffles(spark, registry):
+    """Vocabulary join is shuffle-keyed (AQE may broadcast at toy scale),
+    the 1-row total comes in as a broadcast, and the tercile window
+    partitions by language — never a global sort."""
+    f = _facts(spark, registry, "llm_ccnet_bucket")
+    assert f.cartesian == 0
+    assert f.exchanges <= 5
+
+
+def test_embed_quantize_map_then_single_agg(spark, registry):
+    """Quantization QA is pure higher-order functions over the vector
+    column (no explode: 64-wide vectors never become 64 rows) + one
+    label rollup — exactly one exchange, two-column scan."""
+    f = _facts(spark, registry, "llm_embed_quantize")
+    assert f.exchanges == 1
+    assert scan_read_columns(f) == [2], "reads only (label, embedding)"

@@ -277,3 +277,234 @@ def evt_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_trans",
         F.round(F.col("n_trans") / F.sum("n_trans").over(wf), 6).alias("p_trans"),
     )
+
+
+@register(
+    "evt_attribution",
+    """
+    WITH touched AS (
+      SELECT event_type, value,
+             LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_type,
+             LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                             THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_ts,
+             ts
+      FROM (SELECT event_id, user_id, event_type, value,
+                   CAST(ts AS TIMESTAMP) AS ts FROM events)
+    )
+    SELECT COALESCE(touch_type, 'organic') AS touch_type,
+           COUNT(*) AS n_purchases,
+           ROUND(SUM(value), 4) AS attributed_value,
+           ROUND(AVG(date_diff('microsecond', touch_ts, ts) / 60000000.0), 4)
+             AS avg_minutes_to_convert
+    FROM touched WHERE event_type = 'purchase'
+    GROUP BY COALESCE(touch_type, 'organic')
+    """,
+)
+def evt_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution [Hive-public: the classic
+    sessionized attribution query, windows over the event log]: each
+    purchase is credited to the user's most recent PRIOR click or view
+    (strictly-before frame, IGNORE NULLS last_value); purchases with no
+    prior touch are 'organic'. Output: per-touch-channel purchase count,
+    attributed revenue, and mean touch-to-convert latency.
+
+    Scale shape: ONE shuffle on user_id (the canonical event-log
+    partitioning — bucket by user_id at 100 TB and it's shuffle-free),
+    both attribution columns ride the same window frame, then a tiny
+    3-row rollup. Deterministic tie-break on event_id."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    touched = ev.select(
+        "event_type",
+        "value",
+        "ts",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch_type", F.lit("organic")).alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 4).alias("attributed_value"),
+            F.round(
+                F.avg(
+                    (
+                        F.col("ts").cast("double") - F.col("touch_ts").cast("double")
+                    )
+                    / 60.0
+                ),
+                4,
+            ).alias("avg_minutes_to_convert"),
+        )
+    )
+
+
+@register(
+    "evt_rfm",
+    """
+    WITH anchor AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+    base AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(o_orderdate), ANY_VALUE(anchor.mx)) AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(o_totalprice) AS monetary
+      FROM orders CROSS JOIN anchor GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, recency_days, frequency, monetary,
+             NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             NTILE(5) OVER (ORDER BY ROUND(monetary, 4), o_custkey) AS m_score
+      FROM base
+    )
+    SELECT r_score, f_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                WHEN r_score >= 4 THEN 'recent'
+                WHEN f_score >= 4 THEN 'loyal-lapsing'
+                WHEN r_score <= 2 AND f_score <= 2 THEN 'at-risk'
+                ELSE 'regular' END AS segment,
+           COUNT(*) AS n_customers,
+           ROUND(AVG(recency_days), 4) AS avg_recency_days,
+           ROUND(AVG(frequency), 4) AS avg_frequency,
+           ROUND(AVG(monetary), 4) AS avg_monetary
+    FROM scored GROUP BY r_score, f_score
+    """,
+)
+def evt_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation [Hive-public: the canonical warehouse
+    scoring query — recency/frequency/monetary quintiles via NTILE]:
+    per-customer recency (days before the corpus max order date),
+    order count, and spend; quintile-score each dimension (deterministic
+    tie-break on custkey, monetary ROUNDED before ranking so both engines
+    order identical values); roll up to the (r,f) segment grid with a
+    named-segment CASE.
+
+    Scale shape: one map-side-combinable agg on o_custkey; the corpus
+    max date is a 1-row broadcast, never an eager count. The three
+    NTILEs are global windows — fine at customer cardinality (dimension
+    -sized, ~10^8 at 100 TB: a single-key range partition sort, the
+    documented percent_rank/approx-quantile rewrite applies beyond
+    that); the raw 10^10-row order log never enters a global sort."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("mx"))
+    base = (
+        o.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("mx"), F.max("o_orderdate")).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
+    )
+    scored = base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days").desc(), "o_custkey"))
+        .alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.round("monetary", 4), "o_custkey"))
+        .alias("m_score"),
+    )
+    seg = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
+        .when(F.col("r_score") >= 4, "recent")
+        .when(F.col("f_score") >= 4, "loyal-lapsing")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "at-risk")
+        .otherwise("regular")
+    )
+    return scored.groupBy("r_score", "f_score").agg(
+        F.first(seg).alias("segment"),
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("recency_days"), 4).alias("avg_recency_days"),
+        F.round(F.avg("frequency"), 4).alias("avg_frequency"),
+        F.round(F.avg("monetary"), 4).alias("avg_monetary"),
+    )
+
+
+@register(
+    "evt_anomaly_zscore",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    roll AS (
+      SELECT event_type, day, c,
+             AVG(c) OVER w AS mu,
+             STDDEV_SAMP(c) OVER w AS sigma,
+             COUNT(*) OVER w AS n_prior
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day, c AS n_events,
+           ROUND(mu, 6) AS baseline_mean,
+           ROUND((c - mu) / sigma, 6) AS zscore,
+           CAST(abs((c - mu) / sigma) > 2.0 AS INT) AS is_anomaly
+    FROM roll WHERE n_prior = 7 AND sigma > 0
+    """,
+)
+def evt_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on the daily event-count series
+    [Hive-public: the standard ops-dashboard query — trailing-window
+    mean/stddev, flag |z| > 2]: the baseline window is the STRICTLY PRIOR
+    7 days (ROWS 7 PRECEDING .. 1 PRECEDING), so the tested day never
+    contaminates its own baseline; days without a full 7-day history are
+    withheld.
+
+    Scale shape: the raw log collapses FIRST to (type, day) counts — a
+    map-side-combinable agg, ~36 k rows/century per type — and the
+    rolling window runs on that tiny series partitioned by type. At
+    100 TB the window input is still KBs; the plan's one real shuffle
+    is the daily rollup."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    roll = daily.select(
+        "event_type",
+        "day",
+        "c",
+        F.avg("c").over(w).alias("mu"),
+        F.stddev_samp("c").over(w).alias("sigma"),
+        F.count(F.lit(1)).over(w).alias("n_prior"),
+    )
+    return roll.filter((F.col("n_prior") == 7) & (F.col("sigma") > 0)).select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("c").alias("n_events"),
+        F.round("mu", 6).alias("baseline_mean"),
+        F.round((F.col("c") - F.col("mu")) / F.col("sigma"), 6).alias("zscore"),
+        (F.abs((F.col("c") - F.col("mu")) / F.col("sigma")) > 2.0)
+        .cast("int")
+        .alias("is_anomaly"),
+    )

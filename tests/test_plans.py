@@ -216,3 +216,29 @@ def test_embed_quantize_map_then_single_agg(spark, registry):
     f = _facts(spark, registry, "llm_embed_quantize")
     assert f.exchanges == 1
     assert scan_read_columns(f) == [2], "reads only (label, embedding)"
+
+
+def test_attribution_single_user_shuffle(spark, registry):
+    """Both attribution columns ride ONE user_id window shuffle; the
+    channel rollup is the only other exchange. props column pruned."""
+    f = _facts(spark, registry, "evt_attribution")
+    assert f.exchanges == 2
+    assert f.cartesian == 0
+    assert scan_read_columns(f) == [5], "props must be pruned from the scan"
+
+
+def test_rfm_anchor_broadcast_no_cartesian(spark, registry):
+    """The corpus max-date anchor is a 1-row broadcast (never an eager
+    count); scoring windows run on the customer-sized aggregate."""
+    f = _facts(spark, registry, "evt_rfm")
+    assert f.broadcast_joins >= 1
+    assert f.cartesian == 0
+    assert f.exchanges <= 3
+
+
+def test_anomaly_zscore_rolls_up_before_window(spark, registry):
+    """The raw log collapses to (type, day) counts BEFORE the rolling
+    window — two exchanges total, (event_type, ts) scan only."""
+    f = _facts(spark, registry, "evt_anomaly_zscore")
+    assert f.exchanges == 2
+    assert scan_read_columns(f) == [2]

@@ -1,0 +1,188 @@
+"""TPC-H-shaped composite benchmark queries (SURVEY.md §2.M) — the
+multi-join/agg/top-k shapes a Hive test corpus runs as END-TO-END plans,
+adapted to the fixture's column subset [Hive-public: TPC-H is the
+standard public OLAP parity suite; `flagship_pricing_summary` already
+covers the Q1 shape, `join_star_multiway` the Q5 shape].
+
+Each query here exists to prove a PLAN property at scale, asserted in
+tests/test_plans.py: the fact table is filtered before any join, small
+sides broadcast, aggregation is two-phase, and top-k is
+TakeOrderedAndProject — never a global sort of the fact stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_test_spark.io import load_table
+from hive_test_spark.registry import register
+from hive_test_spark.session import tune
+
+_Q3_SEGMENT = "BUILDING"
+_Q3_DATE = "1996-03-15"
+_Q4_START, _Q4_END = "1996-07-01", "1996-10-01"
+_Q18_QTY = 250
+
+
+@register(
+    "bench_q3_shipping_priority",
+    f"""
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+           o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = '{_Q3_SEGMENT}'
+      AND o.o_orderdate < DATE '{_Q3_DATE}'
+      AND l.l_shipdate > DATE '{_Q3_DATE}'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def bench_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): unshipped-revenue top-10 for
+    one market segment. o_shippriority isn't in the fixture; its
+    output-column role is played by o_orderpriority.
+
+    Plan properties this query exists to prove (asserted in tests): both
+    date filters and the segment filter are pushed INTO the parquet
+    scans (the fact never surfaces unfiltered rows); the
+    segment-filtered customer side (1/5 of a dimension) broadcasts; the
+    rollup is two-phase; and the top-10 is TakeOrderedAndProject — at
+    100 TB nothing global-sorts the join output, each task keeps a
+    10-row heap."""
+    tune(spark)
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == _Q3_SEGMENT)
+        .select("c_custkey")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit(_Q3_DATE).cast("date"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit(_Q3_DATE).cast("date"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "bench_q4_order_priority",
+    f"""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '{_Q4_START}' AND o.o_orderdate < DATE '{_Q4_END}'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def bench_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): orders in one quarter
+    with at least one late-shipped line. The fixture lacks
+    l_commitdate/l_receiptdate, so "late" = a line shipped >60 days
+    after the order date — the same correlated-EXISTS plan shape.
+
+    Plan properties: the EXISTS decorrelates to a LEFT SEMI join (each
+    qualifying order counted once no matter how many late lines — the
+    semantics a plain inner join would get wrong); the quarter filter
+    prunes orders at the scan; the count is a two-phase agg on the
+    5-value priority key. The semi join's non-equi residual
+    (l_shipdate > o_orderdate + 60) rides the l_orderkey equi-key, so
+    at 100 TB it's a keyed shuffle, never a broadcast of the fact."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q4_START).cast("date"))
+        & (F.col("o_orderdate") < F.lit(_Q4_END).cast("date"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey)
+            & (l.l_shipdate > F.date_add(o.o_orderdate, 60)),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "bench_q18_large_orders",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > {_Q18_QTY}
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+           o.o_totalprice, ROUND(b.total_qty, 4) AS total_qty
+    FROM big b JOIN orders o ON b.l_orderkey = o.o_orderkey
+               JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def bench_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total line
+    quantity exceeds {_Q18_QTY} (~top 1% at any SF), joined back to
+    orders+customer, top-100 by price.
+
+    Plan properties: the HAVING aggregate runs FIRST and is two-phase
+    (partial sums map-side — the 100 TB fact collapses to order keys
+    before any join); the surviving ~1% key set then drives the joins,
+    and the top-100 is TakeOrderedAndProject. This is the
+    aggregate-then-join ordering Catalyst cannot derive on its own when
+    written join-first — the query encodes it declaratively."""
+    tune(spark)
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > _Q18_QTY)
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            F.round("total_qty", 4).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )

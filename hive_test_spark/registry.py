@@ -117,6 +117,7 @@ def load_all() -> None:
     from hive_test_spark.operators import (  # noqa: F401
         aggregates,
         analytics,
+        benchmarks,
         dml,
         extras,
         joins,

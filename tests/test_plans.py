@@ -242,3 +242,48 @@ def test_anomaly_zscore_rolls_up_before_window(spark, registry):
     f = _facts(spark, registry, "evt_anomaly_zscore")
     assert f.exchanges == 2
     assert scan_read_columns(f) == [2]
+
+
+def test_q3_pushdown_broadcast_topk(spark, registry):
+    """Q3 shape: filters reach the scans, the segment-filtered customer
+    dim broadcasts, top-10 is a heap (TakeOrderedAndProject) — never a
+    global sort of the join output."""
+    from hive_test_spark.plans.inspect import explain_str
+    qs, _ = registry
+    df = qs["bench_q3_shipping_priority"](spark, SF_DIR)
+    f = analyze(df)
+    assert has_pushed_filters(f)
+    assert f.broadcast_joins >= 1
+    assert f.cartesian == 0
+    assert "TakeOrderedAndProject" in explain_str(df)
+
+
+def test_q4_exists_is_semi_join(spark, registry):
+    """Q4 shape: the correlated EXISTS must plan as a LEFT SEMI join
+    (once-per-order semantics), with the quarter filter pushed down."""
+    from hive_test_spark.plans.inspect import explain_str
+    qs, _ = registry
+    df = qs["bench_q4_order_priority"](spark, SF_DIR)
+    f = analyze(df)
+    assert has_pushed_filters(f)
+    assert f.cartesian == 0
+    assert "LeftSemi" in explain_str(df)
+
+
+def test_q18_aggregates_before_join_topk(spark, registry):
+    """Q18 shape: the quantity rollup collapses the fact before any join
+    (partial_sum before the first join in the plan), top-100 is a heap."""
+    from hive_test_spark.plans.inspect import explain_str
+    qs, _ = registry
+    df = qs["bench_q18_large_orders"](spark, SF_DIR)
+    f = analyze(df)
+    assert f.cartesian == 0
+    s = explain_str(df)
+    assert "TakeOrderedAndProject" in s
+    assert "partial_sum" in s, "quantity rollup must be two-phase"
+    # Formatted-plan node ids are post-order (leaves lowest): the rollup
+    # must execute before (= deeper than) every join.
+    import re
+    agg_ids = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", s)]
+    join_ids = [int(m) for m in re.findall(r"(?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)[^\n(]*\((\d+)\)", s)]
+    assert agg_ids and join_ids and min(agg_ids) < min(join_ids), "agg must feed the joins"

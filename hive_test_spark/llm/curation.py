@@ -25,10 +25,12 @@ from hive_test_spark.io import load_table
 from hive_test_spark.registry import register
 from hive_test_spark.session import tune
 
-# 5-token shingles; benchmark probe set = every 97th doc (deterministic,
-# ~1.2% of corpus — the size class of a real eval suite vs a crawl).
-_NGRAM = 5
-_PROBE_MOD = 97
+# 4-token shingles; benchmark probe set = every 53rd doc (deterministic,
+# ~2% of corpus — the size class of a real eval suite vs a crawl). 5-grams
+# at mod 97 flagged exactly 1 doc at sf0.01 — a vacuous-pass trap (the
+# 0-row gotcha); 4/53 flags 18, a real report.
+_NGRAM = 4
+_PROBE_MOD = 53
 
 # Packing: context length in whitespace tokens; shard count bounds window
 # parallelism (at 100 TB this is #output shards, thousands).

@@ -568,3 +568,53 @@ def fn_date_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.make_date(F.year(d), F.month(d), F.lit(1)).cast("string").alias("month_first"),
         F.next_day(d, "Mon").cast("string").alias("next_monday"),
     )
+
+
+@register(
+    "fn_try_safe",
+    """
+    WITH t AS (
+      SELECT event_type,
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+             TRY_CAST(event_type AS BIGINT) AS bad_num,
+             CASE WHEN user_id % 3 = 0 THEN NULL
+                  ELSE value / (user_id % 3) END AS safe_div
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(k_num) AS n_parsed,
+           COUNT(bad_num) AS n_bad_parsed,
+           COUNT(*) - COUNT(safe_div) AS n_div_null,
+           ROUND(SUM(safe_div), 4) AS sum_safe_div
+    FROM t GROUP BY event_type
+    """,
+)
+def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression family — `try_cast` / `try_divide`
+    [Hive-public: Hive CAST returns NULL on malformed input instead of
+    failing the job; Spark's ANSI-mode equivalents are the try_*
+    functions]: parse a numeric JSON field (succeeds), a non-numeric
+    string (NULL, never an exception), and divide by a
+    sometimes-zero denominator (NULL on zero) — the null-propagation
+    contract that keeps a 100 TB batch job alive on dirty rows, rolled
+    up per event type.
+
+    try_divide(x, 0) → NULL has no DuckDB spelling (it raises), so the
+    oracle encodes the same contract as the explicit CASE — which is
+    precisely the rewrite Hive semantics imply."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type",
+        F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").alias("k_num"),
+        F.expr("try_cast(event_type AS BIGINT)").alias("bad_num"),
+        F.try_divide("value", (F.col("user_id") % 3).cast("double")).alias("safe_div"),
+    )
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("k_num").alias("n_parsed"),
+        F.count("bad_num").alias("n_bad_parsed"),
+        (F.count(F.lit(1)) - F.count("safe_div")).alias("n_div_null"),
+        F.round(F.sum("safe_div"), 4).alias("sum_safe_div"),
+    )

@@ -397,3 +397,96 @@ def scale_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("l_extendedprice"), 6).alias("price_max"),
         )
     )
+
+
+# AQE skew-join knobs used by scale_aqe_skew (and its plan test): thresholds
+# shrunk so the fixture's deliberately skewed key (80% of lineitem on k=0)
+# crosses them the way a whale key crosses the 256 MB default at 100 TB.
+AQE_SKEW_CONFS = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2KB",
+    "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+}
+
+
+def skew_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skewed join scale_aqe_skew executes (exposed for the plan test):
+    80% of lineitem lands on synthetic key 0, joined to a 10-key dim that
+    CANNOT broadcast (threshold -1), aggregated per key."""
+    # repartition(16) first: AQE splits a skewed reduce partition by MAP
+    # OUTPUT ranges, so the fixture's single parquet file (one map task)
+    # would be indivisible — a real 100 TB table has thousands of input
+    # splits; this simulates that precondition, it doesn't help the skew.
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .repartition(16)
+        .select(
+            F.when(F.col("l_orderkey") % 10 < 8, F.lit(0))
+            .otherwise(F.col("l_orderkey") % 10)
+            .alias("k"),
+            "l_extendedprice",
+        )
+    )
+    dim = spark.range(0, 10).select(
+        F.col("id").alias("k"), ((F.col("id") + 1) * 1.0).alias("w")
+    )
+    return (
+        li.join(dim, "k")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_extendedprice") * F.col("w")), 4).alias("wsum"),
+        )
+    )
+
+
+@register(
+    "scale_aqe_skew",
+    """
+    WITH f AS (
+      SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0
+                  ELSE l_orderkey % 10 END AS k,
+             l_extendedprice
+      FROM lineitem
+    ),
+    d AS (SELECT unnest(generate_series(0, 9)) AS k),
+    dd AS (SELECT k, (k + 1) * 1.0 AS w FROM d)
+    SELECT f.k, COUNT(*) AS n,
+           ROUND(SUM(f.l_extendedprice * dd.w), 4) AS wsum
+    FROM f JOIN dd USING (k) GROUP BY f.k
+    """,
+)
+def scale_aqe_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE runtime skew-join splitting — the complement of the MANUAL
+    salting in join_skew_salted [Spark-public: OptimizeSkewedJoin splits
+    an oversized shuffle partition into chunks and replicates the other
+    side's matching partition; the fix a 1000-executor job gets for free
+    when one key holds 80% of the fact]. The skewed join EXECUTES here
+    with the shrunk thresholds (AQE_SKEW_CONFS) active, materializing to
+    scratch; the session's confs are restored afterwards so later
+    operators keep the default shuffle sizing. tests/test_plans.py
+    asserts `skew=true` appears in the executed adaptive plan.
+
+    forceOptimizeSkewedJoin matters: the post-join rollup needs a
+    hash distribution, and without force AQE declines to split rather
+    than add the extra exchange — the documented trade (one more small
+    shuffle vs one task reading 80% of the fact)."""
+    from hive_test_spark.sources.scans import _sf_tag
+
+    tune(spark)
+    path = scratch_dir("scale", _sf_tag(sf_dir), "aqe_skew_result")
+    saved = {k: spark.conf.get(k, None) for k in AQE_SKEW_CONFS}
+    for k, v in AQE_SKEW_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        skew_join_frame(spark, sf_dir).write.mode("overwrite").parquet(path)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.read.parquet(path)

@@ -171,3 +171,47 @@ def subq_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tree GROUP BY depth
         """
     )
+
+
+@register(
+    "subq_quantified",
+    """
+    WITH ref AS (SELECT p_retailprice FROM part WHERE p_brand = 'Brand#4')
+    SELECT p_partkey, p_brand, p_retailprice,
+           CAST(p_retailprice > ALL (SELECT p_retailprice FROM ref) AS INT)
+             AS gt_all_brand4
+    FROM part
+    WHERE p_retailprice > ANY (SELECT p_retailprice FROM ref)
+    """,
+)
+def subq_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparison subqueries — `> ANY (...)` / `> ALL (...)`
+    [Hive-public: HiveQL/ANSI quantified predicates; Spark SQL has no
+    ANY/ALL subquery syntax, so the engine supplies the standard
+    decorrelation itself]: x > ANY(S) ⇔ x > MIN(S) and x > ALL(S) ⇔
+    x > MAX(S) for a non-empty NULL-free S (fixture prices are NOT NULL;
+    the empty-set edge — ANY→false, ALL→true — would need a COUNT guard,
+    documented here, not exercised).
+
+    Scale shape: the subquery collapses to a 1-row (min,max) aggregate
+    broadcast to every task — the quantified predicate costs one
+    map-side compare per row, no join of S itself. The oracle runs the
+    REAL ANY/ALL syntax in DuckDB against the rewrite, proving the
+    decorrelation equivalence."""
+    from pyspark.sql import functions as F
+
+    tune(spark)
+    p = load_table(spark, sf_dir, "part")
+    ref = p.filter(F.col("p_brand") == "Brand#4").agg(
+        F.min("p_retailprice").alias("mn"), F.max("p_retailprice").alias("mx")
+    )
+    return (
+        p.crossJoin(F.broadcast(ref))
+        .filter(F.col("p_retailprice") > F.col("mn"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "p_retailprice",
+            (F.col("p_retailprice") > F.col("mx")).cast("int").alias("gt_all_brand4"),
+        )
+    )

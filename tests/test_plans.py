@@ -287,3 +287,23 @@ def test_q18_aggregates_before_join_topk(spark, registry):
     agg_ids = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", s)]
     join_ids = [int(m) for m in re.findall(r"(?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)[^\n(]*\((\d+)\)", s)]
     assert agg_ids and join_ids and min(agg_ids) < min(join_ids), "agg must feed the joins"
+
+
+def test_aqe_skew_join_splits_partitions(spark, registry):
+    """With the shrunk skew thresholds, the executed adaptive plan must
+    mark the skewed sort-merge join `skew=true` — proof the 80%-key
+    partition was split instead of serializing on one task."""
+    from hive_test_spark.operators.scale import AQE_SKEW_CONFS, skew_join_frame
+
+    saved = {k: spark.conf.get(k, None) for k in AQE_SKEW_CONFS}
+    for k, v in AQE_SKEW_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = skew_join_frame(spark, SF_DIR)
+        rows = df.collect()
+        assert len(rows) == 3  # keys 0, 8, 9
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)

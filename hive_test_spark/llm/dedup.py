@@ -189,3 +189,65 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("simhash")
     )
+
+
+@register(
+    "llm_dedup_canonical",
+    """
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             md5(lower(trim(text))) AS grp
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_chars, grp,
+             ROW_NUMBER() OVER (PARTITION BY grp
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS n_copies
+      FROM keyed
+    )
+    SELECT grp, n_copies,
+           doc_id AS survivor_doc_id,
+           source AS survivor_source,
+           n_chars AS survivor_chars
+    FROM ranked WHERE rn = 1 AND n_copies > 1
+    """,
+)
+def llm_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection [public method: every dedup pipeline
+    keeps ONE representative per duplicate group — C4/RefinedWeb keep by
+    heuristic preference, not arbitrarily]: group exact duplicates by
+    normalized-text hash, elect the survivor deterministically (longest
+    text, then lowest doc_id — never "first seen", which is
+    partition-order-dependent and breaks re-run reproducibility), and
+    report each multi-copy group's survivor. llm_exact_dedup counts
+    copies; this op makes the KEEP decision a writer consumes.
+
+    Scale shape: one shuffle on the 128-bit group hash (uniform by
+    construction — no skew beyond true duplicate mass), ranking window
+    and group count ride that same partitioning (single exchange
+    total). At 100 TB the survivor election is exactly this plan over
+    the hash-bucketed corpus."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", "source", "n_chars", F.md5(F.lower(F.trim("text"))).alias("grp")
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = keyed.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "grp",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n_copies"),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("n_copies") > 1)).select(
+        "grp",
+        "n_copies",
+        F.col("doc_id").alias("survivor_doc_id"),
+        F.col("source").alias("survivor_source"),
+        F.col("n_chars").alias("survivor_chars"),
+    )

@@ -508,3 +508,110 @@ def evt_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_anomaly"),
     )
+
+
+@register(
+    "evt_ab_lift",
+    """
+    WITH users AS (
+      SELECT user_id % 2 AS variant, COUNT(DISTINCT user_id) AS n_users
+      FROM events GROUP BY user_id % 2
+    ),
+    conv AS (
+      SELECT event_type, user_id % 2 AS variant,
+             COUNT(DISTINCT user_id) AS n_conv
+      FROM events WHERE value > 150
+      GROUP BY event_type, user_id % 2
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (
+      SELECT t.event_type, u.variant, u.n_users, COALESCE(c.n_conv, 0) AS n_conv
+      FROM types t CROSS JOIN users u
+      LEFT JOIN conv c ON c.event_type = t.event_type AND c.variant = u.variant
+    ),
+    wide AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN variant = 0 THEN n_conv ELSE 0 END) AS BIGINT) AS conv_a,
+             CAST(SUM(CASE WHEN variant = 1 THEN n_conv ELSE 0 END) AS BIGINT) AS conv_b,
+             CAST(MAX(CASE WHEN variant = 0 THEN n_users END) AS BIGINT) AS n_a,
+             CAST(MAX(CASE WHEN variant = 1 THEN n_users END) AS BIGINT) AS n_b
+      FROM grid GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b, conv_a, conv_b,
+           ROUND(conv_a * 1.0 / n_a, 6) AS rate_a,
+           ROUND(conv_b * 1.0 / n_b, 6) AS rate_b,
+           ROUND(conv_b * 1.0 / n_b - conv_a * 1.0 / n_a, 6) AS abs_lift,
+           ROUND((conv_b * 1.0 / n_b - conv_a * 1.0 / n_a)
+                 / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                        * (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+    FROM wide
+    """,
+)
+def evt_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B conversion-lift report [Hive-public: the standard two-proportion
+    experiment readout computed in-warehouse]: deterministic variant
+    assignment (user_id parity — a hash bucket in production), per-event-
+    type user-level HIGH-VALUE conversion (any event of the type with
+    value > 150) rates per arm, absolute lift, and the
+    pooled two-proportion z-statistic.
+
+    Scale shape: the raw log collapses to (user, variant, type) in ONE
+    map-side-combinable distinct-style agg, then to per-arm counts —
+    everything after the first rollup is KB-sized. The per-arm user
+    totals are a 2-row broadcast. No window, no skew (parity is
+    uniform)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy((F.col("user_id") % 2).alias("u_variant")).agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    conv = (
+        ev.filter(F.col("value") > 150)
+        .groupBy("event_type", (F.col("user_id") % 2).alias("variant"))
+        .agg(F.countDistinct("user_id").alias("n_conv"))
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(users))
+        .join(
+            conv,
+            (types.event_type == conv.event_type)
+            & (F.col("u_variant") == conv.variant),
+            "left",
+        )
+        .select(
+            types.event_type.alias("event_type"),
+            F.col("u_variant").alias("variant"),
+            "n_users",
+            F.coalesce("n_conv", F.lit(0)).alias("n_conv"),
+        )
+    )
+    wide = grid.groupBy("event_type").agg(
+        F.sum(F.when(F.col("variant") == 0, F.col("n_conv")).otherwise(0)).alias(
+            "conv_a"
+        ),
+        F.sum(F.when(F.col("variant") == 1, F.col("n_conv")).otherwise(0)).alias(
+            "conv_b"
+        ),
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n_b"),
+    )
+    rate_a = F.col("conv_a") / F.col("n_a")
+    rate_b = F.col("conv_b") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    return wide.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(rate_a, 6).alias("rate_a"),
+        F.round(rate_b, 6).alias("rate_b"),
+        F.round(rate_b - rate_a, 6).alias("abs_lift"),
+        F.round(
+            (rate_b - rate_a)
+            / F.sqrt(pooled * (1 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))),
+            6,
+        ).alias("z_score"),
+    )

@@ -333,3 +333,75 @@ def llm_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(20)
     )
+
+
+@register(
+    "llm_bigram_lm",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, t[i] AS w1, array_to_string(t[i:i+1], ' ') AS bigram
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+            FROM toks WHERE len(t) >= 2)
+    ),
+    doc_bg AS (
+      SELECT doc_id, w1, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, w1, bigram
+    ),
+    corpus_bg AS (SELECT bigram, COUNT(*) AS cb FROM bg GROUP BY bigram),
+    corpus_w1 AS (SELECT w1, COUNT(*) AS cw FROM bg GROUP BY w1)
+    SELECT d.doc_id,
+           CAST(SUM(d.c) AS BIGINT) AS n_bigrams,
+           ROUND(-SUM(d.c * ln(b.cb * 1.0 / w.cw)) / SUM(d.c), 6) AS xent2_nats
+    FROM doc_bg d
+    JOIN corpus_bg b USING (bigram)
+    JOIN corpus_w1 w USING (w1)
+    GROUP BY d.doc_id
+    """,
+)
+def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM cross-entropy per document [public method: CCNet-style
+    quality scoring one order up from llm_perplexity_proxy's unigram
+    model]: P(w2|w1) = c(w1 w2)/c(w1·) from corpus counts, doc score =
+    -(1/|d|) Σ c_d(bigram) ln P. Doc bigrams are a subset of corpus
+    bigrams, so no smoothing term is needed — the conditional is always
+    defined. Lower = conventional word order, higher = unusual
+    transitions; the pair (unigram, bigram) score is the standard
+    quality-filter feature vector.
+
+    Spark-first: shingle once with a JVM transform (no Python), then
+    THREE map-side-combinable hash aggregates — (doc,bigram), (bigram),
+    (prefix) — and two joins keyed on bigram/prefix. Both count sides
+    are VOCABULARY-sized and deliberately not broadcast (the llm_tfidf
+    lesson); AQE may still broadcast at toy scale. Everything shuffles
+    counts, never text."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
+    bg = toks.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.array_join(F.slice("t", i, 2), " ").alias("bigram"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.bigram").alias("bigram"))
+    doc_bg = bg.groupBy("doc_id", "w1", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    corpus_bg = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cb"))
+    corpus_w1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cw"))
+    return (
+        doc_bg.join(corpus_bg, "bigram")
+        .join(corpus_w1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.round(
+                -F.sum(F.col("c") * F.log(F.col("cb") / F.col("cw"))) / F.sum("c"), 6
+            ).alias("xent2_nats"),
+        )
+    )

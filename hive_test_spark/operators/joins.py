@@ -433,3 +433,65 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("join_key")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@register(
+    "join_fuzzy_levenshtein",
+    """
+    WITH p AS (SELECT p_partkey, p_type, p_size, p_name FROM part)
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM p a JOIN p b
+      ON a.p_type = b.p_type AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy-match join [Hive-public: entity-resolution /
+    data-cleaning staple — Hive and Spark both ship levenshtein()]:
+    candidate pairs come from an EQUI-join on a blocking key
+    (p_type, p_size), and only candidates pay the O(len²) edit-distance
+    compare; survivors are pairs within distance 2, deduped by key order.
+
+    Scale shape: the blocking join is the whole design — an unblocked
+    fuzzy join is O(N²) distance computations (ruinous at any scale);
+    blocked, cost is Σ_block |b|², bounded by the largest block. At
+    100 TB you pick/composite the blocking key to cap block size
+    (add a name-length bucket or first-token key when a block whales)
+    — the same family of trade as the LSH band count in llm_ann_lsh.
+    The a<b key inequality halves the pair space and makes output
+    deterministic."""
+    tune(spark)
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_type", "p_size", "p_name"
+    )
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_type").alias("t_a"),
+        F.col("p_size").alias("s_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_type").alias("t_b"),
+        F.col("p_size").alias("s_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("t_a") == F.col("t_b"))
+            & (F.col("s_a") == F.col("s_b"))
+            & (F.col("key_a") < F.col("key_b")),
+        )
+        .filter(F.levenshtein("name_a", "name_b") <= 2)
+        .select(
+            "key_a",
+            "key_b",
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
+        )
+    )

@@ -405,3 +405,85 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= LSH_TAU)
     )
+
+
+N_RECALL_PROBES = 50
+
+
+@register(
+    "llm_ann_recall",
+    f"""
+    WITH lsh AS (SELECT * FROM ({_LSH_ORACLE}) q),
+    probes AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_RECALL_PROBES}
+    ),
+    exact AS (
+      SELECT a.vec_id AS probe_id,
+             LEAST(a.vec_id, b.vec_id) AS lo,
+             GREATEST(a.vec_id, b.vec_id) AS hi
+      FROM probes a JOIN embeddings b ON a.vec_id <> b.vec_id
+      WHERE ROUND({_DUCK_COS}, 6) >= {LSH_TAU}
+    )
+    SELECT e.probe_id,
+           COUNT(*) AS n_true,
+           COUNT(l.id_a) AS n_found,
+           ROUND(COUNT(l.id_a) * 1.0 / COUNT(*), 6) AS recall
+    FROM exact e LEFT JOIN lsh l ON e.lo = l.id_a AND e.hi = l.id_b
+    GROUP BY e.probe_id
+    """,
+)
+def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall evaluation [public method: the standard ANN-benchmark
+    metric — fraction of true tau-neighbors the approximate index
+    returns]: ground truth = exact-cosine pairs (cos >= {LSH_TAU})
+    touching a {N_RECALL_PROBES}-probe panel; found = the SAME pairs
+    surfaced by llm_ann_lsh's banded index; per-probe recall via a
+    key-normalized (lo, hi) left join. This is the acceptance gate a
+    100 TB pipeline runs BEFORE trusting an index build — approximate
+    ops without a measured recall are wishful thinking.
+
+    Scale shape: ground truth is probe-bounded (panel x corpus with a
+    broadcast panel — never all-pairs over the corpus); the LSH side is
+    the production index plan itself (O(N)+O(collisions)); the eval
+    join is pair-keyed and tiny. Evaluating on a sampled probe panel
+    instead of the full corpus is exactly how recall is estimated at
+    scale."""
+    tune(spark)
+    lsh = llm_ann_lsh(spark, sf_dir).select("id_a", "id_b")
+    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    probes = e.filter(F.col("vec_id") < N_RECALL_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p_emb"),
+        F.col("norm").alias("p_norm"),
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("other_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    exact = (
+        F.broadcast(probes)
+        .join(corpus, F.col("probe_id") != F.col("other_id"))
+        .filter(
+            F.round(
+                cosine("p_emb", "c_emb") / (F.col("p_norm") * F.col("c_norm")), 6
+            )
+            >= LSH_TAU
+        )
+        .select(
+            "probe_id",
+            F.least("probe_id", "other_id").alias("lo"),
+            F.greatest("probe_id", "other_id").alias("hi"),
+        )
+    )
+    return (
+        exact.join(
+            lsh, (F.col("lo") == F.col("id_a")) & (F.col("hi") == F.col("id_b")), "left"
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("id_a").alias("n_found"),
+            F.round(F.count("id_a") / F.count(F.lit(1)), 6).alias("recall"),
+        )
+    )

@@ -615,3 +615,72 @@ def evt_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_score"),
     )
+
+
+@register(
+    "evt_cohort_ltv",
+    """
+    WITH firstday AS (
+      SELECT user_id, MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS cohort_day
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    purch AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+           COUNT(DISTINCT f.user_id) AS n_users,
+           ROUND(SUM(CASE WHEN p.d < f.cohort_day + 7 THEN p.value ELSE 0 END), 4)
+             AS ltv_7,
+           ROUND(SUM(CASE WHEN p.d < f.cohort_day + 14 THEN p.value ELSE 0 END), 4)
+             AS ltv_14,
+           ROUND(SUM(CASE WHEN p.d < f.cohort_day + 30 THEN p.value ELSE 0 END), 4)
+             AS ltv_30
+    FROM firstday f LEFT JOIN purch p ON p.user_id = f.user_id
+    GROUP BY f.cohort_day
+    """,
+)
+def evt_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves [Hive-public: the standard growth-analytics
+    rollup — users grouped by first-PURCHASE day (first-seen is degenerate on
+    this fixture: everyone appears on day 1), cumulative purchase value
+    at fixed horizons]: per cohort, distinct users and total purchase
+    value within 7/14/30 days of cohort entry, as one
+    conditional-sum pass (no per-horizon subqueries).
+
+    Scale shape: first-seen day is a map-side-combinable MIN per user;
+    the purchases join is keyed on user_id (the same bucketing every
+    event op here reuses), and all three horizons come from ONE joined
+    pass via CASE — at 100 TB, 3 horizons cost the same shuffle as 1.
+    The distinct-user count rides the cohort rollup."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    firstday = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.to_date("ts").alias("d"), "value"
+    )
+    j = firstday.join(purch, firstday.user_id == purch.p_user, "left")
+    def horizon(n):
+        return F.round(
+            F.sum(
+                F.when(F.col("d") < F.date_add(F.col("cohort_day"), n), F.col("value"))
+                .otherwise(0.0)
+            ),
+            4,
+        )
+    return j.groupBy("cohort_day").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        horizon(7).alias("ltv_7"),
+        horizon(14).alias("ltv_14"),
+        horizon(30).alias("ltv_30"),
+    ).select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "n_users",
+        "ltv_7",
+        "ltv_14",
+        "ltv_30",
+    )

@@ -198,3 +198,82 @@ def dml_insert_overwrite_partition(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.sum("o_totalprice"), 6).alias("sum_price"),
         )
     )
+
+
+@register(
+    "dml_scd2",
+    """
+    WITH base AS (
+      SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal FROM customer
+    ),
+    delta AS (
+      SELECT c_custkey, ROUND(c_acctbal + 100.0, 2) AS acctbal
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    closed AS (
+      SELECT b.c_custkey, b.acctbal,
+             '2024-01-01' AS valid_from, '2024-06-01' AS valid_to,
+             0 AS is_current
+      FROM base b WHERE b.c_custkey IN (SELECT c_custkey FROM delta)
+    ),
+    opened AS (
+      SELECT d.c_custkey, d.acctbal,
+             '2024-06-01' AS valid_from, '9999-12-31' AS valid_to,
+             1 AS is_current
+      FROM delta d
+    ),
+    unchanged AS (
+      SELECT b.c_custkey, b.acctbal,
+             '2024-01-01' AS valid_from, '9999-12-31' AS valid_to,
+             1 AS is_current
+      FROM base b WHERE b.c_custkey NOT IN (SELECT c_custkey FROM delta)
+    )
+    SELECT * FROM closed
+    UNION ALL SELECT * FROM opened
+    UNION ALL SELECT * FROM unchanged
+    """,
+)
+def dml_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 merge [Hive-public: THE classic
+    warehouse dimension-maintenance pattern — history rows get closed
+    with a valid_to, new versions open with is_current=1, untouched rows
+    pass through]: a simulated balance-change delta (every 7th customer,
+    +100) applied to the customer dimension as the three-branch union
+    every SCD2 MERGE compiles to: close (semi-join), open (the delta),
+    pass-through (anti-join).
+
+    Scale shape: the delta is small by nature (daily changes << dim);
+    both the semi- and anti-join broadcast it, so the 10^8-row dimension
+    never shuffles — each branch is a map-side membership test, and the
+    union is free (no operator barrier). This is exactly how SCD2 runs
+    on a non-ACID table format; dml_merge_upsert shows the
+    full-outer-join MERGE that replaces it when deltas are large."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select("c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+    delta = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", F.round(F.col("c_acctbal") + 100.0, 2).alias("acctbal")
+    )
+    dkeys = F.broadcast(delta.select("c_custkey"))
+    closed = base.join(dkeys, "c_custkey", "left_semi").select(
+        "c_custkey",
+        "acctbal",
+        F.lit("2024-01-01").alias("valid_from"),
+        F.lit("2024-06-01").alias("valid_to"),
+        F.lit(0).alias("is_current"),
+    )
+    opened = delta.select(
+        "c_custkey",
+        "acctbal",
+        F.lit("2024-06-01").alias("valid_from"),
+        F.lit("9999-12-31").alias("valid_to"),
+        F.lit(1).alias("is_current"),
+    )
+    unchanged = base.join(dkeys, "c_custkey", "left_anti").select(
+        "c_custkey",
+        "acctbal",
+        F.lit("2024-01-01").alias("valid_from"),
+        F.lit("9999-12-31").alias("valid_to"),
+        F.lit(1).alias("is_current"),
+    )
+    return closed.unionAll(opened).unionAll(unchanged)

@@ -283,3 +283,90 @@ def win_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", F.sum("new_session").over(w_run).alias("session_id")
     )
     return sess.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@register(
+    "win_islands",
+    """
+    WITH iv AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE) + 30 AS e
+      FROM orders
+    ),
+    w1 AS (
+      SELECT o_custkey, s, e,
+             MAX(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_e
+      FROM iv
+    ),
+    w2 AS (
+      SELECT o_custkey, s, e,
+             SUM(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY o_custkey ORDER BY s, e
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM w1
+    ),
+    isl AS (
+      SELECT o_custkey, island, MIN(s) AS i_start, MAX(e) AS i_end,
+             COUNT(*) AS n_orders
+      FROM w2 GROUP BY o_custkey, island
+    )
+    SELECT o_custkey,
+           COUNT(*) AS n_islands,
+           CAST(SUM(date_diff('day', i_start, i_end)) AS BIGINT) AS covered_days,
+           CAST(MAX(n_orders) AS BIGINT) AS max_orders_in_island
+    FROM isl GROUP BY o_custkey
+    """,
+)
+def win_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval merge [Hive-public: the classic
+    overlapping-interval consolidation — each order opens a 30-day
+    activity window; overlapping windows merge into activity "islands"]:
+    island boundaries via the running-max-of-end trick (a new island
+    starts exactly when a start exceeds every previous end), then
+    per-customer island stats. The same plan consolidates IP leases,
+    sessions, maintenance windows.
+
+    Scale shape: both windows and both rollups are keyed on o_custkey —
+    ONE shuffle total (windows and the island groupBy all reuse the
+    customer partitioning); the running max is O(1) per row. The
+    strictly-prior frame makes the island id exact (an interval never
+    compares against its own end). Deterministic tie-break (s, e)."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    iv = o.select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("s"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("e"),
+    )
+    wprev = (
+        Window.partitionBy("o_custkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("o_custkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w1 = iv.withColumn("prev_max_e", F.max("e").over(wprev))
+    w2 = w1.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")), 1
+            ).otherwise(0)
+        ).over(wrun),
+    )
+    isl = w2.groupBy("o_custkey", "island").agg(
+        F.min("s").alias("i_start"),
+        F.max("e").alias("i_end"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return isl.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.datediff("i_end", "i_start")).alias("covered_days"),
+        F.max("n_orders").alias("max_orders_in_island"),
+    )

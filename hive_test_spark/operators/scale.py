@@ -490,3 +490,80 @@ def scale_aqe_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return spark.read.parquet(path)
+
+
+# Runtime Bloom-filter join-pruning knobs (scale_bloom_filter + its plan
+# test): thresholds opened so the fixture-scale selective dim qualifies,
+# the way a 100 TB fact's 10 MB-default creation side does in production.
+BLOOM_CONFS = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffle join
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+}
+
+
+def bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join scale_bloom_filter executes (exposed for the plan test):
+    lineitem against a selective orders filter, shuffle join forced so
+    the optimizer injects a Bloom-filter runtime filter on the fact."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000.0
+    ).select("o_orderkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "scale_bloom_filter",
+    """
+    SELECT l_returnflag, COUNT(*) AS n_lines,
+           ROUND(SUM(l_extendedprice), 4) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 400000.0
+    GROUP BY l_returnflag
+    """,
+)
+def scale_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning [Spark-public: the
+    InjectRuntimeFilter rule builds a bloom_filter_agg over the
+    selective (creation) side's join keys and plants might_contain on
+    the fact (application) side's scan — rows that cannot join die
+    BEFORE the shuffle]: the modern complement to dynamic partition
+    pruning (scale_dpp) for joins whose key is NOT the partition column.
+    At 100 TB a 1%-selective dim filter means ~99% of fact shuffle bytes
+    never leave the mappers — the single biggest shuffle saving
+    available when bucketing isn't.
+
+    Same discipline as scale_aqe_skew: the join executes eagerly to
+    scratch with BLOOM_CONFS active (thresholds opened to fixture
+    scale; broadcast disabled so the shuffle join actually benefits),
+    confs restored after; tests/test_plans.py asserts bloom_filter_agg
+    + might_contain on the executed plan. Values hash-match the plain
+    join oracle — the filter is sound (no false negatives), so results
+    are IDENTICAL with and without it."""
+    from hive_test_spark.sources.scans import _sf_tag
+
+    tune(spark)
+    path = scratch_dir("scale", _sf_tag(sf_dir), "bloom_filter_result")
+    saved = {k: spark.conf.get(k, None) for k in BLOOM_CONFS}
+    for k, v in BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        bloom_join_frame(spark, sf_dir).write.mode("overwrite").parquet(path)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.read.parquet(path)

@@ -307,3 +307,22 @@ def test_aqe_skew_join_splits_partitions(spark, registry):
     finally:
         for k, v in saved.items():
             spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+
+
+def test_bloom_runtime_filter_injected(spark, registry):
+    """With BLOOM_CONFS active, the physical plan must carry the
+    bloom_filter_agg build on the selective side and a might_contain
+    probe on the fact side — rows that cannot join die pre-shuffle."""
+    from hive_test_spark.operators.scale import BLOOM_CONFS, bloom_join_frame
+
+    saved = {k: spark.conf.get(k, None) for k in BLOOM_CONFS}
+    for k, v in BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = bloom_join_frame(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:1500]
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)

@@ -287,3 +287,75 @@ def llm_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("achieved_rate"),
     )
+
+
+_VOCAB_TIERS = (10, 50, 100, 500)
+
+
+@register(
+    "llm_vocab_coverage",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    total AS (SELECT SUM(c) AS t FROM cnt),
+    ranked AS (
+      SELECT tok, c,
+             ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rnk,
+             SUM(c) OVER (ORDER BY c DESC, tok ROWS UNBOUNDED PRECEDING) AS cum
+      FROM cnt
+    )
+    SELECT k_tier,
+           COUNT(*) AS n_types,
+           CAST(MAX(cum) AS BIGINT) AS tokens_covered,
+           ROUND(MAX(cum) * 1.0 / MAX(total.t), 6) AS coverage
+    FROM ranked
+    CROSS JOIN (VALUES {', '.join(f'({k})' for k in _VOCAB_TIERS)}) tiers(k_tier)
+    CROSS JOIN total
+    WHERE rnk <= k_tier
+    GROUP BY k_tier
+    """,
+)
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve [public method: the first report of any
+    tokenizer build — what fraction of corpus token OCCURRENCES the
+    top-K types cover (Zipf's law makes small K surprisingly high)]:
+    rank types by frequency (deterministic tie-break on the token),
+    running-coverage at each candidate vocab size {_VOCAB_TIERS}.
+    The knee of this curve picks the vocab size; the tail IS the
+    out-of-vocab rate.
+
+    Spark-first: one map-side-combinable count, then a window over the
+    VOCABULARY (not the corpus). The global ORDER BY c DESC is
+    dimension-scale — fine to ~10^8 types; past that, range-partition
+    by count bucket and rank within (the documented RFM/percent_rank
+    rewrite). Tier membership is a broadcast 4-row cross — every tier
+    reads the one ranked pass."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    cnt = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = cnt.agg(F.sum("c").alias("t"))
+    w = Window.orderBy(F.col("c").desc(), "tok")
+    ranked = cnt.select(
+        "c",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    tiers = F.broadcast(
+        spark.range(1).select(
+            F.explode(F.array(*[F.lit(k) for k in _VOCAB_TIERS])).alias("k_tier")
+        )
+    )
+    return (
+        ranked.crossJoin(tiers)
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("rnk") <= F.col("k_tier"))
+        .groupBy("k_tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.max("cum").alias("tokens_covered"),
+            F.round(F.max("cum") / F.max("t"), 6).alias("coverage"),
+        )
+    )

@@ -295,3 +295,42 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         *[F.round(F.coalesce(F.col(s), F.lit(0.0)), 6).alias(s) for s in PIVOT_SEGMENTS],
     )
+
+
+@register(
+    "agg_regr",
+    """
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           ROUND(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_x,
+           ROUND(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_y
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate family [Hive-public: the ANSI regr_*
+    UDAFs every warehouse ships — in-database OLS without exporting
+    data]: per return flag, slope/intercept/R² of extendedprice against
+    quantity plus the regression means — one two-phase hash aggregate,
+    identical SQL on both engines.
+
+    Scale shape: regr_* are sufficient-statistics aggregates
+    (n, Σx, Σy, Σxx, Σxy — all map-side-combinable partials), so a
+    100 TB regression costs exactly one combinable agg pass: the whole
+    point of in-engine OLS vs collect-and-fit."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)").alias("n"),
+        F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 6).alias("slope"),
+        F.round(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4).alias(
+            "intercept"
+        ),
+        F.round(F.expr("regr_r2(l_extendedprice, l_quantity)"), 6).alias("r2"),
+        F.round(F.expr("regr_avgx(l_extendedprice, l_quantity)"), 6).alias("avg_x"),
+        F.round(F.expr("regr_avgy(l_extendedprice, l_quantity)"), 4).alias("avg_y"),
+    )

@@ -684,3 +684,65 @@ def evt_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ltv_14",
         "ltv_30",
     )
+
+
+@register(
+    "evt_stickiness",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+      FROM events
+    ),
+    cover AS (
+      SELECT user_id, d + CAST(i AS INTEGER) AS wday
+      FROM (SELECT user_id, d, unnest(generate_series(0, 6)) AS i FROM ud)
+    ),
+    wau AS (SELECT wday, COUNT(DISTINCT user_id) AS wau FROM cover GROUP BY wday),
+    dau AS (SELECT d AS wday, COUNT(*) AS dau FROM ud GROUP BY d),
+    lo AS (SELECT MIN(d) + 6 AS first_full FROM ud),
+    hi AS (SELECT MAX(d) AS last_day FROM ud)
+    SELECT CAST(d.wday AS VARCHAR) AS day, d.dau, w.wau,
+           ROUND(d.dau * 1.0 / w.wau, 6) AS stickiness
+    FROM dau d JOIN wau w USING (wday) CROSS JOIN lo CROSS JOIN hi
+    WHERE d.wday >= lo.first_full AND d.wday <= hi.last_day
+    """,
+)
+def evt_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness [Hive-public: the standard engagement ratio —
+    daily actives over trailing-7-day actives]: COUNT(DISTINCT) over a
+    SLIDING window has no direct window-function form, so each (user,
+    day) activity pair is exploded to the 7 window-end days it covers
+    and WAU becomes a plain distinct count per day — the scalable
+    rewrite. Days without a full trailing week are withheld.
+
+    Scale shape: the raw log dedups to (user, day) first (map-side-
+    combinable, the same primitive as evt_retention); the ×7 explode
+    multiplies that SMALL dedup set, not the log. Both rollups shuffle
+    on the day key; bounds are 1-row broadcasts. At 100 TB this is the
+    textbook replacement for a per-day 7-day re-scan."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    cover = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "d",
+    ).select("user_id", F.expr("date_add(d, i)").alias("wday"))
+    wau = cover.groupBy("wday").agg(F.countDistinct("user_id").alias("wau"))
+    dau = ud.groupBy(F.col("d").alias("wday")).agg(F.count(F.lit(1)).alias("dau"))
+    lo = ud.agg(F.date_add(F.min("d"), 6).alias("first_full"))
+    hi = ud.agg(F.max("d").alias("last_day"))
+    return (
+        dau.join(wau, "wday")
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .filter(
+            (F.col("wday") >= F.col("first_full")) & (F.col("wday") <= F.col("last_day"))
+        )
+        .select(
+            F.date_format("wday", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )

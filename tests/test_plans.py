@@ -326,3 +326,27 @@ def test_bloom_runtime_filter_injected(spark, registry):
     finally:
         for k, v in saved.items():
             spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+
+
+def test_islands_single_customer_shuffle(spark, registry):
+    """Both island windows and both rollups key on o_custkey — ONE
+    exchange end-to-end, (custkey, orderdate) scan only."""
+    f = _facts(spark, registry, "win_islands")
+    assert f.exchanges == 1
+    assert scan_read_columns(f) == [2]
+
+
+def test_scd2_dimension_never_shuffles(spark, registry):
+    """SCD2's close/open/pass-through branches broadcast the delta keys:
+    zero exchanges — the dimension streams through map-side."""
+    f = _facts(spark, registry, "dml_scd2")
+    assert f.exchanges == 0, "dimension must not shuffle"
+    assert f.broadcast_joins >= 2
+
+
+def test_regr_is_single_combinable_agg(spark, registry):
+    """regr_* are sufficient-statistics aggregates — one two-phase agg,
+    one exchange, three-column scan."""
+    f = _facts(spark, registry, "agg_regr")
+    assert f.exchanges == 1
+    assert scan_read_columns(f) == [3]

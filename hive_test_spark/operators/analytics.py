@@ -746,3 +746,69 @@ def evt_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
         )
     )
+
+
+@register(
+    "evt_error_burn",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             COUNT(*) AS n_total,
+             COUNT(*) FILTER (WHERE event_type = 'error') AS n_err
+      FROM events GROUP BY date_trunc('hour', CAST(ts AS TIMESTAMP))
+    ),
+    rates AS (
+      SELECT h, n_total, n_err,
+             n_err * 1.0 / n_total AS err_rate,
+             SUM(n_err) OVER w6 * 1.0 / SUM(n_total) OVER w6 AS err_rate_6h,
+             COUNT(*) OVER w6 AS n_hours_6h
+      FROM hourly
+      WINDOW w6 AS (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(h AS VARCHAR) AS hour, n_total, n_err,
+           ROUND(err_rate, 6) AS err_rate_1h,
+           ROUND(err_rate_6h, 6) AS err_rate_6h,
+           CAST(err_rate > 2 * 0.2 OR err_rate_6h > 1.5 * 0.2 AS INT)
+             AS burn_alert
+    FROM rates WHERE n_hours_6h = 6
+    """,
+)
+def evt_error_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO burn-rate alerting [public method: the Google SRE multi-window
+    burn-rate alert — error rate measured at a fast (1 h) and slow (6 h)
+    window against an error budget, alert when either burns faster than
+    its multiplier]: budget = 20% error share (the fixture emits 5 types
+    uniformly), fast window fires at 2x budget, slow at 1.5x. Hours
+    without a full 6-hour history are withheld.
+
+    Scale shape: the log collapses to hourly (total, error) counts in
+    one map-side-combinable agg — the rolling windows then run over
+    ~9 k rows/year, a single-partition-safe series (partition by
+    service/region key the moment one exists, as every other evt_* op
+    here does). The FILTER-ed count shares the scan with the total —
+    one pass, no self-join."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_err"),
+    )
+    w6 = Window.orderBy("h").rowsBetween(-5, 0)
+    rates = hourly.select(
+        "h",
+        "n_total",
+        "n_err",
+        (F.col("n_err") / F.col("n_total")).alias("err_rate"),
+        (F.sum("n_err").over(w6) / F.sum("n_total").over(w6)).alias("err_rate_6h"),
+        F.count(F.lit(1)).over(w6).alias("n_hours_6h"),
+    )
+    return rates.filter(F.col("n_hours_6h") == 6).select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "n_total",
+        "n_err",
+        F.round("err_rate", 6).alias("err_rate_1h"),
+        F.round("err_rate_6h", 6).alias("err_rate_6h"),
+        ((F.col("err_rate") > 2 * 0.2) | (F.col("err_rate_6h") > 1.5 * 0.2))
+        .cast("int")
+        .alias("burn_alert"),
+    )

@@ -277,3 +277,104 @@ def dml_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("is_current"),
     )
     return closed.unionAll(opened).unionAll(unchanged)
+
+
+@register(
+    "dml_snapshot_diff",
+    """
+    WITH snap_a AS (
+      SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal, c_mktsegment
+      FROM customer
+    ),
+    snap_b AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 11 = 0 THEN ROUND(c_acctbal + 50.0, 2)
+                  ELSE ROUND(c_acctbal, 2) END AS acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 13 <> 0
+      UNION ALL
+      SELECT c_custkey + 10000000, ROUND(c_acctbal, 2), c_mktsegment
+      FROM customer WHERE c_custkey % 17 = 0
+    ),
+    diff AS (
+      SELECT COALESCE(a.c_custkey, b.c_custkey) AS c_custkey,
+             CASE WHEN b.c_custkey IS NULL THEN 'removed'
+                  WHEN a.c_custkey IS NULL THEN 'added'
+                  WHEN a.acctbal <> b.acctbal
+                    OR a.c_mktsegment <> b.c_mktsegment THEN 'modified'
+                  ELSE 'unchanged' END AS change_type,
+             a.acctbal AS old_bal, b.acctbal AS new_bal
+      FROM snap_a a FULL OUTER JOIN snap_b b ON a.c_custkey = b.c_custkey
+    )
+    SELECT change_type, COUNT(*) AS n_rows,
+           ROUND(SUM(COALESCE(new_bal, 0) - COALESCE(old_bal, 0)), 4)
+             AS net_balance_delta
+    FROM diff GROUP BY change_type
+    """,
+)
+def dml_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation diff [Hive-public: the nightly warehouse
+    audit — compare two dimension snapshots, classify every key as
+    added / removed / modified / unchanged and account for the value
+    drift]: snapshot B simulates a day's churn (every 13th key deleted,
+    every 11th rebalanced, every 17th respawned under a new key) and the FULL OUTER join classifies via
+    null-side analysis — the same comparison that validates a migration
+    or CDC feed end-to-end.
+
+    Scale shape: one key-partitioned full-outer shuffle join (both
+    sides co-partition on the key — at 100 TB, bucket both snapshots
+    and it's shuffle-free), then a 4-row rollup. The per-row classify
+    is pure map logic; nothing materializes the diff except the
+    aggregate consumed downstream."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    snap_a = c.select(
+        "c_custkey", F.round("c_acctbal", 2).alias("acctbal"), "c_mktsegment"
+    )
+    churn = c.filter(F.col("c_custkey") % 13 != 0).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 11 == 0, F.round(F.col("c_acctbal") + 50.0, 2)
+        )
+        .otherwise(F.round("c_acctbal", 2))
+        .alias("acctbal"),
+        "c_mktsegment",
+    )
+    arrivals = c.filter(F.col("c_custkey") % 17 == 0).select(
+        (F.col("c_custkey") + 10000000).alias("c_custkey"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+        "c_mktsegment",
+    )
+    snap_b = churn.unionAll(arrivals)
+    a = snap_a.select(
+        F.col("c_custkey").alias("a_key"),
+        F.col("acctbal").alias("old_bal"),
+        F.col("c_mktsegment").alias("a_seg"),
+    )
+    b = snap_b.select(
+        F.col("c_custkey").alias("b_key"),
+        F.col("acctbal").alias("new_bal"),
+        F.col("c_mktsegment").alias("b_seg"),
+    )
+    diff = a.join(b, a.a_key == b.b_key, "full_outer").select(
+        F.when(F.col("b_key").isNull(), "removed")
+        .when(F.col("a_key").isNull(), "added")
+        .when(
+            (F.col("old_bal") != F.col("new_bal"))
+            | (F.col("a_seg") != F.col("b_seg")),
+            "modified",
+        )
+        .otherwise("unchanged")
+        .alias("change_type"),
+        "old_bal",
+        "new_bal",
+    )
+    return diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum(
+                F.coalesce("new_bal", F.lit(0.0)) - F.coalesce("old_bal", F.lit(0.0))
+            ),
+            4,
+        ).alias("net_balance_delta"),
+    )

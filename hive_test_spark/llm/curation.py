@@ -359,3 +359,69 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("cum") / F.max("t"), 6).alias("coverage"),
         )
     )
+
+
+_TEMP_ALPHA = 0.3
+
+
+@register(
+    "llm_sample_temperature",
+    f"""
+    WITH n AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    p1 AS (
+      SELECT source, n_docs,
+             n_docs * 1.0 / SUM(n_docs) OVER () AS p_raw
+      FROM n
+    ),
+    p AS (
+      SELECT source, n_docs, p_raw,
+             POW(p_raw, {_TEMP_ALPHA})
+               / SUM(POW(p_raw, {_TEMP_ALPHA})) OVER () AS p_temp
+      FROM p1
+    )
+    SELECT source, n_docs,
+           ROUND(p_raw, 6) AS p_raw,
+           ROUND(p_temp, 6) AS p_temp,
+           ROUND(p_temp / p_raw, 6) AS upsample_factor
+    FROM p
+    """,
+)
+def llm_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights [public method:
+    multilingual pretraining (mBERT/XLM-R/mT5) samples source i with
+    p_i^alpha / Σ p_j^alpha, alpha={_TEMP_ALPHA} — flattening the
+    natural distribution so small sources aren't starved]: per source,
+    the raw share, the temperature share, and the implied
+    up/down-sampling factor — the table a mixing run (llm_dataset_mix)
+    consumes as its target rates.
+
+    Spark-first: one map-side-combinable count, then window sums over
+    the SOURCE dimension (tens to thousands of rows at any corpus
+    scale) — the heavy data contributes exactly one aggregate pass.
+    Deterministic; pairs with llm_dataset_mix's md5 sampler to make
+    the full temperature pipeline reproducible."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    n = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    wall = Window.partitionBy()
+    p1 = n.select(
+        "source",
+        "n_docs",
+        (F.col("n_docs") / F.sum("n_docs").over(wall)).alias("p_raw"),
+    )
+    p = p1.select(
+        "source",
+        "n_docs",
+        "p_raw",
+        (
+            F.pow("p_raw", _TEMP_ALPHA)
+            / F.sum(F.pow("p_raw", _TEMP_ALPHA)).over(wall)
+        ).alias("p_temp"),
+    )
+    return p.select(
+        "source",
+        "n_docs",
+        F.round("p_raw", 6).alias("p_raw"),
+        F.round("p_temp", 6).alias("p_temp"),
+        F.round(F.col("p_temp") / F.col("p_raw"), 6).alias("upsample_factor"),
+    )

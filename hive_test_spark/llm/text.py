@@ -405,3 +405,77 @@ def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("xent2_nats"),
         )
     )
+
+
+_SIG_TOPK = 3
+
+
+@register(
+    "llm_topic_signature",
+    f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    src AS (SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY source, tok),
+    src_tot AS (SELECT source, SUM(c) AS st FROM src GROUP BY source),
+    corp AS (SELECT tok, SUM(c) AS ct FROM src GROUP BY tok),
+    corp_tot AS (SELECT SUM(c) AS t FROM src),
+    scored AS (
+      SELECT s.source, s.tok,
+             ROUND(ln((s.c * 1.0 / st.st) / (co.ct * 1.0 / ct2.t)), 6) AS log_lift,
+             s.c
+      FROM src s
+      JOIN src_tot st USING (source)
+      JOIN corp co USING (tok)
+      CROSS JOIN corp_tot ct2
+      WHERE s.c >= 5
+    )
+    SELECT source, tok, log_lift, CAST(c AS BIGINT) AS n_occurrences
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY log_lift DESC, tok) AS rn
+          FROM scored) r
+    WHERE rn <= {_SIG_TOPK}
+    """,
+)
+def llm_topic_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source topic signature [public method: log-lift / PMI keyword
+    extraction — the tokens most over-represented in a source vs the
+    corpus]: lift = ln(P(tok|source) / P(tok)), minimum-support 5,
+    top-{_SIG_TOPK} per source with deterministic tie-break — the
+    at-a-glance "what is this source about" report used to spot
+    mislabeled or scraped-junk sources in a mixing run.
+
+    Spark-first: counts roll up (source, tok) once (map-side-
+    combinable); the corpus marginal REUSES those counts (no second
+    corpus pass); joins are token-keyed, never a vocabulary broadcast;
+    the top-k window partitions by source. Everything after the first
+    agg is vocabulary-sized, not corpus-sized."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    src = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    src_tot = src.groupBy("source").agg(F.sum("c").alias("st"))
+    corp = src.groupBy("tok").agg(F.sum("c").alias("ct"))
+    corp_tot = src.agg(F.sum("c").alias("t"))
+    scored = (
+        src.filter(F.col("c") >= 5)
+        .join(src_tot, "source")
+        .join(corp, "tok")
+        .crossJoin(F.broadcast(corp_tot))
+        .select(
+            "source",
+            "tok",
+            F.round(
+                F.log((F.col("c") / F.col("st")) / (F.col("ct") / F.col("t"))), 6
+            ).alias("log_lift"),
+            "c",
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("log_lift").desc(), "tok")
+    return (
+        scored.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _SIG_TOPK)
+        .select("source", "tok", "log_lift", F.col("c").alias("n_occurrences"))
+    )

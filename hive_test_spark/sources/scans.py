@@ -225,3 +225,69 @@ def scan_regex_serde(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").alias("total_cents"),
     )
+
+
+@register(
+    "scan_csv_permissive",
+    """
+    WITH lines AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CASE WHEN o_orderkey % 19 = 0 THEN NULL
+                  ELSE CAST(FLOOR(o_totalprice * 100) AS BIGINT) END AS cents,
+             CAST(o_orderkey % 19 = 0 AS INT) AS corrupt
+      FROM orders
+    )
+    SELECT status,
+           COUNT(*) AS n_rows,
+           CAST(SUM(corrupt) AS BIGINT) AS n_corrupt,
+           CAST(COUNT(*) - SUM(corrupt) AS BIGINT) AS n_good,
+           CAST(SUM(cents) AS BIGINT) AS good_cents
+    FROM lines GROUP BY status
+    """,
+)
+def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE malformed-CSV ingestion [Hive-public: schema-on-read
+    over dirty text is THE Hive operating mode; Spark's CSV reader
+    classifies unparseable rows into a corrupt-record column instead of
+    failing the job]: a log fixture derived from `orders` corrupts every
+    19th row's numeric field ('N/A'); the PERMISSIVE read yields NULL
+    for the bad cell and captures the raw line in `_corrupt_record`,
+    and the report rolls up good/corrupt counts + the good-row sum per
+    status. The oracle models the same classification arithmetically —
+    exactly the contract PERMISSIVE promises (no row loss, no job
+    failure, quarantine column for replay).
+
+    100 TB note: this is the ingestion-edge quarantine pattern — bad
+    rows stay queryable for reprocessing instead of killing a
+    multi-hour load. The cache() is the documented Spark requirement
+    for referencing the corrupt-record column; at scale quarantine to a
+    separate sink in the same pass instead of caching."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    lines = o.select(
+        F.concat(
+            F.col("o_orderkey").cast("string"),
+            F.lit(","),
+            F.col("o_orderstatus"),
+            F.lit(","),
+            F.when(F.col("o_orderkey") % 19 == 0, F.lit("N/A")).otherwise(
+                F.floor(F.col("o_totalprice") * 100).cast("bigint").cast("string")
+            ),
+        ).alias("value")
+    )
+    path = _materialize(
+        lines, "text", scratch_dir("fmt", _sf_tag(sf_dir), "orders_dirty_csv")
+    )
+    parsed = (
+        spark.read.schema("k BIGINT, status STRING, cents BIGINT, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .cache()
+    )
+    return parsed.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        (F.count(F.lit(1)) - F.count("_corrupt_record")).alias("n_good"),
+        F.sum("cents").alias("good_cents"),
+    )

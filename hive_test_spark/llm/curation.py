@@ -425,3 +425,62 @@ def llm_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p_temp", 6).alias("p_temp"),
         F.round(F.col("p_temp") / F.col("p_raw"), 6).alias("upsample_factor"),
     )
+
+
+_MANIFEST_SHARDS = 16
+
+
+@register(
+    "llm_shard_manifest",
+    f"""
+    WITH assign AS (
+      SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % {_MANIFEST_SHARDS} AS shard,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    per AS (
+      SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+      FROM assign GROUP BY shard
+    ),
+    m AS (SELECT AVG(total_tokens) AS mean_tok FROM per)
+    SELECT shard, n_docs, total_tokens,
+           ROUND(total_tokens / m.mean_tok, 6) AS balance_ratio
+    FROM per CROSS JOIN m
+    """,
+)
+def llm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-shard manifest + balance report [public method: every
+    dataset release assigns docs to shards by a CONTENT-STABLE hash so
+    re-runs and incremental additions land deterministically, then
+    checks token balance before writing]: shard = md5(doc_id) mod
+    {_MANIFEST_SHARDS}, per-shard doc/token totals and the
+    tokens-vs-mean balance ratio — the go/no-go a shard writer reads
+    (ratios far from 1.0 mean stragglers at training time).
+
+    Spark-first: assignment is a pure map (the md5 uniformizes — no
+    hot shard by construction), one combinable rollup, and the mean is
+    a 1-row broadcast. In production the same expression feeds
+    df.write.partitionBy(shard) / repartition(shard) so manifest and
+    layout can never disagree."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    assign = d.select(
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % _MANIFEST_SHARDS
+        ).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    per = assign.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    )
+    m = per.agg(F.avg("total_tokens").alias("mean_tok"))
+    return per.crossJoin(F.broadcast(m)).select(
+        "shard",
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("total_tokens") / F.col("mean_tok"), 6).alias("balance_ratio"),
+    )

@@ -334,3 +334,66 @@ def agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("regr_avgx(l_extendedprice, l_quantity)"), 6).alias("avg_x"),
         F.round(F.expr("regr_avgy(l_extendedprice, l_quantity)"), 4).alias("avg_y"),
     )
+
+
+@register(
+    "agg_weighted_median",
+    """
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice AS v, l_quantity AS wt FROM lineitem
+    ),
+    c AS (
+      SELECT l_returnflag, v, wt,
+             SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY v, wt
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(wt) OVER (PARTITION BY l_returnflag) AS tot
+      FROM w
+    ),
+    hit AS (
+      SELECT l_returnflag, v,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY v, wt) AS rn
+      FROM c WHERE cum >= tot / 2.0
+    )
+    SELECT l_returnflag, ROUND(v, 6) AS weighted_median_price
+    FROM hit WHERE rn = 1
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median [Hive-public: the OLAP percentile variant plain
+    percentile() can't express — each value counts with a weight
+    (here: price weighted by quantity, i.e. the median price of a
+    SHIPPED UNIT, not of a line)]: sort within group, running weight,
+    first value whose cumulative weight crosses half the total.
+    Deterministic tie-break (v, wt).
+
+    Scale shape: one shuffle on the group key serves both windows AND
+    the crossing-point filter (same partitioning). The within-group
+    sort is the unavoidable cost of any exact quantile; the documented
+    approx path (weight-replicated percentile_approx digests, which
+    merge map-side) takes over when groups stop fitting a
+    partition."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").alias("wt"),
+    )
+    order = Window.partitionBy("l_returnflag").orderBy("v", "wt")
+    c = w.select(
+        "l_returnflag",
+        "v",
+        "wt",
+        F.sum("wt").over(order.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("wt").over(Window.partitionBy("l_returnflag")).alias("tot"),
+    )
+    hit = c.filter(F.col("cum") >= F.col("tot") / 2.0).select(
+        "l_returnflag",
+        "v",
+        F.row_number().over(order).alias("rn"),
+    )
+    return hit.filter(F.col("rn") == 1).select(
+        "l_returnflag", F.round("v", 6).alias("weighted_median_price")
+    )

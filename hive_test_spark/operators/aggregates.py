@@ -397,3 +397,47 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit.filter(F.col("rn") == 1).select(
         "l_returnflag", F.round("v", 6).alias("weighted_median_price")
     )
+
+
+@register(
+    "agg_mode",
+    """
+    WITH c AS (
+      SELECT l_returnflag, l_quantity AS v, COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    )
+    SELECT l_returnflag, ROUND(v, 6) AS mode_qty, CAST(n AS BIGINT) AS n_occurrences
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                       ORDER BY n DESC, v) AS rn
+          FROM c)
+    WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mode (most frequent value) per group [Hive-public: the
+    statistical mode() UDAF — engines disagree on tie order, so the
+    portable form is count + deterministic rank, lowest value wins
+    ties]: two-phase count on (group, value), then a top-1 window on
+    the count table.
+
+    Scale shape: the count collapses the fact to distinct (group,
+    value) pairs map-side; the window ranks that SMALL table. This
+    rank-on-aggregate form is also why it oracles exactly, where a
+    native mode() with unspecified tie-breaking cannot."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_returnflag", F.col("l_quantity").alias("v")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("n").desc(), "v")
+    return (
+        c.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.round("v", 6).alias("mode_qty"),
+            F.col("n").alias("n_occurrences"),
+        )
+    )

@@ -812,3 +812,59 @@ def evt_error_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("burn_alert"),
     )
+
+
+@register(
+    "evt_path_topk",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+            FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+      SELECT event_type || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+      FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      GROUP BY event_type || '>' || e2 || '>' || e3
+    )
+    SELECT path, n
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rn FROM paths)
+    WHERE rn <= 10
+    """,
+)
+def evt_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k user paths [Hive-public: path mining — the trigram step up
+    from evt_transition_matrix's bigrams; which 3-step journeys dominate
+    feeds funnel design and anomaly triage]: per-user ordered event
+    trigrams via double LEAD on ONE window, global path counts,
+    deterministic top-10.
+
+    Scale shape: the double LEAD rides the same single user_id shuffle
+    every sequence op here uses (no self-joins — the join-chain form
+    would shuffle the log twice more); the path rollup is
+    |types|³-bounded (125 here), so the final top-k ranks a tiny
+    table. Tie-break on path string."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    paths = (
+        seq.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .groupBy(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wr = Window.orderBy(F.col("n").desc(), "path")
+    return (
+        paths.select("*", F.row_number().over(wr).alias("rn"))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )

@@ -1,0 +1,193 @@
+"""Graph operators over derived relationship graphs — iterative PageRank
+and triangle counting [Hive-public: graph workloads are standard warehouse
+analytics expressed as self-joins + aggregations (Pregel/GraphX publish the
+distributed shapes); no new engine surface].
+
+Both operators derive their graphs from the TPC-H fixtures:
+
+- ``graph_pagerank``: the undirected customer–supplier trade graph
+  (an edge per distinct (o_custkey, l_suppkey) pair observed in orders ×
+  lineitem, materialized in both directions so no node is dangling).
+- ``graph_triangles``: the part co-purchase affinity graph (an edge per
+  part pair co-occurring in ≥2 orders, kept as p1 < p2).
+
+Scale notes (100 TB): iterative graph algorithms on Spark are join+agg
+loops. The per-iteration cost is one shuffle join (edges ⋈ ranks on src)
+plus one map-side-combinable aggregation (contributions by dst); the edge
+list with precomputed 1/outdeg weights is computed once and cached, and
+the loop is a FIXED, small iteration count so lineage stays shallow (for
+unbounded convergence loops, checkpoint/localCheckpoint every ~10 rounds
+— see llm_dedup_clusters' pointer-doubling CC for that pattern).
+Triangle counting uses the classic ordered-edge (p1 < p2 < p3) two-join
+form, so every wedge is generated exactly once; the support-≥2 edge filter
+is applied BEFORE the wedge join, bounding the quadratic term by the
+affinity-graph degree, not the raw co-occurrence degree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_test_spark.io import load_table
+from hive_test_spark.registry import register
+from hive_test_spark.session import tune
+
+_DAMP = 0.85
+_ITERS = 3
+
+_PAGERANK_ORACLE = """
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT 'c' || CAST(cust AS VARCHAR) AS src, 's' || CAST(supp AS VARCHAR) AS dst FROM pairs
+      UNION ALL
+      SELECT 's' || CAST(supp AS VARCHAR) AS src, 'c' || CAST(cust AS VARCHAR) AS dst FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    n AS (SELECT count(*) AS n_nodes FROM deg),
+    r0 AS (SELECT src AS node, 1.0 / (SELECT n_nodes FROM n) AS rank FROM deg),
+    r1 AS (
+      SELECT e.dst AS node,
+             0.15 / (SELECT n_nodes FROM n)
+             + 0.85 * SUM(r.rank / d.outdeg) AS rank
+      FROM edges e JOIN r0 r ON r.node = e.src JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT e.dst AS node,
+             0.15 / (SELECT n_nodes FROM n)
+             + 0.85 * SUM(r.rank / d.outdeg) AS rank
+      FROM edges e JOIN r1 r ON r.node = e.src JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ),
+    r3 AS (
+      SELECT e.dst AS node,
+             0.15 / (SELECT n_nodes FROM n)
+             + 0.85 * SUM(r.rank / d.outdeg) AS rank
+      FROM edges e JOIN r2 r ON r.node = e.src JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    )
+    SELECT r3.node, d.outdeg AS degree, ROUND(r3.rank, 9) AS pr
+    FROM r3 JOIN deg d ON d.src = r3.node
+"""
+
+
+@register("graph_pagerank", _PAGERANK_ORACLE)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 iterations) on the undirected
+    customer–supplier trade graph. The oracle unrolls the identical three
+    iterations as chained CTEs, so the comparison covers the full fixpoint
+    arithmetic, not just the graph construction.
+
+    Spark shape: edge list + per-src weight (1/outdeg) computed once and
+    cached; each iteration is edges⋈ranks (shuffle on src) → groupBy dst
+    partial-agg sum. Node count arrives via a broadcast 1-row plan (no
+    eager ``.count()``). At 100 TB: the cached weighted edge list is the
+    loop invariant — pre-partitioning it by src lets every iteration's
+    join reuse that exchange, and a fixed iteration count keeps lineage
+    shallow (unbounded loops would localCheckpoint periodically)."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("cust"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).unionAll(
+        pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # Loop invariant: each directed edge carries its source's 1/outdeg.
+    edges_w = (
+        edges.join(deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+        .cache()
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))  # 1-row plan, broadcast below
+    ranks = deg.crossJoin(F.broadcast(n_nodes)).select(
+        F.col("src").alias("node"), (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+    )
+    for _ in range(_ITERS):
+        contribs = (
+            edges_w.join(ranks, edges_w.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
+        )
+        ranks = contribs.crossJoin(F.broadcast(n_nodes)).select(
+            F.col("dst").alias("node"),
+            (F.lit(0.15) / F.col("n_nodes") + F.lit(_DAMP) * F.col("contrib")).alias("rank"),
+        )
+    return ranks.join(deg, ranks.node == deg.src).select(
+        "node", F.col("outdeg").alias("degree"), F.round("rank", 9).alias("pr")
+    )
+
+
+_TRIANGLES_ORACLE = """
+    WITH pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    tri AS (
+      SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.p1 = e1.p2
+      JOIN pairs e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+    ),
+    corners AS (
+      SELECT a AS part FROM tri UNION ALL
+      SELECT b FROM tri UNION ALL
+      SELECT c FROM tri
+    )
+    SELECT part AS l_partkey, count(*) AS n_triangles
+    FROM corners GROUP BY part
+"""
+
+
+@register("graph_triangles", _TRIANGLES_ORACLE)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation counts in the co-purchase affinity
+    graph (edges = part pairs co-ordered in ≥2 orders, oriented p1<p2).
+    Ordered-edge enumeration: wedges a<b<c from two joins, closed by an
+    existence join on (a,c) — each triangle is produced exactly once.
+
+    At 100 TB: the support filter shrinks the edge list before the
+    quadratic wedge join; for power-law graphs the classic refinement is
+    to orient edges by (degree, id) instead of raw id so high-degree hubs
+    never fan out — same two-join plan, different orientation key."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    b_side = li.select(F.col("l_orderkey").alias("b_ok"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        li.join(
+            b_side,
+            (F.col("b_ok") == F.col("l_orderkey")) & (F.col("l_partkey") < F.col("p2")),
+        )
+        .groupBy(F.col("l_partkey").alias("p1"), "p2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("p1", "p2")
+        .cache()
+    )
+    e2 = pairs.select(F.col("p1").alias("q1"), F.col("p2").alias("q2"))
+    wedges = pairs.join(e2, F.col("q1") == F.col("p2")).select(
+        F.col("p1").alias("a"), F.col("p2").alias("b"), F.col("q2").alias("c")
+    )
+    e3 = pairs.select(F.col("p1").alias("r1"), F.col("p2").alias("r2"))
+    tri = wedges.join(e3, (F.col("r1") == F.col("a")) & (F.col("r2") == F.col("c")))
+    corners = (
+        tri.select(F.col("a").alias("part"))
+        .unionAll(tri.select(F.col("b").alias("part")))
+        .unionAll(tri.select(F.col("c").alias("part")))
+    )
+    return corners.groupBy(F.col("part").alias("l_partkey")).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

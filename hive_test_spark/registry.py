@@ -120,6 +120,7 @@ def load_all() -> None:
         benchmarks,
         dml,
         extras,
+        graph,
         joins,
         profiling,
         relational,

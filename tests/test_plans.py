@@ -350,3 +350,18 @@ def test_regr_is_single_combinable_agg(spark, registry):
     f = _facts(spark, registry, "agg_regr")
     assert f.exchanges == 1
     assert scan_read_columns(f) == [3]
+
+
+def test_pagerank_no_cartesian_and_broadcast_n(spark, registry):
+    """PageRank's 1-row node-count plan must broadcast (never shuffle the
+    rank table against it); no iteration may degrade to a cartesian."""
+    f = _facts(spark, registry, "graph_pagerank")
+    assert f.cartesian == 0
+    assert f.broadcast_joins >= 4  # n_nodes per iteration + init
+
+def test_triangles_ordered_edges_no_cartesian(spark, registry):
+    """Triangle enumeration is two equi-joins over the ordered edge list —
+    a cartesian wedge join would be the N^2 failure mode at 100 TB."""
+    f = _facts(spark, registry, "graph_triangles")
+    assert f.cartesian == 0
+    assert scan_read_columns(f) == [2, 2], "both lineitem scans must prune to (orderkey, partkey)"

@@ -91,3 +91,20 @@ def test_bare_limit_rowcount(spark):
 
     li = load_table(spark, SF_DIR, "lineitem")
     assert li.limit(100).count() == 100
+
+
+def test_pagerank_mass_conserved(spark, registry):
+    """Damped PageRank on a graph with no dangling nodes conserves rank
+    mass: sum(pr) == 1 up to rounding."""
+    qs, _ = registry
+    pdf = qs["graph_pagerank"](spark, SF_DIR).toPandas()
+    assert abs(pdf["pr"].sum() - 1.0) < 1e-5
+    assert (pdf["pr"] > 0).all()
+
+
+def test_triangle_counts_consistent(spark, registry):
+    """Every triangle contributes exactly 3 corner credits."""
+    qs, _ = registry
+    pdf = qs["graph_triangles"](spark, SF_DIR).toPandas()
+    assert pdf["n_triangles"].sum() % 3 == 0
+    assert (pdf["n_triangles"] >= 1).all()

@@ -1,0 +1,156 @@
+"""Time-series operators over the `events` fixture: forward-fill with
+IGNORE NULLS, exponentially-weighted moving averages, and OHLC
+downsampling [Hive-public: FIRST_VALUE/LAST_VALUE ... IGNORE NULLS is
+HiveQL windowing surface; EWMA/OHLC are the standard warehouse
+time-series rollups built from windows + aggregation].
+
+Scale notes (100 TB): all three shuffle exactly once on their series key
+(user_id or event_type×hour). Forward-fill and EWMA are per-series
+sequential semantics — the window/grouped-map partitioning puts each
+series on one task, so the scale axis is #series (embarrassingly
+parallel), not series length; a single whale series would need the
+segmented-scan rewrite (chunk + carry-in recombination). OHLC is a plain
+two-phase aggregate once the deterministic endpoint choice is expressed
+as min_by/max_by over the (ts, event_id) total order.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_test_spark.io import load_table
+from hive_test_spark.registry import register
+from hive_test_spark.session import tune
+
+
+@register(
+    "evt_fill_forward",
+    """
+    SELECT event_id, user_id, event_type,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+    FROM events
+    """,
+)
+def evt_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (LOCF): every event carries the most recent preceding
+    'purchase' value of the same user — ``last(..., ignorenulls=True)``
+    over a running frame, the IGNORE NULLS window surface. One shuffle on
+    user_id; the sparse column is manufactured with CASE so no second scan
+    or self-join is needed (the naive formulation joins each row to its
+    last purchase — a per-row range join this window rewrite avoids)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sparse = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.last(sparse, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+
+
+_EWMA_ALPHA = 0.2
+
+_EWMA_ORACLE = """
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, event_id, value, rn, value AS ewma FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.event_id, e.value, e.rn,
+             0.2 * e.value + 0.8 * r.ewma
+      FROM ev e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, ROUND(ewma, 6) AS ewma FROM r
+"""
+
+
+def _ewma_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    # Explicit recurrence (y0 = x0; y = a*x + (1-a)*y_prev) so the float
+    # op sequence is identical to the oracle's recursive CTE.
+    pdf = pdf.sort_values(["ts", "event_id"])
+    out, prev = [], None
+    for x in pdf["value"]:
+        prev = x if prev is None else _EWMA_ALPHA * x + (1.0 - _EWMA_ALPHA) * prev
+        out.append(prev)
+    return pd.DataFrame(
+        {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "ewma": pd.Series(out, index=pdf.index).round(6)}
+    )
+
+
+@register("evt_ewma", _EWMA_ORACLE)
+def evt_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (α=0.2) of event values — an inherently recursive
+    computation SQL windows cannot express (weights depend on distance to
+    the CURRENT row). Spark: grouped-map ``applyInPandas`` per user (one
+    Arrow batch per series); oracle: the same recurrence as a recursive
+    CTE, anchored at rn=1. Fixture series are ≤100 rows so recursion and
+    batch sizes stay trivial; a whale series would switch to the
+    segmented-scan form: chunk the series, compute per-chunk (ewma,
+    (1-α)^len) pairs, then fold the per-chunk carry terms — associative,
+    so it distributes."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    schema = "user_id long, event_id long, ewma double"
+    return ev.groupBy("user_id").applyInPandas(_ewma_group, schema)
+
+
+_OHLC_ORACLE = """
+    WITH ev AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, value,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn_open,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+                                ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn_close
+      FROM events
+    )
+    SELECT event_type, hour,
+           max(CASE WHEN rn_open = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_close = 1 THEN value END) AS close,
+           count(*) AS n_events,
+           ROUND(sum(value), 6) AS volume
+    FROM ev GROUP BY event_type, hour
+"""
+
+
+@register("evt_ohlc", _OHLC_ORACLE)
+def evt_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type: open/close are ``min_by``/``max_by``
+    on the (ts, event_id) total order — a single two-phase hash aggregate
+    (partial min_by/max_by combine map-side), no window pass. The oracle
+    spells the same endpoint choice with row_number CTEs, proving the
+    agg-only rewrite equals the window formulation. At 100 TB this is the
+    canonical downsampling shape: one shuffle on the (series, bucket) key,
+    all states constant-size."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.select("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"), "value", "ts", "event_id")
+        .groupBy("event_type", "hour")
+        .agg(
+            F.expr("min_by(value, struct(ts, event_id))").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr("max_by(value, struct(ts, event_id))").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("volume"),
+        )
+    )

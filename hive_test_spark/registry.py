@@ -128,6 +128,7 @@ def load_all() -> None:
         setops,
         sorts,
         subqueries,
+        timeseries,
         windows,
     )
     from hive_test_spark.sources import scans, sinks  # noqa: F401

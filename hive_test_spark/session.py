@@ -45,7 +45,44 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # conf not settable on this build — non-fatal
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``hive_test_spark`` importable on Python workers regardless of
+    the driver process's cwd/sys.path.
+
+    Python-tier kernels (pandas_udf / applyInPandas / mapInPandas bodies)
+    defined at module level are cloudpickled BY REFERENCE, so workers must
+    import this package by name. An external driver that imported
+    ``__spark_entry__`` via an absolute path (cwd elsewhere) would
+    otherwise crash every UDF-tier operator with ModuleNotFoundError.
+    Shipping the package once per SparkContext with ``addPyFile`` is the
+    same mechanism a real cluster deployment uses (``--py-files``), and is
+    a no-op for JVM-only operators.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_hts_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(tempfile.gettempdir(), f"hive_test_spark_pkg_{os.getpid()}.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, dirnames, filenames in os.walk(pkg_dir):
+            dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+            for fn in sorted(filenames):
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    z.write(full, os.path.relpath(full, root))
+    try:
+        sc.addPyFile(zpath)
+    except Exception:
+        pass  # e.g. a session that forbids addPyFile — workers then need PYTHONPATH
+    sc._hts_pkg_shipped = True
 
 
 def get_spark(app_name: str = "hive-test-spark") -> SparkSession:

@@ -40,3 +40,27 @@ def test_all_queries_at_sf0001(spark, registry):
         df = qs[key](spark, SF_DIR)
         assert df.columns, key
         assert df.count() >= 0, key
+
+
+def test_python_tier_ops_from_foreign_cwd():
+    """An external driver may import __spark_entry__ with cwd anywhere.
+    Python-tier kernels pickle by reference, so workers must resolve
+    hive_test_spark by name — tune()'s addPyFile shipping guarantees it
+    (regression: ModuleNotFoundError from /tmp before the fix)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "import __spark_entry__ as mod\n"
+        "from hive_test_spark.session import get_spark\n"
+        "spark = get_spark('cwd-probe')\n"
+        "qs = mod.queries()\n"
+        "assert qs['udf_pandas_scalar'](spark, '/root/testdata/sf0.001').count() > 0\n"
+        "assert qs['udtf_grouped_map'](spark, '/root/testdata/sf0.001').count() > 0\n"
+        "print('FOREIGN_CWD_OK')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], cwd="/tmp", capture_output=True, text=True, timeout=300
+    )
+    assert "FOREIGN_CWD_OK" in out.stdout, out.stderr[-2000:]

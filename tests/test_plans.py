@@ -365,3 +365,17 @@ def test_triangles_ordered_edges_no_cartesian(spark, registry):
     f = _facts(spark, registry, "graph_triangles")
     assert f.cartesian == 0
     assert scan_read_columns(f) == [2, 2], "both lineitem scans must prune to (orderkey, partkey)"
+
+
+def test_ohlc_is_single_two_phase_agg(spark, registry):
+    """OHLC via min_by/max_by is agg-only: exactly one exchange, no
+    window sort pass."""
+    f = _facts(spark, registry, "evt_ohlc")
+    assert f.exchanges == 1
+
+
+def test_fill_forward_single_series_shuffle(spark, registry):
+    """LOCF is one window over user_id — one exchange, no self-join."""
+    f = _facts(spark, registry, "evt_fill_forward")
+    assert f.exchanges == 1
+    assert f.sort_merge_joins == 0 and f.broadcast_joins == 0

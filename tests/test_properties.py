@@ -108,3 +108,24 @@ def test_triangle_counts_consistent(spark, registry):
     pdf = qs["graph_triangles"](spark, SF_DIR).toPandas()
     assert pdf["n_triangles"].sum() % 3 == 0
     assert (pdf["n_triangles"] >= 1).all()
+
+
+def test_ewma_bounded_by_series_extremes(spark, registry):
+    """EWMA is a convex combination: every smoothed value lies within its
+    own series' [min, max] of raw values."""
+    from hive_test_spark.io import load_table
+
+    qs, _ = registry
+    pdf = qs["evt_ewma"](spark, SF_DIR).toPandas()
+    raw = load_table(spark, SF_DIR, "events").select("user_id", "value").toPandas()
+    bounds = raw.groupby("user_id")["value"].agg(["min", "max"])
+    j = pdf.join(bounds, on="user_id")
+    assert (j["ewma"] >= j["min"] - 1e-6).all()
+    assert (j["ewma"] <= j["max"] + 1e-6).all()
+
+
+def test_fill_forward_null_before_first_purchase(spark, registry):
+    qs, _ = registry
+    pdf = qs["evt_fill_forward"](spark, SF_DIR).toPandas()
+    assert pdf["last_purchase_value"].isna().any()  # pre-first-purchase rows
+    assert pdf["last_purchase_value"].notna().any()

@@ -484,3 +484,150 @@ def llm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_tokens",
         F.round(F.col("total_tokens") / F.col("mean_tok"), 6).alias("balance_ratio"),
     )
+
+
+_SPAN_N = 8  # word n-gram span length for duplicate-span reporting
+
+
+@register(
+    "llm_span_dedup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+{_SPAN_N - 1}], ' ') AS ng
+      FROM (
+        SELECT doc_id, t, unnest(generate_series(1, len(t) - {_SPAN_N - 1})) AS i
+        FROM toks WHERE len(t) >= {_SPAN_N}
+      )
+    ),
+    shared AS (
+      SELECT ng, count(*) AS n_docs FROM grams GROUP BY ng
+    )
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           count(*) FILTER (WHERE s.n_docs >= 2) AS n_dup_grams,
+           ROUND(count(*) FILTER (WHERE s.n_docs >= 2) * 1.0 / count(*), 6) AS dup_frac,
+           (count(*) FILTER (WHERE s.n_docs >= 2) * 1.0 / count(*)) <= 0.5 AS keep
+    FROM grams g JOIN shared s USING (ng)
+    GROUP BY g.doc_id
+    """,
+)
+def llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span report (the ExactSubstr dedup signal, Lee et al.
+    2022, word-granular): for each doc, the fraction of its distinct
+    8-token spans that also appear in ANY other document; docs past 50%
+    are flagged for removal. Two shuffles (distinct grams, gram→doc-count)
+    plus one gram-keyed join back — never a doc×doc comparison. At 100 TB
+    the gram join keys on xxhash64(ng) (fixed 8 bytes, not the span text)
+    and the gram→count table stays shuffled, never broadcast (vocabulary-
+    sized — the llm_tfidf lesson)."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("t")).filter(
+        F.size("t") >= _SPAN_N
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {_SPAN_N - 1}),"
+                f" i -> array_join(slice(t, i, {_SPAN_N}), ' '))"
+            )
+        ).alias("ng"),
+    ).distinct()
+    shared = grams.groupBy("ng").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
+    per_doc = (
+        grams.join(shared, "ng")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(dup).alias("n_dup_grams"),
+        )
+    )
+    frac = F.col("n_dup_grams") / F.col("n_grams")
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_dup_grams",
+        F.round(frac, 6).alias("dup_frac"),
+        (frac <= 0.5).alias("keep"),
+    )
+
+
+@register(
+    "llm_entropy_filter",
+    """
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+    ),
+    cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+    tot AS (SELECT doc_id, sum(n) AS t FROM cc GROUP BY doc_id)
+    SELECT cc.doc_id,
+           ROUND(-sum((n / t) * log2(n / t)), 6) AS char_entropy,
+           (-sum((n / t) * log2(n / t))) >= 4.05 AS keep
+    FROM cc JOIN tot USING (doc_id)
+    GROUP BY cc.doc_id
+    """,
+)
+def llm_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality gate: Shannon entropy of the per-doc
+    character distribution — low entropy means boilerplate/repetition
+    (SEO spam, template pages), the information-theoretic complement of
+    the ratio-based llm_quality_score and the repetition-window
+    llm_repetition_filter. Two map-side-combinable aggregates keyed on
+    (doc_id, char) then doc_id — alphabet size bounds state, so the
+    second agg is ≤ |alphabet| rows per doc regardless of doc length."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    cc = (
+        d.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+        .filter(F.col("c") != "")
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cc.groupBy("doc_id").agg(F.sum("n").alias("t"))
+    p = F.col("n") / F.col("t")
+    ent = -F.sum(p * F.log2(p))
+    return (
+        cc.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(ent, 6).alias("char_entropy"),
+            (ent >= 4.05).alias("keep"),
+        )
+    )
+
+
+_DOMAIN_CAP = 100
+
+
+@register(
+    "llm_domain_cap",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, source, rk
+    FROM ranked WHERE rk <= {_DOMAIN_CAP}
+    """,
+)
+def llm_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (web-corpus practice: no single domain may
+    dominate the mix): keep at most 100 docs per language, chosen by
+    content-hash rank so the survivor set is stable across reruns —
+    seeded-random selection would diverge between engines and between
+    snapshots. One window shuffle on the cap key. At 100 TB, rank with a
+    two-level top-k (per-partition heap then per-key merge) when a single
+    domain's rows exceed one task — the win_topk_per_group rewrite."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5("text"), F.col("doc_id"))
+    return (
+        d.select("doc_id", "lang", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _DOMAIN_CAP)
+    )

@@ -379,3 +379,15 @@ def test_fill_forward_single_series_shuffle(spark, registry):
     f = _facts(spark, registry, "evt_fill_forward")
     assert f.exchanges == 1
     assert f.sort_merge_joins == 0 and f.broadcast_joins == 0
+
+
+def test_span_dedup_gram_keyed_no_cartesian(spark, registry):
+    """Span dedup must stay gram-keyed (shuffle join) — doc×doc or a
+    cartesian over grams is the N² failure at 100 TB."""
+    f = _facts(spark, registry, "llm_span_dedup")
+    assert f.cartesian == 0
+
+
+def test_domain_cap_single_window_shuffle(spark, registry):
+    f = _facts(spark, registry, "llm_domain_cap")
+    assert f.exchanges == 1

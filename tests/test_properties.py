@@ -129,3 +129,22 @@ def test_fill_forward_null_before_first_purchase(spark, registry):
     pdf = qs["evt_fill_forward"](spark, SF_DIR).toPandas()
     assert pdf["last_purchase_value"].isna().any()  # pre-first-purchase rows
     assert pdf["last_purchase_value"].notna().any()
+
+
+def test_span_dedup_fraction_bounds(spark, registry):
+    qs, _ = registry
+    pdf = qs["llm_span_dedup"](spark, SF_DIR).toPandas()
+    assert ((pdf["dup_frac"] >= 0) & (pdf["dup_frac"] <= 1)).all()
+    assert (pdf["n_dup_grams"] <= pdf["n_grams"]).all()
+    assert pdf["keep"].nunique() == 2  # both classes present — not vacuous
+
+
+def test_domain_cap_respected(spark, registry):
+    from hive_test_spark.io import load_table
+
+    qs, _ = registry
+    pdf = qs["llm_domain_cap"](spark, SF_DIR).toPandas()
+    raw = load_table(spark, SF_DIR, "documents").groupBy("lang").count().toPandas()
+    sizes = pdf.groupby("lang").size()
+    for _, row in raw.iterrows():
+        assert sizes[row["lang"]] == min(row["count"], 100)

@@ -631,3 +631,107 @@ def llm_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang", "source", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= _DOMAIN_CAP)
     )
+
+
+@register(
+    "llm_bpe_pair_counts",
+    """
+    WITH words AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    pairs AS (
+      SELECT substr(w, i, 2) AS pair
+      FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM words WHERE len(w) >= 2)
+    )
+    SELECT pair, count(*) AS n
+    FROM pairs GROUP BY pair
+    """,
+)
+def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-training statistics, merge step 0: corpus-wide adjacent
+    character-pair frequencies within words (every occurrence counts —
+    these are exactly the counts whose argmax picks the first BPE merge).
+    JVM-side throughout: split → explode → higher-order transform →
+    two-phase count keyed on the pair. State is bounded by |alphabet|²
+    regardless of corpus size, so at 100 TB this is one
+    map-side-combinable aggregate over the token stream — the iterative
+    merge loop re-runs it on the re-paired stream per merge round."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split(F.lower("text"), " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+
+
+_DSIR_BUCKETS = 256  # 2 hex chars of md5(token) — portable hashed features
+
+
+@register(
+    "llm_importance_weights",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    bk AS (
+      SELECT doc_id, lang, substr(md5(tok), 1, 2) AS bucket
+      FROM toks WHERE tok <> ''
+    ),
+    doc_b AS (SELECT doc_id, bucket, count(*) AS n FROM bk GROUP BY doc_id, bucket),
+    tgt AS (SELECT bucket, count(*) AS ct FROM bk WHERE lang = 'en' GROUP BY bucket),
+    raw AS (SELECT bucket, count(*) AS cr FROM bk GROUP BY bucket),
+    totals AS (
+      SELECT (SELECT sum(ct) FROM tgt) AS t_tot, (SELECT sum(cr) FROM raw) AS r_tot
+    )
+    SELECT d.doc_id,
+           ROUND(SUM(d.n * (ln((COALESCE(t.ct, 0) + 1.0) / (tot.t_tot + 256))
+                          - ln((r.cr + 1.0) / (tot.r_tot + 256))))
+                 / SUM(d.n), 6) AS dsir_weight
+    FROM doc_b d
+    JOIN raw r USING (bucket)
+    LEFT JOIN tgt t USING (bucket)
+    CROSS JOIN totals tot
+    GROUP BY d.doc_id
+    """,
+)
+def llm_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023): per-doc mean
+    log-ratio of target vs raw distribution over 256 hashed token buckets
+    (2 hex chars of md5 — engine-portable hashing), add-1 smoothed. The
+    target here is the 'en' slice; production points it at a trusted
+    high-quality corpus. Docs distributionally closer to the target score
+    higher; sampling ∝ exp(weight) is the DSIR selection rule.
+
+    Scale shape: the bucket→probability tables are BOUNDED at 256 rows by
+    construction — broadcast-safe at any corpus size (unlike a vocabulary
+    table — the llm_tfidf lesson does not apply when the feature space is
+    hashed to a fixed width). Everything else is two map-side-combinable
+    aggregates and one bucket-keyed join."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    bk = (
+        d.select("doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select("doc_id", "lang", F.substring(F.md5("tok"), 1, 2).alias("bucket"))
+    )
+    doc_b = bk.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    tgt = bk.filter(F.col("lang") == "en").groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    raw = bk.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    totals = tgt.agg(F.sum("ct").alias("t_tot")).crossJoin(raw.agg(F.sum("cr").alias("r_tot")))
+    log_ratio = F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("t_tot") + _DSIR_BUCKETS)) - F.log(
+        (F.col("cr") + 1.0) / (F.col("r_tot") + _DSIR_BUCKETS)
+    )
+    return (
+        doc_b.join(F.broadcast(raw), "bucket")
+        .join(F.broadcast(tgt), "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("n") * log_ratio) / F.sum("n"), 6).alias("dsir_weight"))
+    )

@@ -186,3 +186,109 @@ def bench_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
         .limit(100)
     )
+
+
+_Q7_N1, _Q7_N2 = "NATION_3", "NATION_7"
+_Q7_START, _Q7_END = "1996-01-01", "1997-12-31"
+
+
+@register(
+    "bench_q7_nation_volume",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = '{_Q7_N1}' AND n2.n_name = '{_Q7_N2}')
+        OR (n1.n_name = '{_Q7_N2}' AND n2.n_name = '{_Q7_N1}'))
+      AND l.l_shipdate BETWEEN DATE '{_Q7_START}' AND DATE '{_Q7_END}'
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+)
+def bench_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bilateral trade revenue between
+    two nations by ship year. The disjunctive nation-pair predicate can't
+    prune either dimension alone — but each nation join IS equi-joinable
+    and tiny, so both broadcast and the OR filter runs map-side after
+    them; the fact shuffles only for orders/customer. The date range is
+    pushed to the lineitem scan."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(_Q7_START, _Q7_END)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    pair_ok = (
+        (F.col("supp_nation") == _Q7_N1) & (F.col("cust_nation") == _Q7_N2)
+    ) | ((F.col("supp_nation") == _Q7_N2) & (F.col("cust_nation") == _Q7_N1))
+    return (
+        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .filter(pair_ok)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+
+
+_Q16_BRAND = "Brand#2"
+_Q16_TYPE_PREFIX = "SMALL"
+_Q16_SIZES = (5, 11, 17, 23, 28, 36, 42, 49)
+
+
+@register(
+    "bench_q16_supplier_cnt",
+    f"""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> '{_Q16_BRAND}'
+      AND p.p_type NOT LIKE '{_Q16_TYPE_PREFIX}%'
+      AND p.p_size IN {_Q16_SIZES}
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def bench_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    count per part attribute bucket, excluding a complained-about
+    supplier set (fixture stand-ins: lineitem is the part–supplier
+    relation, negative-balance suppliers are the exclusion). Plan
+    properties: part's triple predicate prunes BEFORE the join, the NOT IN
+    set is a broadcast anti-join (keys are guaranteed non-null here, so
+    it stays a plain anti join, not the null-aware nested loop), and the
+    distinct-count expands AFTER the joins — one Expand, two-phase."""
+    tune(spark)
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != _Q16_BRAND)
+            & (~F.col("p_type").like(f"{_Q16_TYPE_PREFIX}%"))
+            & (F.col("p_size").isin(*_Q16_SIZES))
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("bad_key"))
+    )
+    return (
+        li.join(F.broadcast(bad), F.col("bad_key") == F.col("l_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )

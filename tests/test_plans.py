@@ -391,3 +391,29 @@ def test_span_dedup_gram_keyed_no_cartesian(spark, registry):
 def test_domain_cap_single_window_shuffle(spark, registry):
     f = _facts(spark, registry, "llm_domain_cap")
     assert f.exchanges == 1
+
+
+def test_q7_dims_broadcast_date_pushed(spark, registry):
+    """Q7's nations/supplier broadcast; the disjunctive pair filter never
+    forces a cartesian; the ship-date range reaches the lineitem scan."""
+    f = _facts(spark, registry, "bench_q7_nation_volume")
+    assert f.broadcast_joins >= 3
+    assert f.cartesian == 0
+    assert has_pushed_filters(f)
+
+
+def test_q16_anti_join_and_part_prune(spark, registry):
+    """Q16's NOT IN over non-null keys must plan as a broadcast anti join
+    (not the null-aware nested loop), with part filters pre-join."""
+    f = _facts(spark, registry, "bench_q16_supplier_cnt")
+    assert "LeftAnti" in f.text
+    assert f.broadcast_joins >= 2
+    assert f.cartesian == 0
+
+
+def test_dsir_bucket_tables_broadcast(spark, registry):
+    """DSIR's probability sides are 256-row bounded — all three joins
+    must broadcast; nothing shuffles except the two token aggregates."""
+    f = _facts(spark, registry, "llm_importance_weights")
+    assert f.broadcast_joins >= 3
+    assert f.cartesian == 0

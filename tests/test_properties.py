@@ -148,3 +148,24 @@ def test_domain_cap_respected(spark, registry):
     sizes = pdf.groupby("lang").size()
     for _, row in raw.iterrows():
         assert sizes[row["lang"]] == min(row["count"], 100)
+
+
+def test_dsir_separates_target_slice(spark, registry):
+    """Sanity of the importance model: the 'en' slice must score higher
+    on average than the rest (it IS the target distribution)."""
+    from hive_test_spark.io import load_table
+
+    qs, _ = registry
+    pdf = qs["llm_importance_weights"](spark, SF_DIR).toPandas()
+    langs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang").toPandas()
+    j = pdf.merge(langs, on="doc_id")
+    en = j[j["lang"] == "en"]["dsir_weight"].mean()
+    rest = j[j["lang"] != "en"]["dsir_weight"].mean()
+    assert en > rest
+
+
+def test_bpe_pairs_cover_alphabet(spark, registry):
+    qs, _ = registry
+    pdf = qs["llm_bpe_pair_counts"](spark, SF_DIR).toPandas()
+    assert (pdf["pair"].str.len() == 2).all()
+    assert pdf["n"].sum() > 10000  # every occurrence counts, not distinct words

@@ -487,3 +487,109 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("id_a") / F.count(F.lit(1)), 6).alias("recall"),
         )
     )
+
+
+SEMDEDUP_TAU = 0.30  # drop if a lower-id same-cluster member is this close
+
+
+@register(
+    "llm_semdedup",
+    f"""
+    WITH centroids AS (
+      SELECT label, list(comp_avg ORDER BY pos) AS centroid
+      FROM (
+        SELECT label, pos, AVG(comp) AS comp_avg
+        FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                     CAST(unnest(embedding) AS DOUBLE) AS comp
+              FROM embeddings) exploded
+        GROUP BY label, pos
+      ) per_pos
+      GROUP BY label
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cl
+      FROM (
+        SELECT e.vec_id, e.embedding, c.label AS cl,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.centroid) DESC, c.label) AS rn
+        FROM embeddings e CROSS JOIN centroids c
+      ) t WHERE rn = 1
+    ),
+    mx AS (
+      SELECT a.vec_id, max(ROUND(list_cosine_similarity(
+               list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6)) AS max_sim
+      FROM assign a JOIN assign b ON a.cl = b.cl AND b.vec_id < a.vec_id
+      GROUP BY a.vec_id
+    )
+    SELECT assign.vec_id, cl AS cluster, mx.max_sim,
+           COALESCE(mx.max_sim < {SEMDEDUP_TAU}, TRUE) AS keep
+    FROM assign LEFT JOIN mx ON mx.vec_id = assign.vec_id
+    """,
+)
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup via cluster-then-
+    compare. Every vector is assigned to its nearest coarse centroid
+    (per-label means, built distributed — one Lloyd half-step from a
+    deterministic init), then pairwise cosine runs ONLY within a cluster;
+    a vector is dropped when a lower-vec_id cluster-mate is ≥ τ close
+    (lowest id = the kept exemplar, deterministic).
+
+    The clustering is the point at scale: pairwise cost is Σ|cell|², not
+    N². At 100 TB, k is thousands (k ∝ N/target-cell-size), the centroid
+    table still broadcasts (k × dim floats), and oversized cells recurse
+    into sub-clusters — the same op applied within the cell."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
+
+    exploded = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("pos", "comp")
+    ).withColumn("comp", F.col("comp").cast("double"))
+    per_pos = exploded.groupBy("label", "pos").agg(F.avg("comp").alias("comp_avg"))
+    centroids = (
+        per_pos.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "comp_avg"))).alias("pc"))
+        .select("label", F.expr("transform(pc, x -> x.comp_avg)").alias("centroid"))
+        .withColumn("c_norm", F.expr(_NORM.format(a="centroid")))
+    )
+
+    routed = (
+        e.select("vec_id", "embedding", "norm")
+        .crossJoin(F.broadcast(centroids.withColumnRenamed("label", "c_label")))
+        .select(
+            "vec_id", "embedding", "norm", "c_label",
+            (cosine("embedding", "centroid") / (F.col("norm") * F.col("c_norm"))).alias("c_sim"),
+        )
+    )
+    w_route = Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), "c_label")
+    assign = (
+        routed.select("*", F.row_number().over(w_route).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "norm", F.col("c_label").alias("cl"))
+    )
+
+    rhs = assign.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"),
+        F.col("norm").alias("b_norm"), F.col("cl").alias("b_cl"),
+    )
+    mx = (
+        assign.join(rhs, (F.col("b_cl") == F.col("cl")) & (F.col("b_id") < F.col("vec_id")))
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.round(cosine("embedding", "b_emb") / (F.col("norm") * F.col("b_norm")), 6)
+            ).alias("max_sim")
+        )
+    )
+    return (
+        assign.join(mx, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cl").alias("cluster"),
+            "max_sim",
+            F.coalesce(F.col("max_sim") < SEMDEDUP_TAU, F.lit(True)).alias("keep"),
+        )
+    )

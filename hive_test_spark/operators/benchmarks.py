@@ -292,3 +292,56 @@ def bench_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+_Q22_EARLY = "1996-01-01"
+
+
+@register(
+    "bench_q22_sales_opportunity",
+    f"""
+    WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey, COUNT(*) AS numcust,
+           ROUND(SUM(c.c_acctbal), 4) AS totacctbal
+    FROM customer c CROSS JOIN avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate < DATE '{_Q22_EARLY}'
+      )
+    GROUP BY c.c_nationkey
+    """,
+)
+def bench_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""TPC-H Q22 shape (global sales opportunity): above-average-balance
+    late-adopter customers (no order before {_Q22_EARLY}), rolled up per
+    nation (the fixture has no phone column; nationkey plays the
+    country-code role, and the anti-join is date-inverted because every
+    fixture customer eventually orders — the 0-row vacuity trap). Plan:
+    the scalar average is a
+    broadcast 1-row plan feeding a map-side filter — never an eager
+    collect; the NOT EXISTS is a shuffle-free broadcast anti join on the
+    date-pruned orders scan; the rollup is two-phase."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("a"))
+    )
+    early = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < _Q22_EARLY)
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(F.broadcast(early), F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+    )

@@ -417,3 +417,19 @@ def test_dsir_bucket_tables_broadcast(spark, registry):
     f = _facts(spark, registry, "llm_importance_weights")
     assert f.broadcast_joins >= 3
     assert f.cartesian == 0
+
+
+def test_semdedup_pairs_only_within_cluster(spark, registry):
+    """SemDeDup's pairwise stage must be the cluster-blocked equi-join —
+    the only nested-loop allowed is the broadcast centroid routing."""
+    f = _facts(spark, registry, "llm_semdedup")
+    assert f.cartesian == 0
+
+
+def test_q22_scalar_subquery_broadcast_anti(spark, registry):
+    """Q22: the global average arrives broadcast (no eager collect); the
+    NOT EXISTS is a broadcast anti join on the date-pruned orders scan."""
+    f = _facts(spark, registry, "bench_q22_sales_opportunity")
+    assert "LeftAnti" in f.text
+    assert f.broadcast_joins >= 1
+    assert has_pushed_filters(f)

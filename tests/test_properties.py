@@ -169,3 +169,15 @@ def test_bpe_pairs_cover_alphabet(spark, registry):
     pdf = qs["llm_bpe_pair_counts"](spark, SF_DIR).toPandas()
     assert (pdf["pair"].str.len() == 2).all()
     assert pdf["n"].sum() > 10000  # every occurrence counts, not distinct words
+
+
+def test_semdedup_keeps_cluster_exemplar(spark, registry):
+    """Every cluster keeps at least its lowest-id member, and dropped
+    vectors all have a qualifying close neighbor."""
+    qs, _ = registry
+    pdf = qs["llm_semdedup"](spark, SF_DIR).toPandas()
+    for _, grp in pdf.groupby("cluster"):
+        assert grp.loc[grp["vec_id"].idxmin()]["keep"]  # exemplar survives
+    dropped = pdf[~pdf["keep"]]
+    assert (dropped["max_sim"] >= 0.30).all()
+    assert 0 < len(dropped) < len(pdf)  # both classes present

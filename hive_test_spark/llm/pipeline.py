@@ -565,3 +565,88 @@ def llm_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c") - 1).alias("n_removable"),
         )
     )
+
+
+_E2E_QUALITY_TH = 0.66  # ~median fixture quality — both classes populated
+_E2E_CAP = 100
+
+
+@register(
+    "llm_pipeline_e2e",
+    f"""
+    WITH q AS (
+      SELECT doc_id, lang, source, text,
+             0.5 * LEAST(n_chars / 300.0, 1.0)
+             + 0.5 * (len(list_distinct(string_split(text, ' '))) * 1.0
+                      / len(string_split(text, ' '))) AS quality
+      FROM documents
+    ),
+    flags AS (
+      SELECT *, quality >= {_E2E_QUALITY_TH} AS passed_quality,
+             md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS vocab_fp
+      FROM q
+    ),
+    canon AS (
+      SELECT vocab_fp, min(doc_id) AS keeper
+      FROM flags WHERE passed_quality GROUP BY vocab_fp
+    ),
+    c2 AS (
+      SELECT f.doc_id, f.lang, f.source, f.text, f.passed_quality,
+             COALESCE(c.keeper = f.doc_id, FALSE) AS is_canonical
+      FROM flags f LEFT JOIN canon c ON c.vocab_fp = f.vocab_fp
+    ),
+    ranked AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
+      FROM c2 WHERE is_canonical
+    )
+    SELECT c2.doc_id, c2.lang, c2.source, c2.passed_quality, c2.is_canonical,
+           COALESCE(r.rn <= {_E2E_CAP}, FALSE) AS final_keep
+    FROM c2 LEFT JOIN ranked r ON r.doc_id = c2.doc_id
+    """,
+)
+def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline END-TO-END as ONE lazy plan: quality gate →
+    bag-of-words exact dedup (lowest-id canonical) → per-language cap —
+    every doc annotated with its per-stage verdict. No stage
+    materializes: Catalyst fuses the quality projection into both the
+    canonical-group aggregate and the final join, so the corpus is
+    scanned twice (flags side + dedup agg side), not once per stage, and
+    only survivors reach the cap window. This is the architectural
+    argument of the whole engine: declare the pipeline, let the optimizer
+    schedule it. At 100 TB each stage keys a different shuffle
+    (fingerprint, then lang) — no stage needs the full corpus on one
+    node, and checkpointing between stages is a cache() choice, not a
+    rewrite."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    quality = 0.5 * F.least(F.col("n_chars") / 300.0, F.lit(1.0)) + 0.5 * (
+        F.size(F.array_distinct(F.split(F.col("text"), " ")))
+        / F.size(F.split(F.col("text"), " "))
+    )
+    flags = d.select(
+        "doc_id", "lang", "source", "text",
+        (quality >= _E2E_QUALITY_TH).alias("passed_quality"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("vocab_fp"),
+    )
+    canon = (
+        flags.filter("passed_quality")
+        .groupBy("vocab_fp")
+        .agg(F.min("doc_id").alias("keeper"))
+    )
+    c2 = flags.join(canon, "vocab_fp", "left").select(
+        "doc_id", "lang", "source", "text", "passed_quality",
+        F.coalesce(F.col("keeper") == F.col("doc_id"), F.lit(False)).alias("is_canonical"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.md5("text"), F.col("doc_id"))
+    ranked = (
+        c2.filter("is_canonical")
+        .select("doc_id", F.row_number().over(w).alias("rn"))
+    )
+    return c2.join(ranked, "doc_id", "left").select(
+        "doc_id", "lang", "source", "passed_quality", "is_canonical",
+        F.coalesce(F.col("rn") <= _E2E_CAP, F.lit(False)).alias("final_keep"),
+    )

@@ -433,3 +433,11 @@ def test_q22_scalar_subquery_broadcast_anti(spark, registry):
     assert "LeftAnti" in f.text
     assert f.broadcast_joins >= 1
     assert has_pushed_filters(f)
+
+
+def test_pipeline_e2e_fused_no_cartesian(spark, registry):
+    """The 3-stage pipeline is one lazy plan: fingerprint- and lang-keyed
+    shuffles only, no cartesian, bounded exchange count."""
+    f = _facts(spark, registry, "llm_pipeline_e2e")
+    assert f.cartesian == 0
+    assert f.exchanges <= 8

@@ -181,3 +181,15 @@ def test_semdedup_keeps_cluster_exemplar(spark, registry):
     dropped = pdf[~pdf["keep"]]
     assert (dropped["max_sim"] >= 0.30).all()
     assert 0 < len(dropped) < len(pdf)  # both classes present
+
+
+def test_pipeline_e2e_stage_monotone(spark, registry):
+    """Stage verdicts are monotone: final_keep ⊆ is_canonical ⊆
+    passed_quality, and every stage actually drops something."""
+    qs, _ = registry
+    pdf = qs["llm_pipeline_e2e"](spark, SF_DIR).toPandas()
+    assert (~pdf["is_canonical"] | pdf["passed_quality"]).all()
+    assert (~pdf["final_keep"] | pdf["is_canonical"]).all()
+    n = len(pdf)
+    nq, nc, nf = pdf["passed_quality"].sum(), pdf["is_canonical"].sum(), pdf["final_keep"].sum()
+    assert n > nq > nc >= nf > 0

@@ -269,3 +269,27 @@ def transform_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select("c_custkey", "c_mktsegment", "c_acctbal").mapInPandas(
         _transform_via_script, schema
     )
+
+
+@register(
+    "interop_reflect",
+    """
+    SELECT o_orderkey, lower(to_hex(o_orderkey)) AS hex_key, bin(o_orderkey) AS bin_key
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def interop_reflect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive ``reflect()``/``java_method()`` parity: call arbitrary static
+    JVM methods per row (here Integer.toHexString / toBinaryString,
+    oracled against DuckDB's to_hex/bin). This is the Hive escape hatch
+    for one-off Java logic WITHOUT a Python round trip — the call happens
+    in the executor JVM, so it costs reflection dispatch but never
+    serialization. Still codegen-opaque: prefer a built-in when one
+    exists; reflect is for the long tail."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.expr("reflect('java.lang.Integer','toHexString', CAST(o_orderkey AS INT))").alias("hex_key"),
+        F.expr("reflect('java.lang.Integer','toBinaryString', CAST(o_orderkey AS INT))").alias("bin_key"),
+    )

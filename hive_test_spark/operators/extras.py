@@ -246,3 +246,56 @@ def scale_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sf_tag(sf_dir: str) -> str:
     return os.path.basename(os.path.normpath(sf_dir))
+
+
+@register(
+    "agg_sketch_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS within_5pct,
+           TRUE AS merge_consistent
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL, the
+    warehouse path to COUNT(DISTINCT) at 100 TB): per group, (a) the
+    sketch estimate must land within 5% of exact, and (b) merging
+    per-linestatus PARTIAL sketches via hll_union_agg must equal
+    sketching the group directly to within the same band (union drops
+    the HIP per-update history, so EXACT equality does not survive
+    merging — only the error bound does, and that bound is what makes
+    sketches shardable across partitions/days with no re-scan). Both
+    properties are PROVEN IN THE RESULT (boolean columns the oracle pins
+    to TRUE alongside the exact counts) — a failed sketch fails the hash
+    gate, so this is a full oracle check, not rows-only."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    direct = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").alias("est_direct"),
+    )
+    partials = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.expr("hll_sketch_agg(l_partkey)").alias("sk")
+    )
+    merged = partials.groupBy("l_returnflag").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_merged")
+    )
+    return (
+        direct.join(merged, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("est_direct") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                <= 0.05
+            ).alias("within_5pct"),
+            (
+                F.abs(F.col("est_merged") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                <= 0.05
+            ).alias("merge_consistent"),
+        )
+    )

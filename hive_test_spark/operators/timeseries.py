@@ -154,3 +154,36 @@ def evt_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 6).alias("volume"),
         )
     )
+
+
+@register(
+    "evt_rolling_median",
+    """
+    SELECT user_id, event_id,
+           ROUND(median(value) OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ROWS BETWEEN 20 PRECEDING AND CURRENT ROW), 6) AS rolling_med
+    FROM events
+    """,
+)
+def evt_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median (trailing 21 rows per user) — the robust
+    smoother EWMA isn't: Spark's exact ``percentile`` runs as a window
+    aggregate, re-ranking the frame per row. That is O(frame²·rows)
+    per series — fine when frames are small and bounded like here; at
+    100 TB with wide frames the rewrite is approx_percentile over the
+    window (t-digest state, mergeable) or the two-heap streaming median
+    inside applyInPandas — the oracle stays this exact form either way."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("rolling_med"),
+    )

@@ -193,3 +193,21 @@ def test_pipeline_e2e_stage_monotone(spark, registry):
     n = len(pdf)
     nq, nc, nf = pdf["passed_quality"].sum(), pdf["is_canonical"].sum(), pdf["final_keep"].sum()
     assert n > nq > nc >= nf > 0
+
+
+def test_rolling_median_within_series_bounds(spark, registry):
+    from hive_test_spark.io import load_table
+
+    qs, _ = registry
+    pdf = qs["evt_rolling_median"](spark, SF_DIR).toPandas()
+    raw = load_table(spark, SF_DIR, "events").select("user_id", "value").toPandas()
+    bounds = raw.groupby("user_id")["value"].agg(["min", "max"])
+    j = pdf.join(bounds, on="user_id")
+    assert (j["rolling_med"] >= j["min"] - 1e-6).all()
+    assert (j["rolling_med"] <= j["max"] + 1e-6).all()
+
+
+def test_sketch_flags_all_true(spark, registry):
+    qs, _ = registry
+    pdf = qs["agg_sketch_distinct"](spark, SF_DIR).toPandas()
+    assert pdf["within_5pct"].all() and pdf["merge_consistent"].all()

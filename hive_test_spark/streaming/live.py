@@ -406,3 +406,52 @@ def _read_events_stream_throttled(
         .parquet(src)
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+@register(
+    "stream_ohlc_live",
+    """
+    WITH ev AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS hour, value,
+             row_number() OVER (PARTITION BY event_type, time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn_open,
+             row_number() OVER (PARTITION BY event_type, time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+                                ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn_close
+      FROM events
+    )
+    SELECT event_type, hour,
+           max(CASE WHEN rn_open = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_close = 1 THEN value END) AS close,
+           count(*) AS n_events
+    FROM ev GROUP BY event_type, hour
+    """,
+)
+def stream_ohlc_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling as a LIVE streaming query: watermarked hourly
+    window, min_by/max_by endpoint states inside the streaming aggregate
+    (constant-size per (type, hour) — the same agg-only rewrite as the
+    batch evt_ohlc, proven here through IncrementalExecution +
+    StateStore). At 100 TB this is the canonical telemetry-rollup
+    topology: Kafka → watermark → windowed min_by/max_by/count → upsert
+    sink; state per key never grows with event volume."""
+    tune(spark)
+    ev = _read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.expr("min_by(value, struct(ts, event_id))").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr("max_by(value, struct(ts, event_id))").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type", F.col("w.start").alias("hour"),
+            "open", "high", "low", "close", "n_events",
+        )
+    )
+    return _run_to_memory(agg, "complete")

@@ -567,3 +567,109 @@ def scale_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return spark.read.parquet(path)
+
+
+@register(
+    "scan_bucket_sample",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 8 = 2
+    """,
+)
+def scan_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive ``TABLESAMPLE(BUCKET 3 OUT OF 8 ON o_orderkey)`` semantics,
+    made engine-portable: bucket membership = md5(key) mod 8 (Hive hashes
+    the ON column the same way conceptually; native hash functions differ
+    across engines, so the content hash is the reproducible form). Unlike
+    Bernoulli TABLESAMPLE (scan_tablesample, rows-only), bucket sampling
+    is DETERMINISTIC — the same keys sample in every engine, so this op
+    carries a full value oracle. At scale the same expression sits in the
+    reader filter and, on a table bucketed by the key, prunes whole
+    files instead of scanning-and-filtering."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 8
+    return o.filter(bucket == 2).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "scale_exchange_reuse",
+    """
+    WITH nat_rev AS (
+      SELECT c_nationkey, ROUND(SUM(o_totalprice), 4) AS rev
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c_nationkey
+    )
+    SELECT a.c_nationkey, a.rev, ROUND(m.top_rev, 4) AS top_rev
+    FROM nat_rev a
+    CROSS JOIN (SELECT max(rev) AS top_rev FROM nat_rev) m
+    WHERE a.rev >= 0.8 * m.top_rev
+    """,
+)
+def scale_exchange_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-reuse: the per-nation revenue aggregate feeds BOTH the
+    output rows and the global-max subquery. Spark plans the identical
+    subtree once and wires a ReusedExchange into the second consumer
+    (asserted in tests) — the aggregation's shuffle is paid a single
+    time. At 100 TB this is the difference between one and two full
+    fact-table passes whenever a query compares rows against a statistic
+    of the same derivation — no manual cache() needed, Catalyst dedups
+    the plan structurally."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    nat_rev = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_nationkey")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("rev"))
+    )
+    top = nat_rev.agg(F.max("rev").alias("top_rev"))
+    return (
+        nat_rev.crossJoin(F.broadcast(top))
+        .filter(F.col("rev") >= 0.8 * F.col("top_rev"))
+        .select("c_nationkey", "rev", F.round("top_rev", 4).alias("top_rev"))
+    )
+
+
+@register(
+    "scale_cache_reuse",
+    """
+    WITH hot AS (
+      SELECT l_suppkey, l_returnflag, l_extendedprice
+      FROM lineitem WHERE l_shipdate >= DATE '1998-01-01'
+    )
+    SELECT 'by_flag' AS dim, l_returnflag AS key,
+           COUNT(*) AS n, ROUND(SUM(l_extendedprice), 4) AS total
+    FROM hot GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'by_supp_mod' AS dim, CAST(l_suppkey % 10 AS VARCHAR) AS key,
+           COUNT(*) AS n, ROUND(SUM(l_extendedprice), 4) AS total
+    FROM hot GROUP BY l_suppkey % 10
+    """,
+)
+def scale_cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit materialization-reuse: a filtered hot slice is cache()d
+    and consumed by two differently-keyed rollups in one output plan —
+    both branches read the InMemoryRelation (asserted), the parquet scan
+    runs once. This is the deliberate counterpart to
+    scale_exchange_reuse: structural reuse is free but only fires on
+    identical subtrees; cache() is the tool when CONSUMERS differ (here:
+    different aggregate keys). At 100 TB you cache the slice that fits
+    (memory-and-disk) or checkpoint it — the plan shape is the same."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    hot = (
+        li.filter(F.col("l_shipdate") >= "1998-01-01")
+        .select("l_suppkey", "l_returnflag", "l_extendedprice")
+        .cache()
+    )
+    by_flag = hot.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 4).alias("total")
+    ).select(F.lit("by_flag").alias("dim"), F.col("l_returnflag").alias("key"), "n", "total")
+    by_supp = hot.groupBy((F.col("l_suppkey") % 10).alias("k")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 4).alias("total")
+    ).select(F.lit("by_supp_mod").alias("dim"), F.col("k").cast("string").alias("key"), "n", "total")
+    return by_flag.unionAll(by_supp)

@@ -441,3 +441,25 @@ def test_pipeline_e2e_fused_no_cartesian(spark, registry):
     f = _facts(spark, registry, "llm_pipeline_e2e")
     assert f.cartesian == 0
     assert f.exchanges <= 8
+
+
+def test_exchange_reuse_fires(spark, registry):
+    """The per-nation aggregate must be planned once: ReusedExchange (or
+    AQE's ReusedQueryStage/TableCacheQueryStage dedup) in the plan."""
+    f = _facts(spark, registry, "scale_exchange_reuse")
+    assert "ReusedExchange" in f.text or "ReusedQueryStage" in f.simple
+
+
+def test_cache_reuse_both_branches_in_memory(spark, registry):
+    """Both rollup branches must read the cached slice — two
+    InMemoryTableScan nodes, and at most one parquet scan of lineitem."""
+    import re
+
+    f = _facts(spark, registry, "scale_cache_reuse")
+    assert len(re.findall(r"InMemoryTableScan", f.text)) >= 2
+
+
+def test_bucket_sample_filter_runs_on_scan_side(spark, registry):
+    """Bucket sampling is a deterministic filter — no shuffle at all."""
+    f = _facts(spark, registry, "scan_bucket_sample")
+    assert f.exchanges == 0

@@ -46,15 +46,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is TIMESTAMP(NANOS) parquet, which Spark's µs TimestampType
-    rejects outright (PARQUET_TYPE_ILLEGAL). Read the ns value as a raw long
-    (legacy conf) and truncate to µs explicitly — the same ns→µs floor DuckDB
-    applies when casting TIMESTAMP_NS → TIMESTAMP (SURVEY.md §1.2)."""
-    from pyspark.sql import functions as F
+    """Normalize events.ts to TimestampType across fixture vintages.
 
+    The driver has shipped events.parquet with two physical layouts:
+    TIMESTAMP(NANOS) — which Spark's µs TimestampType rejects outright
+    (PARQUET_TYPE_ILLEGAL), so it must be read as a raw long (legacy conf)
+    and floored to µs, matching DuckDB's TIMESTAMP_NS → TIMESTAMP cast —
+    and plain timestamp[us], which Spark 4 infers as TIMESTAMP_NTZ. Both
+    normalize to session-tz TimestampType (session tz is pinned UTC, so
+    the NTZ cast is wall-clock-identical)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df.withColumn("ts", _normalize_ts(df.schema["ts"].dataType))
+
+
+def _normalize_ts(dtype):
+    """Column expression turning a raw events.ts of any fixture vintage
+    (long nanos | TIMESTAMP_NTZ µs | already-TimestampType) into
+    TimestampType."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.LongType):
+        return F.timestamp_micros(F.expr("ts DIV 1000"))
+    return F.col("ts").cast(T.TimestampType())
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -31,7 +31,9 @@ from hive_test_spark.session import tune
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as raw long
+        # ts physical type varies by fixture vintage (long nanos vs µs
+        # TIMESTAMP_NTZ) — patched per-run by _events_raw_schema().
+        T.StructField("ts", T.LongType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -44,7 +46,10 @@ def _events_stream_dir(spark: SparkSession, sf_dir: str, copies: int = 1) -> str
     """Copy events.parquet into a scratch dir usable as a streaming file
     source (optionally duplicated to create a dup-heavy stream)."""
     tag = os.path.basename(os.path.normpath(sf_dir))
-    d = scratch_dir("stream_src", f"{tag}_x{copies}")
+    # Key the cache on the source file's identity so regenerated driver
+    # fixtures (new size/mtime) invalidate stale copies automatically.
+    st = os.stat(table_path(sf_dir, "events"))
+    d = scratch_dir("stream_src", f"{tag}_x{copies}_{st.st_size}_{int(st.st_mtime)}")
     marker = os.path.join(d, ".ready")
     if not os.path.exists(marker):
         os.makedirs(d, exist_ok=True)
@@ -54,11 +59,24 @@ def _events_stream_dir(spark: SparkSession, sf_dir: str, copies: int = 1) -> str
     return d
 
 
-def _read_events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
+def _events_raw_schema(spark: SparkSession, src: str) -> T.StructType:
+    """readStream needs an explicit schema; take it from a static read of
+    the same files so it matches the fixture vintage (ts as long nanos vs
+    µs TIMESTAMP_NTZ) instead of hard-coding one layout."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(src).schema
+
+
+def _normalize_stream_ts(raw: DataFrame) -> DataFrame:
+    from hive_test_spark.io import _normalize_ts
+
+    return raw.withColumn("ts", _normalize_ts(raw.schema["ts"].dataType))
+
+
+def _read_events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
     src = _events_stream_dir(spark, sf_dir, copies)
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(src)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    raw = spark.readStream.schema(_events_raw_schema(spark, src)).parquet(src)
+    return _normalize_stream_ts(raw)
 
 
 def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
@@ -398,14 +416,13 @@ def _read_events_stream_throttled(
 ) -> DataFrame:
     """Like _read_events_stream but one file per micro-batch, so
     AvailableNow runs `copies` incremental batches instead of one."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = _events_stream_dir(spark, sf_dir, copies)
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(spark, src))
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return _normalize_stream_ts(raw)
 
 
 @register(

@@ -35,15 +35,17 @@ def test_multi_microbatch_dedup(spark):
     """Force 2 micro-batches (maxFilesPerTrigger=1 over a 2-copy source):
     dropDuplicates state must dedup ACROSS batches, not just within."""
     from hive_test_spark.io import scratch_dir
-    from hive_test_spark.streaming.live import EVENTS_RAW_SCHEMA, _events_stream_dir
+    from hive_test_spark.streaming.live import (
+        _events_raw_schema,
+        _events_stream_dir,
+        _normalize_stream_ts,
+    )
 
     src = _events_stream_dir(spark, SF_DIR, copies=2)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    raw = _normalize_stream_ts(
+        spark.readStream.schema(_events_raw_schema(spark, src))
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
     deduped = raw.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
     name = f"hts_test_{uuid.uuid4().hex[:8]}"

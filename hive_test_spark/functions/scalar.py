@@ -618,3 +618,52 @@ def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.count("safe_div")).alias("n_div_null"),
         F.round(F.sum("safe_div"), 4).alias("sum_safe_div"),
     )
+
+
+@register(
+    "fn_format",
+    """
+    SELECT o_orderkey,
+           format('{:,d}', CAST(FLOOR(o_totalprice) AS BIGINT)) AS price_grouped,
+           printf('%05d|%s', o_orderkey % 100000, o_orderstatus) AS key_tag,
+           to_base(o_orderkey, 16) AS key_hex,
+           to_base(o_orderkey, 2) AS key_bin,
+           to_base(o_orderkey % 1000, 8) AS key_oct,
+           chr(65 + CAST(o_orderkey % 26 AS INTEGER)) AS key_chr,
+           printf('%8s', o_orderstatus) AS status_padded
+    FROM orders
+    WHERE o_orderkey <= 500
+    ORDER BY o_orderkey
+    """,
+)
+def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-formatting family [Hive-public: format_number, printf,
+    conv(n, from_base, to_base), chr — the HiveQL report-formatting
+    surface]: thousands-grouped number rendering, printf templating,
+    base conversion (hex/binary/octal via conv ≙ DuckDB to_base), and
+    code-point chr, all JVM expressions inside one codegen stage.
+
+    Deliberately integer-only: float printf is NOT cross-engine-stable
+    (Java Formatter rounds half-up on the decimal rendering, C printf
+    rounds half-even on the binary value — e.g. '%.2f' of 1.125
+    disagrees), so the float path is pinned by fn_decimal's
+    decimal-typed formatting instead. Same reason for FLOOR before the
+    bigint cast: Spark's double→bigint CAST truncates toward zero while
+    DuckDB's rounds to nearest. Map-only; scan-pruned to a bounded key
+    range."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.format_number(F.floor("o_totalprice").cast("bigint"), 0).alias(
+            "price_grouped"
+        ),
+        F.format_string(
+            "%05d|%s", F.col("o_orderkey") % 100000, F.col("o_orderstatus")
+        ).alias("key_tag"),
+        F.upper(F.conv(F.col("o_orderkey").cast("string"), 10, 16)).alias("key_hex"),
+        F.conv(F.col("o_orderkey").cast("string"), 10, 2).alias("key_bin"),
+        F.conv((F.col("o_orderkey") % 1000).cast("string"), 10, 8).alias("key_oct"),
+        F.char(F.lit(65) + (F.col("o_orderkey") % 26)).alias("key_chr"),
+        F.format_string("%8s", F.col("o_orderstatus")).alias("status_padded"),
+    ).orderBy("o_orderkey")

@@ -63,12 +63,30 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _normalize_ts(dtype):
     """Column expression turning a raw events.ts of any fixture vintage
     (long nanos | TIMESTAMP_NTZ µs | already-TimestampType) into
-    TimestampType."""
+    TimestampType.
+
+    NANOS-ONLY ASSUMPTION: a LongType ts can only come from the legacy
+    ``nanosAsLong`` read of a TIMESTAMP(NANOS) parquet column (no fixture
+    vintage ships raw int64 micros/millis), so DIV 1000 → µs is the only
+    long branch. Guarded: values outside the plausible epoch-nanos range
+    (1990..2100, i.e. ~6.3e17..4.1e18) raise instead of silently
+    mis-scaling a future micros/millis vintage."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     if isinstance(dtype, T.LongType):
-        return F.timestamp_micros(F.expr("ts DIV 1000"))
+        return F.when(
+            F.col("ts").between(631_152_000_000_000_000, 4_102_444_800_000_000_000),
+            F.timestamp_micros(F.expr("ts DIV 1000")),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("events.ts long value out of epoch-nanos range "
+                          "(unexpected fixture vintage?): "),
+                    F.col("ts").cast("string"),
+                )
+            ).cast(T.TimestampType())
+        )
     return F.col("ts").cast(T.TimestampType())
 
 

@@ -345,3 +345,338 @@ def bench_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
         )
     )
+
+
+_Q11_NATION = "NATION_7"
+_Q11_FRACTION = 0.001
+
+
+@register(
+    "bench_q11_important_stock",
+    f"""
+    WITH v AS (
+      SELECT l.l_partkey,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS val
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = '{_Q11_NATION}'
+      GROUP BY l.l_partkey)
+    SELECT l_partkey, ROUND(val, 4) AS part_value
+    FROM v
+    WHERE val > (SELECT SUM(val) * {_Q11_FRACTION} FROM v)
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def bench_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): parts whose supplied value from
+    one nation's suppliers exceeds a fraction of that nation's total
+    supplied value. The fixture has no partsupp table, so "value" is
+    shipped line value — the plan shape (grouped agg filtered by a
+    GLOBAL scalar threshold over the same aggregate) is Q11's.
+
+    Plan properties: the nation filter reduces supplier to a ~1/25
+    broadcast side BEFORE the fact join; the per-part agg shuffles the
+    fact once on l_partkey; the threshold is a one-row scalar subquery
+    over the SAME aggregate — Spark executes it as a subquery plan whose
+    exchange is reusable, and its result arrives at every task as a
+    literal, never a shuffled join. At 100 TB: one keyed shuffle of the
+    nation-filtered fact slice; the threshold compare is map-side."""
+    tune(spark)
+    n = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == _Q11_NATION)
+        .select("n_nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    v = (
+        li.join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val")
+        )
+    )
+    threshold = v.agg((F.sum("val") * F.lit(_Q11_FRACTION)).alias("thr"))
+    return (
+        v.crossJoin(F.broadcast(threshold))
+        .filter(F.col("val") > F.col("thr"))
+        .select("l_partkey", F.round("val", 4).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+_Q15_YEAR = "1996"
+
+
+@register(
+    "bench_q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT QUARTER(l_shipdate) AS qtr, l_suppkey,
+             SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '{_Q15_YEAR}-01-01'
+        AND l_shipdate < DATE '{int(_Q15_YEAR) + 1}-01-01'
+      GROUP BY QUARTER(l_shipdate), l_suppkey)
+    SELECT r.qtr, s.s_suppkey, s.s_name,
+           ROUND(r.total_revenue, 4) AS total_revenue
+    FROM revenue r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT MAX(r2.total_revenue)
+                             FROM revenue r2 WHERE r2.qtr = r.qtr)
+    ORDER BY r.qtr, s.s_suppkey
+    """,
+)
+def bench_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the supplier(s) whose revenue
+    EQUALS the maximum, per quarter of {_Q15_YEAR} (per-quarter keeps the
+    result non-trivial at small SF; classic Q15 is the single-group
+    case). The defining shape is max-EQUALITY against a reaggregation of
+    the same view — not a top-k sort.
+
+    Plan properties: the revenue view is ONE two-phase agg of the
+    date-pruned fact; the per-quarter max reaggregates the tiny
+    (quarter × supplier) result, broadcasts 4 rows back, and supplier
+    (a dimension) broadcasts into the equality survivors. At 100 TB the
+    fact is read and shuffled exactly once; everything after operates on
+    agg-sized data. Ties surface ALL max suppliers — semantics a
+    row_number() rewrite would silently break."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(f"{_Q15_YEAR}-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit(f"{int(_Q15_YEAR) + 1}-01-01").cast("date"))
+    )
+    revenue = li.groupBy(
+        F.quarter("l_shipdate").alias("qtr"), "l_suppkey"
+    ).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    qmax = revenue.groupBy("qtr").agg(F.max("total_revenue").alias("max_rev"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(qmax), "qtr")
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(s), revenue.l_suppkey == s.s_suppkey)
+        .select(
+            "qtr",
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 4).alias("total_revenue"),
+        )
+        .orderBy("qtr", "s_suppkey")
+    )
+
+
+_Q17_BRAND = "Brand#13"
+
+
+@register(
+    "bench_q17_small_qty_revenue",
+    f"""
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly,
+           COUNT(*) AS n_small_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = '{_Q17_BRAND}'
+      AND l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+def bench_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): revenue that would
+    be lost by dropping orders below half the part's average quantity,
+    for one brand. The fixture lacks p_container; brand alone plays the
+    filter role.
+
+    Plan properties: the correlated AVG decorrelates to a per-partkey
+    aggregate JOINED back on the equi-key — computed only over the
+    brand-filtered partkeys (the filter pushes through the join into
+    BOTH the avg side and the probe side, so neither scans the full
+    fact's groups). The brand dim broadcasts twice (once per fact scan);
+    the per-part avg table is partkey-sized and AQE-broadcasts. At
+    100 TB: two pruned fact column scans, one partkey shuffle for the
+    avg, zero shuffles of unaggregated fact rows."""
+    tune(spark)
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == _Q17_BRAND)
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    branded = li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
+    part_avg = branded.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    return (
+        branded.join(part_avg, branded.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small_lines"),
+        )
+    )
+
+
+_Q20_PART_PREFIX = "small%"
+_Q20_YEAR_START, _Q20_YEAR_END = "1996-01-01", "1997-01-01"
+_Q20_QTY = 50
+
+
+@register(
+    "bench_q20_part_promotion",
+    f"""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE '{_Q20_PART_PREFIX}')
+        AND l.l_shipdate >= DATE '{_Q20_YEAR_START}'
+        AND l.l_shipdate < DATE '{_Q20_YEAR_END}'
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING SUM(l.l_quantity) > {_Q20_QTY})
+    ORDER BY s.s_suppkey
+    """,
+)
+def bench_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (part promotion): suppliers who moved more than a
+    threshold quantity of any promo-named part in one year — the
+    NESTED-IN chain (supplier IN (... part IN (...))). The fixture has
+    no partsupp/availqty, so the threshold applies to shipped quantity;
+    the two-level semi-join pipeline is Q20's.
+
+    Plan properties: the inner name-LIKE part filter broadcasts into the
+    date-pruned fact scan (semi join); the (suppkey, partkey) HAVING agg
+    collapses the fact BEFORE the outer semi join against the
+    dimension-sized supplier table. Each IN is a LEFT SEMI — duplicate
+    qualifying lines can't duplicate suppliers. At 100 TB: one keyed
+    shuffle of the doubly-pruned fact slice, then dimension-scale work."""
+    tune(spark)
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like(_Q20_PART_PREFIX))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q20_YEAR_START).cast("date"))
+        & (F.col("l_shipdate") < F.lit(_Q20_YEAR_END).cast("date"))
+    )
+    movers = (
+        li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > _Q20_QTY)
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        s.join(movers, s.s_suppkey == movers.l_suppkey, "left_semi")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q21_NATIONS = ("NATION_3", "NATION_4")
+_Q21_LATE_DAYS = 90
+
+
+@register(
+    "bench_q21_waiting_supplier",
+    f"""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+         JOIN orders o ON o.o_orderkey = l1.l_orderkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND n.n_name IN ('{_Q21_NATIONS[0]}', '{_Q21_NATIONS[1]}')
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate
+                              + INTERVAL {_Q21_LATE_DAYS} DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+)
+def bench_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): per-supplier
+    count of finished multi-supplier orders where THIS supplier was the
+    only late one. "Late" = shipped > {_Q21_LATE_DAYS} days after the
+    order date (fixture has no commit/receipt dates).
+
+    Plan properties: the hardest public shape — EXISTS and NOT EXISTS
+    both correlate on l_orderkey, so Spark plans LEFT SEMI + null-free
+    LEFT ANTI self-joins that all ride ONE l_orderkey shuffle family
+    (exchange reuse keeps the fact from rescanning); the status filter
+    prunes orders before its join, the two-nation filter shrinks
+    supplier to a broadcast. The anti side pre-filters to LATE lines
+    only — the self-join probe is the late subset, not the whole fact.
+    At 100 TB: three keyed passes over one shuffle layout, no broadcast
+    of anything fact-sized."""
+    tune(spark)
+    n = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*_Q21_NATIONS))
+        .select("n_nationkey")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.date_add(F.col("o_orderdate"), _Q21_LATE_DAYS)
+        )
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    # Other-supplier probe sides, aliased for the self-joins.
+    others = li.select(
+        F.col("l_orderkey").alias("x_orderkey"),
+        F.col("l_suppkey").alias("x_suppkey"),
+    )
+    late_others = late1.select(
+        F.col("l_orderkey").alias("y_orderkey"),
+        F.col("l_suppkey").alias("y_suppkey"),
+    )
+    waited = (
+        late1.join(
+            others,
+            (F.col("l_orderkey") == F.col("x_orderkey"))
+            & (F.col("l_suppkey") != F.col("x_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("y_orderkey"))
+            & (F.col("l_suppkey") != F.col("y_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waited.join(F.broadcast(s), waited.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )

@@ -299,3 +299,58 @@ def agg_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("merge_consistent"),
         )
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting via roaring-style bitmaps
+    [Spark-public: bitmap_bit_position / bitmap_construct_agg /
+    bitmap_count, SPARK-44810] — the scale-path alternative to both
+    Expand-based exact COUNT(DISTINCT) and HLL approx_count_distinct.
+
+    Shape: bucket each key into a 32k-position bitmap
+    ((flag, bucket) → bitmap_construct_agg), then SUM(bitmap_count) per
+    flag. Both phases are COMBINABLE hash aggs (bitmaps OR-merge
+    map-side), so the fact shuffles only (flag, bucket, 4KB-bitmap)
+    partials — never an Expand duplication of the fact stream, and
+    unlike HLL the answer is EXACT. Two distinct columns share one scan.
+    The oracle is plain COUNT(DISTINCT): the bitmap pipeline must
+    reproduce it bit-for-bit. At 100 TB: shuffle volume is
+    |groups| × |key-space|/32768 × 4KB, independent of row count."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_partkey", "l_suppkey"
+    )
+    parts = (
+        li.groupBy(
+            "l_returnflag",
+            F.expr("bitmap_bucket_number(l_partkey)").alias("bkt"),
+        )
+        .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))").alias("bm"))
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_parts"))
+    )
+    supps = (
+        li.groupBy(
+            "l_returnflag",
+            F.expr("bitmap_bucket_number(l_suppkey)").alias("bkt"),
+        )
+        .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(l_suppkey))").alias("bm"))
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_supps"))
+    )
+    return (
+        parts.join(supps, "l_returnflag")
+        .select("l_returnflag", "n_parts", "n_supps")
+        .orderBy("l_returnflag")
+    )

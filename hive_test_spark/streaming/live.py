@@ -28,28 +28,23 @@ from hive_test_spark.io import scratch_dir, table_path
 from hive_test_spark.registry import register
 from hive_test_spark.session import tune
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        # ts physical type varies by fixture vintage (long nanos vs µs
-        # TIMESTAMP_NTZ) — patched per-run by _events_raw_schema().
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def _events_stream_dir(spark: SparkSession, sf_dir: str, copies: int = 1) -> str:
     """Copy events.parquet into a scratch dir usable as a streaming file
     source (optionally duplicated to create a dup-heavy stream)."""
     tag = os.path.basename(os.path.normpath(sf_dir))
-    # Key the cache on the source file's identity so regenerated driver
-    # fixtures (new size/mtime) invalidate stale copies automatically.
+    # Key the cache on the source file's identity (size + mtime_ns) so
+    # regenerated driver fixtures invalidate stale copies automatically.
     st = os.stat(table_path(sf_dir, "events"))
-    d = scratch_dir("stream_src", f"{tag}_x{copies}_{st.st_size}_{int(st.st_mtime)}")
+    base = scratch_dir("stream_src", "_anchor")  # ensures parent exists
+    parent = os.path.dirname(base)
+    prefix = f"{tag}_x{copies}_"
+    d = os.path.join(parent, f"{prefix}{st.st_size}_{st.st_mtime_ns}")
+    # Prune superseded cache dirs for this (tag, copies) so .scratch does
+    # not grow unboundedly across fixture regenerations.
+    for sib in os.listdir(parent):
+        p = os.path.join(parent, sib)
+        if sib.startswith(prefix) and p != d and os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
     marker = os.path.join(d, ".ready")
     if not os.path.exists(marker):
         os.makedirs(d, exist_ok=True)

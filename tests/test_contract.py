@@ -66,28 +66,14 @@ def test_python_tier_ops_from_foreign_cwd():
     assert "FOREIGN_CWD_OK" in out.stdout, out.stderr[-2000:]
 
 
-# The driver verifies exactly list(queries())[:50] per round. This is the
-# planned round-2 window (fixes first, then never-driver-tested families).
+# The driver verifies exactly list(queries())[:50] per round. The planned
+# window lives in registry._FRONT (round-3: remaining §2 core families).
 # If an addition displaces a planned key, this fails LOUDLY — new keys
-# must use prefixes that rank outside the window (see registry._rank).
-_R02_WINDOW = [
-    "agg_count_distinct", "agg_collect", "join_left_anti", "fn_map",
-    "fn_struct", "fn_decimal", "transform_script", "scan_regex_serde",
-    "fn_mask", "subq_lateral", "llm_exact_dedup", "llm_jaccard_exact",
-    "llm_near_dedup_minhash", "llm_multimodal_binary", "llm_cosine_topk",
-    "llm_knn_join", "llm_text_stats", "llm_tfidf", "llm_quality_filter",
-    "win_row_number", "win_rank_dense", "win_ntile", "win_percent_cume",
-    "win_lag_lead", "win_first_last", "win_running_sum", "win_range_frame",
-    "win_topk_per_group", "win_sessionize_batch", "win_islands",
-    "fn_string", "fn_regex", "fn_date", "fn_math", "fn_conditional",
-    "fn_array", "fn_json", "fn_hash", "fn_bitwise", "fn_url",
-    "fn_date_extended", "fn_try_safe", "udf_python_scalar",
-    "udf_pandas_scalar", "udaf_pandas_grouped_agg", "udtf_grouped_map",
-    "udf_map_in_pandas", "set_union_all", "set_union_distinct",
-    "set_intersect",
-]
-
-
+# must use prefixes that rank outside the window (see registry._rank),
+# or be deliberately prepended to _FRONT (updating its comment).
 def test_driver_window_is_the_planned_one(registry):
+    from hive_test_spark.registry import _FRONT
+
     qs, _ = registry
-    assert list(qs)[:50] == _R02_WINDOW
+    assert len(_FRONT) == 50
+    assert list(qs)[:50] == list(_FRONT)

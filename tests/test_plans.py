@@ -463,3 +463,72 @@ def test_bucket_sample_filter_runs_on_scan_side(spark, registry):
     """Bucket sampling is a deterministic filter — no shuffle at all."""
     f = _facts(spark, registry, "scan_bucket_sample")
     assert f.exchanges == 0
+
+
+def test_q11_scalar_threshold_broadcasts(spark, registry):
+    """Q11 shape: the nation-filtered supplier side and the one-row
+    threshold both broadcast; the per-part rollup is two-phase so the
+    fact shuffles only partials."""
+    from hive_test_spark.plans.inspect import explain_str
+    qs, _ = registry
+    df = qs["bench_q11_important_stock"](spark, SF_DIR)
+    f = analyze(df)
+    assert f.broadcast_joins + explain_str(df).count("BroadcastNestedLoopJoin") >= 2
+    assert f.cartesian == 0
+    assert "partial_sum" in explain_str(df)
+
+
+def test_q15_single_fact_shuffle_max_equality(spark, registry):
+    """Q15 shape: revenue agg is two-phase (one fact shuffle); the
+    per-quarter max and the supplier dim come back as broadcasts, never
+    a second fact-sized shuffle."""
+    from hive_test_spark.plans.inspect import explain_str
+    qs, _ = registry
+    df = qs["bench_q15_top_supplier"](spark, SF_DIR)
+    f = analyze(df)
+    s = explain_str(df)
+    assert has_pushed_filters(f), "ship-date window must reach the scan"
+    assert f.broadcast_joins >= 2
+    assert f.cartesian == 0
+    assert "partial_sum" in s
+
+
+def test_q17_correlated_avg_decorrelates(spark, registry):
+    """Q17 shape: the brand filter reaches the part scan, the correlated
+    AVG runs as a two-phase agg joined back on the equi-key, and the
+    brand dim broadcasts into both fact scans."""
+    from hive_test_spark.plans.inspect import explain_str
+    qs, _ = registry
+    df = qs["bench_q17_small_qty_revenue"](spark, SF_DIR)
+    f = analyze(df)
+    assert has_pushed_filters(f), "brand filter must reach the part scan"
+    assert f.broadcast_joins >= 2
+    assert f.cartesian == 0
+    assert "partial_avg" in explain_str(df)
+
+
+def test_q20_nested_in_is_semi_chain(spark, registry):
+    """Q20 shape: both INs plan as LEFT SEMI joins and the HAVING agg
+    collapses the fact before the outer semi join."""
+    from hive_test_spark.plans.inspect import explain_str
+    qs, _ = registry
+    df = qs["bench_q20_part_promotion"](spark, SF_DIR)
+    f = analyze(df)
+    s = explain_str(df)
+    assert s.count("LeftSemi") >= 2, "both IN levels must be semi joins"
+    assert f.cartesian == 0
+    assert "partial_sum" in s, "HAVING qty rollup must be two-phase"
+
+
+def test_q21_semi_anti_share_orderkey(spark, registry):
+    """Q21 shape: the EXISTS probe is a semi join, the NOT EXISTS an anti
+    join, no cartesian anywhere, and the two-nation supplier side
+    broadcasts."""
+    from hive_test_spark.plans.inspect import explain_str
+    qs, _ = registry
+    df = qs["bench_q21_waiting_supplier"](spark, SF_DIR)
+    f = analyze(df)
+    s = explain_str(df)
+    assert "LeftSemi" in s and "LeftAnti" in s
+    assert f.cartesian == 0
+    assert f.broadcast_joins >= 1

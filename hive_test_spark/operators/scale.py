@@ -611,13 +611,14 @@ def scan_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scale_exchange_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-reuse: the per-nation revenue aggregate feeds BOTH the
-    output rows and the global-max subquery. Spark plans the identical
-    subtree once and wires a ReusedExchange into the second consumer
-    (asserted in tests) — the aggregation's shuffle is paid a single
-    time. At 100 TB this is the difference between one and two full
-    fact-table passes whenever a query compares rows against a statistic
-    of the same derivation — no manual cache() needed, Catalyst dedups
-    the plan structurally."""
+    output rows and the global-max subquery. Under AQE the dedup fires
+    at RUNTIME — as query stages materialize, the stage cache matches
+    the second aggregate's canonicalized shuffle subtree and wires a
+    ReusedExchange into the final adaptive plan (asserted post-execution
+    in tests) — the aggregation's shuffle is paid a single time. At
+    100 TB this is the difference between one and two full fact-table
+    passes whenever a query compares rows against a statistic of the
+    same derivation — no manual cache() needed."""
     tune(spark)
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")

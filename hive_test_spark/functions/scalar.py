@@ -667,3 +667,100 @@ def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.char(F.lit(65) + (F.col("o_orderkey") % 26)).alias("key_chr"),
         F.format_string("%8s", F.col("o_orderstatus")).alias("status_padded"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "fn_variant",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+           ROUND(CAST(json_extract_string(props, '$.k') AS DOUBLE) * 1.5, 4)
+             AS k_scaled,
+           'OBJECT<k: BIGINT>' AS v_schema,
+           CAST(json_extract_string(props, '$.missing') AS BIGINT) AS k_missing
+    FROM events
+    WHERE event_id % 7 = 0
+    ORDER BY event_id
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT type [Spark-public: SPARK-45827, Spark 4's
+    replacement for string-JSON hot paths]: parse once with parse_json,
+    then typed variant_get extraction — the binary-encoded variant avoids
+    re-tokenizing JSON text per field access, the reason warehouses moved
+    JSON columns to VARIANT. schema_of_variant proves the parsed shape;
+    a missing path yields NULL (not an error). The DuckDB oracle models
+    the same contract through its JSON type.
+
+    At 100 TB: parse_json runs once per row in codegen; each additional
+    extracted field is a cheap binary probe instead of a fresh JSON text
+    scan — column-count-independent ingest cost."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    v = ev.withColumn("v", F.parse_json("props"))
+    return v.select(
+        "event_id",
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("k_num"),
+        F.round(F.expr("variant_get(v, '$.k', 'double')") * 1.5, 4).alias(
+            "k_scaled"
+        ),
+        F.expr("schema_of_variant(v)").alias("v_schema"),
+        F.expr("variant_get(v, '$.missing', 'bigint')").alias("k_missing"),
+    ).orderBy("event_id")
+
+
+_COLL_PROBE = "building"
+
+
+@register(
+    "fn_collation",
+    f"""
+    SELECT c_nationkey,
+           COUNT(DISTINCT seg_mixed) AS n_distinct_binary,
+           COUNT(DISTINCT lower(seg_mixed)) AS n_distinct_ci,
+           COUNT(*) FILTER (WHERE lower(seg_mixed) = '{_COLL_PROBE}')
+             AS n_eq_ci,
+           COUNT(*) FILTER (WHERE seg_mixed = '{_COLL_PROBE.upper()}')
+             AS n_eq_binary
+    FROM (SELECT c_nationkey,
+                 CASE WHEN c_custkey % 3 = 0 THEN upper(c_mktsegment)
+                      WHEN c_custkey % 3 = 1 THEN lower(c_mktsegment)
+                      ELSE c_mktsegment END AS seg_mixed
+          FROM customer)
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collation semantics [Spark-public: SPARK-46830, Spark 4
+    COLLATE]: the same mixed-case column counted under UTF8_BINARY vs
+    UTF8_LCASE collation — distinct counts and equality probes diverge
+    exactly where case does. Hive is binary-collated; Spark 4 makes the
+    case-insensitive contract a TYPE property instead of a lower() call
+    at every use site. The oracle spells the UTF8_LCASE semantics as
+    explicit lower() — the rewrite collations replace.
+
+    At 100 TB: collation participates in hashing, so a UTF8_LCASE
+    group-by/join shuffles case-variants to the SAME reducer — lower()
+    wrappers do the same but defeat dictionary-encoding pushdown."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 3 == 0, F.upper("c_mktsegment"))
+        .when(F.col("c_custkey") % 3 == 1, F.lower("c_mktsegment"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg_mixed"),
+    )
+    ci = F.expr("collate(seg_mixed, 'UTF8_LCASE')")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.count_distinct("seg_mixed").alias("n_distinct_binary"),
+            F.count_distinct(ci).alias("n_distinct_ci"),
+            F.count(F.when(ci == F.lit(_COLL_PROBE), 1)).alias("n_eq_ci"),
+            F.count(
+                F.when(F.col("seg_mixed") == _COLL_PROBE.upper(), 1)
+            ).alias("n_eq_binary"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -293,3 +293,51 @@ def interop_reflect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("reflect('java.lang.Integer','toHexString', CAST(o_orderkey AS INT))").alias("hex_key"),
         F.expr("reflect('java.lang.Integer','toBinaryString', CAST(o_orderkey AS INT))").alias("bin_key"),
     )
+
+
+@register(
+    "udtf_python_class",
+    """
+    SELECT d.doc_id, t.token, CAST(length(t.token) AS INTEGER) AS token_len
+    FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(token)
+    WHERE d.doc_id % 5 = 0 AND length(t.token) >= 5
+    ORDER BY doc_id, token
+    """,
+)
+def udtf_python_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-based Python UDTF [Spark-public: SPARK-43798, the PySpark 4
+    `@udtf` API — the direct analogue of Hive's GenericUDTF: a class
+    whose eval() yields 0..N output rows per input row], invoked through
+    SQL `LATERAL` exactly like a Hive UDTF in a LATERAL VIEW. Splits
+    documents into long tokens (≥5 chars); the oracle is the relational
+    spelling (UNNEST of string_split) — proving the UDTF's row contract,
+    not just that it ran.
+
+    vs udtf_grouped_map (applyInPandas): that tier is grouped
+    (one pandas frame per key); THIS tier is per-row streaming with
+    arbitrary fan-out and no shuffle requirement. At 100 TB a lateral
+    UDTF is map-side — rows never co-locate, state never accumulates;
+    Arrow batches flow executor→worker→executor partition-locally."""
+    from pyspark.sql.functions import udtf
+
+    tune(spark)
+
+    @udtf(returnType="token: string, token_len: int")
+    class LongTokens:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for w in text.split(" "):
+                if len(w) >= 5:
+                    yield w, len(w)
+
+    spark.udtf.register("hts_long_tokens", LongTokens)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    docs.createOrReplaceTempView("hts_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.token_len
+        FROM hts_udtf_docs d, LATERAL hts_long_tokens(d.text) t
+        ORDER BY doc_id, token
+        """
+    )

@@ -764,3 +764,62 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "fn_sql_macro",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS disc_total,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)
+             AS charged_total,
+           ROUND(AVG(CASE WHEN l_quantity >= 30 THEN l_extendedprice END), 4)
+             AS bulk_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def fn_sql_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined functions [Hive-public: CREATE TEMPORARY MACRO — the
+    Hive idiom for naming a reusable expression; Spark-public:
+    SPARK-46246 SQL UDFs, `CREATE FUNCTION ... RETURNS ... RETURN expr`]:
+    three macros (discounted price, full charge, bulk-order predicate)
+    defined once and reused across aggregate expressions. Catalyst
+    INLINES the function body at analysis time — the oracle spells the
+    inlined form, proving the macro is a naming layer with zero runtime
+    cost: same plan, same codegen, same two-phase agg as writing the
+    expression in place. At 100 TB that inlining is the point: a macro
+    library adds no Python round-trip and no black-box UDF barrier to
+    pushdown or constant folding."""
+    tune(spark)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION hts_disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION hts_charge(p DOUBLE, d DOUBLE, t DOUBLE) "
+        "RETURNS DOUBLE RETURN hts_disc_price(p, d) * (1 + t)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION hts_is_bulk(q DOUBLE) "
+        "RETURNS BOOLEAN RETURN q >= 30"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("hts_macro_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               ROUND(SUM(hts_disc_price(l_extendedprice, l_discount)), 4)
+                 AS disc_total,
+               ROUND(SUM(hts_charge(l_extendedprice, l_discount, l_tax)), 4)
+                 AS charged_total,
+               ROUND(AVG(CASE WHEN hts_is_bulk(l_quantity)
+                              THEN l_extendedprice END), 4) AS bulk_avg_price
+        FROM hts_macro_lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )

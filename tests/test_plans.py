@@ -537,3 +537,15 @@ def test_q21_semi_anti_share_orderkey(spark, registry):
     assert "LeftSemi" in s and "LeftAnti" in s
     assert f.cartesian == 0
     assert f.broadcast_joins >= 1
+
+
+def test_sql_macro_inlines_to_pure_codegen(spark, registry):
+    """SQL-defined functions must be inlined by Catalyst: no Python eval
+    node, no UDF barrier — just the same two-phase hash agg the inline
+    expression would produce."""
+    from hive_test_spark.plans.inspect import explain_str
+    qs, _ = registry
+    df = qs["fn_sql_macro"](spark, SF_DIR)
+    s = explain_str(df)
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert "partial_sum" in s, "macro aggregate must stay two-phase"

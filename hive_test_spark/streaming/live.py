@@ -467,3 +467,147 @@ def stream_ohlc_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "complete")
+
+
+@register(
+    "stream_transform_with_state",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS total_value,
+           ROUND(MAX(value), 6) AS max_value,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing via transformWithStateInPandas
+    [Spark-public: SPARK-49462, the Spark 4 successor to
+    applyInPandasWithState (cf. stream_stateful)]: a StatefulProcessor
+    class holds a typed ValueState per user and emits the running
+    (count, sum, max, purchases) on every update. The new API's
+    operational wins over GroupState — named state variables (Value/
+    List/Map) with independent schemas, state TTL, timers, and initial-
+    state bootstrap — are what make long-lived 100 TB streaming state
+    manageable; it REQUIRES the RocksDB state-store provider (state
+    lives off-heap on local SSD, checkpointed incrementally — executor
+    memory stops bounding state size). One AvailableNow batch → the
+    emitted state equals the batch aggregate (exact DuckDB oracle).
+
+    SANDBOX GATE (clearly marked, same policy as the multimodal codec
+    stub): TWS's Python driver worker imports google.protobuf, which
+    this container does not ship (no pip install allowed). When the
+    dependency is absent the op runs the SAME per-key state recurrence
+    through applyInPandasWithState (the predecessor API, GroupState) so
+    the registered query stays semantically identical and fully
+    oracled; with protobuf present the TWS + RocksDB path below is the
+    one exercised."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    tune(spark)
+
+    try:  # capability probe: TWS driver worker hard-requires protobuf
+        from google.protobuf import descriptor  # noqa: F401
+
+        has_tws_deps = True
+    except ImportError:
+        has_tws_deps = False
+
+    if not has_tws_deps:
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        ev = _read_events_stream(spark, sf_dir)
+
+        def update_totals(key, pdfs, state: GroupState):
+            n, tot, mx, buys = state.get if state.exists else (0, 0.0, None, 0)
+            for pdf in pdfs:
+                n += len(pdf)
+                tot += float(pdf["value"].sum())
+                batch_max = float(pdf["value"].max())
+                mx = batch_max if mx is None else max(mx, batch_max)
+                buys += int((pdf["event_type"] == "purchase").sum())
+            state.update((n, tot, mx, buys))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(tot, 6)],
+                    "max_value": [round(mx, 6)],
+                    "n_purchases": [buys],
+                }
+            )
+
+        stateful = (
+            ev.withWatermark("ts", "1 hour")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update_totals,
+                "user_id long, n_events long, total_value double, "
+                "max_value double, n_purchases long",
+                "n long, tot double, mx double, buys long",
+                "update",
+                GroupStateTimeout.NoTimeout,
+            )
+        )
+        return _run_to_memory(stateful, "update")
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n LONG, tot DOUBLE, mx DOUBLE, buys LONG"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, tot, mx, buys = (
+                self._state.get() if self._state.exists() else (0, 0.0, None, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                tot += float(pdf["value"].sum())
+                batch_max = float(pdf["value"].max())
+                mx = batch_max if mx is None else max(mx, batch_max)
+                buys += int((pdf["event_type"] == "purchase").sum())
+            self._state.update((n, tot, mx, buys))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(tot, 6)],
+                    "max_value": [round(mx, 6)],
+                    "n_purchases": [buys],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = _read_events_stream(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stateful = (
+            ev.withWatermark("ts", "1 hour")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=RunningTotals(),
+                outputStructType=(
+                    "user_id long, n_events long, total_value double, "
+                    "max_value double, n_purchases long"
+                ),
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+        return _run_to_memory(stateful, "update")
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

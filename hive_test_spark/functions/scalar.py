@@ -823,3 +823,50 @@ def fn_sql_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag
         """
     )
+
+
+@register(
+    "fn_timezone",
+    """
+    SELECT event_id,
+           CAST(timezone('America/New_York', CAST(ts AS TIMESTAMPTZ))
+                AS VARCHAR) AS ny_wall,
+           CAST(timezone('Asia/Tokyo', CAST(ts AS TIMESTAMPTZ))
+                AS VARCHAR) AS tokyo_wall,
+           CAST(hour(timezone('America/New_York', CAST(ts AS TIMESTAMPTZ)))
+                AS INTEGER) AS ny_hour,
+           (CAST(timezone('America/New_York',
+                          timezone('America/New_York', CAST(ts AS TIMESTAMPTZ)))
+                 AS TIMESTAMP) = CAST(ts AS TIMESTAMP)) AS roundtrip_ok
+    FROM events
+    WHERE event_id % 11 = 0
+    ORDER BY event_id
+    """,
+)
+def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion family [Hive-public: from_utc_timestamp /
+    to_utc_timestamp — the Hive idiom for event-time localization]:
+    UTC-stored event times rendered as New York and Tokyo wall clocks,
+    the local-hour extraction that drives tz-aware hourly rollups, and
+    the from→to round-trip identity. Dialect note: with the session
+    pinned UTC, Spark `from_utc_timestamp(ts, tz)` ≙ DuckDB
+    `timezone(tz, ts::TIMESTAMPTZ)` and `to_utc_timestamp(ts, tz)` ≙
+    `timezone(tz, ts)` — DuckDB's single function is direction-typed by
+    its argument. Map-only, codegen, scan-pruned.
+
+    At 100 TB: store event time ONCE in UTC and localize at the edge —
+    a tz-typed column per market would 25× the storage and break
+    cross-region joins; the conversion is a per-row expression, never a
+    shuffle."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    ny = F.from_utc_timestamp("ts", "America/New_York")
+    return ev.select(
+        "event_id",
+        ny.cast("string").alias("ny_wall"),
+        F.from_utc_timestamp("ts", "Asia/Tokyo").cast("string").alias("tokyo_wall"),
+        F.hour(ny).alias("ny_hour"),
+        (F.to_utc_timestamp(ny, "America/New_York") == F.col("ts")).alias(
+            "roundtrip_ok"
+        ),
+    ).orderBy("event_id")

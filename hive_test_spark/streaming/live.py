@@ -611,3 +611,96 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+@register(
+    "stream_checkpoint_recovery",
+    """
+    SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once restart recovery [Spark-public: Structured Streaming
+    checkpointing — offsets (file-source log) + state store both live in
+    the checkpoint]: the events fixture is split into two half files;
+    query run #1 consumes ONLY half A (complete-mode per-type totals),
+    terminates, half B appears, and run #2 starts from the SAME
+    checkpoint. Run #2's file-source log marks half A as already
+    committed, so A's contribution can only come from the RECOVERED
+    state store — yet the final totals must equal the full-table batch
+    aggregate (the oracle). This is the fault-tolerance contract a
+    100 TB streaming job leans on at every executor loss or planned
+    restart: offsets and state checkpoint atomically per micro-batch,
+    so a restart neither re-counts A nor drops it."""
+    tune(spark)
+    # Deterministic two-half split of events, cached like the stream srcs.
+    st = os.stat(table_path(sf_dir, "events"))
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = scratch_dir("ckpt_rec", "_anchor")
+    parent = os.path.dirname(base)
+    prefix = f"{tag}_"
+    halves = os.path.join(parent, f"{prefix}{st.st_size}_{st.st_mtime_ns}")
+    for sib in os.listdir(parent):
+        p = os.path.join(parent, sib)
+        if sib.startswith(prefix) and p != halves and os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+    marker = os.path.join(halves, ".ready")
+    if not os.path.exists(marker):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        full = spark.read.parquet(table_path(sf_dir, "events"))
+        for side, pred in (("a", "event_id % 2 = 0"), ("b", "event_id % 2 = 1")):
+            full.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(halves, f"half_{side}")
+            )
+        open(marker, "w").write("ok")
+
+    src = scratch_dir("ckpt_rec_src", uuid.uuid4().hex[:12])
+    os.makedirs(src, exist_ok=True)
+    ckpt = scratch_dir("ckpt_rec_ckpt", uuid.uuid4().hex[:12])
+
+    def _copy_half(side: str) -> None:
+        hdir = os.path.join(halves, f"half_{side}")
+        for f in os.listdir(hdir):
+            if f.endswith(".parquet"):
+                shutil.copyfile(
+                    os.path.join(hdir, f), os.path.join(src, f"{side}_{f}")
+                )
+
+    def _run_once(qname: str) -> None:
+        raw = spark.readStream.schema(_events_raw_schema(spark, src)).parquet(src)
+        agg = (
+            _normalize_stream_ts(raw)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 6).alias("total_value"),
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            if q.isActive:
+                q.stop()
+
+    try:
+        _copy_half("a")
+        _run_once(f"hts_rec1_{os.path.basename(src)}")  # run #1: half A only
+        _copy_half("b")
+        name2 = f"hts_rec2_{os.path.basename(src)}"
+        _run_once(name2)  # run #2: same checkpoint, recovers A's state
+        # Materialize before the source dir is removed (memory sink rows
+        # are already driver-side, but keep the contract obvious).
+        return spark.table(name2)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)

@@ -870,3 +870,39 @@ def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
             "roundtrip_ok"
         ),
     ).orderBy("event_id")
+
+
+@register(
+    "fn_binary_codec",
+    """
+    SELECT c_custkey,
+           to_base64(encode(c_name)) AS name_b64,
+           decode(from_base64(to_base64(encode(c_name)))) AS name_rt,
+           lower(hex(c_mktsegment)) AS seg_hex,
+           decode(unhex(hex(c_mktsegment))) AS seg_rt,
+           octet_length(encode(c_name)) AS name_bytes
+    FROM customer
+    WHERE c_custkey % 13 = 0
+    ORDER BY c_custkey
+    """,
+)
+def fn_binary_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary codec family [Hive-public: base64 / unbase64 / hex / unhex
+    / encode / decode — the Hive binary-transport surface]: base64 and
+    hex encodings with full round-trips back to the original string, and
+    the UTF-8 byte length (≠ char length for non-ASCII). Spark's hex()
+    is uppercase and DuckDB's case differs by input — both sides lower()
+    it. Map-only codegen expressions; at 100 TB these run at scan
+    bandwidth (the reason binary payloads ride BASE64 text columns
+    through Hive tables at all)."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 13 == 0)
+    name_bin = F.encode("c_name", "UTF-8")
+    return c.select(
+        "c_custkey",
+        F.base64(name_bin).alias("name_b64"),
+        F.decode(F.unbase64(F.base64(name_bin)), "UTF-8").alias("name_rt"),
+        F.lower(F.hex("c_mktsegment")).alias("seg_hex"),
+        F.decode(F.unhex(F.hex("c_mktsegment")), "UTF-8").alias("seg_rt"),
+        F.length(name_bin).alias("name_bytes"),
+    ).orderBy("c_custkey")

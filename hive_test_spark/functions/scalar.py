@@ -906,3 +906,62 @@ def fn_binary_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.decode(F.unhex(F.hex("c_mktsegment")), "UTF-8").alias("seg_rt"),
         F.length(name_bin).alias("name_bytes"),
     ).orderBy("c_custkey")
+
+
+_AES_KEY = "hts-demo-key-16b"
+
+
+@register(
+    "fn_crypto",
+    """
+    SELECT n_nationkey,
+           n_name AS name_roundtrip,
+           TRUE AS rt_ok,
+           CAST(NULL AS VARCHAR) AS wrong_key_result,
+           16 AS ciphertext_len
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def fn_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column encryption family [Hive-public: aes_encrypt / aes_decrypt
+    UDFs; Spark-public: SPARK-33721]: AES-128-ECB round-trip of the
+    nation name, the error-safe try_aes_decrypt(wrong key) → NULL
+    contract, and the padded ciphertext length (NATION_* names of 8-9
+    chars → PKCS-padded to one 16-byte block). Mode choice
+    is semantic: the round-trip/length columns use ECB because it is
+    DETERMINISTIC (GCM salts per call — its ciphertext can't be
+    hash-compared); the wrong-key probe uses GCM because it is
+    AUTHENTICATED — a wrong key reliably fails the tag check and yields
+    NULL, where ECB would emit unauthenticated garbage bytes (only
+    detectable ~255/256 of the time via PKCS padding). Production
+    guidance: GCM for semantic security, ECB only when
+    deterministic-encryption joins are the explicit goal. The
+    oracle pins the contract (identity, TRUE, NULL, 16) — DuckDB has no
+    AES surface, so the round-trip computed Spark-side must land exactly
+    on it. Map-only codegen; at 100 TB encrypt-at-projection runs at
+    scan bandwidth — no shuffle participation (but an encrypted column
+    can't be pushed down or dictionary-pruned: filter before
+    encrypting)."""
+    tune(spark)
+    n = load_table(spark, sf_dir, "nation")
+    enc = F.expr(f"aes_encrypt(n_name, '{_AES_KEY}', 'ECB')")
+    return n.select(
+        "n_nationkey",
+        F.expr(
+            f"CAST(aes_decrypt(aes_encrypt(n_name, '{_AES_KEY}', 'ECB'), "
+            f"'{_AES_KEY}', 'ECB') AS STRING)"
+        ).alias("name_roundtrip"),
+        (
+            F.expr(
+                f"CAST(aes_decrypt(aes_encrypt(n_name, '{_AES_KEY}', 'ECB'), "
+                f"'{_AES_KEY}', 'ECB') AS STRING)"
+            )
+            == F.col("n_name")
+        ).alias("rt_ok"),
+        F.expr(
+            f"CAST(try_aes_decrypt(aes_encrypt(n_name, '{_AES_KEY}', 'GCM'), "
+            f"'0000111122223333', 'GCM') AS STRING)"
+        ).alias("wrong_key_result"),
+        F.length(enc).cast("int").alias("ciphertext_len"),
+    ).orderBy("n_nationkey")

@@ -354,3 +354,52 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", "n_parts", "n_supps")
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_approx_topk",
+    """
+    SELECT l_returnflag,
+           array_to_string(list_transform(
+             (SELECT list(cnt ORDER BY cnt DESC, pk)[:10]
+              FROM (SELECT l_partkey AS pk, COUNT(*) AS cnt
+                    FROM lineitem li2
+                    WHERE li2.l_returnflag = li.l_returnflag
+                    GROUP BY l_partkey) t),
+             c -> CAST(c AS VARCHAR)), '|') AS topk_counts,
+           COUNT(*) AS n_rows
+    FROM lineitem li
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based heavy hitters [Spark-public: approx_top_k,
+    SPARK-48714 — the frequent-items sketch surface next to HLL
+    (agg_sketch_distinct) and bitmap (agg_bitmap_distinct)]: top-10
+    part keys per return flag. maxItemsTracked=50000 ≥ any SF's distinct
+    parts, so the sketch is operating in its EXACT regime and the oracle
+    pins the full count VECTOR (sorted, pipe-joined) against the true
+    GROUP BY — not just "it ran". Items themselves are tie-ambiguous
+    (many parts share a count; either side may order tied items
+    differently) so counts, which are tie-invariant, are the contract.
+
+    At 100 TB: the sketch is a combinable aggregate — each partition
+    tracks a bounded map, partials merge on the 3-value flag key; the
+    exact GROUP BY alternative shuffles |parts| rows per flag. When the
+    key space exceeds maxItemsTracked the counts become approximate with
+    the usual space-saving guarantees — size the budget to the heavy
+    tail you care about."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
+    sk = li.groupBy("l_returnflag").agg(
+        F.expr("approx_top_k(l_partkey, 10, 50000)").alias("topk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return sk.select(
+        "l_returnflag",
+        F.array_join(
+            F.expr("transform(topk, e -> CAST(e.count AS STRING))"), "|"
+        ).alias("topk_counts"),
+        "n_rows",
+    ).orderBy("l_returnflag")

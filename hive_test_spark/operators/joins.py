@@ -372,10 +372,15 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-way star join (TPC-H Q5 shape): fact + 5 dims. Dims are
-    broadcast (nation/region explicitly, supplier/customer by AQE at
-    warehouse scale they'd be bucketed); Catalyst pushes the region filter
-    through the join chain and prunes everything else."""
+    """Multi-way star join (TPC-H Q5 shape): fact + 5 dims. The FACT
+    (lineitem) is the probe side of every join — it is never built into
+    a hash relation and never broadcast (the previous c⋈o-first order
+    let the static planner broadcast-build the fact, which inverts at
+    scale); the date-filtered orders, customer, supplier sides build,
+    nation/region broadcast explicitly. Catalyst pushes the region
+    filter through the join chain and prunes everything else. At 100 TB
+    orders outgrows any threshold and AQE turns that first join into a
+    keyed shuffle — the code stays the same."""
     tune(spark)
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
@@ -387,8 +392,8 @@ def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
         .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)

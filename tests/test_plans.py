@@ -549,3 +549,18 @@ def test_sql_macro_inlines_to_pure_codegen(spark, registry):
     s = explain_str(df)
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
     assert "partial_sum" in s, "macro aggregate must stay two-phase"
+
+
+def test_star_join_never_broadcasts_the_fact(spark, registry):
+    """Regression guard for the probe-side inversion: no BroadcastExchange
+    may sit directly above the lineitem scan — dims build, the fact
+    probes (at scale the first join degrades gracefully to a keyed
+    shuffle, never to shipping the fact)."""
+    import re
+    qs, _ = registry
+    df = qs["join_star_multiway"](spark, SF_DIR)
+    t = df._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"BroadcastExchange[^\n]*\n((?:[^\n]*\n){0,4})", t):
+        assert not re.search(
+            r"FileScan parquet \[l_", m.group(1)
+        ), "lineitem (the fact) must never be the broadcast build side"

@@ -564,3 +564,13 @@ def test_star_join_never_broadcasts_the_fact(spark, registry):
         assert not re.search(
             r"FileScan parquet \[l_", m.group(1)
         ), "lineitem (the fact) must never be the broadcast build side"
+
+
+def test_aqe_coalesces_small_shuffle(spark, registry):
+    """The 5-group rollup must show a coalesced AQEShuffleRead in the
+    final adaptive plan — fewer reduce partitions than configured."""
+    qs, _ = registry
+    df = qs["scale_aqe_coalesce"](spark, SF_DIR)
+    df.collect()
+    t = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in t and "coalesced" in t, "AQE must coalesce the tiny shuffle"

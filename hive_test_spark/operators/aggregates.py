@@ -441,3 +441,45 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_occurrences"),
         )
     )
+
+
+@register(
+    "agg_listagg",
+    """
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+           string_agg(DISTINCT CAST(n_nationkey % 5 AS VARCHAR), '|'
+                      ORDER BY CAST(n_nationkey % 5 AS VARCHAR)) AS mod_classes
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI LISTAGG ... WITHIN GROUP [Spark-public: SPARK-42746, Spark 4;
+    Hive-public: the concat_ws(collect_list()) idiom this replaces]:
+    ordered string aggregation per group, plus the DISTINCT variant —
+    the report-friendly form of agg_collect's array serialization.
+    WITHIN GROUP ordering makes the output deterministic WITHOUT a
+    window pass; DuckDB spells it string_agg(... ORDER BY).
+
+    At 100 TB the caveat is the same as collect_list: the aggregated
+    string is unbounded in group size — LISTAGG belongs on
+    dimension-scale groups (here: 5 nations per region), never on fact
+    keys; for fact-scale use the top-k window + join shape instead."""
+    tune(spark)
+    n = load_table(spark, sf_dir, "nation")
+    n.createOrReplaceTempView("hts_listagg_nation")
+    return spark.sql(
+        """
+        SELECT n_regionkey,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)
+                 AS nations_csv,
+               listagg(DISTINCT CAST(n_nationkey % 5 AS STRING), '|')
+                 WITHIN GROUP (ORDER BY CAST(n_nationkey % 5 AS STRING))
+                 AS mod_classes
+        FROM hts_listagg_nation
+        GROUP BY n_regionkey
+        ORDER BY n_regionkey
+        """
+    )

@@ -89,3 +89,47 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     big, urgent = _branches(spark, sf_dir)
     return big.subtract(urgent)
+
+
+@register(
+    "set_bag_ops",
+    f"""
+    SELECT 'except_all' AS op, custkey, COUNT(*) AS n FROM (
+      ({_BRANCH_SQL['big']}) EXCEPT ALL ({_BRANCH_SQL['urgent']})
+    ) GROUP BY custkey
+    UNION ALL
+    SELECT 'intersect_all' AS op, custkey, COUNT(*) AS n FROM (
+      ({_BRANCH_SQL['big']}) INTERSECT ALL ({_BRANCH_SQL['urgent']})
+    ) GROUP BY custkey
+    ORDER BY op, custkey
+    """,
+)
+def set_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations [Spark-public: exceptAll /
+    intersectAll, SPARK-21274; ANSI EXCEPT ALL / INTERSECT ALL]:
+    duplicate-PRESERVING difference and intersection — a customer with
+    3 big orders and 1 urgent order survives EXCEPT ALL twice (3−1),
+    where distinct EXCEPT (set_except) drops them entirely. The per-key
+    multiplicity is exactly what the distinct variants erase, so the
+    result is aggregated to (op, custkey, n) to pin it.
+
+    At 100 TB: Spark plans bag semantics as a count-and-replicate
+    (aggregate both sides on the full row, subtract/min the counts,
+    regenerate rows) — same single-shuffle cost class as distinct set
+    ops, NOT a join explosion; still keep projections narrow since the
+    whole row is the shuffle key."""
+    tune(spark)
+    big, urgent = _branches(spark, sf_dir)
+    exc = (
+        big.exceptAll(urgent)
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "custkey", "n")
+    )
+    inter = (
+        big.intersectAll(urgent)
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "custkey", "n")
+    )
+    return exc.unionAll(inter).orderBy("op", "custkey")

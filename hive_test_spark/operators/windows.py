@@ -370,3 +370,51 @@ def win_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.datediff("i_end", "i_start")).alias("covered_days"),
         F.max("n_orders").alias("max_orders_in_island"),
     )
+
+
+@register(
+    "win_nth_value",
+    """
+    SELECT c_custkey, c_nationkey,
+           nth_value(c_custkey, 2) OVER (
+             PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_richest_key,
+           nth_value(c_custkey, 3) OVER (
+             PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS third_seen_so_far
+    FROM customer
+    """,
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value window function — both frame personalities: with a FULL
+    frame it is a per-group constant (the 2nd-richest customer, visible
+    on every row — the 'medalist' reporting idiom), with the DEFAULT
+    running frame it is NULL until the nth row has been seen (ANSI
+    semantics both engines implement). Completes the ordered-analytic
+    set next to first/last/lag/lead (win_first_last, win_lag_lead).
+
+    At 100 TB: one keyed shuffle like any window; the full-frame variant
+    buffers each partition to its end before emitting — same cost class
+    as last_value-with-full-frame, fine on dimension-scale partitions,
+    use the top-k join shape on fact-scale ones."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    order = [F.col("c_acctbal").desc(), F.col("c_custkey")]
+    full = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    running = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.nth_value("c_custkey", 2).over(full).alias("second_richest_key"),
+        F.nth_value("c_custkey", 3).over(running).alias("third_seen_so_far"),
+    )

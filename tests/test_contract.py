@@ -67,13 +67,27 @@ def test_python_tier_ops_from_foreign_cwd():
 
 
 # The driver verifies exactly list(queries())[:50] per round. The planned
-# window lives in registry._FRONT (round-3: remaining §2 core families).
-# If an addition displaces a planned key, this fails LOUDLY — new keys
-# must use prefixes that rank outside the window (see registry._rank),
-# or be deliberately prepended to _FRONT (updating its comment).
+# window lives in registry._FRONT (round-4: the full untested llm_* suite
+# + 12 evt_* keys). If an addition displaces a planned key, this fails
+# LOUDLY — new keys must rank outside the window (see registry._rank), or
+# be deliberately prepended to _FRONT (updating its comment).
 def test_driver_window_is_the_planned_one(registry):
-    from hive_test_spark.registry import _FRONT
+    from hive_test_spark.registry import _FRONT, DRIVER_FAILED
 
     qs, _ = registry
     assert len(_FRONT) == 50
-    assert list(qs)[:50] == list(_FRONT)
+    # Keys whose latest driver row was red auto-prepend (none expected).
+    expected = list(DRIVER_FAILED) + [k for k in _FRONT if k not in DRIVER_FAILED]
+    assert list(qs)[:50] == expected[:50]
+
+
+def test_driver_window_spends_no_slot_on_seen_keys(registry):
+    from hive_test_spark.registry import _FRONT, _NEXT_ROUNDS, DRIVER_SEEN
+
+    qs, _ = registry
+    # Every window slot goes to a never-tested key, and the r5+ queue
+    # covers the rest: nothing unseen is left unscheduled except keys
+    # added after the round-4 planning (which must be newer than _FRONT).
+    assert not (set(_FRONT) & DRIVER_SEEN)
+    assert not (set(_FRONT) & set(_NEXT_ROUNDS))
+    assert not (set(_NEXT_ROUNDS) & DRIVER_SEEN)

@@ -50,19 +50,37 @@ def main() -> None:
         "overwrite"
     ).format("noop").save()
 
-    # Best-of-2 per query: first run pays per-plan codegen compile + shuffle
-    # file creation; the min is the steady-state number a resident cluster
-    # session delivers, and it is far less sensitive to CI-box noise.
+    # Two runs per query. The FIRST run pays per-plan codegen compile +
+    # shuffle file creation (comparable to the single-run r01/r02/BASELINE
+    # methodology); the BEST of the two is the steady-state number a
+    # resident cluster session delivers. Both are reported so rounds stay
+    # comparable either way; `queries`/`value` keep best as the headline.
     per_query: dict[str, float] = {}
+    per_query_first: dict[str, float] = {}
     for key in HEADLINE:
-        best = float("inf")
+        runs = []
         for _ in range(2):
             t0 = time.perf_counter()
             qs[key](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        per_query[key] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        per_query_first[key] = round(runs[0], 3)
+        per_query[key] = round(min(runs), 3)
 
     total = round(sum(per_query.values()), 3)
+    total_first = round(sum(per_query_first.values()), 3)
+
+    # Per-query ratio vs the recorded baseline (BENCH.json), when present.
+    ratios: dict[str, float] = {}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json")) as fh:
+            base = json.load(fh).get("queries", {})
+        ratios = {
+            k: round(per_query[k] / base[k], 3)
+            for k in HEADLINE
+            if base.get(k)
+        }
+    except (OSError, ValueError):
+        pass
     tag = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     try:
         sf = float(tag)
@@ -75,6 +93,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "queries_first_run": per_query_first,
+                "first_run_total": total_first,
+                "ratio_to_baseline": ratios,
                 "sf": sf,
             }
         )

@@ -835,8 +835,8 @@ def fn_sql_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS VARCHAR) AS tokyo_wall,
            CAST(hour(timezone('America/New_York', CAST(ts AS TIMESTAMPTZ)))
                 AS INTEGER) AS ny_hour,
-           (CAST(timezone('America/New_York',
-                          timezone('America/New_York', CAST(ts AS TIMESTAMPTZ)))
+           (CAST(timezone('Asia/Tokyo',
+                          timezone('Asia/Tokyo', CAST(ts AS TIMESTAMPTZ)))
                  AS TIMESTAMP) = CAST(ts AS TIMESTAMP)) AS roundtrip_ok
     FROM events
     WHERE event_id % 11 = 0
@@ -852,7 +852,11 @@ def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned UTC, Spark `from_utc_timestamp(ts, tz)` ≙ DuckDB
     `timezone(tz, ts::TIMESTAMPTZ)` and `to_utc_timestamp(ts, tz)` ≙
     `timezone(tz, ts)` — DuckDB's single function is direction-typed by
-    its argument. Map-only, codegen, scan-pruned.
+    its argument. The round-trip probe is pinned to Asia/Tokyo (no DST):
+    for instants in a DST fall-back ambiguous hour the JVM resolves the
+    local→UTC direction to the earlier offset while ICU engines may pick
+    the later, so a DST zone could diverge cross-engine. Map-only,
+    codegen, scan-pruned.
 
     At 100 TB: store event time ONCE in UTC and localize at the edge —
     a tz-typed column per market would 25× the storage and break
@@ -866,9 +870,10 @@ def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
         ny.cast("string").alias("ny_wall"),
         F.from_utc_timestamp("ts", "Asia/Tokyo").cast("string").alias("tokyo_wall"),
         F.hour(ny).alias("ny_hour"),
-        (F.to_utc_timestamp(ny, "America/New_York") == F.col("ts")).alias(
-            "roundtrip_ok"
-        ),
+        (
+            F.to_utc_timestamp(F.from_utc_timestamp("ts", "Asia/Tokyo"), "Asia/Tokyo")
+            == F.col("ts")
+        ).alias("roundtrip_ok"),
     ).orderBy("event_id")
 
 

@@ -501,7 +501,12 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     through applyInPandasWithState (the predecessor API, GroupState) so
     the registered query stays semantically identical and fully
     oracled; with protobuf present the TWS + RocksDB path below is the
-    one exercised."""
+    one exercised. CAVEAT: because this sandbox lacks protobuf, the TWS
+    branch (RunningTotals StatefulProcessor + RocksDB provider config)
+    has never executed in any environment that has run this repo — it
+    is written to the public TWS API docs but is unverified here; the
+    first protobuf-equipped environment should run this op and
+    tests/test_streaming.py before trusting that branch."""
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

@@ -680,3 +680,679 @@ def bench_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
     )
+
+
+_Q2_REGION = "EUROPE"
+_Q2_TYPE = "ECONOMY"
+
+
+@register(
+    "bench_q2_min_cost_supplier",
+    f"""
+    WITH cost AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             MIN(l.l_extendedprice / l.l_quantity) AS unit_cost
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                      JOIN nation n ON n.n_nationkey = s.s_nationkey
+                      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = '{_Q2_REGION}'
+      GROUP BY l.l_partkey, l.l_suppkey)
+    SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name,
+           ROUND(s.s_acctbal, 4) AS s_acctbal,
+           ROUND(c.unit_cost, 4) AS unit_cost
+    FROM cost c JOIN part p ON p.p_partkey = c.l_partkey
+                JOIN supplier s ON s.s_suppkey = c.l_suppkey
+                JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type LIKE '{_Q2_TYPE}%'
+      AND c.unit_cost = (SELECT MIN(c2.unit_cost) FROM cost c2
+                         WHERE c2.l_partkey = c.l_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def bench_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each qualifying part,
+    the supplier(s) in one region achieving the MINIMUM unit cost, via a
+    correlated-min subquery over the supply relation. The fixture has no
+    partsupp table, so unit cost is MIN(l_extendedprice / l_quantity)
+    observed per (part, supplier) — the defining shape (correlated
+    scalar-min decorrelated into a reaggregation + equality join) is
+    Q2's.
+
+    Plan properties: the region filter shrinks supplier to a broadcast
+    BEFORE the fact sees it; the cost view is ONE two-phase agg of the
+    region-filtered fact keyed (partkey, suppkey); the correlated min
+    decorrelates into a per-part reagg of that agg-sized view joined
+    back by partkey + cost equality (Catalyst does exactly this rewrite
+    for the SQL form); the part predicate prunes the probe to a
+    broadcastable dimension slice. At 100 TB: one keyed shuffle of the
+    fact slice, then agg-sized data only."""
+    tune(spark)
+    r = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == _Q2_REGION)
+        .select("r_regionkey")
+    )
+    n = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    cost = (
+        li.join(
+            F.broadcast(s.select("s_suppkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+        )
+    )
+    pmin = cost.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            F.col("p_size").between(10, 20) & F.col("p_type").like(f"{_Q2_TYPE}%")
+        )
+        .select("p_partkey", "p_brand")
+    )
+    return (
+        cost.join(
+            pmin,
+            (cost.l_partkey == pmin.m_partkey)
+            & (cost.unit_cost == pmin.min_cost),
+        )
+        .join(F.broadcast(p), cost.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), cost.l_suppkey == s.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "n_name",
+            F.round("s_acctbal", 4).alias("s_acctbal"),
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+_Q5_REGION = "ASIA"
+_Q5_YEAR = 1996
+
+
+@register(
+    "bench_q5_local_supplier_volume",
+    f"""
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                                   AND c.c_nationkey = s.s_nationkey
+                    JOIN nation n ON s.s_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = '{_Q5_REGION}'
+      AND o.o_orderdate >= DATE '{_Q5_YEAR}-01-01'
+      AND o.o_orderdate < DATE '{_Q5_YEAR + 1}-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def bench_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume), exact semantics: revenue per
+    nation where the CUSTOMER and the SUPPLIER share a nation in one
+    region — the customer-supplier nation-equality correlation is the
+    defining twist (join_star_multiway covers the plain star; this
+    carries the extra cross-dimension predicate).
+
+    Plan properties: orders is date-pruned at scan; lineitem joins the
+    pruned orders on orderkey (the one fact-sized shuffle pair), then
+    customer on custkey; the region-filtered supplier slice broadcasts
+    with BOTH conditions (suppkey match + nationkey equality) evaluated
+    inside the broadcast probe, so the nation correlation costs no
+    extra exchange. At 100 TB: two keyed fact shuffles (orderkey,
+    custkey), dimensions broadcast, no shuffle carries the nation
+    correlation."""
+    tune(spark)
+    r = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == _Q5_REGION)
+        .select("r_regionkey")
+    )
+    n = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(f"{_Q5_YEAR}-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit(f"{_Q5_YEAR + 1}-01-01").cast("date"))
+    ).select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == s.s_suppkey)
+            & (F.col("c_nationkey") == s.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+_Q6_YEAR = 1996
+
+
+@register(
+    "bench_q6_forecast_revenue",
+    f"""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '{_Q6_YEAR}-01-01'
+      AND l_shipdate < DATE '{_Q6_YEAR + 1}-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def bench_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change), exact semantics: the
+    pure scan-filter-aggregate — revenue that would have been earned if
+    discounts in a band had been eliminated for a year. No join, no
+    group key: the whole query is a map-side predicate plus one global
+    two-phase sum.
+
+    Plan properties: every predicate (two date bounds, discount band,
+    quantity cap) reaches the parquet scan as PushedFilters over exactly
+    4 read columns; the aggregate is partial-per-partition then a
+    single-row final — the minimal possible plan. At 100 TB this is the
+    canonical scan-bound query: throughput equals scan bandwidth times
+    predicate selectivity, zero shuffle rows beyond one per
+    partition."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(f"{_Q6_YEAR}-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit(f"{_Q6_YEAR + 1}-01-01").cast("date"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_Q8_REGION = "AMERICA"
+_Q8_NATION = "NATION_3"
+_Q8_TYPE = "STANDARD"
+
+
+@register(
+    "bench_q8_market_share",
+    f"""
+    WITH volumes AS (
+      SELECT YEAR(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+                  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                  JOIN orders o ON o.o_orderkey = l.l_orderkey
+                  JOIN customer c ON c.c_custkey = o.o_custkey
+                  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+                  JOIN region r ON r.r_regionkey = n1.n_regionkey
+                  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = '{_Q8_REGION}' AND p.p_type LIKE '{_Q8_TYPE}%'
+        AND o.o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31')
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = '{_Q8_NATION}' THEN volume
+                          ELSE 0 END) / SUM(volume), 6) AS mkt_share
+    FROM volumes
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def bench_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share), exact semantics: one nation's
+    share of revenue, per year, among parts of a type sold to customers
+    of one region — the ratio-of-conditional-sums aggregate computed in
+    a single grouped pass (never two scans), with the nation dimension
+    joined TWICE under different roles (customer side filters, supplier
+    side classifies).
+
+    Plan properties: part (type-filtered) and the two nation roles
+    broadcast; orders is date-pruned at scan; the fact shuffles on
+    partkey→orderkey→custkey only; the CASE ratio is one two-phase agg
+    over ~years-many groups. At 100 TB: the numerator/denominator trick
+    means the fact is read once — the naive two-query formulation would
+    double the dominant cost."""
+    tune(spark)
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type").like(f"{_Q8_TYPE}%"))
+        .select("p_partkey")
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    r = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == _Q8_REGION)
+        .select("r_regionkey")
+    )
+    n1 = nat.join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("c_natkey"))
+    n2 = nat.select(
+        F.col("n_nationkey").alias("s_natkey"), F.col("n_name").alias("supp_nation")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate") <= F.lit("1996-12-31").cast("date"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_natkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_natkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    share = F.sum(
+        F.when(F.col("supp_nation") == _Q8_NATION, F.col("volume")).otherwise(0.0)
+    ) / F.sum("volume")
+    return (
+        vol.groupBy("o_year")
+        .agg(F.round(share, 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+_Q9_NAME_FRAGMENT = "red"
+_Q9_COST_FRACTION = 0.4
+
+
+@register(
+    "bench_q9_product_profit",
+    f"""
+    SELECT n.n_name AS nation, YEAR(o.o_orderdate) AS o_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                     - {_Q9_COST_FRACTION} * p.p_retailprice * l.l_quantity),
+                 4) AS sum_profit
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+                    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                    JOIN orders o ON o.o_orderkey = l.l_orderkey
+                    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%{_Q9_NAME_FRAGMENT}%'
+    GROUP BY n.n_name, YEAR(o.o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+)
+def bench_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit per supplier-nation
+    per year over parts whose name contains a fragment. The fixture has
+    no partsupp, so supply cost is a fixed fraction of p_retailprice —
+    the shape (5-way join with a substring part filter, profit as a
+    compound expression, nation×year rollup) is Q9's.
+
+    Plan properties: the part filter (non-sargable LIKE '%..%' — read
+    but filtered early) shrinks part to a broadcast; supplier and
+    nation broadcast; the fact shuffles on partkey then orderkey; the
+    agg is two-phase over ~175 groups. At 100 TB the substring filter
+    runs vectorized in the scan stage and drops ~2/3 of the fact before
+    any exchange."""
+    tune(spark)
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains(_Q9_NAME_FRAGMENT))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        _Q9_COST_FRACTION
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 4).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+_Q10_START, _Q10_END = "1996-10-01", "1997-01-01"
+
+
+@register(
+    "bench_q10_returned_items",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           ROUND(c.c_acctbal, 4) AS c_acctbal, n.n_name
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= DATE '{_Q10_START}'
+      AND o.o_orderdate < DATE '{_Q10_END}'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def bench_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting), exact semantics: the top 20
+    customers by revenue lost to returned lines in one quarter — join,
+    grouped agg, then top-k.
+
+    Plan properties: BOTH fact-side filters (order date at scan on
+    orders, returnflag at scan on lineitem) push down before the
+    orderkey join; customer joins the agg-sized result, nation
+    broadcasts; the final top-20 is TakeOrderedAndProject over the
+    grouped output — never a global sort. At 100 TB: the returnflag
+    filter keeps ~1/3 of the fact, the quarter filter ~1/24 of orders,
+    so the expensive join is between two heavily-pruned streams; the
+    top-k is per-partition heads + one 20-row merge on the driver-side
+    stage."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q10_START).cast("date"))
+        & (F.col("o_orderdate") < F.lit(_Q10_END).cast("date"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 4).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+_Q12_YEAR = 1996
+_Q12_LATE_DAYS = 90
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+@register(
+    "bench_q12_late_lines",
+    f"""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN
+                              ('{_Q12_HIGH[0]}', '{_Q12_HIGH[1]}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN
+                              ('{_Q12_HIGH[0]}', '{_Q12_HIGH[1]}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL {_Q12_LATE_DAYS} DAY
+      AND l.l_shipdate >= DATE '{_Q12_YEAR}-01-01'
+      AND l.l_shipdate < DATE '{_Q12_YEAR + 1}-01-01'
+    GROUP BY l.l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def bench_q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority): conditional counts of
+    late-shipped lines split by order priority class. The fixture has
+    no l_shipmode/l_commitdate/l_receiptdate, so the grouping dimension
+    is l_linestatus and "late" is shipping > {_Q12_LATE_DAYS} days
+    after the order date — the defining shape (a join-dependent
+    predicate comparing columns of BOTH sides, then CASE-split counts)
+    is Q12's.
+
+    Plan properties: the shipdate year bounds push into the lineitem
+    scan; the lateness predicate needs both sides so it evaluates as
+    the join's post-condition — Catalyst keeps it out of the shuffle
+    key; counts are two-phase over 2 groups. At 100 TB: one orderkey
+    shuffle pair; the CASE counts combine map-side so the final
+    exchange carries ~partitions×2 rows."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(f"{_Q12_YEAR}-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit(f"{_Q12_YEAR + 1}-01-01").cast("date"))
+    ).select("l_orderkey", "l_shipdate", "l_linestatus")
+    high = F.col("o_orderpriority").isin(*_Q12_HIGH)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q12_LATE_DAYS} DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_Q13_EXCLUDED_PRIORITY = "4-NOT SPECIFIED"
+
+
+@register(
+    "bench_q13_order_count_dist",
+    f"""
+    WITH c_orders AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '{_Q13_EXCLUDED_PRIORITY}'
+      GROUP BY c.c_custkey)
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def bench_q13_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): how many
+    customers placed 0, 1, 2, ... qualifying orders. The fixture has no
+    o_comment, so the qualifying filter excludes one order priority —
+    the defining shape (LEFT join with the filter INSIDE the join
+    condition so zero-order customers survive with count 0, then a
+    second aggregation OF the first's counts) is Q13's.
+
+    Plan properties: the priority filter prunes orders BEFORE the join
+    (legal inside an outer-join condition, and Catalyst pushes it to
+    the orders scan); the join + first agg share one custkey shuffle
+    layout; the distribution agg reaggregates customer-sized data on a
+    small-domain key. At 100 TB the histogram agg is the cheap half —
+    the custkey shuffle of orders dominates, and COUNT(o_orderkey) (not
+    COUNT(*)) is what makes the 0-bucket correct."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != _Q13_EXCLUDED_PRIORITY
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_Q14_START, _Q14_END = "1996-09-01", "1996-10-01"
+
+
+@register(
+    "bench_q14_promo_revenue",
+    f"""
+    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 6)
+             AS promo_revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= DATE '{_Q14_START}'
+      AND l.l_shipdate < DATE '{_Q14_END}'
+    """,
+)
+def bench_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect), exact semantics: the percentage of
+    one month's revenue from promotional parts — the conditional-ratio
+    aggregate over a fact-dimension join.
+
+    Plan properties: the month bounds push into the lineitem scan
+    (~1/80 of the fact survives); part broadcasts with only
+    (p_partkey, p_type) read; numerator and denominator come from ONE
+    grouped pass — no second scan, no self-join. At 100 TB this is the
+    standard "rate metric" template: broadcast dim + single-pass CASE
+    ratio; the global (groupless) agg reduces to one row per partition
+    then one final row."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q14_START).cast("date"))
+        & (F.col("l_shipdate") < F.lit(_Q14_END).cast("date"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 6).alias(
+                "promo_revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_Q19_BRANDS = (
+    ("Brand#3", 1, 5, 1, 11),
+    ("Brand#15", 1, 10, 10, 20),
+    ("Brand#24", 1, 15, 20, 30),
+)
+
+
+@register(
+    "bench_q19_disjunctive_revenue",
+    f"""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = '{_Q19_BRANDS[0][0]}'
+           AND p.p_size BETWEEN {_Q19_BRANDS[0][1]} AND {_Q19_BRANDS[0][2]}
+           AND l.l_quantity BETWEEN {_Q19_BRANDS[0][3]} AND {_Q19_BRANDS[0][4]})
+       OR (p.p_brand = '{_Q19_BRANDS[1][0]}'
+           AND p.p_size BETWEEN {_Q19_BRANDS[1][1]} AND {_Q19_BRANDS[1][2]}
+           AND l.l_quantity BETWEEN {_Q19_BRANDS[1][3]} AND {_Q19_BRANDS[1][4]})
+       OR (p.p_brand = '{_Q19_BRANDS[2][0]}'
+           AND p.p_size BETWEEN {_Q19_BRANDS[2][1]} AND {_Q19_BRANDS[2][2]}
+           AND l.l_quantity BETWEEN {_Q19_BRANDS[2][3]} AND {_Q19_BRANDS[2][4]})
+    """,
+)
+def bench_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue), exact shape: revenue over a
+    DISJUNCTION of brand/size/quantity condition triples — the classic
+    test that an optimizer extracts the common join key and the
+    per-side implied predicates from an OR-of-ANDs instead of falling
+    back to a cartesian with a residual filter.
+
+    Plan properties: the join stays an equi-join on partkey (the OR
+    refers to both sides but every disjunct shares the key); Catalyst
+    derives the implied single-side filters — brand/size disjunction
+    pushes to the part scan, the quantity range union (1..30) to the
+    lineitem scan — before the residual OR evaluates post-join; part
+    stays broadcastable. At 100 TB the derived scan filters are the
+    difference between joining 3 brands' slice and joining the whole
+    fact."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = None
+    for brand, smin, smax, qmin, qmax in _Q19_BRANDS:
+        leg = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(smin, smax)
+            & F.col("l_quantity").between(qmin, qmax)
+        )
+        cond = leg if cond is None else (cond | leg)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -1,0 +1,519 @@
+"""SQL front end twins (SURVEY.md §3.2): the same engine surface driven
+entirely through ``spark.sql(...)`` text instead of the DataFrame API.
+
+SURVEY §3.2 promises BOTH front ends — a Hive-test user migrates HiveQL
+text, not DataFrame chains, so the SQL parser path (including
+HiveQL-dialect constructs Spark SQL inherits: LATERAL VIEW, DISTRIBUTE
+BY / SORT BY / CLUSTER BY, LEFT SEMI / ANTI JOIN, and optimizer hints)
+must be exercised against the same DuckDB oracles as the DataFrame ops.
+Every operator here parses SQL text into the SAME Catalyst plans the
+DataFrame twins produce — tests/test_contract.py asserts this module
+keeps ≥ 10 registered ``sql_*`` keys.
+
+Each op registers its input tables as temp views prefixed ``hts_sql_``
+(idempotent createOrReplaceTempView; the prefix avoids colliding with
+other ops' view names in a shared session).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hive_test_spark.io import load_table
+from hive_test_spark.registry import register
+from hive_test_spark.session import tune
+
+SQL_FRONT_KEYS: list[str] = []
+
+
+def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"hts_sql_{t}")
+
+
+def _sql_register(key: str, oracle: str):
+    """register() wrapper that also records the key for the contract test."""
+    SQL_FRONT_KEYS.append(key)
+    return register(key, oracle)
+
+
+@_sql_register(
+    "sql_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape submitted as SQL TEXT — the front-end twin of
+    ``flagship_pricing_summary``. Identical Catalyst plan: pushed date
+    filter, pruned scan, two-phase hash aggregate; the parser is the
+    only difference, proving HiveQL text ports run unchanged.
+
+    At 100 TB: plan-identical to the DataFrame twin — the front end
+    contributes parse time only (milliseconds, driver-side)."""
+    tune(spark)
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               ROUND(SUM(l_quantity), 4) AS sum_qty,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)
+                 AS sum_disc_price,
+               ROUND(AVG(l_discount), 6) AS avg_disc
+        FROM hts_sql_lineitem
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@_sql_register(
+    "sql_star_join_hinted",
+    """
+    SELECT n.n_name, o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 4) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                  JOIN nation n ON c.c_nationkey = n.n_nationkey
+                  JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name, o.o_orderpriority
+    ORDER BY n_name, o_orderpriority
+    """,
+)
+def sql_star_join_hinted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join written in SQL with explicit /*+ BROADCAST */ hints —
+    the SQL front end's way to pin dimension broadcast, equivalent to
+    ``F.broadcast(...)`` in the DataFrame API [Spark-public: hint
+    syntax]. The hint names resolve against the FROM aliases.
+
+    At 100 TB: nation/region always broadcast; hinting customer too is
+    correct while customers fit executor memory, and AQE demotes it to
+    shuffle if statistics say otherwise (hints are advisory)."""
+    tune(spark)
+    _views(spark, sf_dir, "orders", "customer", "nation", "region")
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(n), BROADCAST(r) */
+               n.n_name, o.o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o.o_totalprice), 4) AS total
+        FROM hts_sql_orders o
+          JOIN hts_sql_customer c ON o.o_custkey = c.c_custkey
+          JOIN hts_sql_nation n ON c.c_nationkey = n.n_nationkey
+          JOIN hts_sql_region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name, o.o_orderpriority
+        ORDER BY n_name, o_orderpriority
+        """
+    )
+
+
+@_sql_register(
+    "sql_lateral_view_explode",
+    """
+    SELECT d.doc_id, t.tok, COUNT(*) AS n
+    FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+    WHERE d.lang = 'en' AND length(t.tok) >= 8
+    GROUP BY d.doc_id, t.tok
+    ORDER BY doc_id, tok
+    """,
+)
+def sql_lateral_view_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HiveQL ``LATERAL VIEW explode()`` — THE table-generating idiom in
+    every Hive test corpus [Hive-public: LanguageManual LateralView] —
+    parsed natively by Spark SQL. Token counts per English document for
+    long tokens. Dialect: LATERAL VIEW ≙ DuckDB ``unnest(...)`` in FROM.
+
+    At 100 TB: explode is a narrow per-row flatMap fused into the scan
+    stage (no exchange); the count agg shuffles (doc_id, tok) —
+    explode-then-agg is the linear tokenization template the llm_* text
+    ops build on."""
+    tune(spark)
+    _views(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.tok, COUNT(*) AS n
+        FROM hts_sql_documents d
+        LATERAL VIEW explode(split(d.text, ' ')) t AS tok
+        WHERE d.lang = 'en' AND length(t.tok) >= 8
+        GROUP BY d.doc_id, t.tok
+        ORDER BY doc_id, tok
+        """
+    )
+
+
+@_sql_register(
+    "sql_distribute_sort_by",
+    """
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    """,
+)
+def sql_distribute_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HiveQL ``DISTRIBUTE BY ... SORT BY`` [Hive-public: the
+    reducer-routing + per-reducer-order idiom, distinct from global
+    ORDER BY] — Spark SQL parses it to RepartitionByExpression + a
+    partition-local sort. The ROW SET is deterministic (the driver hash
+    is order-insensitive), so it oracles exactly; only the global order
+    is partition-dependent, and no global order is promised by the
+    construct itself.
+
+    At 100 TB this is the write-preparation idiom: cluster rows by key
+    and order within files WITHOUT a global sort barrier — one hash
+    exchange, no range-partition sampling pass."""
+    tune(spark)
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice
+        FROM hts_sql_orders
+        WHERE o_orderstatus = 'O'
+        DISTRIBUTE BY o_custkey SORT BY o_custkey, o_orderkey
+        """
+    )
+
+
+@_sql_register(
+    "sql_semi_anti_join",
+    """
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderstatus = 'P')
+    ORDER BY c_custkey
+    """,
+)
+def sql_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HiveQL ``LEFT SEMI JOIN`` and Spark's ``LEFT ANTI JOIN`` as SQL
+    join types [Hive-public: semi join replaced IN-subqueries in
+    classic Hive] — customers with ≥1 urgent order and no pending
+    order. Oracle: the equivalent EXISTS / NOT EXISTS (what the joins
+    desugar to).
+
+    At 100 TB: both run as one orderkey-less custkey shuffle each with
+    early-out probing; the semi/anti forms never materialize order
+    columns — the payload-free build is what makes them cheaper than
+    inner joins + distinct."""
+    tune(spark)
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment
+        FROM hts_sql_customer c
+        LEFT SEMI JOIN hts_sql_orders o
+          ON o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+        LEFT ANTI JOIN hts_sql_orders o2
+          ON o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'P'
+        ORDER BY c_custkey
+        """
+    )
+
+
+@_sql_register(
+    "sql_rollup_grouping",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+           COALESCE(l_linestatus, 'ALL') AS lstatus,
+           GROUPING(l_returnflag) + GROUPING(l_linestatus) AS lvl,
+           COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY lvl, rflag, lstatus
+    """,
+)
+def sql_rollup_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ROLLUP`` + ``GROUPING()`` in SQL text [Hive-public:
+    Hive's enhanced aggregation syntax] — subtotal levels tagged by
+    grouping indicator, NULL group keys disambiguated from real NULLs
+    via COALESCE + GROUPING.
+
+    At 100 TB: Spark expands rollup to a single Expand + one hash agg —
+    3 output rows per input row pre-combine, NOT three scans; the
+    map-side combine keeps the exchange at group-domain size."""
+    tune(spark)
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+               COALESCE(l_linestatus, 'ALL') AS lstatus,
+               CAST(GROUPING(l_returnflag) + GROUPING(l_linestatus) AS BIGINT)
+                 AS lvl,
+               COUNT(*) AS n,
+               ROUND(SUM(l_quantity), 4) AS sum_qty
+        FROM hts_sql_lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY lvl, rflag, lstatus
+        """
+    )
+
+
+@_sql_register(
+    "sql_window_analytics",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(o_totalprice, 4) AS o_totalprice,
+           ROW_NUMBER() OVER w AS rn,
+           ROUND(SUM(o_totalprice) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS running_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    QUALIFY rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+)
+def sql_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL window functions with a named WINDOW clause — first 3 orders
+    per customer with their running spend. Spark has no QUALIFY, so the
+    rank filter is the standard subquery wrapper; DuckDB's QUALIFY in
+    the oracle proves the semantics equivalence.
+
+    At 100 TB: ONE custkey exchange serves both window functions (same
+    partitioning spec); the rank filter cuts output before the final
+    sort."""
+    tune(spark)
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn, running_total
+        FROM (
+          SELECT o_custkey, o_orderkey,
+                 ROUND(o_totalprice, 4) AS o_totalprice,
+                 ROW_NUMBER() OVER w AS rn,
+                 ROUND(SUM(o_totalprice) OVER
+                       (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                   AS running_total
+          FROM hts_sql_orders
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        )
+        WHERE rn <= 3
+        ORDER BY o_custkey, rn
+        """
+    )
+
+
+@_sql_register(
+    "sql_cte_reuse",
+    """
+    WITH seg AS (
+      SELECT c_mktsegment, c_custkey, c_acctbal FROM customer),
+    seg_stats AS (
+      SELECT c_mktsegment, AVG(c_acctbal) AS seg_avg
+      FROM seg GROUP BY c_mktsegment)
+    SELECT s.c_mktsegment, COUNT(*) AS n_above,
+           ROUND(MAX(s.c_acctbal - st.seg_avg), 4) AS max_excess
+    FROM seg s JOIN seg_stats st ON s.c_mktsegment = st.c_mktsegment
+    WHERE s.c_acctbal > st.seg_avg
+    GROUP BY s.c_mktsegment
+    ORDER BY s.c_mktsegment
+    """,
+)
+def sql_cte_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained CTEs with the first CTE referenced TWICE (directly and
+    through the second) — customers above their segment's average
+    balance. The multi-reference is the interesting bit: Spark inlines
+    CTEs and relies on exchange reuse when plans coincide.
+
+    At 100 TB: the segment average is agg-sized and broadcasts back
+    against the full customer slice; the pattern (compare each row to
+    its group aggregate) is the decorrelated form Catalyst produces for
+    correlated scalar subqueries too."""
+    tune(spark)
+    _views(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        WITH seg AS (
+          SELECT c_mktsegment, c_custkey, c_acctbal FROM hts_sql_customer),
+        seg_stats AS (
+          SELECT c_mktsegment, AVG(c_acctbal) AS seg_avg
+          FROM seg GROUP BY c_mktsegment)
+        SELECT s.c_mktsegment, COUNT(*) AS n_above,
+               ROUND(MAX(s.c_acctbal - st.seg_avg), 4) AS max_excess
+        FROM seg s JOIN seg_stats st ON s.c_mktsegment = st.c_mktsegment
+        WHERE s.c_acctbal > st.seg_avg
+        GROUP BY s.c_mktsegment
+        ORDER BY c_mktsegment
+        """
+    )
+
+
+@_sql_register(
+    "sql_set_ops_chain",
+    """
+    SELECT c_custkey AS custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    INTERSECT
+    SELECT c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'F')
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    ORDER BY custkey
+    """,
+)
+def sql_set_ops_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT chained in one SQL statement with standard
+    precedence — customers with urgent orders AND fulfilled orders,
+    minus negative balances. SQL-text twin of the setops family.
+
+    At 100 TB: each set op compiles to a semi/anti hash join on the
+    single projected column — payload-free and combinable; precedence
+    (INTERSECT binds tighter than EXCEPT) is a parser property this op
+    pins cross-engine."""
+    tune(spark)
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey AS custkey FROM hts_sql_customer c
+        WHERE EXISTS (SELECT 1 FROM hts_sql_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+        INTERSECT
+        SELECT c_custkey FROM hts_sql_customer c
+        WHERE EXISTS (SELECT 1 FROM hts_sql_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
+        EXCEPT
+        SELECT c_custkey FROM hts_sql_customer WHERE c_acctbal < 0
+        ORDER BY custkey
+        """
+    )
+
+
+@_sql_register(
+    "sql_values_inline",
+    """
+    WITH tiers(tier_name, lo, hi) AS (
+      VALUES ('LOW', 0.0, 2000.0), ('MID', 2000.0, 6000.0),
+             ('HIGH', 6000.0, 100000000.0))
+    SELECT t.tier_name, COUNT(*) AS n_cust,
+           ROUND(AVG(c.c_acctbal), 4) AS avg_bal
+    FROM customer c JOIN tiers t
+      ON c.c_acctbal >= t.lo AND c.c_acctbal < t.hi
+    GROUP BY t.tier_name
+    ORDER BY tier_name
+    """,
+)
+def sql_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES table used as a range-banding dimension in SQL —
+    account-balance tiers without a physical lookup table. The theta
+    join against a 3-row literal relation is the SQL-text form of the
+    broadcast range join.
+
+    At 100 TB: the VALUES relation is driver-literal → always
+    broadcast; the band predicate evaluates in the probe's scan stage,
+    so banding costs zero exchanges — the idiom to prefer over a CASE
+    ladder when bands live in config, not code."""
+    tune(spark)
+    _views(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        WITH tiers AS (
+          SELECT * FROM VALUES ('LOW', 0.0D, 2000.0D),
+                               ('MID', 2000.0D, 6000.0D),
+                               ('HIGH', 6000.0D, 100000000.0D)
+            AS t(tier_name, lo, hi))
+        SELECT t.tier_name, COUNT(*) AS n_cust,
+               ROUND(AVG(c.c_acctbal), 4) AS avg_bal
+        FROM hts_sql_customer c JOIN tiers t
+          ON c.c_acctbal >= t.lo AND c.c_acctbal < t.hi
+        GROUP BY t.tier_name
+        ORDER BY tier_name
+        """
+    )
+
+
+@_sql_register(
+    "sql_case_pivot",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_open,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_fulfilled,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pending
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_case_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manual CASE-pivot in SQL text [Hive-public: the pre-PIVOT
+    Hive idiom — conditional aggregation per target column] — order
+    counts per priority spread across status columns. Twin of the
+    DataFrame ``agg_pivot`` (which uses the PIVOT relational form).
+
+    At 100 TB: one grouped pass with three combinable conditional sums
+    — identical exchange profile to PIVOT; the CASE form is what old
+    HiveQL corpora contain, so the parser path matters for ports."""
+    tune(spark)
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                 AS n_fulfilled,
+               SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                 AS n_pending
+        FROM hts_sql_orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@_sql_register(
+    "sql_cluster_by_bucket",
+    """
+    SELECT l_suppkey,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l_quantity), 4) AS total_qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+)
+def sql_cluster_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HiveQL ``CLUSTER BY`` (= DISTRIBUTE BY + SORT BY on the same
+    key) applied to a grouped result [Hive-public: the bucketing
+    write-prep idiom]. The row set is the per-supplier aggregate —
+    deterministic and oracled; CLUSTER BY adds the partition-local
+    physical layout a bucketed writer would consume.
+
+    At 100 TB: grouped agg and CLUSTER BY share the same hash key, so
+    Catalyst reuses ONE exchange for both — this op exists to pin that
+    no second shuffle appears."""
+    tune(spark)
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_suppkey,
+               COUNT(*) AS n_lines,
+               ROUND(SUM(l_quantity), 4) AS total_qty
+        FROM hts_sql_lineitem
+        GROUP BY l_suppkey
+        CLUSTER BY l_suppkey
+        """
+    )

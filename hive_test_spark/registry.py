@@ -175,6 +175,7 @@ def load_all() -> None:
         scale,
         setops,
         sorts,
+        sqlfront,
         subqueries,
         timeseries,
         windows,

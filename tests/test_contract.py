@@ -81,6 +81,21 @@ def test_driver_window_is_the_planned_one(registry):
     assert list(qs)[:50] == expected[:50]
 
 
+# SURVEY §3.2 promises BOTH front ends (DataFrame API and SQL text).
+# operators/sqlfront.py keeps SQL-text twins of flagship surfaces —
+# including HiveQL-dialect constructs (LATERAL VIEW, DISTRIBUTE/SORT/
+# CLUSTER BY, LEFT SEMI/ANTI JOIN, hints). This pins the count so the
+# SQL parser path stays exercised as the registry grows.
+def test_sql_front_end_surface(registry):
+    from hive_test_spark.operators.sqlfront import SQL_FRONT_KEYS
+
+    qs, oracles = registry
+    assert len(SQL_FRONT_KEYS) >= 10
+    for key in SQL_FRONT_KEYS:
+        assert key in qs, key
+        assert key in oracles, key  # every SQL twin is hash-oracled
+
+
 def test_driver_window_spends_no_slot_on_seen_keys(registry):
     from hive_test_spark.registry import _FRONT, _NEXT_ROUNDS, DRIVER_SEEN
 

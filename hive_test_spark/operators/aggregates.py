@@ -71,16 +71,53 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # rows-only: HLL estimate is not hash-comparable
+_HLL_RSD = 0.01
+_HLL_TOLERANCE = 3 * _HLL_RSD  # 3σ of the rsd guarantee
+
+
+@register(
+    "agg_approx_distinct",
+    f"""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS approx_within_tol,
+           COUNT(*) AS num_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the 100 TB cardinality path —
-    sketch merges instead of exact expand+shuffle. rsd=0.01 keeps the
-    estimate within ~1% of exact (sanity-asserted in tests vs exact)."""
+    sketch merges instead of exact expand+shuffle. The raw HLL estimate
+    can never hash-match a DuckDB oracle (different register layouts:
+    Spark rsd=0.01 gives 2013 vs exact 2000 at sf0.01, and DuckDB's own
+    HLL differs again), so the ORACLED contract is the accuracy
+    PROPERTY: the estimate lands within 3×rsd of the exact count,
+    checked inside the query and emitted as a boolean next to the exact
+    count. The HLL path still executes — the boolean is derived from
+    the real sketch output — while every emitted column is engine-
+    independent. (Driver-hardened from the earlier rows-only version;
+    the 3×rsd bound is the standard HLL++ guarantee [Spark-public:
+    approx_count_distinct docs].)
+
+    At 100 TB only the sketch runs (drop the exact column): partials
+    are fixed-size register arrays merged on the 3-value flag key,
+    versus COUNT(DISTINCT)'s expand + |parts|-sized shuffle."""
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.count(F.lit(1)).alias("num_rows"),
+    est = F.approx_count_distinct("l_partkey", rsd=_HLL_RSD)
+    exact = F.count_distinct(F.col("l_partkey"))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            exact.alias("exact_parts"),
+            (
+                F.abs(est - exact) <= F.lit(_HLL_TOLERANCE) * exact
+            ).alias("approx_within_tol"),
+            F.count(F.lit(1)).alias("num_rows"),
+        )
+        .orderBy("l_returnflag")
     )
 
 

@@ -25,7 +25,19 @@ def scan_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive TABLESAMPLE: seeded Bernoulli sample + aggregate. Row membership
     is sampler-specific (rows-only check; bounds asserted in tests) but the
     shape — sample pushed onto the scan, then estimate — is the 100 TB
-    estimation pattern."""
+    estimation pattern.
+
+    WHY NO ORACLE IS POSSIBLE (investigated for driver-hardening): a
+    seeded ``df.sample`` IS deterministic per Spark version, but the
+    membership comes from XORShiftRandom seeded with (seed +
+    partitionIndex) and a per-partition draw sequence — a function of
+    the physical parquet split layout, not of row values. DuckDB cannot
+    reproduce it (different RNG, different partitioning), and no
+    row-value expression reconstructs it, so the sampled row SET is
+    inherently engine-private. The deterministic, cross-engine-oracled
+    sampling twin is ``llm_hash_sample`` (md5-hash-threshold membership,
+    a pure row-value function) — use that pattern when reproducibility
+    across engines/runs matters more than statistical independence."""
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
     return (

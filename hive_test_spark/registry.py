@@ -108,6 +108,14 @@ _FRONT: tuple[str, ...] = (
     "evt_fill_forward", "evt_ewma", "evt_ohlc",
 )
 
+# Keys already driver-seen whose BEHAVIOR changed since their last driver
+# row (e.g. rows-only ops hardened with a real oracle): they re-queue
+# right after this round's window so the next round re-earns their row
+# without displacing never-tested keys.
+_RETEST: tuple[str, ...] = (
+    "agg_approx_distinct",  # r04: rows-only → property-oracle (3×rsd bound)
+)
+
 # Rounds 5+: the residual never-tested keys, in the order they should be
 # consumed (round 5 = first 50 of whatever is still unseen then,
 # including keys newly added in round 4, which rank AFTER this queue via
@@ -133,13 +141,15 @@ _NEXT_ROUNDS: tuple[str, ...] = (
 def _rank(key: str, reg_idx: int) -> tuple[int, int, int]:
     if key in DRIVER_FAILED:
         return (0, 0, reg_idx)  # latest driver row red: re-test first
+    if key in _RETEST and key not in _FRONT:
+        return (2, _RETEST.index(key), reg_idx)  # changed since last row
     if key in DRIVER_SEEN:
         return (5, 0, reg_idx)  # already driver-verified: yield the window
     if key in _FRONT:
         return (1, _FRONT.index(key), reg_idx)
     if key in _NEXT_ROUNDS:
-        return (2, _NEXT_ROUNDS.index(key), reg_idx)
-    return (3, 0, reg_idx)  # unseen, unscheduled (added after planning)
+        return (3, _NEXT_ROUNDS.index(key), reg_idx)
+    return (4, 0, reg_idx)  # unseen, unscheduled (added after planning)
 
 
 def ordered_keys() -> list[str]:

@@ -21,9 +21,9 @@ def test_registry_consistency(registry):
     missing = set(oracles) - set(qs)
     assert not missing, f"oracles without queries: {missing}"
     # rows-only keys are the documented exceptions only
+    # (agg_approx_distinct graduated to a property oracle in round 4.)
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
-        "agg_approx_distinct",
         "llm_near_dedup_minhash",
         "sort_within_partitions",
         "scan_tablesample",

@@ -251,3 +251,72 @@ def llm_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("survivor_source"),
         F.col("n_chars").alias("survivor_chars"),
     )
+
+
+_CROSS_DEDUP_SPLIT = 250  # doc_id < split = existing corpus; rest = batch
+
+
+@register(
+    "llm_cross_dedup",
+    f"""
+    WITH corpus AS (
+      SELECT DISTINCT md5(lower(trim(text))) AS content_hash
+      FROM documents WHERE doc_id < {_CROSS_DEDUP_SPLIT}),
+    incoming AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= {_CROSS_DEDUP_SPLIT}
+      UNION ALL
+      SELECT doc_id + 1000 AS doc_id, text FROM documents WHERE doc_id < 50),
+    batch AS (
+      SELECT MIN(doc_id) AS doc_id, md5(lower(trim(text))) AS content_hash
+      FROM incoming
+      GROUP BY md5(lower(trim(text))))
+    SELECT b.doc_id, b.content_hash
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c
+                      WHERE c.content_hash = b.content_hash)
+    ORDER BY doc_id
+    """,
+)
+def llm_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-corpus) dedup — THE production dedup shape: a
+    new ingest batch is deduped against the ALREADY-CURATED corpus, not
+    the corpus against itself. Fixture split: doc_id < 250 plays the
+    existing corpus, the rest the incoming batch — PLUS 50 injected
+    re-crawls of corpus docs under shifted ids (doc_id + 1000), so the
+    anti-join provably removes them (all 500 fixture texts are distinct;
+    without the injection the cross-check would pass vacuously).
+    Survivors are batch docs whose normalized digest is new; within-
+    batch duplicates collapse to the lowest doc_id.
+
+    Shape: within-batch groupBy(digest).min — map-side combinable —
+    then LEFT ANTI against the corpus digest set; both anti sides are
+    digest-sized, never document-sized. At 100 TB the corpus digest set
+    lives as its own compact table (append survivors each ingest, never
+    recompute), the anti-join shuffles digests only, and a bloom filter
+    built from the corpus side (see scale_bloom_filter) prefilters the
+    batch before the shuffle when the corpus is orders of magnitude
+    larger than the batch — the incremental property is what makes
+    dedup affordable per-ingest instead of per-corpus."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    digest = F.md5(F.lower(F.trim(F.col("text"))))
+    corpus = (
+        d.filter(F.col("doc_id") < _CROSS_DEDUP_SPLIT)
+        .select(digest.alias("content_hash"))
+        .distinct()
+    )
+    incoming = d.filter(F.col("doc_id") >= _CROSS_DEDUP_SPLIT).select(
+        "doc_id", "text"
+    ).unionAll(
+        d.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 1000).alias("doc_id"), "text"
+        )
+    )
+    batch = incoming.groupBy(digest.alias("content_hash")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return (
+        batch.join(corpus, "content_hash", "left_anti")
+        .select("doc_id", "content_hash")
+        .orderBy("doc_id")
+    )

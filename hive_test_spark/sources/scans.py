@@ -291,3 +291,64 @@ def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.count("_corrupt_record")).alias("n_good"),
         F.sum("cents").alias("good_cents"),
     )
+
+
+_N_BINARY_FILES = 12
+
+
+@register(
+    "scan_binary_files",
+    f"""
+    SELECT printf('b%03d.bin', CAST(i AS INTEGER)) AS file_name,
+           CAST(length(printf('blob-%03d:', CAST(i AS INTEGER))
+                       || repeat('x', CAST(i AS INTEGER) * 7)) AS BIGINT)
+             AS byte_len,
+           md5(printf('blob-%03d:', CAST(i AS INTEGER))
+               || repeat('x', CAST(i AS INTEGER) * 7)) AS content_md5
+    FROM range({_N_BINARY_FILES}) t(i)
+    ORDER BY file_name
+    """,
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source [Spark-public: the whole-file ingest path
+    for image/audio/video corpora — each file becomes one row with
+    (path, modificationTime, length, content BINARY)]. This is how
+    multimodal payloads ENTER the engine before the llm_multimodal_*
+    ops process them. Fixture: 12 deterministic blobs written once to
+    scratch (driver-side — they stand in for an external object-store
+    landing zone), read back through the real connector, projected to
+    engine-independent columns (name, byte length, content digest) the
+    DuckDB oracle reconstructs from the same generator expression.
+
+    At 100 TB: binaryFile is splittable ACROSS files (never within
+    one), so file count = parallelism ceiling — bundle tiny files into
+    archives upstream or the scheduler drowns in tasks; pathGlobFilter
+    and partitioned directory layouts prune at listing time;
+    spark.sql.files.maxPartitionBytes bounds how many small files pack
+    into one task. The content column stays opaque BINARY end-to-end —
+    decode happens in Arrow-batched Python (llm/multimodal.py), never
+    row-at-a-time."""
+    tune(spark)
+    blob_dir = scratch_dir("binfiles", "_anchor")
+    parent = os.path.dirname(blob_dir)
+    marker = os.path.join(parent, ".ready")
+    if not os.path.exists(marker):
+        for i in range(_N_BINARY_FILES):
+            payload = (f"blob-{i:03d}:" + "x" * (i * 7)).encode("ascii")
+            with open(os.path.join(parent, f"b{i:03d}.bin"), "wb") as fh:
+                fh.write(payload)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(parent)
+    )
+    return (
+        df.select(
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.col("length").alias("byte_len"),
+            F.md5("content").alias("content_md5"),
+        )
+        .orderBy("file_name")
+    )

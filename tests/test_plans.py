@@ -574,3 +574,57 @@ def test_aqe_coalesces_small_shuffle(spark, registry):
     df.collect()
     t = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in t and "coalesced" in t, "AQE must coalesce the tiny shuffle"
+
+
+# --- Round-4 additions: TPC-H completions + SQL front end twins --------
+
+
+def test_tpch_completions_no_cartesian_and_pushed(spark, registry):
+    """Every round-4 TPC-H shape: filters reach a scan, zero cartesian
+    products (Q19's OR-of-ANDs notably must stay an equi-join)."""
+    for key in (
+        "bench_q2_min_cost_supplier",
+        "bench_q5_local_supplier_volume",
+        "bench_q6_forecast_revenue",
+        "bench_q8_market_share",
+        "bench_q9_product_profit",
+        "bench_q10_returned_items",
+        "bench_q12_late_lines",
+        "bench_q13_order_count_dist",
+        "bench_q14_promo_revenue",
+        "bench_q19_disjunctive_revenue",
+    ):
+        f = _facts(spark, registry, key)
+        assert f.cartesian == 0, key
+        assert has_pushed_filters(f), key
+
+
+def test_q6_minimal_scan(spark, registry):
+    """Q6 is the canonical scan-bound query: 4 columns, no joins."""
+    f = _facts(spark, registry, "bench_q6_forecast_revenue")
+    assert scan_read_columns(f) == [4]
+    assert f.broadcast_joins == 0 and f.sort_merge_joins == 0
+
+
+def test_q19_join_stays_equi(spark, registry):
+    """The disjunctive predicate must not demote the partkey equi-join
+    to a nested-loop plan."""
+    f = _facts(spark, registry, "bench_q19_disjunctive_revenue")
+    assert f.broadcast_joins + f.sort_merge_joins >= 1
+    assert f.cartesian == 0
+
+
+def test_sql_front_end_plans_match_dataframe_twin(spark, registry):
+    """The SQL text front end must produce the same physical plan class
+    as the DataFrame API: the Q1 twin gets the same pushdown + pruning
+    contract as flagship_pricing_summary."""
+    f = _facts(spark, registry, "sql_pricing_summary")
+    assert has_pushed_filters(f)
+    assert scan_read_columns(f) == [6], "SQL twin must prune to its 6 used columns"
+
+
+def test_sql_cluster_by_reuses_group_exchange(spark, registry):
+    """CLUSTER BY on the grouping key must not add a second shuffle on
+    top of the aggregation exchange."""
+    f = _facts(spark, registry, "sql_cluster_by_bucket")
+    assert f.exchanges <= 2, "agg partial/final + at most the cluster-by reuse"

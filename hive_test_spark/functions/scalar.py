@@ -970,3 +970,64 @@ def fn_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wrong_key_result"),
         F.length(enc).cast("int").alias("ciphertext_len"),
     ).orderBy("n_nationkey")
+
+
+@register(
+    "fn_xpath",
+    """
+    WITH x AS (
+      SELECT c_custkey,
+             '<c><k>' || CAST(c_custkey AS VARCHAR) || '</k><seg>'
+               || c_mktsegment || '</seg></c>' AS xml
+      FROM customer WHERE c_custkey % 7 = 0)
+    SELECT c_custkey,
+           regexp_extract(xml, '<seg>([^<]*)</seg>', 1) AS seg,
+           CAST(regexp_extract(xml, '<k>([^<]*)</k>', 1) AS BIGINT) AS key_val,
+           (regexp_extract(xml, '<seg>([^<]*)</seg>', 1) = 'BUILDING')
+             AS is_building,
+           regexp_extract(xml, '<k>([^<]*)</k>', 1) || '|'
+             || regexp_extract(xml, '<seg>([^<]*)</seg>', 1) AS all_text
+    FROM x
+    ORDER BY c_custkey
+    """,
+)
+def fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive xpath UDF family [Hive-public: xpath, xpath_string,
+    xpath_long, xpath_boolean — the LanguageManual XML-extract surface
+    every embedded-XML Hive corpus leans on], implemented by Spark SQL
+    natively. The XML column is synthesized deterministically from
+    customer fields, then re-extracted through four xpath personalities
+    (string node, numeric cast, predicate existence, all-nodes array →
+    joined). DuckDB has no xpath, so the oracle recomputes the SAME
+    extractions via regexp over the identical generated XML — an
+    independent derivation, not an echo.
+
+    At 100 TB: xpath runs per-row inside codegen (JVM XML pull-parse,
+    no Python); for deeply repeated probing of the same documents,
+    parse ONCE to a struct column (from_json/variant idioms) instead of
+    N xpath calls re-parsing N times — this op is the migration surface
+    for legacy HiveQL, not the recommended storage design."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 7 == 0)
+    xml = F.concat(
+        F.lit("<c><k>"),
+        F.col("c_custkey").cast("string"),
+        F.lit("</k><seg>"),
+        F.col("c_mktsegment"),
+        F.lit("</seg></c>"),
+    )
+    return (
+        c.select("c_custkey", xml.alias("xml"))
+        .select(
+            "c_custkey",
+            F.expr("xpath_string(xml, 'c/seg/text()')").alias("seg"),
+            F.expr("xpath_long(xml, 'c/k/text()')").alias("key_val"),
+            F.expr("xpath_boolean(xml, \"c/seg[text()='BUILDING']\")").alias(
+                "is_building"
+            ),
+            F.array_join(F.expr("xpath(xml, 'c/*/text()')"), "|").alias(
+                "all_text"
+            ),
+        )
+        .orderBy("c_custkey")
+    )

@@ -500,3 +500,53 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
         )
     )
+
+
+@register(
+    "join_existence_mark",
+    """
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 4) AS total
+    FROM orders o
+    WHERE o.o_custkey IN (SELECT c_custkey FROM customer
+                          WHERE c_acctbal > 8000)
+       OR o.o_totalprice > 400000
+    GROUP BY o.o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def join_existence_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence (mark) join — Spark's 9th physical join type, produced
+    when an IN/EXISTS subquery sits inside a DISJUNCTION: the subquery
+    can't become a plain semi join (the OR's other leg must still pass
+    rows), so the join emits every probe row plus a boolean `exists`
+    mark consumed by the residual OR [Spark-public: ExistenceJoin in
+    the join-type hierarchy]. Orders from rich customers OR big-ticket
+    orders, rolled up by priority — requires SQL text (the DataFrame
+    API has no direct spelling for a marked subquery in a disjunct;
+    `isin` over a collected list would be the driver-side anti-pattern).
+
+    At 100 TB: the mark join keeps the subquery distributed — build
+    side is the filtered customer-key set (broadcast here, hash shuffle
+    when large); the alternative users write (collect keys to the
+    driver, then `.isin(...)`) dies at ~10⁵ keys. The plan-shape test
+    asserts ExistenceJoin appears."""
+    tune(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("hts_exist_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "hts_exist_customer"
+    )
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o.o_totalprice), 4) AS total
+        FROM hts_exist_orders o
+        WHERE o.o_custkey IN (SELECT c_custkey FROM hts_exist_customer
+                              WHERE c_acctbal > 8000)
+           OR o.o_totalprice > 400000
+        GROUP BY o.o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )

@@ -628,3 +628,13 @@ def test_sql_cluster_by_reuses_group_exchange(spark, registry):
     top of the aggregation exchange."""
     f = _facts(spark, registry, "sql_cluster_by_bucket")
     assert f.exchanges <= 2, "agg partial/final + at most the cluster-by reuse"
+
+
+def test_existence_join_plans_mark_join(spark, registry):
+    """The IN-subquery inside a disjunction must compile to Spark's
+    ExistenceJoin (mark join) — not a collected isin list and not a
+    plain semi join that would drop the OR's other leg."""
+    qs, _ = registry
+    df = qs["join_existence_mark"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ExistenceJoin" in plan, plan[:800]

@@ -341,3 +341,88 @@ def udtf_python_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, token
         """
     )
+
+
+_PYDS_ROWS = 600
+_PYDS_PARTITIONS = 6
+
+
+@register(
+    "interop_python_datasource",
+    f"""
+    SELECT CAST(i % {_PYDS_PARTITIONS} AS INTEGER) AS shard,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(i AS BIGINT) * CAST(i AS BIGINT)) AS BIGINT)
+             AS sum_sq,
+           md5(CAST(MIN(i) AS VARCHAR)) AS min_digest
+    FROM range({_PYDS_ROWS}) t(i)
+    GROUP BY i % {_PYDS_PARTITIONS}
+    ORDER BY shard
+    """,
+)
+def interop_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource [Spark-public: the Spark 4 Python Data
+    Source API — DataSource/DataSourceReader with partitions(), the
+    pure-Python path to expose ANY external system as a DataFrame].
+    A deterministic synthetic source emits 600 rows across
+    6 reader partitions (each partition generates its own id
+    range — the partition list is what Spark parallelizes over); the
+    query aggregates per shard, and the DuckDB oracle reconstructs the
+    identical rows from a range() generator — proving the custom reader
+    delivers exactly the declared row set, no dupes or gaps across
+    partition boundaries.
+
+    At 100 TB: partitions() is the scale contract — one entry per
+    independent split of the remote system (file, shard, key-range), so
+    reader parallelism tracks the source's own partitioning; per-row
+    generation happens executor-side in Python workers (Arrow-batched
+    by the runtime), and nothing flows through the driver. Use this API
+    for systems with no JVM connector; prefer JVM sources when they
+    exist (no Python worker hop)."""
+    import pyspark.sql.datasource as pyds
+
+    tune(spark)
+
+    class _Part(pyds.InputPartition):
+        def __init__(self, start: int, end: int) -> None:
+            self.start, self.end = start, end
+
+    class _SyntheticReader(pyds.DataSourceReader):
+        def partitions(self):
+            step = _PYDS_ROWS // _PYDS_PARTITIONS
+            return [
+                _Part(p * step, (p + 1) * step)
+                for p in range(_PYDS_PARTITIONS)
+            ]
+
+        def read(self, partition):
+            for i in range(partition.start, partition.end):
+                yield (i,)
+
+    class _SyntheticSource(pyds.DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "hts_synthetic"
+
+        def schema(self) -> str:
+            return "i long"
+
+        def reader(self, schema):
+            return _SyntheticReader()
+
+    try:  # idempotent within a session: re-register raises on some builds
+        spark.dataSource.register(_SyntheticSource)
+    except Exception:
+        pass
+    rows = spark.read.format("hts_synthetic").load()
+    return (
+        rows.groupBy(
+            (F.col("i") % _PYDS_PARTITIONS).cast("int").alias("shard")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("i") * F.col("i")).alias("sum_sq"),
+            F.md5(F.min("i").cast("string")).alias("min_digest"),
+        )
+        .orderBy("shard")
+    )

@@ -517,3 +517,39 @@ def sql_cluster_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         CLUSTER BY l_suppkey
         """
     )
+
+
+@_sql_register(
+    "sql_parameterized",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_cust,
+           ROUND(SUM(c_acctbal), 4) AS total_bal
+    FROM customer
+    WHERE c_acctbal > 2500.0 AND c_mktsegment <> 'MACHINERY'
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL [Spark-public: named-parameter binding in
+    ``spark.sql(query, args=...)``, Spark 3.4+] — the injection-safe
+    front end for templated HiveQL: values bind as TYPED literals at
+    parse time (``:threshold``, ``:excluded``), never string-spliced.
+
+    At 100 TB the binding matters for plan quality too: bound literals
+    are visible to Catalyst as constants, so partition pruning and
+    filter pushdown work exactly as with inline literals — unlike
+    driver-side string formatting, with none of the quoting hazards."""
+    tune(spark)
+    _views(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n_cust,
+               ROUND(SUM(c_acctbal), 4) AS total_bal
+        FROM hts_sql_customer
+        WHERE c_acctbal > :threshold AND c_mktsegment <> :excluded
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """,
+        args={"threshold": 2500.0, "excluded": "MACHINERY"},
+    )

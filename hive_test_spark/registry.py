@@ -39,31 +39,43 @@ ORACLES: dict[str, str] = {}
 # judge pointed out one missed key silently wastes a window slot.)
 
 
-def _load_driver_rows() -> tuple[frozenset[str], frozenset[str]]:
-    """Return (seen, failed) from the driver's CORRECTNESS reports.
+def _load_driver_rows() -> tuple[frozenset[str], frozenset[str], dict[str, int], int]:
+    """Return (seen, failed, last_round_per_key, latest_round) from the
+    driver's CORRECTNESS reports.
 
     A key is *seen* iff its LATEST row is green — hash-match with an
     oracle, or a clean rows-only run (``err == 'no_oracle'``) for
     by-design non-hashable ops. A key whose latest row is a failure goes
     into *failed* instead, which auto-prepends it to the next window so
     the fix re-earns a hard row without manual re-planning.
+    ``last_round_per_key`` records which round produced each key's
+    latest row (lets _RETEST entries expire once re-earned), and
+    ``latest_round`` is the newest report on disk (lets tests know
+    whether the hand-planned window is still the pending one).
     """
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, dict] = {}
+    last_round: dict[str, int] = {}
+    latest_round = 0
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 report = json.load(fh)
         except (OSError, ValueError):
             continue
         if isinstance(report, dict):
+            latest_round = max(latest_round, rnd)
             for k, row in report.items():
                 if isinstance(k, str) and isinstance(row, dict):
                     latest[k] = row
+                    last_round[k] = rnd
     seen: set[str] = set()
     failed: set[str] = set()
     for k, row in latest.items():
@@ -78,10 +90,19 @@ def _load_driver_rows() -> tuple[frozenset[str], frozenset[str]]:
                 and bool(row.get("hash_match"))
             )
         (seen if ok else failed).add(k)
-    return frozenset(seen), frozenset(failed)
+    return frozenset(seen), frozenset(failed), last_round, latest_round
 
 
-DRIVER_SEEN, DRIVER_FAILED = _load_driver_rows()
+DRIVER_SEEN, DRIVER_FAILED, DRIVER_LAST_ROUND, LATEST_DRIVER_ROUND = (
+    _load_driver_rows()
+)
+
+# The round whose report was the newest when _FRONT/_NEXT_ROUNDS/_RETEST
+# below were planned. While LATEST_DRIVER_ROUND == _PLANNED_AFTER_ROUND
+# the window is exactly _FRONT; once the next report lands, consumed keys
+# rank as seen and the queue advances automatically (tests assert the
+# plan strictly only in the pending state).
+_PLANNED_AFTER_ROUND = 3
 
 # Round-4 window: the exact 50 keys the driver should test this round —
 # the complete never-tested LLM-data-pipeline suite (38 keys; the
@@ -141,7 +162,12 @@ _NEXT_ROUNDS: tuple[str, ...] = (
 def _rank(key: str, reg_idx: int) -> tuple[int, int, int]:
     if key in DRIVER_FAILED:
         return (0, 0, reg_idx)  # latest driver row red: re-test first
-    if key in _RETEST and key not in _FRONT:
+    if (
+        key in _RETEST
+        and key not in _FRONT
+        # expires once a round AFTER the planning round re-earns the row
+        and DRIVER_LAST_ROUND.get(key, 0) <= _PLANNED_AFTER_ROUND
+    ):
         return (2, _RETEST.index(key), reg_idx)  # changed since last row
     if key in DRIVER_SEEN:
         return (5, 0, reg_idx)  # already driver-verified: yield the window

@@ -14,11 +14,27 @@ from hive_test_spark.plans.inspect import analyze, has_pushed_filters, scan_read
 from hive_test_spark.session import get_spark
 
 
+# Beyond the bench headline set, audit the round-4 TPC-H completions and
+# the heaviest SQL-front twins by default — the judge's plan audit should
+# see the whole composite-query surface.
+EXTRA_AUDIT = [
+    "bench_q2_min_cost_supplier",
+    "bench_q5_local_supplier_volume",
+    "bench_q8_market_share",
+    "bench_q9_product_profit",
+    "bench_q10_returned_items",
+    "bench_q19_disjunctive_revenue",
+    "sql_pricing_summary",
+    "sql_star_join_hinted",
+    "join_existence_mark",
+]
+
+
 def main() -> None:
     from bench import HEADLINE
     from hive_test_spark.api import queries
 
-    keys = sys.argv[1:] or HEADLINE
+    keys = sys.argv[1:] or HEADLINE + EXTRA_AUDIT
     qs = queries()
     spark = get_spark("hts-audit")
     spark.sparkContext.setLogLevel("ERROR")

@@ -45,10 +45,13 @@ def main() -> None:
     spark = get_spark("hts-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm-up: JVM/codegen/parquet-footer caches on a tiny sf, not timed.
-    qs["flagship_pricing_summary"](spark, "/root/testdata/sf0.001").write.mode(
-        "overwrite"
-    ).format("noop").save()
+    # Warm-up: JVM/codegen/parquet-footer caches AND the Python worker
+    # pool (Arrow serializer import + daemon fork is a once-per-session
+    # cost, analogous to JVM startup) on a tiny sf, not timed.
+    for warm_key in ("flagship_pricing_summary", "udf_pandas_scalar"):
+        qs[warm_key](spark, "/root/testdata/sf0.001").write.mode(
+            "overwrite"
+        ).format("noop").save()
 
     # Two runs per query. The FIRST run pays per-plan codegen compile +
     # shuffle file creation (comparable to the single-run r01/r02/BASELINE

@@ -73,11 +73,20 @@ def main() -> None:
     total_first = round(sum(per_query_first.values()), 3)
 
     # Per-query ratio vs the recorded baseline (BENCH.json), when present.
+    # The baseline was a SINGLE (cold) run per query, so the comparable
+    # ratio uses the first run; the best-of-2 ratio is emitted alongside
+    # as the steady-state number a resident session would deliver.
     ratios: dict[str, float] = {}
+    ratios_best: dict[str, float] = {}
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json")) as fh:
             base = json.load(fh).get("queries", {})
         ratios = {
+            k: round(per_query_first[k] / base[k], 3)
+            for k in HEADLINE
+            if base.get(k)
+        }
+        ratios_best = {
             k: round(per_query[k] / base[k], 3)
             for k in HEADLINE
             if base.get(k)
@@ -99,6 +108,7 @@ def main() -> None:
                 "queries_first_run": per_query_first,
                 "first_run_total": total_first,
                 "ratio_to_baseline": ratios,
+                "ratio_to_baseline_best": ratios_best,
                 "sf": sf,
             }
         )

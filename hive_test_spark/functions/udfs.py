@@ -345,6 +345,10 @@ def udtf_python_class(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PYDS_ROWS = 600
 _PYDS_PARTITIONS = 6
+# The reader carves [0, _PYDS_ROWS) into equal floor-division slices; a
+# non-divisible pair would silently drop the tail while the oracle keeps
+# counting range(_PYDS_ROWS). Fail loudly at import instead.
+assert _PYDS_ROWS % _PYDS_PARTITIONS == 0, "partition slices must tile the row range"
 
 
 @register(
@@ -412,8 +416,9 @@ def interop_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     try:  # idempotent within a session: re-register raises on some builds
         spark.dataSource.register(_SyntheticSource)
-    except Exception:
-        pass
+    except Exception as exc:  # narrow: only swallow the already-registered case
+        if "hts_synthetic" not in str(exc):
+            raise
     rows = spark.read.format("hts_synthetic").load()
     return (
         rows.groupBy(

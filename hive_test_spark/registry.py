@@ -62,9 +62,18 @@ def _load_driver_rows() -> tuple[frozenset[str], frozenset[str], dict[str, int],
     latest: dict[str, dict] = {}
     last_round: dict[str, int] = {}
     latest_round = 0
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+
+    def _round_of(path: str) -> int:
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        rnd = int(m.group(1)) if m else 0
+        return int(m.group(1)) if m else 0
+
+    # Sort by PARSED round number, not filename: lexicographic order would
+    # let CORRECTNESS_r4.json shadow r04, or r100 sort before r20, making
+    # an older report silently win the "latest row" merge below.
+    for path in sorted(
+        glob.glob(os.path.join(root, "CORRECTNESS_r*.json")), key=_round_of
+    ):
+        rnd = _round_of(path)
         try:
             with open(path) as fh:
                 report = json.load(fh)
@@ -102,46 +111,16 @@ DRIVER_SEEN, DRIVER_FAILED, DRIVER_LAST_ROUND, LATEST_DRIVER_ROUND = (
 # the window is exactly _FRONT; once the next report lands, consumed keys
 # rank as seen and the queue advances automatically (tests assert the
 # plan strictly only in the pending state).
-_PLANNED_AFTER_ROUND = 3
+_PLANNED_AFTER_ROUND = 4
 
-# Round-4 window: the exact 50 keys the driver should test this round —
-# the complete never-tested LLM-data-pipeline suite (38 keys; the
-# driver's named first-class mandate) plus the first 12 untested evt_*
-# analytics keys. All were judge-verified green at sf0.01 in round 3;
-# this window converts them to hard driver rows.
+# Round-5 window: the exact 50 keys the driver should test this round —
+# the `agg_approx_distinct` property-oracle retest (rows-only → hard
+# hash row, graduated r4) plus the 49 remaining never-tested analytics /
+# TPC-H / scale / fn / streaming keys. All 50 were judge-verified green
+# at sf0.01 in round 4. _FRONT may deliberately contain already-seen keys
+# ONLY when they also appear in _RETEST (behavior changed since the row).
 _FRONT: tuple[str, ...] = (
-    "llm_contamination", "llm_pack_sequences", "llm_perplexity_proxy",
-    "llm_dataset_mix", "llm_vocab_coverage", "llm_sample_temperature",
-    "llm_shard_manifest", "llm_span_dedup", "llm_entropy_filter",
-    "llm_domain_cap", "llm_bpe_pair_counts", "llm_importance_weights",
-    "llm_dedup_canonical", "llm_multimodal_features", "llm_hash_sample",
-    "llm_stratified_sample", "llm_minhash_det", "llm_dedup_clusters",
-    "llm_chunk_split", "llm_stopword_strip", "llm_pii_redact",
-    "llm_multimodal_framesample", "llm_dedup_report", "llm_pipeline_e2e",
-    "llm_repetition_filter", "llm_gopher_rules", "llm_ccnet_bucket",
-    "llm_embed_quantize", "llm_embed_neardup", "llm_ann_ivf",
-    "llm_ann_lsh", "llm_ann_recall", "llm_semdedup", "llm_lang_id",
-    "llm_fingerprint", "llm_ngram_stats", "llm_bigram_lm",
-    "llm_topic_signature",
-    "evt_transition_matrix", "evt_attribution", "evt_rfm",
-    "evt_anomaly_zscore", "evt_ab_lift", "evt_cohort_ltv",
-    "evt_stickiness", "evt_error_burn", "evt_path_topk",
-    "evt_fill_forward", "evt_ewma", "evt_ohlc",
-)
-
-# Keys already driver-seen whose BEHAVIOR changed since their last driver
-# row (e.g. rows-only ops hardened with a real oracle): they re-queue
-# right after this round's window so the next round re-earns their row
-# without displacing never-tested keys.
-_RETEST: tuple[str, ...] = (
-    "agg_approx_distinct",  # r04: rows-only → property-oracle (3×rsd bound)
-)
-
-# Rounds 5+: the residual never-tested keys, in the order they should be
-# consumed (round 5 = first 50 of whatever is still unseen then,
-# including keys newly added in round 4, which rank AFTER this queue via
-# the unlisted-unseen tier — prepend them here when planning round 5).
-_NEXT_ROUNDS: tuple[str, ...] = (
+    "agg_approx_distinct",
     "evt_rolling_median", "agg_listagg", "bench_q11_important_stock",
     "bench_q15_top_supplier", "bench_q17_small_qty_revenue",
     "bench_q20_part_promotion", "bench_q21_waiting_supplier",
@@ -156,23 +135,52 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "fn_binary_codec", "fn_crypto", "interop_reflect",
     "udtf_python_class", "stream_transform_with_state",
     "stream_checkpoint_recovery",
+    "bench_q2_min_cost_supplier", "bench_q5_local_supplier_volume",
+    "bench_q6_forecast_revenue", "bench_q8_market_share",
+    "bench_q9_product_profit", "bench_q10_returned_items",
+    "bench_q12_late_lines", "bench_q13_order_count_dist",
+    "bench_q14_promo_revenue", "bench_q19_disjunctive_revenue",
+)
+
+# Keys already driver-seen whose BEHAVIOR changed since their last driver
+# row (e.g. rows-only ops hardened with a real oracle): they re-queue
+# right after this round's window so the next round re-earns their row
+# without displacing never-tested keys.
+_RETEST: tuple[str, ...] = (
+    "agg_approx_distinct",  # r04: rows-only → property-oracle (3×rsd bound)
+)
+
+# Round 6: the 19 residual never-tested keys (13 sql_* twins + the round-4
+# additions), then keys newly added in round 5 — together they close
+# driver exposure at 100% of the registry; the rest of the round-6 window
+# backfills already-verified keys (tier 5, harmless re-verification).
+_NEXT_ROUNDS: tuple[str, ...] = (
+    "join_existence_mark", "sql_pricing_summary", "sql_star_join_hinted",
+    "sql_lateral_view_explode", "sql_distribute_sort_by",
+    "sql_semi_anti_join", "sql_rollup_grouping", "sql_window_analytics",
+    "sql_cte_reuse", "sql_set_ops_chain", "sql_values_inline",
+    "sql_case_pivot", "sql_cluster_by_bucket", "sql_parameterized",
+    "scan_binary_files", "scan_xml", "fn_xpath",
+    "interop_python_datasource", "llm_cross_dedup",
 )
 
 
 def _rank(key: str, reg_idx: int) -> tuple[int, int, int]:
     if key in DRIVER_FAILED:
         return (0, 0, reg_idx)  # latest driver row red: re-test first
+    if key in _FRONT and LATEST_DRIVER_ROUND <= _PLANNED_AFTER_ROUND:
+        # Pending state only: the hand-planned window verbatim (may
+        # include _RETEST members). Once the planned report lands, _FRONT
+        # expires and every key falls through to the tiers below.
+        return (1, _FRONT.index(key), reg_idx)
     if (
         key in _RETEST
-        and key not in _FRONT
         # expires once a round AFTER the planning round re-earns the row
         and DRIVER_LAST_ROUND.get(key, 0) <= _PLANNED_AFTER_ROUND
     ):
         return (2, _RETEST.index(key), reg_idx)  # changed since last row
     if key in DRIVER_SEEN:
         return (5, 0, reg_idx)  # already driver-verified: yield the window
-    if key in _FRONT:
-        return (1, _FRONT.index(key), reg_idx)
     if key in _NEXT_ROUNDS:
         return (3, _NEXT_ROUNDS.index(key), reg_idx)
     return (4, 0, reg_idx)  # unseen, unscheduled (added after planning)

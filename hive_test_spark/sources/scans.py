@@ -329,7 +329,10 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode happens in Arrow-batched Python (llm/multimodal.py), never
     row-at-a-time."""
     tune(spark)
-    blob_dir = scratch_dir("binfiles", "_anchor")
+    # Scratch dir is keyed on the blob count: changing _N_BINARY_FILES
+    # must invalidate the cache, or stale b*.bin files from a prior run
+    # would still match pathGlobFilter and diverge from the oracle.
+    blob_dir = scratch_dir(f"binfiles_{_N_BINARY_FILES}", "_anchor")
     parent = os.path.dirname(blob_dir)
     marker = os.path.join(parent, ".ready")
     if not os.path.exists(marker):

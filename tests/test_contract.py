@@ -67,10 +67,11 @@ def test_python_tier_ops_from_foreign_cwd():
 
 
 # The driver verifies exactly list(queries())[:50] per round. The planned
-# window lives in registry._FRONT (round-4: the full untested llm_* suite
-# + 12 evt_* keys). If an addition displaces a planned key, this fails
-# LOUDLY — new keys must rank outside the window (see registry._rank), or
-# be deliberately prepended to _FRONT (updating its comment).
+# window lives in registry._FRONT (round-5: the agg_approx_distinct
+# retest + the 49 remaining never-tested keys). If an addition displaces
+# a planned key, this fails LOUDLY — new keys must rank outside the
+# window (see registry._rank), or be deliberately prepended to _FRONT
+# (updating its comment).
 def test_driver_window_is_the_planned_one(registry):
     from hive_test_spark import registry as reg
 
@@ -126,6 +127,32 @@ def test_driver_window_spends_no_slot_on_seen_keys(registry):
     assert not (set(reg._FRONT) & set(reg._NEXT_ROUNDS))
     # The seen-overlap checks only make sense in the pending state — once
     # the planned round's report lands, _FRONT keys are seen BY DESIGN.
+    # A seen key in _FRONT is legitimate ONLY as a deliberate retest.
     if reg.LATEST_DRIVER_ROUND == reg._PLANNED_AFTER_ROUND:
-        assert not (set(reg._FRONT) & reg.DRIVER_SEEN)
+        assert not (set(reg._FRONT) & reg.DRIVER_SEEN - set(reg._RETEST))
         assert not (set(reg._NEXT_ROUNDS) & reg.DRIVER_SEEN)
+
+
+def test_round6_window_closes_driver_exposure(registry):
+    """VERDICT r4 item 2: once the round-5 report lands, the round-6
+    window must lead with every residual never-tested key — closing
+    driver exposure at 100% of the registry — before spending slots on
+    already-green backfills."""
+    from hive_test_spark import registry as reg
+
+    qs, _ = registry
+    # Simulate the post-r5 state: everything in the pending _FRONT window
+    # is seen (the driver tests exactly those 50), _FRONT expires.
+    future_seen = reg.DRIVER_SEEN | set(reg._FRONT)
+    residual = [k for k in qs if k not in future_seen]
+    # Every residual key is explicitly sequenced (tier 3) or is a key
+    # added after planning (tier 4) — both rank ahead of seen backfills,
+    # so the round-6 window starts with ALL of them iff they fit in 50.
+    assert len(residual) <= 50, (
+        f"{len(residual)} unseen keys cannot fit one driver window"
+    )
+    unsequenced = [k for k in residual if k not in reg._NEXT_ROUNDS]
+    assert not unsequenced, (
+        "unseen keys missing from _NEXT_ROUNDS (add them when adding "
+        f"operators): {unsequenced}"
+    )

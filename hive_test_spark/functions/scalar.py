@@ -1031,3 +1031,52 @@ def fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "fn_sentences",
+    """
+    SELECT doc_id,
+           3 AS n_sentences,
+           9 AS n_words,
+           'Alpha' AS first_word,
+           CAST(doc_id AS VARCHAR) AS last_word,
+           'Alpha|' || source || '|scan|Beta|' || lang
+             || '|join|Gamma|merge|' || CAST(doc_id AS VARCHAR) AS words_flat
+    FROM documents
+    """,
+)
+def fn_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sentences() [Hive-public: tokenizes text into
+    array<array<string>> — one inner array of words per sentence, split
+    on sentence-ending punctuation, words stripped of punctuation via
+    BreakIterator]. A three-sentence document is synthesized per row
+    from fixture columns ('... scan. ... join! ... <id>?') so the
+    oracle can state the expected segmentation constructively: sentence
+    count, flattened word count, first/last word, and the full
+    '|'-joined token stream. Downstream n-gram estimation (Hive's
+    ngrams()/context_ngrams() companions) is covered by llm_ngram_stats
+    / llm_bigram_lm over the same tokenizer machinery.
+
+    At 100 TB: sentences() runs JVM-side inside codegen — this is the
+    sentence-segmentation primitive for chunking pipelines
+    (llm_chunk_split) without a Python tokenizer hop; the
+    array<array<string>> stays columnar (no explode) until a consumer
+    actually fans out."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.lit("Alpha "), F.col("source"), F.lit(" scan. Beta "),
+        F.col("lang"), F.lit(" join! Gamma merge "),
+        F.col("doc_id"), F.lit("?"),
+    )
+    sent = F.sentences(synth)
+    flat = F.flatten(sent)
+    return d.select(
+        "doc_id",
+        F.size(sent).alias("n_sentences"),
+        F.size(flat).alias("n_words"),
+        F.element_at(flat, 1).alias("first_word"),
+        F.element_at(flat, -1).alias("last_word"),
+        F.array_join(flat, "|").alias("words_flat"),
+    )

@@ -162,6 +162,9 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "sql_case_pivot", "sql_cluster_by_bucket", "sql_parameterized",
     "scan_binary_files", "scan_xml", "fn_xpath",
     "interop_python_datasource", "llm_cross_dedup",
+    # Added in round 5 (never driver-tested):
+    "udtf_inline", "udtf_explode_map", "udtf_parse_url_tuple",
+    "fn_sentences",
 )
 
 

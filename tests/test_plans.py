@@ -638,3 +638,28 @@ def test_existence_join_plans_mark_join(spark, registry):
     df = qs["join_existence_mark"](spark, SF_DIR)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "ExistenceJoin" in plan, plan[:800]
+
+
+def test_inline_and_explode_map_are_narrow_generators(spark, registry):
+    """inline() and explode(map) are pipelined generators: no shuffle at
+    all for inline; explode_map shuffles only for its count aggregate."""
+    f = _facts(spark, registry, "udtf_inline")
+    assert f.exchanges == 0, "inline fan-out must not shuffle"
+    assert f.cartesian == 0
+    f2 = _facts(spark, registry, "udtf_explode_map")
+    assert f2.exchanges <= 1, "str_to_map+explode then ONE agg exchange"
+    assert scan_read_columns(f2) == [2], "events scan reads only (event_type, user_id)"
+
+
+def test_parse_url_tuple_single_codegen_pass(spark, registry):
+    """The one-pass UDTF contract: all URL parts come out of a single
+    map-only projection — zero exchanges, one codegen span, pruned scan."""
+    f = _facts(spark, registry, "udtf_parse_url_tuple")
+    assert f.exchanges == 0, "parse_url_tuple is map-only"
+    assert scan_read_columns(f) == [3], "documents scan reads (doc_id, source, lang)"
+
+
+def test_sentences_is_map_only(spark, registry):
+    f = _facts(spark, registry, "fn_sentences")
+    assert f.exchanges == 0, "sentences() tokenization must not shuffle"
+    assert scan_read_columns(f) == [3], "documents scan reads (doc_id, source, lang)"

@@ -97,16 +97,17 @@ def llm_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("llm_near_dedup_minhash")  # rows-only: LSH bucketing is approximate
-def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate candidate pairs via MinHash-LSH (spark.ml):
-    tokens → HashingTF set-vectors → MinHashLSH.approxSimilarityJoin with
-    Jaccard distance ≤ 0.5.
+def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs (spark.ml): tokens →
+    HashingTF set-vectors → MinHashLSH.approxSimilarityJoin keeping
+    Jaccard distance < 0.5 (i.e. similarity > 0.5).
 
     Scale path: signatures are computed per-row (narrow), the join keys
-    on LSH band buckets — candidate pairs only, linear in data size.
-    Tests cross-check recall against llm_jaccard_exact ground truth.
-    """
+    on LSH hash buckets — candidate pairs only, linear in data size,
+    never the O(N²) all-pairs join. Returns (doc_a, doc_b, est_jaccard)
+    with doc_a < doc_b; the pair SET depends on the seeded permutations,
+    which is why the registered query aggregates it to seed-independent
+    properties instead of emitting it raw."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     tune(spark)
@@ -126,6 +127,112 @@ def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("datasetB.doc_id").alias("doc_b"),
             F.round(1.0 - F.col("jaccard_dist"), 6).alias("est_jaccard"),
         )
+    )
+
+
+@register(
+    "llm_near_dedup_minhash",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ),
+    true_pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.tok, b.tok))) AS jac
+      FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.tok, b.tok))) > {JACCARD_THRESHOLD}
+    )
+    SELECT COUNT(*) AS n_true_pairs,
+           ROUND(MIN(jac), 6) AS min_true_jaccard,
+           ROUND(MAX(jac), 6) AS max_true_jaccard,
+           TRUE AS candidates_all_true,
+           TRUE AS recall_ok
+    FROM true_pairs
+    """,
+)
+def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dedup, driver-hardened to a PROPERTY oracle (the
+    same graduation agg_approx_distinct got in round 4): the raw LSH
+    candidate-pair set can never hash-match an oracle (it depends on the
+    seeded minhash permutations), so the ORACLED contract is the pair of
+    guarantees LSH actually makes, checked in-query over the REAL
+    candidate output and emitted next to exact, engine-independent
+    ground-truth stats:
+
+    - `candidates_all_true`: every emitted candidate pair truly has
+      token Jaccard above threshold (precision — approxSimilarityJoin
+      rescored on the raw token sets, with a small tolerance for
+      HashingTF bucket collisions);
+    - `recall_ok`: the candidates cover ≥ 90% of the exact
+      strictly-above-threshold pairs (with 8 OR-amplified hash tables a
+      pair at s=0.5 is missed with probability (1-s)^8 ≈ 0.4%);
+    - `n_true_pairs` / `min|max_true_jaccard`: exact all-pairs ground
+      truth both engines compute identically.
+
+    The exact all-pairs leg is the FIXTURE-SCALE acceptance gate (the
+    same pattern as llm_ann_recall); at 100 TB only the LSH leg runs —
+    signatures per-row, band-bucket equi-join, rescore candidates only."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.array_distinct(F.split(F.col("text"), " ")).alias("tok"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok"))).cast("double")
+    union = F.size(F.array_distinct(F.concat(F.col("a.tok"), F.col("b.tok"))))
+    jac = inter / union
+    truth = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jac"),
+        )
+        .filter(F.col("jac") > JACCARD_THRESHOLD)
+    )
+    cand = minhash_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+
+    # Precision leg: rescore every candidate on raw token sets.
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("tok_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
+    cand_jac = (
+        cand.join(ta, "doc_a").join(tb, "doc_b")
+        .select(
+            (
+                F.size(F.array_intersect("tok_a", "tok_b")).cast("double")
+                / F.size(F.array_distinct(F.concat("tok_a", "tok_b")))
+            ).alias("token_jac")
+        )
+    )
+    precision = cand_jac.agg(
+        F.coalesce(
+            # 0.45 not 0.5: HashingTF bucket collisions can nudge the
+            # feature-space Jaccard slightly above the token-space value.
+            F.bool_and(F.col("token_jac") > JACCARD_THRESHOLD - 0.05),
+            F.lit(True),
+        ).alias("candidates_all_true")
+    )
+
+    # Recall leg + exact ground-truth stats in one aggregate.
+    hit = cand.withColumn("hit", F.lit(1))
+    stats = (
+        truth.join(hit, ["doc_a", "doc_b"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.round(F.min("jac"), 6).alias("min_true_jaccard"),
+            F.round(F.max("jac"), 6).alias("max_true_jaccard"),
+            (
+                F.count("hit") >= F.lit(0.9) * F.count(F.lit(1))
+            ).alias("recall_ok"),
+        )
+    )
+    return stats.crossJoin(precision).select(
+        "n_true_pairs", "min_true_jaccard", "max_true_jaccard",
+        "candidates_all_true", "recall_ok",
     )
 
 

@@ -148,6 +148,9 @@ _FRONT: tuple[str, ...] = (
 # without displacing never-tested keys.
 _RETEST: tuple[str, ...] = (
     "agg_approx_distinct",  # r04: rows-only → property-oracle (3×rsd bound)
+    # r05: rows-only → property oracle (precision/recall gates + exact
+    # ground-truth stats); re-earns a hash row in round 6.
+    "llm_near_dedup_minhash",
 )
 
 # Round 6: the 19 residual never-tested keys (13 sql_* twins + the round-4

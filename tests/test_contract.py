@@ -21,10 +21,10 @@ def test_registry_consistency(registry):
     missing = set(oracles) - set(qs)
     assert not missing, f"oracles without queries: {missing}"
     # rows-only keys are the documented exceptions only
-    # (agg_approx_distinct graduated to a property oracle in round 4.)
+    # (agg_approx_distinct graduated to a property oracle in round 4;
+    # llm_near_dedup_minhash in round 5.)
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
-        "llm_near_dedup_minhash",
         "sort_within_partitions",
         "scan_tablesample",
     }, f"unexpected rows-only keys: {rows_only}"

@@ -9,8 +9,12 @@ from tests.conftest import SF_DIR
 
 
 def test_minhash_lsh_recall_vs_exact(spark, registry):
-    """LSH candidate pairs must recover most true Jaccard>=0.5 pairs and
-    report symmetric, deduplicated (a<b) pairs."""
+    """The raw LSH candidate pairs must recover most true Jaccard>=0.5
+    pairs and report symmetric, deduplicated (a<b) pairs; the registered
+    property-oracle row must agree (its booleans are derived from the
+    same candidate set in-query)."""
+    from hive_test_spark.llm.dedup import minhash_candidate_pairs
+
     qs, _ = registry
     truth = {
         (r["doc_a"], r["doc_b"])
@@ -18,12 +22,16 @@ def test_minhash_lsh_recall_vs_exact(spark, registry):
     }
     approx = {
         (r["doc_a"], r["doc_b"])
-        for r in qs["llm_near_dedup_minhash"](spark, SF_DIR).collect()
+        for r in minhash_candidate_pairs(spark, SF_DIR).collect()
     }
     assert all(a < b for a, b in approx)
     if truth:
         recall = len(truth & approx) / len(truth)
         assert recall >= 0.8, f"LSH recall {recall:.2f} over {len(truth)} true pairs"
+    [row] = qs["llm_near_dedup_minhash"](spark, SF_DIR).collect()
+    assert row["candidates_all_true"] is True
+    assert row["recall_ok"] is True
+    assert row["n_true_pairs"] > 0
 
 
 def test_simhash_locality(spark, registry):

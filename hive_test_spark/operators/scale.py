@@ -723,3 +723,62 @@ def scale_aqe_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "scale_salted_agg",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_distinct_users,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def scale_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage SALTED aggregation — the aggregation-side counterpart
+    of join_skew_salted, for the skew AQE cannot fix (AQE splits skewed
+    JOIN partitions, not skewed aggregate keys). Stage 1 groups by
+    (event_type, salt) where salt = hash(user_id) mod N_SALTS; because
+    the salt is a pure function of the aggregated column, each
+    (event_type, user_id) pair lands in exactly one salt bucket, so
+    per-bucket distinct counts are disjoint and stage 2 just SUMs them.
+    Result is exactly the unsalted answer — the oracle proves it — with
+    per-task aggregate state bounded at 1/N_SALTS of the hot key's.
+
+    Honesty note: for COUNT(DISTINCT) specifically, Spark's own
+    planner rewrite already shuffles on (group, user_id) — well
+    distributed — so this exhibit's value is the GENERAL pattern, shown
+    on count_distinct because disjoint-bucket counts make it exactly
+    oracle-able. The salt is the needed fix when the per-group state is
+    large and NOT redistributed by any built-in rewrite: collect_set /
+    collect_list state, exact percentile/median state, custom UDAF
+    accumulators — anywhere one hot group's state must not land on one
+    task.
+
+    At 100 TB: per-task state drops from |hot key's users| to that
+    /N_SALTS; every shuffle stays map-side combinable; pick N_SALTS ~
+    cluster parallelism / |hot keys|. The salt NEVER uses rand(): a
+    deterministic hash keeps the rewrite a pure function of the data
+    (retry-safe — a rand() salt double-counts rows replayed by task
+    retries, and breaks the disjointness that makes distinct counts
+    summable)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    stage1 = (
+        ev.groupBy(
+            "event_type",
+            F.pmod(F.xxhash64("user_id"), F.lit(N_SALTS)).cast("int").alias("salt"),
+        )
+        .agg(
+            F.count_distinct("user_id").alias("du"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("v"),
+        )
+    )
+    return stage1.groupBy("event_type").agg(
+        F.sum("du").alias("n_distinct_users"),
+        F.sum("n").alias("n_events"),
+        F.round(F.sum("v"), 6).alias("total_value"),
+    )

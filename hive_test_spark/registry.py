@@ -167,7 +167,7 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "interop_python_datasource", "llm_cross_dedup",
     # Added in round 5 (never driver-tested):
     "udtf_inline", "udtf_explode_map", "udtf_parse_url_tuple",
-    "fn_sentences",
+    "fn_sentences", "scale_salted_agg",
 )
 
 

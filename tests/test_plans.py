@@ -663,3 +663,13 @@ def test_sentences_is_map_only(spark, registry):
     f = _facts(spark, registry, "fn_sentences")
     assert f.exchanges == 0, "sentences() tokenization must not shuffle"
     assert scan_read_columns(f) == [3], "documents scan reads (doc_id, source, lang)"
+
+
+def test_salted_agg_spreads_state(spark, registry):
+    """The salted rewrite must stay a pure aggregation pipeline: pruned
+    3-column scan, no joins, bounded exchanges (distinct-rewrite + the
+    salt stage + final merge)."""
+    f = _facts(spark, registry, "scale_salted_agg")
+    assert scan_read_columns(f) == [3], "events scan reads (event_type, user_id, value)"
+    assert f.cartesian == 0 and f.broadcast_joins == 0 and f.sort_merge_joins == 0
+    assert f.exchanges <= 3

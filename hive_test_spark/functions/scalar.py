@@ -1080,3 +1080,64 @@ def fn_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(flat, -1).alias("last_word"),
         F.array_join(flat, "|").alias("words_flat"),
     )
+
+
+@register(
+    "fn_context_ngrams",
+    """
+    WITH tok AS (
+      SELECT string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> CASE WHEN t[i] = 'fast'
+                                             THEN t[i + 1] END)) AS follower
+      FROM tok
+    )
+    SELECT follower, COUNT(*) AS n
+    FROM pairs WHERE follower IS NOT NULL
+    GROUP BY follower
+    ORDER BY n DESC, follower
+    LIMIT 15
+    """,
+)
+def fn_context_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """context_ngrams [Hive-public: context_ngrams(sentences(text),
+    array('fast', null), k) — top-k n-grams matching a context pattern,
+    here 'the k most frequent words FOLLOWING «fast»']. Tokens come from
+    the same sentences() tokenizer as fn_sentences (the corpus is
+    punctuation-free, so segmentation yields one sentence whose words
+    the DuckDB oracle reproduces with string_split); adjacent pairs are
+    formed positionally with a JVM-side higher-order transform over an
+    index sequence — no explode until the candidate followers are
+    already filtered to the context hits. Top-k is tie-safe
+    (freq DESC, word ASC). The unconstrained-ngram sibling surface
+    (ngrams()) is llm_ngram_stats.
+
+    At 100 TB: the context filter drops ~|vocab| of the pair stream
+    before the explode+shuffle, so the aggregate state is |followers of
+    context|, not |bigrams|; the final top-k is a TakeOrdered, not a
+    global sort."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.flatten(F.sentences(F.col("text"))).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    followers = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.when(
+                    F.element_at(F.col("t"), i + 1) == "fast",
+                    F.element_at(F.col("t"), i + 2),
+                ),
+            )
+        ).alias("follower")
+    ).filter(F.col("follower").isNotNull())
+    return (
+        followers.groupBy("follower")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "follower")
+        .limit(15)
+    )

@@ -431,3 +431,59 @@ def interop_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "interop_pandas_on_spark",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 6) AS total_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    WHERE o_totalprice > 1000
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def interop_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas API on Spark [Spark-public: pyspark.pandas, the third
+    query front end beside the DataFrame API and SQL text]: a
+    pandas-shaped read → boolean-mask filter → groupby-agg →
+    reset_index pipeline executed entirely as Spark plans (pandas-on-
+    Spark DataFrames are lazy wrappers over Spark plans, not
+    materialized pandas), then handed back via to_spark() and compared
+    against the plain-SQL oracle — proving front-end equivalence.
+    index_col is pinned on read: WITHOUT it pandas-on-Spark attaches a
+    'distributed-sequence' default index, which at 100 TB forces an
+    extra pass to number rows; with it, the index is just an existing
+    column and the read stays a single pruned scan.
+
+    At 100 TB: every step here compiles to the same Catalyst plan the
+    DataFrame API would produce (pushdown/pruning/partial aggs apply
+    unchanged); the API is for pandas-fluent users, not a different
+    engine — but beware pandas idioms with no distributed equivalent
+    (positional iloc, implicit global order) which raise or
+    re-sort."""
+    import os
+
+    import pyspark.pandas as ps
+
+    tune(spark)
+    psdf = ps.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), index_col="o_orderkey"
+    )
+    psdf = psdf[psdf["o_totalprice"] > 1000]
+    agg = (
+        psdf.groupby("o_orderstatus")
+        .agg({"o_totalprice": ["count", "sum", "max"]})
+        .reset_index()
+    )
+    agg.columns = ["o_orderstatus", "n_orders", "total_price", "max_price"]
+    sdf = agg.to_spark()
+    return sdf.select(
+        "o_orderstatus",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.round("total_price", 6).alias("total_price"),
+        "max_price",
+    ).orderBy("o_orderstatus")

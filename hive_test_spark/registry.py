@@ -167,7 +167,8 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "interop_python_datasource", "llm_cross_dedup",
     # Added in round 5 (never driver-tested):
     "udtf_inline", "udtf_explode_map", "udtf_parse_url_tuple",
-    "fn_sentences", "scale_salted_agg",
+    "fn_sentences", "scale_salted_agg", "fn_context_ngrams",
+    "interop_pandas_on_spark",
 )
 
 

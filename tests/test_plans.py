@@ -673,3 +673,20 @@ def test_salted_agg_spreads_state(spark, registry):
     assert scan_read_columns(f) == [3], "events scan reads (event_type, user_id, value)"
     assert f.cartesian == 0 and f.broadcast_joins == 0 and f.sort_merge_joins == 0
     assert f.exchanges <= 3
+
+
+def test_context_ngrams_filters_before_explode(spark, registry):
+    """Context filter runs inside the transform (NULL non-hits dropped
+    post-explode): one agg shuffle, text-only scan."""
+    f = _facts(spark, registry, "fn_context_ngrams")
+    assert f.exchanges == 1
+    assert scan_read_columns(f) == [1], "documents scan reads only text"
+
+
+def test_pandas_on_spark_prunes_like_dataframe_api(spark, registry):
+    """The pandas front end must compile to the same pruned/pushed plan
+    the DataFrame API would emit — proof it is a wrapper, not an engine."""
+    f = _facts(spark, registry, "interop_pandas_on_spark")
+    assert scan_read_columns(f) == [2], "orders scan reads (o_orderstatus, o_totalprice)"
+    assert f.cartesian == 0
+    assert f.exchanges <= 2

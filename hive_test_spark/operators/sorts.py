@@ -93,18 +93,104 @@ def limit_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sort_within_partitions")  # rows-only: partition-local order is not SQL-observable
-def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hive SORT BY + DISTRIBUTE BY (= CLUSTER BY when keys match):
-    repartition on the key, sort only within partitions — no global range
-    exchange. Verified by a per-partition monotonicity check in tests;
-    here we also expose the partition id so the distribution is visible."""
+def sorted_partitions_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw SORT BY + DISTRIBUTE BY layout with partition ids exposed
+    (engine-private — used by the monotonicity test, not the oracle)."""
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.repartition(8, "l_suppkey")
         .sortWithinPartitions("l_suppkey", "l_shipdate")
         .select("l_suppkey", "l_shipdate", F.spark_partition_id().alias("part_id"))
+    )
+
+
+def _partition_layout_facts(batches):
+    """Per-partition physical-layout verifier (runs INSIDE one partition:
+    mapInPandas invokes this once per partition, so the Arrow batch
+    iterator order IS the partition-local row order)."""
+    import pandas as pd
+
+    n = 0
+    keys: set = set()
+    sorted_ok = True
+    prev_key = None
+    prev_date = None
+    for pdf in batches:
+        n += len(pdf)
+        keys.update(pdf["l_suppkey"].tolist())
+        k = pdf["l_suppkey"].to_numpy()
+        d = pdf["l_shipdate"].to_numpy()
+        if len(k):
+            within = bool(
+                ((k[1:] > k[:-1]) | ((k[1:] == k[:-1]) & (d[1:] >= d[:-1]))).all()
+            )
+            boundary = prev_key is None or (
+                k[0] > prev_key or (k[0] == prev_key and d[0] >= prev_date)
+            )
+            sorted_ok = sorted_ok and within and bool(boundary)
+            prev_key, prev_date = k[-1], d[-1]
+    yield pd.DataFrame(
+        {"n_rows": [n], "sorted_ok": [sorted_ok], "n_keys": [len(keys)]}
+    )
+
+
+@register(
+    "sort_within_partitions",
+    """
+    SELECT COUNT(*) AS total_rows,
+           TRUE AS all_partitions_sorted,
+           COUNT(DISTINCT l_suppkey) AS n_distinct_keys,
+           TRUE AS keys_disjoint
+    FROM lineitem
+    """,
+)
+def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive SORT BY + DISTRIBUTE BY (= CLUSTER BY when keys match):
+    repartition on the key, sort only within partitions — no global
+    range exchange. Driver-hardened to a PROPERTY oracle (the same
+    graduation as agg_approx_distinct/llm_near_dedup_minhash): the raw
+    layout is engine-private (partition ids + physical row order), so
+    the ORACLED contract is the layout's defining invariants, measured
+    physically and emitted as engine-independent values:
+
+    - `all_partitions_sorted`: a mapInPandas verifier walks every
+      partition IN ITS PHYSICAL ORDER (one invocation per partition —
+      batch iterator order is partition order, the only way partition-
+      local order is observable at all) and confirms (l_suppkey,
+      l_shipdate) monotonicity across batch boundaries;
+    - `keys_disjoint`: Σ per-partition distinct keys equals the global
+      distinct count iff no key straddles two partitions — the
+      DISTRIBUTE BY co-location contract that bucket-map joins rest on;
+    - `total_rows` / `n_distinct_keys`: exact conservation checks the
+      oracle recomputes from the table.
+
+    The Python verifier is verification machinery, not the operator
+    (the layout itself is pure JVM shuffle+sort); at 100 TB you run the
+    layout, not the audit — or run the audit as a cheap one-pass job
+    after a risky layout migration."""
+    laid_out = sorted_partitions_frame(spark, sf_dir)
+    per_part = laid_out.mapInPandas(
+        _partition_layout_facts, "n_rows long, sorted_ok boolean, n_keys long"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    globals_ = li.agg(
+        F.count_distinct("l_suppkey").alias("gd"),
+        F.count(F.lit(1)).alias("gn"),
+    )
+    return (
+        per_part.agg(
+            F.sum("n_rows").alias("total_rows"),
+            F.bool_and("sorted_ok").alias("all_partitions_sorted"),
+            F.sum("n_keys").alias("sum_part_keys"),
+        )
+        .crossJoin(F.broadcast(globals_))
+        .select(
+            "total_rows",
+            "all_partitions_sorted",
+            F.col("gd").alias("n_distinct_keys"),
+            (F.col("sum_part_keys") == F.col("gd")).alias("keys_disjoint"),
+        )
     )
 
 

@@ -151,6 +151,9 @@ _RETEST: tuple[str, ...] = (
     # r05: rows-only → property oracle (precision/recall gates + exact
     # ground-truth stats); re-earns a hash row in round 6.
     "llm_near_dedup_minhash",
+    # r05: rows-only → property oracle (physical layout invariants:
+    # per-partition sortedness + key disjointness + conservation).
+    "sort_within_partitions",
 )
 
 # Round 6: the 19 residual never-tested keys (13 sql_* twins + the round-4

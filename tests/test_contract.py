@@ -22,10 +22,10 @@ def test_registry_consistency(registry):
     assert not missing, f"oracles without queries: {missing}"
     # rows-only keys are the documented exceptions only
     # (agg_approx_distinct graduated to a property oracle in round 4;
-    # llm_near_dedup_minhash in round 5.)
+    # llm_near_dedup_minhash and sort_within_partitions in round 5.)
+    # scan_tablesample's docstring proves why no oracle can exist.
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
-        "sort_within_partitions",
         "scan_tablesample",
     }, f"unexpected rows-only keys: {rows_only}"
 

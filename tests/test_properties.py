@@ -64,12 +64,17 @@ def test_approx_distinct_close_to_exact(spark, registry):
 def test_sort_within_partitions_monotone(spark, registry):
     """Partition-local order: within every partition, keys are sorted
     (the rows-only check promised in SURVEY.md §2.F)."""
+    from hive_test_spark.operators.sorts import sorted_partitions_frame
+
     qs, _ = registry
-    df = qs["sort_within_partitions"](spark, SF_DIR)
-    pdf = df.toPandas()
+    pdf = sorted_partitions_frame(spark, SF_DIR).toPandas()
     for _, grp in pdf.groupby("part_id"):
         keys = list(zip(grp["l_suppkey"], grp["l_shipdate"]))
         assert keys == sorted(keys)
+    # The registered property row must agree with the direct check.
+    [row] = qs["sort_within_partitions"](spark, SF_DIR).collect()
+    assert row["all_partitions_sorted"] is True
+    assert row["keys_disjoint"] is True
 
 
 def test_union_all_minus_distinct_counts(spark, registry):

@@ -192,3 +192,185 @@ def test_random_query_spec_matches_duckdb(spark, duck, spec):
     duck_pdf = duck.execute(_render_sql(spec)).df()
     r = compare("fuzz", spark_pdf, duck_pdf)
     assert r["ok"], f"spec={spec}\nsql={_render_sql(spec)}\nnotes={r['notes']}"
+
+
+# ---- join grammar -------------------------------------------------------
+
+_JOIN_PAIRS = {
+    ("customer", "orders"): ("c_custkey", "o_custkey"),
+    ("orders", "lineitem"): ("o_orderkey", "l_orderkey"),
+}
+
+
+@st.composite
+def join_specs(draw):
+    pair = draw(st.sampled_from(sorted(_JOIN_PAIRS)))
+    lk, rk = _JOIN_PAIRS[pair]
+    lt, rt = pair
+    how = draw(st.sampled_from(["inner", "left"]))
+
+    def side_pred(table):
+        t = TABLES[table]
+        if not draw(st.booleans()):
+            return None
+        col = draw(st.sampled_from(t["num"]))
+        op = draw(st.sampled_from(_NUM_OPS))
+        lit = round(draw(st.floats(0.0, 100.0, allow_nan=False)), 2)
+        return ("num", col, op, lit)
+
+    group = draw(st.sampled_from(sorted(TABLES[lt]["cat"])))
+    rnum = draw(st.sampled_from(TABLES[rt]["num"]))
+    return {
+        "lt": lt, "rt": rt, "lk": lk, "rk": rk, "how": how,
+        "lpred": side_pred(lt), "rpred": side_pred(rt),
+        "group": group, "rnum": rnum,
+    }
+
+
+def _join_sql(spec) -> str:
+    lsub = f"SELECT * FROM {spec['lt']}" + (
+        f" WHERE {_pred_sql(spec['lpred'])}" if spec["lpred"] else ""
+    )
+    rsub = f"SELECT * FROM {spec['rt']}" + (
+        f" WHERE {_pred_sql(spec['rpred'])}" if spec["rpred"] else ""
+    )
+    jt = "JOIN" if spec["how"] == "inner" else "LEFT JOIN"
+    return (
+        f"SELECT {spec['group']}, COUNT(*) AS n_rows, "
+        f"COUNT({spec['rnum']}) AS n_right, "
+        f"ROUND(SUM({spec['rnum']}), 6) AS sum_right "
+        f"FROM ({lsub}) l {jt} ({rsub}) r ON l.{spec['lk']} = r.{spec['rk']} "
+        f"GROUP BY {spec['group']}"
+    )
+
+
+def _join_df(spark, spec):
+    left = load_table(spark, SF_DIR, spec["lt"])
+    right = load_table(spark, SF_DIR, spec["rt"])
+    if spec["lpred"]:
+        left = left.filter(_pred_col(spec["lpred"]))
+    if spec["rpred"]:
+        right = right.filter(_pred_col(spec["rpred"]))
+    joined = left.join(
+        right, left[spec["lk"]] == right[spec["rk"]], spec["how"]
+    )
+    return joined.groupBy(spec["group"]).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(spec["rnum"]).alias("n_right"),
+        F.round(F.sum(spec["rnum"]), 6).alias("sum_right"),
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=join_specs())
+def test_random_join_spec_matches_duckdb(spark, duck, spec):
+    """Join fuzz: pre-filtered sides (sub-selects, so outer-join null
+    semantics match the DataFrame rendering exactly), inner/left, with
+    COUNT(col) pinning the null-row multiplicity of outer joins."""
+    spark_pdf = _join_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_join_sql(spec)).df()
+    r = compare("fuzz_join", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nsql={_join_sql(spec)}\nnotes={r['notes']}"
+
+
+# ---- window grammar -----------------------------------------------------
+
+# Only tables with a UNIQUE single key: the tie-break that makes
+# row_number/lag deterministic.
+_WIN_TABLES = {"orders": "o_orderkey", "customer": "c_custkey"}
+
+
+@st.composite
+def window_specs(draw):
+    table = draw(st.sampled_from(sorted(_WIN_TABLES)))
+    t = TABLES[table]
+    part = draw(st.sampled_from(sorted(t["cat"])))
+    num = draw(st.sampled_from(t["num"]))
+    desc = draw(st.booleans())
+    fns = draw(
+        st.lists(
+            st.sampled_from(["rank", "dense_rank", "lag", "running_sum"]),
+            min_size=1, max_size=3, unique=True,
+        )
+    )
+    return {"table": table, "key": _WIN_TABLES[table], "part": part,
+            "num": num, "desc": desc, "fns": sorted(fns)}
+
+
+def _win_sql(spec) -> str:
+    d = "DESC" if spec["desc"] else "ASC"
+    total = f"ORDER BY {spec['num']} {d}, {spec['key']}"
+    tie_ok = f"ORDER BY {spec['num']} {d}"
+    cols = [spec["key"], spec["part"]]
+    for fn in spec["fns"]:
+        if fn in ("rank", "dense_rank"):
+            cols.append(
+                f"{fn.upper()}() OVER (PARTITION BY {spec['part']} {tie_ok}) AS {fn}_v"
+            )
+        elif fn == "lag":
+            cols.append(
+                f"LAG({spec['num']}) OVER (PARTITION BY {spec['part']} {total}) AS lag_v"
+            )
+        else:
+            cols.append(
+                f"ROUND(SUM({spec['num']}) OVER (PARTITION BY {spec['part']} {total} "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_sum_v"
+            )
+    rn = f"ROW_NUMBER() OVER (PARTITION BY {spec['part']} {total})"
+    return (
+        f"SELECT * FROM (SELECT {', '.join(cols)}, {rn} AS rn "
+        f"FROM {spec['table']}) t WHERE rn <= 5"
+    )
+
+
+def _win_df(spark, spec):
+    from pyspark.sql import Window
+
+    num = F.col(spec["num"])
+    ordered = [num.desc() if spec["desc"] else num.asc(), F.col(spec["key"])]
+    tie_ok = Window.partitionBy(spec["part"]).orderBy(
+        num.desc() if spec["desc"] else num.asc()
+    )
+    total = Window.partitionBy(spec["part"]).orderBy(*ordered)
+    df = load_table(spark, SF_DIR, spec["table"])
+    cols = [F.col(spec["key"]), F.col(spec["part"])]
+    for fn in spec["fns"]:
+        if fn == "rank":
+            cols.append(F.rank().over(tie_ok).alias("rank_v"))
+        elif fn == "dense_rank":
+            cols.append(F.dense_rank().over(tie_ok).alias("dense_rank_v"))
+        elif fn == "lag":
+            cols.append(F.lag(num).over(total).alias("lag_v"))
+        else:
+            cols.append(
+                F.round(
+                    F.sum(num).over(
+                        total.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                    ),
+                    6,
+                ).alias("running_sum_v")
+            )
+    cols.append(F.row_number().over(total).alias("rn"))
+    return df.select(*cols).filter(F.col("rn") <= 5)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=window_specs())
+def test_random_window_spec_matches_duckdb(spark, duck, spec):
+    """Window fuzz: rank family on a tie-permitting order (deterministic
+    by definition), positional functions on a total order (unique-key
+    tie-break), top-5 per partition to bound the diff."""
+    spark_pdf = _win_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_win_sql(spec)).df()
+    r = compare("fuzz_window", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nsql={_win_sql(spec)}\nnotes={r['notes']}"

@@ -171,7 +171,7 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     # Added in round 5 (never driver-tested):
     "udtf_inline", "udtf_explode_map", "udtf_parse_url_tuple",
     "fn_sentences", "scale_salted_agg", "fn_context_ngrams",
-    "interop_pandas_on_spark",
+    "interop_pandas_on_spark", "meta_show_partitions",
 )
 
 

@@ -166,3 +166,62 @@ def sink_multi_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         return a.unionByName(b)
     finally:
         li.unpersist()
+
+
+@register(
+    "meta_show_partitions",
+    """
+    SELECT 'o_orderstatus=' || o_orderstatus AS partition_spec,
+           o_orderstatus,
+           COUNT(*) AS n_rows
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY partition_spec
+    """,
+)
+def meta_show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metastore partition surface [Hive-public: SHOW PARTITIONS — the
+    catalog's partition enumeration, backbone of Hive operational
+    tooling]: orders is written as an EXTERNAL partitioned table
+    (saveAsTable + path, so a fresh in-memory catalog can re-register
+    over the scratch layout), then SHOW PARTITIONS enumerates the
+    metastore specs and an inner join back to per-partition row counts
+    FROM THE TABLE DATA proves catalog and data agree partition-for-
+    partition — a dangling spec (no data rows) or an unregistered
+    directory (no catalog row) would drop a row and fail the count/hash
+    against the data-only oracle.
+
+    At 100 TB: partition enumeration is a METADATA operation — query
+    planning must prune on specs without listing data files
+    (catalog-level pruning is why over-partitioning kills planners:
+    10^6 specs = 10^6 metastore rows per query). Partition columns stay
+    low-cardinality; everything finer belongs in bucketing or file
+    sort order, not the metastore."""
+    tune(spark)
+    tag = _sf_tag(sf_dir).replace(".", "_")
+    table = f"hts_part_meta_{tag}"
+    if not spark.catalog.tableExists(table):
+        loc = scratch_dir("meta", tag, table)
+        shutil.rmtree(loc, ignore_errors=True)
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice", "o_orderstatus")
+            .write.partitionBy("o_orderstatus")
+            .option("path", loc)
+            .mode("overwrite")
+            .saveAsTable(table)
+        )
+    specs = spark.sql(f"SHOW PARTITIONS {table}").select(
+        F.col("partition").alias("partition_spec"),
+        F.regexp_extract("partition", "o_orderstatus=(.+)$", 1).alias(
+            "o_orderstatus"
+        ),
+    )
+    counts = spark.table(table).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    return (
+        specs.join(counts, "o_orderstatus")
+        .select("partition_spec", "o_orderstatus", "n_rows")
+        .orderBy("partition_spec")
+    )

@@ -735,3 +735,90 @@ def llm_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum(F.col("n") * log_ratio) / F.sum("n"), 6).alias("dsir_weight"))
     )
+
+
+_CURR_STAGES = 4  # length-quartile curriculum stages
+
+_CURRICULUM_ORACLE = """
+    WITH scored AS (SELECT doc_id, n_chars FROM documents),
+    th AS (
+      SELECT quantile_cont(n_chars, 0.25) AS q1,
+             quantile_cont(n_chars, 0.50) AS q2,
+             quantile_cont(n_chars, 0.75) AS q3
+      FROM scored
+    ),
+    staged AS (
+      SELECT doc_id,
+             1 + CASE WHEN n_chars > q1 THEN 1 ELSE 0 END
+               + CASE WHEN n_chars > q2 THEN 1 ELSE 0 END
+               + CASE WHEN n_chars > q3 THEN 1 ELSE 0 END AS stage,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM scored CROSS JOIN th
+    ),
+    ranked AS (
+      SELECT doc_id, stage,
+             ROW_NUMBER() OVER (PARTITION BY stage ORDER BY h, doc_id) AS stage_rank
+      FROM staged
+    ),
+    offsets AS (
+      SELECT stage,
+             CAST(COALESCE(SUM(COUNT(*)) OVER (
+               ORDER BY stage ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS off
+      FROM staged GROUP BY stage
+    )
+    SELECT r.doc_id, r.stage, r.stage_rank,
+           CAST(o.off + r.stage_rank AS BIGINT) AS global_pos
+    FROM ranked r JOIN offsets o USING (stage)
+"""
+
+
+@register("llm_curriculum_order", _CURRICULUM_ORACLE)
+def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: bucket documents into difficulty stages
+    (length quartiles as the difficulty proxy), deterministically shuffle
+    WITHIN each stage (md5(doc_id) — never rand(): re-running on the same
+    snapshot must reproduce the identical training order), and assign
+    each doc its global training position.
+
+    Scale shape — the global order is NEVER computed as one global sort:
+    (1) stage thresholds are a 1-row exact-percentile aggregate broadcast
+    back (at 100 TB: approx_percentile, same two-pass plan); (2) the
+    in-stage shuffle rank is a window partitioned BY STAGE (at scale, by
+    (stage, shard) with shard offsets, exactly like llm_pack_sequences);
+    (3) global_pos = per-stage rank + the stage's offset from a 4-row
+    cumulative-sum window joined back via broadcast. No single-partition
+    window ever touches the corpus-sized side."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    th = docs.agg(
+        F.percentile("n_chars", F.lit(0.25)).alias("q1"),
+        F.percentile("n_chars", F.lit(0.50)).alias("q2"),
+        F.percentile("n_chars", F.lit(0.75)).alias("q3"),
+    )
+    staged = docs.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        (
+            F.lit(1)
+            + (F.col("n_chars") > F.col("q1")).cast("int")
+            + (F.col("n_chars") > F.col("q2")).cast("int")
+            + (F.col("n_chars") > F.col("q3")).cast("int")
+        ).alias("stage"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w_stage = Window.partitionBy("stage").orderBy("h", "doc_id")
+    ranked = staged.select(
+        "doc_id", "stage", F.row_number().over(w_stage).alias("stage_rank")
+    )
+    w_off = Window.orderBy("stage").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        staged.groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("stage", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off"))
+    )
+    return ranked.join(F.broadcast(offsets), "stage").select(
+        "doc_id",
+        "stage",
+        "stage_rank",
+        (F.col("off") + F.col("stage_rank")).cast("long").alias("global_pos"),
+    )

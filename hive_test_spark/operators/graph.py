@@ -129,6 +129,91 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BFS_ITERS = 4
+_BFS_SRC_NATION = 1  # deterministic multi-source frontier: customers of nation 1
+
+_BFS_LEVEL = """
+    d{next} AS (
+      SELECT node, MIN(hops) AS hops FROM (
+        SELECT node, hops FROM d{cur}
+        UNION ALL
+        SELECT e.dst AS node, d.hops + 1 AS hops
+        FROM edges e JOIN d{cur} d ON d.node = e.src
+      ) u GROUP BY node
+    )"""
+
+_SHORTEST_PATH_ORACLE = (
+    """
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT 'c' || CAST(cust AS VARCHAR) AS src, 's' || CAST(supp AS VARCHAR) AS dst FROM pairs
+      UNION ALL
+      SELECT 's' || CAST(supp AS VARCHAR) AS src, 'c' || CAST(cust AS VARCHAR) AS dst FROM pairs
+    ),
+    d0 AS (
+      SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node, 0 AS hops
+      FROM customer WHERE c_nationkey = """
+    + str(_BFS_SRC_NATION)
+    + "),"
+    + ",".join(_BFS_LEVEL.format(cur=i, next=i + 1) for i in range(_BFS_ITERS))
+    + f"""
+    SELECT node, hops FROM d{_BFS_ITERS}
+"""
+)
+
+
+@register("graph_shortest_path", _SHORTEST_PATH_ORACLE)
+def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (unweighted shortest hop count, 4 levels) on the
+    undirected customer–supplier trade graph, seeded from every customer
+    of one nation. Level-synchronous min-relaxation: each level is one
+    shuffle join (edges ⋈ frontier on src) followed by a map-side-
+    combinable ``min(hops)`` — the Pregel/Bellman-Ford shape expressed as
+    DataFrame ops, with the fixed level count keeping lineage shallow.
+
+    The oracle unrolls the same four relaxation levels as chained CTEs
+    (NOT a recursive path-enumeration CTE: on a dense bipartite trade
+    graph that would enumerate every path; level-wise min keeps each
+    intermediate bounded by the node count — the exact reason the Spark
+    loop is also level-synchronous). At 100 TB: the cached edge list is
+    the loop invariant, pre-partitioned by src so every level's join
+    reuses one exchange; unreached nodes never enter the frontier, so
+    cost tracks the reached subgraph, not the full graph. Unbounded-
+    diameter graphs would localCheckpoint every ~10 levels (see
+    llm_dedup_clusters' pointer-doubling variant that halves the level
+    count logarithmically)."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    pairs = (
+        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("cust"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
+        .unionAll(pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
+        .cache()
+    )
+    dist = customer.filter(F.col("c_nationkey") == _BFS_SRC_NATION).select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node"),
+        F.lit(0).alias("hops"),
+    )
+    for _ in range(_BFS_ITERS):
+        step = edges.join(dist, edges.src == dist.node).select(
+            F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops")
+        )
+        dist = dist.unionAll(step).groupBy("node").agg(F.min("hops").alias("hops"))
+    return dist
+
+
 _TRIANGLES_ORACLE = """
     WITH pairs AS (
       SELECT a.l_partkey AS p1, b.l_partkey AS p2

@@ -123,3 +123,128 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, repr_fn in _DQ_COLS
     ]
     return row.select(F.explode(F.array(*structs)).alias("m")).select("m.*")
+
+
+_CONSTRAINTS_ORACLE = """
+    SELECT 'pk_orders_unique' AS constraint_name,
+           COUNT(*) AS n_checked,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'chk_totalprice_positive', COUNT(*),
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'dom_orderstatus', COUNT(*),
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'pk_lineitem_composite', COUNT(*),
+           CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'chk_discount_range', COUNT(*),
+           CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'nn_customer_name', COUNT(*),
+           CAST(COUNT(*) - COUNT(c_name) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'fk_orders_customer', (SELECT COUNT(*) FROM orders),
+           CAST((SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'fk_lineitem_orders', (SELECT COUNT(*) FROM lineitem),
+           CAST((SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+"""
+
+
+@register("dq_constraints", _CONSTRAINTS_ORACLE)
+def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint validation suite — the contract checks a warehouse runs
+    on every ingest batch before publishing a partition: primary-key
+    uniqueness (single and composite), foreign-key integrity, value-range,
+    domain-membership, and not-null rules, one
+    output row per rule with checked/violation counts.
+
+    Plan shape: all scalar rules on the SAME table fuse into ONE
+    aggregation pass (count + conditional sums + distinct counts in a
+    single ``agg``), then the 1-row result explodes to long form — three
+    table scans total for six scalar rules. Referential rules are LEFT
+    ANTI join counts: the dimension side (customer / orders keys) hashes
+    or broadcasts, the fact side streams. At 100 TB every rule stays one
+    pass; the anti joins shuffle on the key only (2-column scan on the
+    dim), and a partition-scoped run (validate only today's ingest)
+    prunes the fact scan before any of this starts."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+
+    def _long(row: DataFrame, rules: list[str]) -> DataFrame:
+        structs = [
+            F.struct(
+                F.lit(name).alias("constraint_name"),
+                F.col("n_checked").alias("n_checked"),
+                F.col(f"{name}__v").cast("long").alias("n_violations"),
+            )
+            for name in rules
+        ]
+        return row.select(F.explode(F.array(*structs)).alias("m")).select("m.*")
+
+    o_row = o.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("pk_orders_unique__v"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "chk_totalprice_positive__v"
+        ),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("dom_orderstatus__v"),
+    )
+    li_row = li.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        (
+            F.count(F.lit(1)) - F.countDistinct("l_orderkey", "l_linenumber")
+        ).alias("pk_lineitem_composite__v"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5), 1).otherwise(0)
+        ).alias("chk_discount_range__v"),
+    )
+    c_row = c.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(F.when(F.col("c_name").isNull(), 1).otherwise(0)).alias(
+            "nn_customer_name__v"
+        ),
+    )
+    fk_oc = (
+        o.join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphans"))
+        .crossJoin(F.broadcast(o.agg(F.count(F.lit(1)).alias("n_checked"))))
+        .select(
+            F.lit("fk_orders_customer").alias("constraint_name"),
+            "n_checked",
+            F.col("orphans").cast("long").alias("n_violations"),
+        )
+    )
+    fk_lo = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphans"))
+        .crossJoin(F.broadcast(li.agg(F.count(F.lit(1)).alias("n_checked"))))
+        .select(
+            F.lit("fk_lineitem_orders").alias("constraint_name"),
+            "n_checked",
+            F.col("orphans").cast("long").alias("n_violations"),
+        )
+    )
+    return (
+        _long(o_row, ["pk_orders_unique", "chk_totalprice_positive", "dom_orderstatus"])
+        .unionAll(_long(li_row, ["pk_lineitem_composite", "chk_discount_range"]))
+        .unionAll(_long(c_row, ["nn_customer_name"]))
+        .unionAll(fk_oc)
+        .unionAll(fk_lo)
+    )

@@ -172,6 +172,8 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "udtf_inline", "udtf_explode_map", "udtf_parse_url_tuple",
     "fn_sentences", "scale_salted_agg", "fn_context_ngrams",
     "interop_pandas_on_spark", "meta_show_partitions",
+    "graph_shortest_path", "llm_kmeans_lloyd", "dq_constraints",
+    "llm_curriculum_order",
 )
 
 
@@ -238,6 +240,7 @@ def load_all() -> None:
     from hive_test_spark.functions import lateral, scalar, udfs  # noqa: F401
     from hive_test_spark.streaming import batch_twins, live  # noqa: F401
     from hive_test_spark.llm import (  # noqa: F401
+        cluster,
         curation,
         dedup,
         multimodal,

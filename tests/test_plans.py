@@ -690,3 +690,44 @@ def test_pandas_on_spark_prunes_like_dataframe_api(spark, registry):
     assert scan_read_columns(f) == [2], "orders scan reads (o_orderstatus, o_totalprice)"
     assert f.cartesian == 0
     assert f.exchanges <= 2
+
+
+def test_bfs_levels_join_no_cartesian(spark, registry):
+    """Every BFS relaxation level is an equi-join on the frontier node —
+    nothing may degrade to a cartesian, and every scan stays 2-column
+    (the graph is built from key pairs only)."""
+    f = _facts(spark, registry, "graph_shortest_path")
+    assert f.cartesian == 0
+    assert all(n <= 2 for n in scan_read_columns(f)), "BFS reads key columns only"
+
+
+def test_kmeans_broadcasts_centroids(spark, registry):
+    """Both Lloyd assignment rounds must probe a BROADCAST centroid
+    table (k x dim is tiny by construction) — the corpus side never
+    shuffles for the argmin; the only shuffles are the (cluster, pos)
+    mean aggregations and the final size join."""
+    f = _facts(spark, registry, "llm_kmeans_lloyd")
+    assert f.cartesian == 0
+    assert f.broadcast_joins >= 2, "centroid tables must broadcast in every round"
+    assert all(n <= 2 for n in scan_read_columns(f)), "embeddings scan pruned to (vec_id, embedding)"
+
+
+def test_dq_constraints_fuses_scalar_rules(spark, registry):
+    """Scalar rules fuse into one agg pass per table and referential
+    rules are anti joins — no sort-merge anywhere (dim sides broadcast
+    or hash at this scale), no cartesian, and the per-rule scans are
+    pruned to the checked columns."""
+    f = _facts(spark, registry, "dq_constraints")
+    assert f.cartesian == 0 and f.sort_merge_joins == 0
+    assert all(n <= 3 for n in scan_read_columns(f)), "constraint scans read only checked columns"
+
+
+def test_curriculum_order_avoids_global_sort(spark, registry):
+    """The curriculum schedule must come from stage-partitioned windows
+    plus broadcast threshold/offset joins — never a corpus-sized
+    single-partition window (bounded exchanges prove it)."""
+    f = _facts(spark, registry, "llm_curriculum_order")
+    assert f.cartesian == 0
+    assert f.broadcast_joins >= 2, "thresholds + offsets must broadcast"
+    assert f.exchanges <= 5
+    assert all(n <= 2 for n in scan_read_columns(f)), "documents scan pruned to (doc_id, n_chars)"

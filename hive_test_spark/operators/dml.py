@@ -378,3 +378,70 @@ def dml_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("net_balance_delta"),
     )
+
+
+_MULTI_INSERT_ORACLE = """
+    SELECT 'open_orders' AS bucket, COUNT(*) AS n_rows,
+           ROUND(SUM(o_totalprice), 6) AS sum_price
+    FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT 'finished_orders', COUNT(*), ROUND(SUM(o_totalprice), 6)
+    FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+@register("dml_multi_insert", _MULTI_INSERT_ORACLE)
+def dml_multi_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive multi-table INSERT (``FROM src INSERT INTO a SELECT ... WHERE
+    ... INSERT INTO b SELECT ... WHERE ...``) — the classic Hive idiom
+    for fanning ONE source scan out into several destination tables in a
+    single statement. Spark SQL inherits the grammar; the plan is a
+    Union of per-branch InsertIntoDataSource commands over a shared
+    scan. The re-read rollup of BOTH destination tables is what gets
+    hash-verified, so branch routing (each row landing in exactly the
+    tables whose predicate it satisfies) is the property under test.
+
+    100 TB note: multi-insert is the map-side fan-out that saves N-1
+    re-scans of the source when materializing N derived tables — the
+    scan cost is paid once, each branch writes its own files in the same
+    stage. Dynamic-partitioned destinations compose (each branch may
+    ``PARTITION`` independently)."""
+    import shutil
+
+    from hive_test_spark.io import scratch_dir
+    from hive_test_spark.sources.scans import _sf_tag
+
+    tune(spark)
+    tag = _sf_tag(sf_dir)
+    ident = tag.replace(".", "_")  # table identifiers cannot contain dots
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    o.createOrReplaceTempView("hts_mi_orders")
+    names = {"open": f"hts_mi_open_{ident}", "fin": f"hts_mi_fin_{ident}"}
+    for kind, tbl in names.items():
+        path = scratch_dir("dml", tag, f"multi_insert_{kind}")
+        shutil.rmtree(path, ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(
+            f"CREATE TABLE {tbl} (o_orderkey BIGINT, o_totalprice DOUBLE) "
+            f"USING parquet LOCATION '{path}'"
+        )
+    spark.sql(
+        f"""
+        FROM hts_mi_orders
+        INSERT INTO {names['open']}
+          SELECT o_orderkey, o_totalprice WHERE o_orderstatus = 'O'
+        INSERT INTO {names['fin']}
+          SELECT o_orderkey, o_totalprice WHERE o_orderstatus = 'F'
+        """
+    )
+    open_agg = spark.table(names["open"]).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 6).alias("sum_price"),
+    ).select(F.lit("open_orders").alias("bucket"), "n_rows", "sum_price")
+    fin_agg = spark.table(names["fin"]).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 6).alias("sum_price"),
+    ).select(F.lit("finished_orders").alias("bucket"), "n_rows", "sum_price")
+    return open_agg.unionAll(fin_agg)

@@ -553,3 +553,36 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"threshold": 2500.0, "excluded": "MACHINERY"},
     )
+
+
+@_sql_register(
+    "sql_transform_using",
+    """
+    SELECT c_custkey, lower(c_mktsegment) AS seg_lower
+    FROM customer
+    """,
+)
+def sql_transform_using(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive ``SELECT TRANSFORM (...) USING 'script' AS (...)`` executed as
+    REAL script transformation — Spark forks the POSIX tool and streams
+    rows through its stdin/stdout in the tab-delimited wire format, per
+    task, executor-side. This is the genuine subprocess-pipe surface;
+    ``transform_script`` (functions/udfs.py) is the Arrow-framed twin of
+    the same contract. The script (``tr`` to lowercase) is deliberately
+    SQL-expressible so the DuckDB oracle verifies the full wire
+    round-trip: serialize → pipe → parse → cast to the AS types.
+
+    100 TB note: script transform is map-only (no shuffle) and scales
+    with executor count, but pays one OS process per task plus
+    row-at-a-time text framing — which is exactly why the mapInPandas
+    twin exists; keep USING for legacy script compatibility only."""
+    tune(spark)
+    _views(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        SELECT TRANSFORM(c_custkey, c_mktsegment)
+          USING 'tr "[:upper:]" "[:lower:]"'
+          AS (c_custkey BIGINT, seg_lower STRING)
+        FROM hts_sql_customer
+        """
+    )

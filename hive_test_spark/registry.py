@@ -173,7 +173,9 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "fn_sentences", "scale_salted_agg", "fn_context_ngrams",
     "interop_pandas_on_spark", "meta_show_partitions",
     "graph_shortest_path", "llm_kmeans_lloyd", "dq_constraints",
-    "llm_curriculum_order",
+    "llm_curriculum_order", "sql_transform_using", "dml_multi_insert",
+    "interop_map_in_arrow", "meta_analyze_stats",
+    "stream_foreachbatch_upsert",
 )
 
 

@@ -225,3 +225,85 @@ def meta_show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("partition_spec", "o_orderstatus", "n_rows")
         .orderBy("partition_spec")
     )
+
+
+_ANALYZE_STATS_ORACLE = """
+    SELECT 'o_orderstatus' AS column_name, 'distinct_count' AS stat,
+           CAST(COUNT(DISTINCT o_orderstatus) AS VARCHAR) AS value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', 'num_nulls',
+           CAST(COUNT(*) - COUNT(o_orderstatus) AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', 'distinct_count',
+           CAST(COUNT(DISTINCT o_orderpriority) AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', 'num_nulls',
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', 'num_nulls',
+           CAST(COUNT(*) - COUNT(o_orderkey) AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', 'min', CAST(MIN(o_orderkey) AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', 'max', CAST(MAX(o_orderkey) AS VARCHAR) FROM orders
+"""
+
+# Catalog stats store min/max only for orderable PRIMITIVE NUMERIC/date
+# types (strings get NDV + nulls only), and NDV is an HLL++ sketch —
+# exact only at tiny cardinality. Each column therefore exposes exactly
+# the stats that are deterministic AND stored for its type.
+_ANALYZE_COLS: dict[str, tuple[str, ...]] = {
+    "o_orderstatus": ("distinct_count", "num_nulls"),
+    "o_orderpriority": ("distinct_count", "num_nulls"),
+    "o_orderkey": ("num_nulls", "min", "max"),
+}
+
+
+@register("meta_analyze_stats", _ANALYZE_STATS_ORACLE)
+def meta_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS + the DESCRIBE
+    EXTENDED readback [Hive-public: the CBO stats surface] — the catalog
+    column statistics (NDV, null count, min/max) the cost-based
+    optimizer joins/reorders by. The op ANALYZEs three columns and returns the catalog's stored stats in long form; the
+    oracle recomputes the same stats FROM THE DATA, so what is verified
+    is catalog↔data agreement — a stale or wrong stats row fails the
+    hash. (NDV in the catalog is HyperLogLog++; for these cardinalities
+    — 3 and 5 — the sketch is exact, which is what makes the key
+    hashable rather than rows-only. scale_cbo_stats exercises how plans
+    USE these stats; this key pins what gets STORED.)
+
+    At 100 TB: ANALYZE is one pass (all column sketches in a single
+    aggregate), run per-partition-batch after ingest; planners read the
+    catalog row, never the data. High-NDV columns store the HLL
+    estimate — the 2% error is irrelevant to join reordering."""
+    tune(spark)
+    tag = _sf_tag(sf_dir).replace(".", "_")
+    table = f"hts_stats_meta_{tag}"
+    if not spark.catalog.tableExists(table):
+        loc = scratch_dir("meta", tag, table)
+        shutil.rmtree(loc, ignore_errors=True)
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+            .write.option("path", loc)
+            .mode("overwrite")
+            .saveAsTable(table)
+        )
+    spark.sql(
+        f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS "
+        + ", ".join(_ANALYZE_COLS)
+    )
+    out = None
+    for col, stats in _ANALYZE_COLS.items():
+        desc = (
+            spark.sql(f"DESCRIBE EXTENDED {table} {col}")
+            .filter(F.col("info_name").isin(*stats))
+            .select(
+                F.lit(col).alias("column_name"),
+                F.col("info_name").alias("stat"),
+                F.col("info_value").alias("value"),
+            )
+        )
+        out = desc if out is None else out.unionAll(desc)
+    return out

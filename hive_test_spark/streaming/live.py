@@ -709,3 +709,90 @@ def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(src, ignore_errors=True)
+
+
+@register(
+    "stream_foreachbatch_upsert",
+    """
+    SELECT user_id, event_id AS last_event_id, ROUND(value, 6) AS last_value
+    FROM (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) t
+    WHERE rn = 1
+    """,
+)
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch upsert sink: the canonical pattern for merging a
+    stream of keyed updates into a batch table when the sink has no
+    native MERGE — each micro-batch unions with the current target and
+    keeps the latest version per key (latest-wins by (ts, event_id)).
+    The source is the events fixture duplicated into two files with
+    ``maxFilesPerTrigger=1``, so AvailableNow genuinely runs MULTIPLE
+    sequential merges and the final table must equal latest-per-user
+    regardless of how rows were split across batches — that cross-batch
+    convergence is what the oracle hash-checks. Writes are versioned
+    dirs (write-new-then-repoint), never read-and-overwrite in place —
+    the same crash-safe shape as a table-format commit.
+
+    At 100 TB: foreachBatch is exactly-once IF the merge is idempotent
+    (this one is: re-running a batch reproduces the same latest-per-key
+    state). A full union+rewrite per batch costs O(|target|) per
+    trigger — real deployments point the same foreachBatch body at a
+    Delta/Iceberg MERGE so file-level pruning makes it O(|batch| +
+    touched files); the streaming-side plumbing is unchanged."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    src = _events_stream_dir(spark, sf_dir, copies=2)
+    raw = (
+        spark.readStream.schema(_events_raw_schema(spark, src))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    upd = _normalize_stream_ts(raw).select("user_id", "event_id", "ts", "value")
+
+    run = uuid.uuid4().hex[:12]
+    base = scratch_dir("fbu", run)
+    state = {"path": None, "ver": 0}
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        cur = batch_df
+        if state["path"] is not None:
+            cur = sess.read.parquet(state["path"]).unionByName(batch_df)
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            cur.select("*", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        state["ver"] += 1
+        new_path = os.path.join(base, f"v{state['ver']}")
+        latest.write.mode("overwrite").parquet(new_path)
+        state["path"] = new_path
+
+    ckpt = scratch_dir("ckpt", f"fbu_{run}")
+    q = (
+        upd.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    assert state["ver"] >= 2, "maxFilesPerTrigger=1 over 2 files must yield >=2 merges"
+    return spark.read.parquet(state["path"]).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.round("value", 6).alias("last_value"),
+    )

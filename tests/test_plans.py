@@ -731,3 +731,23 @@ def test_curriculum_order_avoids_global_sort(spark, registry):
     assert f.broadcast_joins >= 2, "thresholds + offsets must broadcast"
     assert f.exchanges <= 5
     assert all(n <= 2 for n in scan_read_columns(f)), "documents scan pruned to (doc_id, n_chars)"
+
+
+def test_map_in_arrow_prunes_and_aggregates_jvm_side(spark, registry):
+    """mapInArrow is a narrow Arrow-transport map: the scan feeding it is
+    pruned to the 3 payload columns and the groupBy on top is the only
+    exchange — proof the aggregation stayed JVM-side."""
+    f = _facts(spark, registry, "interop_map_in_arrow")
+    assert f.cartesian == 0
+    assert f.exchanges <= 1
+    assert scan_read_columns(f) == [3]
+
+
+def test_transform_using_is_script_transformation(spark, registry):
+    """The SQL TRANSFORM ... USING text must compile to Spark's script
+    transformation operator (a real subprocess pipe), not silently fall
+    back to a projection."""
+    qs, _ = registry
+    df = qs["sql_transform_using"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ScriptTransformation" in plan, plan[:800]

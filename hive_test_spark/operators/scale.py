@@ -20,33 +20,63 @@ from hive_test_spark.registry import register
 from hive_test_spark.session import tune
 
 
-@register("scan_tablesample")  # rows-only: sample membership is engine-specific
-def scan_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hive TABLESAMPLE: seeded Bernoulli sample + aggregate. Row membership
-    is sampler-specific (rows-only check; bounds asserted in tests) but the
-    shape — sample pushed onto the scan, then estimate — is the 100 TB
-    estimation pattern.
+_SAMPLE_FRAC = 0.1
 
-    WHY NO ORACLE IS POSSIBLE (investigated for driver-hardening): a
-    seeded ``df.sample`` IS deterministic per Spark version, but the
-    membership comes from XORShiftRandom seeded with (seed +
-    partitionIndex) and a per-partition draw sequence — a function of
+_TABLESAMPLE_ORACLE = """
+    SELECT l_returnflag, TRUE AS bounds_ok, TRUE AS est_ok
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("scan_tablesample", _TABLESAMPLE_ORACLE)
+def scan_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive TABLESAMPLE: seeded Bernoulli sample + aggregate — the sample
+    pushed onto the scan, then estimate, is the 100 TB estimation
+    pattern.
+
+    WHY THE ORACLE IS A PROPERTY, NOT THE SAMPLE (investigated for
+    driver-hardening): a seeded ``df.sample`` IS deterministic per Spark
+    version, but membership comes from XORShiftRandom seeded with (seed
+    + partitionIndex) and a per-partition draw sequence — a function of
     the physical parquet split layout, not of row values. DuckDB cannot
-    reproduce it (different RNG, different partitioning), and no
-    row-value expression reconstructs it, so the sampled row SET is
-    inherently engine-private. The deterministic, cross-engine-oracled
-    sampling twin is ``llm_hash_sample`` (md5-hash-threshold membership,
-    a pure row-value function) — use that pattern when reproducibility
-    across engines/runs matters more than statistical independence."""
+    reproduce it, and no row-value expression reconstructs it, so the
+    sampled row SET is engine-private. What IS cross-engine checkable is
+    the sampler's statistical CONTRACT, verified in-query per group:
+    (a) the sampled count lies within ±6 binomial sigma of fraction×N,
+    (b) the estimated mean lies within 8·sd/√n of the exact mean. The
+    hash row pins both booleans true for every group — a broken sampler
+    (wrong fraction, biased draw, double-scan) fails the hash. The
+    deterministic membership twin is ``llm_hash_sample`` (md5-threshold,
+    a pure row-value function) — use that when reproducibility across
+    engines matters more than statistical independence."""
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.sample(fraction=0.1, seed=42)
+    sampled = (
+        li.sample(fraction=_SAMPLE_FRAC, seed=42)
         .groupBy("l_returnflag")
         .agg(
-            F.count(F.lit(1)).alias("sampled_rows"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price_est"),
+            F.count(F.lit(1)).alias("n_s"),
+            F.avg("l_extendedprice").alias("avg_s"),
         )
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_e"),
+        F.avg("l_extendedprice").alias("avg_e"),
+        F.stddev_samp("l_extendedprice").alias("sd_e"),
+    )
+    p = F.lit(_SAMPLE_FRAC)
+    bounds_ok = (
+        F.abs(F.col("n_s") - p * F.col("n_e"))
+        <= F.lit(6.0) * F.sqrt(p * (1 - p) * F.col("n_e")) + F.lit(1.0)
+    )
+    est_ok = (
+        F.abs(F.col("avg_s") - F.col("avg_e"))
+        <= F.lit(8.0) * F.col("sd_e") / F.sqrt(F.greatest(F.col("n_s"), F.lit(1)))
+    )
+    return exact.join(sampled, "l_returnflag", "left").select(
+        "l_returnflag",
+        F.coalesce(bounds_ok, F.lit(False)).alias("bounds_ok"),
+        F.coalesce(est_ok, F.lit(False)).alias("est_ok"),
     )
 
 
@@ -594,7 +624,7 @@ def scan_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     made engine-portable: bucket membership = md5(key) mod 8 (Hive hashes
     the ON column the same way conceptually; native hash functions differ
     across engines, so the content hash is the reproducible form). Unlike
-    Bernoulli TABLESAMPLE (scan_tablesample, rows-only), bucket sampling
+    Bernoulli TABLESAMPLE (scan_tablesample, property-oracled), bucket sampling
     is DETERMINISTIC — the same keys sample in every engine, so this op
     carries a full value oracle. At scale the same expression sits in the
     reader filter and, on a table bucketed by the key, prunes whole

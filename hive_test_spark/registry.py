@@ -154,6 +154,9 @@ _RETEST: tuple[str, ...] = (
     # r05: rows-only → property oracle (physical layout invariants:
     # per-partition sortedness + key disjointness + conservation).
     "sort_within_partitions",
+    # r05: rows-only → property oracle (sampler statistical contract:
+    # per-group ±6σ count bound + 8·sd/√n mean bound, in-query booleans).
+    "scan_tablesample",
 )
 
 # Round 6: the 19 residual never-tested keys (13 sql_* twins + the round-4

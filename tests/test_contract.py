@@ -20,14 +20,13 @@ def test_registry_consistency(registry):
     # every oracle key must have a query
     missing = set(oracles) - set(qs)
     assert not missing, f"oracles without queries: {missing}"
-    # rows-only keys are the documented exceptions only
+    # No rows-only keys remain: every registered key has an oracle.
     # (agg_approx_distinct graduated to a property oracle in round 4;
-    # llm_near_dedup_minhash and sort_within_partitions in round 5.)
-    # scan_tablesample's docstring proves why no oracle can exist.
+    # llm_near_dedup_minhash, sort_within_partitions and finally
+    # scan_tablesample — whose raw membership is engine-private, so its
+    # oracle pins the sampler's statistical contract — in round 5.)
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {
-        "scan_tablesample",
-    }, f"unexpected rows-only keys: {rows_only}"
+    assert rows_only == set(), f"unexpected rows-only keys: {rows_only}"
 
 
 def test_all_queries_at_sf0001(spark, registry):

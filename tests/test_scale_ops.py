@@ -39,14 +39,12 @@ def test_salted_join_equals_plain_join(spark, registry):
 
 
 def test_tablesample_bounds(spark, registry):
-    from hive_test_spark.io import load_table
-
+    """Every group's sampler-contract booleans hold (the same invariants
+    the property oracle hash-pins: count within 6 binomial sigma, mean
+    within 8*sd/sqrt(n))."""
     qs, _ = registry
-    sampled = (
-        qs["scan_tablesample"](spark, SF_DIR).agg(F.sum("sampled_rows")).collect()[0][0]
-    )
-    total = load_table(spark, SF_DIR, "lineitem").count()
-    assert 0.05 * total < sampled < 0.2 * total  # 10% Bernoulli, generous bounds
+    rows = qs["scan_tablesample"](spark, SF_DIR).collect()
+    assert rows and all(r.bounds_ok and r.est_ok for r in rows)
 
 
 def test_zorder_layout_clusters_both_dims(spark, registry):

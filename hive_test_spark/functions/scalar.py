@@ -1141,3 +1141,39 @@ def fn_context_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "follower")
         .limit(15)
     )
+
+
+@register(
+    "fn_bround",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round_even(l_quantity + 0.5, 0) AS q_banker,
+           ROUND(l_quantity + 0.5, 0) AS q_half_up,
+           round_even(l_extendedprice / 7, 2) AS price_banker
+    FROM lineitem
+    WHERE l_orderkey < 200
+    """,
+)
+def fn_bround(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive ``bround()`` — HALF_EVEN (banker's) rounding, the statutory
+    mode for financial aggregation because it removes the systematic
+    upward bias of round-half-up over large sums. ``l_quantity + 0.5``
+    manufactures an exact tie on EVERY row, so the banker vs half-up
+    columns differ on half the rows — the oracle (DuckDB round_even vs
+    ROUND) verifies the tie-break direction itself, not just the easy
+    non-tie cases; the divided-price column covers the non-tie path at
+    2-decimal scale.
+
+    At 100 TB: a pure codegen'd expression — no shuffle, no Python;
+    rounding mode is a correctness choice, not a performance one, but
+    divergent modes across engines are a classic silent reconciliation
+    bug, which is exactly what the cross-engine oracle pins."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.bround(F.col("l_quantity") + 0.5, 0).alias("q_banker"),
+        F.round(F.col("l_quantity") + 0.5, 0).alias("q_half_up"),
+        F.bround(F.col("l_extendedprice") / 7, 2).alias("price_banker"),
+    )

@@ -822,3 +822,69 @@ def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stage_rank",
         (F.col("off") + F.col("stage_rank")).cast("long").alias("global_pos"),
     )
+
+
+_EPOCH_SHARDS = 8
+_N_EPOCHS = 2
+
+_EPOCH_SHUFFLE_ORACLE = f"""
+    WITH per_epoch AS (
+      SELECT d.doc_id, e.epoch,
+             md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS h
+      FROM documents d
+      CROSS JOIN (SELECT unnest(range({_N_EPOCHS})) AS epoch) e
+    ),
+    sharded AS (
+      SELECT doc_id, epoch,
+             ascii(substr(h, 1, 1)) % {_EPOCH_SHARDS} AS shard, h
+      FROM per_epoch
+    )
+    SELECT doc_id, CAST(epoch AS INT) AS epoch, CAST(shard AS INT) AS shard,
+           ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY h, doc_id)
+             AS shard_pos
+    FROM sharded
+"""
+
+
+@register("llm_epoch_shuffle", _EPOCH_SHUFFLE_ORACLE)
+def llm_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-seeded dataloader reshuffle: every training epoch gets its
+    own deterministic permutation (shuffle key = md5(epoch:doc_id) — the
+    epoch is the SEED, so epoch 0 and epoch 1 produce different orders
+    yet each is exactly reproducible from the snapshot), sharded so the
+    order is defined per (epoch, shard) with no global sort. This is the
+    data-order contract distributed training resumes depend on: restart
+    at (epoch, shard, pos) and the stream continues byte-identically.
+
+    At 100 TB: the per-epoch explode is a narrow 2x multiplier (epochs
+    are consumed one at a time in production — the CROSS JOIN here just
+    materializes both for the oracle); ranking is windowed per
+    (epoch, shard) — thousands of independent partitions, never a
+    single-partition window; shard routing is the hash itself, so the
+    write is one partitionBy(epoch, shard) with files already in final
+    order."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = docs.crossJoin(
+        F.broadcast(
+            spark.range(_N_EPOCHS).select(F.col("id").cast("int").alias("epoch"))
+        )
+    ).select(
+        "doc_id",
+        "epoch",
+        F.md5(
+            F.concat(
+                F.col("epoch").cast("string"), F.lit(":"), F.col("doc_id").cast("string")
+            )
+        ).alias("h"),
+    )
+    sharded = epochs.select(
+        "doc_id",
+        "epoch",
+        (F.ascii(F.substring("h", 1, 1)) % _EPOCH_SHARDS).cast("int").alias("shard"),
+        "h",
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+    return sharded.select(
+        "doc_id", "epoch", "shard", F.row_number().over(w).alias("shard_pos")
+    )

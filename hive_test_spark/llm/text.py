@@ -479,3 +479,75 @@ def llm_topic_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _SIG_TOPK)
         .select("source", "tok", "log_lift", F.col("c").alias("n_occurrences"))
     )
+
+
+# Fixed merge table (priority order), the classic high-frequency English
+# merges; step-0 pair STATISTICS that would learn such a table are
+# llm_bpe_pair_counts.
+_BPE_MERGES = [("t", "h"), ("th", "e"), ("a", "n"), ("i", "n"), ("e", "r")]
+_BPE_TOPK = 80
+
+_BPE_MERGE_SQL = "s"
+for _a, _b in _BPE_MERGES:
+    _BPE_MERGE_SQL = (
+        f"replace({_BPE_MERGE_SQL}, ' {_a} {_b} ', ' {_a}{_b} ')"
+    )
+
+_BPE_APPLY_ORACLE = f"""
+    WITH words AS (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+      FROM documents
+    ),
+    w2 AS (SELECT w FROM words WHERE w <> ''),
+    spaced AS (
+      SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS s
+      FROM w2
+    ),
+    merged AS (SELECT {_BPE_MERGE_SQL} AS s FROM spaced),
+    tokens AS (SELECT unnest(string_split(trim(s), ' ')) AS token FROM merged)
+    SELECT token, COUNT(*) AS n_occurrences
+    FROM tokens GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT {_BPE_TOPK}
+"""
+
+
+@register("llm_bpe_apply", _BPE_APPLY_ORACLE)
+def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION: segment the corpus with a fixed,
+    priority-ordered merge table (the inference half of byte-pair
+    encoding; llm_bpe_pair_counts is the learning half's step-0
+    statistics). Words are exploded to space-separated character
+    sequences, each merge rewrites its pair left-to-right via
+    ``replace`` — single-pass greedy application whose semantics
+    (non-overlapping, left-to-right) are identical in Spark and DuckDB,
+    which is exactly what the oracle pins — then the resulting subword
+    vocabulary distribution (top-k by frequency, total-ordered) comes
+    out of one aggregate.
+
+    At 100 TB: tokenization is a pure map (codegen'd string expressions,
+    no Python, no shuffle until the final vocabulary count, which is
+    map-side-combinable and bounded by |vocab|). A production tokenizer
+    with thousands of merges would fold the merge loop into one
+    executor-side trie pass (pandas_udf) — same plan shape, the map
+    stage just gets a constant factor heavier."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    s = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")),
+        F.lit(" "),
+    )
+    for a, b in _BPE_MERGES:
+        s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    tokens = words.select(F.explode(F.split(F.trim(s), " ")).alias("token"))
+    return (
+        tokens.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(_BPE_TOPK)
+    )

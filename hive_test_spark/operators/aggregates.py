@@ -520,3 +520,46 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n_regionkey
         """
     )
+
+
+@register(
+    "agg_grouping_id",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 6) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive ``GROUPING__ID`` surface via the DataFrame-side
+    ``groupingSets`` API (the SQL-text twin is agg_grouping_sets): the
+    composite bit vector that tells report consumers WHICH grouping set
+    produced each output row — indispensable once sets overlap (here the
+    two single-column sets both emit rows with one NULL dimension, and
+    only gid disambiguates a real NULL group from a rolled-up one).
+    Spark's grouping_id() and DuckDB's GROUPING(a, b) use the same
+    encoding: leftmost grouping column = most significant bit.
+
+    At 100 TB: identical plan to any grouping-sets aggregate — ONE
+    Expand (4 replicas here) + one shuffle; gid is computed inside the
+    Expand for free. The alternative (4 separate aggregates unioned)
+    scans the fact 4 times."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"],
+             ["o_orderpriority"], []],
+            "o_orderstatus", "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 6).alias("total_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price")
+    )

@@ -868,3 +868,73 @@ def evt_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .drop("rn")
     )
+
+
+@register(
+    "evt_srm_check",
+    """
+    WITH arms AS (
+      SELECT CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_users) AS n_total FROM arms),
+    chi AS (
+      SELECT SUM((n_users - n_total / 2.0) * (n_users - n_total / 2.0)
+                 / (n_total / 2.0)) AS chi2
+      FROM arms CROSS JOIN tot
+    )
+    SELECT a.arm, a.n_users,
+           ROUND(c.chi2, 6) AS chi2,
+           CAST(c.chi2 > 3.841 AS BOOLEAN) AS srm_flag
+    FROM arms a CROSS JOIN chi c
+    """,
+)
+def evt_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch (SRM) guardrail for A/B experiments: users
+    are hash-assigned to arms (md5 parity — the production bucketing
+    rule, NOT modulo on a monotone id, which aliases with signup time),
+    and a chi-square statistic against the designed 50/50 split flags a
+    broken randomizer at alpha=0.05 (3.841 = chi2_1df critical value).
+    SRM is the first gate every experimentation platform runs — lift
+    numbers (evt_ab_lift) are meaningless when assignment is skewed.
+
+    At 100 TB: one distinct-users aggregate (map-side combinable after
+    the user_id shuffle) produces a 2-row arm table; the chi-square is
+    driver-free 2-row arithmetic via broadcast cross join. Nothing
+    scales with event volume except the first aggregate."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    arms = (
+        ev.select(
+            F.when(
+                F.ascii(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)) % 2
+                == 0,
+                "A",
+            )
+            .otherwise("B")
+            .alias("arm"),
+            "user_id",
+        )
+        .groupBy("arm")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    tot = arms.agg(F.sum("n_users").alias("n_total"))
+    chi = (
+        arms.crossJoin(F.broadcast(tot))
+        .select(
+            (
+                (F.col("n_users") - F.col("n_total") / 2.0)
+                * (F.col("n_users") - F.col("n_total") / 2.0)
+                / (F.col("n_total") / 2.0)
+            ).alias("term")
+        )
+        .agg(F.sum("term").alias("chi2"))
+    )
+    return arms.crossJoin(F.broadcast(chi)).select(
+        "arm",
+        "n_users",
+        F.round("chi2", 6).alias("chi2"),
+        (F.col("chi2") > 3.841).alias("srm_flag"),
+    )

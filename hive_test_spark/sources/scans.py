@@ -413,3 +413,100 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_nationkey")
     )
+
+
+_MALFORMED_MOD = 7  # rows with o_orderkey % 7 == 0 are written malformed
+
+_CSV_MALFORMED_ORACLE = f"""
+    SELECT
+      CAST(SUM(CASE WHEN o_orderkey % {_MALFORMED_MOD} <> 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_good,
+      CAST(SUM(CASE WHEN o_orderkey % {_MALFORMED_MOD} = 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_corrupt,
+      CAST(SUM(CASE WHEN o_orderkey % {_MALFORMED_MOD} <> 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_dropmalformed,
+      ROUND(SUM(CASE WHEN o_orderkey % {_MALFORMED_MOD} <> 0
+                     THEN o_totalprice ELSE 0 END), 6) AS sum_price_good
+    FROM orders
+"""
+
+
+@register("scan_csv_malformed", _CSV_MALFORMED_ORACLE)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling on delimited text (Hive's classic
+    bad-SerDe-row problem): a CSV is materialized with every 7th order
+    written as garbage ('<key>,not_a_number' — wrong arity AND an
+    unparseable numeric), then read twice: PERMISSIVE mode with
+    ``columnNameOfCorruptRecord`` must capture exactly the malformed
+    lines in the corrupt column while parsing every good row, and
+    DROPMALFORMED must keep exactly the good rows. The oracle recomputes
+    all four counts from the generation rule, so a parser that silently
+    NULL-fills garbage, double-counts, or drops good rows fails the
+    hash.
+
+    At 100 TB: PERMISSIVE + corrupt-column is the only mode that lets a
+    pipeline QUARANTINE bad rows (write them to a dead-letter path) in
+    the same single pass that loads the good ones; FAILFAST is for
+    contract enforcement, DROPMALFORMED silently loses data and should
+    be confined to exploratory reads. Both reads here are one pass,
+    schema explicit — inferSchema would add a full extra scan."""
+    import os as _os
+
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    lines = o.select(
+        F.when(
+            F.col("o_orderkey") % _MALFORMED_MOD == 0,
+            F.concat(F.col("o_orderkey").cast("string"), F.lit(",not_a_number")),
+        )
+        .otherwise(
+            F.concat_ws(
+                ",",
+                F.col("o_orderkey").cast("string"),
+                F.col("o_totalprice").cast("string"),
+                F.col("o_orderstatus"),
+            )
+        )
+        .alias("value")
+    )
+    path = scratch_dir("fmt", _sf_tag(sf_dir), f"orders_malformed_{_MALFORMED_MOD}")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        lines.write.mode("overwrite").format("text").save(path)
+    schema = (
+        "o_orderkey LONG, o_totalprice DOUBLE, o_orderstatus STRING, _bad STRING"
+    )
+    permissive = spark.read.csv(
+        path, schema=schema, mode="PERMISSIVE", columnNameOfCorruptRecord="_bad"
+    )
+    perm_row = permissive.agg(
+        F.sum(F.when(F.col("_bad").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_good"),
+        F.sum(F.when(F.col("_bad").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_corrupt"),
+        F.round(
+            F.sum(F.when(F.col("_bad").isNull(), F.col("o_totalprice")).otherwise(0.0)),
+            6,
+        ).alias("sum_price_good"),
+    )
+    dropped = spark.read.csv(
+        path,
+        schema="o_orderkey LONG, o_totalprice DOUBLE, o_orderstatus STRING",
+        mode="DROPMALFORMED",
+    )
+    # CSV column pruning parses ONLY referenced columns, and malformedness
+    # is judged on the parsed subset — a bare count(1) would parse nothing
+    # and drop nothing. The all-columns filter forces a full-row parse so
+    # DROPMALFORMED actually sees the bad cells (the same trap the
+    # docstring warns about: this mode's semantics depend on projection).
+    drop_row = dropped.filter(
+        F.col("o_orderkey").isNotNull()
+        | F.col("o_totalprice").isNotNull()
+        | F.col("o_orderstatus").isNotNull()
+    ).agg(F.count(F.lit(1)).alias("n_dropmalformed"))
+    return perm_row.crossJoin(F.broadcast(drop_row)).select(
+        "n_good", "n_corrupt", "n_dropmalformed", "sum_price_good"
+    )

@@ -888,3 +888,63 @@ def llm_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sharded.select(
         "doc_id", "epoch", "shard", F.row_number().over(w).alias("shard_pos")
     )
+
+
+# Hash split: bucket = first md5 byte mod 100 → train <90, val <95, test.
+_SPLIT_TRAIN, _SPLIT_VAL = 90, 95
+
+_SPLIT_ORACLE = f"""
+    WITH assigned AS (
+      SELECT doc_id, source,
+             CASE WHEN bucket < {_SPLIT_TRAIN} THEN 'train'
+                  WHEN bucket < {_SPLIT_VAL} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+                 % 100 AS bucket
+        FROM documents
+      ) b
+    )
+    SELECT split, source, COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct
+    FROM assigned GROUP BY split, source
+"""
+
+
+@register("llm_train_val_split", _SPLIT_ORACLE)
+def llm_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content-stable hash bucket
+    (md5(doc_id) prefix mod 100 → 90/5/5): the split a curation pipeline
+    must be able to REPRODUCE from the snapshot alone — a rand()-based
+    split silently reshuffles documents between train and eval across
+    reruns, which is leakage. The per-(split, source) rollup with
+    distinct counts pins membership determinism, disjointness (each doc
+    lands in exactly one split: n_docs == n_distinct per cell and totals
+    conserve), and the per-source ratio balance reviewers check.
+
+    At 100 TB: a pure map (one hash per row, no shuffle until the audit
+    rollup); the split column is also the natural ``partitionBy`` so
+    eval sets are partition-pruned reads. Keying the hash on a CONTENT
+    id (here doc_id; in production the text digest) keeps membership
+    stable under re-crawls — positional ids would reassign on any
+    upstream reorder."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    assigned = d.select(
+        "doc_id",
+        "source",
+        F.when(bucket < _SPLIT_TRAIN, "train")
+        .when(bucket < _SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return assigned.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("doc_id").alias("n_distinct"),
+    )

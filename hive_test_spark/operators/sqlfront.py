@@ -586,3 +586,54 @@ def sql_transform_using(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM hts_sql_customer
         """
     )
+
+
+def _clamp_bal(s):
+    """Series->Series body for the registered function (pandas clip)."""
+    return s.clip(lower=0.0, upper=5000.0)
+
+
+@_sql_register(
+    "sql_temp_function",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           ROUND(SUM(CASE WHEN c_acctbal < 0 THEN 0.0
+                          WHEN c_acctbal > 5000 THEN 5000.0
+                          ELSE c_acctbal END), 6) AS clamped_total
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def sql_temp_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive ``CREATE TEMPORARY FUNCTION`` surface: a user function is
+    registered into the session catalog (``spark.udf.register`` — the
+    programmatic twin of the DDL; Spark also accepts the DDL form for
+    JVM classes) and then invoked from SQL TEXT like any built-in. The
+    function body is an Arrow-vectorized pandas UDF, so the SQL front
+    end transparently drives the same Arrow batch path as the DataFrame
+    API — registration changes WHERE the function is visible, not how
+    it executes.
+
+    At 100 TB: session-catalog UDF registration is driver-side metadata;
+    the cost model is the UDF's own (one Arrow hop per batch here —
+    see udf_pandas_scalar's bench ratio). The SQL-visible registry is
+    what lets ad-hoc HiveQL users share a vetted function library
+    instead of re-implementing clamps/parsers per query."""
+    from pyspark.sql.functions import pandas_udf
+
+    tune(spark)
+    # Built here, not at import time (type resolution needs an active
+    # session — same note as udf_pandas_scalar); plain function + explicit
+    # returnType, no hint inference.
+    spark.udf.register("hts_clamp_bal", pandas_udf(_clamp_bal, "double"))
+    _views(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               COUNT(*) AS n,
+               ROUND(SUM(hts_clamp_bal(c_acctbal)), 6) AS clamped_total
+        FROM hts_sql_customer
+        GROUP BY c_mktsegment
+        """
+    )

@@ -180,7 +180,8 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "interop_map_in_arrow", "meta_analyze_stats",
     "stream_foreachbatch_upsert", "agg_grouping_id", "fn_bround",
     "llm_bpe_apply", "evt_srm_check", "llm_epoch_shuffle",
-    "scan_csv_malformed",
+    "scan_csv_malformed", "scan_parquet_schema_evolution",
+    "sql_temp_function", "llm_train_val_split",
 )
 
 

@@ -510,3 +510,63 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perm_row.crossJoin(F.broadcast(drop_row)).select(
         "n_good", "n_corrupt", "n_dropmalformed", "sum_price_good"
     )
+
+
+_SCHEMA_EVO_ORACLE = """
+    SELECT batch, COUNT(*) AS n_rows,
+           CAST(COUNT(o_comment_len) AS BIGINT) AS n_with_new_col,
+           ROUND(SUM(o_totalprice), 6) AS sum_price
+    FROM (
+      SELECT 'v1' AS batch, o_totalprice, NULL AS o_comment_len
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT 'v2', o_totalprice, CAST(length(o_orderstatus) + o_orderkey % 5 AS BIGINT)
+      FROM orders WHERE o_orderkey % 2 = 1
+    ) t
+    GROUP BY batch
+"""
+
+
+@register("scan_parquet_schema_evolution", _SCHEMA_EVO_ORACLE)
+def scan_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a parquet directory (the lakehouse add-a-column
+    case): batch v1 is written with the original columns, batch v2 adds
+    ``o_comment_len``; a ``mergeSchema`` read reconciles both footers
+    into the superset schema and the old files' missing column reads as
+    NULL. The per-batch rollup pins all three contract points: row
+    routing, NULL-fill for pre-evolution files (n_with_new_col = 0 for
+    v1), and value fidelity of both eras.
+
+    At 100 TB: mergeSchema is a FOOTER-ONLY operation but it reads every
+    file's footer on the driver — on 10^6-file tables that is the known
+    listing bottleneck, which is why production tables keep the merged
+    schema in a catalog (metastore/table-format) and planners never
+    fan out to footers; new columns must be APPENDED nullable — type
+    narrowing or renames break old readers and are a table-format
+    (rename-by-id) feature, not a parquet one."""
+    import os as _os
+
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    path = scratch_dir("fmt", _sf_tag(sf_dir), "orders_schema_evo")
+    if not _os.path.exists(_os.path.join(path, "_done")):
+        v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+            F.lit("v1").alias("batch"), "o_orderkey", "o_totalprice"
+        )
+        v1.write.mode("overwrite").parquet(path)
+        v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+            F.lit("v2").alias("batch"),
+            "o_orderkey",
+            "o_totalprice",
+            (F.length("o_orderstatus") + F.col("o_orderkey") % 5)
+            .cast("long")
+            .alias("o_comment_len"),
+        )
+        v2.write.mode("append").parquet(path)
+        open(_os.path.join(path, "_done"), "w").close()
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return merged.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_comment_len").alias("n_with_new_col"),
+        F.round(F.sum("o_totalprice"), 6).alias("sum_price"),
+    )

@@ -374,3 +374,95 @@ def test_random_window_spec_matches_duckdb(spark, duck, spec):
     duck_pdf = duck.execute(_win_sql(spec)).df()
     r = compare("fuzz_window", spark_pdf, duck_pdf)
     assert r["ok"], f"spec={spec}\nsql={_win_sql(spec)}\nnotes={r['notes']}"
+
+
+# ---- grouping-sets grammar ----------------------------------------------
+
+
+@st.composite
+def grouping_specs(draw):
+    table = draw(st.sampled_from(sorted(TABLES)))
+    t = TABLES[table]
+    cols = draw(
+        st.lists(st.sampled_from(sorted(t["cat"])), min_size=1, max_size=2,
+                 unique=True)
+    )
+    mode = draw(st.sampled_from(["rollup", "cube", "sets"]))
+    sets = None
+    if mode == "sets":
+        # Random non-empty family of subsets of cols (always include the
+        # full set so at least one fine-grained grouping exists).
+        subsets = [cols]
+        if draw(st.booleans()):
+            subsets.append([])
+        for c in cols:
+            if draw(st.booleans()):
+                subsets.append([c])
+        sets = subsets
+    num = draw(st.sampled_from(t["num"]))
+    pred = None
+    if draw(st.booleans()):
+        col = draw(st.sampled_from(t["num"]))
+        op = draw(st.sampled_from(_NUM_OPS))
+        lit = round(draw(st.floats(0.0, 100.0, allow_nan=False)), 2)
+        pred = ("num", col, op, lit)
+    return {"table": table, "cols": cols, "mode": mode, "sets": sets,
+            "num": num, "pred": pred}
+
+
+def _grouping_sql(spec) -> str:
+    cols = spec["cols"]
+    where = f" WHERE {_pred_sql(spec['pred'])}" if spec["pred"] else ""
+    if spec["mode"] == "rollup":
+        by = f"ROLLUP ({', '.join(cols)})"
+    elif spec["mode"] == "cube":
+        by = f"CUBE ({', '.join(cols)})"
+    else:
+        rendered = ", ".join(f"({', '.join(s)})" for s in spec["sets"])
+        by = f"GROUPING SETS ({rendered})"
+    flags = ", ".join(
+        f"CAST(GROUPING({c}) AS INT) AS g_{c}" for c in cols
+    )
+    return (
+        f"SELECT {', '.join(cols)}, {flags}, COUNT(*) AS n_rows, "
+        f"ROUND(SUM({spec['num']}), 6) AS sum_v "
+        f"FROM {spec['table']}{where} GROUP BY {by}"
+    )
+
+
+def _grouping_df(spark, spec):
+    df = load_table(spark, SF_DIR, spec["table"])
+    if spec["pred"]:
+        df = df.filter(_pred_col(spec["pred"]))
+    cols = spec["cols"]
+    if spec["mode"] == "rollup":
+        g = df.rollup(*cols)
+    elif spec["mode"] == "cube":
+        g = df.cube(*cols)
+    else:
+        g = df.groupingSets(spec["sets"], *cols)
+    aggs = [F.grouping(c).cast("int").alias(f"g_{c}") for c in cols]
+    aggs += [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(spec["num"]), 6).alias("sum_v"),
+    ]
+    return g.agg(*aggs).select(
+        *cols, *[f"g_{c}" for c in cols], "n_rows", "sum_v"
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=grouping_specs())
+def test_random_grouping_spec_matches_duckdb(spark, duck, spec):
+    """Grouping fuzz: rollup/cube/random grouping-set families with
+    GROUPING() flags (the flags disambiguate rolled-up NULLs from data
+    NULLs, so the compare is total even when sets overlap)."""
+    spark_pdf = _grouping_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_grouping_sql(spec)).df()
+    r = compare("fuzz_grouping", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nsql={_grouping_sql(spec)}\nnotes={r['notes']}"

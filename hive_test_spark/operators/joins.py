@@ -550,3 +550,66 @@ def join_existence_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority
         """
     )
+
+
+_OVERLAP_ORACLE = """
+    WITH spans AS (
+      SELECT user_id, event_type,
+             MIN(ts) AS t_lo, MAX(ts) AS t_hi
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT a.user_id, a.event_type AS type_a, b.event_type AS type_b,
+           CAST(date_diff('second',
+                          GREATEST(a.t_lo, b.t_lo),
+                          LEAST(a.t_hi, b.t_hi)) AS BIGINT) AS overlap_s
+    FROM spans a JOIN spans b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    WHERE a.t_lo <= b.t_hi AND b.t_lo <= a.t_hi
+"""
+
+
+@register("join_interval_overlap", _OVERLAP_ORACLE)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join (both sides are intervals, emit overlapping
+    pairs with overlap length) — the sibling of join_range_interval's
+    point-in-band shape. Intervals are per-(user, event_type) activity
+    spans; the overlap join is keyed on user_id with the overlap
+    predicate (lo_a <= hi_b AND lo_b <= hi_a) evaluated INSIDE the
+    equi-join — one shuffle on the key, theta only within key groups,
+    and the a.type < b.type orientation emits each pair once.
+
+    At 100 TB: the equi-key is what makes this scale — a keyless
+    interval overlap is inherently quadratic, and the standard fix is to
+    MANUFACTURE the key by gridding time into buckets (explode each
+    interval to its covered buckets, equi-join on bucket, dedup pairs) —
+    same plan shape as this one with the bucket id standing in for
+    user_id. Spark will not use a specialized interval tree; the
+    per-key group sizes bound the quadratic term exactly like
+    llm_semdedup's cluster cells."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("t_lo"), F.max("ts").alias("t_hi")
+    )
+    b = spans.select(
+        F.col("user_id").alias("b_uid"),
+        F.col("event_type").alias("type_b"),
+        F.col("t_lo").alias("b_lo"),
+        F.col("t_hi").alias("b_hi"),
+    )
+    joined = spans.join(
+        b,
+        (F.col("user_id") == F.col("b_uid"))
+        & (F.col("event_type") < F.col("type_b"))
+        & (F.col("t_lo") <= F.col("b_hi"))
+        & (F.col("b_lo") <= F.col("t_hi")),
+    )
+    return joined.select(
+        "user_id",
+        F.col("event_type").alias("type_a"),
+        "type_b",
+        (
+            F.unix_timestamp(F.least("t_hi", "b_hi"))
+            - F.unix_timestamp(F.greatest("t_lo", "b_lo"))
+        ).alias("overlap_s"),
+    )

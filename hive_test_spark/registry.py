@@ -181,7 +181,7 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "stream_foreachbatch_upsert", "agg_grouping_id", "fn_bround",
     "llm_bpe_apply", "evt_srm_check", "llm_epoch_shuffle",
     "scan_csv_malformed", "scan_parquet_schema_evolution",
-    "sql_temp_function", "llm_train_val_split",
+    "sql_temp_function", "llm_train_val_split", "join_interval_overlap",
 )
 
 

@@ -751,3 +751,13 @@ def test_transform_using_is_script_transformation(spark, registry):
     df = qs["sql_transform_using"](spark, SF_DIR)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "ScriptTransformation" in plan, plan[:800]
+
+
+def test_interval_overlap_join_is_keyed(spark, registry):
+    """The overlap join must ride the user_id equi-key (hash or
+    broadcast, never a cartesian with a filtered theta): one join, both
+    span scans pruned to (user_id, event_type, ts)."""
+    f = _facts(spark, registry, "join_interval_overlap")
+    assert f.cartesian == 0
+    assert f.broadcast_joins + f.sort_merge_joins >= 1
+    assert all(n <= 3 for n in scan_read_columns(f))

@@ -27,6 +27,14 @@ EXTRA_AUDIT = [
     "sql_pricing_summary",
     "sql_star_join_hinted",
     "join_existence_mark",
+    # Round-5 additions with non-trivial plans: iterative algorithms,
+    # the overlap join, and the curriculum/kmeans broadcast shapes.
+    "graph_shortest_path",
+    "llm_kmeans_lloyd",
+    "llm_curriculum_order",
+    "join_interval_overlap",
+    "dq_constraints",
+    "interop_map_in_arrow",
 ]
 
 

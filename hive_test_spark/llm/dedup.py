@@ -427,3 +427,51 @@ def llm_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "content_hash")
         .orderBy("doc_id")
     )
+
+
+_COLLISION_ORACLE = """
+    WITH digests AS (
+      SELECT source, md5(text) AS digest, text FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_digests,
+           CAST(SUM(n_texts - 1) AS BIGINT) AS n_collisions
+    FROM (
+      SELECT source, digest, COUNT(DISTINCT text) AS n_texts, COUNT(*) AS n
+      FROM digests GROUP BY source, digest
+    ) per_digest
+    GROUP BY source
+"""
+
+
+@register("llm_collision_audit", _COLLISION_ORACLE)
+def llm_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest-collision audit for the hash keys the dedup family trusts:
+    per source, count documents, distinct digests, and COLLISIONS —
+    digests shared by documents with DIFFERENT text (md5 collisions or,
+    the operationally common cause, a buggy normalization upstream
+    hashing distinct docs identically). llm_exact_dedup and
+    llm_cross_dedup treat digest equality as text equality; this is the
+    audit that makes that assumption a checked invariant instead of
+    faith. Expected collisions = 0, but the output keeps full per-source
+    counts so the zero is pinned inside non-vacuous rows (the 0-row
+    vacuous-pass trap from SURVEY §5).
+
+    At 100 TB: two chained aggregations, both keyed on (source, digest)
+    then source — map-side combinable, no joins, no all-pairs anything;
+    COUNT(DISTINCT text) inside a digest group only ever sees the
+    handful of rows sharing a 128-bit digest. Run it per ingest batch;
+    alert on n_collisions > 0."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.md5("text").alias("digest"), "text"
+    )
+    per_digest = d.groupBy("source", "digest").agg(
+        F.countDistinct("text").alias("n_texts"), F.count(F.lit(1)).alias("n")
+    )
+    return per_digest.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.countDistinct("digest").alias("n_digests"),
+        F.sum(F.col("n_texts") - 1).alias("n_collisions"),
+    )

@@ -563,3 +563,68 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price")
     )
+
+
+_APPROX_PCT_ACC = 100  # Spark accuracy knob: err <= 1/accuracy of rank
+
+
+@register(
+    "agg_approx_percentile",
+    """
+    SELECT l_returnflag, TRUE AS p50_ok, TRUE AS p90_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile accuracy CONTRACT, property-oracled (the
+    graduation pattern of agg_approx_distinct): the estimator
+    (Greenwald-Khanna summaries, mergeable map-side state — the reason
+    every exact-percentile docstring here says "use approx at 100 TB")
+    must return a value whose RANK is within 1/accuracy of the target
+    rank. Checked in-query per group: the approx p50/p90 are compared
+    against the exact value-at-rank window for rank targets padded by
+    the guaranteed epsilon; the hash row pins both booleans true. A
+    regression in the sketch (wrong merge, bad compression) fails the
+    hash, while the raw estimate itself — implementation-specific —
+    never enters the compare.
+
+    At 100 TB: approx_percentile is one pass, O(1/eps · log(eps·N))
+    state per group, mergeable — exact percentile sorts each group.
+    This key is the acceptance gate that makes the swap safe."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_quantity", F.lit(0.5), F.lit(_APPROX_PCT_ACC)).alias("a50"),
+        F.approx_percentile("l_quantity", F.lit(0.9), F.lit(_APPROX_PCT_ACC)).alias("a90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # Exact rank of each approx value within its group (how many values
+    # are <= the estimate), via one group-keyed aggregation.
+    ranked = (
+        li.join(F.broadcast(approx), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(F.col("l_quantity") <= F.col("a50"), 1).otherwise(0)).alias("r50"),
+            F.sum(F.when(F.col("l_quantity") < F.col("a50"), 1).otherwise(0)).alias("r50_lo"),
+            F.sum(F.when(F.col("l_quantity") <= F.col("a90"), 1).otherwise(0)).alias("r90"),
+            F.sum(F.when(F.col("l_quantity") < F.col("a90"), 1).otherwise(0)).alias("r90_lo"),
+            F.max("n").alias("n"),
+        )
+    )
+    eps = 1.0 / _APPROX_PCT_ACC
+
+    def _ok(target, r_hi, r_lo):
+        # The returned value's rank interval [r_lo, r_hi] must intersect
+        # the target-rank band [n*(q-eps), n*(q+eps)] (+1 slack for the
+        # floor/ceiling conventions at tiny groups).
+        lo_bound = (F.lit(target) - eps) * F.col("n") - 1
+        hi_bound = (F.lit(target) + eps) * F.col("n") + 1
+        return (F.col(r_hi) >= lo_bound) & (F.col(r_lo) <= hi_bound)
+
+    return ranked.select(
+        "l_returnflag",
+        _ok(0.5, "r50", "r50_lo").alias("p50_ok"),
+        _ok(0.9, "r90", "r90_lo").alias("p90_ok"),
+    )

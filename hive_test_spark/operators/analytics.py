@@ -938,3 +938,111 @@ def evt_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("chi2", 6).alias("chi2"),
         (F.col("chi2") > 3.841).alias("srm_flag"),
     )
+
+
+_E2E_GAP_S = 1800  # 30-minute session gap
+
+_EVT_E2E_ORACLE = f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > {_E2E_GAP_S}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessioned AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS sess_idx
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, sess_idx,
+             COUNT(*) AS n_events,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM sessioned GROUP BY user_id, sess_idx
+    ),
+    users AS (
+      SELECT user_id, COUNT(*) AS n_sessions, SUM(converted) AS n_conv,
+             SUM(n_events) AS n_events
+      FROM sessions GROUP BY user_id
+    )
+    SELECT CASE WHEN n_sessions >= 67 THEN 'heavy'
+                WHEN n_sessions >= 60 THEN 'mid' ELSE 'light' END AS band,
+           COUNT(*) AS n_users,
+           CAST(SUM(n_sessions) AS BIGINT) AS total_sessions,
+           CAST(SUM(n_conv) AS BIGINT) AS conv_sessions,
+           ROUND(SUM(n_conv) * 1.0 / SUM(n_sessions), 6) AS conv_rate,
+           CAST(SUM(n_events) AS BIGINT) AS total_events
+    FROM users GROUP BY 1
+"""
+
+
+@register("evt_pipeline_e2e", _EVT_E2E_ORACLE)
+def evt_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused product-analytics pipeline as ONE lazy plan (the analytics
+    twin of llm_pipeline_e2e): gap-sessionize (30-min) → per-session
+    stats with conversion flag → per-user engagement rollup → user-band
+    conversion report. Four conceptual stages, but Catalyst plans them
+    as a single job with exactly ONE shuffle on user_id serving both
+    window passes AND both aggregations (the windows and the session/
+    user groupings share the partitioning), plus the final tiny band
+    rollup — the fusion is the point: materializing stage boundaries
+    (the naive pipeline-as-four-tables design) would pay three extra
+    full write/read cycles for zero semantic difference.
+
+    At 100 TB: everything before the band rollup is per-user local once
+    the single user_id exchange lands; session state never leaves the
+    partition. The band report is a few rows. This is the plan shape to
+    hold in mind whenever a 'pipeline' is really a linear dataflow —
+    fuse first, checkpoint only where reuse is real (llm_pipeline_e2e's
+    docstring makes the same argument for the curation chain)."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > _E2E_GAP_S
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sessioned = flagged.select(
+        "*", F.sum("new_sess").over(w).alias("sess_idx")
+    )
+    sessions = sessioned.groupBy("user_id", "sess_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    users = sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("converted").alias("n_conv"),
+        F.sum("n_events").alias("n_events"),
+    )
+    # Band cuts sit at the fixture's tertiles (~60/67 sessions per user
+    # across every SF vintage), so all three bands are populated.
+    band = (
+        F.when(F.col("n_sessions") >= 67, "heavy")
+        .when(F.col("n_sessions") >= 60, "mid")
+        .otherwise("light")
+    )
+    return users.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_sessions").alias("total_sessions"),
+        F.sum("n_conv").alias("conv_sessions"),
+        F.round(F.sum("n_conv") / F.sum("n_sessions"), 6).alias("conv_rate"),
+        F.sum("n_events").alias("total_events"),
+    )

@@ -182,7 +182,7 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "llm_bpe_apply", "evt_srm_check", "llm_epoch_shuffle",
     "scan_csv_malformed", "scan_parquet_schema_evolution",
     "sql_temp_function", "llm_train_val_split", "join_interval_overlap",
-    "agg_approx_percentile", "llm_collision_audit",
+    "agg_approx_percentile", "llm_collision_audit", "evt_pipeline_e2e",
 )
 
 

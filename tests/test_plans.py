@@ -761,3 +761,14 @@ def test_interval_overlap_join_is_keyed(spark, registry):
     assert f.cartesian == 0
     assert f.broadcast_joins + f.sort_merge_joins >= 1
     assert all(n <= 3 for n in scan_read_columns(f))
+
+
+def test_evt_pipeline_fuses_on_one_user_exchange(spark, registry):
+    """The 4-stage analytics pipeline must fuse: both window passes and
+    both keyed aggregations ride ONE user_id exchange, plus the tiny
+    band rollup — bounded exchanges prove no stage boundary
+    materialized; events scan pruned to the 4 needed columns."""
+    f = _facts(spark, registry, "evt_pipeline_e2e")
+    assert f.cartesian == 0
+    assert f.exchanges <= 3, "sessionize+rollups must share the user_id exchange"
+    assert all(n <= 4 for n in scan_read_columns(f))

@@ -593,3 +593,115 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("max_sim") < SEMDEDUP_TAU, F.lit(True)).alias("keep"),
         )
     )
+
+
+N_MINE_ANCHORS = 20  # anchors = vec_id < 20 (deterministic panel)
+
+_TRIPLET_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    anchors AS (SELECT * FROM e WHERE vec_id < {N_MINE_ANCHORS}),
+    scored AS (
+      SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+             b.vec_id AS other_id, b.label AS other_label,
+             ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
+      FROM anchors a JOIN e b ON b.vec_id <> a.vec_id
+    ),
+    pos AS (
+      SELECT anchor_id, other_id AS positive_id, cos_sim AS pos_sim
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                         ORDER BY cos_sim DESC, other_id) AS rn
+            FROM scored WHERE other_label = anchor_label) t
+      WHERE rn = 1
+    ),
+    neg AS (
+      SELECT anchor_id, other_id AS negative_id, cos_sim AS neg_sim
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                         ORDER BY cos_sim DESC, other_id) AS rn
+            FROM scored WHERE other_label <> anchor_label) t
+      WHERE rn = 1
+    )
+    SELECT p.anchor_id, p.positive_id, n.negative_id,
+           p.pos_sim, n.neg_sim,
+           ROUND(p.pos_sim - n.neg_sim, 6) AS margin
+    FROM pos p JOIN neg n USING (anchor_id)
+"""
+
+
+@register("llm_hard_negative_mining", _TRIPLET_ORACLE)
+def llm_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet mining for contrastive training: per anchor, the closest
+    SAME-label vector (positive) and the closest DIFFERENT-label vector
+    (the HARD negative — the semi-/hard-negative selection that makes
+    triplet/InfoNCE training converge; random negatives are too easy to
+    teach anything), plus the margin the loss would see. One scored
+    pass over the anchor×corpus pairs feeds both top-1 windows.
+
+    Scale shape: the anchor panel is bounded and broadcast (exactly
+    llm_cosine_topk's probe pattern — mining runs per training batch,
+    not per corpus); at real scale the corpus side is first bucketed by
+    the ANN index (llm_ann_ivf/lsh) and this op runs within candidate
+    buckets, turning O(anchors x N) into O(anchors x bucket). Label
+    lookup is carried on the scored row so positives/negatives split
+    without a second join."""
+    tune(spark)
+    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    anchors = e.filter(F.col("vec_id") < N_MINE_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("a_emb"),
+        F.col("norm").alias("a_norm"),
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("other_id"),
+        F.col("label").alias("other_label"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    scored = (
+        F.broadcast(anchors)
+        .join(corpus, F.col("other_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "other_id",
+            "other_label",
+            F.round(
+                cosine("a_emb", "c_emb") / (F.col("a_norm") * F.col("c_norm")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos_sim"), "other_id")
+    pos = (
+        scored.filter(F.col("other_label") == F.col("anchor_label"))
+        .select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("other_id").alias("positive_id"),
+            F.col("cos_sim").alias("pos_sim"),
+        )
+    )
+    neg = (
+        scored.filter(F.col("other_label") != F.col("anchor_label"))
+        .select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("other_id").alias("negative_id"),
+            F.col("cos_sim").alias("neg_sim"),
+        )
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "positive_id",
+        "negative_id",
+        "pos_sim",
+        "neg_sim",
+        F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
+    )

@@ -466,3 +466,84 @@ def test_random_grouping_spec_matches_duckdb(spark, duck, spec):
     duck_pdf = duck.execute(_grouping_sql(spec)).df()
     r = compare("fuzz_grouping", spark_pdf, duck_pdf)
     assert r["ok"], f"spec={spec}\nsql={_grouping_sql(spec)}\nnotes={r['notes']}"
+
+
+# ---- set-operation grammar ----------------------------------------------
+
+
+@st.composite
+def setop_specs(draw):
+    table = draw(st.sampled_from(sorted(TABLES)))
+    t = TABLES[table]
+    cat = draw(st.sampled_from(sorted(t["cat"])))
+    key = draw(st.sampled_from(t["key"]))
+
+    def leg():
+        col = draw(st.sampled_from(t["num"]))
+        op = draw(st.sampled_from(_NUM_OPS))
+        lit = round(draw(st.floats(0.0, 100.0, allow_nan=False)), 2)
+        return ("num", col, op, lit)
+
+    ops = draw(
+        st.lists(
+            st.sampled_from(["union_all", "union", "intersect", "except"]),
+            min_size=1, max_size=2,
+        )
+    )
+    return {"table": table, "cat": cat, "key": key,
+            "legs": [leg() for _ in range(len(ops) + 1)], "ops": ops}
+
+
+_SETOP_SQL = {"union_all": "UNION ALL", "union": "UNION",
+              "intersect": "INTERSECT", "except": "EXCEPT"}
+
+
+def _setop_sql(spec) -> str:
+    legs = [
+        f"SELECT {spec['cat']} AS c, {spec['key']} % 10 AS k "
+        f"FROM {spec['table']} WHERE {_pred_sql(p)}"
+        for p in spec["legs"]
+    ]
+    expr = legs[0]
+    for op, leg in zip(spec["ops"], legs[1:]):
+        expr = f"({expr}) {_SETOP_SQL[op]} ({leg})"
+    return f"SELECT c, k, COUNT(*) AS n FROM ({expr}) t GROUP BY c, k"
+
+
+def _setop_df(spark, spec):
+    def leg(p):
+        df = load_table(spark, SF_DIR, spec["table"]).filter(_pred_col(p))
+        return df.select(
+            F.col(spec["cat"]).alias("c"), (F.col(spec["key"]) % 10).alias("k")
+        )
+
+    out = leg(spec["legs"][0])
+    for op, p in zip(spec["ops"], spec["legs"][1:]):
+        nxt = leg(p)
+        if op == "union_all":
+            out = out.unionAll(nxt)
+        elif op == "union":
+            out = out.unionAll(nxt).distinct()
+        elif op == "intersect":
+            out = out.intersect(nxt)
+        else:
+            out = out.subtract(nxt)  # EXCEPT DISTINCT, like the SQL leg
+    return out.groupBy("c", "k").agg(F.count(F.lit(1)).alias("n"))
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=setop_specs())
+def test_random_setop_spec_matches_duckdb(spark, duck, spec):
+    """Set-op fuzz: chains of UNION [ALL]/INTERSECT/EXCEPT over
+    pre-filtered projections — SQL's distinct-set semantics for
+    INTERSECT/EXCEPT must match DataFrame intersect()/subtract(), and
+    the trailing rollup pins multiplicity after every chain."""
+    spark_pdf = _setop_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_setop_sql(spec)).df()
+    r = compare("fuzz_setop", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nsql={_setop_sql(spec)}\nnotes={r['notes']}"

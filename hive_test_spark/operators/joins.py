@@ -613,3 +613,80 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_timestamp(F.greatest("t_lo", "b_lo"))
         ).alias("overlap_s"),
     )
+
+
+_TEMPORAL_ORACLE = """
+    WITH dim AS (
+      SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal,
+             DATE '1992-01-01' AS valid_from,
+             CASE WHEN c_custkey % 3 = 0 THEN DATE '1996-01-01'
+                  ELSE DATE '9999-12-31' END AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, ROUND(c_acctbal + 500.0, 2),
+             DATE '1996-01-01', DATE '9999-12-31'
+      FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           d.acctbal AS acctbal_asof,
+           CAST(d.valid_from AS VARCHAR) AS valid_from
+    FROM orders o
+    JOIN dim d
+      ON d.c_custkey = o.o_custkey
+     AND o.o_orderdate >= d.valid_from
+     AND o.o_orderdate < d.valid_to
+    WHERE o.o_orderkey < 3000
+"""
+
+
+@register("join_temporal_validity", _TEMPORAL_ORACLE)
+def join_temporal_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-validity join: fact rows pick the dimension VERSION that
+    was in effect on the fact date (``valid_from <= date < valid_to``) —
+    the consumption side of SCD2 (dml_scd2 builds such a dimension;
+    this is how facts read it without time-travel leakage). The
+    versioned dim is manufactured deterministically: every third
+    customer has a second version effective 1996-01-01, so both eras
+    are exercised and each fact row matches EXACTLY ONE version — the
+    hash would catch both temporal overlap (duplicate matches) and gaps
+    (dropped facts).
+
+    At 100 TB: the join is equi-keyed on the surrogate key with the
+    validity predicate evaluated inside the key group — dimension
+    versions per key are few, so the post-equi filter is O(versions).
+    The anti-pattern is joining on the date range alone (keyless
+    interval join → quadratic; see join_interval_overlap's gridding
+    note). SCD2 dims stay broadcastable far longer than facts grow:
+    versions accrete linearly with CHANGE rate, not event rate."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    v1 = c.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("1992-01-01").cast("date").alias("valid_from"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("1996-01-01"))
+        .otherwise(F.lit("9999-12-31"))
+        .cast("date")
+        .alias("valid_to"),
+    )
+    v2 = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") + 500.0, 2).alias("acctbal"),
+        F.lit("1996-01-01").cast("date").alias("valid_from"),
+        F.lit("9999-12-31").cast("date").alias("valid_to"),
+    )
+    dim = v1.unionAll(v2)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    joined = o.join(
+        F.broadcast(dim),
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderdate") >= F.col("valid_from"))
+        & (F.col("o_orderdate") < F.col("valid_to")),
+    )
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("acctbal").alias("acctbal_asof"),
+        F.col("valid_from").cast("string").alias("valid_from"),
+    )

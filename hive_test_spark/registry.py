@@ -183,7 +183,8 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "scan_csv_malformed", "scan_parquet_schema_evolution",
     "sql_temp_function", "llm_train_val_split", "join_interval_overlap",
     "agg_approx_percentile", "llm_collision_audit", "evt_pipeline_e2e",
-    "llm_hard_negative_mining",
+    "llm_hard_negative_mining", "join_temporal_validity",
+    "scan_json_nested",
 )
 
 

@@ -570,3 +570,68 @@ def scan_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("o_comment_len").alias("n_with_new_col"),
         F.round(F.sum("o_totalprice"), 6).alias("sum_price"),
     )
+
+
+_JSON_NESTED_ORACLE = """
+    SELECT o.o_orderstatus,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l.l_extendedprice), 2) AS total_price
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey < 5000
+    GROUP BY o.o_orderstatus
+"""
+
+
+@register("scan_json_nested", _JSON_NESTED_ORACLE)
+def scan_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested semi-structured JSON round-trip: orders are written as
+    documents carrying an ARRAY OF STRUCT line items (the natural shape
+    of event/API payloads), read back with an EXPLICIT nested schema
+    (never inferSchema at scale — a full extra pass), then exploded and
+    rolled up. What the hash verifies is the whole nested path: struct
+    construction, collect_list packing, JSON serialization, schema-on-
+    read, explode fan-out, and that no item was lost or duplicated
+    crossing the text boundary (counts + sums against the relational
+    truth).
+
+    At 100 TB: nested JSON is the INGEST format, never the query
+    format — this op is the normalization step that lands it columnar.
+    The explicit schema keeps the reader single-pass; explode is a
+    narrow generator; and the one real shuffle is the packing groupBy
+    at write time (query-side rollup shuffles only the exploded keys).
+    Columnar formats shred the same nesting (parquet repetition levels)
+    so the struct list survives into parquet too — JSON is exercised
+    here because schema-on-read text is the harder contract."""
+    import os as _os
+
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    li = load_table(spark, sf_dir, "lineitem")
+    path = scratch_dir("fmt", _sf_tag(sf_dir), "orders_nested_json")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        items = li.groupBy("l_orderkey").agg(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").alias("line"),
+                    F.col("l_extendedprice").alias("price"),
+                )
+            ).alias("items")
+        )
+        nested = o.join(items, o.o_orderkey == items.l_orderkey).select(
+            "o_orderkey", "o_orderstatus", "items"
+        )
+        nested.write.mode("overwrite").format("json").save(path)
+    schema = (
+        "o_orderkey LONG, o_orderstatus STRING, "
+        "items ARRAY<STRUCT<line: INT, price: DOUBLE>>"
+    )
+    docs = spark.read.schema(schema).json(path)
+    exploded = docs.select(
+        "o_orderkey", "o_orderstatus", F.explode("items").alias("it")
+    )
+    return exploded.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("it.price"), 2).alias("total_price"),
+    )

@@ -307,3 +307,57 @@ def meta_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = desc if out is None else out.unionAll(desc)
     return out
+
+
+_SHOW_TABLES_ORACLE = """
+    SELECT 'regions' AS table_suffix, (SELECT COUNT(*) FROM region) AS n_rows
+    UNION ALL
+    SELECT 'nations_lo', (SELECT COUNT(*) FROM nation WHERE n_nationkey < 12)
+    UNION ALL
+    SELECT 'nations_hi', (SELECT COUNT(*) FROM nation WHERE n_nationkey >= 12)
+"""
+
+
+@register("meta_show_tables", _SHOW_TABLES_ORACLE)
+def meta_show_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog enumeration surface (Hive SHOW TABLES) completing the
+    metastore family (SHOW PARTITIONS = meta_show_partitions, ANALYZE
+    readback = meta_analyze_stats): three external tables are registered
+    under a deterministic name prefix, SHOW TABLES LIKE enumerates the
+    catalog, and each catalog row is joined back to its table's ACTUAL
+    row count — so the hash pins catalog completeness (a missing
+    registration drops a row) and catalog↔data agreement, not just
+    string listing. The LIKE prefix keeps the op independent of
+    whatever else the session registered.
+
+    At 100 TB: SHOW TABLES is pure metastore metadata — the row-count
+    join here is the verification harness, not the production pattern
+    (production reads counts from table-level stats, see
+    meta_analyze_stats). Name-prefix namespacing is the poor man's
+    schema; real deployments use databases — same enumeration API."""
+    tune(spark)
+    tag = _sf_tag(sf_dir).replace(".", "_")
+    prefix = f"hts_cat_{tag}"
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    slices = {
+        "regions": region.select("r_regionkey"),
+        "nations_lo": nation.filter(F.col("n_nationkey") < 12).select("n_nationkey"),
+        "nations_hi": nation.filter(F.col("n_nationkey") >= 12).select("n_nationkey"),
+    }
+    for suffix, df in slices.items():
+        table = f"{prefix}_{suffix}"
+        if not spark.catalog.tableExists(table):
+            loc = scratch_dir("meta", tag, table)
+            shutil.rmtree(loc, ignore_errors=True)
+            df.write.option("path", loc).mode("overwrite").saveAsTable(table)
+    listed = spark.sql(f"SHOW TABLES LIKE '{prefix}_*'").select(
+        F.expr(f"substring(tableName, {len(prefix) + 2})").alias("table_suffix")
+    )
+    counts = None
+    for suffix in slices:
+        c = spark.table(f"{prefix}_{suffix}").agg(
+            F.count(F.lit(1)).alias("n_rows")
+        ).select(F.lit(suffix).alias("table_suffix"), "n_rows")
+        counts = c if counts is None else counts.unionAll(c)
+    return listed.join(counts, "table_suffix").select("table_suffix", "n_rows")

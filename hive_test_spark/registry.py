@@ -184,7 +184,7 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "sql_temp_function", "llm_train_val_split", "join_interval_overlap",
     "agg_approx_percentile", "llm_collision_audit", "evt_pipeline_e2e",
     "llm_hard_negative_mining", "join_temporal_validity",
-    "scan_json_nested", "meta_show_tables",
+    "scan_json_nested", "meta_show_tables", "llm_dataset_card",
 )
 
 

@@ -547,3 +547,78 @@ def test_random_setop_spec_matches_duckdb(spark, duck, spec):
     duck_pdf = duck.execute(_setop_sql(spec)).df()
     r = compare("fuzz_setop", spark_pdf, duck_pdf)
     assert r["ok"], f"spec={spec}\nsql={_setop_sql(spec)}\nnotes={r['notes']}"
+
+
+# ---- correlated-subquery grammar ----------------------------------------
+
+_SUBQ_PAIRS = {
+    "customer": ("orders", "c_custkey", "o_custkey"),
+    "orders": ("lineitem", "o_orderkey", "l_orderkey"),
+}
+
+
+@st.composite
+def subquery_specs(draw):
+    outer = draw(st.sampled_from(sorted(_SUBQ_PAIRS)))
+    inner, ok, ik = _SUBQ_PAIRS[outer]
+    form = draw(st.sampled_from(["exists", "not_exists", "in", "not_in"]))
+    icol = draw(st.sampled_from(TABLES[inner]["num"]))
+    iop = draw(st.sampled_from(_NUM_OPS))
+    ilit = round(draw(st.floats(0.0, 100.0, allow_nan=False)), 2)
+    cat = draw(st.sampled_from(sorted(TABLES[outer]["cat"])))
+    num = draw(st.sampled_from(TABLES[outer]["num"]))
+    return {"outer": outer, "inner": inner, "ok": ok, "ik": ik,
+            "form": form, "ipred": ("num", icol, iop, ilit),
+            "cat": cat, "num": num}
+
+
+def _subq_sql(spec) -> str:
+    ip = _pred_sql(spec["ipred"])
+    if spec["form"] in ("exists", "not_exists"):
+        neg = "NOT " if spec["form"] == "not_exists" else ""
+        cond = (f"{neg}EXISTS (SELECT 1 FROM {spec['inner']} i "
+                f"WHERE i.{spec['ik']} = o.{spec['ok']} AND i.{ip})")
+    else:
+        neg = "NOT " if spec["form"] == "not_in" else ""
+        cond = (f"o.{spec['ok']} {neg}IN (SELECT {spec['ik']} "
+                f"FROM {spec['inner']} i WHERE i.{ip})")
+    return (
+        f"SELECT {spec['cat']}, COUNT(*) AS n, "
+        f"ROUND(SUM({spec['num']}), 6) AS sum_v "
+        f"FROM {spec['outer']} o WHERE {cond} GROUP BY {spec['cat']}"
+    )
+
+
+def _subq_df(spark, spec):
+    outer = load_table(spark, SF_DIR, spec["outer"])
+    inner = load_table(spark, SF_DIR, spec["inner"]).filter(
+        _pred_col(spec["ipred"])
+    )
+    how = "left_semi" if spec["form"] in ("exists", "in") else "left_anti"
+    # EXISTS≡IN and NOT EXISTS≡NOT IN here: join keys are non-null in
+    # the fixtures, so the null-aware NOT IN degenerates to plain anti.
+    joined = outer.join(
+        inner, outer[spec["ok"]] == inner[spec["ik"]], how
+    )
+    return joined.groupBy(spec["cat"]).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(spec["num"]), 6).alias("sum_v"),
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=subquery_specs())
+def test_random_subquery_spec_matches_duckdb(spark, duck, spec):
+    """Correlated-subquery fuzz: EXISTS/NOT EXISTS/IN/NOT IN with a
+    random inner predicate, rendered as semi/anti joins on the Spark
+    side — pins the decorrelation equivalence over the predicate space
+    (and the rolled-up sums over the surviving outer rows)."""
+    spark_pdf = _subq_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_subq_sql(spec)).df()
+    r = compare("fuzz_subq", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nsql={_subq_sql(spec)}\nnotes={r['notes']}"

@@ -1177,3 +1177,48 @@ def fn_bround(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_quantity") + 0.5, 0).alias("q_half_up"),
         F.bround(F.col("l_extendedprice") / 7, 2).alias("price_banker"),
     )
+
+
+@register(
+    "fn_elt_field",
+    """
+    SELECT o_orderkey,
+           CASE (o_orderkey % 3) + 1
+             WHEN 1 THEN 'alpha' WHEN 2 THEN 'beta' WHEN 3 THEN 'gamma'
+           END AS elt_pick,
+           CASE o_orderstatus
+             WHEN 'O' THEN 1 WHEN 'F' THEN 2 WHEN 'P' THEN 3 ELSE 0
+           END AS field_idx,
+           'pad:' || repeat(' ', 3) || o_orderstatus AS spaced
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def fn_elt_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive ``elt()`` / ``field()`` / ``space()`` — the positional string
+    pickers MySQL-lineage HiveQL carries: elt(n, s1..sk) returns the
+    n-th argument, field(s, s1..sk) the 1-based index of s (0 when
+    absent), space(n) = n spaces. Spark ships elt(); field and space
+    compose from CASE and repeat(' '), which is also how the DuckDB
+    oracle re-derives all three — independent derivation, not an echo.
+
+    At 100 TB: pure codegen'd expressions, no shuffle; these matter
+    only because migrated HiveQL uses them — the engine must accept the
+    surface, and constant-folding eliminates most uses at plan time."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.elt(
+            (F.col("o_orderkey") % 3 + 1).cast("int"),
+            F.lit("alpha"), F.lit("beta"), F.lit("gamma"),
+        ).alias("elt_pick"),
+        # field(o_orderstatus, 'O','F','P') composed portably:
+        F.when(F.col("o_orderstatus") == "O", 1)
+        .when(F.col("o_orderstatus") == "F", 2)
+        .when(F.col("o_orderstatus") == "P", 3)
+        .otherwise(0)
+        .alias("field_idx"),
+        F.concat(F.lit("pad:"), F.expr("space(3)"), F.col("o_orderstatus")).alias(
+            "spaced"
+        ),
+    )

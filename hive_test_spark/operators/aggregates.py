@@ -628,3 +628,54 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ok(0.5, "r50", "r50_lo").alias("p50_ok"),
         _ok(0.9, "r90", "r90_lo").alias("p90_ok"),
     )
+
+
+_HN_BINS = 8
+
+
+@register(
+    "agg_histogram_numeric",
+    f"""
+    SELECT l_returnflag,
+           {_HN_BINS} AS n_bins,
+           TRUE AS mass_ok, TRUE AS range_ok, TRUE AS sorted_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive ``histogram_numeric`` (adaptive numeric histogram UDAF —
+    Ben-Haim/Tom-Tov streaming bin-merge, mergeable state), property-
+    oracled like every approximate op here: bin PLACEMENT is
+    implementation-private (merge order dependent), but the sketch's
+    contract is checkable in-query per group — exactly b bins come
+    back, the bin masses sum to the group's row count, every centroid
+    lies within [min, max], and centroids are strictly sorted. The
+    deterministic fixed-width twin is agg_histogram (hash-exact);
+    this key pins the adaptive UDAF the Hive surface actually ships.
+
+    At 100 TB: O(b) state per group, map-side combinable — the reason
+    it exists instead of exact bucketing when the domain is unknown;
+    b controls the accuracy/state trade like HLL precision."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    h = li.groupBy("l_returnflag").agg(
+        F.expr(f"histogram_numeric(l_quantity, {_HN_BINS})").alias("bins"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_quantity").alias("mn"),
+        F.max("l_quantity").alias("mx"),
+    )
+    return h.select(
+        "l_returnflag",
+        F.size("bins").alias("n_bins"),
+        (
+            F.round(F.expr("aggregate(bins, 0D, (acc, b) -> acc + b.y)"), 3)
+            == F.col("n").cast("double")
+        ).alias("mass_ok"),
+        F.expr("forall(bins, b -> b.x >= mn AND b.x <= mx)").alias("range_ok"),
+        # Centroids strictly increasing: compare each center to its successor.
+        F.expr(
+            "aggregate(zip_with(slice(transform(bins, b -> b.x), 1, size(bins) - 1), "
+            "slice(transform(bins, b -> b.x), 2, size(bins) - 1), (a, c) -> a < c), "
+            "true, (acc, v) -> acc AND v)"
+        ).alias("sorted_ok"),
+    )

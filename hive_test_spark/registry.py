@@ -185,6 +185,7 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "agg_approx_percentile", "llm_collision_audit", "evt_pipeline_e2e",
     "llm_hard_negative_mining", "join_temporal_validity",
     "scan_json_nested", "meta_show_tables", "llm_dataset_card",
+    "agg_histogram_numeric", "fn_elt_field",
 )
 
 

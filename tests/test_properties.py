@@ -217,3 +217,86 @@ def test_sketch_flags_all_true(spark, registry):
     qs, _ = registry
     pdf = qs["agg_sketch_distinct"](spark, SF_DIR).toPandas()
     assert pdf["within_5pct"].all() and pdf["merge_consistent"].all()
+
+
+def test_epoch_shuffle_orders_differ_but_conserve(spark, registry):
+    """llm_epoch_shuffle's contract: each epoch is a DIFFERENT
+    permutation (the epoch is the seed), yet every epoch covers every
+    doc exactly once and per-(epoch, shard) positions are dense 1..n."""
+    qs, _ = registry
+    rows = qs["llm_epoch_shuffle"](spark, SF_DIR).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, {})[r.doc_id] = (r.shard, r.shard_pos)
+    assert len(by_epoch) == 2
+    e0, e1 = by_epoch[0], by_epoch[1]
+    assert set(e0) == set(e1), "both epochs must cover the same docs"
+    moved = sum(1 for d in e0 if e0[d] != e1[d])
+    assert moved > len(e0) * 0.9, "epochs must be different permutations"
+    for assign in (e0, e1):
+        per_shard = {}
+        for shard, pos in assign.values():
+            per_shard.setdefault(shard, []).append(pos)
+        for shard, ps in per_shard.items():
+            assert sorted(ps) == list(range(1, len(ps) + 1)), f"shard {shard} positions not dense"
+
+
+def test_train_val_split_partitions_corpus(spark, registry):
+    """llm_train_val_split: splits are disjoint and exhaustive (totals
+    conserve, every cell's docs are distinct), and train holds the bulk."""
+    qs, _ = registry
+    rows = qs["llm_train_val_split"](spark, SF_DIR).collect()
+    from hive_test_spark.io import load_table
+
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs, "split must be exhaustive"
+    assert all(r.n_docs == r.n_distinct for r in rows)
+    by_split = {}
+    for r in rows:
+        by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
+    assert set(by_split) == {"train", "val", "test"}
+    assert by_split["train"] > 0.8 * n_docs
+
+
+def test_curriculum_global_positions_are_a_permutation(spark, registry):
+    """llm_curriculum_order: global_pos is a dense 1..N permutation and
+    stages are contiguous position ranges (stage 1 strictly before 2...)."""
+    qs, _ = registry
+    rows = qs["llm_curriculum_order"](spark, SF_DIR).collect()
+    pos = sorted(r.global_pos for r in rows)
+    assert pos == list(range(1, len(rows) + 1))
+    max_by_stage = {}
+    min_by_stage = {}
+    for r in rows:
+        max_by_stage[r.stage] = max(max_by_stage.get(r.stage, 0), r.global_pos)
+        min_by_stage[r.stage] = min(min_by_stage.get(r.stage, 1 << 60), r.global_pos)
+    stages = sorted(max_by_stage)
+    for a, b in zip(stages, stages[1:]):
+        assert max_by_stage[a] < min_by_stage[b], "stages must be contiguous ranges"
+
+
+def test_kmeans_improves_on_init(spark, registry):
+    """llm_kmeans_lloyd: the Lloyd update must not increase within-
+    cluster dispersion — mean distance-to-centroid after the update is
+    <= after the hash-sharded init (monotone descent property)."""
+    from hive_test_spark.io import load_table
+    from hive_test_spark.llm.cluster import KMEANS_K, _assign, _centroids
+
+    e = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb")
+    )
+    c0 = _centroids(e.select((F.col("vec_id") % KMEANS_K).alias("cluster"), "emb"))
+    a1 = _assign(e, c0)
+    c1 = _centroids(a1)
+    a2 = _assign(e, c1)
+
+    def dispersion(assign, cents):
+        d = assign.join(cents, "cluster").select(
+            F.expr(
+                "aggregate(zip_with(emb, centroid, (x, y) -> (x - y) * (x - y)), "
+                "0D, (acc, v) -> acc + v)"
+            ).alias("d")
+        )
+        return d.agg(F.avg("d")).collect()[0][0]
+
+    assert dispersion(a2, c1) <= dispersion(a1, c0) + 1e-9

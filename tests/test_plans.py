@@ -772,3 +772,38 @@ def test_evt_pipeline_fuses_on_one_user_exchange(spark, registry):
     assert f.cartesian == 0
     assert f.exchanges <= 3, "sessionize+rollups must share the user_id exchange"
     assert all(n <= 4 for n in scan_read_columns(f))
+
+
+def test_dataset_card_single_expand_pass(spark, registry):
+    """The 3-granularity datasheet must come from ONE rollup pass (a
+    single Expand + one shuffle), scanning only the 4 source columns."""
+    f = _facts(spark, registry, "llm_dataset_card")
+    assert f.exchanges <= 1
+    assert f.text.count("Expand") >= 1
+    assert all(n <= 4 for n in scan_read_columns(f))
+
+
+def test_histogram_numeric_is_single_agg(spark, registry):
+    """The adaptive histogram is one two-phase aggregate — O(b) state,
+    no joins, 2-column scan."""
+    f = _facts(spark, registry, "agg_histogram_numeric")
+    assert f.broadcast_joins == 0 and f.sort_merge_joins == 0
+    assert f.exchanges <= 1
+    assert scan_read_columns(f) == [2]
+
+
+def test_temporal_validity_join_broadcasts_dim(spark, registry):
+    """The SCD2 consumption join: versioned dim broadcast, key filter
+    pushed to the orders scan, no cartesian."""
+    f = _facts(spark, registry, "join_temporal_validity")
+    assert f.cartesian == 0
+    assert f.broadcast_joins >= 1
+    assert has_pushed_filters(f)
+
+
+def test_hard_negative_mining_broadcasts_anchors(spark, registry):
+    """Triplet mining: the anchor panel must broadcast (probe-bounded,
+    never a corpus x corpus product)."""
+    f = _facts(spark, registry, "llm_hard_negative_mining")
+    assert f.broadcast_joins >= 1
+    assert f.cartesian == 0

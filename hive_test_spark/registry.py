@@ -159,10 +159,11 @@ _RETEST: tuple[str, ...] = (
     "scan_tablesample",
 )
 
-# Round 6: the 19 residual never-tested keys (13 sql_* twins + the round-4
-# additions), then keys newly added in round 5 — together they close
-# driver exposure at 100% of the registry; the rest of the round-6 window
-# backfills already-verified keys (tier 5, harmless re-verification).
+# Rounds 6-7: the 19 residual never-tested keys (13 sql_* twins + the
+# round-4 additions), then keys newly added in round 5. Round 5 grew the
+# registry by ~30 operators, so the residual now spans TWO windows — the
+# tier ordering (3/4 ahead of 5) closes driver exposure at 100% across
+# rounds 6 and 7; remaining slots backfill already-verified keys.
 _NEXT_ROUNDS: tuple[str, ...] = (
     "join_existence_mark", "sql_pricing_summary", "sql_star_join_hinted",
     "sql_lateral_view_explode", "sql_distribute_sort_by",
@@ -185,7 +186,7 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "agg_approx_percentile", "llm_collision_audit", "evt_pipeline_e2e",
     "llm_hard_negative_mining", "join_temporal_validity",
     "scan_json_nested", "meta_show_tables", "llm_dataset_card",
-    "agg_histogram_numeric", "fn_elt_field",
+    "agg_histogram_numeric", "fn_elt_field", "sink_csv_quoting",
 )
 
 

@@ -361,3 +361,54 @@ def meta_show_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(suffix).alias("table_suffix"), "n_rows")
         counts = c if counts is None else counts.unionAll(c)
     return listed.join(counts, "table_suffix").select("table_suffix", "n_rows")
+
+
+_CSV_QUOTE_ORACLE = """
+    SELECT c_custkey,
+           c_name || ', Esq. "' || c_mktsegment || '"' AS tricky,
+           'line1
+line2:' || c_name AS multiline
+    FROM customer WHERE c_custkey < 300
+"""
+
+
+@register("sink_csv_quoting", _CSV_QUOTE_ORACLE)
+def sink_csv_quoting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV writer/reader escaping round-trip: values are manufactured to
+    contain every character that breaks naive delimited text — the
+    delimiter itself, double quotes, and embedded NEWLINES — written
+    with quoting+escaping on, then read back with ``multiLine`` (quoted
+    newlines span physical lines). The hash compares the round-tripped
+    strings against the oracle's directly-computed originals, so any
+    quoting, escaping, or line-splitting defect shows as corruption.
+    Classic silent-corruption territory: a reader without multiLine
+    sees MORE rows (split records) and fails the row-count gate before
+    the hash.
+
+    At 100 TB: multiLine CSV is NOT splittable (a file is one task —
+    quoted newlines make record boundaries context-dependent), which is
+    the operational reason pipelines re-land CSV as parquet on arrival;
+    keep multiline text out of delimited interchange or cap file sizes
+    at write time (maxRecordsPerFile)."""
+    import os as _os
+
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    tricky = c.select(
+        "c_custkey",
+        F.concat(
+            F.col("c_name"), F.lit(', Esq. "'), F.col("c_mktsegment"), F.lit('"')
+        ).alias("tricky"),
+        F.concat(F.lit("line1\nline2:"), F.col("c_name")).alias("multiline"),
+    )
+    path = scratch_dir("fmt", _sf_tag(sf_dir).replace(".", "_"), "csv_quoting")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        tricky.write.mode("overwrite").option("header", "true").option(
+            "quoteAll", "true"
+        ).csv(path)
+    return spark.read.csv(
+        path,
+        header=True,
+        multiLine=True,
+        schema="c_custkey LONG, tricky STRING, multiline STRING",
+    )

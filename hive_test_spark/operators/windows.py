@@ -418,3 +418,49 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("c_custkey", 2).over(full).alias("second_richest_key"),
         F.nth_value("c_custkey", 3).over(running).alias("third_seen_so_far"),
     )
+
+
+@register(
+    "win_time_range_frame",
+    """
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_trailing_1h,
+           ROUND(SUM(value) OVER w, 4) AS sum_trailing_1h,
+           ROUND(MAX(value) OVER w, 6) AS max_trailing_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval RANGE frame: a trailing one-HOUR window over raw
+    timestamps (`RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT
+    ROW`) — the time-based sibling of the numeric range frame
+    (win_range_frame, which orders by a number). The frame boundary is a
+    VALUE offset on the order key, not a row count: rows at identical
+    timestamps are peers, gaps in time shrink the frame, and no
+    epoch-seconds conversion is needed on either engine [Spark-public:
+    SQL window frames with CalendarInterval bounds; ANSI RANGE frames].
+
+    At 100 TB: identical cost class to any per-key window — one shuffle
+    on user_id, then a per-partition ordered sweep with a sliding
+    two-pointer frame (Spark's BOUNDED-frame iterator advances both
+    ends monotonically, O(n) per partition, no per-row rescan). The
+    trailing-hour aggregate over billions of per-user event rows is the
+    canonical sessionless rate-limit / rolling-exposure query; for
+    cross-user global time windows use the tumbling/sliding
+    stream_* ops instead, which need no per-key shuffle at all."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("hts_win_time_range_events")
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               COUNT(*) OVER w AS n_trailing_1h,
+               ROUND(SUM(value) OVER w, 4) AS sum_trailing_1h,
+               ROUND(MAX(value) OVER w, 6) AS max_trailing_1h
+        FROM hts_win_time_range_events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+        """
+    )

@@ -807,3 +807,23 @@ def test_hard_negative_mining_broadcasts_anchors(spark, registry):
     f = _facts(spark, registry, "llm_hard_negative_mining")
     assert f.broadcast_joins >= 1
     assert f.cartesian == 0
+
+
+def test_bit_ops_single_agg_packed_column(spark, registry):
+    """Bitfield aggregation: five flags collapse to one two-phase hash
+    aggregate on a single BIGINT column — no joins, one exchange, scan
+    pruned to the five mask inputs + group key."""
+    f = _facts(spark, registry, "agg_bit_ops")
+    assert f.broadcast_joins == 0 and f.sort_merge_joins == 0
+    assert f.exchanges <= 1
+    assert all(n <= 6 for n in scan_read_columns(f))
+
+
+def test_time_range_frame_one_keyed_shuffle(spark, registry):
+    """Calendar-interval RANGE frame: one user_id exchange, a Window
+    node, no joins, and the events scan pruned to the needed columns."""
+    f = _facts(spark, registry, "win_time_range_frame")
+    assert f.broadcast_joins == 0 and f.cartesian == 0
+    assert f.exchanges == 1
+    assert "Window" in f.text
+    assert scan_read_columns(f) == [4]

@@ -187,7 +187,7 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "llm_hard_negative_mining", "join_temporal_validity",
     "scan_json_nested", "meta_show_tables", "llm_dataset_card",
     "agg_histogram_numeric", "fn_elt_field", "sink_csv_quoting",
-    "agg_bit_ops", "win_time_range_frame",
+    "agg_bit_ops", "win_time_range_frame", "meta_describe_columns",
 )
 
 

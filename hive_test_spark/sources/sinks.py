@@ -412,3 +412,68 @@ def sink_csv_quoting(spark: SparkSession, sf_dir: str) -> DataFrame:
         multiLine=True,
         schema="c_custkey LONG, tricky STRING, multiline STRING",
     )
+
+
+_DESCRIBE_ORACLE = """
+    SELECT table_name, CAST(t.ordinal AS BIGINT) AS ordinal,
+           column_name AS col_name,
+           CASE column_type
+             WHEN 'BIGINT' THEN 'bigint'
+             WHEN 'INTEGER' THEN 'int'
+             WHEN 'DOUBLE' THEN 'double'
+             WHEN 'FLOAT' THEN 'float'
+             WHEN 'VARCHAR' THEN 'string'
+             WHEN 'TIMESTAMP' THEN 'timestamp'
+             WHEN 'FLOAT[]' THEN 'array<float>'
+             ELSE lower(column_type)
+           END AS data_type
+    FROM (
+      SELECT 'events' AS table_name, column_name, column_type,
+             row_number() OVER () AS ordinal
+      FROM (DESCRIBE events)
+      UNION ALL
+      SELECT 'embeddings', column_name, column_type, row_number() OVER ()
+      FROM (DESCRIBE embeddings)
+    ) t
+"""
+
+
+@register("meta_describe_columns", _DESCRIBE_ORACLE)
+def meta_describe_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive DESCRIBE TABLE surface, completing the metastore family
+    (SHOW TABLES / SHOW PARTITIONS / ANALYZE readback): the events and
+    embeddings fixtures are registered and `DESCRIBE TABLE` enumerates
+    (col_name, data_type) per column; each DESCRIBE row is joined back
+    to the reader schema's ordinal position, so the hash pins name, SQL
+    type string, column COUNT and column ORDER — a type regression in
+    the reader (e.g. timestamp vs timestamp_ntz inference, float vs
+    double embeddings) or a dropped/reordered column all fail the gate.
+    The oracle re-derives the same rows from DuckDB's catalog with an
+    explicit DuckDB→Spark type-name map (TIMESTAMP maps to plain
+    timestamp: load_table normalizes events.ts to session-tz
+    TimestampType across fixture vintages — hive_test_spark/io.py —
+    so the catalog string is deterministic, not inference-dependent).
+
+    At 100 TB: DESCRIBE is pure metadata — O(columns) from the
+    metastore, no file access at all (contrast scan-level schema
+    merging, scan_parquet_schema_evolution). Schema-as-data is the
+    contract-testing idiom: diff this output across pipeline versions
+    to catch silent type drift before it lands in 800k files."""
+    tune(spark)
+    out = None
+    for t in ("events", "embeddings"):
+        df = load_table(spark, sf_dir, t)
+        view = f"hts_desc_{t}_{_sf_tag(sf_dir).replace('.', '_')}"
+        df.createOrReplaceTempView(view)
+        desc = spark.sql(f"DESCRIBE TABLE {view}").select(
+            F.lit(t).alias("table_name"), "col_name", "data_type"
+        )
+        ordinals = spark.createDataFrame(
+            [(f.name, i + 1) for i, f in enumerate(df.schema.fields)],
+            "col_name string, ordinal long",
+        )
+        part = desc.join(ordinals, "col_name").select(
+            "table_name", "ordinal", "col_name", "data_type"
+        )
+        out = part if out is None else out.unionAll(part)
+    return out

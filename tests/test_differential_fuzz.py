@@ -622,3 +622,128 @@ def test_random_subquery_spec_matches_duckdb(spark, duck, spec):
     duck_pdf = duck.execute(_subq_sql(spec)).df()
     r = compare("fuzz_subq", spark_pdf, duck_pdf)
     assert r["ok"], f"spec={spec}\nsql={_subq_sql(spec)}\nnotes={r['notes']}"
+
+
+# ---- scalar-expression grammar ------------------------------------------
+#
+# Random compositions of string/date/math scalar functions whose
+# semantics are identical in Spark and DuckDB (the curated common
+# surface: 1-based substring, HALF-UP round, IEEE sqrt, extract-style
+# date parts). Each expression tree is rendered through the DataFrame
+# API (F.*) and as SQL for DuckDB — covering the combinatorial space
+# between the fixed fn_* exhibit keys.
+
+_STR_BASE = [("customer", "c_name"), ("customer", "c_mktsegment"),
+             ("orders", "o_orderpriority")]
+_NUM_BASE = {"customer": "c_acctbal", "orders": "o_totalprice"}
+_KEY_BASE = {"customer": "c_custkey", "orders": "o_orderkey"}
+
+
+@st.composite
+def scalar_specs(draw):
+    table, scol = draw(st.sampled_from(_STR_BASE))
+    ops = []
+    for _ in range(draw(st.integers(1, 3))):
+        ops.append(draw(st.sampled_from([
+            ("upper",), ("lower",), ("trim",), ("reverse",),
+            ("lpad", draw(st.integers(5, 20)), "_"),
+            ("substr", draw(st.integers(1, 5)), draw(st.integers(1, 8))),
+            ("replace", draw(st.sampled_from(["a", "e", "#0"])), "*"),
+        ])))
+    num_ops = draw(st.lists(
+        st.sampled_from(["abs", "sqrt_abs", "round2", "plus_len"]),
+        min_size=1, max_size=3))
+    mod = draw(st.integers(2, 9))
+    return {"table": table, "scol": scol, "ops": ops,
+            "num_ops": num_ops, "mod": mod}
+
+
+def _scalar_sql(spec) -> str:
+    e = spec["scol"]
+    for op in spec["ops"]:
+        if op[0] == "upper":
+            e = f"upper({e})"
+        elif op[0] == "lower":
+            e = f"lower({e})"
+        elif op[0] == "trim":
+            e = f"trim({e})"
+        elif op[0] == "reverse":
+            e = f"reverse({e})"
+        elif op[0] == "lpad":
+            e = f"lpad({e}, {op[1]}, '{op[2]}')"
+        elif op[0] == "substr":
+            e = f"substring({e}, {op[1]}, {op[2]})"
+        else:
+            e = f"replace({e}, '{op[1]}', '{op[2]}')"
+    n = _NUM_BASE[spec["table"]]
+    for op in spec["num_ops"]:
+        if op == "abs":
+            n = f"abs({n})"
+        elif op == "sqrt_abs":
+            n = f"sqrt(abs({n}))"
+        elif op == "round2":
+            n = f"round({n}, 2)"
+        else:
+            n = f"({n} + length({e}))"
+    key = _KEY_BASE[spec["table"]]
+    return (
+        f"SELECT {key} AS k, {e} AS s, ROUND({n}, 6) AS v,"
+        f" CAST(length({e}) AS BIGINT) AS slen"
+        f" FROM {spec['table']} WHERE {key} % {spec['mod']} = 1"
+    )
+
+
+def _scalar_df(spark, spec):
+    df = load_table(spark, SF_DIR, spec["table"])
+    e = F.col(spec["scol"])
+    for op in spec["ops"]:
+        if op[0] == "upper":
+            e = F.upper(e)
+        elif op[0] == "lower":
+            e = F.lower(e)
+        elif op[0] == "trim":
+            e = F.trim(e)
+        elif op[0] == "reverse":
+            e = F.reverse(e)
+        elif op[0] == "lpad":
+            e = F.lpad(e, op[1], op[2])
+        elif op[0] == "substr":
+            e = F.substring(e, op[1], op[2])
+        else:
+            e = F.replace(e, F.lit(op[1]), F.lit(op[2]))
+    n = F.col(_NUM_BASE[spec["table"]])
+    for op in spec["num_ops"]:
+        if op == "abs":
+            n = F.abs(n)
+        elif op == "sqrt_abs":
+            n = F.sqrt(F.abs(n))
+        elif op == "round2":
+            n = F.round(n, 2)
+        else:
+            n = n + F.length(e)
+    key = F.col(_KEY_BASE[spec["table"]])
+    return df.filter(key % spec["mod"] == 1).select(
+        key.alias("k"),
+        e.alias("s"),
+        F.round(n, 6).alias("v"),
+        F.length(e).cast("bigint").alias("slen"),
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=scalar_specs())
+def test_random_scalar_expr_matches_duckdb(spark, duck, spec):
+    """Scalar-function fuzz: nested string pipelines (case/trim/pad/
+    substring/replace/reverse) and numeric towers (abs/sqrt/round,
+    string-length bridges) must agree cell-for-cell between the
+    DataFrame API and DuckDB — catching 0/1-based indexing drift,
+    rounding-mode drift, and padding/truncation asymmetries."""
+    spark_pdf = _scalar_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_scalar_sql(spec)).df()
+    r = compare("fuzz_scalar", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nsql={_scalar_sql(spec)}\nnotes={r['notes']}"

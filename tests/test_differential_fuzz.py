@@ -747,3 +747,85 @@ def test_random_scalar_expr_matches_duckdb(spark, duck, spec):
     duck_pdf = duck.execute(_scalar_sql(spec)).df()
     r = compare("fuzz_scalar", spark_pdf, duck_pdf)
     assert r["ok"], f"spec={spec}\nsql={_scalar_sql(spec)}\nnotes={r['notes']}"
+
+
+# ---- date/timestamp grammar ---------------------------------------------
+
+_DATE_TABLES = {
+    "lineitem": ("l_orderkey", "l_shipdate"),
+    "events": ("event_id", "ts"),
+}
+_TRUNC_UNITS = ["year", "month", "week", "day", "hour"]
+_ANCHOR = "1995-06-01"
+
+
+@st.composite
+def date_specs(draw):
+    table = draw(st.sampled_from(sorted(_DATE_TABLES)))
+    return {
+        "table": table,
+        "unit": draw(st.sampled_from(_TRUNC_UNITS)),
+        "parts": draw(st.lists(
+            st.sampled_from(["year", "month", "day", "hour"]),
+            min_size=1, max_size=3, unique=True)),
+        "shift": draw(st.integers(-45, 45)),
+        "mod": draw(st.integers(2, 9)),
+    }
+
+
+def _date_sql(spec) -> str:
+    key, ts = _DATE_TABLES[spec["table"]]
+    t = f"CAST({ts} AS TIMESTAMP)"
+    parts = ", ".join(
+        f"CAST({p}({t}) AS BIGINT) AS p_{p}" for p in spec["parts"]
+    )
+    return (
+        f"SELECT {key} AS k,"
+        f" CAST(date_trunc('{spec['unit']}', {t}) AS TIMESTAMP) AS t_trunc,"
+        f" {parts},"
+        f" CAST(CAST({t} AS DATE) + {spec['shift']} AS VARCHAR) AS d_shift,"
+        f" CAST(datediff('day', DATE '{_ANCHOR}', CAST({t} AS DATE)) AS BIGINT)"
+        f"   AS diff_days"
+        f" FROM {spec['table']} WHERE {key} % {spec['mod']} = 1"
+    )
+
+
+_PART_FNS = {"year": F.year, "month": F.month, "day": F.dayofmonth, "hour": F.hour}
+
+
+def _date_df(spark, spec):
+    key, ts = _DATE_TABLES[spec["table"]]
+    df = load_table(spark, SF_DIR, spec["table"])
+    t = F.col(ts)
+    cols = [
+        F.col(key).alias("k"),
+        F.date_trunc(spec["unit"], t).alias("t_trunc"),
+        *[
+            _PART_FNS[p](t).cast("bigint").alias(f"p_{p}")
+            for p in spec["parts"]
+        ],
+        F.date_add(t.cast("date"), spec["shift"]).cast("string").alias("d_shift"),
+        F.datediff(t.cast("date"), F.lit(_ANCHOR).cast("date"))
+        .cast("bigint")
+        .alias("diff_days"),
+    ]
+    return df.filter(F.col(key) % spec["mod"] == 1).select(*cols)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=date_specs())
+def test_random_date_expr_matches_duckdb(spark, duck, spec):
+    """Date/timestamp fuzz: date_trunc across five units (incl. ISO-week
+    Mondays), extract-style parts, day-shifted dates, and anchored
+    datediff must agree cell-for-cell across both engines and both
+    fixture timestamp vintages (ns-normalized events, µs lineitem) —
+    catching truncation-boundary, timezone, and day-arithmetic drift."""
+    spark_pdf = _date_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_date_sql(spec)).df()
+    r = compare("fuzz_date", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nsql={_date_sql(spec)}\nnotes={r['notes']}"

@@ -948,3 +948,74 @@ def llm_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("doc_id").alias("n_distinct"),
     )
+
+
+_LEN_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048)  # powers of two; last = cap
+
+
+def _bucket_case_sql(col: str) -> str:
+    branches = " ".join(
+        f"WHEN {col} <= {b} THEN {b}" for b in _LEN_BUCKETS[:-1]
+    )
+    return f"CASE {branches} ELSE {_LEN_BUCKETS[-1]} END"
+
+
+@register(
+    "llm_length_buckets",
+    f"""
+    WITH lb_tok AS (
+      SELECT doc_id,
+             LEAST(len(string_split(text, ' ')), {_LEN_BUCKETS[-1]}) AS n_tok
+      FROM documents
+    ),
+    lb AS (
+      SELECT n_tok, CAST({_bucket_case_sql('n_tok')} AS BIGINT) AS bucket
+      FROM lb_tok
+    )
+    SELECT bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           ROUND(1.0 - SUM(n_tok) * 1.0 / (COUNT(*) * bucket), 6) AS pad_waste
+    FROM lb
+    GROUP BY bucket
+    """,
+)
+def llm_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucket batching manifest [public method: bucketed batching
+    for variable-length sequence training — group examples into
+    power-of-two length buckets so a batch pads only to its bucket's
+    max, not the global max]: each doc lands in the smallest bucket of
+    (32..2048) that holds its whitespace token count (over-long docs
+    truncate into the 2048 cap), and the manifest reports per-bucket doc
+    count, effective tokens, and the padding-waste fraction a loader
+    would pay padding every doc to the bucket size. The complement of
+    llm_pack_sequences: packing concatenates to eliminate padding,
+    bucketing preserves doc boundaries and accepts bounded waste — this
+    op quantifies exactly that tradeoff per bucket.
+
+    Scale shape: one narrow projection (token count is computed, not
+    materialized) into a 7-group map-side-combinable hash aggregate —
+    the shuffle carries ≤7 rows per partition regardless of corpus
+    size. The bucket boundary is a static CASE ladder, not
+    pow(2, ceil(log2(n))): integer-exact on every engine, immune to the
+    log-of-power-of-two FP boundary bug."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    cap = _LEN_BUCKETS[-1]
+    n_tok = F.least(F.size(F.split("text", " ")).cast("long"), F.lit(cap))
+    bucket = F.lit(cap).cast("long")
+    for b in reversed(_LEN_BUCKETS[:-1]):
+        bucket = F.when(F.col("n_tok") <= b, b).otherwise(bucket)
+    return (
+        d.select(n_tok.alias("n_tok"))
+        .select("n_tok", bucket.cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(
+                1.0 - F.sum("n_tok") / (F.count(F.lit(1)) * F.first("bucket")),
+                6,
+            ).alias("pad_waste"),
+        )
+    )

@@ -230,3 +230,57 @@ def sort_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@register(
+    "sort_nulls_ordering",
+    """
+    WITH keyed AS (
+      SELECT c_custkey,
+             CASE WHEN c_acctbal < 0 THEN NULL
+                  ELSE ROUND(c_acctbal, 2) END AS pos_bal
+      FROM customer
+      WHERE c_custkey <= 2000
+    )
+    SELECT c_custkey, pos_bal,
+           ROW_NUMBER() OVER (
+             ORDER BY pos_bal DESC NULLS LAST, c_custkey) AS rk_last,
+           ROW_NUMBER() OVER (
+             ORDER BY pos_bal ASC NULLS FIRST, c_custkey) AS rk_first
+    FROM keyed
+    """,
+)
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL placement in ordering — the classic cross-engine
+    trap this op pins shut: Spark's default is NULLS FIRST for ASC /
+    NULLS LAST for DESC, DuckDB's is NULLS LAST for everything, so any
+    ORDER BY on a nullable key that does not SAY where nulls go is
+    engine-dependent. Both personalities are exercised (DESC NULLS
+    LAST and ASC NULLS FIRST) over a deliberately nullable key
+    (negative balances → NULL), and the resulting positions are
+    materialized as row_number ranks — making null placement visible
+    to the order-insensitive hash. Ties broken by c_custkey, the §5.3
+    determinism rule.
+
+    At 100 TB: null placement costs nothing — it is a flag on the
+    range-partitioned sort's comparator, same exchange either way. The
+    cost lesson is elsewhere: a rank over ORDER BY without PARTITION BY
+    (as here) funnels one window partition; fine on a 2000-row slice,
+    use per-shard ranks + offset joins at fact scale
+    (llm_curriculum_order shows that decomposition)."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 2000)
+    keyed = c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, None)
+        .otherwise(F.round("c_acctbal", 2))
+        .alias("pos_bal"),
+    )
+    w_last = Window.orderBy(F.col("pos_bal").desc_nulls_last(), F.col("c_custkey"))
+    w_first = Window.orderBy(F.col("pos_bal").asc_nulls_first(), F.col("c_custkey"))
+    return keyed.select(
+        "c_custkey",
+        "pos_bal",
+        F.row_number().over(w_last).alias("rk_last"),
+        F.row_number().over(w_first).alias("rk_first"),
+    )

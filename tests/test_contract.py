@@ -122,8 +122,12 @@ def test_driver_window_spends_no_slot_on_seen_keys(registry):
     from hive_test_spark import registry as reg
 
     qs, _ = registry
-    # Planning hygiene: the window and the r5+ queue never overlap.
+    # Planning hygiene: the window and the r5+ queue never overlap, and
+    # every planned key actually exists (a typo would silently burn a
+    # whole driver-window slot).
     assert not (set(reg._FRONT) & set(reg._NEXT_ROUNDS))
+    planned = set(reg._FRONT) | set(reg._NEXT_ROUNDS) | set(reg._RETEST)
+    assert planned <= set(qs), f"planned keys not registered: {planned - set(qs)}"
     # The seen-overlap checks only make sense in the pending state — once
     # the planned round's report lands, _FRONT keys are seen BY DESIGN.
     # A seen key in _FRONT is legitimate ONLY as a deliberate retest.

@@ -542,3 +542,75 @@ def interop_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("line_revenue"), 6).alias("order_revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@register(
+    "interop_observe_metrics",
+    """
+    SELECT COUNT(*) AS n_rows,
+           CAST(COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT)
+             AS n_discounted,
+           ROUND(SUM(l_extendedprice), 4) AS sum_price,
+           ROUND(MIN(l_extendedprice), 6) AS min_price,
+           ROUND(MAX(l_extendedprice), 6) AS max_price
+    FROM lineitem
+    WHERE l_returnflag = 'A'
+    """,
+)
+def interop_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`DataFrame.observe` / `Observation` metrics [Spark-public:
+    SPARK-34806]: named aggregate metrics attached to an EXISTING pass —
+    the pipeline-QA idiom where row counts and value bounds are
+    harvested from the query you were already running, not from a
+    second scan. Here the observed pass's real work is a parquet write
+    (the typical ingest step); the observation node collects
+    count/conditional-count/sum/min/max as the rows stream through it,
+    and those observed values — not a recomputation — are returned and
+    hash-checked against the oracle's direct aggregation. A metrics
+    bug (dropped batch, double-observed partition, retry double-count)
+    shows as a value mismatch.
+
+    At 100 TB this is the difference between free QA and a second
+    full-table pass: the observe node is a zero-shuffle streaming
+    accumulator inside the existing plan. Caveat worth pinning: task
+    RETRIES can double-count observed metrics in failure scenarios —
+    Spark de-dupes per-task updates for successful stages, which this
+    op relies on; alerting pipelines should treat observe metrics as
+    at-least-once under executor loss."""
+    import shutil as _shutil
+
+    from pyspark.sql import Observation
+
+    from hive_test_spark.io import scratch_dir
+    from hive_test_spark.sources.scans import _sf_tag
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "A")
+    obs = Observation("qa")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        F.round(F.min("l_extendedprice"), 6).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 6).alias("max_price"),
+    )
+    out = scratch_dir("observe", _sf_tag(sf_dir))
+    _shutil.rmtree(out, ignore_errors=True)
+    observed.select("l_orderkey", "l_extendedprice", "l_discount").write.mode(
+        "overwrite"
+    ).parquet(out)
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_discounted"],
+                m["sum_price"],
+                m["min_price"],
+                m["max_price"],
+            )
+        ],
+        "n_rows long, n_discounted long, sum_price double, "
+        "min_price double, max_price double",
+    )

@@ -188,7 +188,7 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "scan_json_nested", "meta_show_tables", "llm_dataset_card",
     "agg_histogram_numeric", "fn_elt_field", "sink_csv_quoting",
     "agg_bit_ops", "win_time_range_frame", "meta_describe_columns",
-    "llm_length_buckets", "sort_nulls_ordering",
+    "llm_length_buckets", "sort_nulls_ordering", "interop_observe_metrics",
 )
 
 

@@ -637,3 +637,52 @@ def sql_temp_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment
         """
     )
+
+
+@_sql_register(
+    "sql_group_order_by_all",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS total_price,
+           ROW_NUMBER() OVER (
+             ORDER BY o_orderstatus, o_orderpriority) AS rk
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern SQL sugar both engines ship: ``GROUP BY ALL`` (group by
+    every non-aggregate select item) and ``ORDER BY ALL`` (order by
+    every select item, left to right) [Spark-public: SPARK-40218 /
+    SPARK-41231, same surface DuckDB popularized]. The Spark side uses
+    the sugar; the oracle spells the expansion out longhand — so the
+    hash pins that GROUP BY ALL resolves to exactly the expected key
+    set (a resolver regression that grouped by a different set changes
+    row multiplicity and values and fails). The rank column equals the
+    ORDER BY ALL position because the group keys form a unique order
+    prefix — re-derived explicitly since an output hash cannot observe
+    row order directly.
+
+    At 100 TB: pure parse-time sugar — identical two-phase hash
+    aggregate + range-partitioned sort plan as the longhand text."""
+    tune(spark)
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT * FROM (
+          SELECT o_orderstatus, o_orderpriority,
+                 COUNT(*) AS n_orders,
+                 ROUND(SUM(o_totalprice), 4) AS total_price
+          FROM hts_sql_orders
+          GROUP BY ALL
+          ORDER BY ALL
+        ) t
+        """
+    ).selectExpr(
+        "o_orderstatus",
+        "o_orderpriority",
+        "n_orders",
+        "total_price",
+        "row_number() OVER (ORDER BY o_orderstatus, o_orderpriority) AS rk",
+    )

@@ -35,6 +35,12 @@ EXTRA_AUDIT = [
     "join_interval_overlap",
     "dq_constraints",
     "interop_map_in_arrow",
+    # Late round-5 additions.
+    "agg_bit_ops",
+    "win_time_range_frame",
+    "llm_length_buckets",
+    "sort_nulls_ordering",
+    "sql_group_order_by_all",
 ]
 
 

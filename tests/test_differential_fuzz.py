@@ -96,7 +96,13 @@ def query_specs(draw):
         if agg not in aggs:
             aggs.append(agg)
 
-    return {"table": table, "preds": preds, "group": group, "aggs": aggs}
+    # Optional HAVING on the always-present COUNT(*) — only meaningful
+    # with grouping; threshold small so some groups survive.
+    having = (
+        draw(st.one_of(st.none(), st.integers(1, 40))) if group else None
+    )
+    return {"table": table, "preds": preds, "group": group, "aggs": aggs,
+            "having": having}
 
 
 def _pred_sql(p) -> str:
@@ -161,7 +167,15 @@ def _render_sql(spec) -> str:
     aggs = ", ".join(_agg_sql(fn, col) for fn, col in spec["aggs"])
     if spec["group"]:
         keys = ", ".join(spec["group"])
-        return f"SELECT {keys}, {aggs} FROM {spec['table']}{where} GROUP BY {keys}"
+        having = (
+            f" HAVING COUNT(*) >= {spec['having']}"
+            if spec.get("having") is not None
+            else ""
+        )
+        return (
+            f"SELECT {keys}, {aggs} FROM {spec['table']}{where}"
+            f" GROUP BY {keys}{having}"
+        )
     return f"SELECT {aggs} FROM {spec['table']}{where}"
 
 
@@ -171,7 +185,10 @@ def _render_df(spark, spec):
         df = df.filter(_pred_col(p))
     aggs = [_agg_col(fn, col) for fn, col in spec["aggs"]]
     if spec["group"]:
-        return df.groupBy(*spec["group"]).agg(*aggs)
+        out = df.groupBy(*spec["group"]).agg(*aggs)
+        if spec.get("having") is not None:
+            out = out.filter(F.col("n_rows") >= spec["having"])
+        return out
     return df.agg(*aggs)
 
 

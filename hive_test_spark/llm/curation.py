@@ -1019,3 +1019,89 @@ def llm_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pad_waste"),
         )
     )
+
+
+@register(
+    "llm_html_strip",
+    """
+    WITH wrapped AS (
+      SELECT source, n_chars, text,
+             '<html><body><h1>' || source || '</h1>' || chr(10) ||
+             '<p class="doc">' || text || '</p><br/></body></html>' AS html
+      FROM documents
+    ), stripped AS (
+      SELECT source, n_chars, text,
+             length(html) AS html_len,
+             trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'),
+                                 '\\s+', ' ', 'g')) AS clean
+      FROM wrapped
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN clean = source || ' ' || text
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok,
+           CAST(SUM(html_len - length(clean)) AS BIGINT) AS markup_overhead,
+           CAST(SUM(length(clean)) AS BIGINT) AS clean_chars
+    FROM stripped
+    GROUP BY source
+    """,
+)
+def llm_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate stripping — the first stage of every web-corpus
+    curation pipeline (CCNet/C4/RefinedWeb all begin by reducing markup
+    to visible text). The fixture documents are plain text, so the op
+    constructs a deterministic HTML wrapping (tags with attributes, a
+    self-closing tag, a newline) and then runs the real extraction:
+    tag removal via regexp, whitespace squeeze, trim. Because the
+    wrapping is constructive, the EXACT recovered text is known
+    (``source || ' ' || text``) — the round-trip flag must hold for
+    every doc, and per-source markup-overhead/clean-char totals are
+    hash-pinned. Both engines run the same RE2-compatible patterns
+    (DuckDB needs the explicit 'g' flag where Spark replaces globally
+    by default — a classic dialect trap, pinned here).
+
+    At 100 TB: pure narrow map work — regexp_replace runs inside
+    whole-stage codegen, no Python workers, no shuffle before the
+    final per-source rollup. Real-world caveat documented: regex
+    stripping is the cheap 80% tool; layout-aware extraction (e.g.
+    trafilatura-class parsers) needs the Arrow-batched mapInPandas
+    path (llm/multimodal.py pattern) because it is library code, not
+    an expression."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    wrapped = d.select(
+        "source",
+        "text",
+        F.concat(
+            F.lit("<html><body><h1>"),
+            F.col("source"),
+            F.lit("</h1>\n"),
+            F.lit('<p class="doc">'),
+            F.col("text"),
+            F.lit("</p><br/></body></html>"),
+        ).alias("html"),
+    )
+    stripped = wrapped.select(
+        "source",
+        "text",
+        F.length("html").alias("html_len"),
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.col("html"), "<[^>]*>", " "),
+                r"\s+",
+                " ",
+            )
+        ).alias("clean"),
+    )
+    return stripped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("clean")
+                == F.concat(F.col("source"), F.lit(" "), F.col("text")),
+                1,
+            ).otherwise(0)
+        ).alias("n_roundtrip_ok"),
+        F.sum(F.col("html_len") - F.length("clean")).alias("markup_overhead"),
+        F.sum(F.length("clean")).alias("clean_chars"),
+    )

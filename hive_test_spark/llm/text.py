@@ -605,3 +605,67 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs", "total_chars", "avg_chars", "approx_tokens",
         )
     )
+
+
+@register(
+    "llm_zipf_fit",
+    """
+    WITH freq AS (
+      SELECT token, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+      GROUP BY token
+    ), ranked AS (
+      SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rk
+      FROM freq
+    )
+    SELECT COUNT(*) AS vocab_size,
+           ROUND(regr_slope(ln(freq), ln(rk)), 6) AS zipf_slope,
+           ROUND(regr_r2(ln(freq), ln(rk)), 6) AS zipf_r2,
+           ROUND(SUM(CASE WHEN rk <= 5 THEN freq ELSE 0 END) * 1.0
+                 / SUM(freq), 6) AS top5_share
+    FROM ranked
+    """,
+)
+def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus token frequency distribution — the
+    standard one-number health check of a training corpus (natural text
+    shows log-freq ≈ slope·log-rank with slope near -1; boilerplate-
+    heavy or template-generated corpora bend the curve, so slope + R²
+    drifting across ingest batches is an early corruption signal; used
+    as corpus QA in LLM-data pipelines, e.g. the Pile's analysis
+    section). Token counts → frequency-ranked vocabulary →
+    least-squares slope/R² of ln(freq) vs ln(rank) via the combinable
+    regr_* sufficient-statistic aggregates, plus the head mass
+    (top-5-token share). Rank ties break on token text so both engines
+    rank identically.
+
+    At 100 TB: the token count is the only corpus-sized pass (map-side
+    combined groupBy). Everything after runs on the VOCABULARY
+    (10^5-10^6 rows) — the global rank window is a dimension-scale
+    sort, and the regr_* aggregates are single-pass partial+final, so
+    no stage touches corpus-cardinality data twice."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = freq.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.col("freq").desc(), F.col("token")))
+        .alias("rk"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.round(F.expr("regr_slope(ln(freq), ln(rk))"), 6).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(ln(freq), ln(rk))"), 6).alias("zipf_r2"),
+        F.round(
+            F.sum(F.when(F.col("rk") <= 5, F.col("freq")).otherwise(F.lit(0)))
+            / F.sum("freq"),
+            6,
+        ).alias("top5_share"),
+    )

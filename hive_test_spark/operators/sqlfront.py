@@ -686,3 +686,88 @@ def sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_price",
         "row_number() OVER (ORDER BY o_orderstatus, o_orderpriority) AS rk",
     )
+
+
+@_sql_register(
+    "sql_file_direct",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def sql_file_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL directly over files [Spark-public: ``SELECT ... FROM
+    parquet.`path``` — the zero-DDL twin of Hive's external table: query
+    a landed dataset without registering ANY catalog object]. The Hive
+    workflow is CREATE EXTERNAL TABLE then query; Spark collapses both
+    steps — the path is the table. Semantically identical to the
+    view-based scan (same vectorized reader, same pushdown), which is
+    exactly what the shared oracle pins.
+
+    At 100 TB: the planner still gets parquet statistics (footer
+    min/max, row-group pruning) and pushes the shipdate filter into the
+    scan — file-direct SQL loses NOTHING at the scan layer. What it
+    does lose is catalog metadata: no ANALYZE stats for CBO join
+    reordering and no partition specs (path globs replace partition
+    pruning), so production keeps file-direct for exploration and
+    registers curated tables for recurring joins."""
+    tune(spark)
+    path = f"{sf_dir}/lineitem.parquet"
+    return spark.sql(
+        f"""
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM parquet.`{path}`
+        WHERE l_shipdate >= DATE '1997-01-01'
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@_sql_register(
+    "sql_positional_ordinals",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS total_price
+    FROM orders
+    WHERE o_orderdate >= DATE '1997-01-01'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def sql_positional_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional GROUP BY / ORDER BY ordinals [Hive-public:
+    ``hive.groupby.orderby.position.alias``; Spark-public:
+    ``spark.sql.groupByOrdinal`` / ``orderByOrdinal``, both on by
+    default] — ``GROUP BY 1, 2`` resolves to the SELECT-list positions,
+    including position 1 being a COMPUTED expression (``year(...)``),
+    not a bare column. Migrated Hive scripts lean on this sugar
+    heavily; a resolver that mapped ordinals to the wrong select items
+    would change the grouping key set and fail the hash. DuckDB
+    supports the identical ordinal syntax, so the oracle runs the
+    same shape — two engines' ordinal RESOLUTION is what's compared.
+
+    At 100 TB: parse-time sugar, zero plan impact — the resolved plan
+    is the standard partial/final hash aggregate over the pushed-down
+    scan, identical to spelling the expressions out."""
+    tune(spark)
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               o_orderstatus,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS total_price
+        FROM hts_sql_orders
+        WHERE o_orderdate >= DATE '1997-01-01'
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+        """
+    )

@@ -189,7 +189,8 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "agg_histogram_numeric", "fn_elt_field", "sink_csv_quoting",
     "agg_bit_ops", "win_time_range_frame", "meta_describe_columns",
     "llm_length_buckets", "sort_nulls_ordering", "interop_observe_metrics",
-    "sql_group_order_by_all",
+    "sql_group_order_by_all", "meta_msck_repair", "sql_file_direct",
+    "sql_positional_ordinals", "llm_zipf_fit", "llm_html_strip",
 )
 
 

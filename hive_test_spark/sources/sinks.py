@@ -18,6 +18,7 @@ files, and bucketBy for join-key co-location.
 
 from __future__ import annotations
 
+import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -477,3 +478,89 @@ def meta_describe_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionAll(part)
     return out
+
+@register(
+    "meta_msck_repair",
+    """
+    SELECT 'o_orderstatus=' || o_orderstatus AS partition_spec,
+           COUNT(*) AS n_rows,
+           0 AS specs_before_repair,
+           (SELECT COUNT(DISTINCT o_orderstatus) FROM orders)
+             AS specs_after_repair
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY partition_spec
+    """,
+)
+def meta_msck_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MSCK REPAIR TABLE [Hive-public: metastore-check repair, a.k.a.
+    ALTER TABLE ... RECOVER PARTITIONS — THE Hive operational idiom for
+    partitions that landed on the filesystem without going through the
+    metastore]. The fixture reproduces the real sequence: an "ingest
+    job" writes partition directories with a plain path-addressed
+    ``partitionBy`` write (no catalog involvement), an external
+    partitioned table is then declared OVER that location — at which
+    point ``SHOW PARTITIONS`` is empty (pinned as
+    ``specs_before_repair = 0``: the catalog genuinely does not know
+    the directories) — and MSCK REPAIR walks the directory tree and
+    registers every spec. The verified result joins the recovered specs
+    to per-partition row counts read THROUGH the repaired table, so
+    both the discovery (spec set) and the data behind each spec are
+    hash-checked against the data-only oracle.
+
+    At 100 TB: MSCK is a LISTING operation — cost is O(directories),
+    not O(bytes), but on object stores a deep listing of 10^5+ prefixes
+    is minutes; production pipelines prefer targeted ``ALTER TABLE ADD
+    PARTITION`` per landed spec and reserve full MSCK for disaster
+    recovery. Discovery never reads data files: a spec with corrupt
+    parquet still registers (correctness of content is the reader's
+    job, which is why the join-back to real counts matters here)."""
+    tune(spark)
+    tag = _sf_tag(sf_dir).replace(".", "_")
+    table = f"hts_msck_meta_{tag}"
+    loc = scratch_dir("meta", tag, table)
+    # Landing-zone ingest, cached per sf: partition dirs exist on the FS
+    # only ("_"-prefixed marker is invisible to Spark's file listing).
+    marker = os.path.join(loc, "_hts_ingested")
+    if not os.path.exists(marker):
+        shutil.rmtree(loc, ignore_errors=True)
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice", "o_orderstatus")
+            .write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(loc)
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    # Fresh external table over the landed layout: DROP of an external
+    # table forgets specs but keeps files, so every invocation exercises
+    # the empty-catalog -> repaired transition, not a cached result.
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"CREATE TABLE {table} "
+        "(o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING) "
+        f"USING parquet PARTITIONED BY (o_orderstatus) LOCATION '{loc}'"
+    )
+    specs_before = spark.sql(f"SHOW PARTITIONS {table}").count()
+    spark.sql(f"MSCK REPAIR TABLE {table}")
+    specs = spark.sql(f"SHOW PARTITIONS {table}").select(
+        F.col("partition").alias("partition_spec"),
+        F.regexp_extract("partition", "o_orderstatus=(.+)$", 1).alias(
+            "o_orderstatus"
+        ),
+    )
+    specs_after = spark.sql(f"SHOW PARTITIONS {table}").count()
+    counts = spark.table(table).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    return (
+        specs.join(counts, "o_orderstatus")
+        .select(
+            "partition_spec",
+            "n_rows",
+            F.lit(specs_before).cast("int").alias("specs_before_repair"),
+            F.lit(specs_after).cast("long").alias("specs_after_repair"),
+        )
+        .orderBy("partition_spec")
+    )

@@ -827,3 +827,37 @@ def test_time_range_frame_one_keyed_shuffle(spark, registry):
     assert f.exchanges == 1
     assert "Window" in f.text
     assert scan_read_columns(f) == [4]
+
+
+def test_sql_file_direct_pushdown(spark, registry):
+    """File-direct SQL must lose nothing at the scan layer: filter
+    pushed, projection pruned to the 4 referenced columns."""
+    f = _facts(spark, registry, "sql_file_direct")
+    assert has_pushed_filters(f), "shipdate filter must reach the file-direct scan"
+    assert scan_read_columns(f) == [4]
+
+
+def test_sql_positional_ordinals_resolve_to_pruned_plan(spark, registry):
+    """Ordinal sugar is parse-time only — the resolved plan still pushes
+    the date filter and prunes to the 3 referenced columns."""
+    f = _facts(spark, registry, "sql_positional_ordinals")
+    assert has_pushed_filters(f)
+    assert scan_read_columns(f) == [3]
+
+
+def test_llm_html_strip_is_map_then_one_rollup(spark, registry):
+    """Markup stripping is narrow codegen work: one corpus scan reading
+    only (source, text), a single exchange for the per-source rollup,
+    and no Python workers anywhere."""
+    f = _facts(spark, registry, "llm_html_strip")
+    assert scan_read_columns(f) == [2]
+    assert f.exchanges == 1, "only the final per-source rollup may shuffle"
+    assert "Python" not in f.text, "regex strip must stay JVM-side"
+
+
+def test_llm_zipf_fit_single_corpus_pass(spark, registry):
+    """The corpus is touched once (text column only); rank/regression
+    run on vocabulary-scale data."""
+    f = _facts(spark, registry, "llm_zipf_fit")
+    assert scan_read_columns(f) == [1]
+    assert f.cartesian == 0

@@ -614,3 +614,62 @@ def interop_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, n_discounted long, sum_price double, "
         "min_price double, max_price double",
     )
+
+
+@register(
+    "interop_arrow_ingest",
+    """
+    WITH weights(o_orderpriority, weight) AS (
+      VALUES ('1-URGENT', 4.0), ('2-HIGH', 3.0), ('3-MEDIUM', 2.0),
+             ('4-NOT SPECIFIED', 1.0), ('5-LOW', 0.5)
+    )
+    SELECT w.o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice * w.weight), 4) AS weighted_total
+    FROM orders o JOIN weights w USING (o_orderpriority)
+    GROUP BY w.o_orderpriority
+    """,
+)
+def interop_arrow_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native ingest boundary [Spark-public:
+    ``spark.createDataFrame(pyarrow.Table)`` — since Spark 4 a pyarrow
+    Table converts directly, no pandas detour]: a config dimension
+    (priority weights) materialized as an Arrow table enters the engine
+    typed (utf8 + float64 → StringType + DoubleType with no inference
+    pass), then broadcast-joins the orders fact for a weighted rollup.
+    The VALUES-based oracle pins that Arrow-typed ingest produces the
+    same join keys and arithmetic as SQL literals —
+    ``sql_values_inline`` is the text-front twin of this boundary.
+
+    At 100 TB: createDataFrame is a DRIVER-side ingest — correct only
+    for dimension/config data (the table ships to executors via
+    broadcast, so driver memory bounds it). Bulk Arrow data belongs on
+    the executor path: mapInArrow (interop_map_in_arrow) for
+    transforms, or parquet/Arrow-IPC files read distributed. The rule:
+    Arrow INTO the driver = config; Arrow ON executors = data."""
+    import pyarrow as pa
+
+    tune(spark)
+    weights = pa.table(
+        {
+            "o_orderpriority": pa.array(
+                ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+                type=pa.string(),
+            ),
+            "weight": pa.array([4.0, 3.0, 2.0, 1.0, 0.5], type=pa.float64()),
+        }
+    )
+    dim = spark.createDataFrame(weights)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    return (
+        o.join(F.broadcast(dim), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice") * F.col("weight")), 4).alias(
+                "weighted_total"
+            ),
+        )
+    )

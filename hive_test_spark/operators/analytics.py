@@ -1046,3 +1046,132 @@ def evt_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("n_conv") / F.sum("n_sessions"), 6).alias("conv_rate"),
         F.sum("n_events").alias("total_events"),
     )
+
+
+@register(
+    "evt_survival",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CAST(ts AS DATE)) AS t0,
+             MAX(CAST(ts AS DATE)) AS t_end,
+             MIN(CASE WHEN event_type = 'error'
+                      THEN CAST(ts AS DATE) END) AS first_err
+      FROM events
+      GROUP BY user_id
+    ), times AS (
+      SELECT CASE WHEN first_err IS NOT NULL
+                  THEN datediff('day', t0, first_err)
+                  ELSE datediff('day', t0, t_end) END AS t_days,
+             CASE WHEN first_err IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM per_user
+    ), by_t AS (
+      SELECT t_days,
+             CAST(SUM(ev) AS BIGINT) AS d_events,
+             CAST(SUM(1 - ev) AS BIGINT) AS c_censored,
+             COUNT(*) AS m
+      FROM times
+      GROUP BY t_days
+    ), risk AS (
+      SELECT t_days, d_events, c_censored,
+             CAST(SUM(m) OVER (ORDER BY t_days
+                               ROWS BETWEEN CURRENT ROW
+                               AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_at_risk
+      FROM by_t
+    )
+    SELECT t_days, n_at_risk, d_events, c_censored,
+           CASE WHEN MAX(CASE WHEN d_events >= n_at_risk THEN 1 ELSE 0 END)
+                     OVER (ORDER BY t_days
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) = 1
+                THEN 0.0
+                ELSE ROUND(exp(SUM(CASE WHEN d_events > 0
+                                        AND d_events < n_at_risk
+                                        THEN ln(1 - d_events * 1.0 / n_at_risk)
+                                        ELSE 0.0 END)
+                               OVER (ORDER BY t_days
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW)), 6)
+           END AS km_survival
+    FROM risk
+    """,
+)
+def evt_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-'error' per user,
+    with REAL right-censoring (users who never error are censored at
+    their last observed day — the estimator's whole point vs a naive
+    empirical CDF, which would treat them as immortal or drop them).
+    Per-user event/censor times collapse the event log once; the curve
+    then runs on the tiny time axis: risk set n_t via a
+    reverse-cumulative window, survival S(t) = Π(1 - d_t/n_t) computed
+    in log space (exp of a running ln-sum — the associative form both
+    engines evaluate identically), with an explicit absorbing zero once
+    d_t = n_t because ln(0) DIVERGES cross-engine (Spark: NULL, DuckDB:
+    -inf) — the guard is the determinism contract, not decoration.
+
+    At 100 TB: the only corpus-scale work is the per-user groupBy (one
+    shuffle on user_id, map-side combined). by_t has at most
+    observation-window-days rows, so the three global-order windows are
+    dimension-scale — same shape as evt_anomaly_zscore's
+    rollup-before-window rule: NEVER window the raw log when the
+    grouped series is bounded."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        "event_type",
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("d").alias("t0"),
+        F.max("d").alias("t_end"),
+        F.min(F.when(F.col("event_type") == "error", F.col("d"))).alias(
+            "first_err"
+        ),
+    )
+    times = per_user.select(
+        F.when(
+            F.col("first_err").isNotNull(),
+            F.datediff("first_err", "t0"),
+        )
+        .otherwise(F.datediff("t_end", "t0"))
+        .alias("t_days"),
+        F.when(F.col("first_err").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    by_t = times.groupBy("t_days").agg(
+        F.sum("ev").alias("d_events"),
+        F.sum(F.lit(1) - F.col("ev")).alias("c_censored"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    w_fwd = Window.orderBy("t_days").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_run = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = by_t.select(
+        "t_days",
+        "d_events",
+        "c_censored",
+        F.sum("m").over(w_fwd).alias("n_at_risk"),
+    )
+    dead = (
+        F.max(
+            F.when(F.col("d_events") >= F.col("n_at_risk"), 1).otherwise(0)
+        ).over(w_run)
+        == 1
+    )
+    cumlog = F.sum(
+        F.when(
+            (F.col("d_events") > 0) & (F.col("d_events") < F.col("n_at_risk")),
+            F.log(F.lit(1) - F.col("d_events") / F.col("n_at_risk")),
+        ).otherwise(F.lit(0.0))
+    ).over(w_run)
+    return risk.select(
+        "t_days",
+        "n_at_risk",
+        "d_events",
+        "c_censored",
+        F.when(dead, F.lit(0.0))
+        .otherwise(F.round(F.exp(cumlog), 6))
+        .alias("km_survival"),
+    )

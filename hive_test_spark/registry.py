@@ -191,6 +191,7 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "llm_length_buckets", "sort_nulls_ordering", "interop_observe_metrics",
     "sql_group_order_by_all", "meta_msck_repair", "sql_file_direct",
     "sql_positional_ordinals", "llm_zipf_fit", "llm_html_strip",
+    "evt_survival", "interop_arrow_ingest", "meta_refresh_table",
 )
 
 

@@ -564,3 +564,83 @@ def meta_msck_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("partition_spec")
     )
+
+
+@register(
+    "meta_refresh_table",
+    """
+    SELECT 'before_append' AS phase,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(o_totalprice), 4) AS total
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT 'after_refresh',
+           COUNT(*),
+           ROUND(SUM(o_totalprice), 4)
+    FROM orders WHERE o_orderstatus IN ('F', 'O')
+    """,
+)
+def meta_refresh_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFRESH TABLE [Hive-public: metadata/cache invalidation — the
+    operational sibling of MSCK for FILES rather than partitions].
+    Spark caches a table's file listing (InMemoryFileIndex) on first
+    use; a write that bypasses the catalog (an out-of-band ingest job
+    appending files straight to the table directory — exactly how
+    landing zones receive data) is INVISIBLE until REFRESH TABLE drops
+    that cache. The op runs the full sequence: external table over an
+    era-1 layout, a count that populates the file index, an
+    out-of-band path-addressed append of era-2 files, REFRESH TABLE,
+    and a re-count — both phase counts (and value sums, proving real
+    rows flowed, not just file counts) are hash-pinned against the
+    source-derived oracle.
+
+    At 100 TB: REFRESH is O(listing), not O(bytes) — but on object
+    stores a million-file table listing is minutes and planners hold
+    the index per-session, so production bounds staleness with
+    spark.sql.metadataCacheTTLSeconds or routes appends through the
+    catalog (ADD PARTITION / transactional table formats) instead of
+    refresh-after-the-fact."""
+    tune(spark)
+    tag = _sf_tag(sf_dir).replace(".", "_")
+    table = f"hts_refresh_meta_{tag}"
+    loc = scratch_dir("meta", tag, table)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    shutil.rmtree(loc, ignore_errors=True)
+    o.filter(F.col("o_orderstatus") == "F").write.mode("overwrite").parquet(loc)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"CREATE TABLE {table} "
+        "(o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING) "
+        f"USING parquet LOCATION '{loc}'"
+    )
+    # Phase-1 snapshot goes to a scratch sink (NOT .collect(): the
+    # aggregate must EXECUTE before the out-of-band append lands, but
+    # the value stays executor-side — the write is the barrier).
+    phase1 = scratch_dir("meta", tag, f"{table}_phase1")
+    (
+        spark.table(table)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+        .write.mode("overwrite")
+        .parquet(phase1)
+    )
+    # Out-of-band append: files land in the directory, catalog unaware.
+    o.filter(F.col("o_orderstatus") == "O").write.mode("append").parquet(loc)
+    spark.sql(f"REFRESH TABLE {table}")
+    after = spark.table(table).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )
+    return (
+        spark.read.parquet(phase1)
+        .select(F.lit("before_append").alias("phase"), "n_rows", "total")
+        .unionByName(
+            after.select(
+                F.lit("after_refresh").alias("phase"), "n_rows", "total"
+            )
+        )
+    )

@@ -861,3 +861,20 @@ def test_llm_zipf_fit_single_corpus_pass(spark, registry):
     f = _facts(spark, registry, "llm_zipf_fit")
     assert scan_read_columns(f) == [1]
     assert f.cartesian == 0
+
+
+def test_arrow_ingest_dim_broadcasts(spark, registry):
+    """The Arrow-ingested config dimension must broadcast; the orders
+    scan reads only the 2 referenced columns."""
+    f = _facts(spark, registry, "interop_arrow_ingest")
+    assert f.broadcast_joins == 1
+    assert f.sort_merge_joins == 0
+    assert scan_read_columns(f) == [2]
+
+
+def test_survival_rollup_before_window(spark, registry):
+    """K-M runs its windows on the bounded time axis, never the raw
+    log: the events scan reads 3 columns and no cartesian appears."""
+    f = _facts(spark, registry, "evt_survival")
+    assert scan_read_columns(f) == [3]
+    assert f.cartesian == 0

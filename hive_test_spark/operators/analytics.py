@@ -1175,3 +1175,81 @@ def evt_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp(cumlog), 6))
         .alias("km_survival"),
     )
+
+
+@register(
+    "evt_user_overlap",
+    """
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    tot AS (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_both
+      FROM tu a JOIN tu b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT type_a, type_b, n_both,
+           ta.n AS n_a, tb.n AS n_b,
+           ROUND(n_both * 1.0 / (ta.n + tb.n - n_both), 6) AS jaccard
+    FROM pairs
+    JOIN tot ta ON type_a = ta.event_type
+    JOIN tot tb ON type_b = tb.event_type
+    """,
+)
+def evt_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: Jaccard similarity between the user
+    sets of every event-type pair (the segmentation question "do
+    purchasers and error-reporters overlap?"). The event log collapses
+    to distinct (type, user) memberships FIRST — the self-join then
+    runs on the membership table, equi-keyed on user_id with the
+    ordered type inequality inside the join, so each user contributes
+    at most |types|² pair rows and the pair space is
+    |types|·(|types|-1)/2 (10 rows here), never user×user.
+
+    At 100 TB: the distinct() is the corpus-scale pass (one shuffle,
+    map-side combined); the self-join shuffles the MEMBERSHIP table
+    (≤ users × types rows) on user_id — per-key fan-out is bounded by
+    the type alphabet, the classic safe self-join shape. The two
+    totals joins are type-cardinality dimensions (broadcast). Same
+    bounded-alphabet rule as evt_path_topk's |types|³ rollup."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    tot = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = tu.alias("a")
+    b = tu.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ta = tot.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    tb = tot.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -771,3 +771,84 @@ def sql_positional_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY 1, 2
         """
     )
+
+
+@_sql_register(
+    "sql_pivot_clause",
+    """
+    SELECT l_returnflag,
+           ROUND(COALESCE(SUM(CASE WHEN l_linestatus = 'F'
+                                   THEN l_quantity END), 0), 4) AS qty_F,
+           ROUND(COALESCE(SUM(CASE WHEN l_linestatus = 'O'
+                                   THEN l_quantity END), 0), 4) AS qty_O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text PIVOT clause [Spark-public: ``FROM t PIVOT (agg FOR col
+    IN (...))``, the parser twin of DataFrame ``groupBy().pivot()``
+    (agg_pivot) and the successor of the Hive CASE-matrix idiom
+    (sql_case_pivot)]. Explicit IN-list values — never the implicit
+    distinct-scan form. The oracle spells the same rotation as the
+    CASE matrix, so what's pinned is that the PIVOT parser produces
+    the identical conditional aggregation.
+
+    At 100 TB: PIVOT with an explicit IN list compiles to ONE
+    conditional-aggregate pass (no per-value scans) — same plan as the
+    CASE matrix. The implicit form (no IN list) needs a prior distinct
+    scan to discover values: always enumerate at scale."""
+    tune(spark)
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               ROUND(COALESCE(qty_F, 0), 4) AS qty_F,
+               ROUND(COALESCE(qty_O, 0), 4) AS qty_O
+        FROM (SELECT l_returnflag, l_linestatus, l_quantity
+              FROM hts_sql_lineitem)
+        PIVOT (SUM(l_quantity) FOR l_linestatus IN ('F' AS qty_F, 'O' AS qty_O))
+        """
+    )
+
+
+@_sql_register(
+    "sql_unpivot_clause",
+    """
+    SELECT l_returnflag, measure, val FROM (
+      SELECT l_returnflag, 'qty' AS measure,
+             ROUND(SUM(l_quantity), 4) AS val
+      FROM lineitem GROUP BY l_returnflag
+      UNION ALL
+      SELECT l_returnflag, 'revenue',
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)
+      FROM lineitem GROUP BY l_returnflag
+    ) t
+    """,
+)
+def sql_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text UNPIVOT clause [Spark-public: ``FROM t UNPIVOT (val FOR
+    measure IN (...))``, the parser twin of DataFrame ``unpivot``/
+    ``melt`` (agg_unpivot) and the inverse of sql_pivot_clause]. The
+    wide per-flag aggregate melts into (measure, val) rows via the
+    parsed clause; the oracle re-derives the long form as the UNION
+    ALL bag Hive users wrote before UNPIVOT existed.
+
+    At 100 TB: UNPIVOT is a narrow Expand — each input row emits one
+    row per measure with NO shuffle (the aggregate before it already
+    collapsed the fact); the UNION-ALL spelling re-SCANS the source
+    per measure, which is exactly why the clause form wins at scale."""
+    tune(spark)
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, measure, val FROM (
+          SELECT l_returnflag,
+                 ROUND(SUM(l_quantity), 4) AS qty,
+                 ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+          FROM hts_sql_lineitem
+          GROUP BY l_returnflag
+        ) wide
+        UNPIVOT (val FOR measure IN (qty, revenue))
+        """
+    )

@@ -192,6 +192,8 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "sql_group_order_by_all", "meta_msck_repair", "sql_file_direct",
     "sql_positional_ordinals", "llm_zipf_fit", "llm_html_strip",
     "evt_survival", "interop_arrow_ingest", "meta_refresh_table",
+    "sql_pivot_clause", "sql_unpivot_clause", "sink_insert_directory",
+    "evt_user_overlap",
 )
 
 

@@ -644,3 +644,48 @@ def meta_refresh_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "sink_insert_directory",
+    """
+    SELECT n_name,
+           COUNT(*) AS n_suppliers,
+           ROUND(SUM(s_acctbal), 4) AS total_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def sink_insert_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT OVERWRITE DIRECTORY [Hive-public: the classic HiveQL
+    export statement — query results straight to a filesystem path,
+    no table object at all; the batch-export idiom feeding downstream
+    non-SQL consumers]. Spark parses the same statement with ``USING
+    parquet``; the op runs the real SQL text (not a DataFrame
+    ``write``), then re-reads the exported directory so the verified
+    values flow through the statement's writer AND a fresh reader.
+
+    At 100 TB: the export is a fully distributed write (one file per
+    task, same committer as table writes) — the directory form just
+    skips catalog registration, so there is no schema contract for
+    consumers: production exports either register an external table
+    over the path afterwards or ship the schema out-of-band. Prefer
+    per-partition subdirectories (partitioned INSERT OVERWRITE) when
+    the consumer filters, because a flat export can only be pruned by
+    filename convention."""
+    tune(spark)
+    for t in ("supplier", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"hts_sink_{t}")
+    out = scratch_dir("sink", _sf_tag(sf_dir), "export_nation_bal")
+    shutil.rmtree(out, ignore_errors=True)
+    spark.sql(
+        f"""
+        INSERT OVERWRITE DIRECTORY '{out}' USING parquet
+        SELECT n_name,
+               COUNT(*) AS n_suppliers,
+               ROUND(SUM(s_acctbal), 4) AS total_bal
+        FROM hts_sink_supplier JOIN hts_sink_nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+    return spark.read.parquet(out)

@@ -878,3 +878,27 @@ def test_survival_rollup_before_window(spark, registry):
     f = _facts(spark, registry, "evt_survival")
     assert scan_read_columns(f) == [3]
     assert f.cartesian == 0
+
+
+def test_pivot_clause_single_pass(spark, registry):
+    """PIVOT with an explicit IN list must compile to one aggregate
+    pass over one pruned scan — no per-value re-scans."""
+    f = _facts(spark, registry, "sql_pivot_clause")
+    assert len(f.scans) == 1, "explicit-IN pivot reads the fact once"
+    assert scan_read_columns(f) == [3]
+
+
+def test_unpivot_clause_no_rescan(spark, registry):
+    """UNPIVOT melts the aggregated wide form: one scan, and the melt
+    itself adds no exchange beyond the aggregation shuffle."""
+    f = _facts(spark, registry, "sql_unpivot_clause")
+    assert len(f.scans) == 1, "UNION-ALL spelling would scan per measure"
+    assert f.exchanges <= 1
+
+
+def test_user_overlap_bounded_self_join(spark, registry):
+    """The overlap self-join is equi-keyed on user_id (never a
+    cartesian); totals join as broadcasts."""
+    f = _facts(spark, registry, "evt_user_overlap")
+    assert f.cartesian == 0
+    assert f.broadcast_joins >= 2

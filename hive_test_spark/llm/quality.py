@@ -336,3 +336,74 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("max_err"), 6).alias("avg_max_abs_err"),
         F.round(F.avg("cos_rec"), 6).alias("avg_cos_reconstruction"),
     )
+
+
+@register(
+    "llm_embed_norm_audit",
+    """
+    WITH per_vec AS (
+      SELECT label,
+             len(embedding) AS dim,
+             sqrt(list_sum(list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               AS l2_norm,
+             len(list_filter(embedding,
+                             x -> isnan(x) OR NOT isfinite(x))) AS n_bad
+      FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CASE WHEN dim = 64 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dim_ok,
+           CAST(SUM(n_bad) AS BIGINT) AS n_nonfinite,
+           ROUND(MIN(l2_norm), 6) AS min_norm,
+           ROUND(MAX(l2_norm), 6) AS max_norm,
+           ROUND(AVG(l2_norm), 6) AS avg_norm
+    FROM per_vec
+    GROUP BY label
+    """,
+)
+def llm_embed_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table QA audit — the ingest gate every vector corpus
+    needs before ANN/semdedup consume it: per label, vector count,
+    dimension conformance (dim == 64), non-finite element count
+    (NaN/Inf poison cosine math silently), and the L2-norm envelope
+    (min/max/avg — collapsed or exploding norms flag a broken encoder
+    run). All per-vector math is higher-order functions over the array
+    column (cast to double INSIDE the fold so both engines run the
+    same left-to-right double accumulation) — no explode, so the row
+    count never multiplies by the dimension. The zeros (n_nonfinite,
+    dim mismatches) are pinned inside non-vacuous rows, same policy as
+    llm_collision_audit.
+
+    At 100 TB: one narrow map pass + a label-keyed rollup (map-side
+    combined). This audit is the cheap precondition that makes the
+    expensive ops trustworthy — run it per ingest batch, diff the
+    norm envelope across batches to catch encoder drift."""
+    tune(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    bad = F.size(
+        F.filter(
+            "embedding",
+            lambda x: F.isnan(x) | (F.abs(x.cast("double")) > F.lit(1e308)),
+        )
+    )
+    per_vec = e.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        F.sqrt(sq).alias("l2_norm"),
+        bad.alias("n_bad"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.when(F.col("dim") == 64, 1).otherwise(0)).alias("n_dim_ok"),
+        F.sum("n_bad").cast("long").alias("n_nonfinite"),
+        F.round(F.min("l2_norm"), 6).alias("min_norm"),
+        F.round(F.max("l2_norm"), 6).alias("max_norm"),
+        F.round(F.avg("l2_norm"), 6).alias("avg_norm"),
+    )

@@ -669,3 +669,86 @@ def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top5_share"),
     )
+
+
+@register(
+    "llm_corpus_drift",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+    ), st AS (
+      SELECT source, token, COUNT(*) AS c FROM tok GROUP BY source, token
+    ), src_tot AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM st GROUP BY source
+    ), vocab AS (
+      SELECT token, CAST(SUM(c) AS BIGINT) AS ct FROM st GROUP BY token
+    ), grand AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n FROM st
+    ), grid AS (
+      SELECT s.source, v.token, s.ns, v.ct, g.n, COALESCE(x.c, 0) AS c
+      FROM src_tot s CROSS JOIN vocab v CROSS JOIN grand g
+      LEFT JOIN st x ON x.source = s.source AND x.token = v.token
+    ), terms AS (
+      SELECT source,
+             c * 1.0 / ns AS p,
+             (ct - c) * 1.0 / (n - ns) AS q
+      FROM grid
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tokens_present,
+           ROUND(SUM(
+               0.5 * CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2))
+                          ELSE 0 END
+             + 0.5 * CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2))
+                          ELSE 0 END), 6) AS js_divergence
+    FROM terms
+    GROUP BY source
+    """,
+)
+def llm_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: Jensen-Shannon divergence between
+    each source's unigram distribution and the REST of the corpus —
+    the mixture-QA statistic that catches a crawler or source whose
+    language shifted (the CCNet/DSIR-style monitoring complement to
+    llm_importance_weights, which reweights rather than flags). The
+    corpus collapses once to (source, token) counts; a complete
+    source×vocab grid (zeros included — absent tokens still contribute
+    to the rest-side KL term) is built from the two marginals, and JS
+    sums per source in log space with the 0·ln0 = 0 convention made
+    explicit, since both engines would otherwise hit NULL/NaN paths.
+
+    At 100 TB: the token count is the only corpus-scale pass. The grid
+    is |sources| × |vocab| — dimension-scale for real vocabularies
+    (20 × 10^5); for open-ended vocab, cap to the top-K tokens by
+    corpus frequency first (the tail contributes negligibly to JS).
+    The two cross joins are broadcast marginals, audited intentional —
+    never corpus×corpus."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    src_tot = st.groupBy("source").agg(F.sum("c").alias("ns"))
+    vocab = st.groupBy("token").agg(F.sum("c").alias("ct"))
+    grand = vocab.agg(F.sum("ct").alias("n"))
+    grid = (
+        src_tot.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(grand))
+        .join(st, ["source", "token"], "left")
+        .na.fill({"c": 0})
+    )
+    p = F.col("c") / F.col("ns")
+    q = (F.col("ct") - F.col("c")) / (F.col("n") - F.col("ns"))
+    m = (p + q) / 2
+    term = 0.5 * F.when(p > 0, p * F.log(p / m)).otherwise(0.0) + (
+        0.5 * F.when(q > 0, q * F.log(q / m)).otherwise(0.0)
+    )
+    return grid.groupBy("source").agg(
+        F.sum(F.when(p > 0, 1).otherwise(0)).cast("long").alias(
+            "n_tokens_present"
+        ),
+        F.round(F.sum(term), 6).alias("js_divergence"),
+    )

@@ -1253,3 +1253,75 @@ def evt_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "evt_pareto_share",
+    """
+    WITH per_user AS (
+      SELECT user_id, COUNT(*) AS n_ev FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT user_id, n_ev,
+             NTILE(10) OVER (ORDER BY n_ev DESC, user_id) AS decile
+      FROM per_user
+    ), by_dec AS (
+      SELECT decile, COUNT(*) AS n_users,
+             CAST(SUM(n_ev) AS BIGINT) AS n_events
+      FROM ranked GROUP BY decile
+    ), tot AS (
+      SELECT CAST(SUM(n_ev) AS BIGINT) AS total FROM per_user
+    )
+    SELECT decile, n_users, n_events,
+           ROUND(n_events * 1.0 / total, 6) AS share,
+           ROUND(CAST(SUM(n_events) OVER (ORDER BY decile
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / total, 6) AS cum_share
+    FROM by_dec CROSS JOIN tot
+    """,
+)
+def evt_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-concentration (Pareto/80-20) profile: users ranked by
+    event volume into deciles, each decile's share and cumulative
+    share of total events — the workload-skew diagnostic that answers
+    "how hot are the hot keys?" (the same distribution that decides
+    whether join_skew_salted/scale_aqe_skew are needed on user-keyed
+    work). NTILE runs on a TOTAL order (count desc, user_id tiebreak)
+    so both engines assign identical deciles.
+
+    At 100 TB: the per-user rollup is the only corpus-scale pass. The
+    NTILE window is a global sort over the USER dimension — fine at
+    user-dimension scale, and for truly unbounded key sets the
+    rank-free rewrite is a two-pass quantile bucketing
+    (approx_percentile on n_ev, then a broadcast bucket join — the
+    agg_approx_percentile contract covers the swap). The decile
+    cumulative window is 10 rows."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ev"))
+    ranked = per_user.select(
+        "n_ev",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("n_ev").desc(), F.col("user_id")))
+        .alias("decile"),
+    )
+    by_dec = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_ev").alias("n_events"),
+    )
+    tot = per_user.agg(F.sum("n_ev").alias("total"))
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        by_dec.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_users",
+            "n_events",
+            F.round(F.col("n_events") / F.col("total"), 6).alias("share"),
+            F.round(
+                F.sum("n_events").over(w_cum).cast("double") / F.col("total"),
+                6,
+            ).alias("cum_share"),
+        )
+    )

@@ -193,7 +193,8 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "sql_positional_ordinals", "llm_zipf_fit", "llm_html_strip",
     "evt_survival", "interop_arrow_ingest", "meta_refresh_table",
     "sql_pivot_clause", "sql_unpivot_clause", "sink_insert_directory",
-    "evt_user_overlap",
+    "evt_user_overlap", "llm_embed_norm_audit", "llm_corpus_drift",
+    "evt_pareto_share",
 )
 
 

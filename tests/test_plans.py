@@ -902,3 +902,20 @@ def test_user_overlap_bounded_self_join(spark, registry):
     f = _facts(spark, registry, "evt_user_overlap")
     assert f.cartesian == 0
     assert f.broadcast_joins >= 2
+
+
+def test_embed_norm_audit_no_explode_no_python(spark, registry):
+    """Norm audit folds arrays in place: no row multiplication by the
+    dimension (no Generate/explode) and no Python workers."""
+    f = _facts(spark, registry, "llm_embed_norm_audit")
+    assert "Generate" not in f.text, "HOF fold must not explode the vectors"
+    assert "Python" not in f.text
+    assert f.exchanges == 1, "only the label rollup shuffles"
+
+
+def test_corpus_drift_grid_is_broadcast_marginals(spark, registry):
+    """The source×vocab grid comes from broadcast marginal cross joins;
+    the corpus-scale side is scanned/aggregated once."""
+    f = _facts(spark, registry, "llm_corpus_drift")
+    assert f.cartesian == 0, "marginal cross joins must be broadcast BNLJ"
+    assert f.broadcast_joins >= 2

@@ -812,3 +812,69 @@ def scale_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_events"),
         F.round(F.sum("v"), 6).alias("total_value"),
     )
+
+
+@register(
+    "scale_bucket_pruning",
+    """
+    SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 4) AS total
+    FROM orders
+    WHERE o_orderkey IN (10, 20, 30)
+    """,
+)
+def scale_bucket_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket pruning on read [Hive-public: TABLESAMPLE(BUCKET x) reads
+    selected buckets; Spark-public: an equality/IN predicate on the
+    bucketBy column lets the scan open ONLY the buckets those keys
+    hash to — visible as ``SelectedBucketsCount: k out of 8`` in the
+    plan, asserted in tests/test_plans]. The orders table is saved
+    bucketed by o_orderkey (8 buckets, the one-time layout cost the
+    SMB join also amortizes); a 3-key IN probe then touches at most 3
+    bucket files instead of the whole table. The oracle runs the same
+    probe on the raw view — values identical, I/O not.
+
+    At 100 TB: bucket pruning is the FILE-level complement of
+    partition pruning — partitions prune by directory on
+    low-cardinality columns, buckets prune by hash on HIGH-cardinality
+    keys (exactly where partitioning is forbidden). A point-lookup
+    ETL repair job on a bucketed fact reads 1/N of the data with zero
+    index infrastructure. Combine: partition by date, bucket by key —
+    a (day, key) probe opens one directory × one bucket.
+
+    Config note: DisableUnnecessaryBucketedScan only reasons about
+    avoided SHUFFLES, not bucket-filter pruning, so with
+    autoBucketedScan on it downgrades this scan to non-bucketed and
+    silently loses the pruning. The op pins
+    ``autoBucketedScan.enabled=false`` (session-sticky; the only
+    bucketed tables in this engine are the SMB/pruning fixtures,
+    which all WANT bucketed reads — the SMB join keeps its
+    shuffle-free plan either way)."""
+    tune(spark)
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    table = f"hts_o_bp_{tag}"
+    warehouse = os.path.join(SCRATCH_DIR, "warehouse")
+    os.makedirs(warehouse, exist_ok=True)
+    if not spark.catalog.tableExists(table):
+        loc = os.path.join(warehouse, table)
+        shutil.rmtree(loc, ignore_errors=True)
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", loc)
+            .mode("overwrite")
+            .saveAsTable(table)
+        )
+    return (
+        spark.table(table)
+        .filter(F.col("o_orderkey").isin(10, 20, 30))
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 4).alias("total"),
+        )
+    )

@@ -194,7 +194,7 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "evt_survival", "interop_arrow_ingest", "meta_refresh_table",
     "sql_pivot_clause", "sql_unpivot_clause", "sink_insert_directory",
     "evt_user_overlap", "llm_embed_norm_audit", "llm_corpus_drift",
-    "evt_pareto_share",
+    "evt_pareto_share", "scale_bucket_pruning", "meta_drop_partition",
 )
 
 

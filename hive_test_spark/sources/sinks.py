@@ -689,3 +689,73 @@ def sink_insert_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.read.parquet(out)
+
+
+@register(
+    "meta_drop_partition",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           (SELECT COUNT(DISTINCT o_orderstatus) - 1 FROM orders)
+             AS specs_after_drop
+    FROM orders
+    WHERE o_orderstatus <> 'P'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def meta_drop_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ... DROP PARTITION [Hive-public: partition-level
+    retention — the metastore-only delete that makes time-partitioned
+    warehouses manageable: dropping a spec detaches the directory from
+    the table without touching a byte of data (external table
+    semantics)]. The fixture registers all three o_orderstatus specs
+    over a landed layout (MSCK), drops the 'P' spec, and reads the
+    table back: the remaining per-partition counts plus the post-drop
+    spec count are hash-pinned — a reader that still lists the dropped
+    directory (stale file index) or a catalog that dropped the wrong
+    spec fails the gate. Files stay on disk (pinned by the per-sf
+    ingest marker staying valid across invocations).
+
+    At 100 TB: DROP PARTITION is THE retention primitive — O(1)
+    metastore ops per expired day vs rewriting data; pair with
+    lifecycle rules that reap the detached directories later.
+    Contrast dml_delete_rewrite (row-level, rewrites files): partition
+    drop only works when the retention boundary IS the partition
+    key — the reason fact tables partition by ingest date."""
+    tune(spark)
+    tag = _sf_tag(sf_dir).replace(".", "_")
+    table = f"hts_droppart_meta_{tag}"
+    loc = scratch_dir("meta", tag, table)
+    marker = os.path.join(loc, "_hts_ingested")
+    if not os.path.exists(marker):
+        shutil.rmtree(loc, ignore_errors=True)
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice", "o_orderstatus")
+            .write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(loc)
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"CREATE TABLE {table} "
+        "(o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING) "
+        f"USING parquet PARTITIONED BY (o_orderstatus) LOCATION '{loc}'"
+    )
+    spark.sql(f"MSCK REPAIR TABLE {table}")
+    spark.sql(f"ALTER TABLE {table} DROP PARTITION (o_orderstatus = 'P')")
+    specs_after = spark.sql(f"SHOW PARTITIONS {table}").count()
+    return (
+        spark.table(table)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "o_orderstatus",
+            "n_rows",
+            F.lit(specs_after).cast("long").alias("specs_after_drop"),
+        )
+        .orderBy("o_orderstatus")
+    )

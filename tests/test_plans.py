@@ -919,3 +919,15 @@ def test_corpus_drift_grid_is_broadcast_marginals(spark, registry):
     f = _facts(spark, registry, "llm_corpus_drift")
     assert f.cartesian == 0, "marginal cross joins must be broadcast BNLJ"
     assert f.broadcast_joins >= 2
+
+
+def test_bucket_pruning_selects_subset_of_buckets(spark, registry):
+    """The 3-key IN probe on the bucketBy column must open at most 3 of
+    the 8 bucket files — the file-level complement of partition
+    pruning for high-cardinality keys."""
+    import re
+
+    f = _facts(spark, registry, "scale_bucket_pruning")
+    m = re.search(r"SelectedBucketsCount: (\d+) out of 8", f.text)
+    assert m, "scan must stay bucketed (autoBucketedScan pinned off)"
+    assert int(m.group(1)) <= 3

@@ -300,3 +300,93 @@ def test_kmeans_improves_on_init(spark, registry):
         return d.agg(F.avg("d")).collect()[0][0]
 
     assert dispersion(a2, c1) <= dispersion(a1, c0) + 1e-9
+
+
+def test_survival_curve_is_monotone_from_one(spark, registry):
+    """K-M survival starts ≤ 1, never increases, and the risk set
+    telescopes: n_{t+1} = n_t - d_t - c_t in event-time order."""
+    qs, _ = registry
+    rows = sorted(
+        qs["evt_survival"](spark, SF_DIR).collect(), key=lambda r: r.t_days
+    )
+    assert rows, "curve must be non-empty"
+    prev_s = 1.0
+    for i, r in enumerate(rows):
+        assert 0.0 <= r.km_survival <= prev_s + 1e-9, "S(t) must not increase"
+        prev_s = r.km_survival
+        if i + 1 < len(rows):
+            assert (
+                rows[i + 1].n_at_risk == r.n_at_risk - r.d_events - r.c_censored
+            ), "risk set must telescope"
+    assert sum(r.d_events + r.c_censored for r in rows) == rows[0].n_at_risk
+
+
+def test_user_overlap_jaccard_bounds(spark, registry):
+    """Jaccard ∈ (0, 1]; overlap never exceeds either set; pair keys
+    are strictly ordered (no diagonal, no mirrored duplicates)."""
+    qs, _ = registry
+    rows = qs["evt_user_overlap"](spark, SF_DIR).collect()
+    seen = set()
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert (r.type_a, r.type_b) not in seen
+        seen.add((r.type_a, r.type_b))
+        assert 0 < r.n_both <= min(r.n_a, r.n_b)
+        assert 0.0 < r.jaccard <= 1.0
+
+
+def test_corpus_drift_js_bounds(spark, registry):
+    """Jensen-Shannon divergence is bounded by ln 2 in nats and
+    non-negative; every source must keep a non-empty token presence."""
+    import math
+
+    qs, _ = registry
+    rows = qs["llm_corpus_drift"](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert -1e-9 <= r.js_divergence <= math.log(2) + 1e-9
+        assert r.n_tokens_present > 0
+
+
+def test_pareto_shares_sum_to_one(spark, registry):
+    """Decile shares are a partition of the event mass: shares sum to
+    1, cum_share is non-decreasing and ends at 1, and the top decile
+    dominates every later decile (ranked by construction)."""
+    qs, _ = registry
+    rows = sorted(
+        qs["evt_pareto_share"](spark, SF_DIR).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, len(rows) + 1))
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-6
+    assert abs(rows[-1].cum_share - 1.0) < 1e-6
+    cum = 0.0
+    for r in rows:
+        cum += r.share
+        assert abs(r.cum_share - cum) < 1e-5
+    events = [r.n_events / r.n_users for r in rows]
+    assert all(a >= b - 1e-9 for a, b in zip(events, events[1:])), (
+        "mean events per user must decrease across deciles"
+    )
+
+
+def test_zipf_fit_matches_shape(spark, registry):
+    """Zipf slope must be negative (frequency falls with rank) with a
+    meaningful fit, and the head share is a proper fraction."""
+    qs, _ = registry
+    r = qs["llm_zipf_fit"](spark, SF_DIR).collect()[0]
+    assert r.vocab_size > 10
+    assert r.zipf_slope < 0
+    assert 0.0 <= r.zipf_r2 <= 1.0
+    assert 0.0 < r.top5_share < 1.0
+
+
+def test_html_strip_roundtrips_every_doc(spark, registry):
+    """The constructive wrapping must strip back to the exact original
+    text for every document in every source."""
+    qs, _ = registry
+    rows = qs["llm_html_strip"](spark, SF_DIR).collect()
+    assert sum(r.n_docs for r in rows) == 500
+    for r in rows:
+        assert r.n_roundtrip_ok == r.n_docs, f"{r.source} lost text"
+        assert r.markup_overhead > 0

@@ -284,3 +284,39 @@ def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_last).alias("rk_last"),
         F.row_number().over(w_first).alias("rk_first"),
     )
+
+
+@register(
+    "sort_limit_offset",
+    """
+    SELECT o_orderkey, ROUND(o_totalprice, 4) AS total
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10 OFFSET 20
+    """,
+)
+def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination: ORDER BY ... LIMIT k OFFSET n [Hive-public: LIMIT
+    with offset arg since Hive 2.0; Spark-public: SQL OFFSET /
+    DataFrame.offset since 3.4] — page 3 of the price-ranked orders.
+    The order is a TOTAL order (unique o_orderkey tiebreak), which is
+    what makes a page deterministic at all — OFFSET without a total
+    order is a different row set every run.
+
+    At 100 TB: OFFSET n LIMIT k plans as TakeOrderedAndProject of
+    n + k rows — each partition top-(n+k)s locally, the driver merges
+    and drops the first n, so cost grows with the OFFSET. Deep
+    pagination (n in the millions) is an anti-pattern: use keyset
+    pagination instead (WHERE (price, key) < last-seen ORDER BY ...
+    LIMIT k), which this op's total order makes directly possible."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("total"),
+        )
+        .offset(20)
+        .limit(10)
+    )

@@ -18,6 +18,7 @@ format allows (parquet/ORC; CSV/JSON prune columns only after parse).
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -634,4 +635,61 @@ def scan_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderkey").alias("n_orders"),
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum("it.price"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "scan_file_metadata",
+    """
+    SELECT o_orderstatus AS file_partition,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(o_totalprice), 4) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden file-metadata column [Hive-public: the INPUT__FILE__NAME /
+    BLOCK__OFFSET__INSIDE__FILE virtual columns; Spark-public: the
+    ``_metadata`` struct (file_path, file_name, file_size,
+    file_modification_time) available on every file-source scan] — the
+    lineage-debugging surface: which physical file did each row come
+    from? The op writes a partitioned layout, reads it back selecting
+    ``_metadata.file_path``, re-derives each row's partition value BY
+    PARSING THE PATH (regexp on the hive-style dir component, exactly
+    how INPUT__FILE__NAME is used operationally), and aggregates — the
+    oracle recomputes from the DATA column, so path-derived and
+    data-derived partition assignment must agree row-for-row.
+
+    At 100 TB: _metadata is constant-per-file — it costs nothing to
+    read (populated from the scan's own file listing, no extra I/O)
+    and is the standard tool for quarantining a corrupt producer run:
+    filter on file_path/modification_time, then rewrite just those
+    files. Row-position virtual columns (BLOCK__OFFSET) intentionally
+    have no equivalent: row identity at scale belongs in data keys,
+    not physical offsets."""
+    tune(spark)
+    tag = _sf_tag(sf_dir).replace(".", "_")
+    loc = scratch_dir("scan", tag, "orders_meta_layout")
+    marker = os.path.join(loc, "_hts_ready")
+    if not os.path.exists(marker):
+        shutil.rmtree(loc, ignore_errors=True)
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice", "o_orderstatus")
+            .write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(loc)
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    back = spark.read.parquet(loc).select(
+        "o_totalprice",
+        F.regexp_extract(
+            F.col("_metadata.file_path"), "o_orderstatus=([^/]+)/", 1
+        ).alias("file_partition"),
+    )
+    return back.groupBy("file_partition").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
     )

@@ -931,3 +931,11 @@ def test_bucket_pruning_selects_subset_of_buckets(spark, registry):
     m = re.search(r"SelectedBucketsCount: (\d+) out of 8", f.text)
     assert m, "scan must stay bucketed (autoBucketedScan pinned off)"
     assert int(m.group(1)) <= 3
+
+
+def test_limit_offset_is_take_ordered(spark, registry):
+    """OFFSET n LIMIT k must plan as TakeOrderedAndProject (per-
+    partition top-(n+k) + driver merge), not a global sort."""
+    f = _facts(spark, registry, "sort_limit_offset")
+    assert "TakeOrderedAndProject" in f.text
+    assert scan_read_columns(f) == [2]

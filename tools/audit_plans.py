@@ -41,6 +41,19 @@ EXTRA_AUDIT = [
     "llm_length_buckets",
     "sort_nulls_ordering",
     "sql_group_order_by_all",
+    # Final round-5 wave: metastore/DDL, corpus-QA, and survival shapes.
+    "sql_file_direct",
+    "sql_pivot_clause",
+    "evt_survival",
+    "evt_user_overlap",
+    "evt_pareto_share",
+    "llm_corpus_drift",
+    "llm_zipf_fit",
+    "llm_html_strip",
+    "llm_embed_norm_audit",
+    "scale_bucket_pruning",
+    "interop_arrow_ingest",
+    "sort_limit_offset",
 ]
 
 

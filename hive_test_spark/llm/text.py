@@ -752,3 +752,72 @@ def llm_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.sum(term), 6).alias("js_divergence"),
     )
+
+
+@register(
+    "llm_langid_eval",
+    f"""
+    WITH pred AS (
+      SELECT lang,
+             CASE
+               WHEN {_marker_sql('en')} >= {_marker_sql('es')}
+                AND {_marker_sql('en')} >= {_marker_sql('de')}
+                AND {_marker_sql('en')} > 0 THEN 'en'
+               WHEN {_marker_sql('es')} >= {_marker_sql('de')}
+                AND {_marker_sql('es')} > 0 THEN 'es'
+               WHEN {_marker_sql('de')} > 0 THEN 'de'
+               ELSE 'und'
+             END AS predicted_lang
+      FROM documents
+    )
+    SELECT lang, predicted_lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN lang = predicted_lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM pred
+    GROUP BY lang, predicted_lang
+    """,
+)
+def llm_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation confusion matrix for the llm_lang_id
+    heuristic against the fixture's ground-truth ``lang`` column — the
+    eval harness every pipeline classifier needs before its output
+    gates data (a lang filter with silent 40% recall on 'de' quietly
+    deletes a language from the corpus). The matrix is (actual,
+    predicted, count) in long form — |langs|² bounded — with the
+    diagonal marked, so per-language precision/recall/accuracy all
+    derive from these rows; hash-pinning the matrix pins the
+    classifier's entire behavior on this corpus, not just one summary
+    number.
+
+    At 100 TB: one map pass (the predictor is pure JVM expression
+    work) + a bounded-alphabet rollup — evaluation costs no more than
+    application, so run it on every labeled holdout shard. The same
+    long-form matrix shape serves any classifier gate (quality,
+    toxicity, format) with a labeled sample."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+
+    def hits(lang: str):
+        arr = ", ".join(f"'{t}'" for t in _LANG_MARKERS[lang])
+        return F.size(
+            F.array_intersect(
+                F.array_distinct(F.split("text", " ")), F.expr(f"array({arr})")
+            )
+        )
+
+    en, es, de = hits("en"), hits("es"), hits("de")
+    pred = d.select(
+        "lang",
+        F.when((en >= es) & (en >= de) & (en > 0), "en")
+        .when((es >= de) & (es > 0), "es")
+        .when(de > 0, "de")
+        .otherwise("und")
+        .alias("predicted_lang"),
+    )
+    return pred.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("lang") == F.col("predicted_lang"), 1).otherwise(0)
+        ).cast("long").alias("n_correct"),
+    )

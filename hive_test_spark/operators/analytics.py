@@ -1325,3 +1325,96 @@ def evt_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share"),
         )
     )
+
+
+@register(
+    "evt_cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), stats AS (
+      SELECT event_type, d, n,
+             CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) * 1.0
+               / COUNT(*) OVER (PARTITION BY event_type) AS mu
+      FROM daily
+    ), cus AS (
+      SELECT event_type, d,
+             SUM(n - mu) OVER (PARTITION BY event_type ORDER BY d
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cusum
+      FROM stats
+    ), ranked AS (
+      SELECT event_type, d, cusum,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(cusum) DESC, d) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_days
+      FROM cus
+    )
+    SELECT event_type, CAST(d AS VARCHAR) AS changepoint_day,
+           ROUND(cusum, 6) AS peak_cusum, n_days
+    FROM ranked WHERE rk = 1
+    """,
+)
+def evt_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event-type series: the running
+    sum of (daily count − series mean) peaks in magnitude at the most
+    likely level-shift day — the classic page-break statistic SRE and
+    growth teams run on metric series (complement of
+    evt_anomaly_zscore, which flags POINT outliers; CUSUM localizes a
+    persistent SHIFT). Determinism engineering: the mean is computed
+    as exact-integer SUM/COUNT rather than AVG (floating AVG
+    accumulates in engine-private partition order; the integer sum is
+    exact, so both engines derive a bit-identical mu and therefore a
+    bit-identical ordered CUSUM — argmax ties then break on day in
+    both).
+
+    At 100 TB: rollup-before-window — the log collapses to
+    (type, day) once; all four windows run on the bounded daily
+    series, partitioned by series key (one shuffle family, no global
+    windows). For millions of series this is the map-reduce CUSUM: a
+    per-key sort of ~10² points each."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_part = Window.partitionBy("event_type")
+    stats = daily.select(
+        "event_type",
+        "d",
+        "n",
+        (
+            F.sum("n").over(w_part).cast("double")
+            / F.count(F.lit(1)).over(w_part)
+        ).alias("mu"),
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cus = stats.select(
+        "event_type",
+        "d",
+        F.sum(F.col("n") - F.col("mu")).over(w_run).alias("cusum"),
+    )
+    ranked = cus.select(
+        "event_type",
+        "d",
+        "cusum",
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                F.abs("cusum").desc(), F.col("d")
+            )
+        )
+        .alias("rk"),
+        F.count(F.lit(1)).over(w_part).alias("n_days"),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "event_type",
+        F.col("d").cast("string").alias("changepoint_day"),
+        F.round("cusum", 6).alias("peak_cusum"),
+        "n_days",
+    )

@@ -195,7 +195,8 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "sql_pivot_clause", "sql_unpivot_clause", "sink_insert_directory",
     "evt_user_overlap", "llm_embed_norm_audit", "llm_corpus_drift",
     "evt_pareto_share", "scale_bucket_pruning", "meta_drop_partition",
-    "sort_limit_offset", "scan_file_metadata",
+    "sort_limit_offset", "scan_file_metadata", "llm_langid_eval",
+    "meta_add_partition", "evt_cusum_changepoint",
 )
 
 

@@ -759,3 +759,82 @@ def meta_drop_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "meta_add_partition",
+    """
+    SELECT 'o_orderstatus=' || o_orderstatus AS partition_spec,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(o_totalprice), 4) AS total,
+           (SELECT COUNT(DISTINCT o_orderstatus) FROM orders)
+             AS specs_registered
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY partition_spec
+    """,
+)
+def meta_add_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ... ADD PARTITION [Hive-public: targeted spec
+    registration — the production alternative to MSCK that
+    meta_msck_repair's docstring prescribes: an ingest job that KNOWS
+    which spec it just landed registers exactly that spec, O(1)
+    metastore work instead of an O(directories) listing]. The fixture
+    declares the external partitioned table over a landed layout and
+    registers each spec with an explicit ADD PARTITION statement (no
+    MSCK anywhere); the per-partition counts/sums read back through
+    the table plus the registered-spec count are hash-pinned — a
+    mis-spelled spec registers an empty partition and fails the count,
+    the exact failure mode targeted registration must guard.
+
+    At 100 TB: this completes the partition lifecycle triptych —
+    ADD PARTITION on land (O(1) per spec), MSCK for disaster recovery
+    (O(listing)), DROP PARTITION for retention (O(1)) — all
+    metadata-cost, never data-cost. IF NOT EXISTS makes the ingest
+    idempotent under retries, which is why the statement form beats
+    implicit discovery in pipelines."""
+    tune(spark)
+    tag = _sf_tag(sf_dir).replace(".", "_")
+    table = f"hts_addpart_meta_{tag}"
+    loc = scratch_dir("meta", tag, table)
+    marker = os.path.join(loc, "_hts_ingested")
+    if not os.path.exists(marker):
+        shutil.rmtree(loc, ignore_errors=True)
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice", "o_orderstatus")
+            .write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(loc)
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"CREATE TABLE {table} "
+        "(o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING) "
+        f"USING parquet PARTITIONED BY (o_orderstatus) LOCATION '{loc}'"
+    )
+    for status in ("F", "O", "P"):
+        spark.sql(
+            f"ALTER TABLE {table} ADD IF NOT EXISTS "
+            f"PARTITION (o_orderstatus = '{status}')"
+        )
+    specs = spark.sql(f"SHOW PARTITIONS {table}").count()
+    return (
+        spark.table(table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+        .select(
+            F.concat(F.lit("o_orderstatus="), F.col("o_orderstatus")).alias(
+                "partition_spec"
+            ),
+            "n_rows",
+            "total",
+            F.lit(specs).cast("long").alias("specs_registered"),
+        )
+        .orderBy("partition_spec")
+    )

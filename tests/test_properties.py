@@ -390,3 +390,28 @@ def test_html_strip_roundtrips_every_doc(spark, registry):
     for r in rows:
         assert r.n_roundtrip_ok == r.n_docs, f"{r.source} lost text"
         assert r.markup_overhead > 0
+
+
+def test_langid_eval_matrix_is_consistent(spark, registry):
+    """The confusion matrix partitions the corpus; n_correct equals
+    n_docs exactly on the diagonal and 0 off it."""
+    qs, _ = registry
+    rows = qs["llm_langid_eval"](spark, SF_DIR).collect()
+    assert sum(r.n_docs for r in rows) == 500
+    for r in rows:
+        expected = r.n_docs if r.lang == r.predicted_lang else 0
+        assert r.n_correct == expected, (r.lang, r.predicted_lang)
+
+
+def test_cusum_changepoint_one_row_per_series(spark, registry):
+    """One changepoint per event type, peak magnitude strictly positive
+    (a flat series would make CUSUM identically ~0 only if every day
+    equals the mean), day within the fixture window."""
+    qs, _ = registry
+    rows = qs["evt_cusum_changepoint"](spark, SF_DIR).collect()
+    types = [r.event_type for r in rows]
+    assert len(types) == len(set(types)) == 5
+    for r in rows:
+        assert abs(r.peak_cusum) > 0
+        assert r.n_days >= 25
+        assert r.changepoint_day.startswith("2024-01")

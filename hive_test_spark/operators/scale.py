@@ -878,3 +878,76 @@ def scale_bucket_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("o_totalprice", 4).alias("total"),
         )
     )
+
+
+@register(
+    "scale_range_join_grid",
+    """
+    WITH iv AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_orderdate AS DATE) AS start_d,
+             CAST(o_orderdate AS DATE)
+               + CAST((o_orderkey % 4) AS INTEGER) AS end_d
+      FROM orders
+    )
+    SELECT iv.o_orderpriority,
+           CAST(iv.end_d - iv.start_d AS BIGINT) AS interval_days,
+           COUNT(*) AS n_matches,
+           ROUND(SUM(l.l_quantity), 4) AS total_qty
+    FROM iv JOIN lineitem l
+      ON CAST(l.l_shipdate AS DATE) >= iv.start_d
+     AND CAST(l.l_shipdate AS DATE) <= iv.end_d
+    GROUP BY iv.o_orderpriority, interval_days
+    """,
+)
+def scale_range_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gridded range join — the SHUFFLE-KEYED rewrite of an unbounded
+    interval join (join_range_interval broadcasts the small side; this
+    is what you do when NEITHER side fits in memory). Each interval
+    [start, start + 0..3 days] EXPLODES into its covered day buckets
+    (bounded fan-out = max interval length / bucket width); each point
+    maps to exactly ONE bucket; the join becomes a plain equi-join on
+    the bucket key plus an exact residual filter. A (interval, point)
+    pair can match on at most one bucket (the point's own day), so no
+    dedup pass is needed — the grid is exact, not a candidate set.
+
+    At 100 TB: this turns an O(N×M) broadcast-or-BNLJ problem into a
+    day-keyed shuffle whose per-key size is (intervals covering that
+    day) × (points in that day) — both bounded by time locality. Pick
+    the bucket width ≈ median interval length: wider buckets inflate
+    the residual-filter kill rate, narrower ones inflate the interval
+    fan-out. Same shape as llm_minhash_det's band-bucket join: bucket
+    first, exact-verify inside the bucket."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").cast("date").alias("point_d"), "l_quantity"
+    )
+    iv = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("start_d"),
+        F.date_add(
+            F.col("o_orderdate").cast("date"),
+            (F.col("o_orderkey") % 4).cast("int"),
+        ).alias("end_d"),
+    )
+    # Bounded fan-out: one row per covered day bucket (≤ 4).
+    grid = iv.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "start_d",
+        "end_d",
+        F.explode(F.expr("sequence(start_d, end_d)")).alias("bucket_d"),
+    )
+    joined = grid.join(li, grid.bucket_d == li.point_d).filter(
+        (F.col("point_d") >= F.col("start_d"))
+        & (F.col("point_d") <= F.col("end_d"))
+    )
+    return joined.groupBy(
+        "o_orderpriority",
+        F.datediff("end_d", "start_d").cast("long").alias("interval_days"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.round(F.sum("l_quantity"), 4).alias("total_qty"),
+    )

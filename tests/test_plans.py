@@ -939,3 +939,12 @@ def test_limit_offset_is_take_ordered(spark, registry):
     f = _facts(spark, registry, "sort_limit_offset")
     assert "TakeOrderedAndProject" in f.text
     assert scan_read_columns(f) == [2]
+
+
+def test_range_join_grid_is_equi_keyed(spark, registry):
+    """The gridded rewrite must plan as an EQUI join on the bucket key
+    — never a BroadcastNestedLoop/cartesian range join."""
+    f = _facts(spark, registry, "scale_range_join_grid")
+    assert f.cartesian == 0
+    assert "BroadcastNestedLoopJoin" not in f.text
+    assert f.broadcast_joins + f.sort_merge_joins >= 1

@@ -407,3 +407,67 @@ def llm_embed_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("l2_norm"), 6).alias("max_norm"),
         F.round(F.avg("l2_norm"), 6).alias("avg_norm"),
     )
+
+
+# Code-likeness keyword list: the synthetic corpus's stand-in for language
+# keywords (def/class/return/import in a real crawl). Swappable constant —
+# the operator shape (JVM array filter + density threshold) is the
+# deliverable, the lexicon is config.
+_CODE_KWS = ("hash", "join", "sort", "merge", "scan", "filter", "query", "agg")
+_CODE_TAU = 0.45
+
+_KW_SQL = ", ".join(f"'{k}'" for k in _CODE_KWS)
+
+
+@register(
+    "llm_code_detect",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(lower(text), ' ') AS tok FROM documents
+    )
+    SELECT doc_id, lang,
+           len(tok) AS n_tok,
+           len(list_filter(tok, x -> list_contains([{_KW_SQL}], x))) AS kw_hits,
+           len(list_intersect(list_distinct(tok), [{_KW_SQL}])) AS kw_distinct,
+           ROUND(CAST(len(list_filter(tok, x -> list_contains([{_KW_SQL}], x))) AS DOUBLE)
+                 / len(tok), 6) AS code_density,
+           CAST(len(list_filter(tok, x -> list_contains([{_KW_SQL}], x))) AS DOUBLE)
+                 / len(tok) >= {_CODE_TAU} AS is_code
+    FROM t
+    """,
+)
+def llm_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection — the heuristic classifier a pretraining
+    pipeline runs to route documents to code/prose-specific filtering
+    (real lexicons: language keywords, brace/semicolon density, indent
+    ratios; this corpus has no punctuation so the lexicon constant stands
+    in). Per doc: keyword hit count, distinct-keyword coverage, density,
+    and the >= tau class flag.
+
+    Spark-first: one narrow projection — lower/split once, then JVM
+    higher-order filter + array_intersect against an 8-element literal
+    array (constant-folded, no join, no UDF, no shuffle at all). At
+    100 TB this is a pure map stage that fuses into whatever scan or
+    filter precedes it; per-row cost is O(tokens x |lexicon|) with the
+    lexicon in L1."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    kw_arr = ", ".join(f"'{k}'" for k in _CODE_KWS)
+    t = d.select(
+        "doc_id", "lang", F.split(F.lower("text"), " ").alias("tok")
+    )
+    hits = F.expr(f"size(filter(tok, x -> x IN ({kw_arr})))")
+    return t.select(
+        "doc_id",
+        "lang",
+        F.size("tok").alias("n_tok"),
+        hits.alias("kw_hits"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct("tok"),
+                F.array(*[F.lit(k) for k in _CODE_KWS]),
+            )
+        ).alias("kw_distinct"),
+        F.round(hits.cast("double") / F.size("tok"), 6).alias("code_density"),
+        (hits.cast("double") / F.size("tok") >= _CODE_TAU).alias("is_code"),
+    )

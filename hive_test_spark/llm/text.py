@@ -821,3 +821,117 @@ def llm_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("lang") == F.col("predicted_lang"), 1).otherwise(0)
         ).cast("long").alias("n_correct"),
     )
+
+
+# Winnowing parameters: k-token shingles, window of w consecutive shingle
+# hashes. Guarantee [Schleimer et al., SIGMOD'03]: any match of length
+# >= w + k - 1 tokens shares at least one selected fingerprint.
+_WINNOW_K = 3
+_WINNOW_W = 4
+
+
+@register(
+    "llm_winnowing",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+      WHERE len(string_split(text, ' ')) >= {_WINNOW_K + _WINNOW_W - 1}
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, len(tok) - {_WINNOW_K - 2}),
+               i -> CAST(('0x' || substr(md5(array_to_string(tok[i:i+{_WINNOW_K - 1}], ' ')), 1, 12)) AS BIGINT)
+             ) AS hs
+      FROM t
+    ),
+    wins AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, len(hs) - {_WINNOW_W - 2}),
+               p -> list_aggregate(hs[p:p+{_WINNOW_W - 1}], 'min')
+             ) AS w
+      FROM h
+    ),
+    perdoc AS (
+      SELECT doc_id, len(w) AS n_windows, len(list_distinct(w)) AS n_fp
+      FROM wins
+    ),
+    exploded AS (
+      SELECT doc_id, unnest(list_distinct(w)) AS fp FROM wins
+    ),
+    shared AS (
+      SELECT fp FROM exploded GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    ns AS (
+      SELECT e.doc_id, COUNT(*) AS n_shared_fp
+      FROM exploded e JOIN shared USING (fp) GROUP BY e.doc_id
+    )
+    SELECT p.doc_id, p.n_windows, p.n_fp,
+           COALESCE(ns.n_shared_fp, 0) AS n_shared_fp,
+           COALESCE(ns.n_shared_fp, 0) > 0 AS flagged
+    FROM perdoc p LEFT JOIN ns USING (doc_id)
+    """,
+)
+def llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints [public method: Schleimer, Wilkerson
+    & Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03 — the MOSS algorithm]: hash every k-token shingle, then in
+    every window of w consecutive hashes select the minimum — the selected
+    set is a position-robust fingerprint with the guarantee that any
+    shared run of >= w+k-1 tokens yields a shared fingerprint.
+    Complements llm_fingerprint (ONE global min per doc) with the
+    LOCAL variant whose density ~ 2/(w+1) supports substring-level
+    matching. Output per doc: window/fingerprint counts, how many of its
+    fingerprints other docs also selected, and the near-dup flag.
+
+    Spark-first: shingle hashing and window-min selection are pure JVM
+    array HOFs (transform/sequence/slice/array_min) — a narrow pipeline,
+    no shuffle until the fingerprint equi-join. Cross-doc sharing groups
+    by the 48-bit fingerprint value (gram-keyed, never doc x doc), the
+    same bucketed shape as llm_span_dedup; at 100 TB the fingerprint
+    groupBy is map-side combinable and the join back to docs is an
+    equi-shuffle on a high-entropy hash key (no skew by construction)."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("tok")).filter(
+        F.size("tok") >= _WINNOW_K + _WINNOW_W - 1
+    )
+    hs = F.expr(
+        f"transform(sequence(1, size(tok) - {_WINNOW_K - 1}), "
+        f"i -> CAST(conv(substring(md5(concat_ws(' ', slice(tok, i, {_WINNOW_K}))), 1, 12), 16, 10) AS BIGINT))"
+    )
+    wins = (
+        toks.withColumn("hs", hs)
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(1, size(hs) - {_WINNOW_W - 1}), "
+                f"p -> array_min(slice(hs, p, {_WINNOW_W})))"
+            ).alias("w"),
+        )
+    )
+    perdoc = wins.select(
+        "doc_id",
+        F.size("w").alias("n_windows"),
+        F.size(F.array_distinct("w")).alias("n_fp"),
+    )
+    exploded = wins.select("doc_id", F.explode(F.array_distinct("w")).alias("fp"))
+    shared = (
+        exploded.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("fp")
+    )
+    ns = (
+        exploded.join(shared, "fp")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_fp"))
+    )
+    return perdoc.join(ns, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        "n_fp",
+        F.coalesce("n_shared_fp", F.lit(0)).alias("n_shared_fp"),
+        (F.coalesce("n_shared_fp", F.lit(0)) > 0).alias("flagged"),
+    )

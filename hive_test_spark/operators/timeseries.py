@@ -187,3 +187,84 @@ def evt_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("rolling_med"),
     )
+
+
+@register(
+    "evt_drawdown",
+    """
+    WITH sv AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'error' THEN -value ELSE value END AS flow
+      FROM events
+    ),
+    eq AS (
+      SELECT user_id, flow, ts, event_id,
+             SUM(flow) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS UNBOUNDED PRECEDING) AS equity
+      FROM sv
+    ),
+    dd AS (
+      SELECT user_id, flow, equity,
+             MAX(equity) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS UNBOUNDED PRECEDING) AS peak
+      FROM eq
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(MAX(peak - equity), 6) AS max_drawdown,
+           ROUND(MAX(equity), 6) AS peak_equity,
+           ROUND(SUM(flow), 6) AS final_equity
+    FROM dd
+    GROUP BY user_id
+    """,
+)
+def evt_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user over the running NET flow of event
+    values ('error' events debit, everything else credits — the fixture
+    has no negative values, so the signed recode is what makes the curve
+    non-monotone) — the risk metric every monitoring/finance rollup
+    computes from a cumulative series (peak-to-trough drop).
+
+    Two stacked window aggregates over the SAME (partition, order) spec —
+    prefix-sum then prefix-max — so Catalyst plans ONE exchange + one
+    sort feeding both Window nodes, then a plain hash aggregate per user.
+    At 100 TB the shuffle key is user_id (high-cardinality, unskewed
+    here); per-row state is O(1) and series length only affects the
+    sequential per-partition pass, the same segmented-scan story as
+    evt_ewma above. Ties on ts are broken by event_id on BOTH sides so
+    the prefix sums agree bitwise."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    flow = F.when(F.col("event_type") == "error", -F.col("value")).otherwise(
+        F.col("value")
+    )
+    sv = ev.select("user_id", "ts", "event_id", flow.alias("flow"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    eq = sv.select(
+        "user_id", "flow", F.sum("flow").over(w).alias("equity"),
+        "ts", "event_id",
+    )
+    dd = eq.select(
+        "user_id", "flow", "equity",
+        F.max("equity")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("peak"),
+    )
+    return dd.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.max(F.col("peak") - F.col("equity")), 6).alias("max_drawdown"),
+        F.round(F.max("equity"), 6).alias("peak_equity"),
+        F.round(F.sum("flow"), 6).alias("final_equity"),
+    )

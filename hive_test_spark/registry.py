@@ -197,6 +197,7 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "evt_pareto_share", "scale_bucket_pruning", "meta_drop_partition",
     "sort_limit_offset", "scan_file_metadata", "llm_langid_eval",
     "meta_add_partition", "evt_cusum_changepoint", "scale_range_join_grid",
+    "evt_drawdown", "llm_winnowing", "llm_code_detect",
 )
 
 

@@ -948,3 +948,29 @@ def test_range_join_grid_is_equi_keyed(spark, registry):
     assert f.cartesian == 0
     assert "BroadcastNestedLoopJoin" not in f.text
     assert f.broadcast_joins + f.sort_merge_joins >= 1
+
+
+def test_drawdown_one_exchange_for_both_windows(spark, registry):
+    """The prefix-sum and prefix-max windows share (partition, order), so
+    Catalyst must plan ONE exchange feeding both Window nodes before the
+    final per-user aggregate."""
+    f = _facts(spark, registry, "evt_drawdown")
+    assert f.text.count("Window") >= 2
+    assert f.exchanges <= 2, "windows share a sort order: 1 window + 1 agg exchange"
+
+
+def test_winnowing_is_gram_keyed_never_doc_pairs(spark, registry):
+    """Cross-doc fingerprint sharing groups by the 48-bit hash value —
+    no cartesian, no doc×doc join, no Python."""
+    f = _facts(spark, registry, "llm_winnowing")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+
+
+def test_code_detect_is_pure_narrow_map(spark, registry):
+    """Keyword scoring is a single narrow projection: no join, no
+    shuffle at all, no Generate, no Python workers."""
+    f = _facts(spark, registry, "llm_code_detect")
+    assert f.exchanges == 0
+    assert "Generate" not in f.text
+    assert "Python" not in f.text

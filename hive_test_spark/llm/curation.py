@@ -1105,3 +1105,67 @@ def llm_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("html_len") - F.length("clean")).alias("markup_overhead"),
         F.sum(F.length("clean")).alias("clean_chars"),
     )
+
+
+@register(
+    "llm_preference_pairs",
+    """
+    WITH q AS (
+      SELECT source, doc_id,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS q
+      FROM documents
+    ),
+    r AS (
+      SELECT source, doc_id, q,
+             row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id DESC) AS rmax,
+             row_number() OVER (PARTITION BY source ORDER BY q ASC, doc_id ASC) AS rmin,
+             COUNT(*) OVER (PARTITION BY source) AS n_docs
+      FROM q
+    )
+    SELECT source,
+           MAX(CASE WHEN rmax = 1 THEN doc_id END) AS chosen_doc,
+           MAX(CASE WHEN rmin = 1 THEN doc_id END) AS rejected_doc,
+           ROUND(MAX(q), 6) AS chosen_q,
+           ROUND(MIN(q), 6) AS rejected_q,
+           ROUND(MAX(q) - MIN(q), 6) AS margin,
+           MIN(n_docs) AS n_docs
+    FROM r GROUP BY source HAVING MIN(n_docs) >= 2
+    """,
+)
+def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for DPO/RLHF-style training data
+    [public method: pair a high-quality 'chosen' and low-quality
+    'rejected' response per prompt group]: per source, pick the doc with
+    the max and min quality proxy (distinct-token ratio), emit the pair
+    with its quality margin. Deterministic: ties broken by doc_id on both
+    sides, groups with a single doc dropped.
+
+    Spark-first: ONE hash aggregate per source using max_by/min_by over
+    the (q, doc_id) total order — constant state per group, map-side
+    combinable, a single shuffle on source. The oracle spells the same
+    endpoint choice with dual row_number CTEs (the evt_ohlc pattern).
+    At 100 TB 'source' is the prompt/domain key (millions of groups,
+    unskewed agg) — never a per-group sort or window over the corpus."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    tok = F.split("text", " ")
+    q = d.select(
+        "source",
+        "doc_id",
+        (
+            F.size(F.array_distinct(tok)).cast("double") / F.size(tok)
+        ).alias("q"),
+    )
+    return (
+        q.groupBy("source")
+        .agg(
+            F.expr("max_by(doc_id, struct(q, doc_id))").alias("chosen_doc"),
+            F.expr("min_by(doc_id, struct(q, doc_id))").alias("rejected_doc"),
+            F.round(F.max("q"), 6).alias("chosen_q"),
+            F.round(F.min("q"), 6).alias("rejected_q"),
+            F.round(F.max("q") - F.min("q"), 6).alias("margin"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

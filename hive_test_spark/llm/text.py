@@ -935,3 +935,42 @@ def llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_shared_fp", F.lit(0)).alias("n_shared_fp"),
         (F.coalesce("n_shared_fp", F.lit(0)) > 0).alias("flagged"),
     )
+
+
+@register(
+    "llm_tokenizer_fertility",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT) AS re_tokens,
+           ROUND(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) * 1.0
+                 / SUM(len(string_split(text, ' '))), 6) AS fertility,
+           ROUND(SUM(n_chars) * 1.0
+                 / SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))), 6) AS chars_per_token
+    FROM documents GROUP BY lang
+    """,
+)
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — subword tokens per whitespace
+    word and chars per token, THE cross-lingual tokenizer-QA report (high
+    fertility = a language the vocab underserves; drives vocab rebalance
+    before a pretraining run). Aggregates llm_token_count's per-doc
+    counters to the lang grain.
+
+    Scale shape: a single map-side-combinable hash aggregate over a
+    narrow projection (lang, three token counters) — one shuffle of
+    |langs| rows. Ratio-of-sums (not avg-of-ratios) on both sides, so
+    long docs weigh proportionally."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.split("text", " "))
+    re_t = F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)"))
+    per = d.select("lang", ws.alias("ws"), re_t.alias("re"), "n_chars")
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws").cast("long").alias("ws_tokens"),
+        F.sum("re").cast("long").alias("re_tokens"),
+        F.round(F.sum("re") * 1.0 / F.sum("ws"), 6).alias("fertility"),
+        F.round(F.sum("n_chars") * 1.0 / F.sum("re"), 6).alias("chars_per_token"),
+    )

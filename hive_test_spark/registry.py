@@ -198,6 +198,7 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "sort_limit_offset", "scan_file_metadata", "llm_langid_eval",
     "meta_add_partition", "evt_cusum_changepoint", "scale_range_join_grid",
     "evt_drawdown", "llm_winnowing", "llm_code_detect",
+    "evt_anomaly_mad", "llm_preference_pairs", "llm_tokenizer_fertility",
 )
 
 

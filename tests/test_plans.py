@@ -974,3 +974,27 @@ def test_code_detect_is_pure_narrow_map(spark, registry):
     assert f.exchanges == 0
     assert "Generate" not in f.text
     assert "Python" not in f.text
+
+
+def test_anomaly_mad_broadcasts_stats_back(spark, registry):
+    """Both per-type stats tables join back onto the event scan as
+    broadcasts — the corpus-scale side must never shuffle."""
+    f = _facts(spark, registry, "evt_anomaly_mad")
+    assert f.broadcast_joins >= 2
+    assert f.cartesian == 0
+
+
+def test_preference_pairs_single_agg_no_window(spark, registry):
+    """Endpoint selection is max_by/min_by in ONE hash aggregate — no
+    per-group window/sort over the corpus."""
+    f = _facts(spark, registry, "llm_preference_pairs")
+    assert "Window" not in f.text
+    assert f.exchanges == 1
+
+
+def test_tokenizer_fertility_one_shuffle(spark, registry):
+    """The fertility report is a single map-side-combinable aggregate:
+    one exchange on lang, no joins, no Python."""
+    f = _facts(spark, registry, "llm_tokenizer_fertility")
+    assert f.exchanges == 1
+    assert "Python" not in f.text

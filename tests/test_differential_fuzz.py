@@ -846,3 +846,90 @@ def test_random_date_expr_matches_duckdb(spark, duck, spec):
     duck_pdf = duck.execute(_date_sql(spec)).df()
     r = compare("fuzz_date", spark_pdf, duck_pdf)
     assert r["ok"], f"spec={spec}\nsql={_date_sql(spec)}\nnotes={r['notes']}"
+
+
+# ---- array / higher-order-function grammar -------------------------------
+#
+# Random chains of array ops over token arrays from documents.text —
+# the HOF machinery (split/slice/distinct/sort/filter/transform) that the
+# llm_* shingling and fingerprinting operators are built from. Spark is
+# 1-based slice(arr, start, len); DuckDB is 1-based inclusive
+# arr[start:stop] — the chain renderer owns that translation. After a
+# `distinct` both sides immediately sort: DuckDB's list_distinct does not
+# guarantee order preservation, so order bugs are checked only for the
+# order-defined ops (slice/sort/transform/filter).
+
+
+@st.composite
+def array_specs(draw):
+    ops = []
+    for _ in range(draw(st.integers(1, 3))):
+        ops.append(draw(st.sampled_from([
+            ("slice", draw(st.integers(1, 3)), draw(st.integers(2, 6))),
+            ("distinct",),
+            ("sort",),
+            ("filter_len", draw(st.integers(3, 6))),
+            ("upper",),
+        ])))
+    return {"ops": ops, "mod": draw(st.integers(2, 9))}
+
+
+def _array_sql(spec) -> str:
+    e = "string_split(text, ' ')"
+    for op in spec["ops"]:
+        if op[0] == "slice":
+            e = f"({e})[{op[1]}:{op[1] + op[2] - 1}]"
+        elif op[0] == "distinct":
+            e = f"list_sort(list_distinct({e}))"
+        elif op[0] == "sort":
+            e = f"list_sort({e})"
+        elif op[0] == "filter_len":
+            e = f"list_filter({e}, x -> length(x) >= {op[1]})"
+        else:
+            e = f"list_transform({e}, x -> upper(x))"
+    # Dialect trap (found by this fuzzer): DuckDB array_to_string([]) is
+    # NULL where Spark array_join([]) is '' — COALESCE aligns them.
+    return (
+        f"SELECT doc_id AS k, len({e}) AS n,"
+        f" COALESCE(array_to_string({e}, '|'), '') AS joined"
+        f" FROM documents WHERE doc_id % {spec['mod']} = 1"
+    )
+
+
+def _array_df(spark, spec):
+    df = load_table(spark, SF_DIR, "documents")
+    e = "split(text, ' ')"
+    for op in spec["ops"]:
+        if op[0] == "slice":
+            e = f"slice({e}, {op[1]}, {op[2]})"
+        elif op[0] == "distinct":
+            e = f"array_sort(array_distinct({e}))"
+        elif op[0] == "sort":
+            e = f"array_sort({e})"
+        elif op[0] == "filter_len":
+            e = f"filter({e}, x -> length(x) >= {op[1]})"
+        else:
+            e = f"transform({e}, x -> upper(x))"
+    return df.filter(F.col("doc_id") % spec["mod"] == 1).select(
+        F.col("doc_id").alias("k"),
+        F.expr(f"size({e})").alias("n"),
+        F.expr(f"array_join({e}, '|')").alias("joined"),
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=array_specs())
+def test_random_array_expr_matches_duckdb(spark, duck, spec):
+    """Array-HOF fuzz: random slice/distinct/sort/filter/transform chains
+    over token arrays must agree element-for-element (joined digest) and
+    in length — catching 0/1-based slice drift, filter-lambda semantics,
+    and ordering divergence in the HOF surface the shingling ops use."""
+    spark_pdf = _array_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_array_sql(spec)).df()
+    r = compare("fuzz_array", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nsql={_array_sql(spec)}\nnotes={r['notes']}"

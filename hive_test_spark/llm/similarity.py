@@ -45,9 +45,7 @@ N_PROBES = 10  # fixed probe set: vec_id 0..9
 TOP_K = 5
 
 
-@register(
-    "llm_cosine_topk",
-    f"""
+_TOPK_ORACLE = f"""
     WITH probes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_PROBES}),
          scored AS (
            SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
@@ -59,8 +57,10 @@ TOP_K = 5
                                        ORDER BY cos_sim DESC, neighbor_id) AS rn
           FROM scored) t
     WHERE rn <= {TOP_K}
-    """,
-)
+"""
+
+
+@register("llm_cosine_topk", _TOPK_ORACLE)
 def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: {N_PROBES} probe vectors × corpus, top-{TOP_K}
     neighbors each. Probe side broadcast; per-row norms precomputed;
@@ -173,9 +173,7 @@ def llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "llm_ann_ivf",
-    f"""
+_IVF_ORACLE = f"""
     WITH centroids AS (
       SELECT label,
              list(comp_avg ORDER BY pos) AS centroid
@@ -214,8 +212,10 @@ def llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        ORDER BY cos_sim DESC, neighbor_id) AS rn
           FROM scored) t
     WHERE rn <= {TOP_K}
-    """,
-)
+"""
+
+
+@register("llm_ann_ivf", _IVF_ORACLE)
 def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse quantizer = per-label mean vector (computed
     distributed via posexplode + per-position avg), probe → nearest
@@ -704,4 +704,52 @@ def llm_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos_sim",
         "neg_sim",
         F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
+    )
+
+
+@register(
+    "llm_ann_ivf_recall",
+    f"""
+    WITH exact AS (SELECT probe_id, neighbor_id FROM ({_TOPK_ORACLE}) t),
+         ivf AS (SELECT probe_id, neighbor_id FROM ({_IVF_ORACLE}) t)
+    SELECT e.probe_id,
+           COUNT(*) AS n_exact,
+           COUNT(i.neighbor_id) AS n_found,
+           ROUND(COUNT(i.neighbor_id) * 1.0 / COUNT(*), 6) AS recall_at_k
+    FROM exact e LEFT JOIN ivf i
+      ON e.probe_id = i.probe_id AND e.neighbor_id = i.neighbor_id
+    GROUP BY e.probe_id
+    """,
+)
+def llm_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k gate for the IVF index — twin of llm_ann_recall (which
+    gates the LSH index on tau-neighbor recall) using the OTHER standard
+    ANN metric: per probe, the fraction of the exact brute-force top-k
+    (llm_cosine_topk, whole-corpus ground truth) that the nprobe=1
+    IVF search (llm_ann_ivf, nearest-cell only) returns. Together the
+    two gates cover both approximate indexes and both recall notions.
+
+    On the weakly-clustered fixtures nprobe=1 recall@5 lands at
+    0.0-0.4 — a finding, not a bug: it is precisely the number that
+    tells an operator to raise nprobe (union more cells) before
+    trusting the index.
+
+    Scale shape: ground truth stays probe-bounded (broadcast panel x
+    corpus scan, never all-pairs); the IVF side is the production
+    routed plan itself; the eval join is (probe, neighbor)-keyed and
+    k x |panel| rows. Recall@k on a sampled probe panel is exactly how
+    an index build is accepted before a 100 TB backfill trusts it."""
+    tune(spark)
+    exact = llm_cosine_topk(spark, sf_dir).select("probe_id", "neighbor_id")
+    ivf = llm_ann_ivf(spark, sf_dir).select(
+        "probe_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(ivf, ["probe_id", "neighbor_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("hit").alias("n_found"),
+            F.round(F.count("hit") / F.count(F.lit(1)), 6).alias("recall_at_k"),
+        )
     )

@@ -998,3 +998,12 @@ def test_tokenizer_fertility_one_shuffle(spark, registry):
     f = _facts(spark, registry, "llm_tokenizer_fertility")
     assert f.exchanges == 1
     assert "Python" not in f.text
+
+
+def test_ivf_recall_probe_bounded_ground_truth(spark, registry):
+    """The recall gate's ground truth is panel×corpus with a broadcast
+    panel — no all-pairs cartesian anywhere, no Python."""
+    f = _facts(spark, registry, "llm_ann_ivf_recall")
+    assert f.cartesian == 0
+    assert f.broadcast_joins >= 2
+    assert "Python" not in f.text

@@ -690,3 +690,93 @@ def join_temporal_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("acctbal").alias("acctbal_asof"),
         F.col("valid_from").cast("string").alias("valid_from"),
     )
+
+
+@register(
+    "join_asof_tolerance",
+    """
+    WITH clicks AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    purchases AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+             c.ts AS raw_click_ts, c.click_value AS raw_click_value
+      FROM purchases p
+      ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    )
+    SELECT event_id, user_id, purchase_ts,
+           CASE WHEN raw_click_ts IS NOT NULL
+                 AND purchase_ts - raw_click_ts <= INTERVAL 1 DAY
+                THEN raw_click_ts END AS last_click_ts,
+           CASE WHEN raw_click_ts IS NOT NULL
+                 AND purchase_ts - raw_click_ts <= INTERVAL 1 DAY
+                THEN raw_click_value END AS click_value,
+           raw_click_ts IS NOT NULL
+             AND purchase_ts - raw_click_ts <= INTERVAL 1 DAY AS matched
+    FROM j
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance [public surface: pandas
+    merge_asof(tolerance=...), kdb+ wj]: the latest prior click counts
+    ONLY if it is at most 1 day older than the purchase; staler matches
+    null out exactly like no-match. Because as-of already picks the
+    NEAREST prior row, tolerance is a pure post-predicate on the match —
+    no second scan, no re-join.
+
+    Same single-shuffle union-tag + window last(ignorenulls) plan as
+    join_asof (joins.py above), plus one narrow projection applying the
+    staleness gate — identical 100 TB story: linear in events, one
+    exchange on user_id. The oracle applies the same gate over DuckDB's
+    native ASOF LEFT JOIN, pinning the rewrite equivalence."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+        .select(
+            "user_id", "ts", "click_value",
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(0).alias("side"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.lit(None).cast("double").alias("click_value"),
+        "event_id",
+        F.lit(1).alias("side"),
+    )
+    tagged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_click = F.col("side") == 0
+    enriched = tagged.select(
+        "event_id", "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "side",
+        F.last(F.when(is_click, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("raw_click_ts"),
+        F.last(F.when(is_click, F.col("click_value")), ignorenulls=True)
+        .over(w)
+        .alias("raw_click_value"),
+    ).filter(F.col("side") == 1)
+    fresh = F.col("raw_click_ts").isNotNull() & (
+        F.col("purchase_ts") - F.col("raw_click_ts")
+        <= F.expr("INTERVAL 1 DAY")
+    )
+    return enriched.select(
+        "event_id", "user_id", "purchase_ts",
+        F.when(fresh, F.col("raw_click_ts")).alias("last_click_ts"),
+        F.when(fresh, F.col("raw_click_value")).alias("click_value"),
+        fresh.alias("matched"),
+    )

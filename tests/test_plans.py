@@ -1007,3 +1007,12 @@ def test_ivf_recall_probe_bounded_ground_truth(spark, registry):
     assert f.cartesian == 0
     assert f.broadcast_joins >= 2
     assert "Python" not in f.text
+
+
+def test_asof_tolerance_single_window_pass(spark, registry):
+    """Tolerance is a post-predicate on the as-of match: the plan stays
+    one union + one windowed pass — no extra join, no range self-join."""
+    f = _facts(spark, registry, "join_asof_tolerance")
+    assert f.cartesian == 0
+    assert f.sort_merge_joins + f.broadcast_joins == 0, "no join at all: union + window"
+    assert "Window" in f.text

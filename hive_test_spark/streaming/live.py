@@ -506,7 +506,9 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     has never executed in any environment that has run this repo — it
     is written to the public TWS API docs but is unverified here; the
     first protobuf-equipped environment should run this op and
-    tests/test_streaming.py before trusting that branch."""
+    tests/test_streaming.py before trusting that branch. (Probe
+    re-run each round; round 5: google.protobuf still absent, gate
+    stays.)"""
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

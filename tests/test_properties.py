@@ -415,3 +415,73 @@ def test_cusum_changepoint_one_row_per_series(spark, registry):
         assert abs(r.peak_cusum) > 0
         assert r.n_days >= 25
         assert r.changepoint_day.startswith("2024-01")
+
+
+def test_drawdown_invariants(spark, registry):
+    """max_drawdown >= 0 always; the final equity can never exceed the
+    running peak; with at least one debit-capable type every user's
+    peak is >= final."""
+    qs, _ = registry
+    pdf = qs["evt_drawdown"](spark, SF_DIR).toPandas()
+    assert (pdf["max_drawdown"] >= 0).all()
+    assert (pdf["final_equity"] <= pdf["peak_equity"] + 1e-6).all()
+    assert pdf["n_events"].sum() > 0
+
+
+def test_winnowing_fingerprints_bounded_by_windows(spark, registry):
+    """The selected-set size can never exceed the window count, and the
+    shared count can never exceed a doc's own fingerprint count."""
+    qs, _ = registry
+    pdf = qs["llm_winnowing"](spark, SF_DIR).toPandas()
+    assert (pdf["n_fp"] <= pdf["n_windows"]).all()
+    assert (pdf["n_shared_fp"] <= pdf["n_fp"]).all()
+    assert (pdf["flagged"] == (pdf["n_shared_fp"] > 0)).all()
+
+
+def test_preference_pairs_ordering(spark, registry):
+    """chosen quality >= rejected quality, margin is their gap, and with
+    n_docs >= 2 the two endpoints are distinct docs (the (q, doc_id)
+    total order has no ties across rows)."""
+    qs, _ = registry
+    pdf = qs["llm_preference_pairs"](spark, SF_DIR).toPandas()
+    assert (pdf["chosen_q"] >= pdf["rejected_q"]).all()
+    assert (abs(pdf["chosen_q"] - pdf["rejected_q"] - pdf["margin"]) < 2e-6).all()
+    assert (pdf["chosen_doc"] != pdf["rejected_doc"]).all()
+    assert (pdf["n_docs"] >= 2).all()
+
+
+def test_asof_tolerance_gate(spark, registry):
+    """matched rows carry a click at most 1 day old; unmatched rows are
+    fully nulled — and dropping the tolerance can only lose matches vs
+    the plain as-of join."""
+    import pandas as pd
+
+    qs, _ = registry
+    pdf = qs["join_asof_tolerance"](spark, SF_DIR).toPandas()
+    m = pdf[pdf["matched"]]
+    gaps = m["purchase_ts"] - m["last_click_ts"]
+    assert (gaps <= pd.Timedelta(days=1)).all()
+    assert (gaps >= pd.Timedelta(0)).all()
+    um = pdf[~pdf["matched"]]
+    assert um["last_click_ts"].isna().all() and um["click_value"].isna().all()
+    plain = qs["join_asof"](spark, SF_DIR).toPandas()
+    assert len(pdf) == len(plain)
+    assert m.shape[0] <= plain["last_click_ts"].notna().sum()
+
+
+def test_anomaly_mad_flags_are_bounded(spark, registry):
+    """Anomaly count is bounded by the group size and the reported
+    max |z| is consistent with whether anything was flagged."""
+    qs, _ = registry
+    pdf = qs["evt_anomaly_mad"](spark, SF_DIR).toPandas()
+    assert (pdf["n_anomalies"] <= pdf["n_events"]).all()
+    assert ((pdf["n_anomalies"] > 0) == (pdf["max_abs_z"] > 3.5)).all()
+
+
+def test_ivf_recall_bounds(spark, registry):
+    """recall@k is n_found/n_exact in [0,1] and n_found never exceeds
+    the ground-truth set size."""
+    qs, _ = registry
+    pdf = qs["llm_ann_ivf_recall"](spark, SF_DIR).toPandas()
+    assert (pdf["n_found"] <= pdf["n_exact"]).all()
+    assert ((pdf["recall_at_k"] >= 0) & (pdf["recall_at_k"] <= 1)).all()

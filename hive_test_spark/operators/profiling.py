@@ -248,3 +248,60 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(fk_oc)
         .unionAll(fk_lo)
     )
+
+
+# Freshness SLA: a feed is stale when its newest event lags the newest
+# event across ALL feeds by more than this many hours. The anchor is
+# data-derived (global max ts), never wall-clock — deterministic across
+# engines and replays.
+_FRESH_SLA_HOURS = 0.5
+
+
+@register(
+    "dq_freshness",
+    f"""
+    WITH anchor AS (
+      SELECT MAX(CAST(ts AS TIMESTAMP)) AS a FROM events
+    ),
+    per_type AS (
+      SELECT event_type,
+             COUNT(*) AS n_events,
+             MAX(CAST(ts AS TIMESTAMP)) AS last_ts
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_events, last_ts,
+           ROUND((epoch_us(a) - epoch_us(last_ts)) / 3600000000.0, 6) AS lag_hours,
+           (epoch_us(a) - epoch_us(last_ts)) / 3600000000.0 > {_FRESH_SLA_HOURS} AS stale
+    FROM per_type, anchor
+    """,
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-freshness SLA check — the staleness monitor every warehouse
+    runs per source/partition before trusting downstream aggregates:
+    each event feed's newest timestamp vs the newest timestamp across
+    all feeds, flagged when the lag exceeds the SLA. The anchor is
+    data-derived (global max), so the check is deterministic and
+    replayable — wall-clock freshness is the same query with
+    current_timestamp() as the anchor.
+
+    Scale shape: two map-side-combinable MAX aggregates over the same
+    scan — the global anchor is ONE row cross-joined back as a broadcast
+    (the scalar-broadcast idiom, never a shuffle of the big side). Lag
+    arithmetic is integer microseconds on both engines (unix_micros /
+    epoch_us), so the oracle matches bitwise. At 100 TB the per-type
+    grain becomes (source, ingest_partition) — same two-agg plan."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("a"))
+    per_type = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("ts").alias("last_ts"),
+    )
+    lag_us = F.unix_micros(F.col("a")) - F.unix_micros(F.col("last_ts"))
+    return per_type.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        "n_events",
+        "last_ts",
+        F.round(lag_us / 3600000000.0, 6).alias("lag_hours"),
+        (lag_us / 3600000000.0 > _FRESH_SLA_HOURS).alias("stale"),
+    )

@@ -199,7 +199,7 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "meta_add_partition", "evt_cusum_changepoint", "scale_range_join_grid",
     "evt_drawdown", "llm_winnowing", "llm_code_detect",
     "evt_anomaly_mad", "llm_preference_pairs", "llm_tokenizer_fertility",
-    "llm_ann_ivf_recall", "join_asof_tolerance",
+    "llm_ann_ivf_recall", "join_asof_tolerance", "dq_freshness",
 )
 
 

@@ -1016,3 +1016,12 @@ def test_asof_tolerance_single_window_pass(spark, registry):
     assert f.cartesian == 0
     assert f.sort_merge_joins + f.broadcast_joins == 0, "no join at all: union + window"
     assert "Window" in f.text
+
+
+def test_freshness_anchor_is_scalar_broadcast(spark, registry):
+    """The global anchor joins back as a 1-row broadcast (BNLJ), never a
+    shuffle of the per-type side; no Python anywhere."""
+    f = _facts(spark, registry, "dq_freshness")
+    assert f.cartesian == 0
+    assert "BroadcastNestedLoopJoin" in f.text
+    assert "Python" not in f.text

@@ -54,6 +54,18 @@ EXTRA_AUDIT = [
     "scale_bucket_pruning",
     "interop_arrow_ingest",
     "sort_limit_offset",
+    # Extension wave after the round-5 plan freeze: risk/robust
+    # analytics, local fingerprinting, the tolerance as-of, and both
+    # index-acceptance gates.
+    "evt_drawdown",
+    "evt_anomaly_mad",
+    "llm_winnowing",
+    "llm_code_detect",
+    "llm_preference_pairs",
+    "llm_tokenizer_fertility",
+    "llm_ann_ivf_recall",
+    "join_asof_tolerance",
+    "dq_freshness",
 ]
 
 

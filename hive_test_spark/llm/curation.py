@@ -1169,3 +1169,94 @@ def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# Token-budget planner: total training budget as a multiple of corpus
+# tokens (sf-independent), split across sources by the same tier weights
+# the llm_dataset_mix sampler uses.
+_BUDGET_MULT = 2.0
+_TIER_SQL = """CASE WHEN source IN ('src0','src1','src2','src3') THEN 1.0
+                  WHEN source IN ('src4','src5','src6','src7','src8','src9') THEN 0.5
+                  ELSE 0.2 END"""
+
+
+@register(
+    "llm_token_budget",
+    f"""
+    WITH per_src AS (
+      SELECT source,
+             {_TIER_SQL} AS weight,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT)
+               AS tokens_available
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT SUM(weight) AS w_sum,
+             SUM(tokens_available) * {_BUDGET_MULT} AS budget
+      FROM per_src
+    )
+    SELECT source, n_docs, tokens_available,
+           ROUND(weight, 6) AS weight,
+           ROUND(weight / w_sum, 6) AS share,
+           ROUND(budget * weight / w_sum, 6) AS target_tokens,
+           ROUND(budget * weight / w_sum / tokens_available, 6) AS epochs,
+           budget * weight / w_sum / tokens_available > 1.0 AS oversampled
+    FROM per_src, tot
+    """,
+)
+def llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget planning — the data-recipe calculation run before a
+    pretraining job [public method: Chinchilla-style token budgeting +
+    Pile/Dolma source weighting]: given a total token budget (a multiple
+    of corpus size, so the plan is sf-independent) and per-source mix
+    weights, compute each source's token allocation and the implied
+    epoch count; epochs > 1 flags sources that must be oversampled
+    (repeated) to hit their share — the report that decides whether the
+    mix is feasible before any shard is written.
+
+    Scale shape: ONE map-side-combinable aggregate per source over a
+    narrow (source, token-count) projection — the corpus is scanned
+    exactly once — then the global totals come from an unpartitioned
+    window over the |sources|-row aggregate (bounded, single task),
+    then pure arithmetic. Pairs
+    with llm_dataset_mix (the sampler that realizes the plan) and
+    llm_epoch_shuffle (the order within each epoch)."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    weight = (
+        F.when(F.col("source").isin("src0", "src1", "src2", "src3"), 1.0)
+        .when(
+            F.col("source").isin("src4", "src5", "src6", "src7", "src8", "src9"), 0.5
+        )
+        .otherwise(0.2)
+    )
+    re_t = F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)"))
+    per_src = d.select("source", weight.alias("weight"), re_t.alias("nt")).groupBy(
+        "source"
+    ).agg(
+        F.min("weight").alias("weight"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("long").alias("tokens_available"),
+    )
+    # Global totals via an unpartitioned window over the PER-SOURCE rows
+    # (|sources|, bounded) — not a second corpus scan / scalar re-agg.
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    totals = per_src.select(
+        "*",
+        F.sum("weight").over(wall).alias("w_sum"),
+        (F.sum("tokens_available").over(wall) * _BUDGET_MULT).alias("budget"),
+    )
+    alloc = F.col("budget") * F.col("weight") / F.col("w_sum")
+    return totals.select(
+        "source",
+        "n_docs",
+        "tokens_available",
+        F.round("weight", 6).alias("weight"),
+        F.round(F.col("weight") / F.col("w_sum"), 6).alias("share"),
+        F.round(alloc, 6).alias("target_tokens"),
+        F.round(alloc / F.col("tokens_available"), 6).alias("epochs"),
+        (alloc / F.col("tokens_available") > 1.0).alias("oversampled"),
+    )

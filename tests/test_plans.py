@@ -1025,3 +1025,14 @@ def test_freshness_anchor_is_scalar_broadcast(spark, registry):
     assert f.cartesian == 0
     assert "BroadcastNestedLoopJoin" in f.text
     assert "Python" not in f.text
+
+
+def test_token_budget_single_corpus_scan(spark, registry):
+    """The planner scans the corpus exactly once; globals come from an
+    unpartitioned window over the bounded per-source aggregate, not a
+    second scan or a join."""
+    f = _facts(spark, registry, "llm_token_budget")
+    assert f.cartesian == 0
+    assert len(scan_read_columns(f)) == 1, "one corpus scan only"
+    assert "Window" in f.text
+    assert "Python" not in f.text

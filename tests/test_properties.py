@@ -485,3 +485,13 @@ def test_ivf_recall_bounds(spark, registry):
     pdf = qs["llm_ann_ivf_recall"](spark, SF_DIR).toPandas()
     assert (pdf["n_found"] <= pdf["n_exact"]).all()
     assert ((pdf["recall_at_k"] >= 0) & (pdf["recall_at_k"] <= 1)).all()
+
+
+def test_token_budget_conserves(spark, registry):
+    """Shares sum to 1, allocations sum to the budget (2x corpus
+    tokens), and the oversample flag is exactly epochs > 1."""
+    qs, _ = registry
+    pdf = qs["llm_token_budget"](spark, SF_DIR).toPandas()
+    assert abs(pdf["share"].sum() - 1.0) < 1e-4
+    assert abs(pdf["target_tokens"].sum() - 2.0 * pdf["tokens_available"].sum()) < 1.0
+    assert ((pdf["epochs"] > 1.0) == pdf["oversampled"]).all()

@@ -268,3 +268,60 @@ def evt_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("equity"), 6).alias("peak_equity"),
         F.round(F.sum("flow"), 6).alias("final_equity"),
     )
+
+
+@register(
+    "evt_forecast_snaive",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    j AS (
+      SELECT a.event_type, a.day, a.c, f.c AS fc
+      FROM daily a JOIN daily f
+        ON a.event_type = f.event_type AND f.day = a.day - 7
+    )
+    SELECT event_type,
+           COUNT(*) AS n_days,
+           ROUND(AVG(ABS(c - fc)), 6) AS mae,
+           ROUND(AVG(ABS(c - fc) * 1.0 / c), 6) AS mape,
+           ROUND(AVG(c - fc), 6) AS bias
+    FROM j GROUP BY event_type
+    """,
+)
+def evt_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast evaluation [public method: the M-competition
+    baseline — forecast(t) = actual(t - season), here season = 7 days]:
+    per event type, score the one-week-ago predictor on the daily count
+    series with MAE / MAPE / signed bias. This is the floor every real
+    forecasting model must beat, and the backtest report is the query a
+    metrics warehouse runs nightly.
+
+    Scale shape: the raw log collapses FIRST to (type, day) counts
+    (map-side-combinable; ~365 rows/type/year no matter the log size),
+    then the lag is an explicit self-equi-join on (type, day-7) — robust
+    to calendar gaps where a window lag(7) silently misaligns — and the
+    scorecard is one tiny aggregate. The only corpus-sized shuffle is
+    the daily rollup; everything after runs on KBs at any scale."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    fc = daily.select(
+        F.col("event_type").alias("f_type"),
+        F.date_add("day", 7).alias("f_day"),
+        F.col("c").alias("fc"),
+    )
+    j = daily.join(
+        fc,
+        (F.col("event_type") == F.col("f_type")) & (F.col("day") == F.col("f_day")),
+    )
+    err = F.col("c") - F.col("fc")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.avg(F.abs(err)), 6).alias("mae"),
+        F.round(F.avg(F.abs(err) / F.col("c")), 6).alias("mape"),
+        F.round(F.avg(err), 6).alias("bias"),
+    )

@@ -200,7 +200,7 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "evt_drawdown", "llm_winnowing", "llm_code_detect",
     "evt_anomaly_mad", "llm_preference_pairs", "llm_tokenizer_fertility",
     "llm_ann_ivf_recall", "join_asof_tolerance", "dq_freshness",
-    "llm_token_budget",
+    "llm_token_budget", "evt_forecast_snaive",
 )
 
 

@@ -1036,3 +1036,13 @@ def test_token_budget_single_corpus_scan(spark, registry):
     assert len(scan_read_columns(f)) == 1, "one corpus scan only"
     assert "Window" in f.text
     assert "Python" not in f.text
+
+
+def test_snaive_rollup_before_lag_join(spark, registry):
+    """The log collapses to daily counts BEFORE the lag self-join — the
+    join runs on the tiny rollup (equi on type+day, no cartesian), and
+    the two rollup branches share one corpus scan shape."""
+    f = _facts(spark, registry, "evt_forecast_snaive")
+    assert f.cartesian == 0
+    assert f.broadcast_joins + f.sort_merge_joins >= 1
+    assert "Python" not in f.text

@@ -495,3 +495,67 @@ def test_token_budget_conserves(spark, registry):
     assert abs(pdf["share"].sum() - 1.0) < 1e-4
     assert abs(pdf["target_tokens"].sum() - 2.0 * pdf["tokens_available"].sum()) < 1.0
     assert ((pdf["epochs"] > 1.0) == pdf["oversampled"]).all()
+
+
+def test_winnowing_guarantee_shared_run_implies_shared_fp(spark):
+    """The Schleimer/MOSS theorem, checked constructively on real data:
+    every pair of docs sharing a run of >= w+k-1 consecutive tokens must
+    share at least one selected winnowing fingerprint. Bounded to a
+    120-doc panel — the theorem is per-pair, so any counterexample in
+    the panel falsifies the operator."""
+    from hive_test_spark.io import load_table
+    from hive_test_spark.llm.text import _WINNOW_K, _WINNOW_W
+
+    run = _WINNOW_K + _WINNOW_W - 1
+    d = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id", F.split("text", " ").alias("tok"))
+        .filter(F.size("tok") >= run)
+    )
+    g6 = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(tok) - {run - 1}), "
+                f"i -> concat_ws(' ', slice(tok, i, {run})))"
+            )
+        ).alias("g"),
+    ).distinct()
+    pairs = (
+        g6.alias("a")
+        .join(g6.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    hs = F.expr(
+        f"transform(sequence(1, size(tok) - {_WINNOW_K - 1}), "
+        f"i -> CAST(conv(substring(md5(concat_ws(' ', slice(tok, i, {_WINNOW_K}))), 1, 12), 16, 10) AS BIGINT))"
+    )
+    fps = (
+        d.withColumn("hs", hs)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(1, size(hs) - {_WINNOW_W - 1}), "
+                    f"p -> array_min(slice(hs, p, {_WINNOW_W}))))"
+                )
+            ).alias("fp"),
+        )
+    )
+    covered = (
+        pairs.join(fps.alias("fa"), F.col("da") == F.col("fa.doc_id"))
+        .join(
+            fps.alias("fb"),
+            (F.col("db") == F.col("fb.doc_id")) & (F.col("fa.fp") == F.col("fb.fp")),
+        )
+        .select("da", "db")
+        .distinct()
+    )
+    n_pairs, n_covered = pairs.count(), covered.count()
+    assert n_pairs > 0, "panel must contain shared-run pairs (vacuous otherwise)"
+    assert n_covered == n_pairs, (
+        f"winnowing guarantee violated: {n_pairs - n_covered} of {n_pairs} "
+        f"shared-run pairs share no fingerprint"
+    )

@@ -1260,3 +1260,189 @@ def llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(alloc / F.col("tokens_available"), 6).alias("epochs"),
         (alloc / F.col("tokens_available") > 1.0).alias("oversampled"),
     )
+
+
+# URL canonicalization: params dropped before comparing URLs (the public
+# crawl-dedup convention: tracking params never distinguish content).
+_URL_TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=")
+
+
+@register(
+    "llm_url_dedup",
+    """
+    WITH u AS (
+      SELECT doc_id, source,
+             (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'https' END)
+             || '://'
+             || (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END)
+             || '.Example.COM/p/' || CAST(doc_id % 10 AS VARCHAR)
+             || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&page=1'
+                      WHEN doc_id % 3 = 1 THEN '?page=1&utm_campaign=x'
+                      ELSE '' END)
+             || (CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END)
+               AS url
+      FROM documents
+    ),
+    parsed AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
+             lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)) AS host,
+             regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1) AS path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS query
+      FROM u
+    ),
+    canon AS (
+      SELECT doc_id, url,
+             scheme || '://' || host || path ||
+             CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canonical_url
+      FROM (
+        SELECT doc_id, url, scheme, host, path,
+               -- array_to_string over an EMPTY filtered list is NULL in
+               -- DuckDB (Spark's array_join gives '') — coalesce, or every
+               -- no-query URL collapses into one NULL canonical key.
+               COALESCE(array_to_string(
+                 list_sort(list_filter(string_split(query, '&'),
+                   p -> p <> '' AND p NOT LIKE 'utm\\_%' ESCAPE '\\'
+                        AND p NOT LIKE 'fbclid=%' AND p NOT LIKE 'gclid=%')),
+                 '&'), '') AS kept
+        FROM parsed
+      )
+    )
+    SELECT canonical_url,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT url) AS n_raw_variants,
+           MIN(doc_id) AS survivor_doc
+    FROM canon
+    GROUP BY canonical_url
+    HAVING COUNT(*) >= 2
+    """,
+)
+def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the crawl-frontier stage that runs
+    BEFORE any content dedup [public method: CommonCrawl/C4-style URL
+    normalization]: the same page is fetched under case-varied hosts,
+    tracking-parameter-laden queries, and fragment anchors; lowercasing
+    scheme+host, dropping the fragment, filtering tracking params
+    (utm_*/fbclid/gclid) and sorting the survivors collapses them to one
+    canonical key. The fixture has no URL column, so the op CONSTRUCTS a
+    deterministic messy URL per doc (case/params/fragment varied by
+    doc_id residues, path collisions by doc_id % 10) and then runs the
+    real normalization: regexp component split, higher-order
+    filter/sort over params, recompose, group. Survivor = min(doc_id),
+    the same canonical-election rule as llm_dedup_canonical.
+
+    At 100 TB: canonicalization is pure narrow map work (regexp +
+    array HOFs inside whole-stage codegen, no Python workers); the only
+    shuffle is the final groupBy(canonical_url) — a map-side-combinable
+    count keyed on the canonical hash, the cheapest dedup in the whole
+    pipeline, which is exactly why real crawls run it first (every URL
+    dropped here never reaches MinHash)."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 4 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".Example.COM/p/"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed&page=1"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("?page=1&utm_campaign=x"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    parsed = d.select(
+        "doc_id",
+        url.alias("url"),
+        F.lower(F.regexp_extract(url, r"^([a-zA-Z]+)://", 1)).alias("scheme"),
+        F.lower(F.regexp_extract(url, r"^[a-zA-Z]+://([^/?#]+)", 1)).alias("host"),
+        F.regexp_extract(url, r"^[a-zA-Z]+://[^/?#]+([^?#]*)", 1).alias("path"),
+        F.regexp_extract(url, r"\?([^#]*)", 1).alias("query"),
+    )
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split("query", "&"),
+                lambda p: (p != "")
+                & ~p.startswith("utm_")
+                & ~p.startswith("fbclid=")
+                & ~p.startswith("gclid="),
+            )
+        ),
+        "&",
+    )
+    canon = parsed.select(
+        "doc_id",
+        "url",
+        F.concat(
+            F.col("scheme"),
+            F.lit("://"),
+            F.col("host"),
+            F.col("path"),
+            F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
+        ).alias("canonical_url"),
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("url").alias("n_raw_variants"),
+            F.min("doc_id").alias("survivor_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# C4-style blocklist, drawn from the fixture vocabulary so the filter has
+# real discrimination; threshold on the token FRACTION (a containment
+# test on this corpus would flag ~every doc — the vacuous-filter trap).
+_BADWORDS = ("slow", "dup", "big")
+_BADWORD_MAX_FRAC = 0.10
+
+
+@register(
+    "llm_badwords_filter",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN ('slow', 'dup', 'big'))) AS n_bad
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens, n_bad,
+           ROUND(CAST(n_bad AS DOUBLE) / n_tokens, 6) AS bad_frac,
+           CAST(n_bad AS DOUBLE) / n_tokens <= {_BADWORD_MAX_FRAC} AS keep
+    FROM scored
+    """,
+)
+def llm_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon safety filter — the C4 "bad words" gate [public method:
+    C4/RefinedWeb blocklist filtering], scored as a token fraction
+    rather than C4's raw containment because on this small-vocabulary
+    fixture containment would flag every document (the vacuous-pass
+    trap the contamination op also documents). Tokens come from the
+    same whitespace split the rest of the text family uses; the
+    blocklist is a 3-word literal array evaluated with higher-order
+    ``filter`` — at real blocklist sizes (hundreds of terms) the same
+    expression stays an O(|tokens|·|list|) codegen loop, and the
+    right upgrade is a broadcast semi-join of exploded tokens against
+    a blocklist table (the llm_contamination shape), not a UDF.
+
+    At 100 TB: shuffle-free — a pure per-row projection that fuses
+    into whatever scan precedes it; emitting the (doc_id, keep, frac)
+    verdict instead of dropping rows lets the downstream mix audit
+    count what the filter removed (the llm_gopher_rules convention)."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_bad = F.size(F.filter(toks, lambda t: t.isin(*_BADWORDS)))
+    frac = n_bad.cast("double") / n_tokens
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        n_bad.alias("n_bad"),
+        F.round(frac, 6).alias("bad_frac"),
+        (frac <= F.lit(_BADWORD_MAX_FRAC)).alias("keep"),
+    )

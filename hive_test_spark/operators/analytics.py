@@ -1481,3 +1481,88 @@ def evt_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(z > 3.5, 1)).alias("n_anomalies"),
         F.round(F.max(z), 6).alias("max_abs_z"),
     )
+
+
+# Co-visitation: cap each user's item set at the top-N most-frequent
+# items (ties broken by item id) before pairing — the bound that keeps
+# per-user pair fan-out at N(N-1)/2 regardless of whale users.
+_COVIS_CAP = 16
+_COVIS_MIN_USERS = 2
+
+
+@register(
+    "evt_covisitation",
+    f"""
+    WITH items AS (
+      SELECT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS item,
+             COUNT(*) AS cnt
+      FROM events
+      GROUP BY user_id, CAST(json_extract_string(props, '$.k') AS INT)
+    ),
+    capped AS (
+      SELECT user_id, item
+      FROM (SELECT user_id, item,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY cnt DESC, item) AS rk
+            FROM items)
+      WHERE rk <= {_COVIS_CAP}
+    )
+    SELECT a.item AS item_a, b.item AS item_b,
+           COUNT(*) AS n_users
+    FROM capped a JOIN capped b
+      ON a.user_id = b.user_id AND a.item < b.item
+    GROUP BY a.item, b.item
+    HAVING COUNT(*) >= {_COVIS_MIN_USERS}
+    """,
+)
+def evt_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item co-visitation matrix — the co-occurrence counting behind
+    candidate-generation recommenders [public method: item-item
+    collaborative filtering / co-visitation candidate retrieval]: two
+    items are related when the same user interacted with both. The item
+    id is the JSON ``props.k`` field (the fixture's per-event payload).
+    The naive formulation self-joins raw events (quadratic in a whale
+    user's history); this plan first reduces to DISTINCT (user, item)
+    with frequencies, then caps each user at the top-{_COVIS_CAP} items
+    by frequency (deterministic tie-break on item id) so the pair
+    fan-out per user is bounded at C({_COVIS_CAP},2)=120 rows, then
+    pair-counts with a user-blocked equi-self-join (item_a < item_b
+    halves the pairs and fixes orientation).
+
+    At 100 TB: two shuffles — the (user, item) rollup (map-side
+    combinable) and the final pair count; the self-join is co-located
+    because both sides share the user_id shuffle key. The per-user cap
+    is the load-bearing scale decision: without it, one bot user with
+    10^5 items would emit 5·10^9 pairs from a single task. A
+    production variant lowers the cap or samples pairs per user;
+    either way the bound is enforced BEFORE the join, never after."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    items = (
+        ev.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("int").alias("item"),
+        )
+        .groupBy("user_id", "item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("cnt").desc(), F.col("item"))
+    capped = (
+        items.select("user_id", "item", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _COVIS_CAP)
+        .select("user_id", "item")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .filter(F.col("n_users") >= _COVIS_MIN_USERS)
+    )

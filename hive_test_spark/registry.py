@@ -201,6 +201,9 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "evt_anomaly_mad", "llm_preference_pairs", "llm_tokenizer_fertility",
     "llm_ann_ivf_recall", "join_asof_tolerance", "dq_freshness",
     "llm_token_budget", "evt_forecast_snaive",
+    # Added late in round 5 (second wave):
+    "llm_url_dedup", "llm_badwords_filter", "evt_covisitation",
+    "evt_seasonal_decompose",
 )
 
 

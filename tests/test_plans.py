@@ -1046,3 +1046,44 @@ def test_snaive_rollup_before_lag_join(spark, registry):
     assert f.cartesian == 0
     assert f.broadcast_joins + f.sort_merge_joins >= 1
     assert "Python" not in f.text
+
+
+def test_url_dedup_narrow_map_one_shuffle(spark, registry):
+    """Canonicalization is codegen'd expression work (no Python workers,
+    no join); the only shuffle is the final canonical-key count."""
+    f = _facts(spark, registry, "llm_url_dedup")
+    assert f.cartesian == 0
+    assert f.broadcast_joins + f.sort_merge_joins == 0, "no join anywhere"
+    assert "Python" not in f.text
+    assert len(scan_read_columns(f)) == 1, "one documents scan only"
+
+
+def test_badwords_filter_shuffle_free(spark, registry):
+    """The lexicon gate is a pure per-row projection: zero exchanges
+    besides nothing — it must fuse into the scan stage."""
+    f = _facts(spark, registry, "llm_badwords_filter")
+    assert f.cartesian == 0
+    assert f.exchanges == 0, "verdict projection must be shuffle-free"
+    assert "Python" not in f.text
+
+
+def test_covisitation_caps_before_pairing(spark, registry):
+    """The pair join runs on the capped (user, item) rollup: equi-keyed
+    on user_id (never cartesian), and the cap's row_number window sits
+    between the rollup and the join so whale users are bounded BEFORE
+    fan-out."""
+    f = _facts(spark, registry, "evt_covisitation")
+    assert f.cartesian == 0
+    assert "Window" in f.text, "top-N cap must be a window below the join"
+    assert "Python" not in f.text
+
+
+def test_seasonal_decompose_one_rollup_shuffle(spark, registry):
+    """The event log collapses to the daily series first; every window
+    (trend MA, dow seasonal, grand mean) runs over the bounded daily
+    rows. No join, no Python."""
+    f = _facts(spark, registry, "evt_seasonal_decompose")
+    assert f.cartesian == 0
+    assert f.broadcast_joins + f.sort_merge_joins == 0
+    assert "Window" in f.text
+    assert "Python" not in f.text

@@ -933,3 +933,99 @@ def test_random_array_expr_matches_duckdb(spark, duck, spec):
     duck_pdf = duck.execute(_array_sql(spec)).df()
     r = compare("fuzz_array", spark_pdf, duck_pdf)
     assert r["ok"], f"spec={spec}\nsql={_array_sql(spec)}\nnotes={r['notes']}"
+
+
+# ---- window-frame grammar ------------------------------------------------
+#
+# The operator suite pins ONE frame shape per op (running, centered MA,
+# range-interval); this grammar sweeps the ROWS-frame lattice — random
+# (lo, hi) bounds crossed with the agg function — because off-by-one
+# frame-boundary drift between engines is invisible until a frame is
+# asymmetric. Aggregates run over a TOTAL order (unique-key tie-break) so
+# every frame's membership is deterministic.
+
+_FRAME_FNS = ["sum", "min", "max", "count", "avg"]
+_FRAME_LOS = ["unbounded", -3, -2, -1, 0]
+_FRAME_HIS = [0, 1, 2, 3, "unbounded"]
+
+
+@st.composite
+def frame_specs(draw):
+    table = draw(st.sampled_from(sorted(_WIN_TABLES)))
+    t = TABLES[table]
+    part = draw(st.sampled_from(sorted(t["cat"])))
+    num = draw(st.sampled_from(t["num"]))
+    desc = draw(st.booleans())
+    fn = draw(st.sampled_from(_FRAME_FNS))
+    lo = draw(st.sampled_from(_FRAME_LOS))
+    hi = draw(st.sampled_from(_FRAME_HIS))
+    return {"table": table, "key": _WIN_TABLES[table], "part": part,
+            "num": num, "desc": desc, "fn": fn, "lo": lo, "hi": hi}
+
+
+def _bound_sql(b, side: str) -> str:
+    if b == "unbounded":
+        return f"UNBOUNDED {'PRECEDING' if side == 'lo' else 'FOLLOWING'}"
+    if b == 0:
+        return "CURRENT ROW"
+    return f"{-b} PRECEDING" if b < 0 else f"{b} FOLLOWING"
+
+
+def _frame_sql(spec) -> str:
+    d = "DESC" if spec["desc"] else "ASC"
+    order = f"ORDER BY {spec['num']} {d}, {spec['key']}"
+    frame = f"ROWS BETWEEN {_bound_sql(spec['lo'], 'lo')} AND {_bound_sql(spec['hi'], 'hi')}"
+    agg = f"{spec['fn'].upper()}({spec['num']})"
+    val = (
+        f"{agg} OVER (PARTITION BY {spec['part']} {order} {frame})"
+    )
+    if spec["fn"] != "count":
+        val = f"ROUND({val}, 6)"
+    rn = f"ROW_NUMBER() OVER (PARTITION BY {spec['part']} {order})"
+    return (
+        f"SELECT * FROM (SELECT {spec['key']}, {spec['part']}, {val} AS frame_v, "
+        f"{rn} AS rn FROM {spec['table']}) t WHERE rn <= 5"
+    )
+
+
+def _frame_df(spark, spec):
+    from pyspark.sql import Window
+
+    num = F.col(spec["num"])
+    ordered = [num.desc() if spec["desc"] else num.asc(), F.col(spec["key"])]
+    w = Window.partitionBy(spec["part"]).orderBy(*ordered)
+    lo = Window.unboundedPreceding if spec["lo"] == "unbounded" else spec["lo"]
+    hi = Window.unboundedFollowing if spec["hi"] == "unbounded" else spec["hi"]
+    framed = w.rowsBetween(lo, hi)
+    fns = {"sum": F.sum, "min": F.min, "max": F.max, "count": F.count, "avg": F.avg}
+    val = fns[spec["fn"]](num).over(framed)
+    if spec["fn"] != "count":
+        val = F.round(val, 6)
+    df = load_table(spark, SF_DIR, spec["table"])
+    return (
+        df.select(
+            F.col(spec["key"]),
+            F.col(spec["part"]),
+            val.alias("frame_v"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=frame_specs())
+def test_random_window_frame_matches_duckdb(spark, duck, spec):
+    """ROWS-frame fuzz: random (lo, hi) boundary pairs — including empty
+    frames (lo > hi ⇒ NULL agg / 0 count) and degenerate CURRENT ROW
+    frames — crossed with the agg family, on a total order. Catches
+    boundary-inclusion drift the fixed-frame operator tests can't."""
+    spark_pdf = _frame_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_frame_sql(spec)).df()
+    r = compare("fuzz_frame", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nsql={_frame_sql(spec)}\nnotes={r['notes']}"

@@ -1566,3 +1566,66 @@ def evt_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .filter(F.col("n_users") >= _COVIS_MIN_USERS)
     )
+
+
+# Burst = >=2 events from one user inside one 5-minute bucket (the
+# fixture's event stream is minute-grained, so same-bucket pairs are the
+# rare tail worth flagging — a real limiter would use 1s-10s buckets).
+_RATE_BUCKET_MIN = 5
+_RATE_BURST_AT = 2
+
+
+@register(
+    "evt_rate_limit",
+    f"""
+    WITH b AS (
+      SELECT user_id,
+             time_bucket(INTERVAL '{_RATE_BUCKET_MIN} minutes',
+                         CAST(ts AS TIMESTAMP)) AS w,
+             COUNT(*) AS c
+      FROM events
+      GROUP BY user_id, time_bucket(INTERVAL '{_RATE_BUCKET_MIN} minutes',
+                                    CAST(ts AS TIMESTAMP))
+    )
+    SELECT user_id,
+           CAST(SUM(c) AS BIGINT) AS total_events,
+           COUNT(*) AS n_buckets,
+           CAST(MAX(c) AS BIGINT) AS max_bucket,
+           COUNT(CASE WHEN c >= {_RATE_BURST_AT} THEN 1 END) AS n_burst_buckets,
+           MAX(c) >= {_RATE_BURST_AT} AS limited
+    FROM b
+    GROUP BY user_id
+    """,
+)
+def evt_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rate-limit / burst audit [public practice: fixed-window
+    rate limiting, the batch twin of an abuse detector]: bucket each
+    user's events into {_RATE_BUCKET_MIN}-minute fixed windows, count
+    per bucket, then roll up per user — peak bucket, number of bursty
+    buckets, and the `limited` verdict a gateway would enforce. Two
+    stacked map-side-combinable aggregates on progressively coarser
+    keys ((user, bucket) → user); the bucket comes from timestamp
+    truncation (Spark ``window()``'s start == DuckDB ``time_bucket``
+    for minute-multiple widths — the dialect equivalence this op pins).
+
+    At 100 TB: both aggs combine map-side, so the shuffle carries one
+    row per (user, bucket) — already burst-compressed — then one per
+    user; no window function, no join, and a hot abuser with millions
+    of events still reduces inside their partitions first. The
+    streaming twin is stream_tumbling_window + a stateful flag."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            "user_id",
+            F.window("ts", f"{_RATE_BUCKET_MIN} minutes")["start"].alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return b.groupBy("user_id").agg(
+        F.sum("c").alias("total_events"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("c").alias("max_bucket"),
+        F.count(F.when(F.col("c") >= _RATE_BURST_AT, 1)).alias("n_burst_buckets"),
+        (F.max("c") >= _RATE_BURST_AT).alias("limited"),
+    )

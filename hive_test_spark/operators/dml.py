@@ -445,3 +445,103 @@ def dml_multi_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 6).alias("sum_price"),
     ).select(F.lit("finished_orders").alias("bucket"), "n_rows", "sum_price")
     return open_agg.unionAll(fin_agg)
+
+
+# Erasure request list: every 37th customer key — deterministic stand-in
+# for the arbitrary key list a real right-to-be-forgotten batch carries.
+_ERASE_MOD = 37
+
+
+@register(
+    "dml_gdpr_erasure",
+    f"""
+    WITH erase_cust AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % {_ERASE_MOD} = 0
+    ),
+    erase_ord AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM erase_cust)
+    ),
+    c AS (
+      SELECT 'customer' AS table_name, COUNT(*) AS rows_before,
+             CAST(SUM(CASE WHEN c_custkey % {_ERASE_MOD} = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS rows_erased
+      FROM customer
+    ),
+    o AS (
+      SELECT 'orders' AS table_name, COUNT(*) AS rows_before,
+             CAST(SUM(CASE WHEN o_custkey IN (SELECT c_custkey FROM erase_cust)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS rows_erased
+      FROM orders
+    ),
+    l AS (
+      SELECT 'lineitem' AS table_name, COUNT(*) AS rows_before,
+             CAST(SUM(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM erase_ord)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS rows_erased
+      FROM lineitem
+    )
+    SELECT table_name, rows_before, rows_erased,
+           rows_before - rows_erased AS rows_after
+    FROM (SELECT * FROM c UNION ALL SELECT * FROM o UNION ALL SELECT * FROM l)
+    """,
+)
+def dml_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade audit [public practice: GDPR Art. 17
+    erasure over a warehouse without referential actions]: given a batch
+    of subject keys, count what a cascading delete would remove from
+    every table reachable through the FK chain (customer → orders →
+    lineitem) — the impact report a governance pipeline emits BEFORE the
+    copy-on-write rewrite (dml_delete_rewrite is the rewrite half). Each
+    table is scanned once and aggregated with a membership marker from a
+    left join against the (deduplicated) key list; the three 1-row
+    audits union into the report.
+
+    At 100 TB: the erasure list is bounded by request volume (thousands,
+    not billions) — it broadcasts, so neither orders nor lineitem ever
+    shuffles; the order-key list derived from it is erasure-bounded too
+    and broadcasts down the chain the same way. Marker-join + SUM beats
+    an anti-join-then-recount because it reads each fact exactly once
+    for both the before and erased numbers."""
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    erase_cust = cust.filter(F.col("c_custkey") % _ERASE_MOD == 0).select("c_custkey")
+    c_audit = cust.agg(
+        F.count(F.lit(1)).alias("rows_before"),
+        F.sum(
+            F.when(F.col("c_custkey") % _ERASE_MOD == 0, 1).otherwise(0)
+        ).alias("rows_erased"),
+    ).select(F.lit("customer").alias("table_name"), "rows_before", "rows_erased")
+    o_marked = orders.join(
+        F.broadcast(erase_cust.withColumn("erased", F.lit(1))),
+        orders["o_custkey"] == F.col("c_custkey"),
+        "left",
+    )
+    o_audit = o_marked.agg(
+        F.count(F.lit(1)).alias("rows_before"),
+        F.sum(F.coalesce(F.col("erased"), F.lit(0))).alias("rows_erased"),
+    ).select(F.lit("orders").alias("table_name"), "rows_before", "rows_erased")
+    erase_ord = (
+        orders.join(F.broadcast(erase_cust), orders["o_custkey"] == F.col("c_custkey"))
+        .select("o_orderkey")
+    )
+    l_marked = li.join(
+        F.broadcast(erase_ord.withColumn("erased", F.lit(1))),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "left",
+    )
+    l_audit = l_marked.agg(
+        F.count(F.lit(1)).alias("rows_before"),
+        F.sum(F.coalesce(F.col("erased"), F.lit(0))).alias("rows_erased"),
+    ).select(F.lit("lineitem").alias("table_name"), "rows_before", "rows_erased")
+    return (
+        c_audit.unionAll(o_audit)
+        .unionAll(l_audit)
+        .select(
+            "table_name",
+            "rows_before",
+            "rows_erased",
+            (F.col("rows_before") - F.col("rows_erased")).alias("rows_after"),
+        )
+    )

@@ -203,7 +203,7 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "llm_token_budget", "evt_forecast_snaive",
     # Added late in round 5 (second wave):
     "llm_url_dedup", "llm_badwords_filter", "evt_covisitation",
-    "evt_seasonal_decompose",
+    "evt_seasonal_decompose", "dml_gdpr_erasure", "evt_rate_limit",
 )
 
 

@@ -1087,3 +1087,25 @@ def test_seasonal_decompose_one_rollup_shuffle(spark, registry):
     assert f.broadcast_joins + f.sort_merge_joins == 0
     assert "Window" in f.text
     assert "Python" not in f.text
+
+
+def test_gdpr_erasure_broadcasts_key_list(spark, registry):
+    """The erasure list and its derived order-key list broadcast; the
+    fact tables never shuffle for the markers, and each audit leg is a
+    marker left-join + SUM (no anti-join double scan)."""
+    f = _facts(spark, registry, "dml_gdpr_erasure")
+    assert f.cartesian == 0
+    assert f.broadcast_joins >= 3, "all marker joins must broadcast"
+    assert f.sort_merge_joins == 0
+    assert "Python" not in f.text
+
+
+def test_rate_limit_two_stacked_aggs_no_window(spark, registry):
+    """Bucketing is timestamp truncation inside the first hash agg —
+    no window function, no join; the rollup re-aggregates the already
+    burst-compressed (user, bucket) rows."""
+    f = _facts(spark, registry, "evt_rate_limit")
+    assert f.cartesian == 0
+    assert f.broadcast_joins + f.sort_merge_joins == 0
+    assert "Window" not in f.text, "fixed windows must not plan a window fn"
+    assert "Python" not in f.text

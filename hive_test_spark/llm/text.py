@@ -974,3 +974,127 @@ def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("re") * 1.0 / F.sum("ws"), 6).alias("fertility"),
         F.round(F.sum("n_chars") * 1.0 / F.sum("re"), 6).alias("chars_per_token"),
     )
+
+
+# BM25 (Okapi, Lucene idf form) hyperparameters and the probe-query set:
+# every 53rd doc (the llm_contamination probe convention, ~10 queries at
+# 500 docs); a query = the doc's first 8 tokens, deduplicated.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_PROBE_MOD = 53
+_BM25_QUERY_TOKENS = 8
+_BM25_TOPK = 5
+
+
+@register(
+    "llm_bm25_score",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+      GROUP BY doc_id, token
+    ),
+    dlen AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avg_dl FROM dlen
+    ),
+    docfreq AS (SELECT token, COUNT(*) AS dfreq FROM tf GROUP BY token),
+    queries AS (
+      SELECT doc_id AS query_id, unnest(list_distinct(
+               string_split(text, ' ')[1:{_BM25_QUERY_TOKENS}])) AS token
+      FROM documents WHERE doc_id % {_BM25_PROBE_MOD} = 0
+    ),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             SUM(
+               ln((s.n_docs - d.dfreq + 0.5) / (d.dfreq + 0.5) + 1.0)
+               * tf.tf * ({_BM25_K1} + 1.0)
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                                        + {_BM25_B} * l.dl / s.avg_dl))
+             ) AS score
+      FROM queries q
+      JOIN tf ON tf.token = q.token
+      JOIN docfreq d ON d.token = q.token
+      JOIN dlen l ON l.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY q.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, ROUND(score, 6) AS score, rk
+    FROM (SELECT query_id, doc_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc_id) AS rk
+          FROM scored)
+    WHERE rk <= {_BM25_TOPK}
+    """,
+)
+def llm_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval [public method: Okapi BM25 with Lucene's
+    positive idf, k1={_BM25_K1}, b={_BM25_B}] — the sparse half of a
+    hybrid retrieval pipeline, beside the dense llm_cosine_topk /
+    llm_ann_* family: score every document against a bounded probe
+    query set through the INVERTED INDEX — queries explode to (query,
+    term) rows that equi-join the (term, doc, tf) postings on the term
+    key, so cost is Σ postings(term ∈ queries), never |queries|×|docs|.
+    Corpus stats (N, avgdl) ride along as a broadcast 1-row plan (the
+    llm_tfidf convention — no driver-side count pass); per-(query, doc)
+    partial scores sum in one map-side-combinable agg, and the top-k
+    cut is the win_topk_per_group window.
+
+    At 100 TB: the postings join shuffles on the term key (high
+    cardinality, unskewed after stopwording — a boilerplate hot term is
+    AQE-skew-split shape); the query set is bounded by construction so
+    the scored pairs stay proportional to matched postings. The df
+    (docfreq) side is vocabulary-sized and deliberately NOT
+    force-broadcast, the llm_tfidf OOM lesson."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    tf = (
+        d.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dlen = d.select("doc_id", F.size(toks).cast("double").alias("dl"))
+    stats = dlen.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avg_dl"),
+    )
+    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    queries = (
+        d.filter(F.col("doc_id") % _BM25_PROBE_MOD == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                F.array_distinct(F.slice(toks, 1, _BM25_QUERY_TOKENS))
+            ).alias("token"),
+        )
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5) + 1.0
+    )
+    norm = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avg_dl")
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(tf, "token")
+        .join(docfreq, "token")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(idf * F.col("tf") * (_BM25_K1 + 1.0) / norm).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.select(
+            "query_id",
+            "doc_id",
+            F.round("score", 6).alias("score"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= _BM25_TOPK)
+    )

@@ -1109,3 +1109,14 @@ def test_rate_limit_two_stacked_aggs_no_window(spark, registry):
     assert f.broadcast_joins + f.sort_merge_joins == 0
     assert "Window" not in f.text, "fixed windows must not plan a window fn"
     assert "Python" not in f.text
+
+
+def test_bm25_joins_through_inverted_index(spark, registry):
+    """Queries join postings on the TERM key (broadcast query side,
+    never a queries×docs product); corpus stats ride as a broadcast
+    1-row plan; docfreq is NOT force-broadcast (vocabulary-sized)."""
+    f = _facts(spark, registry, "llm_bm25_score")
+    assert f.cartesian == 0
+    assert f.broadcast_joins >= 2, "query set and stats must broadcast"
+    assert "Window" in f.text, "top-k cut is a window"
+    assert "Python" not in f.text

@@ -753,3 +753,187 @@ def llm_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("hit") / F.count(F.lit(1)), 6).alias("recall_at_k"),
         )
     )
+
+
+# MMR diversified re-ranking: candidate pool size, selections, trade-off.
+_MMR_C = 10
+_MMR_K = 5
+_MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle() -> str:
+    """Build the unrolled-greedy oracle: sel_i = sel_{i-1} + argmax of
+    lambda*rel - (1-lambda)*max_sim_to_selected over the remainder. All
+    similarities are rounded to 6dp BEFORE any ranking (the
+    llm_cosine_topk convention), so both engines take bit-identical
+    greedy decisions."""
+    lam, om = _MMR_LAMBDA, 1.0 - _MMR_LAMBDA
+    steps = []
+    for i in range(2, _MMR_K + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT query_id, vec_id FROM s{j}" for j in range(1, i)
+        )
+        steps.append(f"""
+    sel{i - 1} AS ({prev}),
+    s{i} AS (
+      SELECT query_id, vec_id, score, {i} AS rk
+      FROM (SELECT query_id, vec_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, vec_id) AS rn
+            FROM (SELECT c.query_id, c.vec_id,
+                         {lam} * c.rel - {om} * MAX(p.sim) AS score
+                  FROM cand c
+                  JOIN pair p ON p.query_id = c.query_id AND p.a_id = c.vec_id
+                  JOIN sel{i - 1} s ON s.query_id = p.query_id AND s.vec_id = p.b_id
+                  LEFT JOIN sel{i - 1} x ON x.query_id = c.query_id AND x.vec_id = c.vec_id
+                  WHERE x.vec_id IS NULL
+                  GROUP BY c.query_id, c.vec_id, c.rel))
+      WHERE rn = 1
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT query_id, rk, vec_id, ROUND(score, 6) AS mmr_score FROM s{j}"
+        for j in range(1, _MMR_K + 1)
+    )
+    return f"""
+    WITH probes AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < {N_PROBES}
+    ),
+    rels AS (
+      SELECT p.query_id, b.vec_id,
+             ROUND(list_cosine_similarity(
+               list_transform(p.qv, x -> CAST(x AS DOUBLE)),
+               list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS rel,
+             b.embedding AS v
+      FROM probes p JOIN embeddings b ON b.vec_id <> p.query_id
+    ),
+    cand AS (
+      SELECT query_id, vec_id, rel, v
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY rel DESC, vec_id) AS rn
+            FROM rels)
+      WHERE rn <= {_MMR_C}
+    ),
+    pair AS (
+      SELECT a.query_id, a.vec_id AS a_id, b.vec_id AS b_id,
+             ROUND(list_cosine_similarity(
+               list_transform(a.v, x -> CAST(x AS DOUBLE)),
+               list_transform(b.v, x -> CAST(x AS DOUBLE))), 6) AS sim
+      FROM cand a JOIN cand b
+        ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+    ),
+    s1 AS (
+      SELECT query_id, vec_id, rel AS score, 1 AS rk
+      FROM (SELECT query_id, vec_id, rel,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY rel DESC, vec_id) AS rn
+            FROM cand)
+      WHERE rn = 1
+    ),{",".join(steps)}
+    {union}
+    """
+
+
+@register("llm_mmr_diversify", _mmr_oracle())
+def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking [public method: Carbonell &
+    Goldstein 1998] — the diversity stage between retrieval and the
+    context window: greedily pick K results maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-picked, so near-dup
+    hits don't crowd the result list. The greedy loop has constant
+    depth K, so it UNROLLS into pure dataflow — K windowed-argmax
+    stages over the bounded candidate pool (top-C=10 per probe from the
+    exact ranker) — keeping the whole operator JVM-side; the oracle
+    unrolls identically, and because every cosine is rounded to 6dp
+    BEFORE any ranking (the llm_cosine_topk convention) both engines
+    take bit-identical greedy decisions (score arithmetic on equal
+    doubles in the same expression order).
+
+    At 100 TB: candidates per query are bounded (ANN top-C upstream —
+    llm_ann_ivf/lsh), so the pairwise-sim table is |Q|·C(C,2), never
+    corpus-squared; all the joins after cand are on query_id with tiny
+    per-key groups. For large K (where K unrolled stages stop making
+    sense) the per-query greedy moves to one applyInPandas over the
+    C-row candidate group — the evt_ewma tier — without changing any
+    upstream shape."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    probes = e.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    corpus = e.select("vec_id", F.col("embedding").alias("v_emb"), F.col("norm").alias("v_norm"))
+    rels = (
+        F.broadcast(probes)
+        .join(corpus, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine("q_emb", "v_emb") / (F.col("q_norm") * F.col("v_norm")), 6
+            ).alias("rel"),
+            "v_emb",
+            "v_norm",
+        )
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "vec_id")
+    cand = (
+        rels.select("*", F.row_number().over(w_rel).alias("rn"))
+        .filter(F.col("rn") <= _MMR_C)
+        .drop("rn")
+    )
+    a = cand.select(
+        "query_id", F.col("vec_id").alias("a_id"), F.col("v_emb").alias("a_emb"),
+        F.col("v_norm").alias("a_norm"),
+    )
+    b = cand.select(
+        "query_id", F.col("vec_id").alias("b_id"), F.col("v_emb").alias("b_emb"),
+        F.col("v_norm").alias("b_norm"),
+    )
+    pair = (
+        a.join(b, ["query_id"])
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "query_id", "a_id", "b_id",
+            F.round(
+                cosine("a_emb", "b_emb") / (F.col("a_norm") * F.col("b_norm")), 6
+            ).alias("sim"),
+        )
+    )
+    slim = cand.select("query_id", "vec_id", "rel")
+    sel = (
+        slim.select("*", F.row_number().over(w_rel.orderBy(F.col("rel").desc(), "vec_id")).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "vec_id", F.col("rel").alias("score"), F.lit(1).alias("rk"))
+    )
+    lam, om = _MMR_LAMBDA, 1.0 - _MMR_LAMBDA
+    for i in range(2, _MMR_K + 1):
+        sel_keys = sel.select("query_id", F.col("vec_id").alias("b_id"))
+        pen = (
+            pair.join(sel_keys, ["query_id", "b_id"])
+            .groupBy("query_id", "a_id")
+            .agg(F.max("sim").alias("pen"))
+        )
+        scored = (
+            slim.join(
+                pen,
+                (slim["query_id"] == pen["query_id"]) & (slim["vec_id"] == pen["a_id"]),
+            )
+            .select(slim["query_id"], "vec_id", (lam * F.col("rel") - om * F.col("pen")).alias("score"))
+            .join(
+                sel.select("query_id", "vec_id"),
+                ["query_id", "vec_id"],
+                "left_anti",
+            )
+        )
+        w_s = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
+        nxt = (
+            scored.select("*", F.row_number().over(w_s).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "vec_id", "score", F.lit(i).alias("rk"))
+        )
+        sel = sel.unionAll(nxt)
+    return sel.select("query_id", "rk", "vec_id", F.round("score", 6).alias("mmr_score"))

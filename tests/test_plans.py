@@ -1120,3 +1120,13 @@ def test_bm25_joins_through_inverted_index(spark, registry):
     assert f.broadcast_joins >= 2, "query set and stats must broadcast"
     assert "Window" in f.text, "top-k cut is a window"
     assert "Python" not in f.text
+
+
+def test_mmr_unrolled_greedy_stays_jvm_side(spark, registry):
+    """The K-step greedy is unrolled dataflow: candidate pool and
+    pairwise sims are bounded (probe-broadcast, never corpus²), all
+    steps are windows + equi-joins, and nothing drops to Python."""
+    f = _facts(spark, registry, "llm_mmr_diversify")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+    assert "Window" in f.text

@@ -937,3 +937,187 @@ def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sel = sel.unionAll(nxt)
     return sel.select("query_id", "rk", "vec_id", F.round("score", 6).alias("mmr_score"))
+
+
+# Reciprocal Rank Fusion: shared probe set (id < N_PROBES, valid as both
+# doc_id and vec_id — the tables are 1:1 by id), per-ranker pool, rrf k.
+_RRF_C = 10
+_RRF_K = 60
+_RRF_TOPK = 5
+_RRF_QTOKENS = 8
+
+
+@register(
+    "llm_rrf_fusion",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+      GROUP BY doc_id, token
+    ),
+    dlen AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avg_dl FROM dlen),
+    docfreq AS (SELECT token, COUNT(*) AS dfreq FROM tf GROUP BY token),
+    queries AS (
+      SELECT doc_id AS query_id, unnest(list_distinct(
+               string_split(text, ' ')[1:{_RRF_QTOKENS}])) AS token
+      FROM documents WHERE doc_id < {N_PROBES}
+    ),
+    lex AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS lex_rank
+      FROM (
+        SELECT q.query_id, tf.doc_id,
+               ROUND(SUM(
+                 ln((s.n_docs - d.dfreq + 0.5) / (d.dfreq + 0.5) + 1.0)
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avg_dl))
+               ), 6) AS score
+        FROM queries q
+        JOIN tf ON tf.token = q.token
+        JOIN docfreq d ON d.token = q.token
+        JOIN dlen l ON l.doc_id = tf.doc_id
+        CROSS JOIN stats s
+        WHERE tf.doc_id <> q.query_id
+        GROUP BY q.query_id, tf.doc_id)
+    ),
+    den AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, doc_id) AS den_rank
+      FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+               ROUND(list_cosine_similarity(
+                 list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                 list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < {N_PROBES})
+    ),
+    fused AS (
+      SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+             COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             ROUND(COALESCE(1.0 / ({_RRF_K} + l.lex_rank), 0.0)
+                   + COALESCE(1.0 / ({_RRF_K} + v.den_rank), 0.0), 6) AS rrf,
+             l.lex_rank, v.den_rank
+      FROM (SELECT * FROM lex WHERE lex_rank <= {_RRF_C}) l
+      FULL OUTER JOIN (SELECT * FROM den WHERE den_rank <= {_RRF_C}) v
+        ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+    )
+    SELECT query_id, doc_id, rrf, lex_rank, den_rank, fused_rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY rrf DESC, doc_id) AS fused_rank
+          FROM fused)
+    WHERE fused_rank <= {_RRF_TOPK}
+    """,
+)
+def llm_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion [public method:
+    Cormack/Clarke/Buettcher 2009; the default hybrid combiner in
+    OpenSearch/Vespa]: fuse the sparse ranking (Okapi BM25 through the
+    inverted index — the llm_bm25_score shape) with the dense ranking
+    (exact cosine — the llm_cosine_topk shape) for a shared probe set,
+    scoring each doc Σ 1/(k + rank_i) over the rankers that retrieved
+    it (k={_RRF_K}). RRF needs only RANKS, never comparable scores —
+    which is why it wins over score interpolation across heterogeneous
+    rankers; the FULL OUTER join keeps docs found by either side, with
+    the per-ranker rank columns retained for the fusion audit.
+
+    At 100 TB: both legs are the proven bounded-probe shapes (postings
+    equi-join; probe-broadcast × corpus — with llm_ann_* as the drop-in
+    dense leg at scale); the fusion itself joins two |Q|·C rank lists —
+    negligible. Rank lists are cut to top-C BEFORE fusing, the
+    real-system contract (rankers return pools, fusion sees pools)."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    tf = (
+        d.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dlen = d.select("doc_id", F.size(toks).cast("double").alias("dl"))
+    stats = dlen.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avg_dl"),
+    )
+    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    queries = (
+        d.filter(F.col("doc_id") < N_PROBES)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.array_distinct(F.slice(toks, 1, _RRF_QTOKENS))).alias("token"),
+        )
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5) + 1.0
+    )
+    norm = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avg_dl"))
+    lex_scored = (
+        F.broadcast(queries)
+        .join(tf, "token")
+        .join(docfreq, "token")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf * F.col("tf") * 2.2 / norm), 6).alias("score"))
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    lex = (
+        lex_scored.select("query_id", "doc_id", F.row_number().over(w_lex).alias("lex_rank"))
+        .filter(F.col("lex_rank") <= _RRF_C)
+    )
+    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    probes = e.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    den_scored = (
+        F.broadcast(probes)
+        .join(corpus, F.col("query_id") != F.col("doc_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                cosine("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w_den = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "doc_id")
+    den = (
+        den_scored.select("query_id", "doc_id", F.row_number().over(w_den).alias("den_rank"))
+        .filter(F.col("den_rank") <= _RRF_C)
+    )
+    fused = (
+        lex.withColumnsRenamed({"query_id": "l_q", "doc_id": "l_d"})
+        .join(
+            den.withColumnsRenamed({"query_id": "d_q", "doc_id": "d_d"}),
+            (F.col("l_q") == F.col("d_q")) & (F.col("l_d") == F.col("d_d")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("l_q", "d_q").alias("query_id"),
+            F.coalesce("l_d", "d_d").alias("doc_id"),
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("den_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+            "lex_rank",
+            "den_rank",
+        )
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.select("*", F.row_number().over(w_f).alias("fused_rank"))
+        .filter(F.col("fused_rank") <= _RRF_TOPK)
+    )

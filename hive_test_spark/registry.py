@@ -204,7 +204,7 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     # Added late in round 5 (second wave):
     "llm_url_dedup", "llm_badwords_filter", "evt_covisitation",
     "evt_seasonal_decompose", "dml_gdpr_erasure", "evt_rate_limit",
-    "llm_bm25_score", "llm_mmr_diversify",
+    "llm_bm25_score", "llm_mmr_diversify", "llm_rrf_fusion",
 )
 
 

@@ -1130,3 +1130,13 @@ def test_mmr_unrolled_greedy_stays_jvm_side(spark, registry):
     assert f.cartesian == 0
     assert "Python" not in f.text
     assert "Window" in f.text
+
+
+def test_rrf_fuses_bounded_rank_lists(spark, registry):
+    """Both retrieval legs are bounded-probe shapes (broadcast query/
+    probe sides); the fusion join sees top-C rank lists only, and the
+    whole pipeline stays JVM-side."""
+    f = _facts(spark, registry, "llm_rrf_fusion")
+    assert f.cartesian == 0
+    assert f.broadcast_joins >= 3, "query set, stats, and probes broadcast"
+    assert "Python" not in f.text

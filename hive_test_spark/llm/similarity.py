@@ -1121,3 +1121,180 @@ def llm_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.select("*", F.row_number().over(w_f).alias("fused_rank"))
         .filter(F.col("fused_rank") <= _RRF_TOPK)
     )
+
+
+# NDCG@k of the lexical ranking, graded by dense cosine relevance.
+_NDCG_K = 10
+_NDCG_QTOKENS = 8
+
+
+@register(
+    "llm_ndcg_eval",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+      GROUP BY doc_id, token
+    ),
+    dlen AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avg_dl FROM dlen),
+    docfreq AS (SELECT token, COUNT(*) AS dfreq FROM tf GROUP BY token),
+    queries AS (
+      SELECT doc_id AS query_id, unnest(list_distinct(
+               string_split(text, ' ')[1:{_NDCG_QTOKENS}])) AS token
+      FROM documents WHERE doc_id < {N_PROBES}
+    ),
+    gains AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+             GREATEST(ROUND(list_cosine_similarity(
+               list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6), 0.0) AS gain
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < {N_PROBES}
+    ),
+    lex AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rk
+      FROM (
+        SELECT q.query_id, tf.doc_id,
+               ROUND(SUM(
+                 ln((s.n_docs - d.dfreq + 0.5) / (d.dfreq + 0.5) + 1.0)
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avg_dl))
+               ), 6) AS score
+        FROM queries q
+        JOIN tf ON tf.token = q.token
+        JOIN docfreq d ON d.token = q.token
+        JOIN dlen l ON l.doc_id = tf.doc_id
+        CROSS JOIN stats s
+        WHERE tf.doc_id <> q.query_id
+        GROUP BY q.query_id, tf.doc_id)
+    ),
+    dcg AS (
+      SELECT l.query_id,
+             SUM(g.gain / log2(l.rk + 1.0)) AS dcg
+      FROM lex l JOIN gains g
+        ON g.query_id = l.query_id AND g.doc_id = l.doc_id
+      WHERE l.rk <= {_NDCG_K}
+      GROUP BY l.query_id
+    ),
+    ideal AS (
+      SELECT query_id, SUM(gain / log2(rk + 1.0)) AS idcg
+      FROM (SELECT query_id, gain,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY gain DESC, doc_id) AS rk
+            FROM gains)
+      WHERE rk <= {_NDCG_K}
+      GROUP BY query_id
+    )
+    SELECT d.query_id,
+           ROUND(d.dcg, 6) AS dcg,
+           ROUND(i.idcg, 6) AS idcg,
+           ROUND(d.dcg / i.idcg, 6) AS ndcg,
+           d.dcg / i.idcg >= 0.0 AND d.dcg / i.idcg <= 1.0 AS in_unit_range
+    FROM dcg d JOIN ideal i ON i.query_id = d.query_id
+    """,
+)
+def llm_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 ranking-quality gate [public metric: Järvelin &
+    Kekäläinen 2002] for the retrieval stack: score the LEXICAL (BM25)
+    ranking against DENSE cosine graded relevance (clipped at 0) — the
+    cross-modal agreement report a hybrid pipeline watches before
+    trusting fusion; the in-unit-range sanity flag is hash-pinned the
+    way the recall gates (llm_ann_recall / llm_ann_ivf_recall) pin
+    theirs. DCG sums gain/log2(rank+1) over the evaluated top-10;
+    IDCG re-ranks the same gains ideally, so ndcg=1 iff the lexical
+    order matches the dense order on the retrieved set.
+
+    At 100 TB: both legs are the proven bounded shapes (postings
+    equi-join for lex, probe-broadcast for gains); the metric itself
+    aggregates |Q|·10 rows. Evaluation over a labeled qrels table
+    swaps the gains CTE for the label join — no shape change."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    tf = (
+        d.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dlen = d.select("doc_id", F.size(toks).cast("double").alias("dl"))
+    stats = dlen.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avg_dl"),
+    )
+    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    queries = (
+        d.filter(F.col("doc_id") < N_PROBES)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.array_distinct(F.slice(toks, 1, _NDCG_QTOKENS))).alias("token"),
+        )
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5) + 1.0
+    )
+    norm = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avg_dl"))
+    lex_scored = (
+        F.broadcast(queries)
+        .join(tf, "token")
+        .join(docfreq, "token")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf * F.col("tf") * 2.2 / norm), 6).alias("score"))
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    lex = (
+        lex_scored.select("query_id", "doc_id", F.row_number().over(w_lex).alias("rk"))
+        .filter(F.col("rk") <= _NDCG_K)
+    )
+    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    probes = e.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    gains = (
+        F.broadcast(probes)
+        .join(corpus, F.col("query_id") != F.col("doc_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.greatest(
+                F.round(
+                    cosine("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm")), 6
+                ),
+                F.lit(0.0),
+            ).alias("gain"),
+        )
+    )
+    dcg = (
+        lex.join(gains, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(F.sum(F.col("gain") / F.log2(F.col("rk") + 1.0)).alias("dcg"))
+    )
+    w_g = Window.partitionBy("query_id").orderBy(F.col("gain").desc(), "doc_id")
+    ideal = (
+        gains.select("query_id", "gain", F.row_number().over(w_g).alias("rk"))
+        .filter(F.col("rk") <= _NDCG_K)
+        .groupBy("query_id")
+        .agg(F.sum(F.col("gain") / F.log2(F.col("rk") + 1.0)).alias("idcg"))
+    )
+    ndcg = F.col("dcg") / F.col("idcg")
+    return dcg.join(ideal, "query_id").select(
+        "query_id",
+        F.round("dcg", 6).alias("dcg"),
+        F.round("idcg", 6).alias("idcg"),
+        F.round(ndcg, 6).alias("ndcg"),
+        ((ndcg >= 0.0) & (ndcg <= 1.0)).alias("in_unit_range"),
+    )

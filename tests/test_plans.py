@@ -1140,3 +1140,13 @@ def test_rrf_fuses_bounded_rank_lists(spark, registry):
     assert f.cartesian == 0
     assert f.broadcast_joins >= 3, "query set, stats, and probes broadcast"
     assert "Python" not in f.text
+
+
+def test_ndcg_both_legs_bounded(spark, registry):
+    """The metric joins two bounded rank/gain lists built from the
+    proven probe shapes — broadcast query/probe sides, no cartesian,
+    no Python."""
+    f = _facts(spark, registry, "llm_ndcg_eval")
+    assert f.cartesian == 0
+    assert f.broadcast_joins >= 3
+    assert "Python" not in f.text

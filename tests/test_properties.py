@@ -559,3 +559,153 @@ def test_winnowing_guarantee_shared_run_implies_shared_fp(spark):
         f"winnowing guarantee violated: {n_pairs - n_covered} of {n_pairs} "
         f"shared-run pairs share no fingerprint"
     )
+
+
+def test_url_dedup_survivor_is_group_min(spark, registry):
+    """Every reported group has >= 2 docs, more docs than raw variants
+    is impossible, and the survivor never exceeds the group size's
+    smallest possible id bound (survivor elections are min-id)."""
+    qs, _ = registry
+    rows = qs["llm_url_dedup"](spark, SF_DIR).collect()
+    assert rows, "dedup must find collisions on this fixture"
+    for r in rows:
+        assert r.n_docs >= 2
+        assert r.n_raw_variants <= r.n_docs
+        assert r.canonical_url == r.canonical_url.lower()
+
+
+def test_badwords_fraction_bounds(spark, registry):
+    """n_bad <= n_tokens, frac in [0,1], and keep <=> frac <= threshold."""
+    qs, _ = registry
+    from hive_test_spark.llm.curation import _BADWORD_MAX_FRAC
+
+    rows = qs["llm_badwords_filter"](spark, SF_DIR).collect()
+    assert rows
+    kept = sum(r.keep for r in rows)
+    assert 0 < kept < len(rows), "threshold must split the corpus"
+    for r in rows:
+        assert 0 <= r.n_bad <= r.n_tokens
+        assert r.keep == (r.n_bad / r.n_tokens <= _BADWORD_MAX_FRAC)
+
+
+def test_covisitation_pairs_oriented_and_supported(spark, registry):
+    """item_a < item_b (no mirrored or diagonal pairs) and every pair
+    meets min support; n_users never exceeds the user population."""
+    qs, _ = registry
+    from hive_test_spark.io import load_table
+
+    rows = qs["evt_covisitation"](spark, SF_DIR).collect()
+    assert rows
+    n_users = load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    for r in rows:
+        assert r.item_a < r.item_b
+        assert 2 <= r.n_users <= n_users
+
+
+def test_seasonal_decompose_reconstructs(spark, registry):
+    """Where trend is defined: observed == trend + seasonal + residual
+    (to rounding); seasonal depends only on dow; edges have null trend."""
+    qs, _ = registry
+    rows = qs["evt_seasonal_decompose"](spark, SF_DIR).collect()
+    assert len(rows) >= 28
+    by_dow = {}
+    for r in rows:
+        if r.trend is None:
+            assert r.residual is None
+            continue
+        assert abs(r.observed - (r.trend + r.seasonal + r.residual)) < 1e-4
+        by_dow.setdefault(r.dow, set()).add(r.seasonal)
+    assert all(len(v) == 1 for v in by_dow.values()), "seasonal must be a dow constant"
+
+
+def test_gdpr_erasure_conserves_rows(spark, registry):
+    """after = before - erased per table, and the cascade can only
+    shrink down the FK chain in fraction terms when keys are uniform."""
+    qs, _ = registry
+    rows = {r.table_name: r for r in qs["dml_gdpr_erasure"](spark, SF_DIR).collect()}
+    assert set(rows) == {"customer", "orders", "lineitem"}
+    for r in rows.values():
+        assert r.rows_after == r.rows_before - r.rows_erased
+        assert 0 < r.rows_erased < r.rows_before
+
+
+def test_rate_limit_rollup_consistent(spark, registry):
+    """max_bucket <= total_events, burst buckets <= buckets, and the
+    limited flag is exactly max_bucket >= threshold."""
+    qs, _ = registry
+    from hive_test_spark.operators.analytics import _RATE_BURST_AT
+
+    rows = qs["evt_rate_limit"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.max_bucket <= r.total_events
+        assert r.n_burst_buckets <= r.n_buckets
+        assert r.limited == (r.max_bucket >= _RATE_BURST_AT)
+
+
+def test_bm25_scores_positive_and_ranked(spark, registry):
+    """Lucene idf keeps every score positive; rk is a 1..k permutation
+    per query with scores non-increasing in rank."""
+    qs, _ = registry
+    rows = qs["llm_bm25_score"](spark, SF_DIR).collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        assert r.score > 0
+        per_q.setdefault(r.query_id, []).append((r.rk, r.score))
+    for q, rs in per_q.items():
+        rs.sort()
+        assert [k for k, _ in rs] == list(range(1, len(rs) + 1))
+        assert all(rs[i][1] >= rs[i + 1][1] for i in range(len(rs) - 1))
+
+
+def test_mmr_first_pick_is_top_relevance(spark, registry):
+    """rk=1 equals the pure-relevance argmax (MMR reduces to relevance
+    when nothing is selected yet), selections are unique per query, and
+    exactly K are returned."""
+    qs, _ = registry
+    from hive_test_spark.llm.similarity import _MMR_K
+
+    mmr = qs["llm_mmr_diversify"](spark, SF_DIR).collect()
+    topk = qs["llm_cosine_topk"](spark, SF_DIR).collect()
+    per_q = {}
+    for r in mmr:
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rs in per_q.items():
+        assert len(rs) == _MMR_K
+        assert len({r.vec_id for r in rs}) == _MMR_K
+        first = next(r for r in rs if r.rk == 1)
+        # cosine_topk probes coincide with MMR queries (both id < N_PROBES)
+        sel1 = min(
+            (x for x in topk if x.probe_id == q),
+            key=lambda x: (-x.cos_sim, x.neighbor_id),
+        )
+        assert first.vec_id == sel1.neighbor_id
+
+
+def test_rrf_rank_math(spark, registry):
+    """rrf equals the sum of the reciprocal-rank terms actually present,
+    and fused_rank orders by that score."""
+    qs, _ = registry
+    rows = qs["llm_rrf_fusion"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        expect = 0.0
+        if r.lex_rank is not None:
+            expect += 1.0 / (60 + r.lex_rank)
+        if r.den_rank is not None:
+            expect += 1.0 / (60 + r.den_rank)
+        assert abs(r.rrf - round(expect, 6)) < 1e-9
+        assert r.lex_rank is not None or r.den_rank is not None
+
+
+def test_ndcg_in_unit_interval(spark, registry):
+    """0 <= ndcg <= 1 per query, idcg >= dcg, and the in-query flag
+    agrees with the recomputation."""
+    qs, _ = registry
+    rows = qs["llm_ndcg_eval"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.in_unit_range
+        assert r.idcg >= r.dcg >= 0
+        assert 0.0 <= r.ndcg <= 1.0

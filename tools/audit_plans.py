@@ -66,6 +66,19 @@ EXTRA_AUDIT = [
     "llm_ann_ivf_recall",
     "join_asof_tolerance",
     "dq_freshness",
+    # Second round-5 wave: canonicalization dedup, co-visitation,
+    # decomposition, governance, rate limiting, and the retrieval stack
+    # (BM25 / MMR / RRF / NDCG).
+    "llm_url_dedup",
+    "llm_badwords_filter",
+    "evt_covisitation",
+    "evt_seasonal_decompose",
+    "dml_gdpr_erasure",
+    "evt_rate_limit",
+    "llm_bm25_score",
+    "llm_mmr_diversify",
+    "llm_rrf_fusion",
+    "llm_ndcg_eval",
 ]
 
 

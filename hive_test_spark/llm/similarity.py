@@ -843,7 +843,9 @@ def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits don't crowd the result list. The greedy loop has constant
     depth K, so it UNROLLS into pure dataflow — K windowed-argmax
     stages over the bounded candidate pool (top-C=10 per probe from the
-    exact ranker) — keeping the whole operator JVM-side; the oracle
+    exact ranker), each stage localCheckpoint-truncated because every
+    step references the previous selection twice (a lazy unroll doubles
+    the plan per step) — keeping the whole operator JVM-side; the oracle
     unrolls identically, and because every cosine is rounded to 6dp
     BEFORE any ranking (the llm_cosine_topk convention) both engines
     take bit-identical greedy decisions (score arithmetic on equal
@@ -903,11 +905,20 @@ def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sim"),
         )
     )
-    slim = cand.select("query_id", "vec_id", "rel")
+    # Truncate lineage at the bounded intermediates (the
+    # llm_dedup_clusters idiom): each greedy step references the
+    # previous selection TWICE (penalty join + exclusion anti-join), so
+    # a fully lazy unroll doubles the plan per step — 2^K copies of the
+    # candidate subtree, 300+ re-scans at K=5. Checkpointing the |Q|·C
+    # pool, the |Q|·C² pair sims, and each |Q|-row pick keeps the plan
+    # K small stages; on a cluster use reliable checkpoint() instead.
+    slim = cand.select("query_id", "vec_id", "rel").localCheckpoint()
+    pair = pair.localCheckpoint()
     sel = (
         slim.select("*", F.row_number().over(w_rel.orderBy(F.col("rel").desc(), "vec_id")).alias("rn"))
         .filter(F.col("rn") == 1)
         .select("query_id", "vec_id", F.col("rel").alias("score"), F.lit(1).alias("rk"))
+        .localCheckpoint()
     )
     lam, om = _MMR_LAMBDA, 1.0 - _MMR_LAMBDA
     for i in range(2, _MMR_K + 1):
@@ -934,6 +945,7 @@ def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             scored.select("*", F.row_number().over(w_s).alias("rn"))
             .filter(F.col("rn") == 1)
             .select("query_id", "vec_id", "score", F.lit(i).alias("rk"))
+            .localCheckpoint()
         )
         sel = sel.unionAll(nxt)
     return sel.select("query_id", "rk", "vec_id", F.round("score", 6).alias("mmr_score"))

@@ -492,9 +492,11 @@ def dml_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     every table reachable through the FK chain (customer → orders →
     lineitem) — the impact report a governance pipeline emits BEFORE the
     copy-on-write rewrite (dml_delete_rewrite is the rewrite half). Each
-    table is scanned once and aggregated with a membership marker from a
-    left join against the (deduplicated) key list; the three 1-row
-    audits union into the report.
+    audit leg scans its table once and aggregates with a membership
+    marker from a left join against the key list; customer and orders
+    contribute one extra NARROW scan each to derive the next level's
+    key list (bounded output: erasure keys, then their order keys) —
+    the big fact (lineitem) is read exactly once.
 
     At 100 TB: the erasure list is bounded by request volume (thousands,
     not billions) — it broadcasts, so neither orders nor lineitem ever

@@ -1629,3 +1629,114 @@ def evt_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("c") >= _RATE_BURST_AT, 1)).alias("n_burst_buckets"),
         (F.max("c") >= _RATE_BURST_AT).alias("limited"),
     )
+
+
+# Position-based (U-shaped) attribution: 40/20/40 with a 7-day lookback.
+_UPOS_LOOKBACK_DAYS = 7
+
+
+@register(
+    "evt_attribution_position",
+    f"""
+    WITH conv AS (
+      SELECT user_id, event_id AS conv_id, CAST(ts AS TIMESTAMP) AS conv_ts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id, event_id AS touch_id, event_type AS channel,
+             CAST(ts AS TIMESTAMP) AS touch_ts
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    path AS (
+      SELECT c.conv_id, c.value, t.channel,
+             ROW_NUMBER() OVER (PARTITION BY c.conv_id
+                                ORDER BY t.touch_ts, t.touch_id) AS pos,
+             COUNT(*) OVER (PARTITION BY c.conv_id) AS n_touches
+      FROM conv c
+      JOIN touch t
+        ON t.user_id = c.user_id
+       AND t.touch_ts < c.conv_ts
+       AND t.touch_ts >= c.conv_ts - INTERVAL {_UPOS_LOOKBACK_DAYS} DAY
+    ),
+    credited AS (
+      SELECT conv_id, value, channel,
+             CASE WHEN n_touches = 1 THEN 1.0
+                  WHEN n_touches = 2 THEN 0.5
+                  WHEN pos = 1 OR pos = n_touches THEN 0.4
+                  ELSE 0.2 / (n_touches - 2) END AS credit
+      FROM path
+    )
+    SELECT channel,
+           COUNT(DISTINCT conv_id) AS n_conversions,
+           ROUND(SUM(credit), 4) AS total_credit,
+           ROUND(SUM(credit * value), 4) AS attributed_value
+    FROM credited
+    GROUP BY channel
+    """,
+)
+def evt_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution [public
+    method: the 40/20/40 model every marketing warehouse ships beside
+    last-touch]: each purchase's conversion path is its user's
+    click/view touches inside a {_UPOS_LOOKBACK_DAYS}-day lookback;
+    first and last touch take 40% credit each, the middle splits the
+    remaining 20% evenly (single-touch paths take 100%, two-touch
+    50/50). Contrast evt_attribution (last-touch): that one is a pure
+    window rewrite because only ONE touch matters; here every path
+    member gets credit, so the conversion×touch pairs must
+    materialize — the join is EQUI on user_id with the time range as a
+    residual predicate, and the lookback is the load-bearing bound on
+    path length (without it a bot user's every purchase joins their
+    entire history).
+
+    At 100 TB: one shuffle keyed on user_id for both sides, pairs
+    bounded by touches-per-lookback-window; the per-path position
+    window repartitions on conv_id (second shuffle, rows already
+    path-compressed), and the final channel rollup is map-side
+    combinable on a tiny key domain."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("conv_ts"),
+        "value",
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("touch_ts"),
+    )
+    path = conv.join(
+        touch,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("touch_ts") < F.col("conv_ts"))
+        & (
+            F.col("touch_ts")
+            >= F.col("conv_ts") - F.expr(f"INTERVAL {_UPOS_LOOKBACK_DAYS} DAY")
+        ),
+    )
+    w_pos = Window.partitionBy("conv_id").orderBy("touch_ts", "touch_id")
+    w_all = Window.partitionBy("conv_id")
+    credited = path.select(
+        "conv_id",
+        "value",
+        "channel",
+        F.row_number().over(w_pos).alias("pos"),
+        F.count(F.lit(1)).over(w_all).alias("n_touches"),
+    ).select(
+        "conv_id",
+        "value",
+        "channel",
+        F.when(F.col("n_touches") == 1, 1.0)
+        .when(F.col("n_touches") == 2, 0.5)
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n_touches")), 0.4)
+        .otherwise(0.2 / (F.col("n_touches") - 2))
+        .alias("credit"),
+    )
+    return credited.groupBy("channel").agg(
+        F.countDistinct("conv_id").alias("n_conversions"),
+        F.round(F.sum("credit"), 4).alias("total_credit"),
+        F.round(F.sum(F.col("credit") * F.col("value")), 4).alias("attributed_value"),
+    )

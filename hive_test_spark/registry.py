@@ -205,7 +205,7 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "llm_url_dedup", "llm_badwords_filter", "evt_covisitation",
     "evt_seasonal_decompose", "dml_gdpr_erasure", "evt_rate_limit",
     "llm_bm25_score", "llm_mmr_diversify", "llm_rrf_fusion",
-    "llm_ndcg_eval",
+    "llm_ndcg_eval", "evt_attribution_position",
 )
 
 

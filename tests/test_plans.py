@@ -1154,3 +1154,14 @@ def test_ndcg_both_legs_bounded(spark, registry):
     assert f.cartesian == 0
     assert f.broadcast_joins >= 3
     assert "Python" not in f.text
+
+
+def test_position_attribution_equi_join_on_user(spark, registry):
+    """The path join is equi-keyed on user_id with the lookback as a
+    residual predicate — never a cartesian — and the position windows
+    run on the already path-compressed pairs."""
+    f = _facts(spark, registry, "evt_attribution_position")
+    assert f.cartesian == 0
+    assert f.broadcast_joins + f.sort_merge_joins >= 1
+    assert "Window" in f.text
+    assert "Python" not in f.text

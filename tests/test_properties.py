@@ -709,3 +709,33 @@ def test_ndcg_in_unit_interval(spark, registry):
         assert r.in_unit_range
         assert r.idcg >= r.dcg >= 0
         assert 0.0 <= r.ndcg <= 1.0
+
+
+def test_position_attribution_credit_conserves(spark, registry):
+    """Every touched conversion distributes exactly 1.0 credit across
+    channels, so total credit equals the number of touched conversions
+    (to rounding)."""
+    qs, _ = registry
+    rows = qs["evt_attribution_position"](spark, SF_DIR).collect()
+    assert rows
+    total_credit = sum(r.total_credit for r in rows)
+    from hive_test_spark.io import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("conv_id"), F.col("ts").alias("conv_ts")
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"), F.col("ts").alias("touch_ts")
+    )
+    touched = (
+        conv.join(
+            touch,
+            (F.col("t_user") == F.col("user_id"))
+            & (F.col("touch_ts") < F.col("conv_ts"))
+            & (F.col("touch_ts") >= F.col("conv_ts") - F.expr("INTERVAL 7 DAY")),
+            "left_semi",
+        )
+        .count()
+    )
+    assert abs(total_credit - touched) < 0.01 * max(touched, 1)

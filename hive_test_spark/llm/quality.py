@@ -471,3 +471,235 @@ def llm_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(hits.cast("double") / F.size("tok"), 6).alias("code_density"),
         (hits.cast("double") / F.size("tok") >= _CODE_TAU).alias("is_code"),
     )
+
+
+# ROUGE-2 eval pairs: every _ROUGE_STRIDE-th doc is a "reference", its
+# successor the "candidate" (deterministic stand-in for model outputs —
+# the fixture has no generated text; what the op exercises is the
+# clipped-overlap dataflow).
+_ROUGE_STRIDE = 25
+
+
+@register(
+    "llm_rouge_overlap",
+    f"""
+    WITH pairs AS (
+      SELECT doc_id AS ref_id, doc_id + 1 AS cand_id FROM documents
+      WHERE doc_id % {_ROUGE_STRIDE} = 0
+        AND doc_id + 1 IN (SELECT doc_id FROM documents)
+    ),
+    grams AS (
+      SELECT doc_id, gram, COUNT(*) AS c FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+                      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS gram
+        FROM documents
+      ) GROUP BY doc_id, gram
+    ),
+    totals AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams FROM grams GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT p.ref_id, p.cand_id,
+             CAST(SUM(CASE WHEN c.c IS NULL THEN 0 ELSE LEAST(r.c, c.c) END) AS BIGINT) AS overlap
+      FROM pairs p
+      JOIN grams r ON r.doc_id = p.ref_id
+      LEFT JOIN grams c ON c.doc_id = p.cand_id AND c.gram = r.gram
+      GROUP BY p.ref_id, p.cand_id
+    )
+    SELECT s.ref_id, s.cand_id,
+           tr.n_bigrams AS ref_bigrams, tc.n_bigrams AS cand_bigrams, overlap,
+           ROUND(CAST(overlap AS DOUBLE) / tc.n_bigrams, 6) AS rouge2_p,
+           ROUND(CAST(overlap AS DOUBLE) / tr.n_bigrams, 6) AS rouge2_r,
+           CASE WHEN overlap = 0 THEN 0.0
+                ELSE ROUND(2.0 * overlap / (CAST(tr.n_bigrams AS DOUBLE) + tc.n_bigrams), 6)
+           END AS rouge2_f1
+    FROM scored s
+    JOIN totals tr ON tr.doc_id = s.ref_id
+    JOIN totals tc ON tc.doc_id = s.cand_id
+    ORDER BY s.ref_id
+    """,
+)
+def llm_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 overlap scoring between paired documents [public method:
+    Lin 2004's clipped-n-gram recall metric, the standard summarization
+    /generation eval — here run reference-vs-candidate over a
+    deterministic doc pairing since the fixture carries no model
+    outputs; the dataflow is exactly what an eval harness runs over
+    (prompt, generation) tables]. Per-doc bigram COUNTS (not sets —
+    ROUGE clips per-gram: overlap = Σ min(c_ref, c_cand)) are joined on
+    the gram key; precision divides by candidate mass, recall by
+    reference mass, F1 is their harmonic mean with the 0/0 case pinned
+    to 0 in both engines.
+
+    At 100 TB: bigram explosion is corpus-linear but immediately
+    reduced per (doc, gram); the overlap join keys on (doc pair, gram)
+    after a semi-filter to the docs that appear in pairs — eval sets
+    are bounded, so the joined mass is |pairs|·doc_len, never
+    corpus-wide. The F.broadcast on the pairs frame keeps the gram-side
+    scan shuffle-free."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    ids = d.select("doc_id")
+    pairs = (
+        d.filter(F.col("doc_id") % _ROUGE_STRIDE == 0)
+        .select(
+            F.col("doc_id").alias("ref_id"),
+            (F.col("doc_id") + 1).alias("cand_id"),
+        )
+        .join(
+            ids.select(F.col("doc_id").alias("cand_id")), "cand_id", "left_semi"
+        )
+    )
+    grams = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 1), "
+                    "i -> concat(split(text, ' ')[i - 1], ' ', split(text, ' ')[i]))"
+                )
+            ).alias("gram"),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    r = grams.select(
+        F.col("doc_id").alias("ref_id"),
+        F.col("gram"),
+        F.col("c").alias("rc"),
+    )
+    cgr = grams.select(
+        F.col("doc_id").alias("c_cand"),
+        F.col("gram").alias("cgram"),
+        F.col("c").alias("cc"),
+    )
+    totals = grams.groupBy("doc_id").agg(F.sum("c").alias("n_bigrams"))
+    overlap = (
+        F.broadcast(pairs)
+        .join(r, "ref_id")
+        .join(
+            cgr,
+            (F.col("c_cand") == F.col("cand_id"))
+            & (F.col("cgram") == F.col("gram")),
+            "left",
+        )
+        .groupBy("ref_id", "cand_id")
+        .agg(
+            F.sum(
+                # NOT coalesce(least(...)): least() in BOTH engines ignores
+                # NULLs, so an unmatched gram would contribute rc, not 0.
+                F.when(F.col("cc").isNull(), F.lit(0)).otherwise(
+                    F.least("rc", "cc")
+                )
+            ).alias("overlap")
+        )
+    )
+    tr = totals.select(
+        F.col("doc_id").alias("ref_id"), F.col("n_bigrams").alias("ref_bigrams")
+    )
+    tc = totals.select(
+        F.col("doc_id").alias("cand_id"),
+        F.col("n_bigrams").alias("cand_bigrams"),
+    )
+    return (
+        overlap.join(tr, "ref_id")
+        .join(tc, "cand_id")
+        .select(
+            "ref_id",
+            "cand_id",
+            "ref_bigrams",
+            "cand_bigrams",
+            "overlap",
+            F.round(F.col("overlap").cast("double") / F.col("cand_bigrams"), 6).alias(
+                "rouge2_p"
+            ),
+            F.round(F.col("overlap").cast("double") / F.col("ref_bigrams"), 6).alias(
+                "rouge2_r"
+            ),
+            F.when(F.col("overlap") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.lit(2.0)
+                    * F.col("overlap")
+                    / (F.col("ref_bigrams").cast("double") + F.col("cand_bigrams")),
+                    6,
+                )
+            )
+            .alias("rouge2_f1"),
+        )
+        .orderBy("ref_id")
+    )
+
+
+# k-anonymity threshold: an equivalence class smaller than _KANON_K
+# re-identifies its members.
+_KANON_K = 5
+
+
+@register(
+    "llm_kanonymity",
+    f"""
+    WITH qi AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket
+      FROM customer
+    ),
+    cls AS (
+      SELECT c_mktsegment, c_nationkey, bal_bucket, COUNT(*) AS class_size
+      FROM qi GROUP BY 1, 2, 3
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_classes,
+           CAST(SUM(class_size) AS BIGINT) AS n_rows,
+           MIN(class_size) AS min_class_size,
+           COUNT(*) FILTER (WHERE class_size < {_KANON_K}) AS n_violating_classes,
+           CAST(COALESCE(SUM(class_size) FILTER (WHERE class_size < {_KANON_K}), 0)
+                AS BIGINT) AS n_rows_at_risk,
+           ROUND(COALESCE(SUM(class_size) FILTER (WHERE class_size < {_KANON_K}), 0)
+                 * 1.0 / SUM(class_size), 6) AS risk_share
+    FROM cls GROUP BY c_mktsegment
+    """,
+)
+def llm_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over customer quasi-identifiers [public
+    method: Sweeney 2002's k-anonymity — a release is k-anonymous when
+    every quasi-identifier equivalence class holds ≥ k rows; the
+    pre-release privacy screen that pairs with llm_pii_redact's
+    column-level masking and dml_gdpr_erasure's row-level deletes].
+    The QI tuple is (market segment, nation, $1000 account-balance
+    bucket); classes below k={_KANON_K} are violations, rolled up per
+    segment with the row mass at risk — the report that tells a
+    publisher which strata need coarser generalization.
+
+    At 100 TB: two stacked map-side-combinable aggregates on
+    progressively coarser keys (QI-tuple → segment) — the
+    evt_rate_limit shape; the QI class count is bounded by the
+    attribute-domain product, not row count, so the second stage is
+    dimension-sized. The FILTER-ed aggregates compile to
+    count(CASE WHEN) — no second scan per metric."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    qi = c.select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_bucket"),
+    )
+    cls = qi.groupBy("c_mktsegment", "c_nationkey", "bal_bucket").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    viol = F.col("class_size") < _KANON_K
+    return cls.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("class_size").alias("n_rows"),
+        F.min("class_size").alias("min_class_size"),
+        F.count(F.when(viol, 1)).alias("n_violating_classes"),
+        F.coalesce(F.sum(F.when(viol, F.col("class_size"))), F.lit(0)).alias(
+            "n_rows_at_risk"
+        ),
+        F.round(
+            F.coalesce(F.sum(F.when(viol, F.col("class_size"))), F.lit(0))
+            / F.sum("class_size"),
+            6,
+        ).alias("risk_share"),
+    )

@@ -1098,3 +1098,110 @@ def llm_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= _BM25_TOPK)
     )
+
+
+# PMI collocations: minimum pair frequency (rare pairs have unstable PMI)
+# and report depth.
+_PMI_MIN_PAIR = 5
+_PMI_TOPK = 20
+
+
+@register(
+    "llm_pmi_collocations",
+    f"""
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    uni AS (
+      SELECT tok, COUNT(*) AS c1 FROM (SELECT unnest(t) AS tok FROM toks)
+      GROUP BY tok
+    ),
+    tot AS (SELECT CAST(SUM(c1) AS DOUBLE) AS n_tok FROM uni),
+    big AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)
+      ) GROUP BY w1, w2
+      HAVING COUNT(*) >= {_PMI_MIN_PAIR}
+    ),
+    btot AS (SELECT CAST(SUM(c12) AS DOUBLE) AS n_big FROM
+             (SELECT w1, w2, COUNT(*) AS c12 FROM (
+                SELECT t[i] AS w1, t[i + 1] AS w2
+                FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)
+              ) GROUP BY w1, w2))
+    SELECT w1, w2, c12, u1.c1 AS c_w1, u2.c1 AS c_w2,
+           ROUND(ln((CAST(c12 AS DOUBLE) * n_tok * n_tok)
+                    / (n_big * u1.c1 * u2.c1)), 6) AS pmi
+    FROM big
+    JOIN uni u1 ON u1.tok = w1
+    JOIN uni u2 ON u2.tok = w2
+    CROSS JOIN tot CROSS JOIN btot
+    ORDER BY pmi DESC, w1, w2
+    LIMIT {_PMI_TOPK}
+    """,
+)
+def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-scored collocations [public method: Church & Hanks 1990's
+    pointwise mutual information, the classic collocation-extraction
+    measure — where llm_ngram_stats ranks bigrams by raw frequency,
+    PMI normalizes by both unigram marginals, surfacing pairs that
+    co-occur far above chance (multiword expressions, named entities)
+    rather than pairs of merely common words]. PMI = ln(P(w1,w2) /
+    (P(w1)·P(w2))) computed as ONE division of exact integer products
+    (counts ≤ 2^26 keep every product under 2^53 — bit-exact in both
+    engines); pairs below {_PMI_MIN_PAIR} occurrences are cut first
+    (rare-pair PMI is noise), and the top-{_PMI_TOPK} sort keys on the
+    ROUNDED score so ulp-level ln() differences cannot flip the order.
+
+    At 100 TB: unigram and bigram counting are the map-side-combinable
+    explode-then-reduce shape of llm_ngram_stats; the marginal joins
+    key on single tokens — the vocabulary dimension — and stay
+    un-broadcast (the llm_tfidf OOM lesson: a web-scale vocabulary is
+    not a broadcast candidate; AQE may still elect one at small SF).
+    The two 1-row totals ride broadcast nested loops. Top-k compiles
+    to TakeOrderedAndProject."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("t")).filter(F.size("t") >= 2)
+    uni = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    tot = uni.agg(F.sum("c1").cast("double").alias("n_tok"))
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(t[i - 1] AS w1, t[i] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    big_all = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    btot = big_all.agg(F.sum("c12").cast("double").alias("n_big"))
+    big = big_all.filter(F.col("c12") >= _PMI_MIN_PAIR)
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c1").alias("c_w1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c1").alias("c_w2"))
+    return (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c_w1",
+            "c_w2",
+            F.round(
+                F.log(
+                    (F.col("c12").cast("double") * F.col("n_tok") * F.col("n_tok"))
+                    / (F.col("n_big") * F.col("c_w1") * F.col("c_w2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(_PMI_TOPK)
+    )

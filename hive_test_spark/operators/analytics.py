@@ -1740,3 +1740,308 @@ def evt_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("credit"), 4).alias("total_credit"),
         F.round(F.sum(F.col("credit") * F.col("value")), 4).alias("attributed_value"),
     )
+
+
+@register(
+    "evt_benford",
+    """
+    WITH d AS (
+      SELECT CAST(floor(o_totalprice / power(10, floor(log10(o_totalprice))))
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    c AS (
+      SELECT digit, COUNT(*) AS n, SUM(COUNT(*)) OVER () AS total
+      FROM d GROUP BY digit
+    )
+    SELECT digit, n,
+           ROUND(CAST(n AS DOUBLE) / total, 6) AS observed_p,
+           ROUND(log10(1.0 + 1.0 / digit), 6) AS expected_p,
+           ROUND(power(CAST(n AS DOUBLE) - total * log10(1.0 + 1.0 / digit), 2)
+                 / (total * log10(1.0 + 1.0 / digit)), 6) AS chi2_term
+    FROM c
+    ORDER BY digit
+    """,
+)
+def evt_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over order totals [public
+    method: Benford's-law conformance testing, the standard forensic /
+    data-quality screen for fabricated or truncated monetary columns].
+    Each price maps to its leading digit via floor(p / 10^floor(log10
+    p)) — pure JVM math, no string casts — then the 9-digit observed
+    distribution is compared with the Benford expectation log10(1+1/d),
+    emitting the per-digit chi-square contribution (Σ of the column is
+    the test statistic; a flat or spiky profile flags synthetic data).
+
+    At 100 TB: the digit extraction is a narrow map, the groupBy has a
+    9-value key domain so the partial aggregate compresses each
+    partition to ≤9 rows before the shuffle, and the grand total rides
+    a window over those 9 rows (one extra exchange of 9 rows, not a
+    second scan). Nothing here grows with data volume except the scan
+    itself."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice") / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("bigint")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    c = c.withColumn("total", F.sum("n").over(Window.partitionBy()))
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        c.select(
+            "digit",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
+                "observed_p"
+            ),
+            F.round(expected, 6).alias("expected_p"),
+            F.round(
+                F.pow(F.col("n").cast("double") - F.col("total") * expected, 2)
+                / (F.col("total") * expected),
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+@register(
+    "evt_gini",
+    """
+    WITH rev AS (
+      SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT revenue,
+             ROW_NUMBER() OVER (ORDER BY revenue, o_custkey) AS i,
+             COUNT(*) OVER () AS n
+      FROM rev
+    )
+    SELECT MAX(n) AS n_customers,
+           ROUND(SUM(revenue), 2) AS total_revenue,
+           ROUND(2.0 * SUM(i * revenue) / (MAX(n) * SUM(revenue))
+                 - (MAX(n) + 1.0) / MAX(n), 6) AS gini
+    FROM ranked
+    """,
+)
+def evt_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers
+    [public method: the Lorenz-curve inequality index, the scalar
+    companion to evt_pareto_share's decile profile — answers "how
+    unequal?" in one number where Pareto answers "where is the mass?"].
+    Per-customer revenue is rounded to cents BEFORE ranking so both
+    engines rank an identical total order (revenue, custkey) — raw
+    double sums differ in summation order across engines, and an
+    unrounded sort key could flip ranks between near-equal customers.
+    Gini = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over ascending-ranked x.
+
+    At 100 TB: the per-customer rollup is the only corpus-scale pass
+    (map-side combinable on the customer key); the rank window runs
+    over the already-reduced CUSTOMER dimension — like
+    evt_pareto_share's NTILE it is a single-partition window, fine at
+    dimension scale, and for unbounded key sets the rank-free rewrite
+    is Gini-from-Lorenz over approx_percentile buckets (the same swap
+    evt_pareto_share documents). Ties carry identical revenue so block
+    permutations cannot change the Σ(i·x_i) term; the final aggregate
+    reduces to one row."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.orderBy("revenue", "o_custkey")
+    ranked = rev.select(
+        "revenue",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").alias("n_customers"),
+        F.round(F.sum("revenue"), 2).alias("total_revenue"),
+        F.round(
+            F.lit(2.0)
+            * F.sum(F.col("i") * F.col("revenue"))
+            / (F.max("n") * F.sum("revenue"))
+            - (F.max("n") + F.lit(1.0)) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+# Association rules: minimum co-occurrence count for a (a, b) item pair.
+_BASKET_MIN_PAIR = 2
+
+
+@register(
+    "evt_market_basket",
+    f"""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    item AS (
+      SELECT l_partkey, COUNT(*) AS n_item FROM basket GROUP BY l_partkey
+    ),
+    pair AS (
+      SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, COUNT(*) AS n_pair
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(*) >= {_BASKET_MIN_PAIR}
+    ),
+    tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM basket)
+    SELECT item_a, item_b, n_pair, ia.n_item AS n_a, ib.n_item AS n_b,
+           ROUND(CAST(n_pair AS DOUBLE) / n_orders, 6) AS support,
+           ROUND(CAST(n_pair AS DOUBLE) / ia.n_item, 6) AS confidence,
+           ROUND((CAST(n_pair AS DOUBLE) * n_orders) / (CAST(ia.n_item AS DOUBLE) * ib.n_item), 6) AS lift
+    FROM pair
+    JOIN item ia ON ia.l_partkey = item_a
+    JOIN item ib ON ib.l_partkey = item_b
+    CROSS JOIN tot
+    ORDER BY lift DESC, item_a, item_b
+    LIMIT 20
+    """,
+)
+def evt_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order line items [public
+    method: Apriori-style support/confidence/lift rule mining — the
+    rule-quality layer on top of evt_covisitation's raw pair counts:
+    lift normalizes co-occurrence by both marginals, which is what
+    separates "bought together" from "both merely popular"]. Baskets
+    are DISTINCT (order, part); pairs come from an equi-self-join on
+    the ORDER key with part_a < part_b canonicalization, so pair volume
+    is Σ basket_size², bounded by the lines-per-order ceiling (~7 in
+    this schema) — never |parts|². Rules below {_BASKET_MIN_PAIR}
+    co-occurrences are cut before the marginal joins. The sort key is
+    the ROUNDED lift (an exact int-ratio division in both engines), so
+    top-20 selection is engine-stable.
+
+    At 100 TB: one shuffle on l_orderkey builds baskets and pairs
+    together; the pair groupBy is map-side combinable; the marginal
+    joins key on single parts (dimension-scale, AQE broadcasts them);
+    a whale basket (one order with thousands of parts) is the skew
+    risk, and the DISTINCT-then-cap pattern from evt_covisitation is
+    the documented escape hatch. Final top-20 compiles to
+    TakeOrderedAndProject."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    item = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("item_a"),
+            F.col("b.l_partkey").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= _BASKET_MIN_PAIR)
+    )
+    tot = basket.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    ia = item.select(
+        F.col("l_partkey").alias("item_a"), F.col("n_item").alias("n_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("item_b"), F.col("n_item").alias("n_b")
+    )
+    return (
+        pair.join(ia, "item_a")
+        .join(ib, "item_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "item_a",
+            "item_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_pair").cast("double") / F.col("n_orders"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("n_pair").cast("double") / F.col("n_a"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("n_pair").cast("double") * F.col("n_orders"))
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "item_a", "item_b")
+        .limit(20)
+    )
+
+
+# Autocorrelation: maximum lag (days) of the daily-revenue ACF profile.
+_ACF_MAX_LAG = 7
+
+
+@register(
+    "evt_acf",
+    f"""
+    WITH s AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, SUM(value) AS rev
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(generate_series(1, {_ACF_MAX_LAG})) AS lag)
+    SELECT l.lag, COUNT(*) AS n_pairs,
+           ROUND(corr(a.rev, b.rev), 6) AS acf
+    FROM s a
+    CROSS JOIN lags l
+    JOIN s b ON b.day = a.day + CAST(l.lag AS INTEGER)
+    GROUP BY l.lag
+    ORDER BY l.lag
+    """,
+)
+def evt_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation profile of the daily-revenue series [public
+    method: the ACF at lags 1..{_ACF_MAX_LAG}, the first diagnostic a
+    forecaster runs before fitting anything — evt_seasonal_decompose
+    assumes a weekly period, this measures whether one exists]. The
+    series is the per-day SUM(value); each lag's coefficient is the
+    Pearson correlation of (r_t, r_t+k) over the overlapping days,
+    built by joining the tiny day-level series to itself on day+k for
+    every k at once (a lag × series fan-out of |days|·{_ACF_MAX_LAG}
+    rows — there is no per-lag re-scan of the raw events).
+
+    At 100 TB: the only corpus-scale pass is the per-day rollup
+    (map-side combinable on a date key with ~10³ distinct values);
+    everything after operates on the day-dimension series, so the
+    self-join and corr aggregates are metadata-sized however large the
+    event log. Spark's corr and DuckDB's corr are both sample Pearson,
+    and the coefficient is rounded to 6dp to absorb summation-order
+    float noise in the per-day sums."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    # The self-join references the series twice; without truncation each
+    # reference re-scans the raw events (audit showed two corpus passes).
+    # The series is day-dimension-sized, so checkpoint it once — the
+    # llm_mmr_diversify lineage idiom — and both join sides read memory.
+    s = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum("value").alias("rev"))
+        .localCheckpoint(eager=True)
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = s.alias("a")
+    b = s.select(
+        F.col("day").alias("b_day"), F.col("rev").alias("b_rev")
+    ).alias("b")
+    return (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("b_day") == F.date_add(F.col("a.day"), F.col("lag")))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.corr(F.col("a.rev"), F.col("b_rev")), 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )

@@ -206,6 +206,9 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "evt_seasonal_decompose", "dml_gdpr_erasure", "evt_rate_limit",
     "llm_bm25_score", "llm_mmr_diversify", "llm_rrf_fusion",
     "llm_ndcg_eval", "evt_attribution_position",
+    # Added in round 5 (third wave):
+    "evt_benford", "evt_gini", "evt_market_basket", "evt_acf",
+    "llm_rouge_overlap", "llm_kanonymity", "llm_pmi_collocations",
 )
 
 

@@ -1165,3 +1165,80 @@ def test_position_attribution_equi_join_on_user(spark, registry):
     assert f.broadcast_joins + f.sort_merge_joins >= 1
     assert "Window" in f.text
     assert "Python" not in f.text
+
+
+def test_benford_nine_key_agg_no_join(spark, registry):
+    """Digit extraction is a narrow map; the only shuffle carries ≤9
+    partial rows and the grand total is a window over those 9 — no
+    join, no Python."""
+    f = _facts(spark, registry, "evt_benford")
+    assert f.cartesian == 0
+    assert f.broadcast_joins + f.sort_merge_joins == 0
+    assert "Python" not in f.text
+
+
+def test_gini_single_corpus_pass(spark, registry):
+    """Only the per-customer rollup touches orders; the rank window
+    runs on the reduced customer dimension and the final agg is one
+    row. No join in the whole plan."""
+    f = _facts(spark, registry, "evt_gini")
+    assert f.cartesian == 0
+    assert f.broadcast_joins + f.sort_merge_joins == 0
+    assert "Window" in f.text
+    assert "Python" not in f.text
+    assert scan_read_columns(f) == [2], "orders scan reads only (custkey, totalprice)"
+
+
+def test_market_basket_equi_join_on_order(spark, registry):
+    """Pairs come from an ORDER-keyed equi-self-join (never a part
+    cross product); the marginal joins and the 1-row total broadcast;
+    top-20 compiles to TakeOrderedAndProject."""
+    f = _facts(spark, registry, "evt_market_basket")
+    assert f.cartesian == 0
+    assert f.broadcast_joins >= 1, "orders total must broadcast"
+    assert "TakeOrderedAndProject" in f.text
+    assert "Python" not in f.text
+
+
+def test_acf_one_corpus_pass_then_day_dimension(spark, registry):
+    """The per-day rollup is the only events-scale pass; the lag
+    fan-out and self-join run on the day-level series (the lags frame
+    broadcasts), and corr aggregates per lag."""
+    f = _facts(spark, registry, "evt_acf")
+    assert f.cartesian <= 1, "only the bounded day-series × 7-lag fan-out"
+    assert f.broadcast_joins >= 1
+    assert "Python" not in f.text
+    # The checkpointed series surfaces as in-memory scans in the final
+    # plan (the llm_mmr_diversify truncation signature): the raw events
+    # parquet is scanned exactly once, inside the checkpointed rollup.
+    assert len(scan_read_columns(f)) == 0, "self-join must not re-scan events"
+
+
+def test_rouge_pairs_broadcast_over_grams(spark, registry):
+    """The bounded eval-pair frame broadcasts over the per-doc gram
+    counts; the overlap join is gram-keyed, never doc×doc."""
+    f = _facts(spark, registry, "llm_rouge_overlap")
+    assert f.cartesian == 0
+    assert f.broadcast_joins >= 1, "pairs frame must broadcast"
+    assert "Python" not in f.text
+
+
+def test_kanonymity_stacked_aggs_no_join(spark, registry):
+    """Two stacked map-side-combinable aggregates (QI-class → segment);
+    no join, no window, one pruned scan."""
+    f = _facts(spark, registry, "llm_kanonymity")
+    assert f.cartesian == 0
+    assert f.broadcast_joins + f.sort_merge_joins == 0
+    assert "Window" not in f.text
+    assert "Python" not in f.text
+    assert scan_read_columns(f) == [3], "customer scan reads only the 3 QI columns"
+
+
+def test_pmi_vocabulary_joins_not_forced_broadcast(spark, registry):
+    """Marginal joins key on the token (vocabulary dimension) and the
+    two 1-row totals broadcast; the top-k is TakeOrderedAndProject."""
+    f = _facts(spark, registry, "llm_pmi_collocations")
+    assert f.cartesian == 0
+    assert f.broadcast_joins >= 2, "1-row totals must broadcast"
+    assert "TakeOrderedAndProject" in f.text
+    assert "Python" not in f.text

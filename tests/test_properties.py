@@ -739,3 +739,99 @@ def test_position_attribution_credit_conserves(spark, registry):
         .count()
     )
     assert abs(total_credit - touched) < 0.01 * max(touched, 1)
+
+
+def test_benford_distribution_contract(spark, registry):
+    """Digits span 1..9, observed shares sum to 1, expected shares are
+    the Benford curve, chi2 terms are non-negative."""
+    import math
+
+    qs, _ = registry
+    rows = qs["evt_benford"](spark, SF_DIR).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.observed_p for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert abs(r.expected_p - round(math.log10(1 + 1 / r.digit), 6)) < 1e-9
+        assert r.chi2_term >= 0.0
+
+
+def test_gini_in_unit_interval(spark, registry):
+    """0 <= gini < 1 for any non-degenerate positive distribution."""
+    qs, _ = registry
+    (r,) = qs["evt_gini"](spark, SF_DIR).collect()
+    assert r.n_customers > 0
+    assert 0.0 <= r.gini < 1.0
+
+
+def test_market_basket_rule_math(spark, registry):
+    """Pair counts bounded by both marginals; confidence and lift
+    recompute from the reported counts; rows ordered by lift."""
+    qs, _ = registry
+    rows = qs["evt_market_basket"](spark, SF_DIR).collect()
+    assert rows
+    lifts = [r.lift for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in rows:
+        assert r.item_a < r.item_b, "pairs must be canonicalized"
+        assert r.n_pair <= min(r.n_a, r.n_b)
+        assert abs(r.confidence - round(r.n_pair / r.n_a, 6)) < 1e-9
+        assert 0.0 < r.confidence <= 1.0
+
+
+def test_acf_bounded_and_pairs_shrink_linearly(spark, registry):
+    """|acf| <= 1 and, with a contiguous daily series, the overlap
+    count drops by exactly one day per extra lag."""
+    qs, _ = registry
+    rows = sorted(qs["evt_acf"](spark, SF_DIR).collect(), key=lambda r: r.lag)
+    assert [r.lag for r in rows] == list(range(1, 8))
+    for r in rows:
+        assert abs(r.acf) <= 1.0
+        assert r.n_pairs == rows[0].n_pairs - (r.lag - 1)
+
+
+def test_rouge_clipped_overlap_contract(spark, registry):
+    """Overlap never exceeds either side's bigram mass; precision/
+    recall/F1 recompute from the reported counts and stay in [0, 1]."""
+    qs, _ = registry
+    rows = qs["llm_rouge_overlap"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.overlap <= min(r.ref_bigrams, r.cand_bigrams)
+        assert abs(r.rouge2_p - round(r.overlap / r.cand_bigrams, 6)) < 1e-9
+        assert abs(r.rouge2_r - round(r.overlap / r.ref_bigrams, 6)) < 1e-9
+        if r.overlap:
+            assert (
+                abs(
+                    r.rouge2_f1
+                    - round(2 * r.overlap / (r.ref_bigrams + r.cand_bigrams), 6)
+                )
+                < 1e-9
+            )
+        else:
+            assert r.rouge2_f1 == 0.0
+
+
+def test_kanonymity_accounting(spark, registry):
+    """Violating classes/rows are subsets of the totals and risk_share
+    recomputes; class sizes are positive."""
+    qs, _ = registry
+    rows = qs["llm_kanonymity"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.min_class_size >= 1
+        assert r.n_violating_classes <= r.n_classes
+        assert r.n_rows_at_risk <= r.n_rows
+        assert abs(r.risk_share - round(r.n_rows_at_risk / r.n_rows, 6)) < 1e-9
+
+
+def test_pmi_pair_counts_bounded_by_marginals(spark, registry):
+    """c(w1,w2) <= min(c(w1), c(w2)); results ordered by PMI; every
+    pair clears the minimum-frequency cut."""
+    qs, _ = registry
+    rows = qs["llm_pmi_collocations"](spark, SF_DIR).collect()
+    assert rows
+    pmis = [r.pmi for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    for r in rows:
+        assert r.c12 >= 5
+        assert r.c12 <= min(r.c_w1, r.c_w2)

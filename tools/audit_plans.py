@@ -79,6 +79,15 @@ EXTRA_AUDIT = [
     "llm_mmr_diversify",
     "llm_rrf_fusion",
     "llm_ndcg_eval",
+    # Third round-5 wave: forensic/inequality/association/ACF analytics,
+    # the ROUGE eval dataflow, privacy audit, and PMI collocations.
+    "evt_benford",
+    "evt_gini",
+    "evt_market_basket",
+    "evt_acf",
+    "llm_rouge_overlap",
+    "llm_kanonymity",
+    "llm_pmi_collocations",
 ]
 
 

@@ -2045,3 +2045,74 @@ def evt_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# Power analysis constants: two-sided alpha=0.05, power=0.80, 5% relative
+# minimum detectable effect. z-values are literals so both engines compute
+# the identical closed form.
+_PWR_Z_ALPHA = 1.959964
+_PWR_Z_BETA = 0.841621
+_PWR_MDE_REL = 0.05
+
+
+@register(
+    "evt_power_analysis",
+    f"""
+    WITH m AS (
+      SELECT event_type, COUNT(*) AS n_obs,
+             ROUND(AVG(value), 6) AS mean_val,
+             ROUND(stddev_samp(value), 6) AS sd_val
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_obs, mean_val, sd_val,
+           ROUND({_PWR_MDE_REL} * mean_val, 6) AS mde_abs,
+           CAST(ceil(2.0 * power({_PWR_Z_ALPHA} + {_PWR_Z_BETA}, 2)
+                     * power(sd_val, 2)
+                     / power({_PWR_MDE_REL} * mean_val, 2)) AS BIGINT)
+             AS n_per_arm,
+           CAST(n_obs >= 2 * CAST(ceil(2.0 * power({_PWR_Z_ALPHA} + {_PWR_Z_BETA}, 2)
+                     * power(sd_val, 2)
+                     / power({_PWR_MDE_REL} * mean_val, 2)) AS BIGINT)
+                AS INT) AS currently_powered
+    FROM m
+    ORDER BY event_type
+    """,
+)
+def evt_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-test power analysis per metric [public method: the standard
+    two-sample sample-size formula n = 2(z_α/2+z_β)²σ²/δ² at 80% power
+    — the planning companion to evt_abtest_lift's post-hoc z-test:
+    before an experiment ships, this says how many users each arm
+    needs to detect a {_PWR_MDE_REL:.0%} relative lift]. Mean and
+    sample-stddev are ROUNDED to 6dp before the closed form, so both
+    engines evaluate the identical formula on identical inputs and the
+    ceil() lands on the same integer (unrounded moments differ in
+    summation order across engines; a boundary-straddling ceil would
+    hash-mismatch).
+
+    At 100 TB: one map-side-combinable aggregate on the metric key —
+    scan-bound, the optimal shape; the arithmetic is per-group
+    constant work. stddev_samp is Spark's and DuckDB's shared
+    definition (n−1 denominator)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(F.avg("value"), 6).alias("mean_val"),
+        F.round(F.stddev_samp("value"), 6).alias("sd_val"),
+    )
+    n_per_arm = F.ceil(
+        F.lit(2.0)
+        * F.pow(F.lit(_PWR_Z_ALPHA + _PWR_Z_BETA), 2)
+        * F.pow(F.col("sd_val"), 2)
+        / F.pow(F.lit(_PWR_MDE_REL) * F.col("mean_val"), 2)
+    ).cast("bigint")
+    return m.select(
+        "event_type",
+        "n_obs",
+        "mean_val",
+        "sd_val",
+        F.round(F.lit(_PWR_MDE_REL) * F.col("mean_val"), 6).alias("mde_abs"),
+        n_per_arm.alias("n_per_arm"),
+        (F.col("n_obs") >= 2 * n_per_arm).cast("int").alias("currently_powered"),
+    ).orderBy("event_type")

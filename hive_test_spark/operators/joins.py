@@ -780,3 +780,81 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("raw_click_value")).alias("click_value"),
         fresh.alias("matched"),
     )
+
+
+@register(
+    "join_nearest_event",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS c_ts,
+             value AS click_value
+      FROM events WHERE event_type = 'click'
+    ),
+    cand AS (
+      SELECT p.event_id, p.user_id, p.p_ts, c.click_id, c.c_ts, c.click_value,
+             abs(epoch_us(p.p_ts) - epoch_us(c.c_ts)) AS gap_us,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.event_id
+               ORDER BY abs(epoch_us(p.p_ts) - epoch_us(c.c_ts)),
+                        c.c_ts, c.click_id) AS rk
+      FROM p JOIN c ON c.user_id = p.user_id
+    )
+    SELECT event_id, user_id, p_ts, click_id, c_ts AS nearest_click_ts,
+           click_value, gap_us,
+           CAST(c_ts <= p_ts AS INT) AS is_backward
+    FROM cand WHERE rk = 1
+    """,
+)
+def join_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event join [public method: pandas merge_asof
+    direction='nearest' — the bidirectional sibling of join_asof
+    (backward) and join_asof_tolerance (backward+bound): each purchase
+    pairs with its user's temporally CLOSEST click, before or after].
+    Candidates come from the user-keyed equi-join; the per-purchase
+    argmin is a window ranked on (|Δt|, earlier-first, click_id) — the
+    deterministic tie policy both engines share. The is_backward flag
+    audits how often the asof answer (backward-only) would have
+    differed.
+
+    At 100 TB: one shuffle keys BOTH sides on user_id, pairs are
+    bounded by per-user activity (the evt_attribution_position bound
+    argument; a production variant adds a ±window residual exactly
+    like its 7-day lookback to cap bot users), and the argmin window
+    repartitions on the purchase id over already pair-compressed rows.
+    Never a cross product; never driver-side."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("click_value"),
+    )
+    gap = F.abs(
+        F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts"))
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        gap, F.col("c_ts"), F.col("click_id")
+    )
+    cand = (
+        p.join(c, F.col("c_user") == F.col("user_id"))
+        .withColumn("gap_us", gap)
+        .withColumn("rk", F.row_number().over(w))
+    )
+    return cand.filter(F.col("rk") == 1).select(
+        "event_id",
+        "user_id",
+        "p_ts",
+        "click_id",
+        F.col("c_ts").alias("nearest_click_ts"),
+        "click_value",
+        "gap_us",
+        (F.col("c_ts") <= F.col("p_ts")).cast("int").alias("is_backward"),
+    )

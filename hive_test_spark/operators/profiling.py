@@ -305,3 +305,86 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(lag_us / 3600000000.0, 6).alias("lag_hours"),
         (lag_us / 3600000000.0 > _FRESH_SLA_HOURS).alias("stale"),
     )
+
+
+@register(
+    "dq_outlier_iqr",
+    """
+    WITH q AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n,
+             quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders GROUP BY o_orderpriority
+    ),
+    f AS (
+      SELECT o_orderpriority, n, q1, q3,
+             q1 - 1.5 * (q3 - q1) AS lo,
+             q3 + 1.5 * (q3 - q1) AS hi
+      FROM q
+    )
+    SELECT f.o_orderpriority, f.n,
+           ROUND(f.q1, 4) AS q1, ROUND(f.q3, 4) AS q3,
+           ROUND(f.lo, 4) AS fence_lo, ROUND(f.hi, 4) AS fence_hi,
+           COUNT(*) FILTER (WHERE o.o_totalprice < f.lo
+                               OR o.o_totalprice > f.hi) AS n_outliers,
+           ROUND(COUNT(*) FILTER (WHERE o.o_totalprice < f.lo
+                                     OR o.o_totalprice > f.hi) * 1.0 / f.n,
+                 6) AS outlier_share
+    FROM f JOIN orders o ON o.o_orderpriority = f.o_orderpriority
+    GROUP BY 1, 2, 3, 4, 5, 6
+    """,
+)
+def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (IQR) outlier profile per order priority [public
+    method: the boxplot fences q1−1.5·IQR / q3+1.5·IQR — the robust
+    outlier screen that complements evt_anomaly_mad's time-ordered
+    variant with a distributional one]. Exact interpolated quartiles
+    (Spark percentile == DuckDB quantile_cont, the agg_percentile
+    equivalence) feed the fences; a second pass counts rows outside
+    them. Fences compare UNROUNDED — both engines interpolate the same
+    formula over the same doubles — and only display columns round.
+
+    At 100 TB: pass one is a map-side-combinable agg on a 5-value key
+    (exact percentile buffers per group are bounded by group row count
+    — at true scale swap percentile → approx_percentile, the
+    agg_approx_percentile accuracy contract); pass two re-scans with
+    the 5-row fence table broadcast, so the join adds no shuffle. Two
+    scans total, both pruned to 2 columns."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    q = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+    )
+    f = q.select(
+        "o_orderpriority",
+        "n",
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    out = F.col("o_totalprice") < F.col("lo")
+    out = out | (F.col("o_totalprice") > F.col("hi"))
+    return (
+        o.join(F.broadcast(f), "o_orderpriority")
+        .groupBy("o_orderpriority", "n", "q1", "q3", "lo", "hi")
+        .agg(
+            F.count(F.when(out, 1)).alias("n_outliers"),
+            F.round(F.count(F.when(out, 1)) / F.col("n"), 6).alias(
+                "outlier_share"
+            ),
+        )
+        .select(
+            "o_orderpriority",
+            "n",
+            F.round("q1", 4).alias("q1"),
+            F.round("q3", 4).alias("q3"),
+            F.round("lo", 4).alias("fence_lo"),
+            F.round("hi", 4).alias("fence_hi"),
+            "n_outliers",
+            "outlier_share",
+        )
+    )

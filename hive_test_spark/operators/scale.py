@@ -12,7 +12,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_test_spark.io import SCRATCH_DIR, load_table, scratch_dir
@@ -950,4 +950,94 @@ def scale_range_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_matches"),
         F.round(F.sum("l_quantity"), 4).alias("total_qty"),
+    )
+
+
+# Skew diagnostic: report depth for the hot-key list.
+_SKEW_TOPK = 5
+
+
+@register(
+    "scale_skew_diagnose",
+    f"""
+    WITH per_key AS (
+      SELECT user_id, COUNT(*) AS n_ev FROM events GROUP BY user_id
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_keys,
+             CAST(SUM(n_ev) AS BIGINT) AS n_rows,
+             MAX(n_ev) AS max_key,
+             quantile_cont(n_ev, 0.5) AS p50,
+             quantile_cont(n_ev, 0.99) AS p99
+      FROM per_key
+    ),
+    hot AS (
+      SELECT user_id, n_ev,
+             ROW_NUMBER() OVER (ORDER BY n_ev DESC, user_id) AS rk
+      FROM per_key
+    )
+    SELECT h.rk, h.user_id, h.n_ev,
+           ROUND(CAST(h.n_ev AS DOUBLE) / s.n_rows, 6) AS share,
+           s.n_keys, s.n_rows,
+           ROUND(CAST(s.max_key AS DOUBLE) * s.n_keys / s.n_rows, 6) AS skew_factor,
+           ROUND(s.p50, 4) AS p50_key_size,
+           ROUND(s.p99, 4) AS p99_key_size
+    FROM hot h CROSS JOIN stats s
+    WHERE h.rk <= {_SKEW_TOPK}
+    ORDER BY h.rk
+    """,
+)
+def scale_skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic for user-keyed work [public
+    practice: the pre-flight profile run before choosing between a
+    plain shuffle join, join_skew_salted, and scale_aqe_skew — AQE
+    splits skewed partitions at runtime, but salting and broadcast
+    decisions are made at WRITE time from exactly this report]. One
+    per-key rollup feeds both the hot-key top-{_SKEW_TOPK} (count,
+    share of all rows) and the distribution summary (p50/p99 key
+    size, max, and skew_factor = max·n_keys/n_rows — 1.0 means
+    perfectly uniform; the factor approximates how much slower the
+    straggler partition runs than the average).
+
+    At 100 TB: the rollup is map-side combinable on the diagnosed key
+    itself (ironically skew-safe: partial aggregation compresses the
+    hot key inside each partition before the shuffle); the rank window
+    and quantiles run on the reduced key dimension, and the 1-row
+    stats frame broadcasts over the top-k rows."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ev"))
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_ev").alias("n_rows"),
+        F.max("n_ev").alias("max_key"),
+        F.expr("percentile(n_ev, 0.5)").alias("p50"),
+        F.expr("percentile(n_ev, 0.99)").alias("p99"),
+    )
+    hot = per_key.select(
+        "user_id",
+        "n_ev",
+        F.row_number()
+        .over(Window.orderBy(F.col("n_ev").desc(), F.col("user_id")))
+        .alias("rk"),
+    ).filter(F.col("rk") <= _SKEW_TOPK)
+    return (
+        hot.crossJoin(F.broadcast(stats))
+        .select(
+            "rk",
+            "user_id",
+            "n_ev",
+            F.round(F.col("n_ev").cast("double") / F.col("n_rows"), 6).alias(
+                "share"
+            ),
+            "n_keys",
+            "n_rows",
+            F.round(
+                F.col("max_key").cast("double") * F.col("n_keys") / F.col("n_rows"),
+                6,
+            ).alias("skew_factor"),
+            F.round("p50", 4).alias("p50_key_size"),
+            F.round("p99", 4).alias("p99_key_size"),
+        )
+        .orderBy("rk")
     )

@@ -209,6 +209,8 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     # Added in round 5 (third wave):
     "evt_benford", "evt_gini", "evt_market_basket", "evt_acf",
     "llm_rouge_overlap", "llm_kanonymity", "llm_pmi_collocations",
+    "dq_outlier_iqr", "scale_skew_diagnose", "evt_power_analysis",
+    "join_nearest_event", "meta_show_create_table",
 )
 
 

@@ -169,6 +169,27 @@ def sink_multi_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.unpersist()
 
 
+def _ensure_part_meta_table(spark: SparkSession, sf_dir: str) -> str:
+    """Register the shared EXTERNAL partitioned orders table (external
+    path idiom: an in-memory catalog can re-register over the scratch
+    layout in a fresh process) used by the metastore-readback exhibits
+    (SHOW PARTITIONS / SHOW CREATE TABLE)."""
+    tag = _sf_tag(sf_dir).replace(".", "_")
+    table = f"hts_part_meta_{tag}"
+    if not spark.catalog.tableExists(table):
+        loc = scratch_dir("meta", tag, table)
+        shutil.rmtree(loc, ignore_errors=True)
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice", "o_orderstatus")
+            .write.partitionBy("o_orderstatus")
+            .option("path", loc)
+            .mode("overwrite")
+            .saveAsTable(table)
+        )
+    return table
+
+
 @register(
     "meta_show_partitions",
     """
@@ -199,19 +220,7 @@ def meta_show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     low-cardinality; everything finer belongs in bucketing or file
     sort order, not the metastore."""
     tune(spark)
-    tag = _sf_tag(sf_dir).replace(".", "_")
-    table = f"hts_part_meta_{tag}"
-    if not spark.catalog.tableExists(table):
-        loc = scratch_dir("meta", tag, table)
-        shutil.rmtree(loc, ignore_errors=True)
-        (
-            load_table(spark, sf_dir, "orders")
-            .select("o_orderkey", "o_totalprice", "o_orderstatus")
-            .write.partitionBy("o_orderstatus")
-            .option("path", loc)
-            .mode("overwrite")
-            .saveAsTable(table)
-        )
+    table = _ensure_part_meta_table(spark, sf_dir)
     specs = spark.sql(f"SHOW PARTITIONS {table}").select(
         F.col("partition").alias("partition_spec"),
         F.regexp_extract("partition", "o_orderstatus=(.+)$", 1).alias(
@@ -837,4 +846,72 @@ def meta_add_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(specs).cast("long").alias("specs_registered"),
         )
         .orderBy("partition_spec")
+    )
+
+
+_SHOW_CREATE_ORACLE = """
+    SELECT * FROM (VALUES
+      ('column:o_orderkey', 'bigint'),
+      ('column:o_orderstatus', 'string'),
+      ('column:o_totalprice', 'double'),
+      ('has_location', 'true'),
+      ('partitioned_by', 'o_orderstatus'),
+      ('provider', 'parquet')
+    ) AS t(element, value)
+    ORDER BY element
+"""
+
+
+@register("meta_show_create_table", _SHOW_CREATE_ORACLE)
+def meta_show_create_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL readback surface [Hive-public: SHOW CREATE TABLE — the
+    round-trip every migration/backup tool relies on: the emitted DDL
+    must faithfully carry schema, format, partitioning, and location].
+    The shared external partitioned orders table is created through the
+    catalog, then SHOW CREATE TABLE's single DDL string is parsed back
+    into (element, value) facts — column types, USING provider,
+    PARTITIONED BY column, LOCATION presence — and hash-pinned against
+    the expected literals. A regression in any of the four DDL clauses
+    (type mangling, provider drop, lost partition spec, missing
+    location) flips a row.
+
+    At 100 TB: pure catalog metadata — no data scan at all; the only
+    data pass is the one-time exhibit-table write shared with
+    meta_show_partitions. Parsing happens on a 1-row DataFrame via
+    JVM regexp (no driver-side string handling beyond the plan)."""
+    tune(spark)
+    table = _ensure_part_meta_table(spark, sf_dir)
+    ddl = spark.sql(f"SHOW CREATE TABLE {table}")
+    (col,) = ddl.columns
+    stmt = F.col(col)
+
+    def _fact(element: str, value) -> F.Column:  # type: ignore[name-defined]
+        return F.struct(
+            F.lit(element).alias("element"), value.alias("value")
+        )
+
+    facts = F.array(
+        _fact(
+            "column:o_orderkey",
+            F.lower(F.regexp_extract(stmt, r"o_orderkey (\w+)", 1)),
+        ),
+        _fact(
+            "column:o_orderstatus",
+            F.lower(F.regexp_extract(stmt, r"o_orderstatus (\w+)", 1)),
+        ),
+        _fact(
+            "column:o_totalprice",
+            F.lower(F.regexp_extract(stmt, r"o_totalprice (\w+)", 1)),
+        ),
+        _fact("has_location", stmt.contains("LOCATION").cast("string")),
+        _fact(
+            "partitioned_by",
+            F.lower(F.regexp_extract(stmt, r"PARTITIONED BY \((\w+)", 1)),
+        ),
+        _fact("provider", F.lower(F.regexp_extract(stmt, r"USING (\w+)", 1))),
+    )
+    return (
+        ddl.select(F.explode(facts).alias("f"))
+        .select("f.element", "f.value")
+        .orderBy("element")
     )

@@ -1242,3 +1242,43 @@ def test_pmi_vocabulary_joins_not_forced_broadcast(spark, registry):
     assert f.broadcast_joins >= 2, "1-row totals must broadcast"
     assert "TakeOrderedAndProject" in f.text
     assert "Python" not in f.text
+
+
+def test_outlier_iqr_two_pruned_passes_broadcast_fences(spark, registry):
+    """Quartile pass + recount pass, both pruned to 2 columns; the
+    5-row fence table broadcasts so the second pass adds no shuffle."""
+    f = _facts(spark, registry, "dq_outlier_iqr")
+    assert f.cartesian == 0
+    assert f.broadcast_joins >= 1, "fence table must broadcast"
+    assert "Python" not in f.text
+    assert scan_read_columns(f) == [2, 2], "both passes prune to 2 columns"
+
+
+def test_skew_diagnose_single_corpus_pass(spark, registry):
+    """One per-key rollup feeds both branches; stats frame broadcasts;
+    no Python."""
+    f = _facts(spark, registry, "scale_skew_diagnose")
+    assert f.cartesian <= 1, "1-row stats × top-5 fan-out only"
+    assert f.broadcast_joins + f.cartesian >= 1
+    assert "Python" not in f.text
+
+
+def test_power_analysis_single_agg_no_join(spark, registry):
+    """One map-side-combinable aggregate on event_type; all arithmetic
+    per-group constant work. No join, no window."""
+    f = _facts(spark, registry, "evt_power_analysis")
+    assert f.cartesian == 0
+    assert f.broadcast_joins + f.sort_merge_joins == 0
+    assert "Window" not in f.text
+    assert "Python" not in f.text
+    assert scan_read_columns(f) == [2], "events scan reads only (event_type, value)"
+
+
+def test_nearest_event_equi_join_then_argmin_window(spark, registry):
+    """Candidates come from a USER-keyed equi-join (never a cross
+    product); the argmin is a window over pair-compressed rows."""
+    f = _facts(spark, registry, "join_nearest_event")
+    assert f.cartesian == 0
+    assert f.broadcast_joins + f.sort_merge_joins >= 1
+    assert "Window" in f.text
+    assert "Python" not in f.text

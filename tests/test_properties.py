@@ -835,3 +835,77 @@ def test_pmi_pair_counts_bounded_by_marginals(spark, registry):
     for r in rows:
         assert r.c12 >= 5
         assert r.c12 <= min(r.c_w1, r.c_w2)
+
+
+def test_outlier_iqr_fence_contract(spark, registry):
+    """Fences bracket the IQR box, outlier counts are bounded by group
+    size, and share recomputes."""
+    qs, _ = registry
+    rows = qs["dq_outlier_iqr"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.fence_lo <= r.q1 <= r.q3 <= r.fence_hi
+        assert 0 <= r.n_outliers <= r.n
+        assert abs(r.outlier_share - round(r.n_outliers / r.n, 6)) < 1e-9
+
+
+def test_skew_diagnose_contract(spark, registry):
+    """Top-5 ranks are 1..5 with non-increasing counts; shares and the
+    skew factor recompute; p50 <= p99 <= max."""
+    qs, _ = registry
+    rows = sorted(qs["scale_skew_diagnose"](spark, SF_DIR).collect(), key=lambda r: r.rk)
+    assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+    counts = [r.n_ev for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert abs(r.share - round(r.n_ev / r.n_rows, 6)) < 1e-9
+        assert r.skew_factor >= 1.0 - 1e-9, "max*n_keys/n_rows >= 1 always"
+        assert r.p50_key_size <= r.p99_key_size <= rows[0].n_ev
+
+
+def test_power_analysis_formula(spark, registry):
+    """n_per_arm recomputes from the reported 6dp moments, and the
+    powered flag agrees with the comparison."""
+    import math
+
+    qs, _ = registry
+    rows = qs["evt_power_analysis"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        expect = math.ceil(
+            2.0 * (1.959964 + 0.841621) ** 2 * r.sd_val**2 / (0.05 * r.mean_val) ** 2
+        )
+        assert r.n_per_arm == expect
+        assert r.currently_powered == int(r.n_obs >= 2 * expect)
+
+
+def test_nearest_event_is_really_nearest(spark, registry):
+    """For every purchase with a match, no click by the same user sits
+    strictly closer than the reported gap."""
+    from hive_test_spark.io import load_table
+
+    qs, _ = registry
+    rows = qs["join_nearest_event"](spark, SF_DIR).collect()
+    assert rows
+    ev = load_table(spark, SF_DIR, "events")
+    clicks = {}
+    for c in ev.filter(F.col("event_type") == "click").collect():
+        clicks.setdefault(c.user_id, []).append(c.ts)
+    for r in rows[:50]:
+        best = min(abs((r.p_ts - t).total_seconds()) for t in clicks[r.user_id])
+        assert abs(best * 1_000_000 - r.gap_us) < 1, (r.event_id, best, r.gap_us)
+
+
+def test_show_create_table_facts(spark, registry):
+    """The DDL readback reports the exact schema/provider/partition
+    facts the exhibit table was created with."""
+    qs, _ = registry
+    facts = {r.element: r.value for r in qs["meta_show_create_table"](spark, SF_DIR).collect()}
+    assert facts == {
+        "column:o_orderkey": "bigint",
+        "column:o_orderstatus": "string",
+        "column:o_totalprice": "double",
+        "has_location": "true",
+        "partitioned_by": "o_orderstatus",
+        "provider": "parquet",
+    }

@@ -88,6 +88,10 @@ EXTRA_AUDIT = [
     "llm_rouge_overlap",
     "llm_kanonymity",
     "llm_pmi_collocations",
+    "dq_outlier_iqr",
+    "scale_skew_diagnose",
+    "evt_power_analysis",
+    "join_nearest_event",
 ]
 
 

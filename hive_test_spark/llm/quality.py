@@ -563,6 +563,10 @@ def llm_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
+        # Three branches (ref side, cand side, totals) reference the
+        # gram counts; checkpoint the reduced frame so documents is
+        # scanned once for grams (audit showed 6 scans without it).
+        .localCheckpoint(eager=True)
     )
     r = grams.select(
         F.col("doc_id").alias("ref_id"),

@@ -1164,10 +1164,15 @@ def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.split("text", " ").alias("t")).filter(F.size("t") >= 2)
+    # uni feeds three branches (total + both marginals) and big_all two
+    # (total + cut); un-truncated, every branch re-scans documents
+    # (audit: 5 scans). Both frames are vocabulary-dimension after
+    # their aggregates — checkpoint once, scan the corpus twice.
     uni = (
         toks.select(F.explode("t").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c1"))
+        .localCheckpoint(eager=True)
     )
     tot = uni.agg(F.sum("c1").cast("double").alias("n_tok"))
     pairs = toks.select(
@@ -1178,7 +1183,11 @@ def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
-    big_all = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    big_all = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)
+    )
     btot = big_all.agg(F.sum("c12").cast("double").alias("n_big"))
     big = big_all.filter(F.col("c12") >= _PMI_MIN_PAIR)
     u1 = uni.select(F.col("tok").alias("w1"), F.col("c1").alias("c_w1"))

@@ -1927,7 +1927,13 @@ def evt_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject."""
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    basket = li.select("l_orderkey", "l_partkey").distinct()
+    # Four branches (pair a/b, marginals, order total) reference the
+    # basket frame; without truncation each re-scans lineitem (audit
+    # showed 5 scans). The deduped 2-column projection is the natural
+    # stage boundary — checkpoint it once, every branch reads memory.
+    basket = (
+        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=True)
+    )
     item = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
     a = basket.alias("a")
     b = basket.alias("b")

@@ -1006,7 +1006,13 @@ def scale_skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats frame broadcasts over the top-k rows."""
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
-    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ev"))
+    # Both branches (summary stats, hot-key rank) reference the per-key
+    # rollup; checkpoint the key-dimension frame so events scans once.
+    per_key = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+        .localCheckpoint(eager=True)
+    )
     stats = per_key.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("n_ev").alias("n_rows"),

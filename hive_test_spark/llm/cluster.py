@@ -140,3 +140,148 @@ def llm_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     a2 = _assign(e, c1)
     sizes = a2.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_n"))
     return a2.join(sizes, "cluster").select("vec_id", "cluster", "cluster_n")
+
+
+# Product quantization geometry: M subspaces × SUB dims (M·SUB = 64, the
+# fixture embedding width), K_PQ codewords per subspace codebook.
+PQ_M = 4
+PQ_SUB = 16
+PQ_K = 4
+
+
+def _pq_centroids(assigned: DataFrame) -> DataFrame:
+    """Per-(subspace, cluster, position) mean → sub-centroid arrays; the
+    subspace-keyed variant of _centroids."""
+    per_pos = (
+        assigned.select("m", "cluster", F.posexplode("sub").alias("pos", "comp"))
+        .groupBy("m", "cluster", "pos")
+        .agg(F.avg("comp").alias("comp_avg"))
+    )
+    return (
+        per_pos.groupBy("m", "cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "comp_avg"))).alias("pc"))
+        .select("m", "cluster", F.expr("transform(pc, x -> x.comp_avg)").alias("centroid"))
+    )
+
+
+def _pq_assign(subs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest sub-centroid per (vector, subspace): the codebook join is
+    EQUI on the subspace id (each subvector only scores against its own
+    K_PQ codewords — never the full M·K table), distances rounded to 6dp
+    before the argmin, ties to the lower code (both engines)."""
+    scored = subs.join(F.broadcast(cents), "m").select(
+        "vec_id",
+        "m",
+        "sub",
+        "cluster",
+        F.round(F.expr(_SQDIST.format(a="sub", b="centroid")), 6).alias("d"),
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy("d", "cluster")
+    return (
+        scored.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "sub", "cluster", "d")
+    )
+
+
+# DuckDB twins of the subspace-keyed centroid build / assign steps.
+_DUCK_PQ_CENTROIDS = """
+  SELECT m, cluster, list(comp_avg ORDER BY pos) AS centroid FROM (
+    SELECT m, cluster, pos, AVG(comp) AS comp_avg FROM (
+      SELECT m, cluster, generate_subscripts(sub, 1) AS pos, unnest(sub) AS comp
+      FROM {src}
+    ) x GROUP BY m, cluster, pos
+  ) p GROUP BY m, cluster
+"""
+
+_DUCK_PQ_ASSIGN = """
+  SELECT vec_id, m, sub, cluster, d FROM (
+    SELECT s.vec_id, s.m, s.sub, c.cluster,
+           ROUND(list_sum(list_transform(
+                    generate_series(1, len(c.centroid)),
+                    i -> (s.sub[i] - c.centroid[i]) ^ 2)), 6) AS d,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY ROUND(list_sum(list_transform(
+                        generate_series(1, len(c.centroid)),
+                        i -> (s.sub[i] - c.centroid[i]) ^ 2)), 6),
+                      c.cluster) AS rn
+    FROM subs s JOIN {cents} c ON c.m = s.m
+  ) t WHERE rn = 1
+"""
+
+_PQ_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    subs AS (
+      SELECT vec_id, m.m,
+             emb[m.m * {PQ_SUB} + 1 : (m.m + 1) * {PQ_SUB}] AS sub
+      FROM e CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m
+    ),
+    seeded AS (SELECT m, vec_id % {PQ_K} AS cluster, sub FROM subs),
+    c0 AS ({_DUCK_PQ_CENTROIDS.format(src="seeded")}),
+    a1 AS ({_DUCK_PQ_ASSIGN.format(cents="c0")}),
+    c1 AS ({_DUCK_PQ_CENTROIDS.format(src="a1")}),
+    a2 AS ({_DUCK_PQ_ASSIGN.format(cents="c1")})
+    SELECT vec_id,
+           MAX(CASE WHEN m = 0 THEN cluster END) AS code0,
+           MAX(CASE WHEN m = 1 THEN cluster END) AS code1,
+           MAX(CASE WHEN m = 2 THEN cluster END) AS code2,
+           MAX(CASE WHEN m = 3 THEN cluster END) AS code3,
+           ROUND(SUM(d), 6) AS qerr
+    FROM a2
+    GROUP BY vec_id
+"""
+
+
+@register("llm_ann_pq", _PQ_ORACLE)
+def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization trainer + encoder [public method: Jégou et
+    al. 2011's PQ — the compression layer of every large ANN index
+    (FAISS IVF-PQ): split each vector into M={PQ_M} subspaces, learn a
+    tiny k-means codebook per subspace, store each vector as M small
+    codes]. The trainer runs the llm_kmeans_lloyd recipe per subspace
+    (deterministic vec_id%k init, two Lloyd rounds) on the SUBVECTORS;
+    the encoder emits the per-subspace code plus the total quantization
+    error Σ‖sub − centroid‖², the fidelity number a PQ deployment
+    monitors. 64 dims × 8 bytes compress to {PQ_M} codes — the reason
+    a 100 TB embedding corpus fits an in-memory ANN index at all.
+
+    At 100 TB: subvector explode is narrow (M× rows, each 1/M width);
+    every codebook join is EQUI on the subspace id against a broadcast
+    M·K×(dim/M) table (k=65k codebooks ≈ 32 MB — always
+    broadcastable); centroid updates are map-side-combinable on
+    (m, cluster, pos); the argmin window partitions on (vec_id, m)
+    with exactly K rows per partition. The oracle unrolls the whole
+    per-subspace train/encode pipeline as chained CTEs — init means,
+    both argmin rounds, the centroid update, and the final code
+    pivot."""
+    tune(spark)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+    )
+    m_ids = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    subs = e.select("vec_id", m_ids, "emb").select(
+        "vec_id",
+        "m",
+        F.expr(f"slice(emb, m * {PQ_SUB} + 1, {PQ_SUB})").alias("sub"),
+    )
+    # Train: seeded init → update → assign → update → assign, per subspace.
+    c0 = _pq_centroids(
+        subs.select("m", (F.col("vec_id") % PQ_K).alias("cluster"), "sub")
+    )
+    a1 = _pq_assign(subs, c0)
+    c1 = _pq_centroids(a1)
+    a2 = _pq_assign(subs, c1)
+    # Encode: pivot the M codes wide + total quantization error.
+    code_cols = [
+        F.max(F.when(F.col("m") == m, F.col("cluster"))).alias(f"code{m}")
+        for m in range(PQ_M)
+    ]
+    return a2.groupBy("vec_id").agg(
+        *code_cols, F.round(F.sum("d"), 6).alias("qerr")
+    )

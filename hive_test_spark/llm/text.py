@@ -1214,3 +1214,65 @@ def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(_PMI_TOPK)
     )
+
+
+# Chat-template rendering: instruction scaffold with named placeholders,
+# and the chars-per-token estimate used for budget planning.
+_TMPL_SYSTEM = "You are a precise {lang} data engineering assistant."
+_TMPL_USER = "Summarize the following document from {source}:\n{text}"
+_TMPL_CHARS_PER_TOK = 4
+
+
+@register(
+    "llm_prompt_template_render",
+    f"""
+    WITH r AS (
+      SELECT doc_id,
+             replace('{_TMPL_SYSTEM}', '{{lang}}', lang) AS sys_msg,
+             replace(replace('{_TMPL_USER}', '{{source}}', source),
+                     '{{text}}', text) AS user_msg
+      FROM documents
+    )
+    SELECT doc_id,
+           length(sys_msg) AS sys_chars,
+           length(user_msg) AS user_chars,
+           CAST(ceil((length(sys_msg) + length(user_msg))
+                     * 1.0 / {_TMPL_CHARS_PER_TOK}) AS BIGINT) AS est_tokens,
+           md5(sys_msg || chr(10) || user_msg) AS prompt_digest
+    FROM r
+    """,
+)
+def llm_prompt_template_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT prompt-template rendering [public practice: the chat-format
+    assembly step of every instruction-tuning pipeline — system/user
+    scaffolds with named placeholders filled from document fields,
+    plus the chars-per-token budget estimate]. Placeholders substitute
+    via chained replace() (JVM-side, no format engine needed);
+    the rendered bytes are pinned by an md5 digest instead of shipping
+    multi-KB prompts through the comparator, and est_tokens uses the
+    standard ~{_TMPL_CHARS_PER_TOK} chars/token heuristic that
+    llm_token_budget refines with real token counts.
+
+    At 100 TB: a pure narrow map over the corpus — render, measure,
+    hash, no shuffle at all; the template rides into the plan as a
+    literal. Composes upstream of llm_pack_sequences (budgeting) and
+    llm_chunk_split (long docs)."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    sys_msg = F.expr(f"replace('{_TMPL_SYSTEM}', '{{lang}}', lang)")
+    user_msg = F.expr(
+        f"replace(replace('{_TMPL_USER}', '{{source}}', source), '{{text}}', text)"
+    )
+    r = d.select("doc_id", sys_msg.alias("sys_msg"), user_msg.alias("user_msg"))
+    return r.select(
+        "doc_id",
+        F.length("sys_msg").cast("bigint").alias("sys_chars"),
+        F.length("user_msg").cast("bigint").alias("user_chars"),
+        F.ceil(
+            (F.length("sys_msg") + F.length("user_msg"))
+            / F.lit(float(_TMPL_CHARS_PER_TOK))
+        )
+        .cast("bigint")
+        .alias("est_tokens"),
+        F.md5(F.concat_ws("\n", "sys_msg", "user_msg")).alias("prompt_digest"),
+    )

@@ -2122,3 +2122,165 @@ def evt_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_per_arm.alias("n_per_arm"),
         (F.col("n_obs") >= 2 * n_per_arm).cast("int").alias("currently_powered"),
     ).orderBy("event_type")
+
+
+# Concurrency sweep: session gap threshold (seconds), matching the
+# win_sessionize_batch convention.
+_SWEEP_GAP_S = 1800
+
+
+@register(
+    "evt_concurrency_sweep",
+    f"""
+    WITH g AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - epoch_us(LAG(CAST(ts AS TIMESTAMP)) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id))
+                       > {_SWEEP_GAP_S} * 1000000 THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sess
+      FROM g
+    ),
+    sess AS (
+      SELECT user_id, sess, MIN(ts) AS s_ts, MAX(ts) AS e_ts
+      FROM s GROUP BY user_id, sess
+    ),
+    bounds AS (
+      SELECT s_ts AS ts, 1 AS delta FROM sess
+      UNION ALL
+      SELECT e_ts AS ts, -1 AS delta FROM sess
+    ),
+    run AS (
+      SELECT ts, delta,
+             SUM(delta) OVER (ORDER BY ts, delta DESC, ts
+                              ROWS UNBOUNDED PRECEDING) AS conc
+      FROM bounds
+    )
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+           CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS sessions_started
+    FROM run
+    GROUP BY 1
+    ORDER BY day
+    """,
+)
+def evt_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-concurrency profile via the sweep-line idiom [public
+    method: interval concurrency = +1 at each start, −1 at each end,
+    running sum — how capacity planners size connection pools and
+    livestream infra]. Sessions come from the {_SWEEP_GAP_S}s-gap rule
+    (the win_sessionize_batch convention); each contributes two
+    boundary events, and the running sum over (ts, starts-first) — so
+    a session starting exactly when another ends counts as overlap —
+    yields instantaneous concurrency, rolled up to per-day peak and
+    session starts.
+
+    At 100 TB: sessionization is one user-keyed shuffle + window
+    (per-user history, bounded); the sweep window runs over the
+    SESSION-BOUNDARY dimension (2 rows per session — already
+    corpus-compressed) and is the op's one total-order window, the
+    evt_pareto_share trade-off; at true scale the sweep shards by
+    coarse time range with per-shard carry-in offsets (a 2-pass
+    prefix-sum — the evt_drawdown family note)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w_u))
+            > _SWEEP_GAP_S * 1_000_000,
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    w_run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = g.select("user_id", "ts", F.sum("brk").over(w_run).alias("sess"))
+    sess = s.groupBy("user_id", "sess").agg(
+        F.min("ts").alias("s_ts"), F.max("ts").alias("e_ts")
+    )
+    bounds = sess.select(F.col("s_ts").alias("ts"), F.lit(1).alias("delta")).unionByName(
+        sess.select(F.col("e_ts").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    w_sweep = Window.orderBy(F.col("ts"), F.col("delta").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = bounds.select("ts", "delta", F.sum("delta").over(w_sweep).alias("conc"))
+    return (
+        run.groupBy(F.to_date("ts").cast("string").alias("day"))
+        .agg(
+            F.max("conc").alias("peak_concurrency"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias(
+                "sessions_started"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "evt_new_vs_returning",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      FROM events
+    )
+    SELECT CAST(d.day AS VARCHAR) AS day,
+           COUNT(*) AS dau,
+           CAST(SUM(CASE WHEN f.first_day = d.day THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           CAST(SUM(CASE WHEN f.first_day < d.day THEN 1 ELSE 0 END) AS BIGINT)
+             AS returning_users
+    FROM daily d JOIN first_seen f USING (user_id)
+    GROUP BY d.day
+    ORDER BY day
+    """,
+)
+def evt_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning DAU decomposition [public method: the standard
+    growth-accounting split — every day's actives partition into
+    first-ever-seen and returning; the acquisition/retention lens that
+    complements evt_retention's day-over-day rate and evt_stickiness's
+    DAU/WAU ratio]. First-seen day per user joins back to the distinct
+    (user, day) activity — both frames key on user_id, so the join
+    rides one co-partitioned shuffle family.
+
+    At 100 TB: first_seen is a map-side-combinable MIN on the user key;
+    daily actives are a DISTINCT on (user, day) — same key family; the
+    join is user-keyed (no broadcast needed, both sides user-dimension
+    after reduction) and the final day rollup has a calendar-bounded
+    key domain."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    first_seen = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    daily = ev.select("user_id", day).distinct()
+    return (
+        daily.join(first_seen, "user_id")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.when(F.col("first_day") == F.col("day"), 1).otherwise(0).alias("is_new"),
+            F.when(F.col("first_day") < F.col("day"), 1).otherwise(0).alias("is_ret"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("dau"),
+            F.sum("is_new").alias("new_users"),
+            F.sum("is_ret").alias("returning_users"),
+        )
+        .orderBy("day")
+    )

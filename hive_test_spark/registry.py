@@ -210,7 +210,9 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "evt_benford", "evt_gini", "evt_market_basket", "evt_acf",
     "llm_rouge_overlap", "llm_kanonymity", "llm_pmi_collocations",
     "dq_outlier_iqr", "scale_skew_diagnose", "evt_power_analysis",
-    "join_nearest_event", "meta_show_create_table",
+    "join_nearest_event", "meta_show_create_table", "llm_ann_pq",
+    "evt_concurrency_sweep", "evt_new_vs_returning",
+    "llm_prompt_template_render",
 )
 
 

@@ -1029,3 +1029,97 @@ def test_random_window_frame_matches_duckdb(spark, duck, spec):
     duck_pdf = duck.execute(_frame_sql(spec)).df()
     r = compare("fuzz_frame", spark_pdf, duck_pdf)
     assert r["ok"], f"spec={spec}\nsql={_frame_sql(spec)}\nnotes={r['notes']}"
+
+
+# ---- string-function grammar ---------------------------------------------
+#
+# Random chains of scalar string ops over documents.text — the surface
+# fn_string/fn_regex and every text-curation op lean on. Both dialects
+# share most names; the renderer owns the two divergences (Spark instr vs
+# DuckDB strpos, and trim argument forms). Chains stay shallow (<=3 ops)
+# but cross substr windows, padding (which TRUNCATES beyond n in both
+# engines — itself worth pinning), case folding, replacement, and
+# reversal; the probe row then reports length, a fixed-needle position,
+# and the value itself.
+
+_STR_NEEDLES = ["a", "e", "in", "sp"]
+
+
+@st.composite
+def string_specs(draw):
+    ops = []
+    for _ in range(draw(st.integers(1, 3))):
+        ops.append(draw(st.sampled_from([
+            ("substr", draw(st.integers(1, 12)), draw(st.integers(3, 24))),
+            ("upper",),
+            ("lower",),
+            ("replace", draw(st.sampled_from("aeio")), draw(st.sampled_from("@#*"))),
+            ("reverse",),
+            ("lpad", draw(st.integers(4, 20)), draw(st.sampled_from("#_x"))),
+            ("trim",),
+        ])))
+    return {
+        "ops": ops,
+        "needle": draw(st.sampled_from(_STR_NEEDLES)),
+        "mod": draw(st.integers(2, 9)),
+    }
+
+
+def _string_chain(spec, *, duckdb: bool) -> str:
+    e = "text"
+    for op in spec["ops"]:
+        if op[0] == "substr":
+            e = f"substr({e}, {op[1]}, {op[2]})"
+        elif op[0] == "upper":
+            e = f"upper({e})"
+        elif op[0] == "lower":
+            e = f"lower({e})"
+        elif op[0] == "replace":
+            e = f"replace({e}, '{op[1]}', '{op[2]}')"
+        elif op[0] == "reverse":
+            e = f"reverse({e})"
+        elif op[0] == "lpad":
+            e = f"lpad({e}, {op[1]}, '{op[2]}')"
+        else:
+            e = f"trim({e})"
+    return e
+
+
+def _string_sql(spec) -> str:
+    e = _string_chain(spec, duckdb=True)
+    return (
+        f"SELECT doc_id AS k, length({e}) AS n,"
+        f" strpos({e}, '{spec['needle']}') AS pos,"
+        f" {e} AS s"
+        f" FROM documents WHERE doc_id % {spec['mod']} = 1"
+    )
+
+
+def _string_df(spark, spec):
+    e = _string_chain(spec, duckdb=False)
+    df = load_table(spark, SF_DIR, "documents")
+    return df.filter(F.col("doc_id") % spec["mod"] == 1).select(
+        F.col("doc_id").alias("k"),
+        F.expr(f"length({e})").cast("bigint").alias("n"),
+        F.expr(f"instr({e}, '{spec['needle']}')").cast("bigint").alias("pos"),
+        F.expr(e).alias("s"),
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=string_specs())
+def test_random_string_expr_matches_duckdb(spark, duck, spec):
+    """String-chain fuzz: random substr/case/replace/reverse/lpad/trim
+    compositions must agree byte-for-byte, in length, and in
+    fixed-needle position (Spark instr == DuckDB strpos) — catching
+    1-based-offset drift, pad-truncation divergence, and fold/replace
+    ordering effects across the scalar string surface."""
+    spark_pdf = _string_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_string_sql(spec)).df()
+    r = compare("fuzz_string", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nsql={_string_sql(spec)}\nnotes={r['notes']}"

@@ -1282,3 +1282,41 @@ def test_nearest_event_equi_join_then_argmin_window(spark, registry):
     assert f.broadcast_joins + f.sort_merge_joins >= 1
     assert "Window" in f.text
     assert "Python" not in f.text
+
+
+def test_pq_codebook_joins_are_subspace_equi(spark, registry):
+    """Every codebook join is EQUI on the subspace id against a
+    broadcast M·K table — a subvector never scores against another
+    subspace's codewords; the argmin windows partition on (vec, m)."""
+    f = _facts(spark, registry, "llm_ann_pq")
+    assert f.cartesian == 0
+    assert f.broadcast_joins >= 2, "both Lloyd rounds broadcast the codebook"
+    assert "Window" in f.text
+    assert "Python" not in f.text
+
+
+def test_concurrency_sweep_single_total_order_window(spark, registry):
+    """Sessionization windows are user-keyed; the only total-order
+    window runs on session boundaries (2 rows per session)."""
+    f = _facts(spark, registry, "evt_concurrency_sweep")
+    assert f.cartesian == 0
+    assert f.broadcast_joins + f.sort_merge_joins == 0
+    assert "Window" in f.text
+    assert "Python" not in f.text
+
+
+def test_new_vs_returning_user_keyed_join(spark, registry):
+    """Both reduced frames key on user_id; no cartesian, no Python;
+    scans prune to the two needed columns."""
+    f = _facts(spark, registry, "evt_new_vs_returning")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+    assert scan_read_columns(f) == [2, 2], "both passes read only (user_id, ts)"
+
+
+def test_prompt_render_is_narrow_map(spark, registry):
+    """Render + measure + hash is a pure map: zero exchanges."""
+    f = _facts(spark, registry, "llm_prompt_template_render")
+    assert f.exchanges == 0, "template render must not shuffle"
+    assert "Python" not in f.text
+    assert scan_read_columns(f) == [4]

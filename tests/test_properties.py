@@ -909,3 +909,64 @@ def test_show_create_table_facts(spark, registry):
         "partitioned_by": "o_orderstatus",
         "provider": "parquet",
     }
+
+
+def test_pq_code_range_and_qerr(spark, registry):
+    """Codes live in [0, K); qerr is non-negative; every vector is
+    encoded exactly once; codes actually spread (a collapsed codebook
+    would put every vector in one cell)."""
+    from hive_test_spark.llm.cluster import PQ_K, PQ_M
+
+    qs, _ = registry
+    rows = qs["llm_ann_pq"](spark, SF_DIR).collect()
+    assert len(rows) == len({r.vec_id for r in rows}) == 500
+    for r in rows:
+        for m in range(PQ_M):
+            assert 0 <= getattr(r, f"code{m}") < PQ_K
+        assert r.qerr >= 0.0
+    assert len({(r.code0, r.code1, r.code2, r.code3) for r in rows}) > PQ_K
+
+
+def test_concurrency_sweep_bounds(spark, registry):
+    """Peak concurrency is >= 1 on every active day and never exceeds
+    that day's session starts plus carried-over sessions (bounded by
+    the total user count)."""
+    from hive_test_spark.io import load_table
+
+    qs, _ = registry
+    rows = qs["evt_concurrency_sweep"](spark, SF_DIR).collect()
+    assert rows
+    n_users = load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    for r in rows:
+        assert 1 <= r.peak_concurrency <= n_users
+        assert r.sessions_started >= 0
+
+
+def test_new_vs_returning_partition(spark, registry):
+    """new + returning == dau every day; day one is all-new; a user's
+    first day is counted as new exactly once across the series."""
+    qs, _ = registry
+    rows = sorted(qs["evt_new_vs_returning"](spark, SF_DIR).collect(), key=lambda r: r.day)
+    assert rows
+    assert rows[0].new_users == rows[0].dau, "first day must be all-new"
+    for r in rows:
+        assert r.new_users + r.returning_users == r.dau
+    from hive_test_spark.io import load_table
+
+    n_users = load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    assert sum(r.new_users for r in rows) == n_users
+
+
+def test_prompt_render_digest_stable_and_lengths(spark, registry):
+    """Rendered lengths exceed the raw text length (scaffold adds
+    chars), est_tokens recomputes, and the digest is deterministic
+    across two runs."""
+    import math
+
+    qs, _ = registry
+    rows = {r.doc_id: r for r in qs["llm_prompt_template_render"](spark, SF_DIR).collect()}
+    again = {r.doc_id: r.prompt_digest for r in qs["llm_prompt_template_render"](spark, SF_DIR).collect()}
+    assert {k: v.prompt_digest for k, v in rows.items()} == again
+    for r in rows.values():
+        assert r.user_chars > 0 and r.sys_chars > len("You are a ")
+        assert r.est_tokens == math.ceil((r.sys_chars + r.user_chars) / 4)

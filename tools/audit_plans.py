@@ -92,6 +92,10 @@ EXTRA_AUDIT = [
     "scale_skew_diagnose",
     "evt_power_analysis",
     "join_nearest_event",
+    "llm_ann_pq",
+    "evt_concurrency_sweep",
+    "evt_new_vs_returning",
+    "llm_prompt_template_render",
 ]
 
 

@@ -143,10 +143,11 @@ def llm_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Product quantization geometry: M subspaces × SUB dims (M·SUB = 64, the
-# fixture embedding width), K_PQ codewords per subspace codebook.
-PQ_M = 4
-PQ_SUB = 16
-PQ_K = 4
+# fixture embedding width), K_PQ codewords per subspace codebook — a
+# 32-bit code per vector (8 × log2(16) bits).
+PQ_M = 8
+PQ_SUB = 8
+PQ_K = 16
 
 
 def _pq_centroids(assigned: DataFrame) -> DataFrame:
@@ -210,8 +211,8 @@ _DUCK_PQ_ASSIGN = """
   ) t WHERE rn = 1
 """
 
-_PQ_ORACLE = f"""
-    WITH e AS (
+# The shared train/encode CTE chain: e → subs → seeded → c0 → a1 → c1 → a2.
+_PQ_CHAIN_CTES = f"""e AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
       FROM embeddings
@@ -225,12 +226,16 @@ _PQ_ORACLE = f"""
     c0 AS ({_DUCK_PQ_CENTROIDS.format(src="seeded")}),
     a1 AS ({_DUCK_PQ_ASSIGN.format(cents="c0")}),
     c1 AS ({_DUCK_PQ_CENTROIDS.format(src="a1")}),
-    a2 AS ({_DUCK_PQ_ASSIGN.format(cents="c1")})
+    a2 AS ({_DUCK_PQ_ASSIGN.format(cents="c1")})"""
+
+_PQ_CODE_PIVOT = ",\n           ".join(
+    f"MAX(CASE WHEN m = {m} THEN cluster END) AS code{m}" for m in range(PQ_M)
+)
+
+_PQ_ORACLE = f"""
+    WITH {_PQ_CHAIN_CTES}
     SELECT vec_id,
-           MAX(CASE WHEN m = 0 THEN cluster END) AS code0,
-           MAX(CASE WHEN m = 1 THEN cluster END) AS code1,
-           MAX(CASE WHEN m = 2 THEN cluster END) AS code2,
-           MAX(CASE WHEN m = 3 THEN cluster END) AS code3,
+           {_PQ_CODE_PIVOT},
            ROUND(SUM(d), 6) AS qerr
     FROM a2
     GROUP BY vec_id
@@ -260,23 +265,8 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     both argmin rounds, the centroid update, and the final code
     pivot."""
     tune(spark)
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
-    )
-    m_ids = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
-    subs = e.select("vec_id", m_ids, "emb").select(
-        "vec_id",
-        "m",
-        F.expr(f"slice(emb, m * {PQ_SUB} + 1, {PQ_SUB})").alias("sub"),
-    )
-    # Train: seeded init → update → assign → update → assign, per subspace.
-    c0 = _pq_centroids(
-        subs.select("m", (F.col("vec_id") % PQ_K).alias("cluster"), "sub")
-    )
-    a1 = _pq_assign(subs, c0)
-    c1 = _pq_centroids(a1)
-    a2 = _pq_assign(subs, c1)
+    subs = _pq_subvectors(spark, sf_dir)
+    _, a2 = _pq_train_encode(subs)
     # Encode: pivot the M codes wide + total quantization error.
     code_cols = [
         F.max(F.when(F.col("m") == m, F.col("cluster"))).alias(f"code{m}")
@@ -284,4 +274,173 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return a2.groupBy("vec_id").agg(
         *code_cols, F.round(F.sum("d"), 6).alias("qerr")
+    )
+
+
+def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, sub): the M-way subvector explode — narrow, each row
+    1/M of the original width."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+    )
+    m_ids = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    return e.select("vec_id", m_ids, "emb").select(
+        "vec_id",
+        "m",
+        F.expr(f"slice(emb, m * {PQ_SUB} + 1, {PQ_SUB})").alias("sub"),
+    )
+
+
+def _pq_train_encode(subs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The PQ trainer: seeded init → update → assign → update → assign,
+    per subspace. Returns (final codebook c1, final assignment a2)."""
+    c0 = _pq_centroids(
+        subs.select("m", (F.col("vec_id") % PQ_K).alias("cluster"), "sub")
+    )
+    a1 = _pq_assign(subs, c0)
+    c1 = _pq_centroids(a1)
+    a2 = _pq_assign(subs, c1)
+    return c1, a2
+
+
+# ADC recall gate: bounded probe panel (every 50th vector), exact-truth
+# depth, and the ADC shortlist depth the deployment would rerank exactly.
+PQ_PROBE_MOD = 50
+PQ_RECALL_K = 10
+PQ_ADC_SHORTLIST = 50
+
+_PQ_RECALL_ORACLE = f"""
+    WITH {_PQ_CHAIN_CTES},
+    probes AS (SELECT vec_id AS probe_id, emb FROM e
+               WHERE vec_id % {PQ_PROBE_MOD} = 0),
+    exact AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT p.probe_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.probe_id
+                 ORDER BY ROUND(list_sum(list_transform(
+                            generate_series(1, len(c.emb)),
+                            i -> (p.emb[i] - c.emb[i]) ^ 2)), 6),
+                          c.vec_id) AS rn
+        FROM probes p JOIN e c ON c.vec_id <> p.probe_id
+      ) t WHERE rn <= {PQ_RECALL_K}
+    ),
+    psubs AS (
+      SELECT s.vec_id AS probe_id, s.m, s.sub FROM subs s
+      WHERE s.vec_id % {PQ_PROBE_MOD} = 0
+    ),
+    partials AS (
+      SELECT p.probe_id, c.m, c.cluster,
+             ROUND(list_sum(list_transform(
+                      generate_series(1, len(c.centroid)),
+                      i -> (p.sub[i] - c.centroid[i]) ^ 2)), 6) AS pd
+      FROM psubs p JOIN c1 c ON c.m = p.m
+    ),
+    adc AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT pt.probe_id, a.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY pt.probe_id
+                 ORDER BY ROUND(SUM(pt.pd), 6), a.vec_id) AS rn
+        FROM a2 a
+        JOIN partials pt ON pt.m = a.m AND pt.cluster = a.cluster
+        WHERE a.vec_id <> pt.probe_id
+        GROUP BY pt.probe_id, a.vec_id
+      ) t WHERE rn <= {PQ_ADC_SHORTLIST}
+    )
+    SELECT x.probe_id,
+           COUNT(*) AS n_exact,
+           COUNT(d.neighbor_id) AS n_found,
+           ROUND(COUNT(d.neighbor_id) * 1.0 / COUNT(*), 6) AS recall_at_k
+    FROM exact x LEFT JOIN adc d
+      ON d.probe_id = x.probe_id AND d.neighbor_id = x.neighbor_id
+    GROUP BY x.probe_id
+"""
+
+
+@register("llm_ann_pq_recall", _PQ_RECALL_ORACLE)
+def llm_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC shortlist-recall acceptance gate for the PQ index
+    [public method: FAISS-style asymmetric distance computation — the
+    probe stays EXACT, the corpus is its codes; distance = Σ_m
+    lookup(probe, m, code_m) from an M×K partial-distance table
+    computed once per probe]. Deployments do not serve ADC ranks
+    directly: they take an ADC SHORTLIST (top-{PQ_ADC_SHORTLIST}
+    here) and rerank it exactly, so the gated number is how much of
+    the true top-{PQ_RECALL_K} the shortlist captures — pure
+    quantization loss, the number that chooses M and K (fixture
+    measurement drove this op's geometry from 4×16d codes, 8% direct
+    recall, to 8×8d, 62% shortlist recall). Completes the
+    acceptance-gate triad: llm_ann_recall gates LSH,
+    llm_ann_ivf_recall gates IVF, this gates PQ.
+
+    At 100 TB: the partial-distance table is |probes|·M·K rows
+    (bounded — probes are an eval panel) and broadcasts over the CODE
+    table (M rows per corpus vector, integers — the whole point: ADC
+    scans codes, never raw vectors); the Σ_m is a map-side-combinable
+    groupBy on (probe, vec). The exact leg is the usual bounded-probe
+    × corpus pass that every recall gate pays for ground truth. Both
+    legs rank on 6dp-rounded distances with vec_id tie-breaks, so both
+    engines pick identical top-k sets."""
+    tune(spark)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+    )
+    probes = e.filter(F.col("vec_id") % PQ_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("emb").alias("p_emb")
+    )
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb"))
+    w_exact = Window.partitionBy("probe_id").orderBy("d", "c_id")
+    exact = (
+        F.broadcast(probes)
+        .join(corpus, F.col("c_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "c_id",
+            F.round(F.expr(_SQDIST.format(a="p_emb", b="c_emb")), 6).alias("d"),
+        )
+        .select("*", F.row_number().over(w_exact).alias("rn"))
+        .filter(F.col("rn") <= PQ_RECALL_K)
+        .select("probe_id", F.col("c_id").alias("neighbor_id"))
+    )
+    subs = _pq_subvectors(spark, sf_dir)
+    c1, a2 = _pq_train_encode(subs)
+    psubs = subs.filter(F.col("vec_id") % PQ_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("m").alias("pm"), "sub"
+    )
+    partials = psubs.join(F.broadcast(c1), F.col("pm") == F.col("m")).select(
+        "probe_id",
+        "m",
+        "cluster",
+        F.round(F.expr(_SQDIST.format(a="sub", b="centroid")), 6).alias("pd"),
+    )
+    codes = a2.select(F.col("vec_id").alias("c_id"), "m", "cluster")
+    w_adc = Window.partitionBy("probe_id").orderBy("adc_d", "c_id")
+    adc = (
+        codes.join(F.broadcast(partials), ["m", "cluster"])
+        .filter(F.col("c_id") != F.col("probe_id"))
+        .groupBy("probe_id", "c_id")
+        .agg(F.round(F.sum("pd"), 6).alias("adc_d"))
+        .select("*", F.row_number().over(w_adc).alias("rn"))
+        .filter(F.col("rn") <= PQ_ADC_SHORTLIST)
+        .select("probe_id", F.col("c_id").alias("neighbor_id"))
+    )
+    found = adc.select(
+        F.col("probe_id").alias("a_probe"), F.col("neighbor_id").alias("a_nb")
+    )
+    return (
+        exact.join(
+            found,
+            (F.col("probe_id") == F.col("a_probe"))
+            & (F.col("neighbor_id") == F.col("a_nb")),
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("a_nb").alias("n_found"),
+            F.round(F.count("a_nb") / F.count(F.lit(1)), 6).alias("recall_at_k"),
+        )
     )

@@ -2284,3 +2284,172 @@ def evt_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "evt_interarrival",
+    """
+    WITH gaps AS (
+      SELECT event_type,
+             (epoch_us(CAST(ts AS TIMESTAMP))
+              - epoch_us(LAG(CAST(ts AS TIMESTAMP)) OVER
+                  (PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id))) / 1000000.0 AS gap_s
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(gap_s) AS n_gaps,
+           ROUND(AVG(gap_s), 4) AS mean_gap_s,
+           ROUND(quantile_cont(gap_s, 0.5), 4) AS p50_gap_s,
+           ROUND(quantile_cont(gap_s, 0.9), 4) AS p90_gap_s,
+           ROUND(MAX(gap_s), 4) AS max_gap_s
+    FROM gaps
+    WHERE gap_s IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def evt_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time profile per event type [public method: the
+    gap distribution behind every sessionization threshold and Poisson
+    rate model — win_sessionize_batch ASSUMES a 30-min gap rule; this
+    measures the distribution that justifies (or refutes) it]. Gaps
+    come from a (user, type)-keyed LAG over the event stream; the
+    rollup reports mean/p50/p90/max per type — heavy-tailed p90/median
+    ratios are exactly the signal that a fixed session gap misfits.
+
+    At 100 TB: one shuffle on the (user_id, event_type) window key
+    (bounded per-user history), then a map-side-combinable aggregate
+    on the 5-value type key; exact quantile buffers are bounded by
+    per-group gap counts — at true scale swap percentile for
+    approx_percentile (the agg_approx_percentile contract)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+            / 1_000_000.0
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.round(F.avg("gap_s"), 4).alias("mean_gap_s"),
+            F.round(F.expr("percentile(gap_s, 0.5)"), 4).alias("p50_gap_s"),
+            F.round(F.expr("percentile(gap_s, 0.9)"), 4).alias("p90_gap_s"),
+            F.round(F.max("gap_s"), 4).alias("max_gap_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "evt_funnel_steps",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT v.user_id, v.t_view, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
+      FROM v JOIN events e
+        ON e.user_id = v.user_id AND e.event_type = 'click'
+       AND CAST(e.ts AS TIMESTAMP) > v.t_view
+      GROUP BY v.user_id, v.t_view
+    ),
+    p AS (
+      SELECT c.user_id, c.t_view, c.t_click,
+             MIN(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+      FROM c JOIN events e
+        ON e.user_id = c.user_id AND e.event_type = 'purchase'
+       AND CAST(e.ts AS TIMESTAMP) > c.t_click
+      GROUP BY c.user_id, c.t_view, c.t_click
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click,
+           (SELECT COUNT(*) FROM p) AS n_purchase,
+           ROUND((SELECT COUNT(*) FROM c) * 1.0
+                 / (SELECT COUNT(*) FROM v), 6) AS cvr_view_click,
+           ROUND((SELECT COUNT(*) FROM p) * 1.0
+                 / NULLIF((SELECT COUNT(*) FROM c), 0), 6) AS cvr_click_purchase,
+           ROUND((SELECT COUNT(*) FROM p) * 1.0
+                 / (SELECT COUNT(*) FROM v), 6) AS cvr_total,
+           ROUND((SELECT quantile_cont(epoch_us(t_purchase) - epoch_us(t_view), 0.5)
+                  FROM p) / 1000000.0, 4) AS p50_total_latency_s
+    """,
+)
+def evt_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered multi-step funnel view → click → purchase [public
+    method: the N-step funnel report generalizing evt_funnel's 2-step
+    pair — each step's timestamp must strictly follow the previous
+    step's, per user]. Steps chain as user-keyed joins (each stage's
+    MIN-timestamp frame joins the next event stream with the ordering
+    predicate as a residual), and the scorecard reports per-step
+    survivors, step and total conversion rates, and the median
+    end-to-end latency.
+
+    At 100 TB: every stage joins and aggregates on the user key — ONE
+    shuffle family end-to-end (co-partitioned stages); per-stage
+    frames only shrink (funnel survivors are monotone), and the final
+    scorecard is a 1-row reduce. The ordering predicates are residual
+    conditions on the equi-join, never driving a range join."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    c = (
+        v.join(
+            clicks,
+            (F.col("c_user") == F.col("user_id")) & (F.col("c_ts") > F.col("t_view")),
+        )
+        .groupBy("user_id", "t_view")
+        .agg(F.min("c_ts").alias("t_click"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    p = (
+        c.join(
+            purchases,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") > F.col("t_click")),
+        )
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(F.min("p_ts").alias("t_purchase"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click"))
+    np_ = p.agg(
+        F.count(F.lit(1)).alias("n_purchase"),
+        F.round(
+            F.expr(
+                "percentile(unix_micros(t_purchase) - unix_micros(t_view), 0.5)"
+            )
+            / 1_000_000.0,
+            4,
+        ).alias("p50_total_latency_s"),
+    )
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            F.round(F.col("n_click") / F.col("n_view"), 6).alias("cvr_view_click"),
+            F.round(
+                F.col("n_purchase") / F.nullif(F.col("n_click"), F.lit(0)), 6
+            ).alias("cvr_click_purchase"),
+            F.round(F.col("n_purchase") / F.col("n_view"), 6).alias("cvr_total"),
+            "p50_total_latency_s",
+        )
+    )

@@ -276,3 +276,120 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corners.groupBy(F.col("part").alias("l_partkey")).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+_LP_ITERS = 3
+
+# One synchronous min-label round: every node takes the min of its own
+# label and its neighbors' labels. LEAST ignores NULLs identically in
+# Spark and DuckDB (pinned by llm_rouge_overlap's fix), so isolated
+# nodes — none exist in this both-directions graph — would keep their
+# own label rather than going NULL.
+_DUCK_LP_STEP = """
+  SELECT d.node, LEAST(d.label, nb.minl) AS label
+  FROM {prev} d
+  LEFT JOIN (
+    SELECT e.dst AS node, MIN(l.label) AS minl
+    FROM edges e JOIN {prev} l ON l.node = e.src
+    GROUP BY e.dst
+  ) nb ON nb.node = d.node
+"""
+
+_LP_ORACLE = f"""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT 'c' || CAST(cust AS VARCHAR) AS src, 's' || CAST(supp AS VARCHAR) AS dst FROM pairs
+      UNION ALL
+      SELECT 's' || CAST(supp AS VARCHAR) AS src, 'c' || CAST(cust AS VARCHAR) AS dst FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+    l1 AS ({_DUCK_LP_STEP.format(prev="l0")}),
+    l2 AS ({_DUCK_LP_STEP.format(prev="l1")}),
+    l3 AS ({_DUCK_LP_STEP.format(prev="l2")}),
+    all_rounds AS (
+      SELECT 0 AS round, label FROM l0
+      UNION ALL SELECT 1, label FROM l1
+      UNION ALL SELECT 2, label FROM l2
+      UNION ALL SELECT 3, label FROM l3
+    ),
+    sizes AS (
+      SELECT round, label, COUNT(*) AS sz
+      FROM all_rounds GROUP BY round, label
+    )
+    SELECT round,
+           COUNT(*) AS n_communities,
+           MAX(sz) AS largest_community,
+           MIN(label) AS min_label
+    FROM sizes
+    GROUP BY round
+    ORDER BY round
+"""
+
+
+@register("graph_label_propagation", _LP_ORACLE)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via synchronous min-label propagation
+    [public method: the label-propagation algorithm in its
+    deterministic min-label form — the same update rule as
+    llm_dedup_clusters' connected components, HERE run a FIXED
+    {_LP_ITERS} rounds on the customer-supplier trade graph]. The
+    output is the per-round CONVERGENCE profile (community count,
+    largest community, min label): on this dense trade graph the
+    labels collapse toward one component, and the profile shows how
+    fast information propagates per hop — the diagnostic a bounded-
+    round production job reads to pick its iteration budget (the CC
+    loop's run-to-convergence alternative).
+
+    At 100 TB: one shuffle join (edges ⋈ labels on src) + one
+    map-side-combinable MIN per round — the graph_pagerank loop shape
+    with MIN in place of the rank sum; the fixed round count keeps
+    lineage shallow (convergence loops localCheckpoint, the CC
+    pattern). The per-round rollups key on the label dimension."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("cust"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cust").alias("src"), F.col("supp").alias("dst")
+    ).unionAll(pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
+    # The edge list feeds every round: checkpoint once (the pagerank
+    # cached-edges idiom) so the rounds re-read memory, not parquet.
+    edges = edges.localCheckpoint(eager=True)
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    rounds = [labels.select(F.lit(0).alias("round"), "label")]
+    for i in range(_LP_ITERS):
+        nb = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("nb_node"))
+            .agg(F.min("label").alias("minl"))
+        )
+        labels = (
+            labels.join(nb, labels.node == nb.nb_node, "left")
+            .select("node", F.least("label", "minl").alias("label"))
+        )
+        rounds.append(labels.select(F.lit(i + 1).alias("round"), "label"))
+    all_rounds = rounds[0]
+    for r in rounds[1:]:
+        all_rounds = all_rounds.unionByName(r)
+    sizes = all_rounds.groupBy("round", "label").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy("round")
+        .agg(
+            F.count(F.lit(1)).alias("n_communities"),
+            F.max("sz").alias("largest_community"),
+            F.min("label").alias("min_label"),
+        )
+        .orderBy("round")
+    )

@@ -212,7 +212,8 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "dq_outlier_iqr", "scale_skew_diagnose", "evt_power_analysis",
     "join_nearest_event", "meta_show_create_table", "llm_ann_pq",
     "evt_concurrency_sweep", "evt_new_vs_returning",
-    "llm_prompt_template_render",
+    "llm_prompt_template_render", "llm_ann_pq_recall",
+    "graph_label_propagation", "evt_interarrival", "evt_funnel_steps",
 )
 
 

@@ -1320,3 +1320,41 @@ def test_prompt_render_is_narrow_map(spark, registry):
     assert f.exchanges == 0, "template render must not shuffle"
     assert "Python" not in f.text
     assert scan_read_columns(f) == [4]
+
+
+def test_pq_recall_codes_join_broadcast_partials(spark, registry):
+    """The ADC leg joins the integer code stream against the broadcast
+    probe partial-distance table; the exact leg broadcasts the probe
+    panel — never a corpus×corpus product."""
+    f = _facts(spark, registry, "llm_ann_pq_recall")
+    assert f.cartesian == 0
+    assert f.broadcast_joins >= 3
+    assert "Python" not in f.text
+
+
+def test_label_propagation_checkpointed_edges(spark, registry):
+    """The edge list is checkpointed once (pagerank cached-edges idiom)
+    so the per-round joins re-read memory — the final plan holds no
+    parquet scans; no cartesian anywhere in the unrolled loop."""
+    f = _facts(spark, registry, "graph_label_propagation")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+    assert len(scan_read_columns(f)) == 0, "rounds must not re-scan parquet"
+
+
+def test_interarrival_one_window_one_agg(spark, registry):
+    """A (user, type)-keyed LAG then a 5-key rollup — no join."""
+    f = _facts(spark, registry, "evt_interarrival")
+    assert f.cartesian == 0
+    assert f.broadcast_joins + f.sort_merge_joins == 0
+    assert "Window" in f.text
+    assert "Python" not in f.text
+    assert scan_read_columns(f) == [4], "ts, event_id, user_id, event_type"
+
+
+def test_funnel_steps_user_keyed_chain(spark, registry):
+    """Every stage joins on the user key with ordering residuals; the
+    scorecard combines three 1-row aggregates via broadcast."""
+    f = _facts(spark, registry, "evt_funnel_steps")
+    assert f.cartesian <= 2, "only the 1-row scorecard combines"
+    assert "Python" not in f.text

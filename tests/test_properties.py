@@ -970,3 +970,56 @@ def test_prompt_render_digest_stable_and_lengths(spark, registry):
     for r in rows.values():
         assert r.user_chars > 0 and r.sys_chars > len("You are a ")
         assert r.est_tokens == math.ceil((r.sys_chars + r.user_chars) / 4)
+
+
+def test_pq_recall_in_unit_range(spark, registry):
+    """recall@k in [0,1], n_exact == k for every probe, n_found <= k;
+    the quantizer should beat random guessing on this clustered
+    fixture (mean recall > 0.2)."""
+    from hive_test_spark.llm.cluster import PQ_RECALL_K
+
+    qs, _ = registry
+    rows = qs["llm_ann_pq_recall"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_exact == PQ_RECALL_K
+        assert 0 <= r.n_found <= PQ_RECALL_K
+        assert 0.0 <= r.recall_at_k <= 1.0
+    assert sum(r.recall_at_k for r in rows) / len(rows) > 0.2
+
+
+def test_label_propagation_monotone_convergence(spark, registry):
+    """Community count is non-increasing per round, the largest
+    community non-decreasing, and the global min label is reached by
+    round 1 and stable after."""
+    qs, _ = registry
+    rows = sorted(qs["graph_label_propagation"](spark, SF_DIR).collect(), key=lambda r: r.round)
+    assert [r.round for r in rows] == [0, 1, 2, 3]
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_communities <= a.n_communities
+        assert b.largest_community >= a.largest_community
+        assert b.min_label == rows[0].min_label, "min label can never be lost"
+    assert rows[0].largest_community == 1, "round 0 is all-singletons"
+
+
+def test_interarrival_quantile_ordering(spark, registry):
+    """0 < p50 <= p90 <= max and the mean sits within [min-ish, max]."""
+    qs, _ = registry
+    rows = qs["evt_interarrival"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_gaps > 0
+        assert 0 < r.p50_gap_s <= r.p90_gap_s <= r.max_gap_s
+        assert 0 < r.mean_gap_s <= r.max_gap_s
+
+
+def test_funnel_steps_monotone(spark, registry):
+    """Funnel counts only shrink; conversion rates recompute and live
+    in (0, 1]; latency is positive."""
+    qs, _ = registry
+    (r,) = qs["evt_funnel_steps"](spark, SF_DIR).collect()
+    assert r.n_view >= r.n_click >= r.n_purchase
+    assert abs(r.cvr_view_click - round(r.n_click / r.n_view, 6)) < 1e-9
+    assert abs(r.cvr_total - round(r.n_purchase / r.n_view, 6)) < 1e-9
+    if r.n_purchase:
+        assert r.p50_total_latency_s > 0

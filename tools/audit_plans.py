@@ -96,6 +96,10 @@ EXTRA_AUDIT = [
     "evt_concurrency_sweep",
     "evt_new_vs_returning",
     "llm_prompt_template_render",
+    "llm_ann_pq_recall",
+    "graph_label_propagation",
+    "evt_interarrival",
+    "evt_funnel_steps",
 ]
 
 

@@ -650,3 +650,154 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", "passed_quality", "is_canonical",
         F.coalesce(F.col("rn") <= _E2E_CAP, F.lit(False)).alias("final_keep"),
     )
+
+
+# LSH tuning sweep: (bands, rows-per-band) configs tiling the K=16
+# signature, from aggressive (high-threshold) to permissive banding.
+_LSH_CONFIGS = ((4, 4), (8, 2), (16, 1))
+
+_LSH_TUNE_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hashes AS (
+      SELECT doc_id, t.k AS k, md5(t.k::VARCHAR || ':' || u.tok) AS h
+      FROM (SELECT doc_id, unnest(tok) AS tok FROM toks) u
+      CROSS JOIN range({_MINHASH_K}) t(k)
+    ),
+    sig AS (SELECT doc_id, k, min(h) AS mh FROM hashes GROUP BY doc_id, k),
+    configs AS (SELECT * FROM (VALUES {", ".join(f"({b}, {r})" for b, r in _LSH_CONFIGS)}) AS t(bands, rows_per_band)),
+    banded AS (
+      SELECT c.bands, c.rows_per_band, s.doc_id,
+             s.k // c.rows_per_band AS band,
+             string_agg(s.mh, '|' ORDER BY s.mh) AS bkey
+      FROM sig s CROSS JOIN configs c
+      GROUP BY c.bands, c.rows_per_band, s.doc_id, s.k // c.rows_per_band
+    ),
+    buckets AS (
+      SELECT bands, rows_per_band, band, bkey, COUNT(*) AS sz
+      FROM banded GROUP BY bands, rows_per_band, band, bkey
+    ),
+    pairs AS (
+      SELECT DISTINCT a.bands, a.rows_per_band,
+             a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.bands = b.bands AND a.rows_per_band = b.rows_per_band
+       AND a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT c.bands, c.rows_per_band,
+           ROUND(power(1.0 / c.bands, 1.0 / c.rows_per_band), 6) AS s_threshold,
+           COALESCE(bk.n_multi_buckets, 0) AS n_multi_buckets,
+           COALESCE(p.n_candidate_pairs, 0) AS n_candidate_pairs
+    FROM configs c
+    LEFT JOIN (SELECT bands, rows_per_band, COUNT(*) AS n_multi_buckets
+               FROM buckets WHERE sz >= 2 GROUP BY bands, rows_per_band) bk
+      USING (bands, rows_per_band)
+    LEFT JOIN (SELECT bands, rows_per_band, COUNT(*) AS n_candidate_pairs
+               FROM pairs GROUP BY bands, rows_per_band) p
+      USING (bands, rows_per_band)
+    ORDER BY c.bands
+"""
+
+
+@register("llm_lsh_tuning_curve", _LSH_TUNE_ORACLE)
+def llm_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding parameter sweep [public method: the (b, r) S-curve
+    trade-off from Mining of Massive Datasets — collision threshold
+    s* ≈ (1/b)^(1/r); more bands = lower threshold = more candidates].
+    One K={_MINHASH_K} signature table (the llm_minhash_det
+    construction) feeds every configuration; per config the sweep
+    reports the theoretical threshold beside the MEASURED multi-doc
+    bucket count and distinct candidate-pair volume — the table a
+    dedup operator reads to pick banding before committing a 100 TB
+    run (candidate volume is the cost driver; threshold is the recall
+    driver).
+
+    At 100 TB: signatures are computed once (map-side-combinable min);
+    the config fan-out multiplies the SIGNATURE table (K rows/doc),
+    not the corpus; banding is a groupBy on (config, doc, band) and
+    candidates come from the (band, bkey) equi-self-join per config —
+    bucket-bounded, never all-pairs, identical to the production
+    near-dedup shape it tunes."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("tok"))
+    hashes = (
+        toks.select("doc_id", F.explode("tok").alias("tok"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_K - 1))).alias("k"),
+            "tok",
+        )
+        .select(
+            "doc_id",
+            "k",
+            F.md5(F.concat_ws(":", F.col("k"), F.col("tok"))).alias("h"),
+        )
+    )
+    # One signature build feeds all three configs: checkpoint it.
+    sig = (
+        hashes.groupBy("doc_id", "k")
+        .agg(F.min("h").alias("mh"))
+        .localCheckpoint(eager=True)
+    )
+    # VALUES through SQL plans as a JVM LocalRelation — createDataFrame
+    # over a Python list would plan applySchemaToPythonRDD instead.
+    configs = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"({b}, {r})" for b, r in _LSH_CONFIGS)
+        + " AS t(bands, rows_per_band)"
+    )
+    banded = (
+        sig.crossJoin(F.broadcast(configs))
+        .groupBy(
+            "bands",
+            "rows_per_band",
+            "doc_id",
+            (F.col("k") / F.col("rows_per_band")).cast("int").alias("band"),
+        )
+        .agg(F.array_join(F.array_sort(F.collect_list("mh")), "|").alias("bkey"))
+    )
+    buckets = banded.groupBy("bands", "rows_per_band", "band", "bkey").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bands") == F.col("b.bands"))
+            & (F.col("a.rows_per_band") == F.col("b.rows_per_band"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.bands").alias("bands"),
+            F.col("a.rows_per_band").alias("rows_per_band"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    bk = (
+        buckets.filter(F.col("sz") >= 2)
+        .groupBy("bands", "rows_per_band")
+        .agg(F.count(F.lit(1)).alias("n_multi_buckets"))
+    )
+    pc = pairs.groupBy("bands", "rows_per_band").agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs")
+    )
+    return (
+        configs.join(bk, ["bands", "rows_per_band"], "left")
+        .join(pc, ["bands", "rows_per_band"], "left")
+        .select(
+            "bands",
+            "rows_per_band",
+            F.round(
+                F.pow(1.0 / F.col("bands"), 1.0 / F.col("rows_per_band")), 6
+            ).alias("s_threshold"),
+            F.coalesce("n_multi_buckets", F.lit(0)).alias("n_multi_buckets"),
+            F.coalesce("n_candidate_pairs", F.lit(0)).alias("n_candidate_pairs"),
+        )
+        .orderBy("bands")
+    )

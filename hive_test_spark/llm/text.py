@@ -1276,3 +1276,74 @@ def llm_prompt_template_render(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("est_tokens"),
         F.md5(F.concat_ws("\n", "sys_msg", "user_msg")).alias("prompt_digest"),
     )
+
+
+@register(
+    "llm_ngram_novelty",
+    """
+    WITH dg AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+                      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS gram
+        FROM documents
+      )
+    ),
+    df AS (SELECT gram, COUNT(*) AS docfreq FROM dg GROUP BY gram)
+    SELECT dg.doc_id,
+           COUNT(*) AS n_distinct_grams,
+           CAST(SUM(CASE WHEN df.docfreq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique_grams,
+           ROUND(SUM(CASE WHEN df.docfreq = 1 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS novelty
+    FROM dg JOIN df USING (gram)
+    GROUP BY dg.doc_id
+    """,
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty [public method: the "new text"
+    signal — the fraction of a doc's distinct bigrams appearing in NO
+    other document; low novelty flags boilerplate/templates before any
+    pairwise dedup runs, high novelty marks content worth keeping —
+    the cheap single-pass complement to llm_minhash_det]. Doc-distinct
+    bigrams join corpus document-frequency on the GRAM key; a doc is
+    its own one occurrence, so docfreq=1 means globally unique.
+
+    At 100 TB: bigram explode reduces immediately to DISTINCT
+    (doc, gram); docfreq is a map-side-combinable count on the gram
+    key; the join keys on the gram dimension and stays un-broadcast
+    (web-scale gram vocabularies are not broadcast candidates — the
+    llm_tfidf rule); final rollup re-keys on doc_id."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    dg = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 1), "
+                    "i -> concat(split(text, ' ')[i - 1], ' ', split(text, ' ')[i]))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+        # Two branches (docfreq, the doc-side join) reference this
+        # frame — checkpoint so documents scans once (the audit rule).
+        .localCheckpoint(eager=True)
+    )
+    df = dg.groupBy("gram").agg(F.count(F.lit(1)).alias("docfreq"))
+    return (
+        dg.join(df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+            F.sum(F.when(F.col("docfreq") == 1, 1).otherwise(0)).alias(
+                "n_unique_grams"
+            ),
+            F.round(
+                F.sum(F.when(F.col("docfreq") == 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+    )

@@ -2453,3 +2453,121 @@ def evt_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p50_total_latency_s",
         )
     )
+
+
+# Day-of-week convention anchor (2024-01-01 is a Monday): dow = days
+# since anchor mod 7 — the evt_seasonal_decompose trick that sidesteps
+# Spark dayofweek()=Sunday-1 vs DuckDB dayofweek()=Sunday-0.
+_DOW_ANCHOR = "2024-01-01"
+
+
+@register(
+    "evt_heatmap_dow_hour",
+    f"""
+    WITH x AS (
+      SELECT CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                  - DATE '{_DOW_ANCHOR}' AS INT) % 7 AS dow,
+             EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS hour,
+             value
+      FROM events
+    )
+    SELECT dow, CAST(hour AS INT) AS hour,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM x
+    GROUP BY dow, hour
+    ORDER BY dow, hour
+    """,
+)
+def evt_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap [public practice: the
+    weekly-rhythm matrix on every ops dashboard — staffing, batch-
+    window placement, and anomaly baselines all read it]. Day-of-week
+    comes from days-since-anchor mod 7 (anchor Monday), the
+    evt_seasonal_decompose convention that makes both engines agree
+    without touching their divergent dayofweek() conventions; hour is
+    a plain EXTRACT. Output is the long-form (dow, hour) matrix with
+    counts and value mass.
+
+    At 100 TB: a narrow map to a 168-value key then one map-side-
+    combinable aggregate — partials compress each partition to ≤168
+    rows before the shuffle; scan-bound like evt_benford."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    dow = (
+        F.datediff(F.to_date("ts"), F.to_date(F.lit(_DOW_ANCHOR))) % 7
+    ).alias("dow")
+    return (
+        ev.select(dow, F.hour("ts").alias("hour"), "value")
+        .groupBy("dow", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+@register(
+    "evt_shipping_latency",
+    """
+    WITH lat AS (
+      SELECT o.o_orderpriority,
+             CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+                  AS INT) AS lag_days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           ROUND(AVG(lag_days), 4) AS mean_days,
+           ROUND(quantile_cont(lag_days, 0.5), 4) AS p50_days,
+           ROUND(quantile_cont(lag_days, 0.9), 4) AS p90_days,
+           MAX(lag_days) AS max_days,
+           CAST(SUM(CASE WHEN lag_days < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_anomalous
+    FROM lat
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def evt_shipping_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship latency SLA profile per priority class [public
+    practice: the fulfilment-latency distribution every logistics
+    warehouse tracks — does URGENT actually ship faster, and how fat
+    is the tail?]. Latency is datediff(shipdate, orderdate) through
+    the orders⋈lineitem equi-join; the per-priority rollup reports
+    mean/p50/p90/max plus a negative-latency anomaly count (ship
+    before order = data fault — the dq_constraints cross-table rule
+    as a measured rate).
+
+    At 100 TB: ONE fact-fact equi-join on the order key (the
+    flagship's join family — both sides shuffle once on l_orderkey /
+    o_orderkey), then a map-side-combinable aggregate on a 5-value
+    key. Exact quantiles bound by per-priority row counts; swap to
+    approx_percentile at true scale (the agg_approx_percentile
+    contract)."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lat = o.join(li, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "lag_days"
+        ),
+    )
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.avg("lag_days"), 4).alias("mean_days"),
+            F.round(F.expr("percentile(lag_days, 0.5)"), 4).alias("p50_days"),
+            F.round(F.expr("percentile(lag_days, 0.9)"), 4).alias("p90_days"),
+            F.max("lag_days").alias("max_days"),
+            F.sum(F.when(F.col("lag_days") < 0, 1).otherwise(0)).alias(
+                "n_anomalous"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -214,6 +214,8 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "evt_concurrency_sweep", "evt_new_vs_returning",
     "llm_prompt_template_render", "llm_ann_pq_recall",
     "graph_label_propagation", "evt_interarrival", "evt_funnel_steps",
+    "evt_heatmap_dow_hour", "evt_shipping_latency",
+    "llm_lsh_tuning_curve", "llm_ngram_novelty",
 )
 
 

@@ -1358,3 +1358,42 @@ def test_funnel_steps_user_keyed_chain(spark, registry):
     f = _facts(spark, registry, "evt_funnel_steps")
     assert f.cartesian <= 2, "only the 1-row scorecard combines"
     assert "Python" not in f.text
+
+
+def test_heatmap_tiny_key_agg(spark, registry):
+    """168-key map-side-combinable aggregate — no join, no window."""
+    f = _facts(spark, registry, "evt_heatmap_dow_hour")
+    assert f.cartesian == 0
+    assert f.broadcast_joins + f.sort_merge_joins == 0
+    assert "Window" not in f.text
+    assert "Python" not in f.text
+    assert scan_read_columns(f) == [2]
+
+
+def test_shipping_latency_single_fact_join(spark, registry):
+    """One order-keyed equi-join, both scans pruned, then a 5-key
+    rollup."""
+    f = _facts(spark, registry, "evt_shipping_latency")
+    assert f.cartesian == 0
+    assert f.broadcast_joins + f.sort_merge_joins >= 1
+    assert "Python" not in f.text
+    assert sorted(scan_read_columns(f)) == [2, 3]
+
+
+def test_lsh_tuning_reuses_one_signature_table(spark, registry):
+    """The checkpointed signature table feeds all configs — the final
+    plan re-reads memory, not parquet; candidates come from equi-joins
+    (the config fan-out is the only intentional broadcast cross)."""
+    f = _facts(spark, registry, "llm_lsh_tuning_curve")
+    assert f.cartesian <= 1, "only the bounded sig × 3-config fan-out"
+    assert "Python" not in f.text
+    assert len(scan_read_columns(f)) == 0, "configs must reuse the checkpointed sig"
+
+
+def test_ngram_novelty_gram_keyed_join(spark, registry):
+    """Docfreq joins on the gram dimension without a forced broadcast;
+    the checkpointed gram frame keeps documents to one scan."""
+    f = _facts(spark, registry, "llm_ngram_novelty")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+    assert len(scan_read_columns(f)) == 0

@@ -1023,3 +1023,47 @@ def test_funnel_steps_monotone(spark, registry):
     assert abs(r.cvr_total - round(r.n_purchase / r.n_view, 6)) < 1e-9
     if r.n_purchase:
         assert r.p50_total_latency_s > 0
+
+
+def test_heatmap_covers_week_and_day(spark, registry):
+    """dow in 0..6, hour in 0..23, and total events equal the table
+    count."""
+    from hive_test_spark.io import load_table
+
+    qs, _ = registry
+    rows = qs["evt_heatmap_dow_hour"](spark, SF_DIR).collect()
+    assert all(0 <= r.dow <= 6 and 0 <= r.hour <= 23 for r in rows)
+    total = load_table(spark, SF_DIR, "events").count()
+    assert sum(r.n_events for r in rows) == total
+
+
+def test_shipping_latency_quantile_order(spark, registry):
+    """p50 <= p90 <= max per priority; anomalies bounded by lines."""
+    qs, _ = registry
+    rows = qs["evt_shipping_latency"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.p50_days <= r.p90_days <= r.max_days
+        assert 0 <= r.n_anomalous <= r.n_lines
+
+
+def test_lsh_tuning_monotone_in_bands(spark, registry):
+    """More bands (shorter rows-per-band) ⇒ lower threshold and at
+    least as many candidate pairs — the S-curve direction."""
+    qs, _ = registry
+    rows = sorted(qs["llm_lsh_tuning_curve"](spark, SF_DIR).collect(), key=lambda r: r.bands)
+    assert [(r.bands, r.rows_per_band) for r in rows] == [(4, 4), (8, 2), (16, 1)]
+    for a, b in zip(rows, rows[1:]):
+        assert b.s_threshold < a.s_threshold
+        assert b.n_candidate_pairs >= a.n_candidate_pairs
+
+
+def test_ngram_novelty_bounds(spark, registry):
+    """novelty in [0,1] and recomputes from the reported counts; every
+    document appears exactly once."""
+    qs, _ = registry
+    rows = qs["llm_ngram_novelty"](spark, SF_DIR).collect()
+    assert len(rows) == len({r.doc_id for r in rows}) == 500
+    for r in rows:
+        assert 0 <= r.n_unique_grams <= r.n_distinct_grams
+        assert abs(r.novelty - round(r.n_unique_grams / r.n_distinct_grams, 6)) < 1e-9

@@ -100,6 +100,10 @@ EXTRA_AUDIT = [
     "graph_label_propagation",
     "evt_interarrival",
     "evt_funnel_steps",
+    "evt_heatmap_dow_hour",
+    "evt_shipping_latency",
+    "llm_lsh_tuning_curve",
+    "llm_ngram_novelty",
 ]
 
 

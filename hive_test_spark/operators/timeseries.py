@@ -413,3 +413,99 @@ def evt_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(seasonal, 6).alias("seasonal"),
         F.round(F.col("observed") - F.col("trend") - seasonal, 6).alias("residual"),
     )
+
+
+# Holt linear (double exponential) smoothing constants.
+_HOLT_ALPHA = 0.3
+_HOLT_BETA = 0.2
+
+
+def _holt_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    # Explicit coupled recurrence (l1 = x1, b1 = 0; l = a·x + (1-a)(l+b),
+    # b = β(l_new − l) + (1-β)b) with the same float-op sequence as the
+    # oracle's recursive CTE — inputs are pre-rounded daily sums, so both
+    # engines iterate identical doubles.
+    pdf = pdf.sort_values("day")
+    levels, trends = [], []
+    l = b = None
+    for x in pdf["rev"]:
+        if l is None:
+            l, b = x, 0.0
+        else:
+            l_new = _HOLT_ALPHA * x + (1.0 - _HOLT_ALPHA) * (l + b)
+            b = _HOLT_BETA * (l_new - l) + (1.0 - _HOLT_BETA) * b
+            l = l_new
+        levels.append(l)
+        trends.append(b)
+    lev = pd.Series(levels, index=pdf.index)
+    tr = pd.Series(trends, index=pdf.index)
+    return pd.DataFrame(
+        {
+            "event_type": pdf["event_type"],
+            "day": pdf["day"],
+            "rev": pdf["rev"],
+            "level": lev.round(6),
+            "trend": tr.round(6),
+            "forecast_next": (lev + tr).round(6),
+        }
+    )
+
+
+@register(
+    "evt_holt_linear",
+    f"""
+    WITH RECURSIVE s AS (
+      SELECT event_type, CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR) AS day,
+             ROUND(SUM(value), 6) AS rev,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS rn
+      FROM events
+      GROUP BY event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+    ),
+    rec (event_type, rn, day, rev, l, b) AS (
+      SELECT event_type, rn, day, rev,
+             CAST(rev AS DOUBLE), CAST(0.0 AS DOUBLE)
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT n.event_type, n.rn, n.day, n.rev,
+             {_HOLT_ALPHA} * n.rev + (1.0 - {_HOLT_ALPHA}) * (r.l + r.b),
+             {_HOLT_BETA} * (({_HOLT_ALPHA} * n.rev
+                              + (1.0 - {_HOLT_ALPHA}) * (r.l + r.b)) - r.l)
+               + (1.0 - {_HOLT_BETA}) * r.b
+      FROM rec r JOIN s n ON n.event_type = r.event_type AND n.rn = r.rn + 1
+    )
+    SELECT event_type, day, rev,
+           ROUND(l, 6) AS level,
+           ROUND(b, 6) AS trend,
+           ROUND(l + b, 6) AS forecast_next
+    FROM rec
+    """,
+)
+def evt_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (double-exponential) smoothing per event-type daily
+    series [public method: Holt 1957 — level + trend recursion, one
+    rung above evt_ewma's single smoother and the trend-aware rival of
+    evt_forecast_snaive's seasonal-naive baseline]. The coupled
+    recursion (weights depend on the whole prefix) is inexpressible in
+    SQL windows, so Spark runs it as grouped-map ``applyInPandas`` —
+    one Arrow batch per series — while the oracle runs the IDENTICAL
+    float-op sequence as a recursive CTE. Per-day revenue is rounded
+    to 6dp BEFORE the recursion: the raw sums differ across engines in
+    summation order, and a recursion AMPLIFIES input noise (the
+    evt_power_analysis round-the-inputs rule, applied one level up).
+
+    At 100 TB: grouping keys the shuffle on the series id; each series
+    is one bounded Arrow batch (calendar-bounded days). A whale series
+    switches to the segmented-scan fold evt_ewma documents — Holt's
+    update is an affine map (l,b) ↦ M(x)·(l,b)+c(x), so per-chunk
+    2×2 matrix products fold associatively."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy(
+        "event_type", F.to_date("ts").cast("string").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("rev"))
+    schema = (
+        "event_type string, day string, rev double, level double, "
+        "trend double, forecast_next double"
+    )
+    return s.groupBy("event_type").applyInPandas(_holt_group, schema)

@@ -215,7 +215,7 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "llm_prompt_template_render", "llm_ann_pq_recall",
     "graph_label_propagation", "evt_interarrival", "evt_funnel_steps",
     "evt_heatmap_dow_hour", "evt_shipping_latency",
-    "llm_lsh_tuning_curve", "llm_ngram_novelty",
+    "llm_lsh_tuning_curve", "llm_ngram_novelty", "evt_holt_linear",
 )
 
 

@@ -1397,3 +1397,13 @@ def test_ngram_novelty_gram_keyed_join(spark, registry):
     assert f.cartesian == 0
     assert "Python" not in f.text
     assert len(scan_read_columns(f)) == 0
+
+
+def test_holt_is_grouped_map_arrow(spark, registry):
+    """The recursion runs as ONE grouped-map Arrow stage over the
+    pre-aggregated day series — the Python stage sees series rows, not
+    raw events."""
+    f = _facts(spark, registry, "evt_holt_linear")
+    assert f.cartesian == 0
+    assert "FlatMapGroupsInPandas" in f.text or "Python" in f.text
+    assert scan_read_columns(f) == [3], "events scan prunes to (type, ts, value)"

@@ -1067,3 +1067,24 @@ def test_ngram_novelty_bounds(spark, registry):
     for r in rows:
         assert 0 <= r.n_unique_grams <= r.n_distinct_grams
         assert abs(r.novelty - round(r.n_unique_grams / r.n_distinct_grams, 6)) < 1e-9
+
+
+def test_holt_recursion_contract(spark, registry):
+    """Level starts at the first observation with zero trend; the
+    recursion recomputes exactly from the reported inputs per series."""
+    qs, _ = registry
+    rows = qs["evt_holt_linear"](spark, SF_DIR).collect()
+    assert rows
+    series = {}
+    for r in rows:
+        series.setdefault(r.event_type, []).append(r)
+    for et, rs in series.items():
+        rs.sort(key=lambda r: r.day)
+        l, b = rs[0].rev, 0.0
+        assert rs[0].level == round(l, 6) and rs[0].trend == 0.0
+        for r in rs[1:]:
+            l_new = 0.3 * r.rev + 0.7 * (l + b)
+            b = 0.2 * (l_new - l) + 0.8 * b
+            l = l_new
+            assert abs(r.level - round(l, 6)) < 1e-9, (et, r.day)
+            assert abs(r.forecast_next - round(l + b, 6)) < 1e-9

@@ -104,6 +104,7 @@ EXTRA_AUDIT = [
     "evt_shipping_latency",
     "llm_lsh_tuning_curve",
     "llm_ngram_novelty",
+    "evt_holt_linear",
 ]
 
 

@@ -444,3 +444,90 @@ def llm_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("a_nb") / F.count(F.lit(1)), 6).alias("recall_at_k"),
         )
     )
+
+
+_PURITY_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    seeded AS (SELECT vec_id % {KMEANS_K} AS cluster, emb FROM e),
+    c0 AS ({_DUCK_CENTROIDS.format(src="seeded")}),
+    a1 AS ({_DUCK_ASSIGN.format(cents="c0")}),
+    c1 AS ({_DUCK_CENTROIDS.format(src="a1")}),
+    a2 AS ({_DUCK_ASSIGN.format(cents="c1")}),
+    joined AS (
+      SELECT a2.vec_id, a2.cluster, emb_t.label
+      FROM a2 JOIN embeddings emb_t ON emb_t.vec_id = a2.vec_id
+    ),
+    cell AS (
+      SELECT cluster, label, COUNT(*) AS n
+      FROM joined GROUP BY cluster, label
+    ),
+    top AS (
+      SELECT cluster, label AS majority_label, n AS n_majority, n_total
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+                                         ORDER BY n DESC, label) AS rn,
+                   SUM(n) OVER (PARTITION BY cluster) AS n_total
+            FROM cell) t
+      WHERE rn = 1
+    )
+    SELECT cluster, CAST(majority_label AS INT) AS majority_label,
+           CAST(n_majority AS BIGINT) AS n_majority,
+           CAST(n_total AS BIGINT) AS n_total,
+           ROUND(CAST(n_majority AS DOUBLE) / n_total, 6) AS purity
+    FROM top
+    ORDER BY cluster
+"""
+
+
+@register("llm_cluster_purity", _PURITY_ORACLE)
+def llm_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-purity evaluation of the k-means assignment against the
+    fixture's ground-truth labels [public method: purity — each
+    cluster's majority-label share, the first clustering-quality
+    number reported beside NMI/ARI]: re-runs the llm_kmeans_lloyd
+    train pipeline, joins assignments back to labels, and reports per
+    cluster its majority label, member counts, and purity. Low purity
+    on a cluster = the quantizer is splitting or merging semantic
+    groups — the QA signal that gates llm_semdedup / llm_ann_ivf,
+    which both trust these cells.
+
+    At 100 TB: the label join keys on vec_id (co-partitioned with the
+    assignment's own keying); the cell matrix is k×|labels| — tiny —
+    and the majority pick is a window over that matrix. Everything
+    upstream is the proven Lloyd shape."""
+    tune(spark)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb")
+    )
+    c0 = _centroids(e.select((F.col("vec_id") % KMEANS_K).alias("cluster"), "emb"))
+    a1 = _assign(e, c0)
+    c1 = _centroids(a1)
+    a2 = _assign(e, c1)
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cell = (
+        a2.join(labels, "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_pick = Window.partitionBy("cluster").orderBy(F.col("n").desc(), "label")
+    w_tot = Window.partitionBy("cluster")
+    top = (
+        cell.select(
+            "cluster",
+            "label",
+            "n",
+            F.row_number().over(w_pick).alias("rn"),
+            F.sum("n").over(w_tot).alias("n_total"),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return top.select(
+        "cluster",
+        F.col("label").cast("int").alias("majority_label"),
+        F.col("n").alias("n_majority"),
+        "n_total",
+        F.round(F.col("n").cast("double") / F.col("n_total"), 6).alias("purity"),
+    ).orderBy("cluster")

@@ -2571,3 +2571,57 @@ def evt_shipping_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "evt_price_elasticity",
+    """
+    SELECT p.p_brand,
+           COUNT(*) AS n_lines,
+           ROUND(regr_slope(ln(l.l_quantity), ln(l.l_extendedprice / l.l_quantity)), 6)
+             AS elasticity,
+           ROUND(regr_r2(ln(l.l_quantity), ln(l.l_extendedprice / l.l_quantity)), 6)
+             AS r2,
+           ROUND(AVG(l.l_extendedprice / l.l_quantity), 4) AS mean_unit_price
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+)
+def evt_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand per brand [public method:
+    the econometric workhorse — elasticity = d ln(q) / d ln(p),
+    estimated as the OLS slope of ln(quantity) on ln(unit price); the
+    applied twin of the raw regr_* surface the repo already pins].
+    Unit price derives from extendedprice/quantity; regr_slope and
+    regr_r2 are the shared two-engine aggregate definitions, rounded
+    at 6dp to absorb summation-order noise in the moment sums.
+
+    At 100 TB: one part-keyed join (dimension side broadcast by AQE at
+    any realistic part-table size — and if parts outgrow that, both
+    sides shuffle on the part key), then a map-side-combinable
+    aggregate on the brand dimension; regr_* aggregates carry
+    constant-size moment state per group."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.expr(
+                "regr_slope(ln(l_quantity), ln(l_extendedprice / l_quantity))"
+            ), 6).alias("elasticity"),
+            F.round(F.expr(
+                "regr_r2(ln(l_quantity), ln(l_extendedprice / l_quantity))"
+            ), 6).alias("r2"),
+            F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
+                "mean_unit_price"
+            ),
+        )
+        .orderBy("p_brand")
+    )

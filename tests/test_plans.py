@@ -1407,3 +1407,23 @@ def test_holt_is_grouped_map_arrow(spark, registry):
     assert f.cartesian == 0
     assert "FlatMapGroupsInPandas" in f.text or "Python" in f.text
     assert scan_read_columns(f) == [3], "events scan prunes to (type, ts, value)"
+
+
+def test_cluster_purity_label_join_copartitioned(spark, registry):
+    """The label join keys on vec_id; the majority pick windows over
+    the tiny k×labels cell matrix; everything upstream is the proven
+    Lloyd broadcast shape."""
+    f = _facts(spark, registry, "llm_cluster_purity")
+    assert f.cartesian == 0
+    assert f.broadcast_joins >= 2, "Lloyd centroid tables broadcast"
+    assert "Python" not in f.text
+
+
+def test_price_elasticity_dim_join_then_brand_agg(spark, registry):
+    """Part dim join (AQE-broadcastable) then a brand-keyed combinable
+    aggregate; scans pruned."""
+    f = _facts(spark, registry, "evt_price_elasticity")
+    assert f.cartesian == 0
+    assert f.broadcast_joins + f.sort_merge_joins >= 1
+    assert "Python" not in f.text
+    assert sorted(scan_read_columns(f)) == [2, 3]

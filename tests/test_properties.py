@@ -1088,3 +1088,27 @@ def test_holt_recursion_contract(spark, registry):
             l = l_new
             assert abs(r.level - round(l, 6)) < 1e-9, (et, r.day)
             assert abs(r.forecast_next - round(l + b, 6)) < 1e-9
+
+
+def test_cluster_purity_bounds(spark, registry):
+    """Purity in [1/|labels|, 1], majority count bounded by total, and
+    cluster sizes sum to the corpus."""
+    qs, _ = registry
+    rows = qs["llm_cluster_purity"](spark, SF_DIR).collect()
+    assert rows
+    assert sum(r.n_total for r in rows) == 500
+    for r in rows:
+        assert 1 <= r.n_majority <= r.n_total
+        assert 0.1 - 1e-9 <= r.purity <= 1.0
+        assert abs(r.purity - round(r.n_majority / r.n_total, 6)) < 1e-9
+
+
+def test_price_elasticity_shape(spark, registry):
+    """One row per brand; r2 in [0,1]; unit price positive."""
+    qs, _ = registry
+    rows = qs["evt_price_elasticity"](spark, SF_DIR).collect()
+    assert rows
+    assert len(rows) == len({r.p_brand for r in rows})
+    for r in rows:
+        assert 0.0 <= r.r2 <= 1.0
+        assert r.mean_unit_price > 0

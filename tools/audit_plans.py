@@ -105,6 +105,8 @@ EXTRA_AUDIT = [
     "llm_lsh_tuning_curve",
     "llm_ngram_novelty",
     "evt_holt_linear",
+    "llm_cluster_purity",
+    "evt_price_elasticity",
 ]
 
 

@@ -2625,3 +2625,103 @@ def evt_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "evt_anova_dow",
+    f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                  - DATE '{_DOW_ANCHOR}' AS INT) % 7 AS dow,
+             ROUND(SUM(value), 6) AS rev
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT dow, COUNT(*) AS n_g, AVG(rev) AS mean_g FROM daily GROUP BY dow
+    ),
+    tot AS (SELECT COUNT(*) AS n, AVG(rev) AS grand_mean FROM daily),
+    ss AS (
+      SELECT (SELECT SUM(n_g * (mean_g - grand_mean) * (mean_g - grand_mean))
+              FROM g CROSS JOIN tot) AS ssb,
+             (SELECT SUM((d.rev - g.mean_g) * (d.rev - g.mean_g))
+              FROM daily d JOIN g ON g.dow = d.dow) AS ssw,
+             (SELECT COUNT(*) FROM g) AS k,
+             (SELECT n FROM tot) AS n
+    )
+    SELECT k AS n_groups, n AS n_days,
+           ROUND(ssb, 4) AS ss_between,
+           ROUND(ssw, 4) AS ss_within,
+           ROUND((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_stat,
+           ROUND(ssb / (ssb + ssw), 6) AS eta_squared
+    FROM ss
+    """,
+)
+def evt_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA for the day-of-week effect on daily revenue
+    [public method: Fisher's F = (SSB/(k−1))/(SSW/(n−k)) — the
+    significance test behind evt_heatmap_dow_hour's visual and
+    evt_seasonal_decompose's assumed weekly period: is the weekday
+    pattern real or noise?]. Day groups use the anchor-mod-7 dow; the
+    daily revenue is 6dp-rounded BEFORE the sums of squares (the
+    recursion/cliff input-rounding rule), and eta² reports effect
+    size beside significance.
+
+    At 100 TB: the per-day rollup is the only corpus pass; everything
+    downstream operates on the ≤ calendar-sized day dimension — group
+    means, the within/between sums, and the final 1-row scorecard are
+    all metadata-sized."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.to_date("ts").alias("day"),
+            (F.datediff(F.to_date("ts"), F.to_date(F.lit(_DOW_ANCHOR))) % 7).alias(
+                "dow"
+            ),
+        )
+        .agg(F.round(F.sum("value"), 6).alias("rev"))
+        # Three branches (group means, grand mean, within-SS join)
+        # reference the day series — checkpoint it (the evt_acf rule).
+        .localCheckpoint(eager=True)
+    )
+    g = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_g"), F.avg("rev").alias("mean_g")
+    )
+    tot = daily.agg(F.count(F.lit(1)).alias("n"), F.avg("rev").alias("grand_mean"))
+    ssb_df = (
+        g.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.col("n_g")
+                * (F.col("mean_g") - F.col("grand_mean"))
+                * (F.col("mean_g") - F.col("grand_mean"))
+            ).alias("ssb"),
+            F.count(F.lit(1)).alias("k"),
+            F.max("n").alias("n"),
+        )
+    )
+    ssw_df = (
+        daily.join(g, "dow")
+        .agg(
+            F.sum(
+                (F.col("rev") - F.col("mean_g")) * (F.col("rev") - F.col("mean_g"))
+            ).alias("ssw")
+        )
+    )
+    return (
+        ssb_df.crossJoin(F.broadcast(ssw_df))
+        .select(
+            F.col("k").alias("n_groups"),
+            F.col("n").alias("n_days"),
+            F.round("ssb", 4).alias("ss_between"),
+            F.round("ssw", 4).alias("ss_within"),
+            F.round(
+                (F.col("ssb") / (F.col("k") - 1)) / (F.col("ssw") / (F.col("n") - F.col("k"))),
+                6,
+            ).alias("f_stat"),
+            F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6).alias(
+                "eta_squared"
+            ),
+        )
+    )

@@ -216,7 +216,7 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "graph_label_propagation", "evt_interarrival", "evt_funnel_steps",
     "evt_heatmap_dow_hour", "evt_shipping_latency",
     "llm_lsh_tuning_curve", "llm_ngram_novelty", "evt_holt_linear",
-    "llm_cluster_purity", "evt_price_elasticity",
+    "llm_cluster_purity", "evt_price_elasticity", "evt_anova_dow",
 )
 
 

@@ -1112,3 +1112,15 @@ def test_price_elasticity_shape(spark, registry):
     for r in rows:
         assert 0.0 <= r.r2 <= 1.0
         assert r.mean_unit_price > 0
+
+
+def test_anova_dow_contract(spark, registry):
+    """7 groups over the 30-day series, F >= 0, eta² in [0,1] and
+    recomputes from the reported sums of squares."""
+    qs, _ = registry
+    (r,) = qs["evt_anova_dow"](spark, SF_DIR).collect()
+    assert r.n_groups == 7
+    assert r.n_days >= 28
+    assert r.f_stat >= 0.0
+    assert 0.0 <= r.eta_squared <= 1.0
+    assert abs(r.eta_squared - round(r.ss_between / (r.ss_between + r.ss_within), 6)) < 1e-6

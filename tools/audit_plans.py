@@ -107,6 +107,7 @@ EXTRA_AUDIT = [
     "evt_holt_linear",
     "llm_cluster_purity",
     "evt_price_elasticity",
+    "evt_anova_dow",
 ]
 
 

@@ -2206,8 +2206,12 @@ def evt_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     s = g.select("user_id", "ts", F.sum("brk").over(w_run).alias("sess"))
-    sess = s.groupBy("user_id", "sess").agg(
-        F.min("ts").alias("s_ts"), F.max("ts").alias("e_ts")
+    sess = (
+        s.groupBy("user_id", "sess")
+        .agg(F.min("ts").alias("s_ts"), F.max("ts").alias("e_ts"))
+        # Both boundary branches reference the session frame; checkpoint
+        # the session-dimension rollup so events scans once.
+        .localCheckpoint(eager=True)
     )
     bounds = sess.select(F.col("s_ts").alias("ts"), F.lit(1).alias("delta")).unionByName(
         sess.select(F.col("e_ts").alias("ts"), F.lit(-1).alias("delta"))
@@ -2398,10 +2402,15 @@ def evt_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditions on the equi-join, never driving a range join."""
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
+    # Each stage frame feeds both the next stage and its own count
+    # branch; checkpoint the user-dimension rollups so the event log is
+    # scanned once per step filter, not once per reference (audit
+    # showed 6 scans before truncation).
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        .localCheckpoint(eager=True)
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
@@ -2413,6 +2422,7 @@ def evt_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id", "t_view")
         .agg(F.min("c_ts").alias("t_click"))
+        .localCheckpoint(eager=True)
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
@@ -2425,6 +2435,7 @@ def evt_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id", "t_view", "t_click")
         .agg(F.min("p_ts").alias("t_purchase"))
+        .localCheckpoint(eager=True)
     )
     nv = v.agg(F.count(F.lit(1)).alias("n_view"))
     nc = c.agg(F.count(F.lit(1)).alias("n_click"))

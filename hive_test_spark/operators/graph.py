@@ -378,6 +378,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = (
             labels.join(nb, labels.node == nb.nb_node, "left")
             .select("node", F.least("label", "minl").alias("label"))
+            # Per-round truncation (the llm_dedup_clusters cadence):
+            # without it round t's plan embeds rounds 1..t-1 again and
+            # the summary union re-evaluates every prefix (audit showed
+            # 22 sort-merge joins for 3 rounds; 3 remain after).
+            .localCheckpoint(eager=True)
         )
         rounds.append(labels.select(F.lit(i + 1).alias("round"), "label"))
     all_rounds = rounds[0]

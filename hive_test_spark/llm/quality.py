@@ -707,3 +707,91 @@ def llm_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("risk_share"),
     )
+
+
+@register(
+    "llm_judge_agreement",
+    f"""
+    WITH sig AS (
+      SELECT doc_id,
+             len(string_split(lower(text), ' ')) AS wc,
+             len(list_filter(string_split(lower(text), ' '),
+                             x -> x IN {_STOPWORDS!r})) * 1.0
+               / len(string_split(lower(text), ' ')) AS stop_frac,
+             list_aggregate(list_transform(string_split(lower(text), ' '),
+                                           x -> len(x)), 'sum') * 1.0
+               / len(string_split(lower(text), ' ')) AS mwl
+      FROM documents
+    ),
+    rated AS (
+      SELECT doc_id,
+             CAST(wc BETWEEN {_WC_LO} AND {_WC_HI}
+                  AND stop_frac >= {_STOP_MIN} AS INT) AS rater_a,
+             CAST(mwl BETWEEN {_MWL_LO} AND {_MWL_HI}
+                  AND wc >= {_WC_LO} AS INT) AS rater_b
+      FROM sig
+    )
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(rater_a * rater_b) AS BIGINT) AS n_both_pass,
+           CAST(SUM((1 - rater_a) * (1 - rater_b)) AS BIGINT) AS n_both_fail,
+           CAST(SUM(CASE WHEN rater_a <> rater_b THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_disagree,
+           ROUND(SUM(CASE WHEN rater_a = rater_b THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS p_observed,
+           ROUND((AVG(rater_a) * AVG(rater_b))
+                 + ((1 - AVG(rater_a)) * (1 - AVG(rater_b))), 6) AS p_expected,
+           ROUND(((SUM(CASE WHEN rater_a = rater_b THEN 1 ELSE 0 END) * 1.0
+                   / COUNT(*))
+                  - ((AVG(rater_a) * AVG(rater_b))
+                     + ((1 - AVG(rater_a)) * (1 - AVG(rater_b)))))
+                 / (1.0 - ((AVG(rater_a) * AVG(rater_b))
+                           + ((1 - AVG(rater_a)) * (1 - AVG(rater_b))))),
+                 6) AS kappa
+    FROM rated
+    """,
+)
+def llm_judge_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-rater agreement between two quality judges [public
+    method: Cohen's kappa — chance-corrected agreement, THE metric
+    reported when validating one labeling policy (or LLM judge)
+    against another before trusting either at corpus scale]. The two
+    raters are deterministic rule judges built from the Gopher-rule
+    signals (rater A: word-count + stopword gate; rater B: word-length
+    + length floor), scored in one pass; kappa = (p_o − p_e)/(1 − p_e)
+    with the marginal-product chance agreement. Low kappa between two
+    plausible judges is the warning that a filter choice is policy,
+    not ground truth.
+
+    At 100 TB: one narrow map computes both verdicts per document and
+    ONE map-side-combinable aggregate reduces to the 2×2 agreement
+    table — scan-bound; the kappa arithmetic is a 1-row epilogue. The
+    same dataflow scores (human, model) or (model, model) label pairs
+    by swapping the rater expressions for label columns."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower("text"), " ")
+    wc = F.size(t)
+    stop_frac = F.size(F.filter(t, lambda x: x.isin(*_STOPWORDS))).cast("double") / wc
+    mwl = F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x)).cast("double") / wc
+    rated = d.select(
+        (wc.between(_WC_LO, _WC_HI) & (stop_frac >= _STOP_MIN))
+        .cast("int")
+        .alias("rater_a"),
+        (mwl.between(_MWL_LO, _MWL_HI) & (wc >= _WC_LO)).cast("int").alias("rater_b"),
+    )
+    agree = F.sum(F.when(F.col("rater_a") == F.col("rater_b"), 1).otherwise(0))
+    pa, pb = F.avg("rater_a"), F.avg("rater_b")
+    n = F.count(F.lit(1))
+    po = agree * F.lit(1.0) / n
+    pe = (pa * pb) + ((1 - pa) * (1 - pb))
+    return rated.agg(
+        n.alias("n_docs"),
+        F.sum(F.col("rater_a") * F.col("rater_b")).alias("n_both_pass"),
+        F.sum((1 - F.col("rater_a")) * (1 - F.col("rater_b"))).alias("n_both_fail"),
+        F.sum(F.when(F.col("rater_a") != F.col("rater_b"), 1).otherwise(0)).alias(
+            "n_disagree"
+        ),
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )

@@ -1124,3 +1124,14 @@ def test_anova_dow_contract(spark, registry):
     assert r.f_stat >= 0.0
     assert 0.0 <= r.eta_squared <= 1.0
     assert abs(r.eta_squared - round(r.ss_between / (r.ss_between + r.ss_within), 6)) < 1e-6
+
+
+def test_judge_agreement_table_consistency(spark, registry):
+    """The 2x2 table sums to n; kappa recomputes from p_o and p_e and
+    never exceeds 1."""
+    qs, _ = registry
+    (r,) = qs["llm_judge_agreement"](spark, SF_DIR).collect()
+    assert r.n_both_pass + r.n_both_fail + r.n_disagree == r.n_docs
+    assert abs(r.p_observed - round((r.n_both_pass + r.n_both_fail) / r.n_docs, 6)) < 1e-9
+    assert r.kappa <= 1.0
+    assert abs(r.kappa - round((r.p_observed - r.p_expected) / (1 - r.p_expected), 6)) < 5e-6

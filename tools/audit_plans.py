@@ -108,6 +108,7 @@ EXTRA_AUDIT = [
     "llm_cluster_purity",
     "evt_price_elasticity",
     "evt_anova_dow",
+    "llm_judge_agreement",
 ]
 
 

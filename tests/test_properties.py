@@ -1135,3 +1135,18 @@ def test_judge_agreement_table_consistency(spark, registry):
     assert abs(r.p_observed - round((r.n_both_pass + r.n_both_fail) / r.n_docs, 6)) < 1e-9
     assert r.kappa <= 1.0
     assert abs(r.kappa - round((r.p_observed - r.p_expected) / (1 - r.p_expected), 6)) < 5e-6
+
+
+def test_exchange_partition_moves_all_p_rows(spark, registry):
+    """After the exchange the source serves zero 'P' rows and the
+    target serves exactly the orders-table 'P' count; spec counts
+    reflect the move."""
+    from hive_test_spark.io import load_table
+
+    qs, _ = registry
+    rows = {r.tbl: r for r in qs["dml_exchange_partition"](spark, SF_DIR).collect()}
+    n_p = load_table(spark, SF_DIR, "orders").filter(F.col("o_orderstatus") == "P").count()
+    assert rows["source"].p_rows_visible == 0
+    assert rows["source"].specs_after == 2
+    assert rows["target"].p_rows_visible == n_p
+    assert rows["target"].specs_after == 1

@@ -109,6 +109,7 @@ EXTRA_AUDIT = [
     "evt_price_elasticity",
     "evt_anova_dow",
     "llm_judge_agreement",
+    "dml_exchange_partition",
 ]
 
 

@@ -531,3 +531,100 @@ def llm_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total",
         F.round(F.col("n").cast("double") / F.col("n_total"), 6).alias("purity"),
     ).orderBy("cluster")
+
+
+# Active-learning margin sampling: labeling-panel depth.
+_MARGIN_TOPK = 25
+
+_MARGIN_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    seeded AS (SELECT vec_id % {KMEANS_K} AS cluster, emb FROM e),
+    c0 AS ({_DUCK_CENTROIDS.format(src="seeded")}),
+    a1 AS ({_DUCK_ASSIGN.format(cents="c0")}),
+    c1 AS ({_DUCK_CENTROIDS.format(src="a1")}),
+    scored AS (
+      SELECT e.vec_id, c.cluster,
+             ROUND(list_sum(list_transform(
+                      generate_series(1, len(c.centroid)),
+                      i -> (e.emb[i] - c.centroid[i]) ^ 2)), 6) AS d,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(list_sum(list_transform(
+                          generate_series(1, len(c.centroid)),
+                          i -> (e.emb[i] - c.centroid[i]) ^ 2)), 6),
+                        c.cluster) AS rn
+      FROM e CROSS JOIN c1 c
+    ),
+    pivoted AS (
+      SELECT vec_id,
+             MAX(CASE WHEN rn = 1 THEN cluster END) AS nearest_cluster,
+             MAX(CASE WHEN rn = 1 THEN d END) AS d1,
+             MAX(CASE WHEN rn = 2 THEN d END) AS d2
+      FROM scored WHERE rn <= 2 GROUP BY vec_id
+    )
+    SELECT vec_id, CAST(nearest_cluster AS INT) AS nearest_cluster,
+           d1, d2, ROUND(d2 - d1, 6) AS margin
+    FROM pivoted
+    ORDER BY margin, vec_id
+    LIMIT {_MARGIN_TOPK}
+"""
+
+
+@register("llm_active_margin", _MARGIN_ORACLE)
+def llm_active_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based uncertainty sampling [public method: active
+    learning's margin criterion — the items nearest a decision
+    boundary are the most informative to label next; here the
+    boundary is between the two closest Lloyd centroids, so margin =
+    d₂ − d₁]. The bottom-{_MARGIN_TOPK} margin panel is exactly the
+    batch a labeling (or LLM-judging) budget should spend itself on,
+    and the complement of llm_hard_negative_mining's pair view: that
+    op feeds contrastive training, this one feeds annotation routing.
+
+    At 100 TB: distances come from the broadcast k×dim centroid
+    table (the Lloyd invariant — never a vector×vector product); the
+    two-nearest pivot is a per-vector window over K rows; the global
+    bottom-k compiles to TakeOrderedAndProject. Centroid training
+    reuses the first Lloyd round (one update), sharing its cost with
+    the kmeans/purity exhibits."""
+    tune(spark)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+    )
+    c0 = _centroids(e.select((F.col("vec_id") % KMEANS_K).alias("cluster"), "emb"))
+    a1 = _assign(e, c0)
+    c1 = _centroids(a1)
+    scored = e.crossJoin(F.broadcast(c1)).select(
+        "vec_id",
+        "cluster",
+        F.round(F.expr(_SQDIST.format(a="emb", b="centroid")), 6).alias("d"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "cluster")
+    pivoted = (
+        scored.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 2)
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("cluster"))).alias(
+                "nearest_cluster"
+            ),
+            F.max(F.when(F.col("rn") == 1, F.col("d"))).alias("d1"),
+            F.max(F.when(F.col("rn") == 2, F.col("d"))).alias("d2"),
+        )
+    )
+    return (
+        pivoted.select(
+            "vec_id",
+            F.col("nearest_cluster").cast("int").alias("nearest_cluster"),
+            "d1",
+            "d2",
+            F.round(F.col("d2") - F.col("d1"), 6).alias("margin"),
+        )
+        .orderBy("margin", "vec_id")
+        .limit(_MARGIN_TOPK)
+    )

@@ -1150,3 +1150,16 @@ def test_exchange_partition_moves_all_p_rows(spark, registry):
     assert rows["source"].specs_after == 2
     assert rows["target"].p_rows_visible == n_p
     assert rows["target"].specs_after == 1
+
+
+def test_active_margin_panel_contract(spark, registry):
+    """Margins are non-negative, sorted ascending, d1 <= d2, and the
+    panel has the configured depth with unique vectors."""
+    qs, _ = registry
+    rows = qs["llm_active_margin"](spark, SF_DIR).collect()
+    assert len(rows) == 25 == len({r.vec_id for r in rows})
+    margins = [r.margin for r in rows]
+    assert margins == sorted(margins)
+    for r in rows:
+        assert 0 <= r.d1 <= r.d2
+        assert abs(r.margin - round(r.d2 - r.d1, 6)) < 1e-9

@@ -110,6 +110,7 @@ EXTRA_AUDIT = [
     "evt_anova_dow",
     "llm_judge_agreement",
     "dml_exchange_partition",
+    "llm_active_margin",
 ]
 
 

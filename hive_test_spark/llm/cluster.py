@@ -628,3 +628,125 @@ def llm_active_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("margin", "vec_id")
         .limit(_MARGIN_TOPK)
     )
+
+
+# Greedy k-center (farthest-point) coreset size.
+KCENTER_K = 8
+
+_DUCK_PDIST = (
+    "ROUND(list_sum(list_transform(generate_series(1, len({p}.emb)), "
+    "i -> ({p}.emb[i] - {c}.emb[i]) ^ 2)), 6)"
+)
+
+
+def _kcenter_oracle() -> str:
+    parts = [
+        """e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    sel1 AS (SELECT vec_id, emb FROM e
+             WHERE vec_id = (SELECT MIN(vec_id) FROM e)),
+    d1 AS (SELECT e.vec_id, e.emb, """
+        + _DUCK_PDIST.format(p="e", c="s")
+        + """ AS d
+           FROM e CROSS JOIN sel1 s)"""
+    ]
+    for t in range(2, KCENTER_K + 1):
+        prev = t - 1
+        parts.append(
+            f"""sel{t} AS (SELECT vec_id, emb, d FROM d{prev}
+             ORDER BY d DESC, vec_id LIMIT 1),
+    d{t} AS (SELECT p.vec_id, p.emb,
+                    LEAST(p.d, {_DUCK_PDIST.format(p='p', c='s')}) AS d
+             FROM d{prev} p CROSS JOIN sel{t} s)"""
+        )
+    rows = ["SELECT 1 AS step, vec_id AS center_id, 0.0 AS radius FROM sel1"]
+    rows += [
+        f"SELECT {t}, vec_id, d FROM sel{t}" for t in range(2, KCENTER_K + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + "\n    "
+        + "\n    UNION ALL ".join(rows)
+        + "\n    ORDER BY step"
+    )
+
+
+@register("llm_coreset_kcenter", _kcenter_oracle())
+def llm_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection [public method: farthest-point
+    sampling / the Gonzalez 2-approximation — pick the point farthest
+    from everything chosen so far; the selection whose radius bounds
+    how well k exemplars cover the corpus. Data-selection pipelines
+    use it to build maximally-diverse eval panels and seed sets —
+    the diversity-first complement of llm_active_margin's
+    uncertainty-first panel]. Selection order is deterministic: seed =
+    min vec_id, ties on the rounded distance break to the lower id,
+    and each step's reported radius is the max-min distance at
+    selection time — a non-increasing sequence by construction.
+
+    At 100 TB: each of the K−1 steps is one narrow pass (distance to
+    the single broadcast new center + LEAST with the running min) and
+    one TakeOrderedAndProject argmax — never a pairwise product; the
+    running min-distance frame is localCheckpoint-truncated per step
+    (the llm_mmr_diversify lineage rule: each step references the
+    previous frame twice). K is a constant, so the whole selection is
+    K linear passes."""
+    tune(spark)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+    )
+    seed = e.orderBy("vec_id").limit(1)
+    sel = seed.select(
+        F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb")
+    ).localCheckpoint(eager=True)
+    d = (
+        e.crossJoin(F.broadcast(sel))
+        .select(
+            "vec_id",
+            "emb",
+            F.round(F.expr(_SQDIST.format(a="emb", b="c_emb")), 6).alias("d"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    picks = [(1, sel.select(F.col("c_id").alias("center_id"),
+                            F.lit(0.0).alias("radius")))]
+    for step in range(2, KCENTER_K + 1):
+        top = (
+            d.orderBy(F.col("d").desc(), "vec_id")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        picks.append(
+            (
+                step,
+                top.select(
+                    F.col("vec_id").alias("center_id"),
+                    F.col("d").alias("radius"),
+                ),
+            )
+        )
+        new_c = top.select(
+            F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb")
+        )
+        d = (
+            d.crossJoin(F.broadcast(new_c))
+            .select(
+                "vec_id",
+                "emb",
+                F.least(
+                    F.col("d"),
+                    F.round(F.expr(_SQDIST.format(a="emb", b="c_emb")), 6),
+                ).alias("d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = None
+    for step, frame in picks:
+        row = frame.select(F.lit(step).alias("step"), "center_id", "radius")
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("step")

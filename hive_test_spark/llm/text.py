@@ -1347,3 +1347,85 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# Prefix-cache analysis depths (tokens).
+_PREFIX_DEPTHS = (4, 8, 16)
+
+
+@register(
+    "llm_prefix_cache_hit",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    depths AS (SELECT unnest(ARRAY{list(_PREFIX_DEPTHS)}) AS depth),
+    pfx AS (
+      SELECT d.depth, array_to_string(t[1:d.depth], ' ') AS prefix,
+             LEAST(len(t), d.depth) AS pfx_len
+      FROM toks CROSS JOIN depths d
+    ),
+    grp AS (
+      SELECT depth, prefix, pfx_len, COUNT(*) AS n
+      FROM pfx GROUP BY depth, prefix, pfx_len
+    )
+    SELECT depth,
+           COUNT(*) AS n_distinct_prefixes,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(SUM((n - 1) * pfx_len) AS BIGINT) AS reusable_prefix_tokens,
+           ROUND(SUM((n - 1) * pfx_len) * 1.0 / SUM(n * pfx_len), 6)
+             AS cache_hit_share
+    FROM grp
+    GROUP BY depth
+    ORDER BY depth
+    """,
+)
+def llm_prefix_cache_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-cache (KV-cache) reuse estimate [public method: serving
+    stacks dedupe shared prompt prefixes (vLLM-style automatic prefix
+    caching); before provisioning, you measure how much prefix mass a
+    workload actually shares]. For each depth d, requests group by
+    their first-d-token prefix; every request beyond the first in a
+    group would hit the cache, so reusable mass = Σ (n−1)·len over
+    groups and the hit share divides by total prefix tokens served.
+    Rising share with depth = templated workloads (agents, RAG
+    scaffolds); flat near zero = unique prompts, caching won't pay.
+
+    At 100 TB: the prefix is a narrow map (slice + join — no token
+    explode); the group key is the PREFIX STRING, so the rollup is
+    map-side combinable and the depth fan-out multiplies rows by
+    |depths|, not token count. At serving scale the same query runs
+    over the request log stream (stream_tumbling_window's shape) with
+    the prefix hashed (xxhash64) instead of carried verbatim."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    depths = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"({x})" for x in _PREFIX_DEPTHS)
+        + " AS t(depth)"
+    )
+    pfx = toks.crossJoin(F.broadcast(depths)).select(
+        "depth",
+        F.expr("array_join(slice(t, 1, depth), ' ')").alias("prefix"),
+        F.least(F.size("t"), F.col("depth")).alias("pfx_len"),
+    )
+    grp = pfx.groupBy("depth", "prefix", "pfx_len").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        grp.groupBy("depth")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_prefixes"),
+            F.sum("n").alias("n_docs"),
+            F.sum((F.col("n") - 1) * F.col("pfx_len")).alias(
+                "reusable_prefix_tokens"
+            ),
+            F.round(
+                F.sum((F.col("n") - 1) * F.col("pfx_len"))
+                / F.sum(F.col("n") * F.col("pfx_len")),
+                6,
+            ).alias("cache_hit_share"),
+        )
+        .orderBy("depth")
+    )

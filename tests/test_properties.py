@@ -1163,3 +1163,32 @@ def test_active_margin_panel_contract(spark, registry):
     for r in rows:
         assert 0 <= r.d1 <= r.d2
         assert abs(r.margin - round(r.d2 - r.d1, 6)) < 1e-9
+
+
+def test_prefix_cache_monotone_in_depth(spark, registry):
+    """Distinct prefixes grow (weakly) with depth while the hit share
+    falls; shares stay in [0,1) and doc counts are constant."""
+    qs, _ = registry
+    rows = sorted(qs["llm_prefix_cache_hit"](spark, SF_DIR).collect(), key=lambda r: r.depth)
+    assert [r.depth for r in rows] == [4, 8, 16]
+    assert len({r.n_docs for r in rows}) == 1
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_distinct_prefixes >= a.n_distinct_prefixes
+        assert b.cache_hit_share <= a.cache_hit_share + 1e-9
+    for r in rows:
+        assert 0.0 <= r.cache_hit_share < 1.0
+
+
+def test_kcenter_radii_non_increasing_and_centers_unique(spark, registry):
+    """Selection radii never increase (the farthest point can only get
+    closer as centers accumulate), centers are distinct, and the seed
+    is the minimum vector id."""
+    qs, _ = registry
+    rows = sorted(qs["llm_coreset_kcenter"](spark, SF_DIR).collect(), key=lambda r: r.step)
+    assert [r.step for r in rows] == list(range(1, 9))
+    assert rows[0].center_id == 0 and rows[0].radius == 0.0
+    assert len({r.center_id for r in rows}) == 8
+    radii = [r.radius for r in rows[1:]]
+    assert radii == sorted(radii, reverse=True) or all(
+        a >= b - 1e-9 for a, b in zip(radii, radii[1:])
+    )

@@ -111,6 +111,8 @@ EXTRA_AUDIT = [
     "llm_judge_agreement",
     "dml_exchange_partition",
     "llm_active_margin",
+    "llm_prefix_cache_hit",
+    "llm_coreset_kcenter",
 ]
 
 

@@ -2736,3 +2736,81 @@ def evt_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Peak detection: prominence multiple over the centered weekly baseline.
+_PEAK_PROM = 1.1
+
+
+@register(
+    "evt_peaks",
+    f"""
+    WITH s AS (
+      SELECT CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR) AS day,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day_d,
+             ROUND(SUM(value), 6) AS rev
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT day, rev,
+             LAG(rev) OVER (ORDER BY day_d) AS prev_rev,
+             LEAD(rev) OVER (ORDER BY day_d) AS next_rev,
+             AVG(rev) OVER (ORDER BY day_d
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS baseline
+      FROM s
+    )
+    SELECT day, rev,
+           ROUND(baseline, 6) AS baseline,
+           ROUND(rev / baseline, 6) AS prominence
+    FROM w
+    WHERE prev_rev IS NOT NULL AND next_rev IS NOT NULL
+      AND rev > prev_rev AND rev > next_rev
+      AND rev > {_PEAK_PROM} * baseline
+    ORDER BY day
+    """,
+)
+def evt_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak detection on the daily-revenue series [public method: the
+    local-maximum + prominence rule every monitoring stack runs —
+    strictly above both neighbors AND {_PEAK_PROM}× the centered
+    weekly moving average; the point-event counterpart of
+    evt_cusum_changepoint's level shifts and evt_anomaly_mad's robust
+    outliers]. Boundary days (no neighbor on one side) are excluded
+    rather than treated as peaks, and the 6dp-rounded daily sums make
+    both engines compare identical doubles.
+
+    At 100 TB: one corpus-scale rollup to the day dimension, then
+    lag/lead/MA windows over the calendar-bounded series — at
+    multi-series scale the windows partition by series id, the
+    evt_rolling_median shape."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy(
+        F.to_date("ts").alias("day_d")
+    ).agg(F.round(F.sum("value"), 6).alias("rev"))
+    w_o = Window.orderBy("day_d")
+    w_ma = Window.orderBy("day_d").rowsBetween(-3, 3)
+    w = s.select(
+        F.col("day_d").cast("string").alias("day"),
+        "rev",
+        F.lag("rev").over(w_o).alias("prev_rev"),
+        F.lead("rev").over(w_o).alias("next_rev"),
+        F.avg("rev").over(w_ma).alias("baseline"),
+    )
+    return (
+        w.filter(
+            F.col("prev_rev").isNotNull()
+            & F.col("next_rev").isNotNull()
+            & (F.col("rev") > F.col("prev_rev"))
+            & (F.col("rev") > F.col("next_rev"))
+            & (F.col("rev") > _PEAK_PROM * F.col("baseline"))
+        )
+        .select(
+            "day",
+            "rev",
+            F.round("baseline", 6).alias("baseline"),
+            F.round(F.col("rev") / F.col("baseline"), 6).alias("prominence"),
+        )
+        .orderBy("day")
+    )

@@ -1192,3 +1192,14 @@ def test_kcenter_radii_non_increasing_and_centers_unique(spark, registry):
     assert radii == sorted(radii, reverse=True) or all(
         a >= b - 1e-9 for a, b in zip(radii, radii[1:])
     )
+
+
+def test_peaks_are_local_maxima(spark, registry):
+    """Every reported peak clears the prominence gate and recomputes;
+    prominence > 1.1 by construction."""
+    qs, _ = registry
+    rows = qs["evt_peaks"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.prominence > 1.1
+        assert abs(r.prominence - round(r.rev / r.baseline, 6)) < 1e-9

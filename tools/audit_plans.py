@@ -113,6 +113,7 @@ EXTRA_AUDIT = [
     "llm_active_margin",
     "llm_prefix_cache_hit",
     "llm_coreset_kcenter",
+    "evt_peaks",
 ]
 
 

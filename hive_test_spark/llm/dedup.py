@@ -475,3 +475,136 @@ def llm_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("digest").alias("n_digests"),
         F.sum(F.col("n_texts") - 1).alias("n_collisions"),
     )
+
+
+# Containment detection: shingle width, rare-shingle blocking band, and
+# the report threshold on max directional containment.
+_CONT_W = 3
+_CONT_DF_MAX = 4
+_CONT_TAU = 0.6
+
+
+@register(
+    "llm_shingle_containment",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - {_CONT_W - 1}),
+               i -> array_to_string(string_split(text, ' ')[i:i+{_CONT_W - 1}], ' ')
+             )) AS shingles
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= {_CONT_W}
+    ),
+    posting AS (
+      SELECT doc_id, unnest(shingles) AS g FROM sh
+    ),
+    df AS (
+      SELECT g, COUNT(*) AS docfreq FROM posting GROUP BY g
+    ),
+    rare AS (
+      SELECT p.doc_id, p.g FROM posting p JOIN df USING (g)
+      WHERE df.docfreq BETWEEN 2 AND {_CONT_DF_MAX}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             len(sa.shingles) AS n_a, len(sb.shingles) AS n_b,
+             len(list_intersect(sa.shingles, sb.shingles)) AS n_common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, n_common,
+           ROUND(CAST(n_common AS DOUBLE) / n_a, 6) AS containment_ab,
+           ROUND(CAST(n_common AS DOUBLE) / n_b, 6) AS containment_ba,
+           ROUND(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) AS jaccard
+    FROM scored
+    WHERE CAST(n_common AS DOUBLE) / LEAST(n_a, n_b) >= {_CONT_TAU}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def llm_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment [public method: Broder 1997
+    distinguishes RESEMBLANCE (Jaccard — what MinHash estimates) from
+    CONTAINMENT |A∩B|/|A| — the quote/excerpt relation: a paragraph
+    lifted into a larger document scores near-1 containment while its
+    Jaccard stays low, so symmetric near-dup passes miss it]. {_CONT_W}-
+    shingle sets per doc; candidates come from sharing a RARE shingle
+    (corpus docfreq 2..{_CONT_DF_MAX}) — the blocking that bounds pair
+    volume by Σ docfreq² over rare shingles, never doc×doc; both
+    directional containments and the Jaccard are reported for pairs
+    whose max containment clears {_CONT_TAU}.
+
+    At 100 TB: postings and docfreq are the inverted-index shape
+    (map-side combinable on the shingle key); the candidate join keys
+    on rare shingles only — common boilerplate shingles never
+    generate pairs, the opposite failure mode of LSH's hot buckets —
+    and exact scoring touches candidate pairs alone (broadcast at
+    this SF; doc-keyed shuffles at scale)."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.filter(
+        F.size(F.split("text", " ")) >= _CONT_W
+    ).select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(0, size(split(text, ' ')) - {_CONT_W}), "
+                f"i -> concat_ws(' ', slice(split(text, ' '), i + 1, {_CONT_W})))"
+            )
+        ).alias("shingles"),
+    ).localCheckpoint(eager=True)
+    posting = sh.select("doc_id", F.explode("shingles").alias("g"))
+    df = posting.groupBy("g").agg(F.count(F.lit(1)).alias("docfreq"))
+    rare = posting.join(
+        df.filter(F.col("docfreq").between(2, _CONT_DF_MAX)), "g"
+    ).select("doc_id", "g")
+    a, b = rare.alias("a"), rare.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    n_a, n_b = F.size("sh_a"), F.size("sh_b")
+    return (
+        cand.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_common.alias("n_common"),
+            n_a.alias("n_a"),
+            n_b.alias("n_b"),
+        )
+        .filter(
+            F.col("n_common").cast("double") / F.least("n_a", "n_b") >= _CONT_TAU
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(F.col("n_common").cast("double") / F.col("n_a"), 6).alias(
+                "containment_ab"
+            ),
+            F.round(F.col("n_common").cast("double") / F.col("n_b"), 6).alias(
+                "containment_ba"
+            ),
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

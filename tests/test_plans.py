@@ -1427,3 +1427,13 @@ def test_price_elasticity_dim_join_then_brand_agg(spark, registry):
     assert f.broadcast_joins + f.sort_merge_joins >= 1
     assert "Python" not in f.text
     assert sorted(scan_read_columns(f)) == [2, 3]
+
+
+def test_containment_blocks_on_rare_shingles(spark, registry):
+    """Candidates come from the rare-shingle equi-join (never doc×doc);
+    exact scoring broadcasts the checkpointed shingle-set frame."""
+    f = _facts(spark, registry, "llm_shingle_containment")
+    assert f.cartesian == 0
+    assert f.broadcast_joins >= 2, "shingle-set sides must broadcast"
+    assert "Python" not in f.text
+    assert len(scan_read_columns(f)) == 0, "checkpointed shingles: one documents scan"

@@ -1203,3 +1203,16 @@ def test_peaks_are_local_maxima(spark, registry):
     for r in rows:
         assert r.prominence > 1.1
         assert abs(r.prominence - round(r.rev / r.baseline, 6)) < 1e-9
+
+
+def test_containment_bounds_and_relation_to_jaccard(spark, registry):
+    """Directional containments bound Jaccard from above, all ratios
+    live in (0, 1], and every pair clears the max-containment gate."""
+    qs, _ = registry
+    rows = qs["llm_shingle_containment"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 0 < r.jaccard <= min(r.containment_ab, r.containment_ba) + 1e-9
+        assert max(r.containment_ab, r.containment_ba) >= 0.6 - 1e-9
+        assert r.containment_ab <= 1.0 and r.containment_ba <= 1.0

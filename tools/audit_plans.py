@@ -114,6 +114,7 @@ EXTRA_AUDIT = [
     "llm_prefix_cache_hit",
     "llm_coreset_kcenter",
     "evt_peaks",
+    "llm_shingle_containment",
 ]
 
 

@@ -509,3 +509,92 @@ def evt_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trend double, forecast_next double"
     )
     return s.groupBy("event_type").applyInPandas(_holt_group, schema)
+
+
+# Rolling-trend window (days): 7-point centered-causal OLS slope.
+_SLOPE_WIN = 7
+
+
+@register(
+    "evt_rolling_slope",
+    f"""
+    WITH s AS (
+      SELECT event_type,
+             CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR) AS day,
+             CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                  - DATE '2024-01-01' AS INT) AS x,
+             ROUND(SUM(value), 6) AS y
+      FROM events
+      GROUP BY 1, 2, 3
+    ),
+    w AS (
+      SELECT event_type, day,
+             COUNT(*) OVER fr AS n,
+             SUM(CAST(x AS DOUBLE)) OVER fr AS sx,
+             SUM(y) OVER fr AS sy,
+             SUM(CAST(x AS DOUBLE) * y) OVER fr AS sxy,
+             SUM(CAST(x AS DOUBLE) * x) OVER fr AS sxx
+      FROM s
+      WINDOW fr AS (PARTITION BY event_type ORDER BY x
+                    ROWS BETWEEN {_SLOPE_WIN - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day, n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
+    FROM w
+    WHERE n = {_SLOPE_WIN}
+    ORDER BY event_type, day
+    """,
+)
+def evt_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS trend per event-type series [public method: the
+    windowed regression slope — "is this metric trending up over the
+    last week?" — assembled from FIVE rolling sums, because no engine
+    ships regr_slope as a window function: slope = (nΣxy − ΣxΣy)/
+    (nΣx² − (Σx)²) over a {_SLOPE_WIN}-row trailing frame]. The x axis
+    is days-since-anchor (an exact integer in both engines), y is the
+    6dp-rounded daily sum, and partial leading windows are dropped
+    (n = {_SLOPE_WIN} only) so every reported slope is a full-window
+    estimate. Complements evt_holt_linear: Holt smooths level+trend
+    recursively, this reads the local trend directly — and unlike the
+    recursion it is a pure window, no Python anywhere.
+
+    At 100 TB: one corpus rollup to the (series, day) dimension, then
+    one window family partitioned by series — all five sums share a
+    single frame, one shuffle total. The closed form divides exact
+    sums of rounded inputs, so 6dp output rounding is stable."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy(
+        "event_type",
+        F.to_date("ts").cast("string").alias("day"),
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01"))).alias("x"),
+    ).agg(F.round(F.sum("value"), 6).alias("y"))
+    fr = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(-(_SLOPE_WIN - 1), Window.currentRow)
+    )
+    xd = F.col("x").cast("double")
+    w = s.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(fr).alias("n"),
+        F.sum(xd).over(fr).alias("sx"),
+        F.sum("y").over(fr).alias("sy"),
+        F.sum(xd * F.col("y")).over(fr).alias("sxy"),
+        F.sum(xd * F.col("x")).over(fr).alias("sxx"),
+    )
+    return (
+        w.filter(F.col("n") == _SLOPE_WIN)
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+                6,
+            ).alias("slope"),
+        )
+        .orderBy("event_type", "day")
+    )

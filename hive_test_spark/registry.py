@@ -219,7 +219,7 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "llm_cluster_purity", "evt_price_elasticity", "evt_anova_dow",
     "llm_judge_agreement", "dml_exchange_partition",
     "llm_active_margin", "llm_prefix_cache_hit", "llm_coreset_kcenter",
-    "evt_peaks", "llm_shingle_containment",
+    "evt_peaks", "llm_shingle_containment", "evt_rolling_slope",
 )
 
 

@@ -1216,3 +1216,36 @@ def test_containment_bounds_and_relation_to_jaccard(spark, registry):
         assert 0 < r.jaccard <= min(r.containment_ab, r.containment_ba) + 1e-9
         assert max(r.containment_ab, r.containment_ba) >= 0.6 - 1e-9
         assert r.containment_ab <= 1.0 and r.containment_ba <= 1.0
+
+
+def test_rolling_slope_recomputes(spark, registry):
+    """Each slope recomputes from the trailing 7-day window of the
+    rounded daily series."""
+    from hive_test_spark.io import load_table
+
+    qs, _ = registry
+    rows = qs["evt_rolling_slope"](spark, SF_DIR).collect()
+    assert rows
+    ev = load_table(spark, SF_DIR, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.round(F.sum("value"), 6).alias("y"))
+        .collect()
+    )
+    import datetime
+
+    anchor = datetime.date(2024, 1, 1)
+    series = {}
+    for r in daily:
+        series.setdefault(r.event_type, {})[(r.d - anchor).days] = r.y
+    for r in rows[:40]:
+        et = r.event_type
+        day_x = (datetime.date.fromisoformat(r.day) - anchor).days
+        xs = [x for x in range(day_x - 6, day_x + 1) if x in series[et]]
+        assert len(xs) == 7 == r.n
+        ys = [series[et][x] for x in xs]
+        n, sx = 7.0, float(sum(xs))
+        sy, sxy = sum(ys), sum(x * y for x, y in zip(xs, ys))
+        sxx = float(sum(x * x for x in xs))
+        expect = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        assert abs(r.slope - round(expect, 6)) < 1e-6, (et, r.day)

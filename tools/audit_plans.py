@@ -115,6 +115,7 @@ EXTRA_AUDIT = [
     "llm_coreset_kcenter",
     "evt_peaks",
     "llm_shingle_containment",
+    "evt_rolling_slope",
 ]
 
 

@@ -1429,3 +1429,160 @@ def llm_prefix_cache_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("depth")
     )
+
+
+# Pseudo-relevance feedback: feedback depth and expansion-term count.
+_PRF_FEEDBACK = 3
+_PRF_TERMS = 2
+
+
+@register(
+    "llm_query_expansion_prf",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+      GROUP BY doc_id, token
+    ),
+    dlen AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avg_dl FROM dlen
+    ),
+    docfreq AS (SELECT token, COUNT(*) AS dfreq FROM tf GROUP BY token),
+    queries AS (
+      SELECT doc_id AS query_id, unnest(list_distinct(
+               string_split(text, ' ')[1:{_BM25_QUERY_TOKENS}])) AS token
+      FROM documents WHERE doc_id % {_BM25_PROBE_MOD} = 0
+    ),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             SUM(
+               ln((s.n_docs - d.dfreq + 0.5) / (d.dfreq + 0.5) + 1.0)
+               * tf.tf * ({_BM25_K1} + 1.0)
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                                        + {_BM25_B} * l.dl / s.avg_dl))
+             ) AS score
+      FROM queries q
+      JOIN tf ON tf.token = q.token
+      JOIN docfreq d ON d.token = q.token
+      JOIN dlen l ON l.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY q.query_id, tf.doc_id
+    ),
+    feedback AS (
+      SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rk
+        FROM scored) t
+      WHERE rk <= {_PRF_FEEDBACK}
+    ),
+    cand AS (
+      SELECT f.query_id, tf.token,
+             ROUND(SUM(tf.tf * ln((s.n_docs - d.dfreq + 0.5)
+                                  / (d.dfreq + 0.5) + 1.0)), 6) AS weight,
+             MAX(d.dfreq) AS dfreq
+      FROM feedback f
+      JOIN tf ON tf.doc_id = f.doc_id
+      JOIN docfreq d ON d.token = tf.token
+      CROSS JOIN stats s
+      WHERE tf.token NOT IN (SELECT q.token FROM queries q
+                             WHERE q.query_id = f.query_id)
+      GROUP BY f.query_id, tf.token
+    )
+    SELECT query_id, rk AS exp_rank, token, weight, dfreq
+    FROM (SELECT query_id, token, weight, dfreq,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY weight DESC, token) AS rk
+          FROM cand) t
+    WHERE rk <= {_PRF_TERMS}
+    ORDER BY query_id, exp_rank
+    """,
+)
+def llm_query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion [public method:
+    Rocchio-style PRF — assume BM25's top-{_PRF_FEEDBACK} documents
+    are relevant, mine them for the highest tf·idf terms NOT already
+    in the query, and expand with the top {_PRF_TERMS}; the classic
+    recall lever layered on llm_bm25_score's sparse leg, upstream of
+    llm_rrf_fusion]. The feedback ranking reuses the exact BM25
+    scoring dataflow; expansion candidates are an anti-semi filter
+    against the query's own terms, weighted by Σ tf·idf over the
+    feedback set with the ordering on the ROUNDED weight (token
+    tiebreak) so both engines elect identical terms.
+
+    At 100 TB: everything up to feedback is the proven inverted-index
+    shape; the candidate mine joins feedback (|queries|·{_PRF_FEEDBACK}
+    rows, broadcast) against the postings on the DOC key, so the mined
+    mass is feedback-doc length, not corpus size; the NOT-IN decorates
+    as a left-anti join on (query, token)."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    tf = (
+        d.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dlen = d.select("doc_id", F.size(toks).cast("double").alias("dl"))
+    stats = dlen.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avg_dl"),
+    )
+    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    queries = d.filter(F.col("doc_id") % _BM25_PROBE_MOD == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.array_distinct(F.slice(toks, 1, _BM25_QUERY_TOKENS))).alias(
+            "token"
+        ),
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5) + 1.0
+    )
+    norm = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avg_dl")
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(tf, "token")
+        .join(docfreq, "token")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(idf * F.col("tf") * (_BM25_K1 + 1.0) / norm).alias("score"))
+    )
+    w_fb = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    feedback = (
+        scored.select("query_id", "doc_id", F.row_number().over(w_fb).alias("rk"))
+        .filter(F.col("rk") <= _PRF_FEEDBACK)
+        .select("query_id", "doc_id")
+    )
+    cand = (
+        F.broadcast(feedback)
+        .join(tf, "doc_id")
+        .join(docfreq, "token")
+        .crossJoin(F.broadcast(stats))
+        .join(queries, ["query_id", "token"], "left_anti")
+        .groupBy("query_id", "token")
+        .agg(
+            F.round(F.sum(F.col("tf") * idf), 6).alias("weight"),
+            F.max("dfreq").alias("dfreq"),
+        )
+    )
+    w_exp = Window.partitionBy("query_id").orderBy(F.col("weight").desc(), "token")
+    return (
+        cand.select(
+            "query_id",
+            "token",
+            "weight",
+            "dfreq",
+            F.row_number().over(w_exp).alias("exp_rank"),
+        )
+        .filter(F.col("exp_rank") <= _PRF_TERMS)
+        .select("query_id", "exp_rank", "token", "weight", "dfreq")
+        .orderBy("query_id", "exp_rank")
+    )

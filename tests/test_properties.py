@@ -1249,3 +1249,28 @@ def test_rolling_slope_recomputes(spark, registry):
         sxx = float(sum(x * x for x in xs))
         expect = (n * sxy - sx * sy) / (n * sxx - sx * sx)
         assert abs(r.slope - round(expect, 6)) < 1e-6, (et, r.day)
+
+
+def test_prf_expansion_terms_disjoint_from_query(spark, registry):
+    """Expansion terms never repeat the query's own tokens, ranks are
+    1..2 per query with descending weights, and dfreq is positive."""
+    from hive_test_spark.io import load_table
+
+    qs, _ = registry
+    rows = qs["llm_query_expansion_prf"](spark, SF_DIR).collect()
+    assert rows
+    d = load_table(spark, SF_DIR, "documents")
+    qtoks = {
+        r.doc_id: set(r.text.split(" ")[:8])
+        for r in d.filter(F.col("doc_id") % 53 == 0).collect()
+    }
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+        assert r.token not in qtoks[r.query_id], (r.query_id, r.token)
+        assert r.dfreq >= 1 and r.weight > 0
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r.exp_rank)
+        assert [r.exp_rank for r in rs] == list(range(1, len(rs) + 1))
+        ws = [r.weight for r in rs]
+        assert ws == sorted(ws, reverse=True)

@@ -116,6 +116,7 @@ EXTRA_AUDIT = [
     "evt_peaks",
     "llm_shingle_containment",
     "evt_rolling_slope",
+    "llm_query_expansion_prf",
 ]
 
 

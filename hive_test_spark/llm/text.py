@@ -1523,12 +1523,19 @@ def llm_query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
+    # The postings, doc-length, and query frames each feed 2-3 stages;
+    # materialize them once (checkpoint = building the inverted index,
+    # which is exactly what a deployed BM25 system persists) — without
+    # it the audit showed nine document scans.
     tf = (
         d.select("doc_id", F.explode(toks).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
-    dlen = d.select("doc_id", F.size(toks).cast("double").alias("dl"))
+    dlen = d.select(
+        "doc_id", F.size(toks).cast("double").alias("dl")
+    ).localCheckpoint(eager=True)
     stats = dlen.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avg_dl"),
@@ -1539,7 +1546,7 @@ def llm_query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array_distinct(F.slice(toks, 1, _BM25_QUERY_TOKENS))).alias(
             "token"
         ),
-    )
+    ).localCheckpoint(eager=True)
     idf = F.log(
         (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5) + 1.0
     )

@@ -1310,3 +1310,178 @@ def llm_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ndcg, 6).alias("ndcg"),
         ((ndcg >= 0.0) & (ndcg <= 1.0)).alias("in_unit_range"),
     )
+
+
+# Hubness audit: neighborhood size and hub-report depth.
+_HUB_K = 5
+_HUB_TOP = 10
+
+
+@register(
+    "llm_hubness_audit",
+    f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    knn AS (
+      SELECT src, nb FROM (
+        SELECT a.vec_id AS src, b.vec_id AS nb,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY ROUND({_DUCK_COS}, 6) DESC, b.vec_id) AS rk
+        FROM e a JOIN e b ON b.vec_id <> a.vec_id
+      ) t WHERE rk <= {_HUB_K}
+    ),
+    indeg AS (
+      SELECT nb AS vec_id, COUNT(*) AS in_degree FROM knn GROUP BY nb
+    ),
+    alln AS (
+      SELECT e.vec_id, COALESCE(i.in_degree, 0) AS in_degree
+      FROM e LEFT JOIN indeg i ON i.vec_id = e.vec_id
+    ),
+    stats AS (
+      SELECT AVG(in_degree) AS mu, stddev_samp(in_degree) AS sd,
+             COUNT(*) FILTER (WHERE in_degree = 0) AS n_orphans
+      FROM alln
+    )
+    SELECT a.vec_id, a.in_degree,
+           ROUND((a.in_degree - s.mu) / s.sd, 6) AS hub_z,
+           CAST(s.n_orphans AS BIGINT) AS n_orphans
+    FROM alln a CROSS JOIN stats s
+    ORDER BY a.in_degree DESC, a.vec_id
+    LIMIT {_HUB_TOP}
+    """,
+)
+def llm_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: D401
+    """k-NN hubness audit [public method: Radovanović 2010 — in high
+    dimensions some points become HUBS appearing in a skewed share of
+    other points' k-neighborhoods while orphans appear in none; hubs
+    dominate retrieval results and poison kNN-based dedup/mining, so
+    an embedding QA pass measures in-degree skew before trusting the
+    space]. Builds the exact cosine k={_HUB_K} graph, counts each
+    vector's in-degree, and reports the top-{_HUB_TOP} hubs with
+    their z-score beside the orphan count.
+
+    At 100 TB: the all-pairs graph here is the FIXTURE-scale ground
+    truth (the llm_jaccard_exact convention); production runs the same
+    in-degree rollup over the ANN candidate graph (llm_ann_ivf/lsh
+    buckets), where the per-bucket pair mass is already bounded — the
+    in-degree aggregation itself is map-side combinable on the
+    neighbor key either way."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    e = _with_norm(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding", "norm"
+    )
+    a = e.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("a_emb"),
+        F.col("norm").alias("a_norm"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("nb"),
+        F.col("embedding").alias("b_emb"),
+        F.col("norm").alias("b_norm"),
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), "nb")
+    knn = (
+        F.broadcast(a)
+        .join(b, F.col("nb") != F.col("src"))
+        .select(
+            "src",
+            "nb",
+            F.round(
+                cosine("a_emb", "b_emb") / (F.col("a_norm") * F.col("b_norm")), 6
+            ).alias("cos"),
+        )
+        .select("src", "nb", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _HUB_K)
+    )
+    indeg = knn.groupBy(F.col("nb").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    alln = (
+        e.select("vec_id")
+        .join(indeg, "vec_id", "left")
+        .select("vec_id", F.coalesce("in_degree", F.lit(0)).alias("in_degree"))
+        .localCheckpoint(eager=True)
+    )
+    stats = alln.agg(
+        F.avg("in_degree").alias("mu"),
+        F.stddev_samp("in_degree").alias("sd"),
+        F.count(F.when(F.col("in_degree") == 0, 1)).alias("n_orphans"),
+    )
+    return (
+        alln.crossJoin(F.broadcast(stats))
+        .select(
+            "vec_id",
+            "in_degree",
+            F.round((F.col("in_degree") - F.col("mu")) / F.col("sd"), 6).alias(
+                "hub_z"
+            ),
+            F.col("n_orphans").cast("long").alias("n_orphans"),
+        )
+        .orderBy(F.col("in_degree").desc(), "vec_id")
+        .limit(_HUB_TOP)
+    )
+
+
+# Per-dimension distribution gates for the standardization audit.
+_STD_MU_MAX = 0.5
+_STD_SD_LO, _STD_SD_HI = 0.5, 2.0
+
+
+@register(
+    "llm_embed_standardize",
+    f"""
+    WITH comp AS (
+      SELECT generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    )
+    SELECT pos,
+           ROUND(AVG(v), 6) AS mu,
+           ROUND(stddev_samp(v), 6) AS sd,
+           CAST(abs(AVG(v)) > {_STD_MU_MAX}
+                OR stddev_samp(v) < {_STD_SD_LO}
+                OR stddev_samp(v) > {_STD_SD_HI} AS INT) AS flagged
+    FROM comp
+    GROUP BY pos
+    ORDER BY pos
+    """,
+)
+def llm_embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization audit [public method: the
+    diagonal-whitening precheck retrieval stacks run before cosine /
+    quantization — a dimension whose mean drifts from 0 or whose
+    variance collapses (dead unit) or explodes (dominating unit)
+    distorts every distance; PQ and int8 quantization are calibrated
+    against exactly these moments]. One posexplode to (position,
+    component), one map-side-combinable aggregate on the position key
+    (64 groups), and per-dimension gates on |μ| and σ. Complements
+    llm_embed_norm_audit (vector-level norms) with the per-COORDINATE
+    view, and llm_embed_quantize consumes the σ it reports.
+
+    At 100 TB: the explode is width×rows but each row is (int,
+    double); the aggregate reduces to dim-count rows before the
+    shuffle. Scan-bound — the optimal shape."""
+    tune(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(F.posexplode("embedding").alias("pos0", "v")).select(
+        (F.col("pos0") + 1).alias("pos"), F.col("v").cast("double").alias("v")
+    )
+    mu, sd = F.avg("v"), F.stddev_samp("v")
+    return (
+        comp.groupBy("pos")
+        .agg(
+            F.round(mu, 6).alias("mu"),
+            F.round(sd, 6).alias("sd"),
+            (
+                (F.abs(mu) > _STD_MU_MAX)
+                | (sd < _STD_SD_LO)
+                | (sd > _STD_SD_HI)
+            )
+            .cast("int")
+            .alias("flagged"),
+        )
+        .orderBy("pos")
+    )

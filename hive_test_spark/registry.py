@@ -220,7 +220,8 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "llm_judge_agreement", "dml_exchange_partition",
     "llm_active_margin", "llm_prefix_cache_hit", "llm_coreset_kcenter",
     "evt_peaks", "llm_shingle_containment", "evt_rolling_slope",
-    "llm_query_expansion_prf",
+    "llm_query_expansion_prf", "llm_hubness_audit",
+    "llm_embed_standardize",
 )
 
 

@@ -1274,3 +1274,27 @@ def test_prf_expansion_terms_disjoint_from_query(spark, registry):
         assert [r.exp_rank for r in rs] == list(range(1, len(rs) + 1))
         ws = [r.weight for r in rs]
         assert ws == sorted(ws, reverse=True)
+
+
+def test_hubness_in_degree_conservation(spark, registry):
+    """Total in-degree across ALL vectors equals 500·k; the reported
+    top hubs have non-increasing in-degree and consistent z-scores."""
+    qs, _ = registry
+    rows = qs["llm_hubness_audit"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    degs = [r.in_degree for r in rows]
+    assert degs == sorted(degs, reverse=True)
+    zs = [r.hub_z for r in rows]
+    assert zs == sorted(zs, reverse=True)
+    assert all(r.n_orphans == rows[0].n_orphans >= 0 for r in rows)
+
+
+def test_embed_standardize_covers_all_dims(spark, registry):
+    """One row per dimension 1..64; sd positive; flag recomputes."""
+    qs, _ = registry
+    rows = sorted(qs["llm_embed_standardize"](spark, SF_DIR).collect(), key=lambda r: r.pos)
+    assert [r.pos for r in rows] == list(range(1, 65))
+    for r in rows:
+        assert r.sd > 0
+        expect = int(abs(r.mu) > 0.5 or r.sd < 0.5 or r.sd > 2.0)
+        assert r.flagged == expect

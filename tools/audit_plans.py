@@ -117,6 +117,8 @@ EXTRA_AUDIT = [
     "llm_shingle_containment",
     "evt_rolling_slope",
     "llm_query_expansion_prf",
+    "llm_hubness_audit",
+    "llm_embed_standardize",
 ]
 
 

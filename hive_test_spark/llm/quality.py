@@ -795,3 +795,88 @@ def llm_judge_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 6).alias("p_expected"),
         F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
     )
+
+
+@register(
+    "llm_ensemble_majority",
+    f"""
+    WITH sig AS (
+      SELECT doc_id,
+             len(string_split(lower(text), ' ')) AS wc,
+             len(list_filter(string_split(lower(text), ' '),
+                             x -> x IN {_STOPWORDS!r})) * 1.0
+               / len(string_split(lower(text), ' ')) AS stop_frac,
+             list_aggregate(list_transform(string_split(lower(text), ' '),
+                                           x -> len(x)), 'sum') * 1.0
+               / len(string_split(lower(text), ' ')) AS mwl,
+             n_chars
+      FROM documents
+    ),
+    votes AS (
+      SELECT doc_id,
+             CAST(wc BETWEEN {_WC_LO} AND {_WC_HI}
+                  AND stop_frac >= {_STOP_MIN} AS INT) AS j1,
+             CAST(mwl BETWEEN {_MWL_LO} AND {_MWL_HI}
+                  AND wc >= {_WC_LO} AS INT) AS j2,
+             CAST(n_chars BETWEEN 150 AND 400 AS INT) AS j3
+      FROM sig
+    ),
+    labeled AS (
+      SELECT doc_id, j1, j2, j3,
+             CAST(j1 + j2 + j3 >= 2 AS INT) AS majority
+      FROM votes
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(majority) AS BIGINT) AS n_pass_majority,
+      CAST(SUM(CASE WHEN j1 + j2 + j3 IN (0, 3) THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_unanimous,
+      ROUND(AVG(CASE WHEN j1 = majority THEN 1.0 ELSE 0.0 END), 6) AS acc_j1,
+      ROUND(AVG(CASE WHEN j2 = majority THEN 1.0 ELSE 0.0 END), 6) AS acc_j2,
+      ROUND(AVG(CASE WHEN j3 = majority THEN 1.0 ELSE 0.0 END), 6) AS acc_j3
+    FROM labeled
+    """,
+)
+def llm_ensemble_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote label aggregation over a judge ensemble [public
+    method: the crowdsourcing/LLM-ensemble baseline — majority label
+    per item plus each judge's agreement-with-majority rate, which is
+    Dawid-Skene's iteration-zero confusion estimate; the rate tells
+    you which judge to retire or reweight before the next pass].
+    Three deterministic rule judges (the llm_judge_agreement pair
+    plus a length judge) vote per document in one narrow map; the
+    scorecard reduces to majority pass mass, unanimity, and per-judge
+    accuracies.
+
+    At 100 TB: one map + ONE combinable aggregate — scan-bound; with
+    J judges the vote is a J-column sum, and swapping rule judges for
+    (item, judge, label) long-form model outputs turns the map into a
+    pivot on the item key (the agg_pivot shape) with no other
+    change."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower("text"), " ")
+    wc = F.size(t)
+    stop_frac = F.size(F.filter(t, lambda x: x.isin(*_STOPWORDS))).cast("double") / wc
+    mwl = F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x)).cast("double") / wc
+    votes = d.select(
+        (wc.between(_WC_LO, _WC_HI) & (stop_frac >= _STOP_MIN)).cast("int").alias("j1"),
+        (mwl.between(_MWL_LO, _MWL_HI) & (wc >= _WC_LO)).cast("int").alias("j2"),
+        F.col("n_chars").between(150, 400).cast("int").alias("j3"),
+    )
+    labeled = votes.select(
+        "j1",
+        "j2",
+        "j3",
+        ((F.col("j1") + F.col("j2") + F.col("j3")) >= 2).cast("int").alias("majority"),
+    )
+    return labeled.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("majority").alias("n_pass_majority"),
+        F.sum(
+            F.when((F.col("j1") + F.col("j2") + F.col("j3")).isin(0, 3), 1).otherwise(0)
+        ).alias("n_unanimous"),
+        F.round(F.avg(F.when(F.col("j1") == F.col("majority"), 1.0).otherwise(0.0)), 6).alias("acc_j1"),
+        F.round(F.avg(F.when(F.col("j2") == F.col("majority"), 1.0).otherwise(0.0)), 6).alias("acc_j2"),
+        F.round(F.avg(F.when(F.col("j3") == F.col("majority"), 1.0).otherwise(0.0)), 6).alias("acc_j3"),
+    )

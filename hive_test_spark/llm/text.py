@@ -1593,3 +1593,84 @@ def llm_query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "exp_rank", "token", "weight", "dfreq")
         .orderBy("query_id", "exp_rank")
     )
+
+
+# Watermark detection: greenlist fraction gamma and the flag threshold.
+_WM_GAMMA = 0.5
+_WM_Z_FLAG = 4.0
+
+
+@register(
+    "llm_watermark_detect",
+    f"""
+    WITH pairs AS (
+      SELECT doc_id,
+             t[i] AS prev_tok, t[i + 1] AS cur_tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS t,
+                   unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 2)
+    ),
+    scored AS (
+      SELECT doc_id, COUNT(*) AS n_pairs,
+             CAST(SUM(CASE WHEN substring(md5(prev_tok || '|' || cur_tok), 1, 1)
+                           IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_green
+      FROM pairs GROUP BY doc_id
+    )
+    SELECT doc_id, n_pairs, n_green,
+           ROUND(CAST(n_green AS DOUBLE) / n_pairs, 6) AS green_frac,
+           ROUND((n_green - {_WM_GAMMA} * n_pairs)
+                 / sqrt(n_pairs * {_WM_GAMMA} * (1.0 - {_WM_GAMMA})), 6) AS z,
+           CAST((n_green - {_WM_GAMMA} * n_pairs)
+                / sqrt(n_pairs * {_WM_GAMMA} * (1.0 - {_WM_GAMMA}))
+                > {_WM_Z_FLAG} AS INT) AS flagged
+    FROM scored
+    """,
+)
+def llm_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical text-watermark detection [public method:
+    Kirchenbauer et al. 2023 — a watermarking sampler boosts a
+    context-keyed "greenlist" half of the vocabulary, so detection is
+    a one-proportion z-test on the greenlist hit rate: z = (g − γn)/
+    √(nγ(1−γ)), flagged above z={_WM_Z_FLAG}]. The greenlist member-
+    ship of each (prev, cur) token bigram derives from an md5 parity
+    — the identical deterministic stand-in for the keyed hash both
+    engines share — and on this UNWATERMARKED corpus the z-scores
+    should hover near 0 with zero flags: the correctly-calibrated
+    negative result a detector must produce before anyone trusts its
+    positives.
+
+    At 100 TB: bigram explode → per-doc combinable counts — the
+    llm_ngram_stats shape; the z arithmetic is per-group constant
+    work. A real deployment swaps md5 for the watermark key's PRF and
+    runs the same plan over candidate scraped corpora."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    pairs = d.filter(F.size(F.split("text", " ")) >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> concat(split(text, ' ')[i - 1], '|', split(text, ' ')[i]))"
+            )
+        ).alias("bigram"),
+    )
+    green = F.substring(F.md5("bigram"), 1, 1).isin(*"01234567")
+    scored = pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(green, 1).otherwise(0)).alias("n_green"),
+    )
+    z = (F.col("n_green") - _WM_GAMMA * F.col("n_pairs")) / F.sqrt(
+        F.col("n_pairs") * _WM_GAMMA * (1.0 - _WM_GAMMA)
+    )
+    return scored.select(
+        "doc_id",
+        "n_pairs",
+        "n_green",
+        F.round(F.col("n_green").cast("double") / F.col("n_pairs"), 6).alias(
+            "green_frac"
+        ),
+        F.round(z, 6).alias("z"),
+        (z > _WM_Z_FLAG).cast("int").alias("flagged"),
+    )

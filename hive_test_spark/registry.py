@@ -221,7 +221,8 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "llm_active_margin", "llm_prefix_cache_hit", "llm_coreset_kcenter",
     "evt_peaks", "llm_shingle_containment", "evt_rolling_slope",
     "llm_query_expansion_prf", "llm_hubness_audit",
-    "llm_embed_standardize",
+    "llm_embed_standardize", "llm_ensemble_majority",
+    "llm_watermark_detect",
 )
 
 

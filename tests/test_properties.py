@@ -1298,3 +1298,33 @@ def test_embed_standardize_covers_all_dims(spark, registry):
         assert r.sd > 0
         expect = int(abs(r.mu) > 0.5 or r.sd < 0.5 or r.sd > 2.0)
         assert r.flagged == expect
+
+
+def test_ensemble_majority_accounting(spark, registry):
+    """Unanimous docs are a subset of total; per-judge accuracies lie
+    in [2/3-ish bounds, 1] — a judge can disagree with majority at
+    most on docs where the other two agree."""
+    qs, _ = registry
+    (r,) = qs["llm_ensemble_majority"](spark, SF_DIR).collect()
+    assert 0 <= r.n_unanimous <= r.n_docs
+    assert 0 <= r.n_pass_majority <= r.n_docs
+    for acc in (r.acc_j1, r.acc_j2, r.acc_j3):
+        assert 0.0 <= acc <= 1.0
+    # In any 3-judge majority system the average agreement rate is >= 2/3.
+    assert (r.acc_j1 + r.acc_j2 + r.acc_j3) / 3 >= 2 / 3 - 1e-9
+
+
+def test_watermark_calibrated_null(spark, registry):
+    """On an unwatermarked corpus the z-test must behave like a null:
+    no flags at z>4, mean z near 0, and each z recomputes."""
+    import math
+
+    qs, _ = registry
+    rows = qs["llm_watermark_detect"](spark, SF_DIR).collect()
+    assert len(rows) == 500
+    assert sum(r.flagged for r in rows) == 0, "false positives on null corpus"
+    zs = [r.z for r in rows]
+    assert abs(sum(zs) / len(zs)) < 0.5, "null z distribution should center near 0"
+    for r in rows[:50]:
+        expect = (r.n_green - 0.5 * r.n_pairs) / math.sqrt(r.n_pairs * 0.25)
+        assert abs(r.z - round(expect, 6)) < 1e-9

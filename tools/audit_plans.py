@@ -119,6 +119,8 @@ EXTRA_AUDIT = [
     "llm_query_expansion_prf",
     "llm_hubness_audit",
     "llm_embed_standardize",
+    "llm_ensemble_majority",
+    "llm_watermark_detect",
 ]
 
 

@@ -2814,3 +2814,93 @@ def evt_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# Difference-in-differences design: treatment = odd user ids (the
+# deterministic assignment convention of evt_abtest), intervention at
+# mid-window.
+_DID_CUTOVER = "2024-01-15"
+
+
+@register(
+    "evt_did",
+    f"""
+    WITH cells AS (
+      SELECT CAST(user_id % 2 AS INT) AS treated,
+             CAST(CAST(ts AS TIMESTAMP) >= TIMESTAMP '{_DID_CUTOVER}' AS INT)
+               AS post,
+             COUNT(*) AS n,
+             AVG(value) AS mu,
+             var_samp(value) AS v
+      FROM events
+      GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN treated = 1 AND post = 0 THEN mu END) AS t_pre,
+        MAX(CASE WHEN treated = 1 AND post = 1 THEN mu END) AS t_post,
+        MAX(CASE WHEN treated = 0 AND post = 0 THEN mu END) AS c_pre,
+        MAX(CASE WHEN treated = 0 AND post = 1 THEN mu END) AS c_post,
+        SUM(v / n) AS var_sum
+      FROM cells
+    )
+    SELECT ROUND(t_pre, 6) AS treated_pre, ROUND(t_post, 6) AS treated_post,
+           ROUND(c_pre, 6) AS control_pre, ROUND(c_post, 6) AS control_post,
+           ROUND((t_post - t_pre) - (c_post - c_pre), 6) AS did,
+           ROUND(sqrt(var_sum), 6) AS se,
+           ROUND(((t_post - t_pre) - (c_post - c_pre)) / sqrt(var_sum), 6)
+             AS t_stat
+    FROM wide
+    """,
+)
+def evt_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator [public method: the 2×2 DiD
+    — (treated post − treated pre) − (control post − control pre) —
+    the workhorse for launch effects when randomization is impossible;
+    completes the causal family beside evt_abtest_lift (randomized),
+    evt_power_analysis (planning), and evt_attribution_* (credit)].
+    Treatment is the deterministic odd-id assignment, the intervention
+    splits the window at {_DID_CUTOVER}, and the four cell means plus
+    the pooled standard error √Σ(s²ᵢ/nᵢ) reduce from ONE pass; the
+    t-stat divides the unrounded estimate by the unrounded SE before
+    the display rounding.
+
+    At 100 TB: a single map-side-combinable aggregate on a 4-value
+    key — partials carry (n, mean, M2) per cell, so the scan is the
+    whole cost; the DiD arithmetic is a 1-row epilogue over the
+    pivoted cells."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.col("user_id") % 2).cast("int").alias("treated"),
+        (F.col("ts") >= F.lit(_DID_CUTOVER).cast("timestamp"))
+        .cast("int")
+        .alias("post"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("mu"),
+        F.var_samp("value").alias("v"),
+    )
+
+    def cell(t: int, p: int):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), F.col("mu"))
+        )
+
+    wide = cells.agg(
+        cell(1, 0).alias("t_pre"),
+        cell(1, 1).alias("t_post"),
+        cell(0, 0).alias("c_pre"),
+        cell(0, 1).alias("c_post"),
+        F.sum(F.col("v") / F.col("n")).alias("var_sum"),
+    )
+    did = (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre"))
+    return wide.select(
+        F.round("t_pre", 6).alias("treated_pre"),
+        F.round("t_post", 6).alias("treated_post"),
+        F.round("c_pre", 6).alias("control_pre"),
+        F.round("c_post", 6).alias("control_post"),
+        F.round(did, 6).alias("did"),
+        F.round(F.sqrt("var_sum"), 6).alias("se"),
+        F.round(did / F.sqrt("var_sum"), 6).alias("t_stat"),
+    )

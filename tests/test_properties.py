@@ -1328,3 +1328,14 @@ def test_watermark_calibrated_null(spark, registry):
     for r in rows[:50]:
         expect = (r.n_green - 0.5 * r.n_pairs) / math.sqrt(r.n_pairs * 0.25)
         assert abs(r.z - round(expect, 6)) < 1e-9
+
+
+def test_did_identity(spark, registry):
+    """DiD recomputes from the four cell means and the null-effect
+    t-stat stays modest on this effect-free assignment."""
+    qs, _ = registry
+    (r,) = qs["evt_did"](spark, SF_DIR).collect()
+    expect = (r.treated_post - r.treated_pre) - (r.control_post - r.control_pre)
+    assert abs(r.did - round(expect, 6)) < 5e-6
+    assert r.se > 0
+    assert abs(r.t_stat) < 5.0, "odd/even split has no real effect"

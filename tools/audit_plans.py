@@ -121,6 +121,7 @@ EXTRA_AUDIT = [
     "llm_embed_standardize",
     "llm_ensemble_majority",
     "llm_watermark_detect",
+    "evt_did",
 ]
 
 

@@ -880,3 +880,84 @@ def llm_ensemble_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.when(F.col("j2") == F.col("majority"), 1.0).otherwise(0.0)), 6).alias("acc_j2"),
         F.round(F.avg(F.when(F.col("j3") == F.col("majority"), 1.0).otherwise(0.0)), 6).alias("acc_j3"),
     )
+
+
+# Wilson interval z for 95% two-sided coverage.
+_WILSON_Z = 1.959964
+
+
+@register(
+    "llm_eval_wilson_ci",
+    f"""
+    WITH rated AS (
+      SELECT lang,
+             CAST(len(string_split(lower(text), ' '))
+                    BETWEEN {_WC_LO} AND {_WC_HI}
+                  AND len(list_filter(string_split(lower(text), ' '),
+                                      x -> x IN {_STOPWORDS!r})) * 1.0
+                      / len(string_split(lower(text), ' ')) >= {_STOP_MIN}
+                  AS INT) AS pass
+      FROM documents
+    ),
+    agg AS (
+      SELECT lang, COUNT(*) AS n, CAST(SUM(pass) AS BIGINT) AS n_pass,
+             SUM(pass) * 1.0 / COUNT(*) AS p
+      FROM rated GROUP BY lang
+    )
+    SELECT lang, n, n_pass, ROUND(p, 6) AS pass_rate,
+           ROUND((p + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+                  - {_WILSON_Z} * sqrt(p * (1 - p) / n
+                        + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+                 / (1 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS ci_lo,
+           ROUND((p + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+                  + {_WILSON_Z} * sqrt(p * (1 - p) / n
+                        + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+                 / (1 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS ci_hi
+    FROM agg
+    ORDER BY lang
+    """,
+)
+def llm_eval_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified pass-rate reporting with Wilson 95% intervals
+    [public method: the Wilson score interval — the binomial CI that
+    stays sane at small n and extreme rates, which is exactly the
+    regime per-language eval strata live in; an eval table quoting
+    rates without intervals on 20-doc strata is the classic
+    benchmark-reporting sin]. The Gopher-gate verdict is the binary
+    metric; one combinable aggregate per language produces (n, passes)
+    and the closed-form interval is a per-group epilogue — both
+    engines evaluate the identical formula on identical exact counts.
+
+    At 100 TB: scan-bound map + 5-key aggregate, the evt_benford
+    shape; the interval math adds zero distributed work. Swapping the
+    rule verdict for a model-grade column reports real eval runs with
+    no other change."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower("text"), " ")
+    wc = F.size(t)
+    stop_frac = F.size(F.filter(t, lambda x: x.isin(*_STOPWORDS))).cast("double") / wc
+    rated = d.select(
+        "lang",
+        (wc.between(_WC_LO, _WC_HI) & (stop_frac >= _STOP_MIN))
+        .cast("int")
+        .alias("pass"),
+    )
+    agg = rated.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pass").alias("n_pass"),
+        (F.sum("pass") / F.count(F.lit(1))).alias("p"),
+    )
+    z = _WILSON_Z
+    n, p = F.col("n"), F.col("p")
+    center = p + z * z / (2 * n)
+    half = z * F.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+    denom = 1 + z * z / n
+    return agg.select(
+        "lang",
+        "n",
+        "n_pass",
+        F.round(p, 6).alias("pass_rate"),
+        F.round((center - half) / denom, 6).alias("ci_lo"),
+        F.round((center + half) / denom, 6).alias("ci_hi"),
+    ).orderBy("lang")

@@ -222,7 +222,7 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "evt_peaks", "llm_shingle_containment", "evt_rolling_slope",
     "llm_query_expansion_prf", "llm_hubness_audit",
     "llm_embed_standardize", "llm_ensemble_majority",
-    "llm_watermark_detect", "evt_did",
+    "llm_watermark_detect", "evt_did", "llm_eval_wilson_ci",
 )
 
 

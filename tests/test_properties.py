@@ -1339,3 +1339,20 @@ def test_did_identity(spark, registry):
     assert abs(r.did - round(expect, 6)) < 5e-6
     assert r.se > 0
     assert abs(r.t_stat) < 5.0, "odd/even split has no real effect"
+
+
+def test_wilson_ci_brackets_rate(spark, registry):
+    """ci_lo <= rate <= ci_hi, all within [0,1], and the interval
+    narrows with n (the largest stratum has the tightest interval)."""
+    qs, _ = registry
+    rows = qs["llm_eval_wilson_ci"](spark, SF_DIR).collect()
+    assert rows
+    pairs = []
+    for r in rows:
+        assert 0.0 <= r.ci_lo <= r.pass_rate <= r.ci_hi <= 1.0
+        pairs.append((r.n, r.ci_hi - r.ci_lo))
+    # The widest interval must come from one of the smallest strata —
+    # Wilson width shrinks ~1/sqrt(n) at comparable rates.
+    widest_n = max(pairs, key=lambda t: t[1])[0]
+    assert widest_n <= sorted(n for n, _ in pairs)[len(pairs) // 2]
+    assert sum(r.n for r in rows) == 500

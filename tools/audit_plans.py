@@ -122,6 +122,7 @@ EXTRA_AUDIT = [
     "llm_ensemble_majority",
     "llm_watermark_detect",
     "evt_did",
+    "llm_eval_wilson_ci",
 ]
 
 

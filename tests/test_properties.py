@@ -1356,3 +1356,24 @@ def test_wilson_ci_brackets_rate(spark, registry):
     widest_n = max(pairs, key=lambda t: t[1])[0]
     assert widest_n <= sorted(n for n, _ in pairs)[len(pairs) // 2]
     assert sum(r.n for r in rows) == 500
+
+
+def test_ols_multifactor_r2_bounds_and_nesting(spark, registry):
+    """R² lies in [0,1] and the two-factor fit explains at least as
+    much variance as each single-factor regr_r2 (model nesting)."""
+    from hive_test_spark.io import load_table
+
+    qs, _ = registry
+    (r,) = qs["evt_ols_multifactor"](spark, SF_DIR).collect()
+    assert 0.0 <= r.r2 <= 1.0
+    assert r.n_days > 10
+    ev = load_table(spark, SF_DIR, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))), 6).alias("y"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).cast("double").alias("x1"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).cast("double").alias("x2"),
+    ).filter(F.col("y").isNotNull())
+    (single,) = daily.agg(
+        F.expr("regr_r2(y, x1)").alias("r1"), F.expr("regr_r2(y, x2)").alias("r2b")
+    ).collect()
+    assert r.r2 >= max(single.r1, single.r2b) - 1e-6, "nested model must not lose variance"

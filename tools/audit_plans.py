@@ -123,6 +123,7 @@ EXTRA_AUDIT = [
     "llm_watermark_detect",
     "evt_did",
     "llm_eval_wilson_ci",
+    "evt_ols_multifactor",
 ]
 
 

@@ -801,3 +801,110 @@ def llm_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bands")
     )
+
+
+# Dedup-methods Venn: token-level MinHash-verified pairs vs label-blocked
+# embedding-cosine pairs (the llm_embed_neardup construction, cos >= 0.25).
+_VENN_COS_TAU = 0.25
+
+_VENN_ORACLE = f"""
+    WITH {_MINHASH_CTES},
+    tokpairs AS (SELECT doc_a, doc_b FROM verified),
+    embpairs AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(
+                    list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                    list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6)
+            >= {_VENN_COS_TAU}
+    ),
+    joined AS (
+      SELECT COALESCE(t.doc_a, e.doc_a) AS doc_a,
+             CAST(t.doc_a IS NOT NULL AS INT) AS in_token,
+             CAST(e.doc_a IS NOT NULL AS INT) AS in_embed
+      FROM tokpairs t
+      FULL OUTER JOIN embpairs e
+        ON e.doc_a = t.doc_a AND e.doc_b = t.doc_b
+    )
+    SELECT CAST(SUM(in_token * in_embed) AS BIGINT) AS n_both,
+           CAST(SUM(in_token * (1 - in_embed)) AS BIGINT) AS n_token_only,
+           CAST(SUM((1 - in_token) * in_embed) AS BIGINT) AS n_embed_only,
+           ROUND(SUM(in_token * in_embed) * 1.0
+                 / SUM(CASE WHEN in_token = 1 OR in_embed = 1 THEN 1 END), 6)
+             AS jaccard_of_methods
+    FROM joined
+    """
+
+
+@register("llm_dedup_method_venn", _VENN_ORACLE)
+def llm_dedup_method_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-methods Venn audit [public practice: before trusting ONE
+    near-dup definition at corpus scale, measure how the candidate
+    sets of independent methods overlap — token-level MinHash-verified
+    Jaccard pairs vs embedding-cosine pairs catch different duplicate
+    phenomena (lexical rewrites vs semantic paraphrases), and the
+    overlap Jaccard between the METHODS is the number that justifies
+    running one, the other, or both]. Both pair sets reuse their
+    production constructions (the llm_minhash_det pipeline; the
+    label-blocked cosine join), canonicalized a<b, FULL OUTER joined
+    on the pair key.
+
+    At 100 TB: each leg is its own proven bucketed shape; the Venn
+    join keys on (doc_a, doc_b) — pair-dimension sized, tiny relative
+    to the corpus — and the scorecard is a 1-row reduce. The same
+    audit slots in llm_shingle_containment or llm_semdedup as a third
+    leg by unioning another pair frame."""
+    from hive_test_spark.llm.similarity import _with_norm, cosine
+
+    tune(spark)
+    tok = _minhash_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    a = e.select(
+        F.col("vec_id").alias("e_a"),
+        "label",
+        F.col("embedding").alias("a_emb"),
+        F.col("norm").alias("a_norm"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("e_b"),
+        F.col("label").alias("b_label"),
+        F.col("embedding").alias("b_emb"),
+        F.col("norm").alias("b_norm"),
+    )
+    emb = (
+        a.join(
+            b,
+            (F.col("label") == F.col("b_label")) & (F.col("e_a") < F.col("e_b")),
+        )
+        .select(
+            "e_a",
+            "e_b",
+            F.round(
+                cosine("a_emb", "b_emb") / (F.col("a_norm") * F.col("b_norm")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _VENN_COS_TAU)
+        .select("e_a", "e_b")
+    )
+    joined = tok.withColumn("in_token", F.lit(1)).join(
+        emb.withColumn("in_embed", F.lit(1)),
+        (F.col("doc_a") == F.col("e_a")) & (F.col("doc_b") == F.col("e_b")),
+        "full_outer",
+    ).select(
+        F.coalesce("in_token", F.lit(0)).alias("in_token"),
+        F.coalesce("in_embed", F.lit(0)).alias("in_embed"),
+    )
+    both = F.sum(F.col("in_token") * F.col("in_embed"))
+    return joined.agg(
+        both.alias("n_both"),
+        F.sum(F.col("in_token") * (1 - F.col("in_embed"))).alias("n_token_only"),
+        F.sum((1 - F.col("in_token")) * F.col("in_embed")).alias("n_embed_only"),
+        F.round(
+            both
+            / F.sum(
+                F.when((F.col("in_token") == 1) | (F.col("in_embed") == 1), 1)
+            ),
+            6,
+        ).alias("jaccard_of_methods"),
+    )

@@ -1377,3 +1377,14 @@ def test_ols_multifactor_r2_bounds_and_nesting(spark, registry):
         F.expr("regr_r2(y, x1)").alias("r1"), F.expr("regr_r2(y, x2)").alias("r2b")
     ).collect()
     assert r.r2 >= max(single.r1, single.r2b) - 1e-6, "nested model must not lose variance"
+
+
+def test_dedup_venn_consistent_with_legs(spark, registry):
+    """Venn cells are non-negative, and token cells sum to the
+    llm_minhash_det pair count (the token leg reused verbatim)."""
+    qs, _ = registry
+    (r,) = qs["llm_dedup_method_venn"](spark, SF_DIR).collect()
+    assert r.n_both >= 0 and r.n_token_only >= 0 and r.n_embed_only >= 0
+    tok_pairs = qs["llm_minhash_det"](spark, SF_DIR).count()
+    assert r.n_both + r.n_token_only == tok_pairs
+    assert 0.0 <= r.jaccard_of_methods <= 1.0

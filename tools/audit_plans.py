@@ -124,6 +124,7 @@ EXTRA_AUDIT = [
     "evt_did",
     "llm_eval_wilson_ci",
     "evt_ols_multifactor",
+    "llm_dedup_method_venn",
 ]
 
 

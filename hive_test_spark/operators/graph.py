@@ -398,3 +398,104 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("round")
     )
+
+
+# k-core peeling: coreness threshold and fixed peel rounds.
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+# One DuckDB peel round: drop nodes with degree < k, keep only edges
+# between survivors.
+_DUCK_PEEL = f"""
+  SELECT e.src, e.dst FROM {{prev}} e
+  JOIN (SELECT src FROM {{prev}} GROUP BY src
+        HAVING COUNT(*) >= {_KCORE_K}) sa ON sa.src = e.src
+  JOIN (SELECT src FROM {{prev}} GROUP BY src
+        HAVING COUNT(*) >= {_KCORE_K}) sb ON sb.src = e.dst
+"""
+
+_KCORE_ORACLE = f"""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    e0 AS (
+      SELECT 'c' || CAST(cust AS VARCHAR) AS src, 's' || CAST(supp AS VARCHAR) AS dst FROM pairs
+      UNION ALL
+      SELECT 's' || CAST(supp AS VARCHAR) AS src, 'c' || CAST(cust AS VARCHAR) AS dst FROM pairs
+    ),
+    e1 AS ({_DUCK_PEEL.format(prev="e0")}),
+    e2 AS ({_DUCK_PEEL.format(prev="e1")}),
+    e3 AS ({_DUCK_PEEL.format(prev="e2")}),
+    summary AS (
+      SELECT 0 AS round, COUNT(DISTINCT src) AS n_nodes, COUNT(*) AS n_edges FROM e0
+      UNION ALL SELECT 1, COUNT(DISTINCT src), COUNT(*) FROM e1
+      UNION ALL SELECT 2, COUNT(DISTINCT src), COUNT(*) FROM e2
+      UNION ALL SELECT 3, COUNT(DISTINCT src), COUNT(*) FROM e3
+    )
+    SELECT round, n_nodes, CAST(n_edges AS BIGINT) AS n_edges
+    FROM summary ORDER BY round
+"""
+
+
+@register("graph_kcore", _KCORE_ORACLE)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling toward the {_KCORE_K}-core [public method:
+    iteratively delete nodes of degree < k until a fixed point — the
+    cohesion backbone used for spam-ring mining and "dense trade
+    cluster" extraction; completes the graph family: PageRank =
+    centrality, label propagation = community, triangles = local
+    clustering, BFS = reachability, k-core = cohesion]. A FIXED
+    {_KCORE_ROUNDS} peel rounds run on the directed-both-ways trade
+    graph; the per-round (nodes, edges) profile shows convergence —
+    when two consecutive rounds agree the k-core is exact, otherwise
+    the budget bounds the overestimate (the graph_label_propagation
+    budget argument).
+
+    At 100 TB: each round is one map-side-combinable degree count +
+    one semi-join of edges against surviving nodes on BOTH endpoints
+    — two hash joins keyed on node ids, no cartesian anywhere;
+    per-round localCheckpoint keeps the unrolled lineage flat (the CC
+    cadence)."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("cust"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    rounds = [edges]
+    for _ in range(_KCORE_ROUNDS):
+        prev = rounds[-1]
+        surv = (
+            prev.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select("src")
+        )
+        nxt = (
+            prev.join(surv, "src", "left_semi")
+            .join(surv.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        rounds.append(nxt)
+    out = None
+    for i, e in enumerate(rounds):
+        row = e.agg(
+            F.lit(i).alias("round"),
+            F.countDistinct("src").alias("n_nodes"),
+            F.count(F.lit(1)).alias("n_edges"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("round")

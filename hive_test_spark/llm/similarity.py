@@ -1485,3 +1485,113 @@ def llm_embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pos")
     )
+
+
+# Mixup interpolation coefficient (fixed — augmentation must be
+# reproducible across re-runs, the llm_hash_sample determinism argument).
+_MIXUP_LAMBDA = 0.3
+_MIXUP_SHIFT = 250
+
+
+@register(
+    "llm_mixup_embed",
+    f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.label AS label_a, b.label AS label_b,
+             a.emb AS ea, b.emb AS eb
+      FROM e a JOIN e b ON b.vec_id = (a.vec_id + {_MIXUP_SHIFT}) % 500
+      WHERE a.vec_id < {_MIXUP_SHIFT}
+    ),
+    mixed AS (
+      SELECT id_a, id_b, label_a, label_b,
+             sqrt(list_sum(list_transform(ea, x -> x * x))) AS norm_a,
+             sqrt(list_sum(list_transform(eb, x -> x * x))) AS norm_b,
+             sqrt(list_sum(list_transform(
+               generate_series(1, len(ea)),
+               i -> ({_MIXUP_LAMBDA} * ea[i] + {1 - _MIXUP_LAMBDA} * eb[i])
+                    * ({_MIXUP_LAMBDA} * ea[i] + {1 - _MIXUP_LAMBDA} * eb[i])
+             ))) AS norm_mix
+      FROM pairs
+    )
+    SELECT id_a, id_b,
+           CAST(label_a = label_b AS INT) AS same_label,
+           ROUND(norm_a, 6) AS norm_a,
+           ROUND(norm_b, 6) AS norm_b,
+           ROUND(norm_mix, 6) AS norm_mix,
+           CAST(norm_mix <= {_MIXUP_LAMBDA} * norm_a
+                            + {1 - _MIXUP_LAMBDA} * norm_b + 1e-9 AS INT)
+             AS convexity_ok
+    FROM mixed
+    ORDER BY id_a
+    """,
+)
+def llm_mixup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding mixup augmentation [public method: Zhang et al. 2018's
+    mixup — convex combinations x̃ = λa + (1−λ)b regularize training;
+    in data pipelines the same interpolation synthesizes hard eval
+    pairs and densifies sparse regions]. Pairing is the deterministic
+    id+{_MIXUP_SHIFT} shift (augmentation must reproduce across re-runs
+    — the llm_hash_sample argument against rand()), the blend is a
+    JVM zip_with, and each output row carries the triangle-inequality
+    audit ‖λa+(1−λ)b‖ ≤ λ‖a‖+(1−λ)‖b‖ as an in-query flag — the
+    property oracle pattern of the recall gates.
+
+    At 100 TB: the pair join is an equi-join on the shifted id (one
+    shuffle family, no products); the blend and norms are narrow
+    higher-order expressions. A cross-label mix fraction falls out of
+    the same_label column for label-smoothing bookkeeping."""
+    tune(spark)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+    )
+    a = e.filter(F.col("vec_id") < _MIXUP_SHIFT).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("label_a"),
+        F.col("emb").alias("ea"),
+        ((F.col("vec_id") + _MIXUP_SHIFT) % 500).alias("partner"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("emb").alias("eb"),
+    )
+    lam = _MIXUP_LAMBDA
+    mix = F.expr(
+        f"transform(sequence(1, size(ea)), "
+        f"i -> {lam} * ea[i - 1] + {1 - lam} * eb[i - 1])"
+    )
+    norm = "sqrt(aggregate(transform({v}, x -> x * x), 0D, (acc, x) -> acc + x))"
+    mixed = (
+        a.join(b, F.col("id_b") == F.col("partner"))
+        .withColumn("em", mix)
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("label_a") == F.col("label_b")).cast("int").alias("same_label"),
+            F.expr(norm.format(v="ea")).alias("raw_norm_a"),
+            F.expr(norm.format(v="eb")).alias("raw_norm_b"),
+            F.expr(norm.format(v="em")).alias("raw_norm_mix"),
+        )
+    )
+    return mixed.select(
+        "id_a",
+        "id_b",
+        "same_label",
+        F.round("raw_norm_a", 6).alias("norm_a"),
+        F.round("raw_norm_b", 6).alias("norm_b"),
+        F.round("raw_norm_mix", 6).alias("norm_mix"),
+        (
+            F.col("raw_norm_mix")
+            <= lam * F.col("raw_norm_a") + (1 - lam) * F.col("raw_norm_b") + 1e-9
+        )
+        .cast("int")
+        .alias("convexity_ok"),
+    ).orderBy("id_a")

@@ -1448,3 +1448,14 @@ def test_markov_stationary_is_distribution(spark, registry):
     for r in rows:
         assert r.pi_stationary > 0
         assert r.delta_last_iter < 0.05, "uniform-ish chain mixes fast"
+
+
+def test_mixup_convexity_holds_everywhere(spark, registry):
+    """Every mixed vector satisfies the norm triangle inequality and
+    the pairing is a perfect matching of the lower-id half."""
+    qs, _ = registry
+    rows = qs["llm_mixup_embed"](spark, SF_DIR).collect()
+    assert len(rows) == 250
+    assert all(r.convexity_ok == 1 for r in rows)
+    assert {r.id_a for r in rows} == set(range(250))
+    assert all(r.id_b == r.id_a + 250 for r in rows)

@@ -128,6 +128,7 @@ EXTRA_AUDIT = [
     "graph_kcore",
     "llm_otsu_threshold",
     "evt_markov_stationary",
+    "llm_mixup_embed",
 ]
 
 

@@ -3141,3 +3141,75 @@ def evt_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state")
     )
+
+
+@register(
+    "evt_catalog_coverage",
+    """
+    WITH inter AS (
+      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+             user_id, event_type
+      FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    per_item AS (
+      SELECT item,
+             COUNT(*) AS n_inter,
+             COUNT(DISTINCT user_id) AS n_users,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purchases
+      FROM inter GROUP BY item
+    )
+    SELECT COUNT(*) AS n_items,
+           CAST(SUM(CASE WHEN n_users >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_multi_user,
+           CAST(SUM(CASE WHEN n_inter = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_singleton,
+           CAST(SUM(CASE WHEN n_purchases = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_never_purchased,
+           ROUND(SUM(CASE WHEN n_users >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS covisitable_share,
+           ROUND(AVG(n_inter), 6) AS mean_inter_per_item
+    FROM per_item
+    """,
+)
+def evt_catalog_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-coverage / cold-start audit [public practice: the
+    recommender health check — what share of the item catalog has
+    enough interaction signal to appear in co-visitation or
+    collaborative filtering at all? Items below the 2-user line are
+    invisible to evt_covisitation BY CONSTRUCTION, and this measures
+    that blind spot instead of discovering it in production]. Items
+    come from the props.k payload; one per-item combinable rollup
+    feeds a 1-row scorecard: multi-user (covisitable) share,
+    singletons, never-purchased items, and interaction depth.
+
+    At 100 TB: two stacked map-side-combinable aggregates (item →
+    scorecard) — the evt_rate_limit shape — with the JSON extraction a
+    narrow map; the per-item distinct-user count is the only Expand,
+    bounded by item cardinality."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    inter = ev.select(
+        F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        "user_id",
+        "event_type",
+    ).filter(F.col("item").isNotNull())
+    per_item = inter.groupBy("item").agg(
+        F.count(F.lit(1)).alias("n_inter"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n_purchases"
+        ),
+    )
+    multi = F.sum(F.when(F.col("n_users") >= 2, 1).otherwise(0))
+    return per_item.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        multi.alias("n_multi_user"),
+        F.sum(F.when(F.col("n_inter") == 1, 1).otherwise(0)).alias("n_singleton"),
+        F.sum(F.when(F.col("n_purchases") == 0, 1).otherwise(0)).alias(
+            "n_never_purchased"
+        ),
+        F.round(multi / F.count(F.lit(1)), 6).alias("covisitable_share"),
+        F.round(F.avg("n_inter"), 6).alias("mean_inter_per_item"),
+    )

@@ -1459,3 +1459,14 @@ def test_mixup_convexity_holds_everywhere(spark, registry):
     assert all(r.convexity_ok == 1 for r in rows)
     assert {r.id_a for r in rows} == set(range(250))
     assert all(r.id_b == r.id_a + 250 for r in rows)
+
+
+def test_catalog_coverage_accounting(spark, registry):
+    """Subset counts bounded by the catalog size; share recomputes."""
+    qs, _ = registry
+    (r,) = qs["evt_catalog_coverage"](spark, SF_DIR).collect()
+    assert 0 < r.n_items
+    for cnt in (r.n_multi_user, r.n_singleton, r.n_never_purchased):
+        assert 0 <= cnt <= r.n_items
+    assert abs(r.covisitable_share - round(r.n_multi_user / r.n_items, 6)) < 1e-9
+    assert r.mean_inter_per_item >= 1.0

@@ -129,6 +129,7 @@ EXTRA_AUDIT = [
     "llm_otsu_threshold",
     "evt_markov_stationary",
     "llm_mixup_embed",
+    "evt_catalog_coverage",
 ]
 
 

@@ -1072,3 +1072,117 @@ def llm_otsu_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("between_var").desc(), "threshold_bin")
         .limit(1)
     )
+
+
+# pass@k estimation: samples per problem, k, and the problem panel.
+_PAK_N = 10
+_PAK_K = 4
+_PAK_PROBLEM_MOD = 10
+
+
+@register(
+    "llm_pass_at_k",
+    f"""
+    WITH problems AS (
+      SELECT doc_id AS problem_id,
+             length(text) % 7 + 1 AS difficulty
+      FROM documents WHERE doc_id % {_PAK_PROBLEM_MOD} = 0
+    ),
+    samples AS (
+      SELECT p.problem_id, s.i,
+             CAST(CAST('0x' || substring(
+                    md5(CAST(p.problem_id AS VARCHAR) || ':' || CAST(s.i AS VARCHAR)),
+                    1, 2) AS INTEGER) % 8 >= p.difficulty AS INT) AS correct
+      FROM problems p
+      CROSS JOIN (SELECT unnest(generate_series(0, {_PAK_N - 1})) AS i) s
+    ),
+    agg AS (
+      SELECT problem_id, COUNT(*) AS n, CAST(SUM(correct) AS BIGINT) AS c
+      FROM samples GROUP BY problem_id
+    )
+    SELECT problem_id, n, c,
+           ROUND(CASE WHEN n - c < {_PAK_K} THEN 1.0
+                 ELSE 1.0 - ((n - c) * 1.0 / n)
+                          * ((n - c - 1.0) / (n - 1))
+                          * ((n - c - 2.0) / (n - 2))
+                          * ((n - c - 3.0) / (n - 3))
+                 END, 6) AS pass_at_k
+    FROM agg
+    ORDER BY problem_id
+    """,
+)
+def llm_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@k estimation [public method: Chen et al. 2021
+    (HumanEval) — the naive "any of k random samples passed" is
+    biased; the unbiased form is 1 − C(n−c, k)/C(n, k) over n graded
+    samples with c correct, expanded here as the telescoping product
+    Π(n−c−i)/(n−i) for k={_PAK_K}]. Sample verdicts are deterministic
+    md5-parity draws whose pass odds vary by a per-problem difficulty
+    (the fixture carries no real execution results; the ESTIMATOR
+    arithmetic and its dataflow are what the op pins — swap the
+    verdict column for real grader output and nothing else changes).
+
+    At 100 TB: problems × n-samples is the bounded eval grid; the
+    per-problem (n, c) rollup is map-side combinable and the estimator
+    is a per-group epilogue on exact integers — bit-identical in both
+    engines, no floating accumulation at all until the final
+    division chain."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    problems = d.filter(F.col("doc_id") % _PAK_PROBLEM_MOD == 0).select(
+        F.col("doc_id").alias("problem_id"),
+        (F.length("text") % 7 + 1).alias("difficulty"),
+    )
+    samples = (
+        problems.select(
+            "problem_id",
+            "difficulty",
+            F.explode(F.sequence(F.lit(0), F.lit(_PAK_N - 1))).alias("i"),
+        )
+        .select(
+            "problem_id",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("problem_id").cast("string"),
+                                F.col("i").cast("string"),
+                            )
+                        ),
+                        1,
+                        2,
+                    ),
+                    16,
+                    10,
+                ).cast("int")
+                % 8
+                >= F.col("difficulty")
+            )
+            .cast("int")
+            .alias("correct"),
+        )
+    )
+    agg = samples.groupBy("problem_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("correct").alias("c")
+    )
+    nf = F.col("n").cast("double")
+    cf = F.col("c").cast("double")
+    prod = (
+        ((nf - cf) / nf)
+        * ((nf - cf - 1.0) / (nf - 1))
+        * ((nf - cf - 2.0) / (nf - 2))
+        * ((nf - cf - 3.0) / (nf - 3))
+    )
+    return agg.select(
+        "problem_id",
+        "n",
+        "c",
+        F.round(
+            F.when(F.col("n") - F.col("c") < _PAK_K, F.lit(1.0)).otherwise(
+                F.lit(1.0) - prod
+            ),
+            6,
+        ).alias("pass_at_k"),
+    ).orderBy("problem_id")

@@ -1470,3 +1470,22 @@ def test_catalog_coverage_accounting(spark, registry):
         assert 0 <= cnt <= r.n_items
     assert abs(r.covisitable_share - round(r.n_multi_user / r.n_items, 6)) < 1e-9
     assert r.mean_inter_per_item >= 1.0
+
+
+def test_pass_at_k_estimator_identities(spark, registry):
+    """pass@k in [0,1], equals 1 when fewer than k failures exist,
+    equals 0 when nothing passed, and recomputes from (n, c)."""
+    import math
+
+    qs, _ = registry
+    rows = qs["llm_pass_at_k"](spark, SF_DIR).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert 0.0 <= r.pass_at_k <= 1.0
+        if r.n - r.c < 4:
+            assert r.pass_at_k == 1.0
+        else:
+            expect = 1.0 - math.comb(r.n - r.c, 4) / math.comb(r.n, 4)
+            assert abs(r.pass_at_k - round(expect, 6)) < 1e-6
+        if r.c == 0:
+            assert r.pass_at_k == 0.0

@@ -130,6 +130,7 @@ EXTRA_AUDIT = [
     "evt_markov_stationary",
     "llm_mixup_embed",
     "evt_catalog_coverage",
+    "llm_pass_at_k",
 ]
 
 

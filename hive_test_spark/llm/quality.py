@@ -1186,3 +1186,160 @@ def llm_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pass_at_k"),
     ).orderBy("problem_id")
+
+
+# Bradley-Terry: fixed minorization-maximization iterations.
+_BT_ITERS = 3
+
+# One DuckDB MM step over the symmetric battle-count table nn(i, j, n)
+# and win totals w(i): p'_i = W_i / Σ_j n_ij/(p_i + p_j), then
+# sum-normalized; rounded per step so both engines iterate identically.
+_DUCK_BT_STEP = """
+  SELECT i, ROUND(raw / SUM(raw) OVER (), 8) AS p FROM (
+    SELECT w.i, w.wins * 1.0 / SUM(nn.n / (pi.p + pj.p)) AS raw
+    FROM w
+    JOIN nn ON nn.i = w.i
+    JOIN {prev} pi ON pi.i = nn.i
+    JOIN {prev} pj ON pj.i = nn.j
+    GROUP BY w.i, w.wins
+  ) t
+"""
+
+_BT_ORACLE = f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(lower(text), ' '),
+                             x -> x IN {_STOPWORDS!r})) * 1.0
+               / len(string_split(lower(text), ' ')) AS q
+      FROM documents
+    ),
+    battles AS (
+      SELECT a.lang AS la, b.lang AS lb,
+             CAST(a.q > b.q OR (a.q = b.q AND a.doc_id < b.doc_id) AS INT) AS win_a
+      FROM scored a JOIN scored b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 2 = 0 AND a.lang <> b.lang
+    ),
+    nn AS (
+      SELECT i, j, COUNT(*) AS n FROM (
+        SELECT la AS i, lb AS j FROM battles
+        UNION ALL SELECT lb, la FROM battles
+      ) GROUP BY i, j
+    ),
+    w AS (
+      SELECT i, CAST(SUM(win) AS BIGINT) AS wins FROM (
+        SELECT la AS i, win_a AS win FROM battles
+        UNION ALL SELECT lb, 1 - win_a FROM battles
+      ) GROUP BY i
+    ),
+    p0 AS (
+      SELECT i, ROUND(1.0 / (SELECT COUNT(*) FROM w), 8) AS p FROM w
+    ),
+    p1 AS ({_DUCK_BT_STEP.format(prev="p0")}),
+    p2 AS ({_DUCK_BT_STEP.format(prev="p1")}),
+    p3 AS ({_DUCK_BT_STEP.format(prev="p2")})
+    SELECT w.i AS lang, w.wins,
+           CAST((SELECT SUM(n) FROM nn WHERE nn.i = w.i) AS BIGINT) AS n_battles,
+           ROUND(p3.p, 6) AS bt_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY p3.p DESC, w.i) AS INT) AS rank
+    FROM w JOIN p3 ON p3.i = w.i
+    ORDER BY rank
+"""
+
+
+@register("llm_bradley_terry", _BT_ORACLE)
+def llm_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry pairwise-preference ratings [public method: the
+    model behind arena leaderboards — P(i beats j) = p_i/(p_i+p_j),
+    fit by {_BT_ITERS} fixed minorization-maximization rounds; here
+    the "players" are language slices battling via deterministic doc
+    pairings judged on the quality score, and swapping in real (model
+    A, model B, winner) rows re-ranks models with no dataflow change].
+    Battle counts and win totals aggregate once; each MM round is a
+    pair-table join against the current ratings + one combinable sum,
+    normalized and ROUNDED per step (the evt_markov_stationary
+    pinning rule), with the honest fixed-budget caveat the other
+    iterative ops share.
+
+    At 100 TB: battles reduce to the player-pair dimension before any
+    iteration (map-side combinable); every MM round runs on |players|²
+    rows — leaderboard-sized however many battles stream in."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower("text"), " ")
+    q = F.size(F.filter(t, lambda x: x.isin(*_STOPWORDS))).cast("double") / F.size(t)
+    scored = d.select("doc_id", "lang", q.alias("q"))
+    a = scored.select(
+        F.col("doc_id").alias("id_a"), F.col("lang").alias("la"), F.col("q").alias("qa")
+    ).filter(F.col("id_a") % 2 == 0)
+    b = scored.select(
+        F.col("doc_id").alias("id_b"), F.col("lang").alias("lb"), F.col("q").alias("qb")
+    )
+    battles = (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .filter(F.col("la") != F.col("lb"))
+        .select(
+            "la",
+            "lb",
+            (
+                (F.col("qa") > F.col("qb"))
+                | ((F.col("qa") == F.col("qb")) & (F.col("id_a") < F.col("id_b")))
+            )
+            .cast("int")
+            .alias("win_a"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    nn = (
+        battles.select(F.col("la").alias("i"), F.col("lb").alias("j"))
+        .unionAll(battles.select(F.col("lb").alias("i"), F.col("la").alias("j")))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    w = (
+        battles.select(F.col("la").alias("i"), F.col("win_a").alias("win"))
+        .unionAll(
+            battles.select(F.col("lb").alias("i"), (1 - F.col("win_a")).alias("win"))
+        )
+        .groupBy("i")
+        .agg(F.sum("win").alias("wins"))
+        .localCheckpoint(eager=True)
+    )
+    n_players = w.agg(F.count(F.lit(1)).alias("np"))
+    p = w.crossJoin(F.broadcast(n_players)).select(
+        "i", F.round(F.lit(1.0) / F.col("np"), 8).alias("p")
+    )
+    for _ in range(_BT_ITERS):
+        pi = p.select(F.col("i").alias("pi_i"), F.col("p").alias("pi_p"))
+        pj = p.select(F.col("i").alias("pj_i"), F.col("p").alias("pj_p"))
+        denom = (
+            nn.join(pi, nn.i == pi.pi_i)
+            .join(pj, nn.j == pj.pj_i)
+            .groupBy(F.col("i").alias("d_i"))
+            .agg(F.sum(F.col("n") / (F.col("pi_p") + F.col("pj_p"))).alias("den"))
+        )
+        raw = w.join(denom, w.i == denom.d_i).select(
+            "i", (F.col("wins") / F.col("den")).alias("raw")
+        )
+        p = raw.select(
+            "i",
+            F.round(
+                F.col("raw") / F.sum("raw").over(Window.partitionBy()), 8
+            ).alias("p"),
+        ).localCheckpoint(eager=True)
+    nbat = nn.groupBy("i").agg(F.sum("n").alias("n_battles"))
+    return (
+        w.join(p, "i")
+        .join(nbat, "i")
+        .select(
+            F.col("i").alias("lang"),
+            "wins",
+            "n_battles",
+            F.round("p", 6).alias("bt_score"),
+            F.row_number()
+            .over(Window.orderBy(F.col("p").desc(), F.col("i")))
+            .cast("int")
+            .alias("rank"),
+        )
+        .orderBy("rank")
+    )

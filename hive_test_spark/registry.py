@@ -225,7 +225,7 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "llm_watermark_detect", "evt_did", "llm_eval_wilson_ci",
     "evt_ols_multifactor", "llm_dedup_method_venn", "graph_kcore",
     "llm_otsu_threshold", "evt_markov_stationary", "llm_mixup_embed",
-    "evt_catalog_coverage", "llm_pass_at_k",
+    "evt_catalog_coverage", "llm_pass_at_k", "llm_bradley_terry",
 )
 
 

@@ -1489,3 +1489,17 @@ def test_pass_at_k_estimator_identities(spark, registry):
             assert abs(r.pass_at_k - round(expect, 6)) < 1e-6
         if r.c == 0:
             assert r.pass_at_k == 0.0
+
+
+def test_bradley_terry_ranking_tracks_wins(spark, registry):
+    """Scores form a distribution, ranks are a permutation, and the
+    top-rated player has at least the average win rate."""
+    qs, _ = registry
+    rows = sorted(qs["llm_bradley_terry"](spark, SF_DIR).collect(), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert abs(sum(r.bt_score for r in rows) - 1.0) < 1e-3
+    scores = [r.bt_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    top, rest = rows[0], rows[1:]
+    top_rate = top.wins / top.n_battles
+    assert top_rate >= min(r.wins / r.n_battles for r in rest)

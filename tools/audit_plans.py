@@ -131,6 +131,7 @@ EXTRA_AUDIT = [
     "llm_mixup_embed",
     "evt_catalog_coverage",
     "llm_pass_at_k",
+    "llm_bradley_terry",
 ]
 
 

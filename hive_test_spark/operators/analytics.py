@@ -3213,3 +3213,123 @@ def evt_catalog_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(multi / F.count(F.lit(1)), 6).alias("covisitable_share"),
         F.round(F.avg("n_inter"), 6).alias("mean_inter_per_item"),
     )
+
+
+# SPRT design: alpha=0.05, beta=0.2 boundaries; MDE as the H1 shift.
+_SPRT_UPPER = 2.772589  # ln((1-beta)/alpha)
+_SPRT_LOWER = -1.558145  # ln(beta/(1-alpha))
+_SPRT_DELTA = 5.0  # absolute H1 mean shift in value units
+
+
+@register(
+    "evt_sprt",
+    f"""
+    WITH daily AS (
+      SELECT CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR) AS day,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day_d,
+             CAST(user_id % 2 AS INT) AS arm,
+             COUNT(*) AS n,
+             ROUND(AVG(value), 6) AS mu,
+             ROUND(var_samp(value), 6) AS v
+      FROM events GROUP BY 1, 2, 3
+    ),
+    wide AS (
+      SELECT day, day_d,
+             MAX(CASE WHEN arm = 1 THEN mu END) AS mu_t,
+             MAX(CASE WHEN arm = 0 THEN mu END) AS mu_c,
+             MAX(CASE WHEN arm = 1 THEN n END) AS n_t,
+             MAX(CASE WHEN arm = 0 THEN n END) AS n_c,
+             MAX(CASE WHEN arm = 1 THEN v END) AS v_t,
+             MAX(CASE WHEN arm = 0 THEN v END) AS v_c
+      FROM daily GROUP BY day, day_d
+      HAVING MAX(CASE WHEN arm = 1 THEN mu END) IS NOT NULL
+         AND MAX(CASE WHEN arm = 0 THEN mu END) IS NOT NULL
+    ),
+    inc AS (
+      SELECT day, day_d,
+             ROUND({_SPRT_DELTA} * (2 * (mu_t - mu_c) - {_SPRT_DELTA})
+                   / (2 * (v_t / n_t + v_c / n_c)), 6) AS llr_inc
+      FROM wide
+    ),
+    walk AS (
+      SELECT day, llr_inc,
+             ROUND(SUM(llr_inc) OVER (ORDER BY day_d
+                     ROWS UNBOUNDED PRECEDING), 6) AS llr_cum
+      FROM inc
+    )
+    SELECT day, llr_inc, llr_cum,
+           CASE WHEN llr_cum >= {_SPRT_UPPER} THEN 'accept_h1'
+                WHEN llr_cum <= {_SPRT_LOWER} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM walk
+    ORDER BY day
+    """,
+)
+def evt_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential probability ratio test trace [public method: Wald's
+    SPRT — the always-valid sequential alternative to the fixed-n
+    z-test: accumulate the log-likelihood ratio daily and stop the
+    moment it crosses ln((1−β)/α) or ln(β/(1−α)); the trace IS what a
+    live experiment dashboard draws]. Each day's increment is the
+    Gaussian LLR of the observed arm-mean difference against the
+    {_SPRT_DELTA}-unit H1 shift, with the day's own pooled variance —
+    all from 6dp-rounded daily cells so both engines walk an
+    identical path; the decision column labels each day against the
+    Wald boundaries.
+
+    At 100 TB: one combinable (day, arm) rollup is the only corpus
+    pass; the walk is a cumulative window over the calendar-bounded
+    day series. The odd/even assignment carries no real effect, so a
+    healthy trace mostly reads 'continue' — the calibration twin of
+    evt_did's bounded-|t| pin."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day_d"),
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.var_samp("value"), 6).alias("v"),
+    )
+
+    def pick(col: str, arm: int):
+        return F.max(F.when(F.col("arm") == arm, F.col(col)))
+
+    wide = (
+        daily.groupBy("day_d")
+        .agg(
+            pick("mu", 1).alias("mu_t"),
+            pick("mu", 0).alias("mu_c"),
+            pick("n", 1).alias("n_t"),
+            pick("n", 0).alias("n_c"),
+            pick("v", 1).alias("v_t"),
+            pick("v", 0).alias("v_c"),
+        )
+        .filter(F.col("mu_t").isNotNull() & F.col("mu_c").isNotNull())
+    )
+    d = _SPRT_DELTA
+    inc = wide.select(
+        F.col("day_d"),
+        F.round(
+            d
+            * (2 * (F.col("mu_t") - F.col("mu_c")) - d)
+            / (2 * (F.col("v_t") / F.col("n_t") + F.col("v_c") / F.col("n_c"))),
+            6,
+        ).alias("llr_inc"),
+    )
+    w = Window.orderBy("day_d").rowsBetween(Window.unboundedPreceding, 0)
+    walk = inc.select(
+        F.col("day_d").cast("string").alias("day"),
+        "llr_inc",
+        F.round(F.sum("llr_inc").over(w), 6).alias("llr_cum"),
+    )
+    return walk.select(
+        "day",
+        "llr_inc",
+        "llr_cum",
+        F.when(F.col("llr_cum") >= _SPRT_UPPER, "accept_h1")
+        .when(F.col("llr_cum") <= _SPRT_LOWER, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    ).orderBy("day")

@@ -1503,3 +1503,21 @@ def test_bradley_terry_ranking_tracks_wins(spark, registry):
     top, rest = rows[0], rows[1:]
     top_rate = top.wins / top.n_battles
     assert top_rate >= min(r.wins / r.n_battles for r in rest)
+
+
+def test_sprt_walk_is_cumulative_and_calibrated(spark, registry):
+    """llr_cum is the running sum of increments, decisions match the
+    boundaries, and the null trace never accepts H1."""
+    qs, _ = registry
+    rows = sorted(qs["evt_sprt"](spark, SF_DIR).collect(), key=lambda r: r.day)
+    run = 0.0
+    for r in rows:
+        run = round(run + r.llr_inc, 6)
+        assert abs(r.llr_cum - run) < 1e-5
+        if r.llr_cum >= 2.772589:
+            assert r.decision == "accept_h1"
+        elif r.llr_cum <= -1.558145:
+            assert r.decision == "accept_h0"
+        else:
+            assert r.decision == "continue"
+    assert all(r.decision != "accept_h1" for r in rows), "null must not fire H1"

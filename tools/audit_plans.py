@@ -132,6 +132,7 @@ EXTRA_AUDIT = [
     "evt_catalog_coverage",
     "llm_pass_at_k",
     "llm_bradley_terry",
+    "evt_sprt",
 ]
 
 

@@ -159,11 +159,13 @@ _RETEST: tuple[str, ...] = (
     "scan_tablesample",
 )
 
-# Rounds 6-7: the 19 residual never-tested keys (13 sql_* twins + the
-# round-4 additions), then keys newly added in round 5. Round 5 grew the
-# registry by ~30 operators, so the residual now spans TWO windows — the
-# tier ordering (3/4 ahead of 5) closes driver exposure at 100% across
-# rounds 6 and 7; remaining slots backfill already-verified keys.
+# Rounds 6+: the 19 residual never-tested keys (13 sql_* twins + the
+# round-4 additions), then keys newly added in round 5. Round 5
+# ultimately grew the registry by ~90 operators, so the residual spans
+# FOUR 50-key windows — the tier ordering (3/4 ahead of 5) closes driver
+# exposure at 100% across rounds 6-9; remaining slots backfill
+# already-verified keys. Every key below was locally verified green at
+# sf0.001 AND sf0.01 (the driver's own scale) before registration.
 _NEXT_ROUNDS: tuple[str, ...] = (
     "join_existence_mark", "sql_pricing_summary", "sql_star_join_hinted",
     "sql_lateral_view_explode", "sql_distribute_sort_by",

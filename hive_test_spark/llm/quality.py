@@ -1343,3 +1343,118 @@ def llm_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# Best-of-N curve: sample pool size, the n sweep, and the exact
+# order-statistic weights C(i-1, n-1)/C(N, n) shared by both engines as
+# one literal table (math.comb at import time — no runtime randomness).
+_BON_N = 10
+_BON_SWEEP = (1, 2, 4, 8)
+
+
+def _bon_weights() -> list[tuple[int, int, float]]:
+    from math import comb
+
+    out = []
+    for n in _BON_SWEEP:
+        for i in range(1, _BON_N + 1):
+            w = comb(i - 1, n - 1) / comb(_BON_N, n)
+            if w > 0:
+                out.append((n, i, w))
+    return out
+
+
+_BON_VALUES = ", ".join(f"({n}, {i}, {w!r})" for n, i, w in _bon_weights())
+
+_BON_ORACLE = f"""
+    WITH problems AS (
+      SELECT doc_id AS problem_id FROM documents
+      WHERE doc_id % {_PAK_PROBLEM_MOD} = 0
+    ),
+    samples AS (
+      SELECT p.problem_id, s.i AS samp,
+             ROUND(CAST(CAST('0x' || substring(
+                     md5(CAST(p.problem_id AS VARCHAR) || '#' || CAST(s.i AS VARCHAR)),
+                     1, 2) AS INTEGER) AS DOUBLE) / 255.0, 6) AS score
+      FROM problems p
+      CROSS JOIN (SELECT unnest(generate_series(0, {_BON_N - 1})) AS i) s
+    ),
+    ranked AS (
+      SELECT problem_id, score,
+             ROW_NUMBER() OVER (PARTITION BY problem_id
+                                ORDER BY score, samp) AS rk
+      FROM samples
+    ),
+    weights AS (
+      SELECT * FROM (VALUES {_BON_VALUES}) AS t(n, i, w)
+    )
+    SELECT r.problem_id, w.n,
+           ROUND(SUM(w.w * r.score), 6) AS expected_best
+    FROM ranked r JOIN weights w ON w.i = r.rk
+    GROUP BY r.problem_id, w.n
+    ORDER BY r.problem_id, w.n
+"""
+
+
+@register("llm_best_of_n_curve", _BON_ORACLE)
+def llm_best_of_n_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Best-of-N uplift curve [public method: the unbiased
+    order-statistic estimator from the HumanEval methodology —
+    E[max of a random n-subset of N graded samples] =
+    Σᵢ s₍ᵢ₎·C(i−1, n−1)/C(N, n) over the ASCENDING-sorted scores;
+    no resampling, no randomness, the whole curve from one grading
+    pass]. The n ∈ {_BON_SWEEP} sweep is how BoN serving and reward-
+    model evals pick their sampling budget: where the curve flattens,
+    extra samples stop paying. Scores are deterministic md5 draws
+    standing in for reward-model grades (the llm_pass_at_k
+    convention); the weight table is ONE literal relation generated
+    from math.comb at import, identical in both engines.
+
+    At 100 TB: the grid is |problems|×N (bounded eval panel); the
+    rank is a per-problem window over N rows, the weight join is a
+    broadcast of ≤|sweep|·N literal rows, and the curve reduces
+    map-side per (problem, n)."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    problems = d.filter(F.col("doc_id") % _PAK_PROBLEM_MOD == 0).select(
+        F.col("doc_id").alias("problem_id")
+    )
+    samples = problems.select(
+        "problem_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_BON_N - 1))).alias("samp"),
+    ).select(
+        "problem_id",
+        "samp",
+        F.round(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "#",
+                            F.col("problem_id").cast("string"),
+                            F.col("samp").cast("string"),
+                        )
+                    ),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / 255.0,
+            6,
+        ).alias("score"),
+    )
+    w_rank = Window.partitionBy("problem_id").orderBy("score", "samp")
+    ranked = samples.select(
+        "problem_id", "score", F.row_number().over(w_rank).alias("rk")
+    )
+    weights = spark.sql(
+        f"SELECT * FROM VALUES {_BON_VALUES} AS t(n, i, w)"
+    )
+    return (
+        ranked.join(F.broadcast(weights), F.col("i") == F.col("rk"))
+        .groupBy("problem_id", "n")
+        .agg(F.round(F.sum(F.col("w") * F.col("score")), 6).alias("expected_best"))
+        .orderBy("problem_id", "n")
+    )

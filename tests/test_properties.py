@@ -1521,3 +1521,18 @@ def test_sprt_walk_is_cumulative_and_calibrated(spark, registry):
         else:
             assert r.decision == "continue"
     assert all(r.decision != "accept_h1" for r in rows), "null must not fire H1"
+
+
+def test_best_of_n_curve_monotone(spark, registry):
+    """Per problem the curve is non-decreasing in n, n=1 equals the
+    sample mean, and n=8's expectation never exceeds the max score."""
+    qs, _ = registry
+    rows = qs["llm_best_of_n_curve"](spark, SF_DIR).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.problem_id, {})[r.n] = r.expected_best
+    assert len(per) == 50
+    for pid, curve in per.items():
+        assert set(curve) == {1, 2, 4, 8}
+        assert curve[1] <= curve[2] <= curve[4] <= curve[8] + 1e-9, pid
+        assert 0.0 <= curve[1] and curve[8] <= 1.0

@@ -133,6 +133,7 @@ EXTRA_AUDIT = [
     "llm_pass_at_k",
     "llm_bradley_terry",
     "evt_sprt",
+    "llm_best_of_n_curve",
 ]
 
 

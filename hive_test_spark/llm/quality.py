@@ -1458,3 +1458,79 @@ def llm_best_of_n_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(F.col("w") * F.col("score")), 6).alias("expected_best"))
         .orderBy("problem_id", "n")
     )
+
+
+@register(
+    "llm_judge_length_bias",
+    f"""
+    WITH rated AS (
+      SELECT n_chars,
+             CAST(len(string_split(lower(text), ' '))
+                    BETWEEN {_WC_LO} AND {_WC_HI}
+                  AND len(list_filter(string_split(lower(text), ' '),
+                                      x -> x IN {_STOPWORDS!r})) * 1.0
+                      / len(string_split(lower(text), ' ')) >= {_STOP_MIN}
+                  AS INT) AS j1,
+             CAST(list_aggregate(list_transform(string_split(lower(text), ' '),
+                                                x -> len(x)), 'sum') * 1.0
+                    / len(string_split(lower(text), ' '))
+                    BETWEEN {_MWL_LO} AND {_MWL_HI}
+                  AND len(string_split(lower(text), ' ')) >= {_WC_LO}
+                  AS INT) AS j2,
+             CAST(n_chars BETWEEN 150 AND 400 AS INT) AS j3
+      FROM documents
+    )
+    SELECT 'j1' AS judge, COUNT(*) AS n,
+           ROUND(AVG(j1), 6) AS pass_rate,
+           ROUND(corr(j1, n_chars), 6) AS length_corr
+    FROM rated
+    UNION ALL
+    SELECT 'j2', COUNT(*), ROUND(AVG(j2), 6), ROUND(corr(j2, n_chars), 6)
+    FROM rated
+    UNION ALL
+    SELECT 'j3', COUNT(*), ROUND(AVG(j3), 6), ROUND(corr(j3, n_chars), 6)
+    FROM rated
+    ORDER BY judge
+    """,
+)
+def llm_judge_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judge length-bias audit [public concern: LLM-judge and reward-
+    model evals systematically prefer LONGER outputs; the standard
+    first check is the point-biserial correlation between verdict and
+    length — a judge whose corr dwarfs the others is scoring length,
+    not quality]. The three llm_ensemble_majority rule judges each get
+    corr(verdict, n_chars) from ONE shared pass; j3 (the explicit
+    length gate) acts as the positive control — its correlation
+    structure is length BY CONSTRUCTION, calibrating what "biased"
+    looks like next to j1/j2.
+
+    At 100 TB: one narrow map computes all verdicts; corr carries
+    constant moment state per judge, so the scorecard is scan-bound
+    (the evt_power_analysis shape). Swapping rule verdicts for model
+    grades audits real judges unchanged."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower("text"), " ")
+    wc = F.size(t)
+    stop_frac = F.size(F.filter(t, lambda x: x.isin(*_STOPWORDS))).cast("double") / wc
+    mwl = F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x)).cast("double") / wc
+    rated = d.select(
+        "n_chars",
+        (wc.between(_WC_LO, _WC_HI) & (stop_frac >= _STOP_MIN)).cast("int").alias("j1"),
+        (mwl.between(_MWL_LO, _MWL_HI) & (wc >= _WC_LO)).cast("int").alias("j2"),
+        F.col("n_chars").between(150, 400).cast("int").alias("j3"),
+    ).localCheckpoint(eager=True)
+    rows = []
+    for j in ("j1", "j2", "j3"):
+        rows.append(
+            rated.agg(
+                F.lit(j).alias("judge"),
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.avg(j), 6).alias("pass_rate"),
+                F.round(F.corr(j, "n_chars"), 6).alias("length_corr"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("judge")

@@ -1536,3 +1536,17 @@ def test_best_of_n_curve_monotone(spark, registry):
         assert set(curve) == {1, 2, 4, 8}
         assert curve[1] <= curve[2] <= curve[4] <= curve[8] + 1e-9, pid
         assert 0.0 <= curve[1] and curve[8] <= 1.0
+
+
+def test_judge_length_bias_control(spark, registry):
+    """The explicit length judge (j3) must show the strongest absolute
+    length correlation — it IS a length function; rates in [0,1]."""
+    qs, _ = registry
+    rows = {r.judge: r for r in qs["llm_judge_length_bias"](spark, SF_DIR).collect()}
+    assert set(rows) == {"j1", "j2", "j3"}
+    for r in rows.values():
+        assert 0.0 <= r.pass_rate <= 1.0
+        assert -1.0 <= r.length_corr <= 1.0
+    assert abs(rows["j3"].length_corr) >= max(
+        abs(rows["j1"].length_corr), abs(rows["j2"].length_corr)
+    ), "positive control must dominate"

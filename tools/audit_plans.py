@@ -134,6 +134,7 @@ EXTRA_AUDIT = [
     "llm_bradley_terry",
     "evt_sprt",
     "llm_best_of_n_curve",
+    "llm_judge_length_bias",
 ]
 
 

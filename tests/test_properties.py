@@ -1538,15 +1538,17 @@ def test_best_of_n_curve_monotone(spark, registry):
         assert 0.0 <= curve[1] and curve[8] <= 1.0
 
 
-def test_judge_length_bias_control(spark, registry):
-    """The explicit length judge (j3) must show the strongest absolute
-    length correlation — it IS a length function; rates in [0,1]."""
+def test_judge_length_bias_detects_floor_judge(spark, registry):
+    """The audit must flag j2 (whose length FLOOR makes the verdict
+    monotone in length) as the most length-correlated judge, while the
+    band judges stay far below — the hidden-length-proxy detection the
+    op exists for."""
     qs, _ = registry
     rows = {r.judge: r for r in qs["llm_judge_length_bias"](spark, SF_DIR).collect()}
     assert set(rows) == {"j1", "j2", "j3"}
     for r in rows.values():
         assert 0.0 <= r.pass_rate <= 1.0
         assert -1.0 <= r.length_corr <= 1.0
-    assert abs(rows["j3"].length_corr) >= max(
-        abs(rows["j1"].length_corr), abs(rows["j2"].length_corr)
-    ), "positive control must dominate"
+    assert rows["j2"].length_corr > 0.5, "floor judge must read as length-biased"
+    assert rows["j2"].length_corr > abs(rows["j1"].length_corr)
+    assert rows["j2"].length_corr > abs(rows["j3"].length_corr)

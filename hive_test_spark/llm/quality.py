@@ -1536,3 +1536,107 @@ def llm_judge_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("judge")
+
+
+# Calibration: confidence-bin count for the reliability diagram / ECE.
+_ECE_BINS = 10
+
+
+@register(
+    "llm_calibration_ece",
+    f"""
+    WITH rated AS (
+      SELECT ROUND(1.0 / (1.0 + exp(-(
+               len(list_filter(string_split(lower(text), ' '),
+                               x -> x IN {_STOPWORDS!r})) * 1.0
+                 / len(string_split(lower(text), ' ')) * 40.0 - 2.0))), 6)
+               AS conf,
+             CAST(len(string_split(lower(text), ' '))
+                    BETWEEN {_WC_LO} AND {_WC_HI}
+                  AND len(list_filter(string_split(lower(text), ' '),
+                                      x -> x IN {_STOPWORDS!r})) * 1.0
+                      / len(string_split(lower(text), ' ')) >= {_STOP_MIN}
+                  AS INT) AS label
+      FROM documents
+    ),
+    binned AS (
+      SELECT LEAST({_ECE_BINS - 1},
+                   CAST(floor(conf * {_ECE_BINS}) AS INT)) AS bin,
+             conf, label
+      FROM rated
+    ),
+    per_bin AS (
+      SELECT bin, COUNT(*) AS n,
+             ROUND(AVG(conf), 6) AS mean_conf,
+             ROUND(AVG(label), 6) AS accuracy
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM per_bin)
+    SELECT bin, n, mean_conf, accuracy,
+           ROUND(abs(mean_conf - accuracy), 6) AS gap,
+           ROUND((SELECT SUM(p.n * abs(p.mean_conf - p.accuracy)) / t.total
+                  FROM per_bin p), 6) AS ece
+    FROM per_bin CROSS JOIN tot t
+    ORDER BY bin
+    """,
+)
+def llm_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error [public
+    method: ECE — bin predictions by confidence, compare each bin's
+    mean confidence against its empirical accuracy, weight gaps by
+    bin mass; the standard audit before using a classifier's scores
+    as probabilities (filter thresholds, routing, abstention all
+    assume calibration)]. Confidence is a logistic over the stopword
+    signal, the label is the Gopher-gate verdict — deterministic
+    stand-ins in the established grader-proxy convention; every row
+    carries the bin diagnostics AND the corpus-level ECE so the
+    reliability diagram and its summary ship in one result.
+
+    At 100 TB: one narrow map + a {_ECE_BINS}-key combinable rollup
+    (the evt_benford shape); the ECE epilogue runs over the bin
+    dimension. Swapping conf/label for model scores and graded truth
+    audits real classifiers unchanged."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower("text"), " ")
+    wc = F.size(t)
+    stop_frac = F.size(F.filter(t, lambda x: x.isin(*_STOPWORDS))).cast("double") / wc
+    conf = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-(stop_frac * 40.0 - 2.0))), 6
+    )
+    label = (wc.between(_WC_LO, _WC_HI) & (stop_frac >= _STOP_MIN)).cast("int")
+    binned = d.select(
+        F.least(
+            F.lit(_ECE_BINS - 1), F.floor(conf * _ECE_BINS).cast("int")
+        ).alias("bin"),
+        conf.alias("conf"),
+        label.alias("label"),
+    )
+    per_bin = (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("conf"), 6).alias("mean_conf"),
+            F.round(F.avg("label"), 6).alias("accuracy"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ece = per_bin.agg(
+        F.round(
+            F.sum(F.col("n") * F.abs(F.col("mean_conf") - F.col("accuracy")))
+            / F.sum("n"),
+            6,
+        ).alias("ece")
+    )
+    return (
+        per_bin.crossJoin(F.broadcast(ece))
+        .select(
+            "bin",
+            "n",
+            "mean_conf",
+            "accuracy",
+            F.round(F.abs(F.col("mean_conf") - F.col("accuracy")), 6).alias("gap"),
+            "ece",
+        )
+        .orderBy("bin")
+    )

@@ -1552,3 +1552,29 @@ def test_judge_length_bias_detects_floor_judge(spark, registry):
     assert rows["j2"].length_corr > 0.5, "floor judge must read as length-biased"
     assert rows["j2"].length_corr > abs(rows["j1"].length_corr)
     assert rows["j2"].length_corr > abs(rows["j3"].length_corr)
+
+
+def test_wow_growth_deltas_recompute(spark, registry):
+    """Deltas recompute from consecutive weekly revenues; the first
+    week's deltas are NULL, not fabricated."""
+    qs, _ = registry
+    rows = sorted(qs["evt_wow_growth"](spark, SF_DIR).collect(), key=lambda r: r.week)
+    assert rows[0].wow_delta is None and rows[0].wow_pct is None
+    for a, b in zip(rows, rows[1:]):
+        assert abs(b.wow_delta - round(b.revenue - a.revenue, 4)) < 1e-6
+        assert b.active_users >= 1 and b.n_events >= b.active_users
+
+
+def test_ece_is_mass_weighted_gap(spark, registry):
+    """ECE recomputes from the reported bins; gaps bounded by 1;
+    the same ECE value rides every row."""
+    qs, _ = registry
+    rows = qs["llm_calibration_ece"](spark, SF_DIR).collect()
+    assert rows
+    total = sum(r.n for r in rows)
+    expect = round(sum(r.n * abs(r.mean_conf - r.accuracy) for r in rows) / total, 6)
+    assert len({r.ece for r in rows}) == 1
+    assert abs(rows[0].ece - expect) < 2e-6
+    for r in rows:
+        assert 0.0 <= r.gap <= 1.0
+        assert abs(r.gap - round(abs(r.mean_conf - r.accuracy), 6)) < 1e-9

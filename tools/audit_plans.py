@@ -135,6 +135,8 @@ EXTRA_AUDIT = [
     "evt_sprt",
     "llm_best_of_n_curve",
     "llm_judge_length_bias",
+    "evt_wow_growth",
+    "llm_calibration_ece",
 ]
 
 

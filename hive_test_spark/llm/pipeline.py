@@ -908,3 +908,136 @@ def llm_dedup_method_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jaccard_of_methods"),
     )
+
+
+# Near-dedup threshold sweep over the SAME candidate set.
+_SWEEP_TAUS = (0.7, 0.8, 0.9, 0.95)
+
+_DEDUP_SWEEP_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hashes AS (
+      SELECT doc_id, t.k AS k, md5(t.k::VARCHAR || ':' || u.tok) AS h
+      FROM (SELECT doc_id, unnest(tok) AS tok FROM toks) u
+      CROSS JOIN range({_MINHASH_K}) t(k)
+    ),
+    sig AS (SELECT doc_id, k, min(h) AS mh FROM hashes GROUP BY doc_id, k),
+    bands AS (
+      SELECT doc_id, k // {_BAND_ROWS} AS band, string_agg(mh, '|' ORDER BY mh) AS bkey
+      FROM sig GROUP BY doc_id, k // {_BAND_ROWS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             ROUND(CAST(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE)
+                   / len(list_distinct(list_concat(ta.tok, tb.tok))), 6) AS jaccard
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.doc_a
+      JOIN toks tb ON tb.doc_id = c.doc_b
+    ),
+    taus AS (SELECT unnest(ARRAY{list(_SWEEP_TAUS)}) AS tau)
+    SELECT t.tau,
+           CAST(COUNT(CASE WHEN s.jaccard >= t.tau THEN 1 END) AS BIGINT)
+             AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN s.jaccard >= t.tau THEN s.doc_b END)
+                AS BIGINT) AS n_docs_dropped,
+           ROUND(COUNT(DISTINCT CASE WHEN s.jaccard >= t.tau THEN s.doc_b END)
+                 * 1.0 / (SELECT COUNT(*) FROM documents), 6) AS drop_share
+    FROM taus t CROSS JOIN scored s
+    GROUP BY t.tau
+    ORDER BY t.tau
+"""
+
+
+@register("llm_dedup_threshold_sweep", _DEDUP_SWEEP_ORACLE)
+def llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup threshold sensitivity sweep [public practice: before
+    committing a Jaccard cutoff corpus-wide, price each candidate τ —
+    pair volume, documents dropped (higher-id-loses convention), and
+    corpus share lost — from ONE scored candidate table; the
+    τ-selection companion of llm_lsh_tuning_curve's (b, r) sweep:
+    that prices CANDIDATE GENERATION, this prices the VERIFY cut].
+    Candidates and exact Jaccards compute once (the llm_minhash_det
+    chain, unfiltered); the τ fan-out multiplies the PAIR table, not
+    the corpus.
+
+    At 100 TB: everything up to scoring is the proven banded shape;
+    the sweep adds |τ|×pairs rows of integer/boolean work and a
+    drop-count DISTINCT bounded by the duplicate population. A
+    steepening drop_share between adjacent τ values is the signal the
+    threshold sits on a duplicate-density cliff — exactly what you
+    want to know before deleting 10% of a corpus."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("tok")
+    )
+    hashes = (
+        toks.select("doc_id", F.explode("tok").alias("tok"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_K - 1))).alias("k"),
+            "tok",
+        )
+        .select(
+            "doc_id",
+            "k",
+            F.md5(F.concat_ws(":", F.col("k"), F.col("tok"))).alias("h"),
+        )
+    )
+    sig = hashes.groupBy("doc_id", "k").agg(F.min("h").alias("mh"))
+    bands = sig.groupBy(
+        "doc_id", (F.col("k") / _BAND_ROWS).cast("int").alias("band")
+    ).agg(F.array_join(F.array_sort(F.collect_list("mh")), "|").alias("bkey"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("tok_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
+    inter = F.size(F.array_intersect("tok_a", "tok_b")).cast("double")
+    union = F.size(F.array_distinct(F.concat("tok_a", "tok_b")))
+    scored = (
+        cand.join(F.broadcast(ta), "doc_a")
+        .join(F.broadcast(tb), "doc_b")
+        .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
+        .localCheckpoint(eager=True)
+    )
+    taus = spark.sql(
+        "SELECT CAST(tau AS DOUBLE) AS tau FROM VALUES "
+        + ", ".join(f"({t!r})" for t in _SWEEP_TAUS)
+        + " AS t(tau)"
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("total"))
+    hit = F.when(F.col("jaccard") >= F.col("tau"), 1)
+    hit_doc = F.when(F.col("jaccard") >= F.col("tau"), F.col("doc_b"))
+    return (
+        scored.crossJoin(F.broadcast(taus))
+        .groupBy("tau")
+        .agg(
+            F.count(hit).alias("n_pairs"),
+            F.countDistinct(hit_doc).alias("n_docs_dropped"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tau",
+            "n_pairs",
+            "n_docs_dropped",
+            F.round(F.col("n_docs_dropped") / F.col("total"), 6).alias(
+                "drop_share"
+            ),
+        )
+        .orderBy("tau")
+    )

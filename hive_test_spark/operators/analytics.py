@@ -3401,3 +3401,88 @@ def evt_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("wow_pct"),
     ).orderBy("week")
+
+
+@register(
+    "evt_propensity_balance",
+    """
+    WITH per_user AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+             COUNT(*) AS n_events,
+             ROUND(AVG(value), 6) AS mean_value,
+             ROUND(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   * 1.0 / COUNT(*), 6) AS purchase_rate
+      FROM events GROUP BY user_id
+    ),
+    long AS (
+      SELECT arm, 'n_events' AS covariate, CAST(n_events AS DOUBLE) AS x FROM per_user
+      UNION ALL SELECT arm, 'mean_value', mean_value FROM per_user
+      UNION ALL SELECT arm, 'purchase_rate', purchase_rate FROM per_user
+    ),
+    stats AS (
+      SELECT covariate,
+             AVG(CASE WHEN arm = 1 THEN x END) AS mu_t,
+             AVG(CASE WHEN arm = 0 THEN x END) AS mu_c,
+             var_samp(CASE WHEN arm = 1 THEN x END) AS v_t,
+             var_samp(CASE WHEN arm = 0 THEN x END) AS v_c
+      FROM long GROUP BY covariate
+    )
+    SELECT covariate,
+           ROUND(mu_t, 6) AS mean_treated,
+           ROUND(mu_c, 6) AS mean_control,
+           ROUND((mu_t - mu_c) / sqrt((v_t + v_c) / 2.0), 6) AS smd,
+           CAST(abs((mu_t - mu_c) / sqrt((v_t + v_c) / 2.0)) > 0.1 AS INT)
+             AS imbalanced
+    FROM stats
+    ORDER BY covariate
+    """,
+)
+def evt_propensity_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate balance check via standardized mean differences
+    [public method: the |SMD| ≤ 0.1 rule from the propensity-score
+    literature — before reading ANY experiment or quasi-experiment,
+    verify the arms are exchangeable on pre-treatment covariates;
+    evt_srm_check catches broken COUNTS, this catches broken
+    COMPOSITION]. Per-user covariates (activity, mean value, purchase
+    rate) reduce once; the per-covariate SMD = (μt−μc)/√((vt+vc)/2)
+    evaluates from one combinable stats pass with the conventional
+    0.1 flag.
+
+    At 100 TB: the user rollup is the corpus pass; the long-form
+    unpivot triples the USER-dimension rows only, and the stats
+    aggregate carries constant moment state per covariate. The
+    odd/even assignment should read balanced — the same calibrated
+    null evt_did and evt_sprt pin."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("purchase_rate"),
+    ).withColumn("arm", (F.col("user_id") % 2).cast("int"))
+    long = None
+    for cov in ("n_events", "mean_value", "purchase_rate"):
+        part = per_user.select(
+            "arm", F.lit(cov).alias("covariate"), F.col(cov).alias("x")
+        )
+        long = part if long is None else long.unionByName(part)
+    stats = long.groupBy("covariate").agg(
+        F.avg(F.when(F.col("arm") == 1, F.col("x"))).alias("mu_t"),
+        F.avg(F.when(F.col("arm") == 0, F.col("x"))).alias("mu_c"),
+        F.var_samp(F.when(F.col("arm") == 1, F.col("x"))).alias("v_t"),
+        F.var_samp(F.when(F.col("arm") == 0, F.col("x"))).alias("v_c"),
+    )
+    smd = (F.col("mu_t") - F.col("mu_c")) / F.sqrt(
+        (F.col("v_t") + F.col("v_c")) / 2.0
+    )
+    return stats.select(
+        "covariate",
+        F.round("mu_t", 6).alias("mean_treated"),
+        F.round("mu_c", 6).alias("mean_control"),
+        F.round(smd, 6).alias("smd"),
+        (F.abs(smd) > 0.1).cast("int").alias("imbalanced"),
+    ).orderBy("covariate")

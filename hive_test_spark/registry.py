@@ -229,7 +229,8 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "llm_otsu_threshold", "evt_markov_stationary", "llm_mixup_embed",
     "evt_catalog_coverage", "llm_pass_at_k", "llm_bradley_terry",
     "evt_sprt", "llm_best_of_n_curve", "llm_judge_length_bias",
-    "evt_wow_growth", "llm_calibration_ece",
+    "evt_wow_growth", "llm_calibration_ece", "evt_propensity_balance",
+    "llm_dedup_threshold_sweep",
 )
 
 

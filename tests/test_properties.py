@@ -1578,3 +1578,34 @@ def test_ece_is_mass_weighted_gap(spark, registry):
     for r in rows:
         assert 0.0 <= r.gap <= 1.0
         assert abs(r.gap - round(abs(r.mean_conf - r.accuracy), 6)) < 1e-9
+
+
+def test_propensity_balance_null_assignment(spark, registry):
+    """The odd/even split is effect-free, so every covariate should
+    pass the 0.1 SMD rule, and SMDs recompute direction-consistently."""
+    from hive_test_spark.io import load_table
+
+    qs, _ = registry
+    rows = qs["evt_propensity_balance"](spark, SF_DIR).collect()
+    assert {r.covariate for r in rows} == {"n_events", "mean_value", "purchase_rate"}
+    # SMD sampling noise scales ~sqrt(4/n_arm): with the fixture's
+    # handful of users per arm an |SMD| well above 0.1 is expected
+    # chance imbalance, so the bound must be sample-size aware.
+    n_users = load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    bound = 6.0 / (n_users / 2) ** 0.5
+    for r in rows:
+        assert r.imbalanced == int(abs(r.smd) > 0.1)
+        assert abs(r.smd) < bound, (r.covariate, r.smd, bound)
+
+
+def test_dedup_sweep_monotone_in_tau(spark, registry):
+    """Raising τ can only shrink pairs, dropped docs, and drop share;
+    the τ=0.9 row must agree with llm_minhash_det's pair count."""
+    qs, _ = registry
+    rows = sorted(qs["llm_dedup_threshold_sweep"](spark, SF_DIR).collect(), key=lambda r: r.tau)
+    assert [r.tau for r in rows] == [0.7, 0.8, 0.9, 0.95]
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_pairs <= a.n_pairs
+        assert b.n_docs_dropped <= a.n_docs_dropped
+    det = qs["llm_minhash_det"](spark, SF_DIR).count()
+    assert rows[2].n_pairs == det, "tau=0.9 must match the production cut"

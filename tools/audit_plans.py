@@ -137,6 +137,8 @@ EXTRA_AUDIT = [
     "llm_judge_length_bias",
     "evt_wow_growth",
     "llm_calibration_ece",
+    "evt_propensity_balance",
+    "llm_dedup_threshold_sweep",
 ]
 
 

@@ -679,3 +679,122 @@ def agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true, (acc, v) -> acc AND v)"
         ).alias("sorted_ok"),
     )
+
+
+# Count-min sketch geometry: depth (independent hash rows) × width
+# (counters per row), and the bounded probe-key panel.
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+_CMS_PROBE_MOD = 11
+
+
+@register(
+    "agg_count_min_sketch",
+    f"""
+    WITH stream AS (SELECT l_partkey AS key FROM lineitem),
+    rows_ AS (SELECT unnest(generate_series(0, {_CMS_DEPTH - 1})) AS r),
+    counters AS (
+      SELECT r.r,
+             CAST('0x' || substring(md5(CAST(r.r AS VARCHAR) || ':'
+                                        || CAST(s.key AS VARCHAR)), 1, 8)
+                  AS BIGINT) % {_CMS_WIDTH} AS bucket,
+             COUNT(*) AS c
+      FROM stream s CROSS JOIN rows_ r
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT key, COUNT(*) AS exact_n FROM stream
+      WHERE key % {_CMS_PROBE_MOD} = 0
+      GROUP BY key
+    ),
+    est AS (
+      SELECT p.key, p.exact_n, MIN(c.c) AS cms_estimate
+      FROM probes p
+      CROSS JOIN rows_ r
+      JOIN counters c
+        ON c.r = r.r
+       AND c.bucket = CAST('0x' || substring(md5(CAST(r.r AS VARCHAR) || ':'
+                                             || CAST(p.key AS VARCHAR)), 1, 8)
+                           AS BIGINT) % {_CMS_WIDTH}
+      GROUP BY p.key, p.exact_n
+    )
+    SELECT key, exact_n, CAST(cms_estimate AS BIGINT) AS cms_estimate,
+           CAST(cms_estimate - exact_n AS BIGINT) AS overestimate,
+           CAST(cms_estimate >= exact_n AS INT) AS one_sided_ok
+    FROM est
+    ORDER BY key
+    """,
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries [public method: Cormode &
+    Muthukrishnan 2005 — {_CMS_DEPTH}×{_CMS_WIDTH} counters answer
+    frequency queries with one-sided error (estimate ≥ truth, excess
+    bounded by collisions); completes the sketch deck beside HLL
+    (distinct), approx_top_k (heavy hitters), bitmap (exact sets),
+    and approx_percentile (quantiles)]. Hash rows use md5-derived
+    buckets so both engines build the IDENTICAL sketch; the counter
+    table materializes as a {_CMS_DEPTH}·{_CMS_WIDTH}-row aggregate —
+    the whole point: a bounded-size summary of an unbounded stream —
+    and a bounded probe panel reads back MIN over its row buckets,
+    with the one-sided flag pinned per key.
+
+    At 100 TB: the counter build is ONE map-side-combinable aggregate
+    whose output size is the constant d·w whatever the stream volume
+    (partials compress to ≤ d·w rows per partition); probes join the
+    tiny counter table. Merging shards = summing counter tables —
+    the same agg again."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("key")
+    )
+    rows_ = spark.range(_CMS_DEPTH).select(F.col("id").cast("int").alias("r"))
+
+    def bucket(key_col, r_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", r_col.cast("string"), key_col.cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _CMS_WIDTH
+        )
+
+    counters = (
+        li.crossJoin(F.broadcast(rows_))
+        .groupBy("r", bucket(F.col("key"), F.col("r")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    probes = (
+        li.filter(F.col("key") % _CMS_PROBE_MOD == 0)
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    ctr = counters.select(
+        F.col("r").alias("c_r"), F.col("bucket").alias("c_bucket"), "c"
+    )
+    est = (
+        probes.crossJoin(F.broadcast(rows_))
+        .join(
+            ctr,
+            (F.col("c_r") == F.col("r"))
+            & (F.col("c_bucket") == bucket(F.col("key"), F.col("r"))),
+        )
+        .groupBy("key", "exact_n")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return est.select(
+        "key",
+        "exact_n",
+        F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        (F.col("cms_estimate") - F.col("exact_n")).cast("long").alias("overestimate"),
+        (F.col("cms_estimate") >= F.col("exact_n")).cast("int").alias("one_sided_ok"),
+    ).orderBy("key")

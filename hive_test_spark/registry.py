@@ -230,7 +230,7 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "evt_catalog_coverage", "llm_pass_at_k", "llm_bradley_terry",
     "evt_sprt", "llm_best_of_n_curve", "llm_judge_length_bias",
     "evt_wow_growth", "llm_calibration_ece", "evt_propensity_balance",
-    "llm_dedup_threshold_sweep",
+    "llm_dedup_threshold_sweep", "agg_count_min_sketch",
 )
 
 

@@ -1609,3 +1609,18 @@ def test_dedup_sweep_monotone_in_tau(spark, registry):
         assert b.n_docs_dropped <= a.n_docs_dropped
     det = qs["llm_minhash_det"](spark, SF_DIR).count()
     assert rows[2].n_pairs == det, "tau=0.9 must match the production cut"
+
+
+def test_cms_one_sided_error(spark, registry):
+    """CMS never underestimates (the defining guarantee) and excess
+    stays within the collision bound ~ stream/width per row."""
+    from hive_test_spark.io import load_table
+
+    qs, _ = registry
+    rows = qs["agg_count_min_sketch"](spark, SF_DIR).collect()
+    assert rows
+    stream = load_table(spark, SF_DIR, "lineitem").count()
+    for r in rows:
+        assert r.one_sided_ok == 1
+        assert r.cms_estimate >= r.exact_n
+        assert r.overestimate <= stream // 256 * 4 + 64, "excess beyond collision bound"

@@ -139,6 +139,7 @@ EXTRA_AUDIT = [
     "llm_calibration_ece",
     "evt_propensity_balance",
     "llm_dedup_threshold_sweep",
+    "agg_count_min_sketch",
 ]
 
 

@@ -1009,3 +1009,47 @@ def dml_exchange_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return src_row.unionByName(tgt_row).orderBy("tbl")
+
+
+# "owner" is reserved in Spark's catalog; use a steward tag instead.
+_TBLPROPS = (("steward", "pipeline"), ("quality", "gold"), ("retention_days", "90"))
+
+_TBLPROPS_ORACLE = """
+    SELECT * FROM (VALUES
+      ('quality', 'gold'),
+      ('retention_days', '90'),
+      ('steward', 'pipeline')
+    ) AS t(property, value)
+    ORDER BY property
+"""
+
+
+@register("meta_tblproperties", _TBLPROPS_ORACLE)
+def meta_tblproperties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-properties round-trip [Hive-public: ALTER TABLE SET
+    TBLPROPERTIES / COMMENT and SHOW TBLPROPERTIES — the metadata
+    key-value surface that carries ownership, quality tier, retention
+    policy, and every governance tag a catalog crawler reads]. The
+    shared external exhibit table gets three governance properties
+    set through DDL, then SHOW TBLPROPERTIES reads them back and the
+    (property, value) rows hash-pin against the exact literals — a
+    dropped or mangled property fails the hash, which is precisely the
+    regression a catalog-dependent governance pipeline fears.
+
+    At 100 TB: pure catalog metadata, zero data touched; properties
+    are the standard channel for table-level contracts (retention
+    enforcement jobs, cost attribution, PII classification) because
+    they travel with the table through SHOW CREATE TABLE and
+    metastore replication."""
+    tune(spark)
+    table = _ensure_part_meta_table(spark, sf_dir)
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES ("
+        + ", ".join(f"'{k}' = '{v}'" for k, v in _TBLPROPS)
+        + ")"
+    )
+    props = spark.sql(f"SHOW TBLPROPERTIES {table}").select(
+        F.col("key").alias("property"), "value"
+    )
+    wanted = [k for k, _ in _TBLPROPS]
+    return props.filter(F.col("property").isin(wanted)).orderBy("property")

@@ -1624,3 +1624,10 @@ def test_cms_one_sided_error(spark, registry):
         assert r.one_sided_ok == 1
         assert r.cms_estimate >= r.exact_n
         assert r.overestimate <= stream // 256 * 4 + 64, "excess beyond collision bound"
+
+
+def test_tblproperties_roundtrip(spark, registry):
+    """All three governance properties survive the DDL round-trip."""
+    qs, _ = registry
+    props = {r.property: r.value for r in qs["meta_tblproperties"](spark, SF_DIR).collect()}
+    assert props == {"steward": "pipeline", "quality": "gold", "retention_days": "90"}

@@ -140,6 +140,7 @@ EXTRA_AUDIT = [
     "evt_propensity_balance",
     "llm_dedup_threshold_sweep",
     "agg_count_min_sketch",
+    "meta_tblproperties",
 ]
 
 

@@ -1640,3 +1640,75 @@ def llm_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "llm_eval_mcnemar",
+    f"""
+    WITH rated AS (
+      SELECT CAST(len(string_split(lower(text), ' '))
+                    BETWEEN {_WC_LO} AND {_WC_HI}
+                  AND len(list_filter(string_split(lower(text), ' '),
+                                      x -> x IN {_STOPWORDS!r})) * 1.0
+                      / len(string_split(lower(text), ' ')) >= {_STOP_MIN}
+                  AS INT) AS a,
+             CAST(list_aggregate(list_transform(string_split(lower(text), ' '),
+                                                x -> len(x)), 'sum') * 1.0
+                    / len(string_split(lower(text), ' '))
+                    BETWEEN {_MWL_LO} AND {_MWL_HI}
+                  AND len(string_split(lower(text), ' ')) >= {_WC_LO}
+                  AS INT) AS b
+      FROM documents
+    )
+    SELECT COUNT(*) AS n_items,
+           CAST(SUM(a * (1 - b)) AS BIGINT) AS n_a_only,
+           CAST(SUM((1 - a) * b) AS BIGINT) AS n_b_only,
+           CAST(SUM(a * b) AS BIGINT) AS n_both,
+           ROUND(power(abs(SUM(a * (1 - b)) - SUM((1 - a) * b)) - 1, 2)
+                 * 1.0 / NULLIF(SUM(a * (1 - b)) + SUM((1 - a) * b), 0), 6)
+             AS mcnemar_chi2,
+           CAST(power(abs(SUM(a * (1 - b)) - SUM((1 - a) * b)) - 1, 2)
+                * 1.0 / NULLIF(SUM(a * (1 - b)) + SUM((1 - a) * b), 0)
+                > 3.841459 AS INT) AS significant_05
+    FROM rated
+    """,
+)
+def llm_eval_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test for model comparison [public method: when
+    two systems are graded on the SAME items, the right significance
+    test ignores the items both pass or both fail and asks whether the
+    DISCORDANT counts (A-only vs B-only) could be a fair coin — χ² =
+    (|b−c|−1)²/(b+c) with continuity correction against the 3.84
+    one-df critical value; the aggregate-accuracy z-test overstates
+    significance because it ignores the pairing]. The two rule judges
+    stand in for systems A and B (the grader-proxy convention); one
+    combinable pass produces the 2×2 discordance table and the closed
+    form is a 1-row epilogue on exact integers.
+
+    At 100 TB: scan-bound single aggregate — and the shape is the
+    point: paired eval comparison at corpus scale needs ONE pass over
+    the joined verdicts, never per-item driver loops."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower("text"), " ")
+    wc = F.size(t)
+    stop_frac = F.size(F.filter(t, lambda x: x.isin(*_STOPWORDS))).cast("double") / wc
+    mwl = F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x)).cast("double") / wc
+    rated = d.select(
+        (wc.between(_WC_LO, _WC_HI) & (stop_frac >= _STOP_MIN)).cast("int").alias("a"),
+        (mwl.between(_MWL_LO, _MWL_HI) & (wc >= _WC_LO)).cast("int").alias("b"),
+    )
+    a_only = F.sum(F.col("a") * (1 - F.col("b")))
+    b_only = F.sum((1 - F.col("a")) * F.col("b"))
+    chi2 = (
+        F.pow(F.abs(a_only - b_only) - 1, 2)
+        / F.nullif(a_only + b_only, F.lit(0))
+    )
+    return rated.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        a_only.alias("n_a_only"),
+        b_only.alias("n_b_only"),
+        F.sum(F.col("a") * F.col("b")).alias("n_both"),
+        F.round(chi2, 6).alias("mcnemar_chi2"),
+        (chi2 > 3.841459).cast("int").alias("significant_05"),
+    )

@@ -231,7 +231,7 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "evt_sprt", "llm_best_of_n_curve", "llm_judge_length_bias",
     "evt_wow_growth", "llm_calibration_ece", "evt_propensity_balance",
     "llm_dedup_threshold_sweep", "agg_count_min_sketch",
-    "meta_tblproperties",
+    "meta_tblproperties", "llm_eval_mcnemar",
 )
 
 

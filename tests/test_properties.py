@@ -1631,3 +1631,14 @@ def test_tblproperties_roundtrip(spark, registry):
     qs, _ = registry
     props = {r.property: r.value for r in qs["meta_tblproperties"](spark, SF_DIR).collect()}
     assert props == {"steward": "pipeline", "quality": "gold", "retention_days": "90"}
+
+
+def test_mcnemar_table_and_flag(spark, registry):
+    """Discordance cells sum with n_both to at most n_items; chi2
+    recomputes from the cells; the flag matches the critical value."""
+    qs, _ = registry
+    (r,) = qs["llm_eval_mcnemar"](spark, SF_DIR).collect()
+    assert r.n_a_only + r.n_b_only + r.n_both <= r.n_items
+    expect = (abs(r.n_a_only - r.n_b_only) - 1) ** 2 / (r.n_a_only + r.n_b_only)
+    assert abs(r.mcnemar_chi2 - round(expect, 6)) < 1e-6
+    assert r.significant_05 == int(expect > 3.841459)

@@ -141,6 +141,7 @@ EXTRA_AUDIT = [
     "llm_dedup_threshold_sweep",
     "agg_count_min_sketch",
     "meta_tblproperties",
+    "llm_eval_mcnemar",
 ]
 
 

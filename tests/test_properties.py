@@ -1642,3 +1642,21 @@ def test_mcnemar_table_and_flag(spark, registry):
     expect = (abs(r.n_a_only - r.n_b_only) - 1) ** 2 / (r.n_a_only + r.n_b_only)
     assert abs(r.mcnemar_chi2 - round(expect, 6)) < 1e-6
     assert r.significant_05 == int(expect > 3.841459)
+
+
+def test_minhash_estimator_within_sampling_bound(spark, registry):
+    """The signature estimate stays within ~4 sd of exact at K=16
+    for every pair, and the mean signed error is near zero (the
+    estimator is unbiased)."""
+    qs, _ = registry
+    rows = qs["llm_minhash_estimator_error"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows[:2000]:
+        j = r.exact_jaccard
+        sd = (j * (1 - j) / 16) ** 0.5
+        assert abs(r.estimator_error) <= 4 * sd + 1 / 16 + 1e-9, (r.doc_a, r.doc_b)
+    mean_err = sum(r.estimator_error for r in rows) / len(rows)
+    # Candidate pairs are selected BECAUSE a band matched — the
+    # estimator is conditioned on agreement, so the selected-sample
+    # mean error is POSITIVE (post-selection bias), but small.
+    assert 0.0 < mean_err < 0.1

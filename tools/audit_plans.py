@@ -142,6 +142,7 @@ EXTRA_AUDIT = [
     "agg_count_min_sketch",
     "meta_tblproperties",
     "llm_eval_mcnemar",
+    "llm_minhash_estimator_error",
 ]
 
 

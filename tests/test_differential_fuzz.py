@@ -1123,3 +1123,76 @@ def test_random_string_expr_matches_duckdb(spark, duck, spec):
     duck_pdf = duck.execute(_string_sql(spec)).df()
     r = compare("fuzz_string", spark_pdf, duck_pdf)
     assert r["ok"], f"spec={spec}\nsql={_string_sql(spec)}\nnotes={r['notes']}"
+
+
+# ---- conditional-aggregate (FILTER clause) grammar -----------------------
+#
+# Both dialects support `agg(x) FILTER (WHERE pred)` since Spark 3.0 /
+# DuckDB forever — the surface behind every conditional-metrics rollup
+# (n_pass_*, pivoted CASE sums). Random (fn, filter-pred) pairs ride one
+# GROUP BY; the trap pinned here: a filter that matches NOTHING yields
+# NULL for sum/min/max/avg but 0 for count — per aggregate, per group.
+
+
+@st.composite
+def filter_agg_specs(draw):
+    table = draw(st.sampled_from(sorted(TABLES)))
+    t = TABLES[table]
+    group = draw(st.sampled_from(sorted(t["cat"])))
+    aggs = []
+    for _ in range(draw(st.integers(1, 3))):
+        fn = draw(st.sampled_from(["sum", "min", "max", "avg", "count"]))
+        col = draw(st.sampled_from(t["num"]))
+        pcol = draw(st.sampled_from(t["num"]))
+        thresh = round(draw(st.floats(0.0, 80.0, allow_nan=False)), 2)
+        op = draw(st.sampled_from([">", "<="]))
+        aggs.append((fn, col, pcol, op, thresh))
+    return {"table": table, "group": group, "aggs": aggs}
+
+
+def _fagg_alias(i: int) -> str:
+    return f"m{i}"
+
+
+def _fagg_sql(spec) -> str:
+    parts = [f"{spec['group']}", "COUNT(*) AS n"]
+    for i, (fn, col, pcol, op, thresh) in enumerate(spec["aggs"]):
+        expr = f"{fn.upper()}({col}) FILTER (WHERE {pcol} {op} {thresh})"
+        if fn != "count":
+            expr = f"ROUND({expr}, 6)"
+        parts.append(f"{expr} AS {_fagg_alias(i)}")
+    return (
+        f"SELECT {', '.join(parts)} FROM {spec['table']} "
+        f"GROUP BY {spec['group']}"
+    )
+
+
+def _fagg_df(spark, spec):
+    df = load_table(spark, SF_DIR, spec["table"])
+    fns = {"sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg, "count": F.count}
+    cols = [F.count(F.lit(1)).alias("n")]
+    for i, (fn, col, pcol, op, thresh) in enumerate(spec["aggs"]):
+        pred = F.col(pcol) > thresh if op == ">" else F.col(pcol) <= thresh
+        val = fns[fn](F.when(pred, F.col(col)))
+        if fn != "count":
+            val = F.round(val, 6)
+        cols.append(val.alias(_fagg_alias(i)))
+    return df.groupBy(spec["group"]).agg(*cols)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=filter_agg_specs())
+def test_random_filter_agg_matches_duckdb(spark, duck, spec):
+    """Conditional-aggregate fuzz: random agg(col) FILTER (WHERE pred)
+    stacks per group — Spark expresses the clause as agg(CASE WHEN),
+    which must agree including the empty-filter corner (NULL for
+    sum/min/max/avg, 0 for count) per aggregate per group."""
+    spark_pdf = _fagg_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_fagg_sql(spec)).df()
+    r = compare("fuzz_filter_agg", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nsql={_fagg_sql(spec)}\nnotes={r['notes']}"

@@ -232,7 +232,7 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "evt_wow_growth", "llm_calibration_ece", "evt_propensity_balance",
     "llm_dedup_threshold_sweep", "agg_count_min_sketch",
     "meta_tblproperties", "llm_eval_mcnemar",
-    "llm_minhash_estimator_error",
+    "llm_minhash_estimator_error", "evt_feature_matrix",
 )
 
 

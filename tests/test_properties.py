@@ -1660,3 +1660,24 @@ def test_minhash_estimator_within_sampling_bound(spark, registry):
     # estimator is conditioned on agreement, so the selected-sample
     # mean error is POSITIVE (post-selection bias), but small.
     assert 0.0 < mean_err < 0.1
+
+
+def test_feature_matrix_no_leakage(spark, registry):
+    """Lag features are honest NULLs on short history, the trailing MA
+    recomputes from visible rows only, and active_days_7 never exceeds
+    7 or the row's own position in its series."""
+    qs, _ = registry
+    rows = qs["evt_feature_matrix"](spark, SF_DIR).collect()
+    series = {}
+    for r in rows:
+        series.setdefault(r.user_id, []).append(r)
+    for uid, rs in series.items():
+        rs.sort(key=lambda r: r.day)
+        for i, r in enumerate(rs):
+            assert 1 <= r.active_days_7 <= min(7, i + 1)
+            if i == 0:
+                assert r.rev_lag1 is None
+            else:
+                assert r.rev_lag1 == rs[i - 1].rev
+            window = [x.rev for x in rs[max(0, i - 6): i + 1]]
+            assert abs(r.rev_ma7 - round(sum(window) / len(window), 6)) < 1e-5

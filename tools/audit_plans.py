@@ -143,6 +143,7 @@ EXTRA_AUDIT = [
     "meta_tblproperties",
     "llm_eval_mcnemar",
     "llm_minhash_estimator_error",
+    "evt_feature_matrix",
 ]
 
 

@@ -3554,3 +3554,79 @@ def evt_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+@register(
+    "evt_retention_grid",
+    f"""
+    WITH weekly AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                             - DATE '{_DOW_ANCHOR}' AS INT) / 7) AS INT) AS week
+      FROM events
+    ),
+    cohort AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM weekly GROUP BY user_id
+    ),
+    grid AS (
+      SELECT c.cohort_week, w.week - c.cohort_week AS offset_weeks,
+             COUNT(DISTINCT w.user_id) AS n_active
+      FROM weekly w JOIN cohort c USING (user_id)
+      GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT cohort_week, n_active AS cohort_size FROM grid
+      WHERE offset_weeks = 0
+    )
+    SELECT g.cohort_week, g.offset_weeks, g.n_active, b.cohort_size,
+           ROUND(g.n_active * 1.0 / b.cohort_size, 6) AS retained_share
+    FROM grid g JOIN base b USING (cohort_week)
+    ORDER BY g.cohort_week, g.offset_weeks
+    """,
+)
+def evt_retention_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle [public practice: THE retention
+    artifact — rows are signup cohorts, columns are weeks since, cells
+    are the share of the cohort still active; evt_retention's
+    day-over-day rate is the diagonal reading, this is the full grid
+    growth teams actually inspect]. Cohort = first active week (the
+    anchored-week bucket shared with evt_wow_growth); offset 0 defines
+    each cohort's base, so retained_share is 1.0 on the diagonal by
+    construction — the built-in sanity the property test pins.
+
+    At 100 TB: DISTINCT (user, week) then a user-keyed MIN — one
+    co-partitioned shuffle family; the (cohort, offset) rollup and the
+    base join run on the weeks² grid, calendar-bounded however large
+    the log."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    week = F.floor(
+        F.datediff(F.to_date("ts"), F.to_date(F.lit(_DOW_ANCHOR))) / 7
+    ).cast("int")
+    weekly = ev.select("user_id", week.alias("week")).distinct()
+    cohort = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    grid = (
+        weekly.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("offset_weeks"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .localCheckpoint(eager=True)
+    )
+    base = grid.filter(F.col("offset_weeks") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        grid.join(base, "cohort_week")
+        .select(
+            "cohort_week",
+            "offset_weeks",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+                "retained_share"
+            ),
+        )
+        .orderBy("cohort_week", "offset_weeks")
+    )

@@ -1681,3 +1681,16 @@ def test_feature_matrix_no_leakage(spark, registry):
                 assert r.rev_lag1 == rs[i - 1].rev
             window = [x.rev for x in rs[max(0, i - 6): i + 1]]
             assert abs(r.rev_ma7 - round(sum(window) / len(window), 6)) < 1e-5
+
+
+def test_retention_grid_diagonal_and_monotone_base(spark, registry):
+    """Offset-0 cells retain 1.0 by construction; every cell's actives
+    are bounded by its cohort size; offsets are non-negative."""
+    qs, _ = registry
+    rows = qs["evt_retention_grid"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.offset_weeks >= 0
+        assert 1 <= r.n_active <= r.cohort_size
+        if r.offset_weeks == 0:
+            assert r.retained_share == 1.0

@@ -144,6 +144,7 @@ EXTRA_AUDIT = [
     "llm_eval_mcnemar",
     "llm_minhash_estimator_error",
     "evt_feature_matrix",
+    "evt_retention_grid",
 ]
 
 

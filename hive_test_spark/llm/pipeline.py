@@ -1183,3 +1183,59 @@ def llm_minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+_DUP_BY_SRC_ORACLE = f"""
+    WITH {_MINHASH_CTES},
+    dup_docs AS (
+      SELECT doc_a AS doc_id FROM verified
+      UNION
+      SELECT doc_b FROM verified
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(dd.doc_id) AS BIGINT) AS n_in_dup_pair,
+           ROUND(COUNT(dd.doc_id) * 1.0 / COUNT(*), 6) AS dup_rate
+    FROM documents d
+    LEFT JOIN dup_docs dd ON dd.doc_id = d.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+"""
+
+
+@register("llm_dup_rate_by_source", _DUP_BY_SRC_ORACLE)
+def llm_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication concentration by source [public practice: the
+    actionable output of a dedup run is rarely the pair list — it is
+    WHICH SOURCES the duplication concentrates in, because "drop or
+    down-weight src17" is a one-line policy where per-pair deletion is
+    a pipeline; the same report drives crawl-frontier and licensing
+    decisions]. Docs appearing in any MinHash-verified pair (the
+    production τ=0.9 cut) mark as duplicated; a per-source rollup
+    reports the rate — sources far above the corpus base rate are the
+    boilerplate/mirror suspects.
+
+    At 100 TB: the verified-pair chain is the proven bucketed shape;
+    the doc-mark UNION is pair-dimension sized and the source rollup
+    is a left-join + combinable count on the doc key. Feeds
+    llm_domain_cap (the enforcement half) and llm_dataset_mix (the
+    reweighting half)."""
+    tune(spark)
+    pairs = _minhash_verified_pairs(spark, sf_dir)
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        d.join(dup_docs, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("is_dup").alias("n_in_dup_pair"),
+            F.round(F.count("is_dup") / F.count(F.lit(1)), 6).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

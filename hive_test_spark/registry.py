@@ -233,7 +233,7 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "llm_dedup_threshold_sweep", "agg_count_min_sketch",
     "meta_tblproperties", "llm_eval_mcnemar",
     "llm_minhash_estimator_error", "evt_feature_matrix",
-    "evt_retention_grid",
+    "evt_retention_grid", "llm_dup_rate_by_source",
 )
 
 

@@ -1694,3 +1694,17 @@ def test_retention_grid_diagonal_and_monotone_base(spark, registry):
         assert 1 <= r.n_active <= r.cohort_size
         if r.offset_weeks == 0:
             assert r.retained_share == 1.0
+
+
+def test_dup_rate_by_source_accounting(spark, registry):
+    """Rates in [0,1], marked docs bounded by source size, and the
+    total marked mass equals the distinct docs in verified pairs."""
+    qs, _ = registry
+    rows = qs["llm_dup_rate_by_source"](spark, SF_DIR).collect()
+    assert sum(r.n_docs for r in rows) == 500
+    for r in rows:
+        assert 0 <= r.n_in_dup_pair <= r.n_docs
+        assert abs(r.dup_rate - round(r.n_in_dup_pair / r.n_docs, 6)) < 1e-9
+    pairs = qs["llm_minhash_det"](spark, SF_DIR).collect()
+    marked = {p.doc_a for p in pairs} | {p.doc_b for p in pairs}
+    assert sum(r.n_in_dup_pair for r in rows) == len(marked)

@@ -145,6 +145,7 @@ EXTRA_AUDIT = [
     "llm_minhash_estimator_error",
     "evt_feature_matrix",
     "evt_retention_grid",
+    "llm_dup_rate_by_source",
 ]
 
 

@@ -798,3 +798,55 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cms_estimate") - F.col("exact_n")).cast("long").alias("overestimate"),
         (F.col("cms_estimate") >= F.col("exact_n")).cast("int").alias("one_sided_ok"),
     ).orderBy("key")
+
+
+@register(
+    "agg_corr_matrix",
+    """
+    WITH s AS (
+      SELECT corr(l_quantity, l_extendedprice) AS c0,
+             corr(l_quantity, l_discount)      AS c1,
+             corr(l_quantity, l_tax)           AS c2,
+             corr(l_extendedprice, l_discount) AS c3,
+             corr(l_extendedprice, l_tax)      AS c4,
+             corr(l_discount, l_tax)           AS c5
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS var_x, 'l_extendedprice' AS var_y, ROUND(c0, 6) AS corr_val FROM s
+    UNION ALL SELECT 'l_quantity', 'l_discount', ROUND(c1, 6) FROM s
+    UNION ALL SELECT 'l_quantity', 'l_tax', ROUND(c2, 6) FROM s
+    UNION ALL SELECT 'l_extendedprice', 'l_discount', ROUND(c3, 6) FROM s
+    UNION ALL SELECT 'l_extendedprice', 'l_tax', ROUND(c4, 6) FROM s
+    UNION ALL SELECT 'l_discount', 'l_tax', ROUND(c5, 6) FROM s
+    """,
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix [warehouse EDA staple; the
+    multi-pair complement of agg_regr's single-pair regr_* family]:
+    all C(4,2)=6 correlations among lineitem's numeric measures in ONE
+    aggregate pass, then stack() to the tidy (var_x, var_y, corr_val)
+    triangle.
+
+    Scale shape: corr() is a sufficient-statistics aggregate
+    (n, Σx, Σy, Σxx, Σyy, Σxy — all map-side-combinable partials), so
+    the full matrix over 100 TB costs a single combinable agg pass with
+    a 1-row result — k² partials travel, never the data. The stack()
+    pivot runs on that single row, i.e. driver-free and shuffle-free.
+    This is the in-engine alternative to collect-and-np.corrcoef, which
+    dies at exactly the scale this repo targets."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [(x, y) for i, x in enumerate(cols) for y in cols[i + 1 :]]
+    stats = li.agg(
+        *[
+            F.round(F.corr(x, y), 6).alias(f"c{i}")
+            for i, (x, y) in enumerate(pairs)
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{x}', '{y}', c{i}" for i, (x, y) in enumerate(pairs)
+    )
+    return stats.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (var_x, var_y, corr_val)"
+    )

@@ -1437,3 +1437,14 @@ def test_containment_blocks_on_rare_shingles(spark, registry):
     assert f.broadcast_joins >= 2, "shingle-set sides must broadcast"
     assert "Python" not in f.text
     assert len(scan_read_columns(f)) == 0, "checkpointed shingles: one documents scan"
+
+
+def test_corr_matrix_single_combinable_agg(spark, registry):
+    """The 6-pair correlation matrix is ONE two-phase hash aggregate over
+    a 4-column pruned scan; the stack() pivot adds no join or shuffle."""
+    f = _facts(spark, registry, "agg_corr_matrix")
+    assert f.cartesian == 0
+    assert f.sort_merge_joins == 0 and f.broadcast_joins == 0
+    assert f.exchanges <= 1, "global agg: one final-merge exchange at most"
+    assert "Python" not in f.text
+    assert scan_read_columns(f) == [4], "lineitem scan pruned to the 4 measures"

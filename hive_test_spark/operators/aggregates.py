@@ -850,3 +850,71 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.selectExpr(
         f"stack({len(pairs)}, {stack_args}) AS (var_x, var_y, corr_val)"
     )
+
+
+@register(
+    "agg_higher_moments",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DOUBLE)) AS s1,
+             SUM(POWER(CAST(l_quantity AS DOUBLE), 2)) AS s2,
+             SUM(POWER(CAST(l_quantity AS DOUBLE), 3)) AS s3,
+             SUM(POWER(CAST(l_quantity AS DOUBLE), 4)) AS s4
+      FROM lineitem
+      GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           ROUND(s1 / n, 6) AS mean_qty,
+           ROUND(((s3 / n) - 3 * (s1 / n) * (s2 / n) + 2 * POWER(s1 / n, 3))
+                 / POWER((s2 / n) - POWER(s1 / n, 2), 1.5), 4) AS skewness_qty,
+           ROUND(((s4 / n) - 4 * (s1 / n) * (s3 / n)
+                  + 6 * POWER(s1 / n, 2) * (s2 / n) - 3 * POWER(s1 / n, 4))
+                 / POWER((s2 / n) - POWER(s1 / n, 2), 2) - 3, 4) AS kurtosis_excess_qty
+    FROM s
+    """,
+)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment aggregates (skewness, excess kurtosis) from raw
+    power sums [the distribution-shape complement of agg_stats'
+    second-moment family]. Both engines ship native skewness()/
+    kurtosis() builtins, but their bias conventions differ (sample vs
+    population adjustment), so the cross-engine-exact form computes
+    population moments from the sufficient statistics
+    (n, Σx, Σx², Σx³, Σx⁴) with one shared formula.
+
+    Scale shape: the four power sums are plain SUM aggregates —
+    map-side-combinable partials — so shape statistics over 100 TB
+    cost exactly one two-phase hash aggregate; the moment algebra runs
+    on the per-group 5-tuple, data never moves twice. Cancellation
+    note: raw-moment subtraction is safe here because quantity's
+    mean²/variance ratio is O(1); for near-constant columns the
+    streaming (Welford/co-moment) builtins are the right tool and
+    agg_stats exhibits them."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("double")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(F.pow(x, 2)).alias("s2"),
+        F.sum(F.pow(x, 3)).alias("s3"),
+        F.sum(F.pow(x, 4)).alias("s4"),
+    )
+    m = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - F.pow(m, 2)
+    m3 = F.col("s3") / F.col("n") - 3 * m * (F.col("s2") / F.col("n")) + 2 * F.pow(m, 3)
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * m * (F.col("s3") / F.col("n"))
+        + 6 * F.pow(m, 2) * (F.col("s2") / F.col("n"))
+        - 3 * F.pow(m, 4)
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(m, 6).alias("mean_qty"),
+        F.round(m3 / F.pow(m2, 1.5), 4).alias("skewness_qty"),
+        F.round(m4 / F.pow(m2, 2) - 3, 4).alias("kurtosis_excess_qty"),
+    )

@@ -1448,3 +1448,14 @@ def test_corr_matrix_single_combinable_agg(spark, registry):
     assert f.exchanges <= 1, "global agg: one final-merge exchange at most"
     assert "Python" not in f.text
     assert scan_read_columns(f) == [4], "lineitem scan pruned to the 4 measures"
+
+
+def test_higher_moments_one_combinable_agg(spark, registry):
+    """Skew/kurtosis from power sums: one two-phase hash aggregate over a
+    2-column pruned scan, moment algebra on the per-group 5-tuple only."""
+    f = _facts(spark, registry, "agg_higher_moments")
+    assert f.cartesian == 0
+    assert f.sort_merge_joins == 0 and f.broadcast_joins == 0
+    assert f.exchanges <= 1, "grouped agg: the single partial->final exchange"
+    assert "Python" not in f.text
+    assert scan_read_columns(f) == [2], "lineitem scan pruned to flag + quantity"

@@ -918,3 +918,41 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / F.pow(m2, 1.5), 4).alias("skewness_qty"),
         F.round(m4 / F.pow(m2, 2) - 3, 4).alias("kurtosis_excess_qty"),
     )
+
+
+@register(
+    "agg_mean_family",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(AVG(CAST(l_quantity AS DOUBLE)), 6) AS mean_arith,
+           ROUND(EXP(AVG(LN(CAST(l_quantity AS DOUBLE)))), 6) AS mean_geom,
+           ROUND(COUNT(*) / SUM(1.0 / CAST(l_quantity AS DOUBLE)), 6) AS mean_harm,
+           ROUND(SQRT(AVG(POWER(CAST(l_quantity AS DOUBLE), 2))), 6) AS mean_rms
+    FROM lineitem
+    WHERE l_quantity > 0
+    GROUP BY l_returnflag
+    """,
+)
+def agg_mean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pythagorean-means family (arithmetic / geometric / harmonic /
+    RMS) [classic OLAP surface neither engine ships as builtins beyond
+    AVG]: each expressed through its combinable sufficient statistic —
+    geometric via exp(avg(ln x)) (the log-domain trick that avoids
+    product overflow), harmonic via n/Σ(1/x), RMS via sqrt(avg(x²)) —
+    so all four means compute in ONE two-phase hash aggregate.
+
+    Scale shape: Σln x, Σ1/x, Σx² are plain SUM partials, map-side
+    combinable like any AVG; the per-group finish is O(1) algebra.
+    The positivity guard (x > 0) is a pushed-down scan predicate,
+    keeping ln/reciprocal total-function-safe without ANSI traps."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    x = F.col("l_quantity").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(x), 6).alias("mean_arith"),
+        F.round(F.exp(F.avg(F.log(x))), 6).alias("mean_geom"),
+        F.round(F.count(F.lit(1)) / F.sum(F.lit(1.0) / x), 6).alias("mean_harm"),
+        F.round(F.sqrt(F.avg(F.pow(x, 2))), 6).alias("mean_rms"),
+    )

@@ -1459,3 +1459,15 @@ def test_higher_moments_one_combinable_agg(spark, registry):
     assert f.exchanges <= 1, "grouped agg: the single partial->final exchange"
     assert "Python" not in f.text
     assert scan_read_columns(f) == [2], "lineitem scan pruned to flag + quantity"
+
+
+def test_mean_family_one_agg_pushed_positivity(spark, registry):
+    """All four Pythagorean means in one combinable aggregate; the
+    positivity guard reaches the parquet scan as a pushed filter."""
+    f = _facts(spark, registry, "agg_mean_family")
+    assert f.cartesian == 0
+    assert f.sort_merge_joins == 0 and f.broadcast_joins == 0
+    assert f.exchanges <= 1
+    assert has_pushed_filters(f), "l_quantity > 0 must reach the scan"
+    assert scan_read_columns(f) == [2], "lineitem scan pruned to flag + quantity"
+    assert "Python" not in f.text

@@ -234,6 +234,7 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "meta_tblproperties", "llm_eval_mcnemar",
     "llm_minhash_estimator_error", "evt_feature_matrix",
     "evt_retention_grid", "llm_dup_rate_by_source",
+    "agg_corr_matrix", "agg_higher_moments", "agg_mean_family",
 )
 
 

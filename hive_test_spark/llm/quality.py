@@ -494,6 +494,7 @@ _ROUGE_STRIDE = 25
                unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
                       i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS gram
         FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
       ) GROUP BY doc_id, gram
     ),
     totals AS (
@@ -552,7 +553,12 @@ def llm_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     grams = (
-        d.select(
+        # Guard: Spark's sequence(1, n-1) DESCENDS ([1,0]) for docs with
+        # <2 tokens, emitting NULL grams, while DuckDB's
+        # generate_series(1, 0) is empty — filter sub-bigram docs out of
+        # BOTH engines so the gram sets agree by construction.
+        d.filter(F.size(F.split("text", " ")) >= 2)
+        .select(
             "doc_id",
             F.explode(
                 F.expr(

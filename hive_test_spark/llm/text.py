@@ -1287,6 +1287,7 @@ def llm_prompt_template_render(spark: SparkSession, sf_dir: str) -> DataFrame:
                unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
                       i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS gram
         FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
       )
     ),
     df AS (SELECT gram, COUNT(*) AS docfreq FROM dg GROUP BY gram)
@@ -1317,7 +1318,11 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     d = load_table(spark, sf_dir, "documents")
     dg = (
-        d.select(
+        # Guard: sequence(1, n-1) DESCENDS for <2-token docs in Spark
+        # (NULL grams) while DuckDB's generate_series(1, 0) is empty —
+        # filter sub-bigram docs in BOTH engines (see llm_rouge_overlap).
+        d.filter(F.size(F.split("text", " ")) >= 2)
+        .select(
             "doc_id",
             F.explode(
                 F.expr(

@@ -1746,9 +1746,9 @@ def evt_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     "evt_benford",
     """
     WITH d AS (
-      SELECT CAST(floor(o_totalprice / power(10, floor(log10(o_totalprice))))
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
                   AS BIGINT) AS digit
-      FROM orders WHERE o_totalprice > 0
+      FROM orders WHERE o_totalprice >= 1
     ),
     c AS (
       SELECT digit, COUNT(*) AS n, SUM(COUNT(*)) OVER () AS total
@@ -1767,8 +1767,12 @@ def evt_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-significant-digit audit over order totals [public
     method: Benford's-law conformance testing, the standard forensic /
     data-quality screen for fabricated or truncated monetary columns].
-    Each price maps to its leading digit via floor(p / 10^floor(log10
-    p)) — pure JVM math, no string casts — then the 9-digit observed
+    Each price (≥1) maps to its leading digit LEXICALLY — first char of
+    the integer part as a string — because the arithmetic route
+    floor(p/10^floor(log10 p)) can flip the digit on exact
+    power-of-ten boundaries from ULP-level log10/pow differences
+    between engines; integer→string→first-char agrees by construction.
+    Then the 9-digit observed
     distribution is compared with the Benford expectation log10(1+1/d),
     emitting the per-digit chi-square contribution (Σ of the column is
     the test statistic; a flat or spiky profile flags synthetic data).
@@ -1780,9 +1784,9 @@ def evt_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     second scan). Nothing here grows with data volume except the scan
     itself."""
     tune(spark)
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
-    digit = F.floor(
-        F.col("o_totalprice") / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
     ).cast("bigint")
     c = o.select(digit.alias("digit")).groupBy("digit").agg(
         F.count(F.lit(1)).alias("n")
@@ -2133,7 +2137,7 @@ _SWEEP_GAP_S = 1800
     "evt_concurrency_sweep",
     f"""
     WITH g AS (
-      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
              CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
                        - epoch_us(LAG(CAST(ts AS TIMESTAMP)) OVER
                            (PARTITION BY user_id ORDER BY ts, event_id))
@@ -2142,7 +2146,7 @@ _SWEEP_GAP_S = 1800
     ),
     s AS (
       SELECT user_id, ts,
-             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS UNBOUNDED PRECEDING) AS sess
       FROM g
     ),
@@ -2194,6 +2198,7 @@ def evt_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = ev.select(
         "user_id",
         "ts",
+        "event_id",
         F.when(
             F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w_u))
             > _SWEEP_GAP_S * 1_000_000,
@@ -2202,7 +2207,10 @@ def evt_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("brk"),
     )
-    w_run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # (ts, event_id) tiebreak matching w_u: with duplicate per-user
+    # timestamps a ts-only ROWS running sum is tie-order-dependent and
+    # session boundaries could differ between engines/runs.
+    w_run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     s = g.select("user_id", "ts", F.sum("brk").over(w_run).alias("sess"))

@@ -172,6 +172,78 @@ def test_round6_window_closes_driver_exposure(registry):
         raise AssertionError("residual key fell into the seen tier")
 
 
+def test_survey_inventory_totals_match_table_rows(registry):
+    """VERDICT r5 item 3: the §2 'Inventory totals' arithmetic line went
+    stale (said 93 while the tables held 101). Pin the line to a scripted
+    per-section row count so it can never drift again."""
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "SURVEY.md")) as fh:
+        survey = fh.read()
+    sec2 = survey.split("### M.")[0]
+    parts = re.split(r"\n### ([A-L])\. ", sec2)
+    counts = {
+        parts[i]: len(re.findall(r"^\| `", parts[i + 1], re.M))
+        for i in range(1, len(parts), 2)
+    }
+    assert len(counts) == 12, f"expected §2 sections A-L, got {sorted(counts)}"
+    total = sum(counts.values())
+    m = re.search(r"\*\*Inventory totals: ([0-9+]+) = (\d+) operators", survey)
+    assert m, "SURVEY.md §2 'Inventory totals' line missing"
+    claimed_sum, claimed_total = m.group(1), int(m.group(2))
+    assert claimed_total == total, (
+        f"totals line says {claimed_total}, tables hold {total} "
+        f"(per-section: {counts})"
+    )
+    assert sum(int(x) for x in claimed_sum.split("+")) == total
+    expected_sum = "+".join(str(counts[c]) for c in "ABCDEFGHIJKL")
+    assert claimed_sum == expected_sum, (
+        f"totals line arithmetic {claimed_sum} != per-section {expected_sum}"
+    )
+
+
+def test_driver_exposure_closes_by_round9(registry):
+    """VERDICT r5 item 2: simulate rounds 6..9 — each round the driver
+    tests exactly ordered_keys()[:50]; marking those seen must leave ZERO
+    never-tested keys after four rounds (424/424 exposure by round 9),
+    with no key dropped from any window."""
+    from hive_test_spark import registry as reg
+
+    qs, _ = registry
+    idx = {k: i for i, k in enumerate(qs)}
+    seen = set(reg.DRIVER_SEEN) | set(reg.DRIVER_FAILED)
+
+    def rank_with(seen_now, key):
+        # Mirror reg._rank but with a simulated seen set and expired
+        # _FRONT/_RETEST (post-r5 reports, all retests consumed in r6).
+        if key in reg._RETEST and key not in seen_now:
+            return (2, reg._RETEST.index(key), idx[key])
+        if key in seen_now:
+            return (5, 0, idx[key])
+        if key in reg._NEXT_ROUNDS:
+            return (3, reg._NEXT_ROUNDS.index(key), idx[key])
+        return (4, 0, idx[key])
+
+    # The three graduated property-oracle keys re-queue ahead of the
+    # never-tested keys in round 6, exactly as staged.
+    retest_pending = [
+        k
+        for k in reg._RETEST
+        if reg.DRIVER_LAST_ROUND.get(k, 0) <= reg._PLANNED_AFTER_ROUND
+    ]
+    for rnd in range(6, 10):
+        window = sorted(qs, key=lambda k: rank_with(seen, k))[:50]
+        seen |= set(window)
+        seen |= set(retest_pending)  # their rows land with round 6
+    never = [k for k in qs if k not in seen]
+    assert not never, (
+        f"{len(never)} keys still never driver-tested after round 9: "
+        f"{never[:10]}"
+    )
+
+
 def test_every_registered_key_is_documented_in_survey(registry):
     """SURVEY.md §2 is the coverage checklist the judge reads line by
     line — a registered operator missing from it is invisible to the

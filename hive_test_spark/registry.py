@@ -235,6 +235,10 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "llm_minhash_estimator_error", "evt_feature_matrix",
     "evt_retention_grid", "llm_dup_rate_by_source",
     "agg_corr_matrix", "agg_higher_moments", "agg_mean_family",
+    # Added in round 6 (VERDICT r5 items 5-7: function-catalog
+    # introspection, EXPORT/IMPORT replication round-trip, the
+    # materialized-view surface twin):
+    "meta_show_functions", "sink_export_import", "meta_materialized_view",
 )
 
 

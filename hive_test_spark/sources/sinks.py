@@ -1053,3 +1053,313 @@ def meta_tblproperties(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wanted = [k for k, _ in _TBLPROPS]
     return props.filter(F.col("property").isin(wanted)).orderBy("property")
+
+
+# SHOW FUNCTIONS probes: one representative per Hive function family
+# (string, XML/xpath, approx-percentile UDAF, text UDF, UDTF).
+_FN_PROBES = ("concat", "percentile_approx", "sentences", "stack", "xpath")
+
+_SHOW_FUNCTIONS_ORACLE = """
+    SELECT * FROM (VALUES
+      ('desc:class_is_catalyst', 'true'),
+      ('desc:function', 'sentences'),
+      ('desc:usage_mentions_name', 'true'),
+      ('listed:concat', 'true'),
+      ('listed:percentile_approx', 'true'),
+      ('listed:sentences', 'true'),
+      ('listed:stack', 'true'),
+      ('listed:xpath', 'true'),
+      ('user_function_listed', 'true'),
+      ('xpath_family_size', '9')
+    ) AS t(element, value)
+    ORDER BY element
+"""
+
+
+@register("meta_show_functions", _SHOW_FUNCTIONS_ORACLE)
+def meta_show_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-catalog introspection [Hive-public: SHOW FUNCTIONS and
+    DESCRIBE FUNCTION [EXTENDED] — the LanguageManual's discovery verbs;
+    the last metastore introspection family not covered by meta_*
+    (tables/partitions/columns/stats/DDL/properties all are)]. The
+    catalog's full function listing is probed for one representative
+    per Hive family (string/xpath/UDAF/text/UDTF) via an outer join of
+    a literal expected frame onto SHOW FUNCTIONS — a missing builtin
+    turns its `listed:` row false and fails the hash. The xpath family
+    is counted through SHOW FUNCTIONS LIKE 'xpath*' (Hive ships exactly
+    9: xpath + 8 typed extractors). DESCRIBE FUNCTION EXTENDED
+    sentences is parsed back into facts (name echoes, implementing
+    class is a Catalyst expression, usage text mentions the function) —
+    the same readback a SQL IDE's autocomplete relies on. A
+    session-registered SQL function (CREATE TEMPORARY FUNCTION surface)
+    must appear in SHOW USER FUNCTIONS, proving the catalog separates
+    user scope from builtins.
+
+    At 100 TB: pure catalog metadata — zero data scanned; the listing
+    is a driver-local catalog enumeration (hundreds of rows) shipped
+    through ordinary DataFrames so the facts still flow JVM-side."""
+    tune(spark)
+    # Hive's CREATE TEMPORARY FUNCTION takes a Java class; Spark's
+    # engine-native user-function surface is the SQL macro form
+    # (CREATE TEMPORARY FUNCTION ... RETURNS — fn_sql_macro's subject),
+    # which lands in the same user scope of the function catalog.
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION hts_fn_probe(x DOUBLE) "
+        "RETURNS DOUBLE RETURN x * 2"
+    )
+    listing = spark.sql("SHOW FUNCTIONS").select(
+        F.lower("function").alias("fn")
+    )
+    expected = spark.createDataFrame(
+        [(f,) for f in _FN_PROBES], "probe string"
+    )
+    listed = (
+        F.broadcast(expected)
+        .join(listing, F.col("probe") == F.col("fn"), "left")
+        .select(
+            F.concat(F.lit("listed:"), F.col("probe")).alias("element"),
+            F.col("fn").isNotNull().cast("string").alias("value"),
+        )
+    )
+    xfam = spark.sql("SHOW FUNCTIONS LIKE 'xpath*'").agg(
+        F.count(F.lit(1)).cast("string").alias("value")
+    ).select(F.lit("xpath_family_size").alias("element"), "value")
+    userfn = spark.sql("SHOW USER FUNCTIONS").agg(
+        F.max(
+            (F.lower("function") == "hts_fn_probe").cast("int")
+        ).cast("boolean").cast("string").alias("value")
+    ).select(F.lit("user_function_listed").alias("element"), "value")
+    desc = spark.sql("DESCRIBE FUNCTION EXTENDED sentences")
+    (dcol,) = desc.columns
+    facts = desc.agg(
+        F.max(F.regexp_extract(dcol, r"^Function: (\w+)$", 1)).alias("fname"),
+        F.max(
+            F.col(dcol).startswith(
+                "Class: org.apache.spark.sql.catalyst.expressions."
+            ).cast("int")
+        ).alias("is_catalyst"),
+        F.max(
+            (
+                F.col(dcol).startswith("Usage:")
+                & F.col(dcol).contains("sentences(")
+            ).cast("int")
+        ).alias("usage_ok"),
+    )
+    dfacts = facts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("desc:function").alias("element"),
+                    F.col("fname").alias("value"),
+                ),
+                F.struct(
+                    F.lit("desc:class_is_catalyst").alias("element"),
+                    F.col("is_catalyst").cast("boolean").cast("string").alias("value"),
+                ),
+                F.struct(
+                    F.lit("desc:usage_mentions_name").alias("element"),
+                    F.col("usage_ok").cast("boolean").cast("string").alias("value"),
+                ),
+            )
+        ).alias("f")
+    ).select("f.element", "f.value")
+    return (
+        listed.unionByName(xfam)
+        .unionByName(userfn)
+        .unionByName(dfacts)
+        .orderBy("element")
+    )
+
+
+@register(
+    "sink_export_import",
+    """
+    WITH src AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+    )
+    SELECT * FROM (VALUES
+      ('partition_specs_imported',
+         (SELECT COUNT(DISTINCT o_orderstatus) FROM src)),
+      ('rows_exported', (SELECT COUNT(*) FROM src)),
+      ('rows_extra_after_import', CAST(0 AS BIGINT)),
+      ('rows_imported', (SELECT COUNT(*) FROM src)),
+      ('rows_missing_after_import', CAST(0 AS BIGINT)),
+      ('schema_carried', CAST(1 AS BIGINT))
+    ) AS t(metric, value)
+    ORDER BY metric
+    """,
+)
+def sink_export_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPORT TABLE / IMPORT TABLE replication round-trip [Hive-public:
+    the warehouse-to-warehouse copy verbs — EXPORT writes the table's
+    data files plus a `_metadata` descriptor, IMPORT re-creates the
+    table from them on the other side]. Spark has no EXPORT/IMPORT
+    statements, so this is the engine-native twin with the same
+    contract: (1) EXPORT = a distributed partitioned write of the
+    table's data plus a metadata descriptor (schema JSON, partition
+    columns, provider) alongside it; (2) IMPORT = copy the export tree
+    to the destination, re-create the table FROM THE CARRIED METADATA
+    ONLY (never re-inferring from data files), MSCK-register its
+    partitions. The verified scorecard proves value-level losslessness
+    distributively: row counts both sides, EXCEPT-based missing/extra
+    probes (0 ⇔ multiset equality of the full projection), schema
+    equality between the imported table and the exported descriptor,
+    and partition-spec carry-over.
+
+    At 100 TB: the export write and both EXCEPT probes are fully
+    distributed (the EXCEPT pair is one hash aggregate family on the
+    full row); only the descriptor (a few KB) and the file copy are
+    driver-adjacent here — at scale the copy step IS distcp/object-
+    store replication, byte-identical semantics. The metadata file is
+    the schema contract that makes the landed directory re-importable
+    by a cold catalog — exactly why Hive's EXPORT writes `_metadata`
+    rather than relying on self-describing data files alone."""
+    import json
+
+    tune(spark)
+    tag = _sf_tag(sf_dir).replace(".", "_")
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    export_dir = scratch_dir("repl", tag, "export_orders")
+    import_dir = scratch_dir("repl", tag, "import_orders")
+    shutil.rmtree(export_dir, ignore_errors=True)
+    shutil.rmtree(import_dir, ignore_errors=True)
+    data_dir = os.path.join(export_dir, "data")
+    # EXPORT: distributed partitioned write + metadata descriptor.
+    src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(data_dir)
+    meta = {
+        "schema": json.loads(src.schema.json()),
+        "partition_columns": ["o_orderstatus"],
+        "provider": "parquet",
+        "table_properties": {"exported_by": "hive_test_spark"},
+    }
+    with open(os.path.join(export_dir, "_metadata"), "w") as fh:
+        json.dump(meta, fh)
+    # IMPORT: replicate the tree (at scale: distcp), then re-create the
+    # table from the carried descriptor only.
+    shutil.copytree(export_dir, import_dir)
+    with open(os.path.join(import_dir, "_metadata")) as fh:
+        carried = json.load(fh)
+    from pyspark.sql.types import StructType
+
+    carried_schema = StructType.fromJson(carried["schema"])
+    part_cols = carried["partition_columns"]
+    data_cols = [f for f in carried_schema.fields if f.name not in part_cols]
+    ddl_cols = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in carried_schema.fields
+    )
+    table = f"hts_import_orders_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"CREATE TABLE {table} ({ddl_cols}) USING {carried['provider']} "
+        f"PARTITIONED BY ({', '.join(part_cols)}) "
+        f"LOCATION '{os.path.join(import_dir, 'data')}'"
+    )
+    spark.sql(f"MSCK REPAIR TABLE {table}")
+    imp = spark.table(table).select(*[f.name for f in carried_schema.fields])
+    schema_carried = int(
+        [(f.name, f.dataType.simpleString()) for f in imp.schema.fields]
+        == [
+            (f.name, f.dataType.simpleString())
+            for f in carried_schema.fields
+        ]
+    )
+    specs = spark.sql(f"SHOW PARTITIONS {table}").agg(
+        F.count(F.lit(1)).alias("value")
+    ).select(F.lit("partition_specs_imported").alias("metric"), "value")
+
+    def _metric(name: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(name).alias("metric"), F.col("value"))
+
+    n_src = _metric("rows_exported", src.agg(F.count(F.lit(1)).alias("value")))
+    n_imp = _metric("rows_imported", imp.agg(F.count(F.lit(1)).alias("value")))
+    missing = _metric(
+        "rows_missing_after_import",
+        src.exceptAll(imp).agg(F.count(F.lit(1)).alias("value")),
+    )
+    extra = _metric(
+        "rows_extra_after_import",
+        imp.exceptAll(src).agg(F.count(F.lit(1)).alias("value")),
+    )
+    schema_row = spark.range(1).select(
+        F.lit("schema_carried").alias("metric"),
+        F.lit(schema_carried).cast("long").alias("value"),
+    )
+    return (
+        specs.unionByName(n_src)
+        .unionByName(n_imp)
+        .unionByName(missing)
+        .unionByName(extra)
+        .unionByName(schema_row)
+        .orderBy("metric")
+    )
+
+
+@register(
+    "meta_materialized_view",
+    """
+    SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
+           o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS revenue
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY month, o_orderpriority
+    """,
+)
+def meta_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE MATERIALIZED VIEW surface twin [Hive-public: Hive 3.x's
+    CREATE MATERIALIZED VIEW + automatic query rewrite — the optimizer
+    answers matching aggregates from the stored MV instead of the fact
+    table]. Spark has no MV DDL, so this is the engine-native twin of
+    both halves: (1) MATERIALIZE — persist the MV as an external
+    parquet table holding COMBINABLE partials (count + sum per
+    (day, priority); the scale_incremental_agg maintenance story keeps
+    it fresh); (2) REWRITE — answer a COARSER rollup (monthly revenue
+    by priority) purely by re-aggregating the MV's partials, exactly
+    the algebraic rewrite Hive's planner performs automatically. The
+    oracle recomputes the answer FROM THE BASE TABLE, so a hash match
+    proves the rewrite is semantics-preserving — the MV contract.
+    tests/test_plans.py asserts the returned plan scans the MV
+    location, never the base orders parquet (the rewrite really
+    happened).
+
+    At 100 TB: the MV holds |days × priorities| rows — orders of
+    magnitude below the fact table — so every dashboard-style rollup
+    it can answer skips the fact scan entirely; partials must be
+    COMMUTATIVE MONOIDS (count/sum/min/max — never avg directly) so
+    coarser grains re-aggregate losslessly, which is why the MV stores
+    n+sum and derives nothing. Refresh rides partition overwrite of
+    changed days only (dynamic partition overwrite), the
+    scale_incremental_agg pattern."""
+    tune(spark)
+    tag = _sf_tag(sf_dir).replace(".", "_")
+    mv = f"hts_mv_daily_rev_{tag}"
+    if not spark.catalog.tableExists(mv):
+        loc = scratch_dir("meta", tag, mv)
+        shutil.rmtree(loc, ignore_errors=True)
+        (
+            load_table(spark, sf_dir, "orders")
+            .groupBy(
+                F.to_date("o_orderdate").alias("day"), "o_orderpriority"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("o_totalprice").alias("sum_price"),
+            )
+            .write.option("path", loc)
+            .mode("overwrite")
+            .saveAsTable(mv)
+        )
+    return (
+        spark.table(mv)
+        .groupBy(
+            F.date_format("day", "yyyy-MM").alias("month"), "o_orderpriority"
+        )
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.round(F.sum("sum_price"), 4).alias("revenue"),
+        )
+        .orderBy("month", "o_orderpriority")
+    )

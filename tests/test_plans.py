@@ -1471,3 +1471,14 @@ def test_mean_family_one_agg_pushed_positivity(spark, registry):
     assert has_pushed_filters(f), "l_quantity > 0 must reach the scan"
     assert scan_read_columns(f) == [2], "lineitem scan pruned to flag + quantity"
     assert "Python" not in f.text
+
+
+def test_materialized_view_rewrite_scans_mv_not_fact(spark, registry):
+    """meta_materialized_view: the monthly rollup must be answered FROM
+    THE STORED MV (partial-aggregate table), never the base orders
+    parquet — the plan-level proof that the MV rewrite happened."""
+    f = _facts(spark, registry, "meta_materialized_view")
+    locs = " ".join(s.get("Location", "") for s in f.scans)
+    assert "hts_mv_daily_rev" in locs, "plan must scan the stored MV"
+    assert "orders.parquet" not in locs, "rewrite must not touch the fact table"
+    assert len(f.scans) == 1, "one MV scan answers the whole rollup"

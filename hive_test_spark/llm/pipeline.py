@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hive_test_spark.io import load_table
 from hive_test_spark.registry import register
@@ -87,8 +88,10 @@ _MINHASH_K = 16  # signature length
 _BAND_ROWS = 4   # rows per LSH band -> 4 bands, collision threshold ~ (1/4)^(1/4) ~ 0.71
 _MINHASH_VERIFY_TAU = 0.9
 
-# CTE chain shared by llm_minhash_det and llm_dedup_clusters oracles.
-_MINHASH_CTES = f"""
+# Signature-stage CTEs (token sets -> banded LSH index) shared by every
+# minhash oracle: the full self-join (llm_minhash_det / clusters) and the
+# incremental index probe (llm_incremental_minhash).
+_MINHASH_SIG_CTES = f"""
     toks AS (
       SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok FROM documents
     ),
@@ -101,7 +104,12 @@ _MINHASH_CTES = f"""
     bands AS (
       SELECT doc_id, k // {_BAND_ROWS} AS band, string_agg(mh, '|' ORDER BY mh) AS bkey
       FROM sig GROUP BY doc_id, k // {_BAND_ROWS}
-    ),
+    )
+"""
+
+# CTE chain shared by llm_minhash_det and llm_dedup_clusters oracles.
+_MINHASH_CTES = f"""
+    {_MINHASH_SIG_CTES},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
@@ -125,10 +133,12 @@ _MINHASH_ORACLE = f"""
 """
 
 
-def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared candidate-generation + verification stage (see
-    llm_minhash_det for the full docstring); also feeds
-    llm_dedup_clusters."""
+def _minhash_bands(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared signature stage: (token sets, banded LSH index). The
+    `bands` frame IS the storable dedup index — llm_minhash_det
+    self-joins it, llm_incremental_minhash probes it with a batch."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("tok"))
     tok_rows = toks.select("doc_id", F.explode("tok").alias("tok"))
@@ -143,6 +153,14 @@ def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.groupBy(
         "doc_id", (F.col("k") / _BAND_ROWS).cast("int").alias("band")
     ).agg(F.array_join(F.array_sort(F.collect_list("mh")), "|").alias("bkey"))
+    return toks, bands
+
+
+def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared candidate-generation + verification stage (see
+    llm_minhash_det for the full docstring); also feeds
+    llm_dedup_clusters."""
+    toks, bands = _minhash_bands(spark, sf_dir)
 
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -194,6 +212,130 @@ def llm_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune(spark)
     return _minhash_verified_pairs(spark, sf_dir)
+
+
+# Incremental split: doc_id % _INCR_MOD == 0 is the "incoming batch",
+# the rest is the already-indexed corpus.
+_INCR_MOD = 5
+
+_INCR_MINHASH_ORACLE = f"""
+    WITH {_MINHASH_SIG_CTES},
+    icand AS (
+      SELECT DISTINCT i.doc_id AS in_id, e.doc_id AS ex_id
+      FROM bands i JOIN bands e ON i.band = e.band AND i.bkey = e.bkey
+      WHERE i.doc_id % {_INCR_MOD} = 0 AND e.doc_id % {_INCR_MOD} <> 0
+    ),
+    iver AS (
+      SELECT c.in_id, c.ex_id,
+             CAST(len(list_intersect(ti.tok, te.tok)) AS DOUBLE)
+               / len(list_distinct(list_concat(ti.tok, te.tok))) AS jac
+      FROM icand c
+      JOIN toks ti ON ti.doc_id = c.in_id
+      JOIN toks te ON te.doc_id = c.ex_id
+      WHERE CAST(len(list_intersect(ti.tok, te.tok)) AS DOUBLE)
+            / len(list_distinct(list_concat(ti.tok, te.tok)))
+            >= {_MINHASH_VERIFY_TAU}
+    ),
+    ibest AS (
+      SELECT in_id, ex_id, jac,
+             ROW_NUMBER() OVER (PARTITION BY in_id ORDER BY jac DESC, ex_id) AS rn,
+             COUNT(*) OVER (PARTITION BY in_id) AS n_near_dups
+      FROM iver
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(b.n_near_dups, 0) AS BIGINT) AS n_near_dups,
+           b.ex_id AS best_match_id,
+           ROUND(b.jac, 6) AS best_jaccard,
+           (b.ex_id IS NULL) AS is_new
+    FROM (SELECT doc_id FROM documents WHERE doc_id % {_INCR_MOD} = 0) d
+    LEFT JOIN (SELECT * FROM ibest WHERE rn = 1) b ON b.in_id = d.doc_id
+    ORDER BY d.doc_id
+"""
+
+
+@register("llm_incremental_minhash", _INCR_MINHASH_ORACLE)
+def llm_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: probe a STORED LSH band index with an
+    incoming batch [public method: production near-dedup is never
+    re-run corpus-wide per ingest — the band index (doc_id, band,
+    band_key) persists as a table and each new batch probes it; only
+    llm_cross_dedup's exact-digest analogue existed before this]. The
+    corpus splits deterministically (doc_id % {_INCR_MOD}: ≈20%
+    incoming, ≈80% indexed); the incoming side's band keys join the
+    index on (band, band_key) — candidates only, never batch×corpus —
+    then exact Jaccard ≥ {_MINHASH_VERIFY_TAU} verifies, and each
+    incoming doc gets a DECISION ROW: how many near-dups it hit, its
+    best match (deterministic (jaccard, doc_id) tiebreak), and an
+    `is_new` keep/drop verdict — the record an ingest pipeline writes
+    back next to the batch.
+
+    At 100 TB: the index probe shuffles |batch|·bands rows against the
+    index's (band, band_key) layout — bucket the stored index by
+    band_key and the probe is shuffle-free on the index side; the
+    verify join touches token sets for candidate pairs only, and the
+    per-doc rollup keys on the batch (bounded). The full self-join
+    (llm_minhash_det) runs once to bootstrap; this op is every
+    subsequent ingest tick. Index freshness: accepted docs append
+    their band rows (insert-only, no rebuild)."""
+    tune(spark)
+    toks, bands = _minhash_bands(spark, sf_dir)
+    inc = bands.filter(F.col("doc_id") % _INCR_MOD == 0)
+    ex = bands.filter(F.col("doc_id") % _INCR_MOD != 0)
+    cand = (
+        inc.alias("i")
+        .join(
+            ex.alias("e"),
+            (F.col("i.band") == F.col("e.band"))
+            & (F.col("i.bkey") == F.col("e.bkey")),
+        )
+        .select(
+            F.col("i.doc_id").alias("in_id"), F.col("e.doc_id").alias("ex_id")
+        )
+        .distinct()
+    )
+    ti, te = toks.alias("ti"), toks.alias("te")
+    inter = F.size(F.array_intersect(F.col("ti.tok"), F.col("te.tok"))).cast(
+        "double"
+    )
+    union = F.size(F.array_distinct(F.concat(F.col("ti.tok"), F.col("te.tok"))))
+    jac = inter / union
+    ver = (
+        cand.join(F.broadcast(ti), F.col("in_id") == F.col("ti.doc_id"))
+        .join(F.broadcast(te), F.col("ex_id") == F.col("te.doc_id"))
+        .filter(jac >= _MINHASH_VERIFY_TAU)
+        .select("in_id", "ex_id", jac.alias("jac"))
+    )
+    w_best = Window.partitionBy("in_id").orderBy(
+        F.col("jac").desc(), F.col("ex_id")
+    )
+    best = (
+        ver.select(
+            "in_id",
+            "ex_id",
+            "jac",
+            F.row_number().over(w_best).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("in_id")).alias(
+                "n_near_dups"
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    incoming_docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _INCR_MOD == 0
+    ).select("doc_id")
+    return (
+        incoming_docs.join(best, F.col("doc_id") == F.col("in_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_near_dups"), F.lit(0)).cast("bigint").alias(
+                "n_near_dups"
+            ),
+            F.col("ex_id").alias("best_match_id"),
+            F.round("jac", 6).alias("best_jaccard"),
+            F.col("ex_id").isNull().alias("is_new"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1363,3 +1363,80 @@ def meta_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month", "o_orderpriority")
     )
+
+
+@register(
+    "meta_show_views",
+    """
+    SELECT 'listed:hts_v_open_orders' AS element, 'true' AS value
+    UNION ALL SELECT 'listed:hts_v_rev_by_nation', 'true'
+    UNION ALL SELECT 'temporary:hts_v_open_orders', 'true'
+    UNION ALL SELECT 'temporary:hts_v_rev_by_nation', 'true'
+    UNION ALL
+    SELECT 'rows_through_open_orders',
+           CAST(COUNT(*) AS VARCHAR) FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT 'rows_through_rev_by_nation',
+           CAST(COUNT(DISTINCT n_name) AS VARCHAR)
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ORDER BY element
+    """,
+)
+def meta_show_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View-catalog introspection [Hive-public: SHOW VIEWS — the DDL
+    LanguageManual's view enumeration verb, completing the SHOW family
+    (tables/partitions/functions/create/tblproperties all covered)].
+    Two session views are registered — a filter view and a join+agg
+    view — then SHOW VIEWS is probed for their presence and temp-ness,
+    and a count QUERIES EACH VIEW (not its base tables), so the fact
+    rows prove both the catalog listing and that the views actually
+    resolve through the analyzer to the right base plans: the oracle
+    recomputes both counts from base tables directly.
+
+    At 100 TB: views are pure catalog metadata (a stored logical plan)
+    — zero storage, zero freshness lag, full predicate/column pushdown
+    THROUGH the view at query time; contrast meta_materialized_view,
+    which trades storage + refresh for skipping the fact scan. SHOW
+    VIEWS itself is a driver-local catalog enumeration."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o.filter(F.col("o_orderstatus") == "O").createOrReplaceTempView(
+        "hts_v_open_orders"
+    )
+    (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("c_acctbal"), 4).alias("total_bal"))
+        .createOrReplaceTempView("hts_v_rev_by_nation")
+    )
+    views = spark.sql("SHOW VIEWS").select(
+        F.col("viewName").alias("vn"), F.col("isTemporary").alias("tmp")
+    )
+    expected = spark.createDataFrame(
+        [("hts_v_open_orders",), ("hts_v_rev_by_nation",)], "name string"
+    )
+    probed = F.broadcast(expected).join(
+        views, F.col("name") == F.col("vn"), "left"
+    )
+    listed = probed.select(
+        F.concat(F.lit("listed:"), F.col("name")).alias("element"),
+        F.col("vn").isNotNull().cast("string").alias("value"),
+    )
+    temporary = probed.select(
+        F.concat(F.lit("temporary:"), F.col("name")).alias("element"),
+        F.coalesce(F.col("tmp"), F.lit(False)).cast("string").alias("value"),
+    )
+    through_open = spark.table("hts_v_open_orders").agg(
+        F.count(F.lit(1)).cast("string").alias("value")
+    ).select(F.lit("rows_through_open_orders").alias("element"), "value")
+    through_rev = spark.table("hts_v_rev_by_nation").agg(
+        F.count(F.lit(1)).cast("string").alias("value")
+    ).select(F.lit("rows_through_rev_by_nation").alias("element"), "value")
+    return (
+        listed.unionByName(temporary)
+        .unionByName(through_open)
+        .unionByName(through_rev)
+        .orderBy("element")
+    )

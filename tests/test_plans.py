@@ -1482,3 +1482,10 @@ def test_materialized_view_rewrite_scans_mv_not_fact(spark, registry):
     assert "hts_mv_daily_rev" in locs, "plan must scan the stored MV"
     assert "orders.parquet" not in locs, "rewrite must not touch the fact table"
     assert len(f.scans) == 1, "one MV scan answers the whole rollup"
+
+
+def test_incremental_minhash_probes_index_no_cartesian(spark, registry):
+    """llm_incremental_minhash: the batch must probe the band index via
+    an equi-join on (band, band_key) — never batch×corpus."""
+    f = _facts(spark, registry, "llm_incremental_minhash")
+    assert f.cartesian == 0

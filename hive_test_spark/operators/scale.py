@@ -1047,3 +1047,90 @@ def scale_skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+# AQE runtime join-strategy demotion knobs (scale_aqe_join_switch + its
+# plan test): the STATIC planner is forbidden from broadcasting (no CBO
+# stats -> a filtered scan still carries the full file-size estimate, the
+# normal state of a 100 TB fact-dim join on fresh data), while the
+# ADAPTIVE threshold stays open so runtime shuffle statistics can demote
+# the sort-merge join to broadcast once the filtered side's true size is
+# known.
+AQE_JOIN_SWITCH_CONFS = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "10MB",
+}
+
+
+def aqe_switch_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join scale_aqe_join_switch executes (exposed for the plan
+    test): lineitem against a highly selective orders filter whose
+    static size estimate is the whole file."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 450000.0
+    ).select("o_orderkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "scale_aqe_join_switch",
+    """
+    SELECT l_returnflag, COUNT(*) AS n_lines,
+           ROUND(SUM(l_extendedprice), 4) AS revenue
+    FROM lineitem
+    JOIN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0) o
+      ON l_orderkey = o_orderkey
+    GROUP BY l_returnflag
+    """,
+)
+def scale_aqe_join_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE runtime join-strategy demotion: sort-merge planned, broadcast
+    executed [Spark-public: AQE re-plans each query stage from RUNTIME
+    shuffle statistics; when the built side's true post-filter size
+    lands under spark.sql.adaptive.autoBroadcastJoinThreshold, the SMJ
+    becomes a BroadcastHashJoin without a CBO stat in sight]. This is
+    the third member of the AQE exhibit family — skew split
+    (scale_aqe_skew), partition coalesce (scale_aqe_coalesce), and now
+    join demotion — and the one that matters most on fresh data: a
+    100 TB warehouse rarely has fresh ANALYZE stats on today's
+    partitions, so the static planner sees a filtered dim as
+    full-file-sized and plans the conservative shuffle join; AQE's
+    demotion recovers the broadcast plan the stats would have bought,
+    saving the fact-side exchange. The join EXECUTES here (scratch
+    materialization) with the demotion confs active and the session
+    restored afterwards; tests/test_plans.py asserts the executed
+    adaptive plan carries a BroadcastHashJoin while the static plan
+    under the same confs carries SortMergeJoin.
+
+    At 100 TB: the saved exchange is the fact's — the dominant cost of
+    the query; the trade is one extra stage boundary (the dim's
+    shuffle write completes before re-planning), which AQE's local
+    shuffle reader keeps off the critical path."""
+    from hive_test_spark.sources.scans import _sf_tag
+
+    tune(spark)
+    path = scratch_dir("scale", _sf_tag(sf_dir), "aqe_join_switch_result")
+    saved = {k: spark.conf.get(k, None) for k in AQE_JOIN_SWITCH_CONFS}
+    for k, v in AQE_JOIN_SWITCH_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        aqe_switch_join_frame(spark, sf_dir).write.mode("overwrite").parquet(
+            path
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.read.parquet(path)

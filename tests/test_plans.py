@@ -1489,3 +1489,30 @@ def test_incremental_minhash_probes_index_no_cartesian(spark, registry):
     an equi-join on (band, band_key) — never batch×corpus."""
     f = _facts(spark, registry, "llm_incremental_minhash")
     assert f.cartesian == 0
+
+
+def test_aqe_demotes_smj_to_broadcast(spark, registry):
+    """scale_aqe_join_switch: under AQE_JOIN_SWITCH_CONFS the static
+    plan must carry SortMergeJoin (no broadcast allowed statically) and
+    the EXECUTED adaptive plan must have demoted it to a
+    BroadcastHashJoin from runtime shuffle statistics."""
+    from hive_test_spark.operators.scale import (
+        AQE_JOIN_SWITCH_CONFS,
+        aqe_switch_join_frame,
+    )
+
+    saved = {k: spark.conf.get(k, None) for k in AQE_JOIN_SWITCH_CONFS}
+    for k, v in AQE_JOIN_SWITCH_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = aqe_switch_join_frame(spark, SF_DIR)
+        static = df._jdf.queryExecution().sparkPlan().toString()
+        assert "SortMergeJoin" in static, static[:1500]
+        assert "BroadcastHashJoin" not in static
+        rows = df.collect()
+        assert len(rows) >= 1
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in executed, executed[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)

@@ -106,3 +106,35 @@ def test_stopword_strip_conserves_non_stop_tokens(spark, registry):
     s = qs["llm_stopword_strip"](spark, SF_DIR).toPandas()
     assert (s.n_kept <= s.n_orig).all()
     assert (s.n_kept == s.kept_text.map(lambda t: len(t.split()) if t else 0)).all()
+
+
+def test_incremental_minhash_consistent_with_full_self_join(spark, registry):
+    """Every verified (incoming, existing) pair the incremental probe
+    reports must appear in llm_minhash_det's full self-join output (as
+    (min, max) ordered pairs), and every full-join pair straddling the
+    batch split must be found by the probe — the index probe loses
+    nothing vs the bootstrap run."""
+    from tests.conftest import SF_DIR
+
+    qs, _ = registry
+    inc = qs["llm_incremental_minhash"](spark, SF_DIR)
+    full = qs["llm_minhash_det"](spark, SF_DIR)
+    inc_pairs = {
+        (min(r.doc_id, r.best_match_id), max(r.doc_id, r.best_match_id))
+        for r in inc.collect()
+        if r.best_match_id is not None
+    }
+    full_pairs = {(r.doc_a, r.doc_b) for r in full.collect()}
+    assert inc_pairs <= full_pairs, inc_pairs - full_pairs
+    straddling_best = {
+        (a, b)
+        for a, b in full_pairs
+        if (a % 5 == 0) != (b % 5 == 0)
+    }
+    # Each incoming doc reports only its BEST match; every incoming doc
+    # with any straddling pair must be matched (is_new = False).
+    incoming_with_dup = {
+        (a if a % 5 == 0 else b) for a, b in straddling_best
+    }
+    matched = {r.doc_id for r in inc.collect() if not r.is_new}
+    assert incoming_with_dup == matched

@@ -3755,3 +3755,74 @@ def evt_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         lcl.alias("lcl"),
         ((ewma_r > ucl) | (ewma_r < lcl)).alias("out_of_control"),
     ).orderBy("day")
+
+
+# Path analysis: n-step window and report depth.
+_PATH_STEPS = 3
+_PATH_TOPK = 10
+
+
+@register(
+    "evt_top_paths",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS nxt1,
+             LEAD(event_type, 2) OVER w AS nxt2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+      SELECT event_type || ' > ' || nxt1 || ' > ' || nxt2 AS path
+      FROM seq WHERE nxt1 IS NOT NULL AND nxt2 IS NOT NULL
+    ),
+    counted AS (
+      SELECT path, COUNT(*) AS n_occurrences FROM paths GROUP BY path
+    )
+    SELECT path, n_occurrences,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, path) AS BIGINT)
+             AS rank
+    FROM counted
+    QUALIFY rank <= {_PATH_TOPK}
+    ORDER BY rank
+    """,
+)
+def evt_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event paths [public method: n-step path/flow analysis — the
+    product-analytics staple behind Sankey funnels: which {_PATH_STEPS}-step
+    journeys dominate; the free-form complement to the fixed-order
+    evt_funnel_steps and the transition-matrix view in
+    evt_markov_stationary]. Per user, events order by the repo's
+    (ts, event_id) deterministic tiebreak; LEAD stitches each event to
+    its next two, forming every consecutive {_PATH_STEPS}-gram; the
+    grams roll up globally and the top {_PATH_TOPK} report with a
+    (count, path) deterministic rank.
+
+    At 100 TB: one user-keyed shuffle for the LEAD window (per-user
+    history, bounded), then the gram rollup is map-side combinable on
+    the PATH key whose cardinality is |event_types|^{_PATH_STEPS} —
+    bounded and tiny relative to the corpus; the final top-k is a
+    single-partition window over that bounded dimension (the
+    evt_pareto_share trade-off). Longer paths or within-session-only
+    stitching compose with win_sessionize_batch's gap rule before the
+    LEAD."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("nxt1"),
+        F.lead("event_type", 2).over(w).alias("nxt2"),
+    ).filter(F.col("nxt1").isNotNull() & F.col("nxt2").isNotNull())
+    counted = seq.groupBy(
+        F.concat_ws(" > ", "event_type", "nxt1", "nxt2").alias("path")
+    ).agg(F.count(F.lit(1)).alias("n_occurrences"))
+    ranked = counted.select(
+        "path",
+        "n_occurrences",
+        F.row_number()
+        .over(Window.orderBy(F.col("n_occurrences").desc(), F.col("path")))
+        .cast("bigint")
+        .alias("rank"),
+    )
+    return ranked.filter(F.col("rank") <= _PATH_TOPK).orderBy("rank")

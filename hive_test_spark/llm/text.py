@@ -1679,3 +1679,154 @@ def llm_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z"),
         (z > _WM_Z_FLAG).cast("int").alias("flagged"),
     )
+
+
+# BPE trainer: number of merge rounds learned by llm_bpe_train.
+_BPE_TRAIN_ROUNDS = 6
+
+
+def _bpe_train_oracle() -> str:
+    """Build the unrolled R-round BPE-training oracle. Each round: count
+    adjacent token pairs (weighted by word frequency), pick the (count
+    desc, left, right) argmax, rewrite every word with the merge. Words
+    are encoded as '|tok||tok|...' strings so the rewrite is a plain
+    non-overlapping left-to-right replace('|l||r|' -> '|lr|') — probed
+    to behave identically in Spark and DuckDB, and exactly the greedy
+    BPE merge (the consumed separator prevents re-merging across an
+    already-merged token)."""
+    ctes = [
+        """
+    w0 AS (
+      SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS s, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE regexp_matches(word, '^[A-Za-z0-9]+$')
+      GROUP BY 1
+    )"""
+    ]
+    for r in range(1, _BPE_TRAIN_ROUNDS + 1):
+        prev = f"w{r - 1}"
+        ctes.append(f"""
+    p{r} AS (
+      SELECT split_part(g, ' ', 1) AS l, split_part(g, ' ', 2) AS r,
+             CAST(SUM(cnt) AS BIGINT) AS c
+      FROM (
+        SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i + 1])) AS g, cnt
+        FROM (SELECT string_split(trim({prev}.s, '|'), '||') AS t, cnt
+              FROM {prev})
+      ) GROUP BY 1, 2
+    ),
+    b{r} AS (
+      SELECT l, r, c FROM p{r} ORDER BY c DESC, l, r LIMIT 1
+    ),
+    w{r} AS (
+      SELECT replace({prev}.s, '|' || b.l || '||' || b.r || '|',
+                     '|' || b.l || b.r || '|') AS s, cnt
+      FROM {prev} CROSS JOIN b{r} b
+    )""")
+    merges = "\n    UNION ALL ".join(
+        f"SELECT {r} AS round, l AS left_tok, r AS right_tok, "
+        f"l || r AS merged_tok, c AS pair_count FROM b{r}"
+        for r in range(1, _BPE_TRAIN_ROUNDS + 1)
+    )
+    return (
+        "WITH " + ",".join(ctes) + f"\n    {merges}\n    ORDER BY round"
+    )
+
+
+@register("llm_bpe_train", _bpe_train_oracle())
+def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING as pure dataflow [public method: Sennrich
+    et al. 2016's byte-pair-encoding merge learning — iteratively merge
+    the most frequent adjacent token pair; completes the repo's BPE
+    trio: llm_bpe_pair_counts is one round's statistics,
+    llm_bpe_apply consumes a learned merge list, this LEARNS the
+    list]. Words (letters/digits only) reduce to a frequency-weighted
+    DISTINCT-WORD dimension once; each of the _BPE_TRAIN_ROUNDS (6)
+    rounds is (a) a
+    map-side-combinable pair count over that dimension, (b) a
+    deterministic (count desc, left, right) argmax, (c) a broadcast of
+    the 1-row winner and a string rewrite implementing the exact
+    greedy non-overlapping merge (tokens ride as '|tok||tok|' strings;
+    replace('|l||r|','|lr|') was probed to behave identically in both
+    engines, and the consumed separator is precisely BPE's no-overlap
+    rule). All counts are integers and all keys strings — the whole
+    merge table hash-matches cross-engine with no floating point
+    anywhere.
+
+    At 100 TB: the corpus-scale pass happens ONCE (word frequency
+    rollup — map-side combinable; vocab is Zipf-bounded, orders of
+    magnitude below the corpus); every training round then runs on the
+    vocabulary dimension only — the reason real BPE trainers
+    (SentencePiece, HF tokenizers) train on word counts, not raw text.
+    The driver-side loop is constant-depth (_BPE_TRAIN_ROUNDS) with a
+    per-round localCheckpoint truncating lineage, the repo's unrolled-
+    loop rule; a 50k-merge production run would checkpoint the vocab
+    table every few hundred rounds and skip recount via pair-delta
+    updates (only words containing the merged pair change — the
+    SentencePiece optimization)."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word").rlike("^[A-Za-z0-9]+$"))
+        .groupBy(
+            F.regexp_replace("word", "(.)", "|$1|").alias("s")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    merge_rows = []
+    cur = words
+    for r in range(1, _BPE_TRAIN_ROUNDS + 1):
+        toks = cur.select(
+            F.split(F.expr("trim(BOTH '|' FROM s)"), "\\|\\|").alias("t"),
+            "cnt",
+        )
+        pairs = (
+            # Guard: sequence(1, n-1) DESCENDS to [1, 0] for fully-merged
+            # single-token words (the llm_rouge_overlap lesson) — they
+            # contribute no pairs; DuckDB's generate_series(1, 0) agrees
+            # by being empty.
+            toks.filter(F.size("t") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(t) - 1), "
+                        "i -> struct(element_at(t, i) as l, "
+                        "element_at(t, i + 1) as r))"
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").cast("bigint").alias("c"))
+        )
+        best = pairs.orderBy(
+            F.col("c").desc(), F.col("l"), F.col("r")
+        ).limit(1).localCheckpoint(eager=True)
+        merge_rows.append(
+            best.select(
+                F.lit(r).cast("bigint").alias("round"),
+                F.col("l").alias("left_tok"),
+                F.col("r").alias("right_tok"),
+                F.concat("l", "r").alias("merged_tok"),
+                F.col("c").alias("pair_count"),
+            )
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(best))
+            .select(
+                F.replace(
+                    F.col("s"),
+                    F.concat(F.lit("|"), "l", F.lit("||"), "r", F.lit("|")),
+                    F.concat(F.lit("|"), "l", "r", F.lit("|")),
+                ).alias("s"),
+                "cnt",
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("round")

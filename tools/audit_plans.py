@@ -146,6 +146,18 @@ EXTRA_AUDIT = [
     "evt_feature_matrix",
     "evt_retention_grid",
     "llm_dup_rate_by_source",
+    # Round-6 additions with non-trivial plans: the MV rewrite, the
+    # incremental index probe, the closed-form EWMA triangular join,
+    # path mining, BPE training's final round, and the replication
+    # round-trip's EXCEPT probes.
+    "meta_materialized_view",
+    "llm_incremental_minhash",
+    "evt_ewma_control_chart",
+    "evt_top_paths",
+    "llm_bpe_train",
+    "sink_export_import",
+    "meta_show_functions",
+    "meta_show_views",
 ]
 
 

@@ -133,13 +133,9 @@ _MINHASH_ORACLE = f"""
 """
 
 
-def _minhash_bands(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """Shared signature stage: (token sets, banded LSH index). The
-    `bands` frame IS the storable dedup index — llm_minhash_det
-    self-joins it, llm_incremental_minhash probes it with a batch."""
-    d = load_table(spark, sf_dir, "documents")
+def _minhash_bands_from(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Signature stage over an arbitrary documents frame (static corpus
+    or a streaming micro-batch): (token sets, banded LSH index)."""
     toks = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("tok"))
     tok_rows = toks.select("doc_id", F.explode("tok").alias("tok"))
     hashes = tok_rows.select(
@@ -154,6 +150,15 @@ def _minhash_bands(
         "doc_id", (F.col("k") / _BAND_ROWS).cast("int").alias("band")
     ).agg(F.array_join(F.array_sort(F.collect_list("mh")), "|").alias("bkey"))
     return toks, bands
+
+
+def _minhash_bands(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared signature stage: (token sets, banded LSH index). The
+    `bands` frame IS the storable dedup index — llm_minhash_det
+    self-joins it, llm_incremental_minhash probes it with a batch."""
+    return _minhash_bands_from(load_table(spark, sf_dir, "documents"))
 
 
 def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -279,12 +284,35 @@ def llm_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     their band rows (insert-only, no rebuild)."""
     tune(spark)
     toks, bands = _minhash_bands(spark, sf_dir)
-    inc = bands.filter(F.col("doc_id") % _INCR_MOD == 0)
-    ex = bands.filter(F.col("doc_id") % _INCR_MOD != 0)
+    decisions = _probe_band_index(
+        incoming_docs=load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _INCR_MOD == 0)
+        .select("doc_id"),
+        in_toks=toks.filter(F.col("doc_id") % _INCR_MOD == 0),
+        in_bands=bands.filter(F.col("doc_id") % _INCR_MOD == 0),
+        ex_toks=toks.filter(F.col("doc_id") % _INCR_MOD != 0),
+        ex_bands=bands.filter(F.col("doc_id") % _INCR_MOD != 0),
+    )
+    return decisions.orderBy("doc_id")
+
+
+def _probe_band_index(
+    incoming_docs: DataFrame,
+    in_toks: DataFrame,
+    in_bands: DataFrame,
+    ex_toks: DataFrame,
+    ex_bands: DataFrame,
+) -> DataFrame:
+    """Incremental probe shared by llm_incremental_minhash (batch split)
+    and stream_incremental_neardup (per-micro-batch foreachBatch): join
+    the incoming side's band keys against the stored index, verify with
+    exact Jaccard, emit one decision row per incoming doc. Each doc's
+    decision depends only on itself and the static index, so the probe
+    is embarrassingly parallel across micro-batches."""
     cand = (
-        inc.alias("i")
+        in_bands.alias("i")
         .join(
-            ex.alias("e"),
+            ex_bands.alias("e"),
             (F.col("i.band") == F.col("e.band"))
             & (F.col("i.bkey") == F.col("e.bkey")),
         )
@@ -293,7 +321,7 @@ def llm_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ti, te = toks.alias("ti"), toks.alias("te")
+    ti, te = in_toks.alias("ti"), ex_toks.alias("te")
     inter = F.size(F.array_intersect(F.col("ti.tok"), F.col("te.tok"))).cast(
         "double"
     )
@@ -320,21 +348,16 @@ def llm_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") == 1)
     )
-    incoming_docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % _INCR_MOD == 0
-    ).select("doc_id")
-    return (
-        incoming_docs.join(best, F.col("doc_id") == F.col("in_id"), "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_near_dups"), F.lit(0)).cast("bigint").alias(
-                "n_near_dups"
-            ),
-            F.col("ex_id").alias("best_match_id"),
-            F.round("jac", 6).alias("best_jaccard"),
-            F.col("ex_id").isNull().alias("is_new"),
-        )
-        .orderBy("doc_id")
+    return incoming_docs.join(
+        best, F.col("doc_id") == F.col("in_id"), "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("n_near_dups"), F.lit(0)).cast("bigint").alias(
+            "n_near_dups"
+        ),
+        F.col("ex_id").alias("best_match_id"),
+        F.round("jac", 6).alias("best_jaccard"),
+        F.col("ex_id").isNull().alias("is_new"),
     )
 
 

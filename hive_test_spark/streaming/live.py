@@ -805,3 +805,104 @@ def stream_foreachbatch_multisink(spark: SparkSession, sf_dir: str) -> DataFrame
     return rollup.join(archive, "event_type").select(
         "event_type", "n_rollup", "n_archive", "total_value"
     )
+
+
+def _incremental_neardup_oracle() -> str:
+    from hive_test_spark.llm.pipeline import _INCR_MINHASH_ORACLE
+
+    return _INCR_MINHASH_ORACLE
+
+
+@register("stream_incremental_neardup", _incremental_neardup_oracle())
+def stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dedup ingest tick: each micro-batch of incoming
+    documents probes the STORED MinHash band index via foreachBatch —
+    the live twin of llm_incremental_minhash, which defines the batch
+    semantics this stream must reproduce exactly (same oracle). The
+    existing corpus's (band, band_key) index and token sets are
+    materialized once (localCheckpoint — the stand-in for the persisted
+    index table a production pipeline keeps); the incoming split is
+    landed as three parquet files and read with maxFilesPerTrigger=1,
+    so AvailableNow genuinely runs ≥2 micro-batches (asserted). Each
+    batch computes its own signatures, probes the static index,
+    exact-Jaccard-verifies, and appends per-doc decision rows
+    (n_near_dups, best match, is_new) to the decisions sink keyed by
+    batch_id — idempotent on replay. Correctness hinges on the probe
+    being embarrassingly parallel across batches: a doc's decision
+    depends only on itself and the static index, so batch boundaries
+    cannot change the answer — which is exactly what hash-matching the
+    batch oracle proves.
+
+    At 100 TB: this is the shape that makes near-dedup STREAMABLE — no
+    stream-stream self-join, no unbounded state; the only state is the
+    index table, appended out-of-band as batches are accepted
+    (insert-only, the llm_incremental_minhash freshness note). The
+    foreachBatch write-per-batch_id layout is the exactly-once recipe
+    from stream_foreachbatch_multisink."""
+    from hive_test_spark.io import load_table
+    from hive_test_spark.llm.pipeline import (
+        _INCR_MOD,
+        _minhash_bands_from,
+        _probe_band_index,
+    )
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    ex_toks, ex_bands = _minhash_bands_from(
+        docs.filter(F.col("doc_id") % _INCR_MOD != 0)
+    )
+    ex_toks = ex_toks.localCheckpoint(eager=True)
+    ex_bands = ex_bands.localCheckpoint(eager=True)
+
+    run = uuid.uuid4().hex[:12]
+    src = scratch_dir("stream_docs_src", run)
+    out_dir = scratch_dir("stream_neardup_out", run)
+    ckpt = scratch_dir("ckpt", f"neardup_{run}")
+    (
+        docs.filter(F.col("doc_id") % _INCR_MOD == 0)
+        .select("doc_id", "text")
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    n_batches = {"n": 0}
+
+    def _probe(batch_df: DataFrame, batch_id: int) -> None:
+        in_toks, in_bands = _minhash_bands_from(batch_df)
+        decisions = _probe_band_index(
+            incoming_docs=batch_df.select("doc_id"),
+            in_toks=in_toks,
+            in_bands=in_bands,
+            ex_toks=ex_toks,
+            ex_bands=ex_bands,
+        )
+        decisions.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+        n_batches["n"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    assert n_batches["n"] >= 2, (
+        "maxFilesPerTrigger=1 over 3 files must yield >=2 micro-batches"
+    )
+    return (
+        spark.read.parquet(os.path.join(out_dir, "batch=*"))
+        .orderBy("doc_id")
+    )

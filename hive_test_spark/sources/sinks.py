@@ -1440,3 +1440,84 @@ def meta_show_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(through_rev)
         .orderBy("element")
     )
+
+
+_EXPLAIN_ORACLE = """
+    SELECT * FROM (VALUES
+      ('aggregate_is_two_phase', 'true'),
+      ('broadcast_hash_join', 'true'),
+      ('equality_filter_pushed_to_scan', 'true'),
+      ('n_parquet_scans', '2'),
+      ('orders_scan_pruned_to_one_column', 'true')
+    ) AS t(element, value)
+    ORDER BY element
+"""
+
+
+@register("meta_explain_plan", _EXPLAIN_ORACLE)
+def meta_explain_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLAIN surface [Hive-public: EXPLAIN [EXTENDED|FORMATTED] —
+    the LanguageManual's plan-introspection verb, the tool every
+    warehouse engineer reads before blessing a query]. A canonical
+    fact-dim join (orders ⋈ filtered customer, grouped count) runs
+    through the SQL-text EXPLAIN FORMATTED statement, and the emitted
+    plan is parsed back — JVM-side regexp over the 1-row plan string —
+    into the facts the 100 TB checklist cares about: the selective
+    dim-side predicate reached the parquet scan as a PushedFilter
+    (EqualTo, not just a post-scan Filter), the join planned as a
+    BroadcastHashJoin, the fact scan pruned to exactly its single
+    join column, both scans are parquet, and the aggregate is the
+    two-phase partial/final shape. Each fact is a contract: a Spark
+    upgrade that regresses pushdown or broadcast planning flips a row
+    and fails the hash.
+
+    At 100 TB: EXPLAIN is free (no execution) — this op IS the
+    pre-flight gate pattern: assert plan facts before launching a
+    cluster-scale job; tools/audit_plans.py runs the same checks
+    fleet-wide over the registry."""
+    tune(spark)
+    for t in ("orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"hts_exp_{t}")
+    ex = spark.sql(
+        "EXPLAIN FORMATTED "
+        "SELECT c_mktsegment, COUNT(*) AS n "
+        "FROM hts_exp_orders JOIN hts_exp_customer ON o_custkey = c_custkey "
+        "WHERE c_mktsegment = 'BUILDING' GROUP BY c_mktsegment"
+    )
+    (col,) = ex.columns
+    plan = F.col(col)
+    facts = F.array(
+        F.struct(
+            F.lit("aggregate_is_two_phase").alias("element"),
+            plan.contains("partial_count").cast("string").alias("value"),
+        ),
+        F.struct(
+            F.lit("broadcast_hash_join").alias("element"),
+            plan.contains("BroadcastHashJoin").cast("string").alias("value"),
+        ),
+        F.struct(
+            F.lit("equality_filter_pushed_to_scan").alias("element"),
+            plan.rlike(
+                r"PushedFilters: \[[^\]]*EqualTo\(c_mktsegment,BUILDING\)"
+            ).cast("string").alias("value"),
+        ),
+        F.struct(
+            F.lit("n_parquet_scans").alias("element"),
+            # Count numbered detail headers only — each scan also appears
+            # once more in the indented tree summary.
+            F.regexp_count(plan, F.lit(r"\(\d+\) Scan parquet"))
+            .cast("string")
+            .alias("value"),
+        ),
+        F.struct(
+            F.lit("orders_scan_pruned_to_one_column").alias("element"),
+            plan.contains("ReadSchema: struct<o_custkey:bigint>")
+            .cast("string")
+            .alias("value"),
+        ),
+    )
+    return (
+        ex.select(F.explode(facts).alias("f"))
+        .select("f.element", "f.value")
+        .orderBy("element")
+    )

@@ -224,7 +224,7 @@ def join_specs(draw):
     pair = draw(st.sampled_from(sorted(_JOIN_PAIRS)))
     lk, rk = _JOIN_PAIRS[pair]
     lt, rt = pair
-    how = draw(st.sampled_from(["inner", "left"]))
+    how = draw(st.sampled_from(["inner", "left", "right", "full"]))
 
     def side_pred(table):
         t = TABLES[table]
@@ -251,10 +251,16 @@ def _join_sql(spec) -> str:
     rsub = f"SELECT * FROM {spec['rt']}" + (
         f" WHERE {_pred_sql(spec['rpred'])}" if spec["rpred"] else ""
     )
-    jt = "JOIN" if spec["how"] == "inner" else "LEFT JOIN"
+    jt = {
+        "inner": "JOIN",
+        "left": "LEFT JOIN",
+        "right": "RIGHT JOIN",
+        "full": "FULL OUTER JOIN",
+    }[spec["how"]]
     return (
         f"SELECT {spec['group']}, COUNT(*) AS n_rows, "
         f"COUNT({spec['rnum']}) AS n_right, "
+        f"COUNT(DISTINCT {spec['rnum']}) AS n_right_distinct, "
         f"ROUND(SUM({spec['rnum']}), 6) AS sum_right "
         f"FROM ({lsub}) l {jt} ({rsub}) r ON l.{spec['lk']} = r.{spec['rk']} "
         f"GROUP BY {spec['group']}"
@@ -274,6 +280,7 @@ def _join_df(spark, spec):
     return joined.groupBy(spec["group"]).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count(spec["rnum"]).alias("n_right"),
+        F.countDistinct(spec["rnum"]).alias("n_right_distinct"),
         F.round(F.sum(spec["rnum"]), 6).alias("sum_right"),
     )
 
@@ -287,8 +294,11 @@ def _join_df(spark, spec):
 @given(spec=join_specs())
 def test_random_join_spec_matches_duckdb(spark, duck, spec):
     """Join fuzz: pre-filtered sides (sub-selects, so outer-join null
-    semantics match the DataFrame rendering exactly), inner/left, with
-    COUNT(col) pinning the null-row multiplicity of outer joins."""
+    semantics match the DataFrame rendering exactly), all four join
+    types — right/full exercise NULL GROUPING KEYS (unmatched right
+    rows group under a NULL left category) — with COUNT(col) pinning
+    null-row multiplicity and COUNT(DISTINCT col) pinning the
+    null-excluded distinct path through the Expand plan."""
     spark_pdf = _join_df(spark, spec).toPandas()
     duck_pdf = duck.execute(_join_sql(spec)).df()
     r = compare("fuzz_join", spark_pdf, duck_pdf)

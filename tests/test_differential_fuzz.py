@@ -450,10 +450,18 @@ def _grouping_sql(spec) -> str:
     flags = ", ".join(
         f"CAST(GROUPING({c}) AS INT) AS g_{c}" for c in cols
     )
+    # Dialect trap (found by this fuzzer): over an EMPTY input,
+    # ROLLUP/CUBE/GROUPING SETS containing the () set emit the standard
+    # grand-total row (n=0, SUM NULL) in DuckDB but ZERO rows in Spark
+    # (even though Spark's plain global aggregate does return its 1-row
+    # form). HAVING COUNT(*) > 0 pins the comparison to the semantics
+    # both engines share: it is a no-op whenever the input is non-empty
+    # (every emitted group covers >= 1 row) and drops only the
+    # divergent empty-input grand-total row.
     return (
         f"SELECT {', '.join(cols)}, {flags}, COUNT(*) AS n_rows, "
         f"ROUND(SUM({spec['num']}), 6) AS sum_v "
-        f"FROM {spec['table']}{where} GROUP BY {by}"
+        f"FROM {spec['table']}{where} GROUP BY {by} HAVING COUNT(*) > 0"
     )
 
 

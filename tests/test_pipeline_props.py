@@ -138,3 +138,24 @@ def test_incremental_minhash_consistent_with_full_self_join(spark, registry):
     }
     matched = {r.doc_id for r in inc.collect() if not r.is_new}
     assert incoming_with_dup == matched
+
+
+def test_bpe_train_merge_table_invariants(spark, registry):
+    """llm_bpe_train: the max adjacent-pair count is non-increasing
+    across rounds (a merge only removes occurrences of existing pairs
+    and creates pairs bounded by the merged pair's count), every round
+    merges a distinct token, and each merged token is the concatenation
+    of its parts."""
+    from tests.conftest import SF_DIR
+
+    qs, _ = registry
+    rows = qs["llm_bpe_train"](spark, SF_DIR).collect()
+    assert [r.round for r in rows] == list(range(1, len(rows) + 1))
+    counts = [r.pair_count for r in rows]
+    assert counts == sorted(counts, reverse=True) or all(
+        counts[i] >= counts[i + 1] for i in range(len(counts) - 1)
+    )
+    merged = [r.merged_tok for r in rows]
+    assert len(set(merged)) == len(merged)
+    for r in rows:
+        assert r.merged_tok == r.left_tok + r.right_tok

@@ -3826,3 +3826,121 @@ def evt_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rank"),
     )
     return ranked.filter(F.col("rank") <= _PATH_TOPK).orderBy("rank")
+
+
+# CUPED: days in the pre-experiment covariate window (the rest of the
+# fixture's span is the experiment period).
+_CUPED_PRE_DAYS = 15
+
+
+@register(
+    "evt_ab_cuped",
+    f"""
+    WITH split AS (
+      SELECT CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE)
+             + INTERVAL {_CUPED_PRE_DAYS} DAY AS cutoff
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id,
+             COALESCE(SUM(CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                                    < (SELECT cutoff FROM split)
+                               THEN value END), 0) AS pre_value,
+             COALESCE(SUM(CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                                    >= (SELECT cutoff FROM split)
+                               THEN value END), 0) AS post_value
+      FROM events GROUP BY user_id
+    ),
+    theta AS (
+      SELECT COVAR_SAMP(pre_value, post_value) / VAR_SAMP(pre_value) AS th,
+             AVG(pre_value) AS mu_pre
+      FROM per_user
+    ),
+    adj AS (
+      SELECT u.user_id, u.user_id % 2 AS variant, u.post_value,
+             u.post_value - t.th * (u.pre_value - t.mu_pre) AS adj_value
+      FROM per_user u CROSS JOIN theta t
+    )
+    SELECT variant,
+           COUNT(*) AS n_users,
+           ROUND(AVG(post_value), 4) AS mean_post,
+           ROUND(AVG(adj_value), 4) AS mean_adjusted,
+           ROUND(VAR_SAMP(post_value), 2) AS var_post,
+           ROUND(VAR_SAMP(adj_value), 2) AS var_adjusted,
+           ROUND(1 - VAR_SAMP(adj_value) / VAR_SAMP(post_value), 4)
+             AS var_reduction
+    FROM adj
+    GROUP BY variant
+    ORDER BY variant
+    """,
+)
+def evt_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout [public method: Deng et al.
+    2013's Controlled-experiment Using Pre-Experiment Data — the
+    industry-standard sensitivity boost: regress the experiment metric
+    on its pre-period twin and analyze the residual, shrinking variance
+    by the squared correlation without biasing the treatment effect;
+    the missing member of the repo's experimentation deck beside
+    evt_srm_check, evt_power_analysis, evt_sprt, evt_did and
+    evt_propensity_balance]. The covariate split is DATA-DERIVED
+    (min day + {_CUPED_PRE_DAYS} days — no wall clock); per-user
+    pre/post sums come from ONE conditional-aggregation pass; θ =
+    cov(pre, post)/var(pre) and the pre-mean ride a 1-row broadcast;
+    the readout reports per-variant (deterministic user_id % 2
+    assignment) adjusted means and the realized variance-reduction
+    share.
+
+    At 100 TB: one corpus-scale pass (user-keyed conditional rollup,
+    map-side combinable), one 1-row global aggregate for θ (covar/var
+    are combinable sufficient statistics — the agg_corr_matrix
+    machinery), a broadcast attach, and a |variants|-key rollup.
+    Nothing driver-side, no window at all. The pre-period must be
+    frozen BEFORE assignment in production; the deterministic split
+    here stands in for that freeze."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg(
+        F.date_add(F.to_date(F.min("ts")), _CUPED_PRE_DAYS).alias("cutoff")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(cutoff))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.to_date("ts") < F.col("cutoff"), F.col("value"))),
+                F.lit(0.0),
+            ).alias("pre_value"),
+            F.coalesce(
+                F.sum(F.when(F.to_date("ts") >= F.col("cutoff"), F.col("value"))),
+                F.lit(0.0),
+            ).alias("post_value"),
+        )
+    )
+    theta = per_user.agg(
+        (F.covar_samp("pre_value", "post_value") / F.var_samp("pre_value")).alias(
+            "th"
+        ),
+        F.avg("pre_value").alias("mu_pre"),
+    )
+    adj = per_user.crossJoin(F.broadcast(theta)).select(
+        (F.col("user_id") % 2).alias("variant"),
+        "post_value",
+        (
+            F.col("post_value")
+            - F.col("th") * (F.col("pre_value") - F.col("mu_pre"))
+        ).alias("adj_value"),
+    )
+    return (
+        adj.groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("post_value"), 4).alias("mean_post"),
+            F.round(F.avg("adj_value"), 4).alias("mean_adjusted"),
+            F.round(F.var_samp("post_value"), 2).alias("var_post"),
+            F.round(F.var_samp("adj_value"), 2).alias("var_adjusted"),
+            F.round(
+                F.lit(1) - F.var_samp("adj_value") / F.var_samp("post_value"), 4
+            ).alias("var_reduction"),
+        )
+        .orderBy("variant")
+    )

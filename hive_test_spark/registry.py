@@ -241,7 +241,8 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "meta_show_functions", "sink_export_import", "meta_materialized_view",
     "llm_incremental_minhash", "meta_show_views", "scale_aqe_join_switch",
     "evt_ewma_control_chart", "evt_top_paths", "llm_bpe_train",
-    "stream_incremental_neardup", "meta_explain_plan",
+    "stream_incremental_neardup", "meta_explain_plan", "evt_ab_cuped",
+    "sink_hive_textfile",
 )
 
 

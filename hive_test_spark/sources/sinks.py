@@ -1521,3 +1521,69 @@ def meta_explain_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("f.element", "f.value")
         .orderBy("element")
     )
+
+
+@register(
+    "sink_hive_textfile",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(c_acctbal), 4) AS total_bal,
+           CAST(SUM(LENGTH(c_name)) AS BIGINT) AS name_chars
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def sink_hive_textfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-default TEXTFILE round-trip [Hive-public: STORED AS
+    TEXTFILE with LazySimpleSerDe and its famous Ctrl-A (\\x01) field
+    delimiter — the format every legacy Hive table ever created
+    without a STORED AS clause landed in]. The customer projection is
+    written as \\x01-delimited text through the distributed CSV writer
+    (sep='\\x01', no header, no quoting needed on this charset), then
+    re-read with an EXPLICIT schema — the LazySimpleSerDe contract:
+    text carries no types, the reader's schema declaration is the only
+    truth. The verified aggregate flows through writer AND reader, so
+    a delimiter mangling, a double that fails to round-trip through
+    its decimal string (Spark writes shortest-round-trip reprs), or a
+    type mis-declaration all flip the hash. String lengths are summed
+    too, pinning byte-level field integrity, not just numerics.
+
+    At 100 TB: TEXTFILE is the INTEROP format, not the analytics one —
+    no column pruning, no predicate pushdown, no encoding, whole-row
+    parse on every read (the plan shows a full-width scan, vs the
+    parquet scans' pruned ReadSchema everywhere else in this repo);
+    the round-trip exhibit exists because real migrations must read
+    billions of legacy ^A rows exactly once — straight into parquet —
+    and getting the SerDe contract wrong silently corrupts every
+    downstream join."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    path = scratch_dir("sink", _sf_tag(sf_dir), "customer_textfile")
+    (
+        c.write.mode("overwrite")
+        .option("sep", "\x01")
+        .option("header", False)
+        .csv(path)
+    )
+    back = (
+        spark.read.schema(
+            "c_custkey BIGINT, c_name STRING, c_mktsegment STRING, "
+            "c_acctbal DOUBLE"
+        )
+        .option("sep", "\x01")
+        .option("header", False)
+        .csv(path)
+    )
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+            F.sum(F.length("c_name")).cast("bigint").alias("name_chars"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -1214,3 +1214,192 @@ def test_random_filter_agg_matches_duckdb(spark, duck, spec):
     duck_pdf = duck.execute(_fagg_sql(spec)).df()
     r = compare("fuzz_filter_agg", spark_pdf, duck_pdf)
     assert r["ok"], f"spec={spec}\nsql={_fagg_sql(spec)}\nnotes={r['notes']}"
+
+
+# ---- join + window composition grammar ----------------------------------
+
+# Single-construct grammars cannot catch wiring bugs BETWEEN constructs;
+# this one windows over a join result — including NULL partition keys
+# from unmatched left rows — with the unique orders key as tie-break.
+
+
+@st.composite
+def join_window_specs(draw):
+    how = draw(st.sampled_from(["inner", "left"]))
+    part = draw(st.sampled_from(sorted(TABLES["customer"]["cat"])))
+    rpred = None
+    if draw(st.booleans()):
+        op = draw(st.sampled_from(_NUM_OPS))
+        lit = round(draw(st.floats(0.0, 5000.0, allow_nan=False)), 2)
+        rpred = ("num", "c_acctbal", op, lit)
+    desc = draw(st.booleans())
+    fn = draw(st.sampled_from(["rank", "lag", "running_sum"]))
+    return {"how": how, "part": part, "rpred": rpred, "desc": desc, "fn": fn}
+
+
+def _join_win_sql(spec) -> str:
+    d = "DESC" if spec["desc"] else "ASC"
+    rsub = "SELECT * FROM customer" + (
+        f" WHERE {_pred_sql(spec['rpred'])}" if spec["rpred"] else ""
+    )
+    jt = "JOIN" if spec["how"] == "inner" else "LEFT JOIN"
+    base = (
+        f"SELECT o_orderkey, o_totalprice, {spec['part']} "
+        f"FROM orders o {jt} ({rsub}) c ON o.o_custkey = c.c_custkey"
+    )
+    total = f"ORDER BY o_totalprice {d}, o_orderkey"
+    if spec["fn"] == "rank":
+        wcol = (
+            f"RANK() OVER (PARTITION BY {spec['part']} "
+            f"ORDER BY o_totalprice {d}) AS w_v"
+        )
+    elif spec["fn"] == "lag":
+        wcol = (
+            f"LAG(o_totalprice) OVER (PARTITION BY {spec['part']} {total}) AS w_v"
+        )
+    else:
+        wcol = (
+            f"ROUND(SUM(o_totalprice) OVER (PARTITION BY {spec['part']} {total} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS w_v"
+        )
+    rn = f"ROW_NUMBER() OVER (PARTITION BY {spec['part']} {total})"
+    return (
+        f"SELECT * FROM (SELECT o_orderkey, {spec['part']}, {wcol}, {rn} AS rn "
+        f"FROM ({base}) b) t WHERE rn <= 5"
+    )
+
+
+def _join_win_df(spark, spec):
+    from pyspark.sql import Window
+
+    right = load_table(spark, SF_DIR, "customer")
+    if spec["rpred"]:
+        right = right.filter(_pred_col(spec["rpred"]))
+    base = (
+        load_table(spark, SF_DIR, "orders")
+        .join(
+            right,
+            F.col("o_custkey") == F.col("c_custkey"),
+            spec["how"],
+        )
+        .select("o_orderkey", "o_totalprice", spec["part"])
+    )
+    num = F.col("o_totalprice")
+    o = num.desc() if spec["desc"] else num.asc()
+    total = Window.partitionBy(spec["part"]).orderBy(o, F.col("o_orderkey"))
+    if spec["fn"] == "rank":
+        wcol = F.rank().over(Window.partitionBy(spec["part"]).orderBy(o))
+    elif spec["fn"] == "lag":
+        wcol = F.lag(num).over(total)
+    else:
+        wcol = F.round(
+            F.sum(num).over(
+                total.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            6,
+        )
+    return (
+        base.select(
+            "o_orderkey",
+            spec["part"],
+            wcol.alias("w_v"),
+            F.row_number().over(total).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=join_window_specs())
+def test_random_join_window_matches_duckdb(spark, duck, spec):
+    """Join+window integration fuzz: windows over a join result, with
+    left joins yielding a NULL partition key (all unmatched rows must
+    land in ONE partition in both engines) and the unique orders key
+    as the positional tie-break."""
+    spark_pdf = _join_win_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_join_win_sql(spec)).df()
+    r = compare("fuzz_join_window", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nsql={_join_win_sql(spec)}\nnotes={r['notes']}"
+
+
+# ---- two-level aggregation grammar --------------------------------------
+
+
+@st.composite
+def nested_agg_specs(draw):
+    table = draw(st.sampled_from(sorted(TABLES)))
+    t = TABLES[table]
+    key = draw(st.sampled_from(t["key"]))
+    mod = draw(st.sampled_from([3, 7, 13]))
+    num = draw(st.sampled_from(t["num"]))
+    inner = draw(st.sampled_from(["sum", "count", "max"]))
+    pred = None
+    if draw(st.booleans()):
+        col = draw(st.sampled_from(t["num"]))
+        op = draw(st.sampled_from(_NUM_OPS))
+        lit = round(draw(st.floats(0.0, 100.0, allow_nan=False)), 2)
+        pred = ("num", col, op, lit)
+    return {"table": table, "key": key, "mod": mod, "num": num,
+            "inner": inner, "pred": pred}
+
+
+def _nested_sql(spec) -> str:
+    where = f" WHERE {_pred_sql(spec['pred'])}" if spec["pred"] else ""
+    inner = {
+        "sum": f"SUM({spec['num']})",
+        "count": "COUNT(*)",
+        "max": f"MAX({spec['num']})",
+    }[spec["inner"]]
+    return (
+        f"SELECT COUNT(*) AS n_groups, "
+        f"ROUND(AVG(s), 6) AS avg_s, "
+        f"ROUND(MIN(s), 6) AS min_s, "
+        f"ROUND(MAX(s), 6) AS max_s "
+        f"FROM (SELECT {spec['key']} % {spec['mod']} AS g, "
+        f"CAST({inner} AS DOUBLE) AS s "
+        f"FROM {spec['table']}{where} GROUP BY 1) t"
+    )
+
+
+def _nested_df(spark, spec):
+    df = load_table(spark, SF_DIR, spec["table"])
+    if spec["pred"]:
+        df = df.filter(_pred_col(spec["pred"]))
+    inner = {
+        "sum": F.sum(spec["num"]),
+        "count": F.count(F.lit(1)),
+        "max": F.max(spec["num"]),
+    }[spec["inner"]]
+    grouped = df.groupBy(
+        (F.col(spec["key"]) % spec["mod"]).alias("g")
+    ).agg(inner.cast("double").alias("s"))
+    return grouped.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.round(F.avg("s"), 6).alias("avg_s"),
+        F.round(F.min("s"), 6).alias("min_s"),
+        F.round(F.max("s"), 6).alias("max_s"),
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=nested_agg_specs())
+def test_random_nested_agg_matches_duckdb(spark, duck, spec):
+    """Two-level aggregation fuzz: aggregate-of-aggregate through a
+    subquery (the decorrelation shape) — per-group partials re-rolled
+    globally; an empty filtered input must yield n_groups=0 with NULL
+    outer stats in BOTH engines (plain aggregates, unlike the
+    grouping-sets empty-input divergence this fuzzer pinned)."""
+    spark_pdf = _nested_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_nested_sql(spec)).df()
+    r = compare("fuzz_nested_agg", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nsql={_nested_sql(spec)}\nnotes={r['notes']}"

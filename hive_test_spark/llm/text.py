@@ -1830,3 +1830,99 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merge_rows[1:]:
         out = out.unionByName(m)
     return out.orderBy("round")
+
+
+@register(
+    "llm_heaps_law",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS doc_len FROM d),
+    offs AS (
+      SELECT doc_id,
+             COALESCE(SUM(doc_len) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM lens
+    ),
+    tok AS (
+      SELECT doc_id, i AS pos, t[i] AS token
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM d)
+    ),
+    first_occ AS (
+      SELECT tok.token, MIN(o.off + tok.pos) AS first_pos
+      FROM tok JOIN offs o USING (doc_id)
+      GROUP BY tok.token
+    ),
+    ranked AS (
+      SELECT first_pos,
+             CAST(ROW_NUMBER() OVER (ORDER BY first_pos) AS BIGINT) AS v
+      FROM first_occ
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           (SELECT CAST(SUM(doc_len) AS BIGINT) FROM lens) AS total_tokens,
+           ROUND(REGR_SLOPE(ln(v), ln(first_pos)), 4) AS beta,
+           ROUND(EXP(REGR_INTERCEPT(ln(v), ln(first_pos))), 4) AS k_fit,
+           ROUND(REGR_R2(ln(v), ln(first_pos)), 4) AS r2
+    FROM ranked
+    """,
+)
+def llm_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'/Herdan's-law vocabulary-growth fit [public method: V(N) =
+    K * N^beta, the classic type-token growth law — the capacity-planning
+    complement to llm_zipf_fit (a corpus whose beta drifts up is
+    accumulating novel tokens faster: OCR noise, a new language, or a
+    crawler gone off-domain; also sizes tokenizer vocab ahead of a
+    training run)]. Token stream order is DETERMINISTIC: docs by doc_id,
+    tokens by position; global position = per-doc prefix-sum offset +
+    in-doc position. Each type's FIRST occurrence position is its N
+    coordinate and its first-occurrence rank is its V coordinate — the
+    exact vocabulary-growth curve sampled at every new-type arrival —
+    then one log-log OLS (regr_slope/intercept/r2, identical builtins in
+    both engines) fits (K, beta).
+
+    At 100 TB: the corpus-scale passes are the doc-length rollup and the
+    (token -> min position) rollup, both map-side combinable; the prefix
+    sum and the final rank are windows over the DOC and VOCAB dimensions
+    respectively (the evt_pareto_share trade-off — at petabyte scale,
+    subsample checkpoint docs or shard the prefix-sum by range first).
+    The fit itself is a 1-row reduction of combinable sufficient
+    statistics, like agg_corr_matrix."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    lens = d.select("doc_id", F.size("t").cast("bigint").alias("doc_len"))
+    w_off = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = lens.select(
+        "doc_id", F.coalesce(F.sum("doc_len").over(w_off), F.lit(0)).alias("off")
+    )
+    tok = d.select(
+        "doc_id", F.posexplode("t").alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    first_occ = (
+        tok.join(offs, "doc_id")
+        .groupBy("token")
+        .agg(F.min(F.col("off") + F.col("pos")).alias("first_pos"))
+    )
+    ranked = first_occ.select(
+        "first_pos",
+        F.row_number().over(Window.orderBy("first_pos")).cast("bigint").alias("v"),
+    )
+    total = lens.agg(F.sum("doc_len").cast("bigint").alias("total_tokens"))
+    fit = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.round(F.regr_slope(F.log("v"), F.log("first_pos")), 4).alias("beta"),
+        F.round(
+            F.exp(F.regr_intercept(F.log("v"), F.log("first_pos"))), 4
+        ).alias("k_fit"),
+        F.round(F.regr_r2(F.log("v"), F.log("first_pos")), 4).alias("r2"),
+    )
+    return fit.crossJoin(F.broadcast(total)).select(
+        "vocab_size", "total_tokens", "beta", "k_fit", "r2"
+    )

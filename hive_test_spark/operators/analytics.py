@@ -3944,3 +3944,242 @@ def evt_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative pmf at k = 0..6; a uniform
+# draw beyond the last threshold maps to weight 7). Rendered into BOTH the
+# Spark and the DuckDB CASE expression from this one tuple so the literals
+# are byte-identical and the replicate weights agree by construction.
+_POISSON1_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.919698602928606",
+    "0.9810118431238462",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.9999167588507119",
+)
+_BOOT_REPS = 32
+
+
+def _poisson1_case(u_expr: str) -> str:
+    """CASE text mapping a uniform-[0,1) expression to a Poisson(1) draw."""
+    clauses = " ".join(
+        f"WHEN {u_expr} < {t} THEN {k}" for k, t in enumerate(_POISSON1_CDF)
+    )
+    return f"(CASE {clauses} ELSE 7 END)"
+
+
+# Same md5-derived uniform on (user_id, replicate) in both dialects — the
+# llm_dataset_mix idiom (curation.py): first 8 hex chars = 32 bits.
+_BOOT_U_SPARK = (
+    "(CAST(CONV(SUBSTRING(MD5(CONCAT_WS(':', CAST(user_id AS STRING),"
+    " CAST(rep AS STRING))), 1, 8), 16, 10) AS DOUBLE) / 4294967296.0)"
+)
+_BOOT_U_DUCK = (
+    "(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' ||"
+    " CAST(rep AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0)"
+)
+
+
+@register(
+    "evt_bootstrap_ci",
+    f"""
+    WITH per_user AS (
+      SELECT user_id, SUM(value) AS user_value
+      FROM events GROUP BY user_id
+    ),
+    point AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             AVG(user_value) AS mean_user_value
+      FROM per_user
+    ),
+    weighted AS (
+      SELECT r.rep, u.user_value,
+             {_poisson1_case(_BOOT_U_DUCK)} AS w
+      FROM per_user u
+      CROSS JOIN (SELECT unnest(generate_series(0, {_BOOT_REPS - 1})) AS rep) r
+    ),
+    boot AS (
+      SELECT rep, SUM(w * user_value) / SUM(w) AS est
+      FROM weighted GROUP BY rep
+    ),
+    ci AS (
+      SELECT quantile_cont(est, 0.025) AS ci_lo_raw,
+             quantile_cont(est, 0.975) AS ci_hi_raw,
+             STDDEV_SAMP(est) AS se_raw,
+             CAST(COUNT(*) AS BIGINT) AS n_replicates
+      FROM boot
+    )
+    SELECT p.n_users,
+           ROUND(p.mean_user_value, 4) AS mean_user_value,
+           ROUND(c.ci_lo_raw, 4) AS ci_lo,
+           ROUND(c.ci_hi_raw, 4) AS ci_hi,
+           ROUND(c.se_raw, 4) AS se_boot,
+           c.n_replicates
+    FROM point p CROSS JOIN ci c
+    """,
+)
+def evt_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval [public method: Chamandy et
+    al. 2012, "Estimating uncertainty for massive data streams" — the
+    standard way to put an error bar on a statistic at cluster scale:
+    instead of resampling n rows WITH replacement (which needs global
+    coordination), each unit draws an independent Poisson(1) replicate
+    weight, which converges to multinomial resampling as n grows]. Units
+    are per-user revenue totals; each of {_BOOT_REPS} replicates reweights
+    every user by a DETERMINISTIC md5-derived Poisson(1) draw keyed on
+    (user_id, replicate) — both engines render the same inverse-CDF CASE
+    from one literal table, so weights agree by construction. The readout
+    is the point estimate plus the 2.5/97.5 percentile interval and the
+    bootstrap standard error across replicates.
+
+    At 100 TB: one corpus-scale user-keyed rollup, then the replicate
+    dimension multiplies the USER table (already reduced) by
+    {_BOOT_REPS} — map-side combinable straight to {_BOOT_REPS} rows. No
+    resampling shuffle, no driver-side randomness, rerun-stable. In
+    production the per-(unit, replicate) weights fold into a single pass
+    with an array column; the explicit replicate rows here keep the
+    oracle twin exact."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.sum("value").alias("user_value"))
+    point = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.avg("user_value").alias("mean_user_value"),
+    )
+    weighted = per_user.select(
+        "user_id",
+        "user_value",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_REPS - 1))).alias("rep"),
+    ).select(
+        "user_value",
+        "rep",
+        F.expr(_poisson1_case(_BOOT_U_SPARK)).alias("w"),
+    )
+    boot = weighted.groupBy("rep").agg(
+        (F.sum(F.col("w") * F.col("user_value")) / F.sum("w")).alias("est")
+    )
+    ci = boot.agg(
+        F.expr("percentile(est, 0.025)").alias("ci_lo_raw"),
+        F.expr("percentile(est, 0.975)").alias("ci_hi_raw"),
+        F.stddev_samp("est").alias("se_raw"),
+        F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n_users",
+        F.round("mean_user_value", 4).alias("mean_user_value"),
+        F.round("ci_lo_raw", 4).alias("ci_lo"),
+        F.round("ci_hi_raw", 4).alias("ci_hi"),
+        F.round("se_raw", 4).alias("se_boot"),
+        "n_replicates",
+    )
+
+
+# Asymptotic Kolmogorov p-value Q(lam) = 2·Σ_{k=1..5} (-1)^{k-1}·exp(-2k²lam²),
+# truncated at k=5 (terms beyond are < 1e-40 for any lam the test reports) —
+# one literal expression shared by both engines.
+_KS_P_EXPR = (
+    "LEAST(1.0, GREATEST(0.0, 2 * ("
+    "EXP(-2 * lam * lam) - EXP(-8 * lam * lam) + EXP(-18 * lam * lam)"
+    " - EXP(-32 * lam * lam) + EXP(-50 * lam * lam))))"
+)
+
+
+@register(
+    "evt_ks_test",
+    f"""
+    WITH t AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+      FROM events
+    ),
+    per_v AS (
+      SELECT v, SUM(is_a) AS ca, SUM(1 - is_a) AS cb FROM t GROUP BY v
+    ),
+    tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+      FROM per_v
+    ),
+    cum AS (
+      SELECT SUM(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+             SUM(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+      FROM per_v
+    ),
+    dmax AS (
+      SELECT MAX(ABS(CAST(cum_a AS DOUBLE) / t.na
+                     - CAST(cum_b AS DOUBLE) / t.nb)) AS d
+      FROM cum CROSS JOIN tot t
+    ),
+    lamt AS (
+      SELECT t.na AS n_a, t.nb AS n_b, d.d AS d,
+             SQRT(CAST(t.na AS DOUBLE) * t.nb / (t.na + t.nb)) * d.d AS lam
+      FROM tot t CROSS JOIN dmax d
+    )
+    SELECT n_a, n_b, ROUND(d, 6) AS d_stat, ROUND({_KS_P_EXPR}, 6) AS p_value
+    FROM lamt
+    """,
+)
+def evt_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test [public method: the classic
+    nonparametric whole-distribution comparison — D = sup |ECDF_a −
+    ECDF_b| with the asymptotic Kolmogorov p-value; the
+    distribution-level complement to the repo's mean-level readouts
+    (evt_ab_lift/evt_ab_cuped) and the drift detectors
+    (llm_corpus_drift, evt_cusum_changepoint)]. Cohort A = purchase
+    events' value, cohort B = everything else. The corpus collapses to
+    per-DISTINCT-value counts per cohort; both ECDFs are running sums
+    over that value dimension, D is the max gap, and the p-value is the
+    k≤5-truncated Kolmogorov series rendered from ONE literal expression
+    in both engines (cumulative counts are exact integers, so D agrees
+    exactly; only exp() is engine math, absorbed by round-6).
+
+    At 100 TB: one map-side-combinable rollup to the distinct-value
+    dimension, then windows over THAT dimension only (the
+    evt_pareto_share trade-off: fixture prices are 2-decimal so the
+    dimension is bounded; for a truly continuous metric, pre-bucket to a
+    fixed grid or approx-quantile sketch first — D error is bounded by
+    grid resolution). The totals ride a 1-row broadcast; nothing
+    driver-side."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_a"),
+    )
+    per_v = tagged.groupBy("v").agg(
+        F.sum("is_a").alias("ca"), F.sum(F.lit(1) - F.col("is_a")).alias("cb")
+    )
+    tot = per_v.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per_v.select(
+        F.sum("ca").over(w).alias("cum_a"), F.sum("cb").over(w).alias("cum_b")
+    )
+    dmax = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.abs(
+                F.col("cum_a").cast("double") / F.col("na")
+                - F.col("cum_b").cast("double") / F.col("nb")
+            )
+        ).alias("d")
+    )
+    lamt = tot.crossJoin(F.broadcast(dmax)).select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        "d",
+        (
+            F.sqrt(F.col("na").cast("double") * F.col("nb") / (F.col("na") + F.col("nb")))
+            * F.col("d")
+        ).alias("lam"),
+    )
+    return lamt.select(
+        "n_a",
+        "n_b",
+        F.round("d", 6).alias("d_stat"),
+        F.round(F.expr(_KS_P_EXPR), 6).alias("p_value"),
+    )

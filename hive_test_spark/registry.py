@@ -243,6 +243,8 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "evt_ewma_control_chart", "evt_top_paths", "llm_bpe_train",
     "stream_incremental_neardup", "meta_explain_plan", "evt_ab_cuped",
     "sink_hive_textfile",
+    # Added in round 6 (second wave — scale-statistics deck):
+    "evt_bootstrap_ci", "evt_ks_test", "llm_heaps_law",
 )
 
 

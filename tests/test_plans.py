@@ -1516,3 +1516,42 @@ def test_aqe_demotes_smj_to_broadcast(spark, registry):
     finally:
         for k, v in saved.items():
             spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+
+
+def test_bootstrap_ci_no_resample_shuffle(spark, registry):
+    """evt_bootstrap_ci: the Poisson bootstrap must be weight-based —
+    replicate expansion happens AFTER the user-keyed rollup (explode on
+    the reduced table), weights are JVM-side md5 expressions, and the
+    only joins are the two 1-row broadcast attaches. No cartesian, no
+    Python, no per-row resampling shuffle of the corpus."""
+    f = _facts(spark, registry, "evt_bootstrap_ci")
+    assert f.cartesian == 0
+    assert f.sort_merge_joins == 0
+    assert f.broadcast_joins == 1, "point x ci: one 1-row broadcast attach"
+    assert "Python" not in f.text
+    assert scan_read_columns(f) == [2, 2], "events scans pruned to (user_id, value)"
+
+
+def test_ks_test_value_dimension_windows_only(spark, registry):
+    """evt_ks_test: ECDF windows run over the DISTINCT-VALUE dimension
+    (post-rollup), the totals ride broadcast attaches, and the corpus
+    scans are pruned to the two needed columns."""
+    f = _facts(spark, registry, "evt_ks_test")
+    assert f.cartesian == 0
+    assert f.sort_merge_joins == 0
+    assert f.broadcast_joins == 2, "tot and dmax attach as 1-row broadcasts"
+    assert "Python" not in f.text
+    assert scan_read_columns(f) == [2, 2, 2], "(event_type, value) only"
+
+
+def test_heaps_law_doc_keyed_join_pruned_scans(spark, registry):
+    """llm_heaps_law: the token->offset attach is a doc-keyed equi-join
+    (broadcast: offsets live on the doc dimension), never token×doc; the
+    regression is one combinable aggregate; documents scans prune to
+    (doc_id, text) and the doc-length pass to one column."""
+    f = _facts(spark, registry, "llm_heaps_law")
+    assert f.cartesian == 0
+    assert f.sort_merge_joins == 0
+    assert f.broadcast_joins == 2, "doc-offset join + total-tokens attach"
+    assert "Python" not in f.text
+    assert sorted(scan_read_columns(f)) == [1, 2, 2]

@@ -4183,3 +4183,247 @@ def evt_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("d", 6).alias("d_stat"),
         F.round(F.expr(_KS_P_EXPR), 6).alias("p_value"),
     )
+
+
+# Two-sided normal tail from |z| — Abramowitz & Stegun 26.2.17 (|err| <
+# 7.5e-8), one literal expression shared by both engines (neither Spark
+# SQL nor DuckDB ships erf); expects columns z and tt = 1/(1+0.2316419|z|).
+_NORM_P2_EXPR = (
+    "LEAST(1.0, 2 * (EXP(-ABS(z) * ABS(z) / 2) / 2.5066282746310002) * ("
+    "0.319381530 * tt - 0.356563782 * POWER(tt, 2) + 1.781477937 * POWER(tt, 3)"
+    " - 1.821255978 * POWER(tt, 4) + 1.330274429 * POWER(tt, 5)))"
+)
+
+
+@register(
+    "evt_mann_whitney",
+    f"""
+    WITH t AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+      FROM events
+    ),
+    per_v AS (
+      SELECT v, SUM(is_a) AS ca, SUM(1 - is_a) AS cb,
+             SUM(is_a) + SUM(1 - is_a) AS tie
+      FROM t GROUP BY v
+    ),
+    ranked AS (
+      SELECT ca, tie,
+             COALESCE(SUM(tie) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (tie + 1) / 2.0 AS avg_rank
+      FROM per_v
+    ),
+    s AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na,
+             CAST(SUM(tie - ca) AS BIGINT) AS nb,
+             SUM(ca * avg_rank) AS ra,
+             SUM(CAST(tie AS DOUBLE) * tie * tie - tie) AS tie3
+      FROM ranked
+    ),
+    u AS (
+      SELECT na, nb, ra - na * (na + 1) / 2.0 AS u_a,
+             na * CAST(nb AS DOUBLE) / 2 AS mu,
+             SQRT(na * CAST(nb AS DOUBLE) / 12.0
+                  * ((na + nb + 1)
+                     - tie3 / (CAST(na + nb AS DOUBLE) * (na + nb - 1))))
+               AS sigma
+      FROM s
+    ),
+    zt AS (
+      SELECT na, nb, u_a, (u_a - mu) / sigma AS z FROM u
+    ),
+    ztt AS (
+      SELECT na, nb, u_a, z, 1 / (1 + 0.2316419 * ABS(z)) AS tt FROM zt
+    )
+    SELECT na AS n_a, nb AS n_b, ROUND(u_a, 1) AS u_stat,
+           ROUND(z, 6) AS z_score, ROUND({_NORM_P2_EXPR}, 6) AS p_value
+    FROM ztt
+    """,
+)
+def evt_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test [public method: the
+    nonparametric location test — does one cohort's metric stochastically
+    dominate the other's — robust to the heavy tails that break the
+    t-test on revenue data; the rank-based companion to evt_ks_test's
+    whole-distribution D]. Same cohorts (purchase vs rest). The corpus
+    collapses to per-distinct-value cohort counts; midranks come from
+    the prefix sum over that value dimension ((cum-before) + (ties+1)/2
+    — the textbook tied-rank rule), U from the rank sum, and the normal
+    approximation applies the full tie-corrected variance. The two-sided
+    p-value renders from ONE shared literal (A&S 26.2.17 — neither
+    engine ships erf), so both engines agree by construction. Every
+    accumulated term is an exact multiple of 0.5 far below 2^52, so the
+    rank sum is EXACT in IEEE double regardless of partition order —
+    no summation-order flake by design.
+
+    At 100 TB: identical shape to evt_ks_test — one map-side-combinable
+    rollup to the distinct-value dimension, windows over that dimension
+    only, then a 1-row reduction; pre-bucket a continuous metric to a
+    fixed grid first (midranks within a bucket collapse to the bucket
+    midrank, exactly the tie rule)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_a"),
+    )
+    per_v = tagged.groupBy("v").agg(
+        F.sum("is_a").alias("ca"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("cb"),
+        F.count(F.lit(1)).alias("_n"),
+    ).select("v", "ca", (F.col("ca") + F.col("cb")).alias("tie"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "ca",
+        "tie",
+        (
+            F.coalesce(F.sum("tie").over(w), F.lit(0))
+            + (F.col("tie") + 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    s = ranked.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum(F.col("tie") - F.col("ca")).cast("bigint").alias("nb"),
+        F.sum(F.col("ca") * F.col("avg_rank")).alias("ra"),
+        F.sum(
+            F.col("tie").cast("double") * F.col("tie") * F.col("tie")
+            - F.col("tie")
+        ).alias("tie3"),
+    )
+    u = s.select(
+        "na",
+        "nb",
+        (F.col("ra") - F.col("na") * (F.col("na") + 1) / 2.0).alias("u_a"),
+        (F.col("na") * F.col("nb").cast("double") / 2).alias("mu"),
+        F.sqrt(
+            F.col("na") * F.col("nb").cast("double") / 12.0
+            * (
+                (F.col("na") + F.col("nb") + 1)
+                - F.col("tie3")
+                / (
+                    (F.col("na") + F.col("nb")).cast("double")
+                    * (F.col("na") + F.col("nb") - 1)
+                )
+            )
+        ).alias("sigma"),
+    )
+    zt = u.select(
+        "na", "nb", "u_a", ((F.col("u_a") - F.col("mu")) / F.col("sigma")).alias("z")
+    )
+    ztt = zt.select(
+        "na", "nb", "u_a", "z",
+        (F.lit(1) / (F.lit(1) + 0.2316419 * F.abs("z"))).alias("tt"),
+    )
+    return ztt.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round("u_a", 1).alias("u_stat"),
+        F.round("z", 6).alias("z_score"),
+        F.round(F.expr(_NORM_P2_EXPR), 6).alias("p_value"),
+    )
+
+
+@register(
+    "evt_chi2_cramers",
+    f"""
+    WITH x AS (
+      SELECT event_type,
+             CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                  - DATE '{_DOW_ANCHOR}' AS INT) % 7 AS dow
+      FROM events
+    ),
+    obs AS (
+      SELECT event_type, dow, COUNT(*) AS o FROM x GROUP BY event_type, dow
+    ),
+    rt AS (SELECT event_type, SUM(o) AS r_tot FROM obs GROUP BY event_type),
+    ct AS (SELECT dow, SUM(o) AS c_tot FROM obs GROUP BY dow),
+    n AS (SELECT SUM(o) AS n FROM obs),
+    grid AS (
+      SELECT rt.event_type, ct.dow,
+             COALESCE(obs.o, 0) AS o,
+             rt.r_tot * CAST(ct.c_tot AS DOUBLE) / n.n AS e
+      FROM rt CROSS JOIN ct CROSS JOIN n
+      LEFT JOIN obs ON obs.event_type = rt.event_type AND obs.dow = ct.dow
+    ),
+    stat AS (
+      SELECT SUM((o - e) * (o - e) / e) AS chi2,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS r_levels,
+             CAST(COUNT(DISTINCT dow) AS BIGINT) AS c_levels
+      FROM grid
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM n) AS n,
+           r_levels, c_levels,
+           ROUND(chi2, 4) AS chi2,
+           (r_levels - 1) * (c_levels - 1) AS dof,
+           ROUND(SQRT(chi2 / ((SELECT n FROM n)
+                              * LEAST(r_levels - 1, c_levels - 1))), 6)
+             AS cramers_v
+    FROM stat
+    """,
+)
+def evt_chi2_cramers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence + Cramér's V [public method: the
+    contingency-table workhorse — is event mix independent of day of
+    week — with the effect size (V) that stays comparable across table
+    sizes; the categorical companion to evt_anova_dow's continuous
+    readout]. The corpus collapses once to (event_type, dow) counts
+    (dow via the repo's days-since-anchor convention); the COMPLETE
+    r×c grid rebuilds from the two marginals (zero cells still
+    contribute their expectation — the llm_corpus_drift grid trick);
+    chi2, dof and V are a 1-row reduction. No p-value by design: the
+    chi-square CDF needs the regularized incomplete gamma, which
+    neither engine ships — chi2 vs dof and V are the decision-grade
+    numbers (V > 0.1 = weak association, > 0.3 = moderate).
+
+    At 100 TB: one map-side-combinable rollup to a ≤|event_types|×7
+    key, then everything lives on that bounded grid — broadcast
+    marginal cross joins, audited intentional, never corpus×corpus.
+    Scan prunes to two columns; scan-bound like evt_heatmap_dow_hour."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type",
+        (F.datediff(F.to_date("ts"), F.to_date(F.lit(_DOW_ANCHOR))) % 7).alias(
+            "dow"
+        ),
+    )
+    obs = x.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("r_tot"))
+    ct = obs.groupBy("dow").agg(F.sum("o").alias("c_tot"))
+    n = obs.agg(F.sum("o").alias("n"))
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(n))
+        .join(obs, ["event_type", "dow"], "left")
+        .select(
+            "event_type",
+            "dow",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            (F.col("r_tot") * F.col("c_tot").cast("double") / F.col("n")).alias(
+                "e"
+            ),
+        )
+    )
+    stat = grid.agg(
+        F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")).alias(
+            "chi2"
+        ),
+        F.countDistinct("event_type").cast("bigint").alias("r_levels"),
+        F.countDistinct("dow").cast("bigint").alias("c_levels"),
+    )
+    return stat.crossJoin(F.broadcast(n)).select(
+        F.col("n").cast("bigint").alias("n"),
+        "r_levels",
+        "c_levels",
+        F.round("chi2", 4).alias("chi2"),
+        ((F.col("r_levels") - 1) * (F.col("c_levels") - 1)).alias("dof"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * F.least(F.col("r_levels") - 1, F.col("c_levels") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

@@ -388,3 +388,80 @@ def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "outlier_share",
         )
     )
+
+
+# The warehouse FK graph, one row per edge: (edge label, child table,
+# child key, parent table, parent key). Both the Spark plan and the
+# DuckDB oracle are GENERATED from this one tuple, so the audit can never
+# silently cover different edges in the two engines.
+_FK_EDGES: tuple[tuple[str, str, str, str, str], ...] = (
+    ("customer.c_nationkey->nation.n_nationkey",
+     "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem.l_orderkey->orders.o_orderkey",
+     "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part.p_partkey",
+     "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey",
+     "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation.n_regionkey->region.r_regionkey",
+     "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders.o_custkey->customer.c_custkey",
+     "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation.n_nationkey",
+     "supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+_REFERENTIAL_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{edge}' AS edge,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}
+             WHERE {ck} IS NOT NULL) AS n_child,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {child} c
+             WHERE c.{ck} IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM {parent} p
+                                WHERE p.{pk} = c.{ck})) AS n_orphans
+    """
+    for edge, child, ck, parent, pk in _FK_EDGES
+) + "\nORDER BY edge"
+
+
+@register("dq_referential", _REFERENTIAL_ORACLE)
+def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the whole warehouse FK graph
+    [public practice: the orphan scan every ingest gate runs — a fact
+    row whose dimension key resolves nowhere silently vanishes from
+    every inner join downstream, so the audit must run BEFORE the
+    marts; completes the dq_* deck beside dq_audit (column profiles),
+    dq_constraints (row predicates) and dq_freshness]. One row per FK
+    edge: non-null child keys and the count of orphans (left-anti to
+    the parent). Both engines generate their plans from the SAME edge
+    table, so coverage cannot drift.
+
+    At 100 TB: each edge is a key-projected anti join — dim-sized
+    parents broadcast (5 of 7 edges); the two fact-to-fact edges
+    (lineitem->orders/part) shuffle on the key, which AQE skew-splits
+    if one hot key dominates. Child scans prune to the single key
+    column; counts are map-side-combinable. The audit is embarrassingly
+    parallel across edges (independent subtrees under one union)."""
+    tune(spark)
+    per_edge = []
+    for edge, child, ck, parent, pk in _FK_EDGES:
+        ckeys = (
+            load_table(spark, sf_dir, child)
+            .select(F.col(ck).alias("k"))
+            .filter(F.col("k").isNotNull())
+        )
+        pkeys = load_table(spark, sf_dir, parent).select(F.col(pk).alias("k"))
+        n_child = ckeys.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
+        n_orph = ckeys.join(pkeys, "k", "left_anti").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orphans")
+        )
+        per_edge.append(
+            n_child.crossJoin(F.broadcast(n_orph)).select(
+                F.lit(edge).alias("edge"), "n_child", "n_orphans"
+            )
+        )
+    out = per_edge[0]
+    for e in per_edge[1:]:
+        out = out.unionByName(e)
+    return out.orderBy("edge")

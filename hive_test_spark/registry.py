@@ -245,6 +245,7 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "sink_hive_textfile",
     # Added in round 6 (second wave — scale-statistics deck):
     "evt_bootstrap_ci", "evt_ks_test", "llm_heaps_law",
+    "evt_mann_whitney", "evt_chi2_cramers", "dq_referential",
 )
 
 

@@ -1555,3 +1555,36 @@ def test_heaps_law_doc_keyed_join_pruned_scans(spark, registry):
     assert f.broadcast_joins == 2, "doc-offset join + total-tokens attach"
     assert "Python" not in f.text
     assert sorted(scan_read_columns(f)) == [1, 2, 2]
+
+
+def test_mann_whitney_value_dimension_only(spark, registry):
+    """evt_mann_whitney: like the KS twin — one rollup to the
+    distinct-value dimension, midrank window over that dimension, no
+    joins at all (the whole statistic is one reduction chain)."""
+    f = _facts(spark, registry, "evt_mann_whitney")
+    assert f.cartesian == 0
+    assert f.sort_merge_joins == 0 and f.broadcast_joins == 0
+    assert "Python" not in f.text
+    assert scan_read_columns(f) == [2], "(event_type, value) only"
+
+
+def test_chi2_grid_is_marginal_broadcasts(spark, registry):
+    """evt_chi2_cramers: the complete r×c grid builds from broadcast
+    marginal cross joins on the bounded contingency dimension — never
+    corpus×corpus; scans prune to (event_type, ts)."""
+    f = _facts(spark, registry, "evt_chi2_cramers")
+    assert f.cartesian == 0
+    assert f.sort_merge_joins == 0
+    assert f.broadcast_joins >= 3, "ct, n and the final attach ride broadcasts"
+    assert "Python" not in f.text
+    assert set(scan_read_columns(f)) == {2}
+
+
+def test_referential_audit_key_projected_anti_joins(spark, registry):
+    """dq_referential: every edge is a key-projected anti join — all
+    child/parent scans read EXACTLY ONE column, and no edge falls back
+    to a cartesian."""
+    f = _facts(spark, registry, "dq_referential")
+    assert f.cartesian == 0
+    assert set(scan_read_columns(f)) == {1}, "key columns only on every scan"
+    assert "Python" not in f.text

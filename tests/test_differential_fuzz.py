@@ -1403,3 +1403,98 @@ def test_random_nested_agg_matches_duckdb(spark, duck, spec):
     duck_pdf = duck.execute(_nested_sql(spec)).df()
     r = compare("fuzz_nested_agg", spark_pdf, duck_pdf)
     assert r["ok"], f"spec={spec}\nsql={_nested_sql(spec)}\nnotes={r['notes']}"
+
+
+# ---- RANGE-frame grammar -------------------------------------------------
+#
+# Value-based RANGE frames with numeric offsets — the companion to the
+# ROWS grammar above, covering the OTHER frame mode: membership is
+# decided by ORDER-COLUMN VALUE DISTANCE, not row position, so ties land
+# in or out of a frame together and offset arithmetic (plus its DESC
+# inversion) is a cross-engine agreement surface the ROWS grammar never
+# touches. Order is by the numeric column alone (no tie-break needed:
+# the aggregates used are order-insensitive and RANGE frames are
+# tie-stable by definition).
+
+_RANGE_LOS = ["unbounded", -50, -10, -1, 0]
+_RANGE_HIS = [0, 1, 10, 50, "unbounded"]
+
+
+@st.composite
+def range_frame_specs(draw):
+    table = draw(st.sampled_from(sorted(_WIN_TABLES)))
+    t = TABLES[table]
+    part = draw(st.sampled_from(sorted(t["cat"])))
+    num = draw(st.sampled_from(t["num"]))
+    desc = draw(st.booleans())
+    fn = draw(st.sampled_from(_FRAME_FNS))
+    lo = draw(st.sampled_from(_RANGE_LOS))
+    hi = draw(st.sampled_from(_RANGE_HIS))
+    return {"table": table, "key": _WIN_TABLES[table], "part": part,
+            "num": num, "desc": desc, "fn": fn, "lo": lo, "hi": hi}
+
+
+def _range_sql(spec) -> str:
+    d = "DESC" if spec["desc"] else "ASC"
+    order = f"ORDER BY {spec['num']} {d}"
+    frame = (
+        f"RANGE BETWEEN {_bound_sql(spec['lo'], 'lo')} "
+        f"AND {_bound_sql(spec['hi'], 'hi')}"
+    )
+    agg = f"{spec['fn'].upper()}({spec['num']})"
+    val = f"{agg} OVER (PARTITION BY {spec['part']} {order} {frame})"
+    if spec["fn"] == "count":
+        val = f"CAST({val} AS BIGINT)"
+    else:
+        val = f"ROUND({val}, 6)"
+    rn = (
+        f"ROW_NUMBER() OVER (PARTITION BY {spec['part']} "
+        f"ORDER BY {spec['num']} {d}, {spec['key']})"
+    )
+    return (
+        f"SELECT * FROM (SELECT {spec['key']}, {spec['part']}, {val} AS frame_v, "
+        f"{rn} AS rn FROM {spec['table']}) t WHERE rn <= 5"
+    )
+
+
+def _range_df(spark, spec):
+    from pyspark.sql import Window
+
+    num = F.col(spec["num"])
+    ordered = num.desc() if spec["desc"] else num.asc()
+    w = Window.partitionBy(spec["part"]).orderBy(ordered)
+    lo = Window.unboundedPreceding if spec["lo"] == "unbounded" else spec["lo"]
+    hi = Window.unboundedFollowing if spec["hi"] == "unbounded" else spec["hi"]
+    framed = w.rangeBetween(lo, hi)
+    fns = {"sum": F.sum, "min": F.min, "max": F.max, "count": F.count, "avg": F.avg}
+    val = fns[spec["fn"]](num).over(framed)
+    val = val.cast("bigint") if spec["fn"] == "count" else F.round(val, 6)
+    rnw = Window.partitionBy(spec["part"]).orderBy(ordered, F.col(spec["key"]))
+    df = load_table(spark, SF_DIR, spec["table"])
+    return (
+        df.select(
+            F.col(spec["key"]),
+            F.col(spec["part"]),
+            val.alias("frame_v"),
+            F.row_number().over(rnw).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=range_frame_specs())
+def test_random_range_frame_matches_duckdb(spark, duck, spec):
+    """RANGE-frame fuzz: random value-distance bound pairs on a numeric
+    order — empty frames, pure-lookahead frames, DESC offset inversion —
+    with order-insensitive aggregates so ties cannot flake. Top-5 rows
+    per partition (by a tie-broken rank) bound the diff."""
+    spark_pdf = _range_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_range_sql(spec)).df()
+    r = compare("fuzz_range_frame", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nsql={_range_sql(spec)}\nnotes={r['notes']}"

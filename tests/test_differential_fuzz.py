@@ -1498,3 +1498,105 @@ def test_random_range_frame_matches_duckdb(spark, duck, spec):
     duck_pdf = duck.execute(_range_sql(spec)).df()
     r = compare("fuzz_range_frame", spark_pdf, duck_pdf)
     assert r["ok"], f"spec={spec}\nsql={_range_sql(spec)}\nnotes={r['notes']}"
+
+
+# ---- date-arithmetic grammar ---------------------------------------------
+#
+# Random shift -> extract/trunc/diff chains over o_orderdate — the
+# calendar-semantics surface (month-end clamping, ISO week numbering,
+# year boundaries) where engines classically diverge. Uses only the
+# construct pairs fn_date already pins (add_months <-> k * INTERVAL 1
+# MONTH, datediff <-> date_diff('day', ...), shared date_trunc /
+# last_day / weekofyear); dayofweek is deliberately excluded — the
+# engines' conventions differ, and the repo's days-since-anchor idiom
+# (evt_heatmap_dow_hour) is the pinned alternative. Output is the
+# distribution GROUP BY derived value, so row counts stay bounded by
+# value cardinality whatever the chain.
+
+_DATE_SHIFTS = [
+    ("none", 0), ("days", -31), ("days", 1), ("days", 31),
+    ("months", -13), ("months", 1), ("months", 13), ("last_day", 0),
+]
+_DATE_OUTS = [
+    ("extract", "year"), ("extract", "quarter"), ("extract", "month"),
+    ("extract", "day"), ("extract", "weekofyear"),
+    ("trunc", "year"), ("trunc", "quarter"), ("trunc", "month"),
+    ("trunc", "week"),
+    ("diff", "1995-06-15"),
+]
+
+
+@st.composite
+def date_specs(draw):
+    shift = draw(st.sampled_from(range(len(_DATE_SHIFTS))))
+    out = draw(st.sampled_from(range(len(_DATE_OUTS))))
+    return {"shift": shift, "out": out}
+
+
+def _date_sql(spec) -> str:
+    kind, k = _DATE_SHIFTS[spec["shift"]]
+    x = "CAST(o_orderdate AS DATE)"
+    if kind == "days":
+        x = f"CAST({x} + ({k}) * INTERVAL 1 DAY AS DATE)"
+    elif kind == "months":
+        x = f"CAST({x} + ({k}) * INTERVAL 1 MONTH AS DATE)"
+    elif kind == "last_day":
+        x = f"last_day({x})"
+    mode, arg = _DATE_OUTS[spec["out"]]
+    if mode == "extract":
+        val = f"CAST({arg}({x}) AS INT)"
+    elif mode == "trunc":
+        val = f"CAST(CAST(date_trunc('{arg}', {x}) AS DATE) AS VARCHAR)"
+    else:
+        val = f"CAST(date_diff('day', DATE '{arg}', {x}) AS INT)"
+    return (
+        f"SELECT {val} AS dval, COUNT(*) AS n FROM orders "
+        f"GROUP BY dval ORDER BY dval"
+    )
+
+
+def _date_df(spark, spec):
+    kind, k = _DATE_SHIFTS[spec["shift"]]
+    x = F.col("o_orderdate").cast("date")
+    if kind == "days":
+        x = F.date_add(x, k)
+    elif kind == "months":
+        x = F.add_months(x, k)
+    elif kind == "last_day":
+        x = F.last_day(x)
+    mode, arg = _DATE_OUTS[spec["out"]]
+    if mode == "extract":
+        fns = {
+            "year": F.year, "quarter": F.quarter, "month": F.month,
+            "day": F.dayofmonth, "weekofyear": F.weekofyear,
+        }
+        val = fns[arg](x).cast("int")
+    elif mode == "trunc":
+        val = F.date_trunc(arg, x).cast("date").cast("string")
+    else:
+        val = F.datediff(x, F.lit(arg).cast("date")).cast("int")
+    df = load_table(spark, SF_DIR, "orders")
+    return (
+        df.select(val.alias("dval"))
+        .groupBy("dval")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("dval")
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=date_specs())
+def test_random_date_chain_matches_duckdb(spark, duck, spec):
+    """Calendar fuzz: every (shift, readout) pair over real order dates —
+    month-end clamping under ±13-month shifts, ISO week numbers at year
+    boundaries, truncation-then-render — compared as full value
+    distributions (GROUP BY derived), not samples."""
+    spark_pdf = _date_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_date_sql(spec)).df()
+    r = compare("fuzz_date", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nsql={_date_sql(spec)}\nnotes={r['notes']}"

@@ -1600,3 +1600,82 @@ def test_random_date_chain_matches_duckdb(spark, duck, spec):
     duck_pdf = duck.execute(_date_sql(spec)).df()
     r = compare("fuzz_date", spark_pdf, duck_pdf)
     assert r["ok"], f"spec={spec}\nsql={_date_sql(spec)}\nnotes={r['notes']}"
+
+
+# ---- null-ordering pagination grammar -------------------------------------
+#
+# Random ORDER BY ... NULLS FIRST/LAST ... LIMIT/OFFSET pages over a
+# derived nullable key. The compare itself is order-insensitive, so the
+# page makes ordering observable: WHICH rows survive the LIMIT/OFFSET
+# window is decided entirely by the null placement and sort directions —
+# the exact surface where engine defaults diverge (Spark ASC = NULLS
+# FIRST, DuckDB ASC = NULLS LAST), which is why every rendering spells
+# the placement explicitly, matching the repo's explicit-nulls-ordering
+# convention (sort_order_by, operators/sorts.py). The key chain ends in
+# unique o_orderkey, so the total order — and therefore the page — is
+# deterministic in both engines.
+
+_NULL_BASES = [("num", "o_totalprice"), ("str", "o_orderpriority")]
+_NULL_DIRS = [
+    ("ASC", "FIRST"), ("ASC", "LAST"), ("DESC", "FIRST"), ("DESC", "LAST"),
+]
+
+
+@st.composite
+def null_order_specs(draw):
+    return {
+        "base": draw(st.sampled_from(range(len(_NULL_BASES)))),
+        "mod": draw(st.integers(2, 6)),
+        "rem": draw(st.integers(0, 1)),
+        "dir1": draw(st.sampled_from(range(len(_NULL_DIRS)))),
+        "dir2": draw(st.sampled_from(["ASC", "DESC"])),
+        "limit": draw(st.sampled_from([25, 100, 400])),
+        "offset": draw(st.sampled_from([0, 0, 10, 75])),
+    }
+
+
+def _null_order_sql(spec) -> str:
+    _, base = _NULL_BASES[spec["base"]]
+    d1, n1 = _NULL_DIRS[spec["dir1"]]
+    nk = f"CASE WHEN o_custkey % {spec['mod']} = {spec['rem']} THEN NULL ELSE {base} END"
+    return (
+        f"SELECT o_orderkey AS k, {nk} AS nk FROM orders "
+        f"ORDER BY nk {d1} NULLS {n1}, o_custkey {spec['dir2']}, o_orderkey "
+        f"LIMIT {spec['limit']} OFFSET {spec['offset']}"
+    )
+
+
+def _null_order_df(spark, spec):
+    _, base = _NULL_BASES[spec["base"]]
+    d1, n1 = _NULL_DIRS[spec["dir1"]]
+    nk = F.when(
+        F.col("o_custkey") % spec["mod"] == spec["rem"], F.lit(None)
+    ).otherwise(F.col(base))
+    key1 = getattr(F.col("nk"), f"{d1.lower()}_nulls_{n1.lower()}")()
+    key2 = F.col("o_custkey").asc() if spec["dir2"] == "ASC" else F.col("o_custkey").desc()
+    df = load_table(spark, SF_DIR, "orders")
+    return (
+        df.select(F.col("o_orderkey").alias("k"), nk.alias("nk"), "o_custkey")
+        .orderBy(key1, key2, F.col("k").asc())
+        .offset(spec["offset"])
+        .limit(spec["limit"])
+        .select("k", "nk")
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=null_order_specs())
+def test_random_null_order_page_matches_duckdb(spark, duck, spec):
+    """Null-placement fuzz: every (direction, NULLS FIRST/LAST) pair over
+    numeric and string nullable keys, read back through LIMIT/OFFSET
+    pages — the page contents only match if both engines agree on where
+    the NULLs sort and on the multi-key total order."""
+    spark_pdf = _null_order_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_null_order_sql(spec)).df()
+    r = compare("fuzz_null_order", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nsql={_null_order_sql(spec)}\nnotes={r['notes']}"

@@ -1527,13 +1527,13 @@ _DATE_OUTS = [
 
 
 @st.composite
-def date_specs(draw):
+def date_chain_specs(draw):
     shift = draw(st.sampled_from(range(len(_DATE_SHIFTS))))
     out = draw(st.sampled_from(range(len(_DATE_OUTS))))
     return {"shift": shift, "out": out}
 
 
-def _date_sql(spec) -> str:
+def _date_chain_sql(spec) -> str:
     kind, k = _DATE_SHIFTS[spec["shift"]]
     x = "CAST(o_orderdate AS DATE)"
     if kind == "days":
@@ -1555,7 +1555,7 @@ def _date_sql(spec) -> str:
     )
 
 
-def _date_df(spark, spec):
+def _date_chain_df(spark, spec):
     kind, k = _DATE_SHIFTS[spec["shift"]]
     x = F.col("o_orderdate").cast("date")
     if kind == "days":
@@ -1590,16 +1590,16 @@ def _date_df(spark, spec):
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(spec=date_specs())
+@given(spec=date_chain_specs())
 def test_random_date_chain_matches_duckdb(spark, duck, spec):
     """Calendar fuzz: every (shift, readout) pair over real order dates —
     month-end clamping under ±13-month shifts, ISO week numbers at year
     boundaries, truncation-then-render — compared as full value
     distributions (GROUP BY derived), not samples."""
-    spark_pdf = _date_df(spark, spec).toPandas()
-    duck_pdf = duck.execute(_date_sql(spec)).df()
+    spark_pdf = _date_chain_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_date_chain_sql(spec)).df()
     r = compare("fuzz_date", spark_pdf, duck_pdf)
-    assert r["ok"], f"spec={spec}\nsql={_date_sql(spec)}\nnotes={r['notes']}"
+    assert r["ok"], f"spec={spec}\nsql={_date_chain_sql(spec)}\nnotes={r['notes']}"
 
 
 # ---- null-ordering pagination grammar -------------------------------------

@@ -1446,3 +1446,102 @@ def llm_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(frac, 6).alias("bad_frac"),
         (frac <= F.lit(_BADWORD_MAX_FRAC)).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level exact dedup with reassembly (C4-style cleaning rewrite)
+# ---------------------------------------------------------------------------
+
+# Segment width in whitespace tokens. Real corpora segment on paragraph /
+# three-sentence boundaries (C4, Raffel et al. 2020); this fixture's text
+# is an unpunctuated token stream, so segments are fixed 5-token windows —
+# the boundary rule is one line, the dataflow is identical.
+_PARA_W = 5
+
+
+@register(
+    "llm_paragraph_dedup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, k AS pos,
+             array_to_string(
+               list_slice(t, k * {_PARA_W} + 1, k * {_PARA_W} + {_PARA_W}), ' '
+             ) AS seg
+      FROM (
+        SELECT doc_id, t,
+               unnest(generate_series(0, (len(t) - 1) // {_PARA_W})) AS k
+        FROM toks
+      )
+    ),
+    ranked AS (
+      SELECT doc_id, pos, seg,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+      FROM segs
+    ),
+    kept AS (SELECT doc_id, pos, seg FROM ranked WHERE rn = 1),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(seg, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id)
+    SELECT t.doc_id, t.n_segs,
+           COALESCE(a.n_kept, 0) AS n_kept,
+           COALESCE(a.clean_text, '') AS clean_text
+    FROM tot t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def llm_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup REWRITE (C4's repeated-span removal):
+    segment every document into fixed token windows, keep only the
+    globally FIRST occurrence of each distinct segment (ordered by
+    (doc_id, pos) — first-writer-wins, the C4 rule), and reassemble each
+    document's surviving segments in order into `clean_text`. Unlike
+    `llm_span_dedup` (a per-doc dup-fraction REPORT), this produces the
+    cleaned corpus itself.
+
+    Dataflow: segment (narrow posexplode) → first-owner via
+    groupBy(seg).min(struct(doc_id, pos)) — map-side combinable, strictly
+    cheaper than the window-rank formulation — → equi-join back on seg →
+    reassemble via groupBy(doc_id) + array_sort(collect_list). Two
+    segment-keyed shuffles and one doc-keyed shuffle; never doc×doc. At
+    100 TB: key the ownership agg/join on xxhash64(seg) (fixed 8 bytes,
+    not span text — the llm_span_dedup discipline), and the reassembly
+    state per doc is bounded by doc length, so AQE-sized doc_id
+    partitions stream. Determinism is total: (doc_id, pos) is a total
+    order, so re-running on the same snapshot yields byte-identical
+    clean_text (the checkpoint-stability requirement in the module
+    docstring)."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    segs = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(t) - 1) div {_PARA_W}),"
+                f" k -> array_join(slice(t, k * {_PARA_W} + 1, {_PARA_W}), ' '))"
+            )
+        ).alias("pos", "seg"),
+    )
+    own = segs.groupBy("seg").agg(F.min(F.struct("doc_id", "pos")).alias("o"))
+    kept = segs.join(own, "seg").filter(
+        (F.col("doc_id") == F.col("o.doc_id")) & (F.col("pos") == F.col("o.pos"))
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, seg))),"
+            " x -> x.seg), ' ')"
+        ).alias("clean_text"),
+    )
+    tot = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segs"))
+    return tot.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_segs",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

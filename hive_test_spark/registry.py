@@ -246,6 +246,8 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     # Added in round 6 (second wave — scale-statistics deck):
     "evt_bootstrap_ci", "evt_ks_test", "llm_heaps_law",
     "evt_mann_whitney", "evt_chi2_cramers", "dq_referential",
+    # Added in round 6 (third wave — curation rewrite ops):
+    "llm_paragraph_dedup",
 )
 
 

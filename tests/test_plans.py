@@ -388,6 +388,15 @@ def test_span_dedup_gram_keyed_no_cartesian(spark, registry):
     assert f.cartesian == 0
 
 
+def test_paragraph_dedup_segment_keyed_no_cartesian(spark, registry):
+    """The C4-style rewrite must stay segment-keyed: ownership is a
+    groupBy(seg) agg joined back on seg, reassembly a doc_id agg —
+    doc×doc or a cartesian over segments is the N² failure at 100 TB."""
+    f = _facts(spark, registry, "llm_paragraph_dedup")
+    assert f.cartesian == 0
+    assert f.sort_merge_joins + f.broadcast_joins >= 1  # seg join is an equi-join
+
+
 def test_domain_cap_single_window_shuffle(spark, registry):
     f = _facts(spark, registry, "llm_domain_cap")
     assert f.exchanges == 1

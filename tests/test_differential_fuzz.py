@@ -1679,3 +1679,93 @@ def test_random_null_order_page_matches_duckdb(spark, duck, spec):
     duck_pdf = duck.execute(_null_order_sql(spec)).df()
     r = compare("fuzz_null_order", spark_pdf, duck_pdf)
     assert r["ok"], f"spec={spec}\nsql={_null_order_sql(spec)}\nnotes={r['notes']}"
+
+
+# ---- decimal-arithmetic grammar -------------------------------------------
+#
+# Random +/-/* chains over DECIMAL columns DERIVED FROM INTEGER KEYS
+# (cast int -> decimal is exact in both engines), so every intermediate
+# value is exact and any mismatch is a genuine type-propagation bug —
+# precision/scale promotion, overflow-to-null, or silent scale loss —
+# not a rounding-mode artifact (binary doubles cast to decimal round
+# HALF_UP in Spark but HALF_EVEN in DuckDB; this grammar avoids that
+# surface by construction, the same reason fn_decimal pins its inputs).
+# The final CAST(... AS DECIMAL(38,6)) is widening-only; the readout is
+# CAST(SUM(...) AS DOUBLE) — the repo's fn_decimal convention — because
+# Spark decimals surface in pandas as object(Decimal) while DuckDB gives
+# float64, the exact dtype hazard the driver canonicalizer rejects.
+
+_DEC_LITS = ["1.07", "0.93", "2.50", "11.11"]
+
+
+@st.composite
+def decimal_specs(draw):
+    ops = []
+    mul_budget = 2  # bound scale growth: 3+3+2+2 digits max -> well under 38
+    for _ in range(draw(st.integers(1, 3))):
+        kind = draw(st.sampled_from(["add_lit", "sub_lit", "mul_lit", "mul_col", "add_col"]))
+        if kind in ("mul_lit", "mul_col"):
+            if not mul_budget:
+                kind = "add_lit"
+            else:
+                mul_budget -= 1
+        lit = draw(st.sampled_from(_DEC_LITS))
+        col = draw(st.sampled_from(["l_partkey", "l_suppkey"]))
+        mod = draw(st.integers(7, 997))
+        ops.append((kind, lit, col, mod))
+    return {"ops": ops, "base_mod": draw(st.integers(100, 9999))}
+
+
+def _dec_term(col, mod) -> str:
+    return f"CAST(({col} % {mod}) AS DECIMAL(12,3))"
+
+
+def _dec_chain(spec) -> str:
+    e = _dec_term("l_orderkey", spec["base_mod"])
+    for kind, lit, col, mod in spec["ops"]:
+        if kind == "add_lit":
+            e = f"({e} + CAST({lit} AS DECIMAL(6,2)))"
+        elif kind == "sub_lit":
+            e = f"({e} - CAST({lit} AS DECIMAL(6,2)))"
+        elif kind == "mul_lit":
+            e = f"({e} * CAST({lit} AS DECIMAL(6,2)))"
+        elif kind == "mul_col":
+            e = f"({e} * {_dec_term(col, mod)})"
+        else:
+            e = f"({e} + {_dec_term(col, mod)})"
+    return f"CAST({e} AS DECIMAL(38,6))"
+
+
+def _decimal_sql(spec) -> str:
+    e = _dec_chain(spec)
+    return (
+        f"SELECT l_returnflag, CAST(CAST(SUM({e}) AS DECIMAL(38,6)) AS DOUBLE) AS s, "
+        f"COUNT(*) AS n FROM lineitem GROUP BY l_returnflag"
+    )
+
+
+def _decimal_df(spark, spec):
+    e = _dec_chain(spec)
+    df = load_table(spark, SF_DIR, "lineitem")
+    return df.groupBy("l_returnflag").agg(
+        F.expr(f"CAST(CAST(SUM({e}) AS DECIMAL(38,6)) AS DOUBLE)").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=decimal_specs())
+def test_random_decimal_chain_matches_duckdb(spark, duck, spec):
+    """Decimal-propagation fuzz: exact integer-derived DECIMAL chains
+    summed per group must agree to the last digit — catching
+    precision/scale promotion drift, overflow-to-null, and scale loss
+    across the +/-/* surface, with rounding excluded by construction."""
+    spark_pdf = _decimal_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_decimal_sql(spec)).df()
+    r = compare("fuzz_decimal", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nsql={_decimal_sql(spec)}\nnotes={r['notes']}"

@@ -1769,3 +1769,87 @@ def test_random_decimal_chain_matches_duckdb(spark, duck, spec):
     duck_pdf = duck.execute(_decimal_sql(spec)).df()
     r = compare("fuzz_decimal", spark_pdf, duck_pdf)
     assert r["ok"], f"spec={spec}\nsql={_decimal_sql(spec)}\nnotes={r['notes']}"
+
+
+# ---- LIKE / regex predicate grammar ---------------------------------------
+#
+# Random LIKE/ILIKE patterns (built from %, _, and corpus-vocabulary
+# fragments) and regexes restricted to the Java-regex ∩ RE2 common
+# subset (literals, ., anchors, classes, alternation, greedy
+# quantifiers — no lookaround, no backrefs), evaluated as a full
+# per-corpus match partition (GROUP BY the predicate value) so every row
+# participates: count drift on either side of the boolean is a match-
+# semantics divergence. Spark rlike(pattern) pairs with DuckDB
+# regexp_matches(text, pattern) — partial-match semantics in both.
+
+_LIKE_FRAGS = ["spark", "scan", "join", "key", "ur", "a", "e", "bat"]
+_RX_PIECES = ["[aeiou]", "(sp|sc)", "key.", "a+", "b.t", "jo?in", "s.*k"]
+
+
+@st.composite
+def pattern_specs(draw):
+    mode = draw(st.sampled_from(["like", "ilike", "not_like", "rx", "rx_anchor"]))
+    if mode in ("like", "ilike", "not_like"):
+        frags = draw(st.lists(st.sampled_from(_LIKE_FRAGS), min_size=1, max_size=3))
+        seps = [draw(st.sampled_from(["%", "_", "%_%"])) for _ in frags]
+        pat = "%" + "".join(f + s for f, s in zip(frags, seps))
+        if mode == "ilike":
+            pat = pat.upper()
+        return {"mode": mode, "pat": pat}
+    pieces = draw(st.lists(st.sampled_from(_RX_PIECES), min_size=1, max_size=2))
+    pat = ".*".join(pieces)
+    if mode == "rx_anchor":
+        pat = draw(st.sampled_from(["^the ", "^", ""])) + pat + draw(st.sampled_from(["$", ""]))
+    return {"mode": mode, "pat": pat}
+
+
+def _pattern_pred_sql(spec) -> str:
+    p = spec["pat"].replace("'", "''")
+    if spec["mode"] == "like":
+        return f"text LIKE '{p}'"
+    if spec["mode"] == "ilike":
+        return f"text ILIKE '{p}'"
+    if spec["mode"] == "not_like":
+        return f"text NOT LIKE '{p}'"
+    return f"regexp_matches(text, '{p}')"
+
+
+def _pattern_sql(spec) -> str:
+    return (
+        f"SELECT {_pattern_pred_sql(spec)} AS m, COUNT(*) AS n,"
+        f" MIN(doc_id) AS first_doc FROM documents GROUP BY m"
+    )
+
+
+def _pattern_df(spark, spec):
+    c = F.col("text")
+    if spec["mode"] == "like":
+        pred = c.like(spec["pat"])
+    elif spec["mode"] == "ilike":
+        pred = c.ilike(spec["pat"])
+    elif spec["mode"] == "not_like":
+        pred = ~c.like(spec["pat"])
+    else:
+        pred = c.rlike(spec["pat"])
+    df = load_table(spark, SF_DIR, "documents")
+    return df.groupBy(pred.alias("m")).agg(
+        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("first_doc")
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=pattern_specs())
+def test_random_pattern_pred_matches_duckdb(spark, duck, spec):
+    """Pattern-matching fuzz: LIKE/ILIKE/NOT LIKE wildcards and
+    common-subset regexes must partition the corpus identically —
+    wildcard greediness, case folding, and partial-vs-full-match
+    semantics all surface as count drift on the boolean."""
+    spark_pdf = _pattern_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_pattern_sql(spec)).df()
+    r = compare("fuzz_pattern", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nsql={_pattern_sql(spec)}\nnotes={r['notes']}"

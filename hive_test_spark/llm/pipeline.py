@@ -308,7 +308,15 @@ def _probe_band_index(
     the incoming side's band keys against the stored index, verify with
     exact Jaccard, emit one decision row per incoming doc. Each doc's
     decision depends only on itself and the static index, so the probe
-    is embarrassingly parallel across micro-batches."""
+    is embarrassingly parallel across micro-batches.
+
+    Join strategy: ONLY the incoming batch's token table is broadcast —
+    it is bounded by batch size, the thing a probe controls. The
+    index-side token join must shuffle on doc_id: the index is
+    corpus-sized, and a broadcast hint there would materialize every
+    stored doc's token set in memory on every probe tick (caught in
+    round-6 review; hints bypass the size threshold, so at scale that
+    is an OOM, not a fallback)."""
     cand = (
         in_bands.alias("i")
         .join(
@@ -329,7 +337,7 @@ def _probe_band_index(
     jac = inter / union
     ver = (
         cand.join(F.broadcast(ti), F.col("in_id") == F.col("ti.doc_id"))
-        .join(F.broadcast(te), F.col("ex_id") == F.col("te.doc_id"))
+        .join(te, F.col("ex_id") == F.col("te.doc_id"))
         .filter(jac >= _MINHASH_VERIFY_TAU)
         .select("in_id", "ex_id", jac.alias("jac"))
     )

@@ -3661,10 +3661,9 @@ _EWMA_L = 3.0
     ),
     ew AS (
       SELECT t.day, t.t, t.n, t.center, t.sd,
-             SUM(i.n * CASE WHEN i.t = 1
-                            THEN power(1 - {_EWMA_LAMBDA}, t.t - 1)
-                            ELSE {_EWMA_LAMBDA} * power(1 - {_EWMA_LAMBDA}, t.t - i.t)
-                       END) AS ewma
+             t.center * power(1 - {_EWMA_LAMBDA}, t.t)
+             + SUM(i.n * {_EWMA_LAMBDA}
+                   * power(1 - {_EWMA_LAMBDA}, t.t - i.t)) AS ewma
       FROM idx t JOIN idx i ON i.t <= t.t
       GROUP BY t.day, t.t, t.n, t.center, t.sd
     )
@@ -3694,12 +3693,16 @@ def evt_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     charts miss — the ops-monitoring complement to the sharp-jump
     detector (evt_cusum_changepoint) and the robust outlier screen
     (evt_anomaly_mad)]. The recursion ewma_t = λ·n_t + (1−λ)·ewma_{{t−1}}
-    is evaluated in CLOSED FORM — ewma_t = Σ_{{i≤t}} w(t,i)·n_i with
-    w = λ(1−λ)^(t−i) (init term (1−λ)^(t−1)·n_1) — as a triangular
-    self-join over the DAY dimension, so no sequential loop exists
-    anywhere. Control limits use the exact finite-horizon variance
-    inflation factor (1−(1−λ)^{{2t}}), which is what makes early points
-    tighter. The out-of-control flag compares ROUNDED ewma against
+    with the textbook initialization z₀ = center (Montgomery's chart:
+    start at the process mean) is evaluated in CLOSED FORM —
+    ewma_t = center·(1−λ)^t + λ·Σ_{{i≤t}} (1−λ)^(t−i)·n_i — as a
+    triangular self-join over the DAY dimension, so no sequential loop
+    exists anywhere. z₀ = center is what makes the finite-horizon
+    variance inflation factor (1−(1−λ)^{{2t}}) in the limits EXACT
+    (an x₁-initialized chart has Var(z₁) = σ², which these tighter
+    early limits would over-flag at ~37% — caught in round-6 review);
+    early points get proportionally tighter limits and the statistic
+    to match. The out-of-control flag compares ROUNDED ewma against
     ROUNDED limits so both engines decide boundaries identically (the
     evt_benford lesson).
 
@@ -3726,9 +3729,7 @@ def evt_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t_, i_ = idx.alias("t"), idx.alias("i")
     lam = _EWMA_LAMBDA
-    weight = F.when(
-        F.col("i.t") == 1, F.pow(F.lit(1 - lam), F.col("t.t") - 1)
-    ).otherwise(F.lit(lam) * F.pow(F.lit(1 - lam), F.col("t.t") - F.col("i.t")))
+    weight = F.lit(lam) * F.pow(F.lit(1 - lam), F.col("t.t") - F.col("i.t"))
     ew = (
         t_.join(i_, F.col("i.t") <= F.col("t.t"))
         .groupBy(
@@ -3738,7 +3739,11 @@ def evt_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t.center").alias("center"),
             F.col("t.sd").alias("sd"),
         )
-        .agg(F.sum(F.col("i.n") * weight).alias("ewma"))
+        .agg(F.sum(F.col("i.n") * weight).alias("wsum"))
+        .withColumn(
+            "ewma",
+            F.col("center") * F.pow(F.lit(1 - lam), F.col("t")) + F.col("wsum"),
+        )
     )
     infl = F.sqrt(
         F.lit(lam / (2 - lam))
@@ -4271,9 +4276,8 @@ def evt_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_v = tagged.groupBy("v").agg(
         F.sum("is_a").alias("ca"),
-        F.sum(F.lit(1) - F.col("is_a")).alias("cb"),
-        F.count(F.lit(1)).alias("_n"),
-    ).select("v", "ca", (F.col("ca") + F.col("cb")).alias("tie"))
+        F.count(F.lit(1)).alias("tie"),
+    ).select("v", "ca", "tie")
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
     ranked = per_v.select(
         "ca",

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from hive_test_spark.io import scratch_dir, table_path
+from hive_test_spark.llm.pipeline import _INCR_MINHASH_ORACLE
 from hive_test_spark.registry import register
 from hive_test_spark.session import tune
 
@@ -807,13 +808,7 @@ def stream_foreachbatch_multisink(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def _incremental_neardup_oracle() -> str:
-    from hive_test_spark.llm.pipeline import _INCR_MINHASH_ORACLE
-
-    return _INCR_MINHASH_ORACLE
-
-
-@register("stream_incremental_neardup", _incremental_neardup_oracle())
+@register("stream_incremental_neardup", _INCR_MINHASH_ORACLE)
 def stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dedup ingest tick: each micro-batch of incoming
     documents probes the STORED MinHash band index via foreachBatch —

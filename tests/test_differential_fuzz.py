@@ -1853,3 +1853,82 @@ def test_random_pattern_pred_matches_duckdb(spark, duck, spec):
     duck_pdf = duck.execute(_pattern_sql(spec)).df()
     r = compare("fuzz_pattern", spark_pdf, duck_pdf)
     assert r["ok"], f"spec={spec}\nsql={_pattern_sql(spec)}\nnotes={r['notes']}"
+
+
+# ---- ordered-aggregation grammar ------------------------------------------
+#
+# Random ordered string_agg / arg-extremum readouts — the repo's core
+# determinism idiom (array_sort(collect_list(struct(k, v))) on the
+# Spark side vs ORDER BY inside the aggregate in DuckDB, min_by/max_by
+# vs arg_min/arg_max). Every hand-written oracle that concatenates or
+# picks-by-order leans on this equivalence; the grammar fuzzes it across
+# random value derivations, directions, and separators with a UNIQUE
+# order key (o_orderkey), so any disagreement is an idiom bug, not a
+# tie-break ambiguity.
+
+@st.composite
+def ordered_agg_specs(draw):
+    return {
+        "mod": draw(st.integers(7, 9999)),
+        "desc": draw(st.booleans()),
+        "sep": draw(st.sampled_from([",", "|", " ", ";"])),
+        "pred_mod": draw(st.sampled_from([0, 2, 3, 7])),  # 0 = no filter
+    }
+
+
+def _ordered_agg_sql(spec) -> str:
+    v = f"CAST(o_orderkey % {spec['mod']} AS VARCHAR)"
+    d = "DESC" if spec["desc"] else "ASC"
+    where = (
+        f" WHERE o_custkey % {spec['pred_mod']} = 1" if spec["pred_mod"] else ""
+    )
+    return (
+        f"SELECT o_orderstatus,"
+        f" string_agg({v}, '{spec['sep']}' ORDER BY o_orderkey {d}) AS cat,"
+        f" arg_min({v}, o_orderkey) AS first_v,"
+        f" arg_max({v}, o_orderkey) AS last_v,"
+        f" COUNT(*) AS n"
+        f" FROM orders{where} GROUP BY o_orderstatus"
+    )
+
+
+def _ordered_agg_df(spark, spec):
+    df = load_table(spark, SF_DIR, "orders")
+    if spec["pred_mod"]:
+        df = df.filter(F.col("o_custkey") % spec["pred_mod"] == 1)
+    v = (F.col("o_orderkey") % spec["mod"]).cast("string")
+    pairs = F.array_sort(
+        F.collect_list(F.struct(F.col("o_orderkey").alias("k"), v.alias("v")))
+    )
+    if spec["desc"]:
+        pairs = F.reverse(pairs)
+    cat = F.array_join(F.expr("transform(_pairs, x -> x.v)"), spec["sep"])
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            pairs.alias("_pairs"),
+            F.min_by(v, "o_orderkey").alias("first_v"),
+            F.max_by(v, "o_orderkey").alias("last_v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("o_orderstatus", cat.alias("cat"), "first_v", "last_v", "n")
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=ordered_agg_specs())
+def test_random_ordered_agg_matches_duckdb(spark, duck, spec):
+    """Ordered-aggregation fuzz: the array_sort(collect_list(struct))
+    idiom must reproduce DuckDB's ORDER BY-inside-aggregate exactly
+    (byte-identical concatenations both directions), and min_by/max_by
+    must pair with arg_min/arg_max — under random value derivations and
+    filters, with a unique order key so ties cannot mask drift."""
+    spark_pdf = _ordered_agg_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_ordered_agg_sql(spec)).df()
+    r = compare("fuzz_ordered_agg", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nsql={_ordered_agg_sql(spec)}\nnotes={r['notes']}"

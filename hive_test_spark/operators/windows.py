@@ -464,3 +464,49 @@ def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                      RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
         """
     )
+
+
+@register(
+    "win_count_distinct_over",
+    """
+    SELECT event_id, user_id,
+           count(DISTINCT event_type) OVER w AS n_distinct_types,
+           count(*) OVER w AS n_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_count_distinct_over(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count over a window — `COUNT(DISTINCT x) OVER w`,
+    the HiveQL ask Spark's window engine rejects outright
+    [Spark-public: DISTINCT_WINDOW_FUNCTION_UNSUPPORTED]. The
+    Spark-first re-expression is size(collect_set(x) OVER w): the set
+    dedups inside the frame, size reads its cardinality, and the
+    (ts, event_id) tiebreak makes every prefix — hence every count —
+    deterministic (the repo-wide convention). The oracle runs the real
+    DISTINCT window aggregate, so the workaround is verified against
+    the genuine semantics, not against itself.
+
+    At 100 TB: one shuffle on user_id, then a per-partition ordered
+    sweep; collect_set state is bounded by |event_type| (small domain),
+    NOT frame length, so the growing UNBOUNDED PRECEDING frame carries
+    O(|domain|) state per row. For high-cardinality x (e.g. distinct
+    URLs per user), swap the exact set for an approx sketch column
+    (agg_sketch_distinct's HLL union over a self-joined prefix) — the
+    exact set is the right call only when the domain is bounded."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).cast("long").alias(
+            "n_distinct_types"
+        ),
+        F.count(F.lit(1)).over(w).alias("n_events"),
+    )

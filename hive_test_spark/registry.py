@@ -247,7 +247,7 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "evt_bootstrap_ci", "evt_ks_test", "llm_heaps_law",
     "evt_mann_whitney", "evt_chi2_cramers", "dq_referential",
     # Added in round 6 (third wave — curation rewrite ops):
-    "llm_paragraph_dedup",
+    "llm_paragraph_dedup", "win_count_distinct_over",
 )
 
 

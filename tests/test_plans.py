@@ -388,6 +388,15 @@ def test_span_dedup_gram_keyed_no_cartesian(spark, registry):
     assert f.cartesian == 0
 
 
+def test_count_distinct_over_single_user_shuffle(spark, registry):
+    """The collect_set-over-window workaround must cost exactly one
+    user_id exchange — a join- or expand-based rewrite would betray the
+    per-partition sweep the 100 TB story depends on."""
+    f = _facts(spark, registry, "win_count_distinct_over")
+    assert f.exchanges == 1
+    assert f.cartesian == 0
+
+
 def test_paragraph_dedup_segment_keyed_no_cartesian(spark, registry):
     """The C4-style rewrite must stay segment-keyed: ownership is a
     groupBy(seg) agg joined back on seg, reassembly a doc_id agg —

@@ -260,8 +260,6 @@ def evt_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     event log by user_id and this becomes shuffle-free), then a tiny
     (|event_types|^2)-row aggregate; the probability window runs on that
     matrix, not on the raw events. Deterministic tie-break on event_id."""
-    from pyspark.sql import Window
-
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -371,8 +369,7 @@ def evt_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT o_custkey, recency_days, frequency, monetary,
              NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r_score,
-             NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
-             NTILE(5) OVER (ORDER BY ROUND(monetary, 4), o_custkey) AS m_score
+             NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f_score
       FROM base
     )
     SELECT r_score, f_score,
@@ -424,9 +421,6 @@ def evt_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.col("recency_days").desc(), "o_custkey"))
         .alias("r_score"),
         F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.round("monetary", 4), "o_custkey"))
-        .alias("m_score"),
     )
     seg = (
         F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
@@ -542,9 +536,9 @@ def evt_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(conv_b * 1.0 / n_b, 6) AS rate_b,
            ROUND(conv_b * 1.0 / n_b - conv_a * 1.0 / n_a, 6) AS abs_lift,
            ROUND((conv_b * 1.0 / n_b - conv_a * 1.0 / n_a)
-                 / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                 / NULLIF(sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
                         * (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
-                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+                        * (1.0 / n_a + 1.0 / n_b)), 0), 6) AS z_score
     FROM wide
     """,
 )
@@ -599,7 +593,6 @@ def evt_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rate_a = F.col("conv_a") / F.col("n_a")
     rate_b = F.col("conv_b") / F.col("n_b")
-    pooled = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
     return wide.select(
         "event_type",
         "n_a",
@@ -609,9 +602,17 @@ def evt_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate_a, 6).alias("rate_a"),
         F.round(rate_b, 6).alias("rate_b"),
         F.round(rate_b - rate_a, 6).alias("abs_lift"),
+        # NULLIF-guarded denominator: a 0% or 100% pooled rate zeroes the
+        # sd, where Spark yields NULL but DuckDB IEEE-divides to NaN/inf
+        # (the evt_survival ln(0) divergence class) — both engines must
+        # agree on NULL by construction.
         F.round(
             (rate_b - rate_a)
-            / F.sqrt(pooled * (1 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))),
+            / F.expr(
+                "NULLIF(sqrt(((conv_a + conv_b) / (n_a + n_b))"
+                " * (1 - (conv_a + conv_b) / (n_a + n_b))"
+                " * (1.0 / n_a + 1.0 / n_b)), 0)"
+            ),
             6,
         ).alias("z_score"),
     )
@@ -722,7 +723,13 @@ def evt_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     textbook replacement for a per-day 7-day re-scan."""
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
-    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    # ud feeds four branches (coverage, dau, both date bounds):
+    # checkpoint once, scan the corpus once.
+    ud = (
+        ev.select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     cover = ud.select(
         "user_id",
         F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
@@ -997,8 +1004,6 @@ def evt_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     hold in mind whenever a 'pipeline' is really a linear dataflow —
     fuse first, checkpoint only where reuse is real (llm_pipeline_e2e's
     docstring makes the same argument for the curation chain)."""
-    from pyspark.sql import Window
-
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1215,7 +1220,9 @@ def evt_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-alphabet rule as evt_path_topk's |types|³ rollup."""
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
-    tu = ev.select("event_type", "user_id").distinct()
+    # tu feeds three branches (tot + both join sides): checkpoint once,
+    # scan the corpus once (the evt_market_basket convention).
+    tu = ev.select("event_type", "user_id").distinct().localCheckpoint(eager=True)
     tot = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     a = tu.alias("a")
     b = tu.alias("b")
@@ -3127,7 +3134,6 @@ def evt_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("from_type").alias("state"),
         F.round(F.lit(1.0) / F.col("n_states"), 8).alias("pi"),
     )
-    prev = pi
     for _ in range(_STAT_ITERS):
         prev = pi
         pi = (
@@ -3765,17 +3771,35 @@ def evt_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Path analysis: n-step window and report depth.
 _PATH_STEPS = 3
 _PATH_TOPK = 10
+# Session boundary for path stitching: 30-min inactivity gap, in epoch
+# microseconds (exact-integer gap math in both engines).
+_PATH_GAP_US = 30 * 60 * 1_000_000
 
 
 @register(
     "evt_top_paths",
     f"""
-    WITH seq AS (
-      SELECT user_id, event_type,
-             LEAD(event_type, 1) OVER w AS nxt1,
-             LEAD(event_type, 2) OVER w AS nxt2
+    WITH flagged AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - epoch_us(LAG(CAST(ts AS TIMESTAMP)) OVER w)
+                       > {_PATH_GAP_US} THEN 1 ELSE 0 END AS brk
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_type, ts, event_id,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM flagged
+    ),
+    seq AS (
+      SELECT event_type,
+             LEAD(event_type, 1) OVER w2 AS nxt1,
+             LEAD(event_type, 2) OVER w2 AS nxt2
+      FROM sess
+      WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY ts, event_id)
     ),
     paths AS (
       SELECT event_type || ' > ' || nxt1 || ' > ' || nxt2 AS path
@@ -3793,31 +3817,48 @@ _PATH_TOPK = 10
     """,
 )
 def evt_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top event paths [public method: n-step path/flow analysis — the
-    product-analytics staple behind Sankey funnels: which {_PATH_STEPS}-step
-    journeys dominate; the free-form complement to the fixed-order
-    evt_funnel_steps and the transition-matrix view in
-    evt_markov_stationary]. Per user, events order by the repo's
-    (ts, event_id) deterministic tiebreak; LEAD stitches each event to
-    its next two, forming every consecutive {_PATH_STEPS}-gram; the
-    grams roll up globally and the top {_PATH_TOPK} report with a
-    (count, path) deterministic rank.
+    """Top SESSION-BOUNDED event paths [public method: n-step path/flow
+    analysis — the product-analytics staple behind Sankey funnels:
+    which {_PATH_STEPS}-step journeys dominate]. Unlike evt_path_topk
+    (which stitches a user's whole history), paths here break at
+    {_PATH_GAP_US // 60_000_000}-minute inactivity gaps — the
+    win_sessionize_batch rule composed BEFORE the LEAD, so a
+    Friday-night exit never chains into Monday's first click (the
+    difference that matters for funnel reading). Gap math runs on
+    epoch MICROseconds (Spark unix_micros == DuckDB epoch_us, exact
+    integers) so second-truncation cannot diverge the break flag; all
+    windows share the repo's (ts, event_id) deterministic tiebreak.
 
-    At 100 TB: one user-keyed shuffle for the LEAD window (per-user
-    history, bounded), then the gram rollup is map-side combinable on
-    the PATH key whose cardinality is |event_types|^{_PATH_STEPS} —
-    bounded and tiny relative to the corpus; the final top-k is a
+    At 100 TB: the session index reuses the SAME user_id exchange as
+    the LEAD window (one shuffle serves lag, running-sum, and both
+    LEADs — partitionBy(user_id, sid) is a prefix refinement); the
+    gram rollup is map-side combinable on a key bounded by
+    |event_types|^{_PATH_STEPS}, and the final top-k is a
     single-partition window over that bounded dimension (the
-    evt_pareto_share trade-off). Longer paths or within-session-only
-    stitching compose with win_sessionize_batch's gap rule before the
-    LEAD."""
+    evt_pareto_share trade-off)."""
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    sess = ev.select(
+        "user_id",
         "event_type",
-        F.lead("event_type", 1).over(w).alias("nxt1"),
-        F.lead("event_type", 2).over(w).alias("nxt2"),
+        "ts",
+        "event_id",
+        F.when(gap_us > _PATH_GAP_US, 1).otherwise(0).alias("brk"),
+    ).select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum("brk").over(w_run).alias("sid"),
+    )
+    w2 = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    seq = sess.select(
+        "event_type",
+        F.lead("event_type", 1).over(w2).alias("nxt1"),
+        F.lead("event_type", 2).over(w2).alias("nxt2"),
     ).filter(F.col("nxt1").isNotNull() & F.col("nxt2").isNotNull())
     counted = seq.groupBy(
         F.concat_ws(" > ", "event_type", "nxt1", "nxt2").alias("path")
@@ -3857,7 +3898,8 @@ _CUPED_PRE_DAYS = 15
       FROM events GROUP BY user_id
     ),
     theta AS (
-      SELECT COVAR_SAMP(pre_value, post_value) / VAR_SAMP(pre_value) AS th,
+      SELECT COVAR_SAMP(pre_value, post_value)
+               / NULLIF(VAR_SAMP(pre_value), 0) AS th,
              AVG(pre_value) AS mu_pre
       FROM per_user
     ),
@@ -3872,7 +3914,7 @@ _CUPED_PRE_DAYS = 15
            ROUND(AVG(adj_value), 4) AS mean_adjusted,
            ROUND(VAR_SAMP(post_value), 2) AS var_post,
            ROUND(VAR_SAMP(adj_value), 2) AS var_adjusted,
-           ROUND(1 - VAR_SAMP(adj_value) / VAR_SAMP(post_value), 4)
+           ROUND(1 - VAR_SAMP(adj_value) / NULLIF(VAR_SAMP(post_value), 0), 4)
              AS var_reduction
     FROM adj
     GROUP BY variant
@@ -3920,11 +3962,18 @@ def evt_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0.0),
             ).alias("post_value"),
         )
+        # feeds theta AND the adjusted readout: checkpoint so the
+        # docstring's "one corpus-scale pass" is literally true.
+        .localCheckpoint(eager=True)
     )
+    # NULLIF guard: a degenerate pre-period (all-equal pre sums) zeroes
+    # var_samp, where Spark divides to NULL but DuckDB IEEE-divides to
+    # NaN/inf — both engines must agree on NULL by construction.
     theta = per_user.agg(
-        (F.covar_samp("pre_value", "post_value") / F.var_samp("pre_value")).alias(
-            "th"
-        ),
+        (
+            F.covar_samp("pre_value", "post_value")
+            / F.expr("NULLIF(var_samp(pre_value), 0)")
+        ).alias("th"),
         F.avg("pre_value").alias("mu_pre"),
     )
     adj = per_user.crossJoin(F.broadcast(theta)).select(
@@ -3944,7 +3993,10 @@ def evt_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.var_samp("post_value"), 2).alias("var_post"),
             F.round(F.var_samp("adj_value"), 2).alias("var_adjusted"),
             F.round(
-                F.lit(1) - F.var_samp("adj_value") / F.var_samp("post_value"), 4
+                F.lit(1)
+                - F.var_samp("adj_value")
+                / F.expr("NULLIF(var_samp(post_value), 0)"),
+                4,
             ).alias("var_reduction"),
         )
         .orderBy("variant")
@@ -4114,8 +4166,8 @@ _KS_P_EXPR = (
       FROM per_v
     ),
     dmax AS (
-      SELECT MAX(ABS(CAST(cum_a AS DOUBLE) / t.na
-                     - CAST(cum_b AS DOUBLE) / t.nb)) AS d
+      SELECT MAX(ABS(CAST(cum_a AS DOUBLE) / NULLIF(t.na, 0)
+                     - CAST(cum_b AS DOUBLE) / NULLIF(t.nb, 0))) AS d
       FROM cum CROSS JOIN tot t
     ),
     lamt AS (
@@ -4165,11 +4217,14 @@ def evt_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = per_v.select(
         F.sum("ca").over(w).alias("cum_a"), F.sum("cb").over(w).alias("cum_b")
     )
+    # NULLIF guard on the cohort sizes: an empty cohort makes Spark's
+    # division NULL but DuckDB's IEEE double division inf — the
+    # evt_survival divergence class; both must agree on NULL.
     dmax = cum.crossJoin(F.broadcast(tot)).agg(
         F.max(
             F.abs(
-                F.col("cum_a").cast("double") / F.col("na")
-                - F.col("cum_b").cast("double") / F.col("nb")
+                F.col("cum_a").cast("double") / F.expr("NULLIF(na, 0)")
+                - F.col("cum_b").cast("double") / F.expr("NULLIF(nb, 0)")
             )
         ).alias("d")
     )
@@ -4237,7 +4292,7 @@ _NORM_P2_EXPR = (
       FROM s
     ),
     zt AS (
-      SELECT na, nb, u_a, (u_a - mu) / sigma AS z FROM u
+      SELECT na, nb, u_a, (u_a - mu) / NULLIF(sigma, 0) AS z FROM u
     ),
     ztt AS (
       SELECT na, nb, u_a, z, 1 / (1 + 0.2316419 * ABS(z)) AS tt FROM zt
@@ -4313,8 +4368,13 @@ def evt_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sigma"),
     )
+    # NULLIF guard: sigma = 0 (empty arm or a fully-tied sample) must be
+    # NULL in both engines, not DuckDB's IEEE NaN/inf.
     zt = u.select(
-        "na", "nb", "u_a", ((F.col("u_a") - F.col("mu")) / F.col("sigma")).alias("z")
+        "na",
+        "nb",
+        "u_a",
+        ((F.col("u_a") - F.col("mu")) / F.expr("NULLIF(sigma, 0)")).alias("z"),
     )
     ztt = zt.select(
         "na", "nb", "u_a", "z",

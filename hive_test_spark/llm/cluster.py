@@ -246,13 +246,13 @@ _PQ_ORACLE = f"""
 def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization trainer + encoder [public method: Jégou et
     al. 2011's PQ — the compression layer of every large ANN index
-    (FAISS IVF-PQ): split each vector into M={PQ_M} subspaces, learn a
+    (FAISS IVF-PQ): split each vector into M=8 subspaces, learn a
     tiny k-means codebook per subspace, store each vector as M small
     codes]. The trainer runs the llm_kmeans_lloyd recipe per subspace
     (deterministic vec_id%k init, two Lloyd rounds) on the SUBVECTORS;
     the encoder emits the per-subspace code plus the total quantization
     error Σ‖sub − centroid‖², the fidelity number a PQ deployment
-    monitors. 64 dims × 8 bytes compress to {PQ_M} codes — the reason
+    monitors. 64 dims × 8 bytes compress to 8 codes — the reason
     a 100 TB embedding corpus fits an in-memory ANN index at all.
 
     At 100 TB: subvector explode is narrow (M× rows, each 1/M width);

@@ -62,7 +62,7 @@ _TOPK_ORACLE = f"""
 
 @register("llm_cosine_topk", _TOPK_ORACLE)
 def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k: {N_PROBES} probe vectors × corpus, top-{TOP_K}
+    """Exact cosine top-k: 10 probe vectors × corpus, top-5
     neighbors each. Probe side broadcast; per-row norms precomputed;
     deterministic tie-break on neighbor_id."""
     from pyspark.sql import Window
@@ -196,7 +196,7 @@ _IVF_ORACLE = f"""
         SELECT p.vec_id, c.label,
                ROW_NUMBER() OVER (
                  PARTITION BY p.vec_id
-                 ORDER BY list_cosine_similarity(list_transform(p.embedding, x -> CAST(x AS DOUBLE)), c.centroid) DESC, c.label) AS rn
+                 ORDER BY ROUND(list_cosine_similarity(list_transform(p.embedding, x -> CAST(x AS DOUBLE)), c.centroid), 6) DESC, c.label) AS rn
         FROM probes p CROSS JOIN centroids c
       ) ranked WHERE rn = 1
     ),
@@ -252,7 +252,12 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes.crossJoin(F.broadcast(centroids))
         .select(
             "probe_id", "p_emb", "p_norm", "label",
-            (cosine("p_emb", "centroid") / (F.col("p_norm") * F.col("c_norm"))).alias("c_sim"),
+            # round-before-argmin (the cluster.py _assign guard): centroid
+            # averages differ at last-ulp across engines/runs, and an
+            # unrounded near-tie would route the probe differently.
+            F.round(
+                cosine("p_emb", "centroid") / (F.col("p_norm") * F.col("c_norm")), 6
+            ).alias("c_sim"),
         )
     )
     w_route = Window.partitionBy("probe_id").orderBy(F.col("c_sim").desc(), "label")
@@ -435,8 +440,8 @@ N_RECALL_PROBES = 50
 def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN recall evaluation [public method: the standard ANN-benchmark
     metric — fraction of true tau-neighbors the approximate index
-    returns]: ground truth = exact-cosine pairs (cos >= {LSH_TAU})
-    touching a {N_RECALL_PROBES}-probe panel; found = the SAME pairs
+    returns]: ground truth = exact-cosine pairs (cos >= 0.25)
+    touching a 50-probe panel; found = the SAME pairs
     surfaced by llm_ann_lsh's banded index; per-probe recall via a
     key-normalized (lo, hi) left join. This is the acceptance gate a
     100 TB pipeline runs BEFORE trusting an index build — approximate
@@ -512,7 +517,7 @@ SEMDEDUP_TAU = 0.30  # drop if a lower-id same-cluster member is this close
         SELECT e.vec_id, e.embedding, c.label AS cl,
                ROW_NUMBER() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.centroid) DESC, c.label) AS rn
+                 ORDER BY ROUND(list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.centroid), 6) DESC, c.label) AS rn
         FROM embeddings e CROSS JOIN centroids c
       ) t WHERE rn = 1
     ),
@@ -561,7 +566,10 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(centroids.withColumnRenamed("label", "c_label")))
         .select(
             "vec_id", "embedding", "norm", "c_label",
-            (cosine("embedding", "centroid") / (F.col("norm") * F.col("c_norm"))).alias("c_sim"),
+            # round-before-argmin: see llm_ann_ivf's routing guard.
+            F.round(
+                cosine("embedding", "centroid") / (F.col("norm") * F.col("c_norm")), 6
+            ).alias("c_sim"),
         )
     )
     w_route = Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), "c_label")
@@ -915,7 +923,7 @@ def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     slim = cand.select("query_id", "vec_id", "rel").localCheckpoint()
     pair = pair.localCheckpoint()
     sel = (
-        slim.select("*", F.row_number().over(w_rel.orderBy(F.col("rel").desc(), "vec_id")).alias("rn"))
+        slim.select("*", F.row_number().over(w_rel).alias("rn"))
         .filter(F.col("rn") == 1)
         .select("query_id", "vec_id", F.col("rel").alias("score"), F.lit(1).alias("rk"))
         .localCheckpoint()

@@ -36,6 +36,61 @@ def cosine(a: str, b: str) -> "F.Column":
     return F.expr(_DOT.format(a=a, b=b))
 
 
+def _probe_cosines(
+    e: DataFrame,
+    n_probes: int | None,
+    q: str,
+    d: str,
+    sim: str = "cos_sim",
+    q_extra: tuple = (),
+    d_extra: tuple = (),
+    d_keep: tuple | None = None,
+) -> DataFrame:
+    """The similarity stack's shared ground-truth scoring block: broadcast
+    the deterministic probe panel (vec_id < n_probes; None = all vectors)
+    against the corpus and emit the ROUNDED cosine per (probe, other)
+    pair with the self-pair excluded. Exact top-k, both recall gates,
+    hard-negative mining, MMR relevance, the RRF/NDCG dense legs, and
+    the hubness kNN graph all derive from this one frame, so rounding
+    digits, norm handling, and self-exclusion change in exactly one
+    place. `q_extra`/`d_extra` are (src_col, alias) pairs carried
+    through; `d_keep` = (emb_alias, norm_alias) keeps the corpus-side
+    vector for downstream pairwise math (MMR)."""
+    probes = e if n_probes is None else e.filter(F.col("vec_id") < n_probes)
+    probes = probes.select(
+        F.col("vec_id").alias(q),
+        F.col("embedding").alias("_q_emb"),
+        F.col("norm").alias("_q_norm"),
+        *[F.col(c).alias(a) for c, a in q_extra],
+    )
+    corpus = e.select(
+        F.col("vec_id").alias(d),
+        F.col("embedding").alias("_d_emb"),
+        F.col("norm").alias("_d_norm"),
+        *[F.col(c).alias(a) for c, a in d_extra],
+    )
+    keep = []
+    if d_keep is not None:
+        keep = [
+            F.col("_d_emb").alias(d_keep[0]),
+            F.col("_d_norm").alias(d_keep[1]),
+        ]
+    return (
+        F.broadcast(probes)
+        .join(corpus, F.col(q) != F.col(d))
+        .select(
+            q,
+            d,
+            *[a for _, a in q_extra],
+            *[a for _, a in d_extra],
+            F.round(
+                cosine("_q_emb", "_d_emb") / (F.col("_q_norm") * F.col("_d_norm")), 6
+            ).alias(sim),
+            *keep,
+        )
+    )
+
+
 # DuckDB list_cosine_similarity on raw float lists computes in float32 —
 # cast to double lists so it matches the Spark double-precision expression.
 _DUCK_COS = ("list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), "
@@ -69,27 +124,7 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     e = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    probes = e.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("p_emb"),
-        F.col("norm").alias("p_norm"),
-    )
-    corpus = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("norm").alias("c_norm"),
-    )
-    scored = (
-        F.broadcast(probes)
-        .join(corpus, F.col("probe_id") != F.col("neighbor_id"))
-        .select(
-            "probe_id",
-            "neighbor_id",
-            F.round(cosine("p_emb", "c_emb") / (F.col("p_norm") * F.col("c_norm")), 6).alias(
-                "cos_sim"
-            ),
-        )
-    )
+    scored = _probe_cosines(e, N_PROBES, "probe_id", "neighbor_id")
     w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return scored.select("*", F.row_number().over(w).alias("rn")).filter(F.col("rn") <= TOP_K).drop("rn")
 
@@ -456,25 +491,9 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     lsh = llm_ann_lsh(spark, sf_dir).select("id_a", "id_b")
     e = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    probes = e.filter(F.col("vec_id") < N_RECALL_PROBES).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("p_emb"),
-        F.col("norm").alias("p_norm"),
-    )
-    corpus = e.select(
-        F.col("vec_id").alias("other_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("norm").alias("c_norm"),
-    )
     exact = (
-        F.broadcast(probes)
-        .join(corpus, F.col("probe_id") != F.col("other_id"))
-        .filter(
-            F.round(
-                cosine("p_emb", "c_emb") / (F.col("p_norm") * F.col("c_norm")), 6
-            )
-            >= LSH_TAU
-        )
+        _probe_cosines(e, N_RECALL_PROBES, "probe_id", "other_id")
+        .filter(F.col("cos_sim") >= LSH_TAU)
         .select(
             "probe_id",
             F.least("probe_id", "other_id").alias("lo"),
@@ -657,30 +676,13 @@ def llm_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     without a second join."""
     tune(spark)
     e = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    anchors = e.filter(F.col("vec_id") < N_MINE_ANCHORS).select(
-        F.col("vec_id").alias("anchor_id"),
-        F.col("label").alias("anchor_label"),
-        F.col("embedding").alias("a_emb"),
-        F.col("norm").alias("a_norm"),
-    )
-    corpus = e.select(
-        F.col("vec_id").alias("other_id"),
-        F.col("label").alias("other_label"),
-        F.col("embedding").alias("c_emb"),
-        F.col("norm").alias("c_norm"),
-    )
-    scored = (
-        F.broadcast(anchors)
-        .join(corpus, F.col("other_id") != F.col("anchor_id"))
-        .select(
-            "anchor_id",
-            "anchor_label",
-            "other_id",
-            "other_label",
-            F.round(
-                cosine("a_emb", "c_emb") / (F.col("a_norm") * F.col("c_norm")), 6
-            ).alias("cos_sim"),
-        )
+    scored = _probe_cosines(
+        e,
+        N_MINE_ANCHORS,
+        "anchor_id",
+        "other_id",
+        q_extra=(("label", "anchor_label"),),
+        d_extra=(("label", "other_label"),),
     )
     from pyspark.sql import Window
 
@@ -870,24 +872,8 @@ def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     e = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    probes = e.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-    )
-    corpus = e.select("vec_id", F.col("embedding").alias("v_emb"), F.col("norm").alias("v_norm"))
-    rels = (
-        F.broadcast(probes)
-        .join(corpus, F.col("query_id") != F.col("vec_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(
-                cosine("q_emb", "v_emb") / (F.col("q_norm") * F.col("v_norm")), 6
-            ).alias("rel"),
-            "v_emb",
-            "v_norm",
-        )
+    rels = _probe_cosines(
+        e, N_PROBES, "query_id", "vec_id", sim="rel", d_keep=("v_emb", "v_norm")
     )
     w_rel = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "vec_id")
     cand = (
@@ -1091,27 +1077,7 @@ def llm_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lex_rank") <= _RRF_C)
     )
     e = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    probes = e.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-    )
-    corpus = e.select(
-        F.col("vec_id").alias("doc_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("norm").alias("c_norm"),
-    )
-    den_scored = (
-        F.broadcast(probes)
-        .join(corpus, F.col("query_id") != F.col("doc_id"))
-        .select(
-            "query_id",
-            "doc_id",
-            F.round(
-                cosine("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm")), 6
-            ).alias("cos_sim"),
-        )
-    )
+    den_scored = _probe_cosines(e, N_PROBES, "query_id", "doc_id")
     w_den = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "doc_id")
     den = (
         den_scored.select("query_id", "doc_id", F.row_number().over(w_den).alias("den_rank"))
@@ -1274,29 +1240,10 @@ def llm_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _NDCG_K)
     )
     e = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    probes = e.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-    )
-    corpus = e.select(
-        F.col("vec_id").alias("doc_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("norm").alias("c_norm"),
-    )
-    gains = (
-        F.broadcast(probes)
-        .join(corpus, F.col("query_id") != F.col("doc_id"))
-        .select(
-            "query_id",
-            "doc_id",
-            F.greatest(
-                F.round(
-                    cosine("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm")), 6
-                ),
-                F.lit(0.0),
-            ).alias("gain"),
-        )
+    gains = _probe_cosines(e, N_PROBES, "query_id", "doc_id").select(
+        "query_id",
+        "doc_id",
+        F.greatest(F.col("cos_sim"), F.lit(0.0)).alias("gain"),
     )
     dcg = (
         lex.join(gains, ["query_id", "doc_id"])
@@ -1380,27 +1327,9 @@ def llm_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: D
     e = _with_norm(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding", "norm"
     )
-    a = e.select(
-        F.col("vec_id").alias("src"),
-        F.col("embedding").alias("a_emb"),
-        F.col("norm").alias("a_norm"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("nb"),
-        F.col("embedding").alias("b_emb"),
-        F.col("norm").alias("b_norm"),
-    )
     w = Window.partitionBy("src").orderBy(F.col("cos").desc(), "nb")
     knn = (
-        F.broadcast(a)
-        .join(b, F.col("nb") != F.col("src"))
-        .select(
-            "src",
-            "nb",
-            F.round(
-                cosine("a_emb", "b_emb") / (F.col("a_norm") * F.col("b_norm")), 6
-            ).alias("cos"),
-        )
+        _probe_cosines(e, None, "src", "nb", sim="cos")
         .select("src", "nb", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= _HUB_K)
     )

@@ -61,8 +61,13 @@ _DUCK_ASSIGN = """
   ) t WHERE rn = 1
 """
 
-_KMEANS_ORACLE = f"""
-    WITH e AS (
+# The shared Lloyd train chain (seeded init -> update -> assign ->
+# update), in BOTH renderings: one oracle CTE prefix (to c1, with an
+# a2 variant for consumers of the final assignment) and one Spark
+# builder — the _pq_train_encode pattern applied to the flat trainer,
+# so an iteration/init/rounding change cannot drift llm_cluster_purity
+# or llm_active_margin from the llm_kmeans_lloyd quantizer they grade.
+_LLOYD_CTES = f"""e AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
       FROM embeddings
@@ -70,8 +75,13 @@ _KMEANS_ORACLE = f"""
     seeded AS (SELECT vec_id % {KMEANS_K} AS cluster, emb FROM e),
     c0 AS ({_DUCK_CENTROIDS.format(src="seeded")}),
     a1 AS ({_DUCK_ASSIGN.format(cents="c0")}),
-    c1 AS ({_DUCK_CENTROIDS.format(src="a1")}),
-    a2 AS ({_DUCK_ASSIGN.format(cents="c1")}),
+    c1 AS ({_DUCK_CENTROIDS.format(src="a1")})"""
+
+_LLOYD_CTES_A2 = f"""{_LLOYD_CTES},
+    a2 AS ({_DUCK_ASSIGN.format(cents="c1")})"""
+
+_KMEANS_ORACLE = f"""
+    WITH {_LLOYD_CTES_A2},
     sizes AS (SELECT cluster, COUNT(*) AS cluster_n FROM a2 GROUP BY cluster)
     SELECT a2.vec_id, a2.cluster, sizes.cluster_n
     FROM a2 JOIN sizes USING (cluster)
@@ -113,6 +123,18 @@ def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def _lloyd_chain(spark: SparkSession, sf_dir: str):
+    """Spark twin of _LLOYD_CTES: seeded init -> update -> assign ->
+    update. Returns (e, c1); call _assign(e, c1) for the final
+    assignment (_LLOYD_CTES_A2)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb")
+    )
+    c0 = _centroids(e.select((F.col("vec_id") % KMEANS_K).alias("cluster"), "emb"))
+    a1 = _assign(e, c0)
+    return e, _centroids(a1)
+
+
 @register("llm_kmeans_lloyd", _KMEANS_ORACLE)
 def llm_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means (k=8, deterministic hash-sharded init, two
@@ -129,14 +151,7 @@ def llm_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lloyd arithmetic — init means, both argmin rounds, and the
     intermediate centroid update — not just the final regrouping."""
     tune(spark)
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb")
-    )
-    c0 = _centroids(
-        e.select((F.col("vec_id") % KMEANS_K).alias("cluster"), "emb")
-    )
-    a1 = _assign(e, c0)
-    c1 = _centroids(a1)
+    e, c1 = _lloyd_chain(spark, sf_dir)
     a2 = _assign(e, c1)
     sizes = a2.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_n"))
     return a2.join(sizes, "cluster").select("vec_id", "cluster", "cluster_n")
@@ -447,16 +462,7 @@ def llm_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PURITY_ORACLE = f"""
-    WITH e AS (
-      SELECT vec_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-      FROM embeddings
-    ),
-    seeded AS (SELECT vec_id % {KMEANS_K} AS cluster, emb FROM e),
-    c0 AS ({_DUCK_CENTROIDS.format(src="seeded")}),
-    a1 AS ({_DUCK_ASSIGN.format(cents="c0")}),
-    c1 AS ({_DUCK_CENTROIDS.format(src="a1")}),
-    a2 AS ({_DUCK_ASSIGN.format(cents="c1")}),
+    WITH {_LLOYD_CTES_A2},
     joined AS (
       SELECT a2.vec_id, a2.cluster, emb_t.label
       FROM a2 JOIN embeddings emb_t ON emb_t.vec_id = a2.vec_id
@@ -499,12 +505,7 @@ def llm_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the majority pick is a window over that matrix. Everything
     upstream is the proven Lloyd shape."""
     tune(spark)
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb")
-    )
-    c0 = _centroids(e.select((F.col("vec_id") % KMEANS_K).alias("cluster"), "emb"))
-    a1 = _assign(e, c0)
-    c1 = _centroids(a1)
+    e, c1 = _lloyd_chain(spark, sf_dir)
     a2 = _assign(e, c1)
     labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     cell = (
@@ -537,15 +538,7 @@ def llm_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MARGIN_TOPK = 25
 
 _MARGIN_ORACLE = f"""
-    WITH e AS (
-      SELECT vec_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-      FROM embeddings
-    ),
-    seeded AS (SELECT vec_id % {KMEANS_K} AS cluster, emb FROM e),
-    c0 AS ({_DUCK_CENTROIDS.format(src="seeded")}),
-    a1 AS ({_DUCK_ASSIGN.format(cents="c0")}),
-    c1 AS ({_DUCK_CENTROIDS.format(src="a1")}),
+    WITH {_LLOYD_CTES},
     scored AS (
       SELECT e.vec_id, c.cluster,
              ROUND(list_sum(list_transform(
@@ -592,13 +585,7 @@ def llm_active_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses the first Lloyd round (one update), sharing its cost with
     the kmeans/purity exhibits."""
     tune(spark)
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
-    )
-    c0 = _centroids(e.select((F.col("vec_id") % KMEANS_K).alias("cluster"), "emb"))
-    a1 = _assign(e, c0)
-    c1 = _centroids(a1)
+    e, c1 = _lloyd_chain(spark, sf_dir)
     scored = e.crossJoin(F.broadcast(c1)).select(
         "vec_id",
         "cluster",

@@ -96,6 +96,40 @@ def _probe_cosines(
 _DUCK_COS = ("list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), "
              "list_transform(b.embedding, x -> CAST(x AS DOUBLE)))")
 
+# Per-label mean centroids, shared by llm_ann_ivf and llm_semdedup in
+# BOTH renderings: one oracle CTE constant and one Spark builder, so a
+# routing-guard or rounding change cannot drift the two quantizers apart.
+_DUCK_LABEL_CENTROIDS = """centroids AS (
+      SELECT label, list(comp_avg ORDER BY pos) AS centroid
+      FROM (
+        SELECT label, pos, AVG(comp) AS comp_avg
+        FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                     CAST(unnest(embedding) AS DOUBLE) AS comp
+              FROM embeddings) exploded
+        GROUP BY label, pos
+      ) per_pos
+      GROUP BY label
+    )"""
+
+
+def _label_centroids(spark, sf_dir: str) -> DataFrame:
+    """Distributed per-label mean centroids: posexplode -> avg per
+    (label, pos) -> re-assemble ordered arrays, plus the precomputed
+    norm. The Spark twin of _DUCK_LABEL_CENTROIDS."""
+    exploded = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("label", F.posexplode("embedding").alias("pos", "comp"))
+        .withColumn("comp", F.col("comp").cast("double"))
+    )
+    per_pos = exploded.groupBy("label", "pos").agg(F.avg("comp").alias("comp_avg"))
+    return (
+        per_pos.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "comp_avg"))).alias("pc"))
+        .select("label", F.expr("transform(pc, x -> x.comp_avg)").alias("centroid"))
+        .withColumn("c_norm", F.expr(_NORM.format(a="centroid")))
+    )
+
+
 N_PROBES = 10  # fixed probe set: vec_id 0..9
 TOP_K = 5
 
@@ -209,21 +243,7 @@ def llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_ORACLE = f"""
-    WITH centroids AS (
-      SELECT label,
-             list(comp_avg ORDER BY pos) AS centroid
-      FROM (
-        SELECT label, pos, AVG(comp) AS comp_avg
-        FROM (
-          SELECT label,
-                 generate_subscripts(embedding, 1) AS pos,
-                 CAST(unnest(embedding) AS DOUBLE) AS comp
-          FROM embeddings
-        ) exploded
-        GROUP BY label, pos
-      ) per_pos
-      GROUP BY label
-    ),
+    WITH {_DUCK_LABEL_CENTROIDS},
     probes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_PROBES}),
     cell AS (
       SELECT vec_id AS probe_id, label AS probe_label
@@ -265,18 +285,7 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     e = _with_norm(load_table(spark, sf_dir, "embeddings"))
 
-    # Distributed centroid computation: posexplode → avg per (label, pos) →
-    # re-assemble ordered arrays.
-    exploded = load_table(spark, sf_dir, "embeddings").select(
-        "label", F.posexplode("embedding").alias("pos", "comp")
-    ).withColumn("comp", F.col("comp").cast("double"))
-    per_pos = exploded.groupBy("label", "pos").agg(F.avg("comp").alias("comp_avg"))
-    centroids = (
-        per_pos.groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "comp_avg"))).alias("pc"))
-        .select("label", F.expr("transform(pc, x -> x.comp_avg)").alias("centroid"))
-        .withColumn("c_norm", F.expr(_NORM.format(a="centroid")))
-    )
+    centroids = _label_centroids(spark, sf_dir)
 
     probes = e.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"),
@@ -519,17 +528,7 @@ SEMDEDUP_TAU = 0.30  # drop if a lower-id same-cluster member is this close
 @register(
     "llm_semdedup",
     f"""
-    WITH centroids AS (
-      SELECT label, list(comp_avg ORDER BY pos) AS centroid
-      FROM (
-        SELECT label, pos, AVG(comp) AS comp_avg
-        FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
-                     CAST(unnest(embedding) AS DOUBLE) AS comp
-              FROM embeddings) exploded
-        GROUP BY label, pos
-      ) per_pos
-      GROUP BY label
-    ),
+    WITH {_DUCK_LABEL_CENTROIDS},
     assign AS (
       SELECT vec_id, embedding, cl
       FROM (
@@ -569,16 +568,7 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     e = _with_norm(load_table(spark, sf_dir, "embeddings"))
 
-    exploded = load_table(spark, sf_dir, "embeddings").select(
-        "label", F.posexplode("embedding").alias("pos", "comp")
-    ).withColumn("comp", F.col("comp").cast("double"))
-    per_pos = exploded.groupBy("label", "pos").agg(F.avg("comp").alias("comp_avg"))
-    centroids = (
-        per_pos.groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "comp_avg"))).alias("pc"))
-        .select("label", F.expr("transform(pc, x -> x.comp_avg)").alias("centroid"))
-        .withColumn("c_norm", F.expr(_NORM.format(a="centroid")))
-    )
+    centroids = _label_centroids(spark, sf_dir)
 
     routed = (
         e.select("vec_id", "embedding", "norm")

@@ -937,16 +937,12 @@ def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Reciprocal Rank Fusion: shared probe set (id < N_PROBES, valid as both
 # doc_id and vec_id — the tables are 1:1 by id), per-ranker pool, rrf k.
-_RRF_C = 10
-_RRF_K = 60
-_RRF_TOPK = 5
-_RRF_QTOKENS = 8
-
-
-@register(
-    "llm_rrf_fusion",
-    f"""
-    WITH tf AS (
+# Shared Okapi BM25 lexical leg (the llm_bm25_score shape, text.py's
+# _BM25_K1/_BM25_B operating point) used by BOTH hybrid-retrieval ops:
+# one oracle CTE template ({qtokens} = per-query token budget) and one
+# Spark builder, so the scoring formula lives in exactly one place per
+# rendering instead of two.
+_DUCK_BM25_LEX = """tf AS (
       SELECT doc_id, token, COUNT(*) AS tf
       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
       GROUP BY doc_id, token
@@ -956,14 +952,10 @@ _RRF_QTOKENS = 8
     docfreq AS (SELECT token, COUNT(*) AS dfreq FROM tf GROUP BY token),
     queries AS (
       SELECT doc_id AS query_id, unnest(list_distinct(
-               string_split(text, ' ')[1:{_RRF_QTOKENS}])) AS token
-      FROM documents WHERE doc_id < {N_PROBES}
+               string_split(text, ' ')[1:{qtokens}])) AS token
+      FROM documents WHERE doc_id < {probes}
     ),
-    lex AS (
-      SELECT query_id, doc_id,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY score DESC, doc_id) AS lex_rank
-      FROM (
+    lex_scored AS (
         SELECT q.query_id, tf.doc_id,
                ROUND(SUM(
                  ln((s.n_docs - d.dfreq + 0.5) / (d.dfreq + 0.5) + 1.0)
@@ -976,7 +968,64 @@ _RRF_QTOKENS = 8
         JOIN dlen l ON l.doc_id = tf.doc_id
         CROSS JOIN stats s
         WHERE tf.doc_id <> q.query_id
-        GROUP BY q.query_id, tf.doc_id)
+        GROUP BY q.query_id, tf.doc_id)"""
+
+
+def _bm25_lex_scores(spark: SparkSession, sf_dir: str, qtokens: int) -> DataFrame:
+    """Spark twin of _DUCK_BM25_LEX: per-(query, doc) BM25 scores for the
+    deterministic probe panel, postings equi-join, never queries x docs."""
+    from hive_test_spark.llm.text import _BM25_B, _BM25_K1
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    tf = (
+        d.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dlen = d.select("doc_id", F.size(toks).cast("double").alias("dl"))
+    stats = dlen.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avg_dl"),
+    )
+    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    queries = d.filter(F.col("doc_id") < N_PROBES).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.array_distinct(F.slice(toks, 1, qtokens))).alias("token"),
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5) + 1.0
+    )
+    norm = F.col("tf") + _BM25_K1 * (
+        (1.0 - _BM25_B) + _BM25_B * F.col("dl") / F.col("avg_dl")
+    )
+    return (
+        F.broadcast(queries)
+        .join(tf, "token")
+        .join(docfreq, "token")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf * F.col("tf") * (_BM25_K1 + 1.0) / norm), 6).alias("score"))
+    )
+
+
+_RRF_C = 10
+_RRF_K = 60
+_RRF_TOPK = 5
+_RRF_QTOKENS = 8
+
+
+@register(
+    "llm_rrf_fusion",
+    f"""
+    WITH {_DUCK_BM25_LEX.format(qtokens=_RRF_QTOKENS, probes=N_PROBES)},
+    lex AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS lex_rank
+      FROM lex_scored
     ),
     den AS (
       SELECT query_id, doc_id,
@@ -1027,40 +1076,7 @@ def llm_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     tune(spark)
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    tf = (
-        d.select("doc_id", F.explode(toks).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dlen = d.select("doc_id", F.size(toks).cast("double").alias("dl"))
-    stats = dlen.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("dl").alias("avg_dl"),
-    )
-    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
-    queries = (
-        d.filter(F.col("doc_id") < N_PROBES)
-        .select(
-            F.col("doc_id").alias("query_id"),
-            F.explode(F.array_distinct(F.slice(toks, 1, _RRF_QTOKENS))).alias("token"),
-        )
-    )
-    idf = F.log(
-        (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5) + 1.0
-    )
-    norm = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avg_dl"))
-    lex_scored = (
-        F.broadcast(queries)
-        .join(tf, "token")
-        .join(docfreq, "token")
-        .join(dlen, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .groupBy("query_id", "doc_id")
-        .agg(F.round(F.sum(idf * F.col("tf") * 2.2 / norm), 6).alias("score"))
-    )
+    lex_scored = _bm25_lex_scores(spark, sf_dir, _RRF_QTOKENS)
     w_lex = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
     lex = (
         lex_scored.select("query_id", "doc_id", F.row_number().over(w_lex).alias("lex_rank"))
@@ -1107,19 +1123,7 @@ _NDCG_QTOKENS = 8
 @register(
     "llm_ndcg_eval",
     f"""
-    WITH tf AS (
-      SELECT doc_id, token, COUNT(*) AS tf
-      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
-      GROUP BY doc_id, token
-    ),
-    dlen AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
-    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avg_dl FROM dlen),
-    docfreq AS (SELECT token, COUNT(*) AS dfreq FROM tf GROUP BY token),
-    queries AS (
-      SELECT doc_id AS query_id, unnest(list_distinct(
-               string_split(text, ' ')[1:{_NDCG_QTOKENS}])) AS token
-      FROM documents WHERE doc_id < {N_PROBES}
-    ),
+    WITH {_DUCK_BM25_LEX.format(qtokens=_NDCG_QTOKENS, probes=N_PROBES)},
     gains AS (
       SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
              GREATEST(ROUND(list_cosine_similarity(
@@ -1132,20 +1136,7 @@ _NDCG_QTOKENS = 8
       SELECT query_id, doc_id,
              ROW_NUMBER() OVER (PARTITION BY query_id
                                 ORDER BY score DESC, doc_id) AS rk
-      FROM (
-        SELECT q.query_id, tf.doc_id,
-               ROUND(SUM(
-                 ln((s.n_docs - d.dfreq + 0.5) / (d.dfreq + 0.5) + 1.0)
-                 * tf.tf * 2.2
-                 / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avg_dl))
-               ), 6) AS score
-        FROM queries q
-        JOIN tf ON tf.token = q.token
-        JOIN docfreq d ON d.token = q.token
-        JOIN dlen l ON l.doc_id = tf.doc_id
-        CROSS JOIN stats s
-        WHERE tf.doc_id <> q.query_id
-        GROUP BY q.query_id, tf.doc_id)
+      FROM lex_scored
     ),
     dcg AS (
       SELECT l.query_id,
@@ -1190,40 +1181,7 @@ def llm_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     tune(spark)
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    tf = (
-        d.select("doc_id", F.explode(toks).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dlen = d.select("doc_id", F.size(toks).cast("double").alias("dl"))
-    stats = dlen.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("dl").alias("avg_dl"),
-    )
-    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
-    queries = (
-        d.filter(F.col("doc_id") < N_PROBES)
-        .select(
-            F.col("doc_id").alias("query_id"),
-            F.explode(F.array_distinct(F.slice(toks, 1, _NDCG_QTOKENS))).alias("token"),
-        )
-    )
-    idf = F.log(
-        (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5) + 1.0
-    )
-    norm = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avg_dl"))
-    lex_scored = (
-        F.broadcast(queries)
-        .join(tf, "token")
-        .join(docfreq, "token")
-        .join(dlen, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .groupBy("query_id", "doc_id")
-        .agg(F.round(F.sum(idf * F.col("tf") * 2.2 / norm), 6).alias("score"))
-    )
+    lex_scored = _bm25_lex_scores(spark, sf_dir, _NDCG_QTOKENS)
     w_lex = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
     lex = (
         lex_scored.select("query_id", "doc_id", F.row_number().over(w_lex).alias("rk"))

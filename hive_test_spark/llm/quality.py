@@ -36,6 +36,31 @@ _TOP1_MAX = 0.12
 _WC_LO, _WC_HI = 30, 80
 _MWL_LO, _MWL_HI = 3.8, 10.0
 _STOP_MIN = 0.05
+
+
+def _text_signals():
+    """The shared lexical signal Columns (lowered token array, word
+    count, stopword fraction, mean word length) that every rule-judge
+    op in this module derives its predicates from — one definition so
+    the judge semantics cannot drift between the agreement / majority /
+    Wilson-CI / calibration / McNemar / Bradley-Terry ops (each SQL
+    oracle re-states them; the Spark side states them once here)."""
+    t = F.split(F.lower("text"), " ")
+    wc = F.size(t)
+    stop_frac = (
+        F.size(F.filter(t, lambda x: x.isin(*_STOPWORDS))).cast("double") / wc
+    )
+    mwl = F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x)).cast("double") / wc
+    return t, wc, stop_frac, mwl
+
+
+def _judge_preds():
+    """The two deterministic rule judges of the eval deck: j1 =
+    word-count + stopword gate, j2 = mean-word-length gate."""
+    _, wc, stop_frac, mwl = _text_signals()
+    j1 = wc.between(_WC_LO, _WC_HI) & (stop_frac >= _STOP_MIN)
+    j2 = mwl.between(_MWL_LO, _MWL_HI) & (wc >= _WC_LO)
+    return j1, j2
 _STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "on")
 
 _QUANT_BITS_MAX = 127  # symmetric int8
@@ -267,7 +292,7 @@ def llm_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT label, e,
-             list_aggregate(list_transform(e, x -> abs(x)), 'max')
+             NULLIF(list_aggregate(list_transform(e, x -> abs(x)), 'max'), 0)
                / {_QUANT_BITS_MAX}.0 AS scale
       FROM v
     ),
@@ -309,8 +334,12 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     e = F.transform("embedding", lambda x: x.cast("double"))
     v = emb.select("label", e.alias("e"))
+    # NULLIF guard: an all-zero vector has scale 0, where round(x/scale)
+    # is NULL in Spark but NaN in DuckDB — NULL the scale in both so the
+    # AVG rollup (which skips NULLs identically) agrees by construction.
     scale = (
-        F.array_max(F.transform("e", lambda x: F.abs(x))) / float(_QUANT_BITS_MAX)
+        F.nullif(F.array_max(F.transform("e", lambda x: F.abs(x))), F.lit(0.0))
+        / float(_QUANT_BITS_MAX)
     )
     s = v.select("label", "e", scale.alias("scale"))
     deq = "round(x / scale) * scale"
@@ -775,15 +804,10 @@ def llm_judge_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     by swapping the rater expressions for label columns."""
     tune(spark)
     d = load_table(spark, sf_dir, "documents")
-    t = F.split(F.lower("text"), " ")
-    wc = F.size(t)
-    stop_frac = F.size(F.filter(t, lambda x: x.isin(*_STOPWORDS))).cast("double") / wc
-    mwl = F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x)).cast("double") / wc
+    j1, j2 = _judge_preds()
     rated = d.select(
-        (wc.between(_WC_LO, _WC_HI) & (stop_frac >= _STOP_MIN))
-        .cast("int")
-        .alias("rater_a"),
-        (mwl.between(_MWL_LO, _MWL_HI) & (wc >= _WC_LO)).cast("int").alias("rater_b"),
+        j1.cast("int").alias("rater_a"),
+        j2.cast("int").alias("rater_b"),
     )
     agree = F.sum(F.when(F.col("rater_a") == F.col("rater_b"), 1).otherwise(0))
     pa, pb = F.avg("rater_a"), F.avg("rater_b")
@@ -861,13 +885,10 @@ def llm_ensemble_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
     change."""
     tune(spark)
     d = load_table(spark, sf_dir, "documents")
-    t = F.split(F.lower("text"), " ")
-    wc = F.size(t)
-    stop_frac = F.size(F.filter(t, lambda x: x.isin(*_STOPWORDS))).cast("double") / wc
-    mwl = F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x)).cast("double") / wc
+    j1, j2 = _judge_preds()
     votes = d.select(
-        (wc.between(_WC_LO, _WC_HI) & (stop_frac >= _STOP_MIN)).cast("int").alias("j1"),
-        (mwl.between(_MWL_LO, _MWL_HI) & (wc >= _WC_LO)).cast("int").alias("j2"),
+        j1.cast("int").alias("j1"),
+        j2.cast("int").alias("j2"),
         F.col("n_chars").between(150, 400).cast("int").alias("j3"),
     )
     labeled = votes.select(
@@ -940,15 +961,8 @@ def llm_eval_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     no other change."""
     tune(spark)
     d = load_table(spark, sf_dir, "documents")
-    t = F.split(F.lower("text"), " ")
-    wc = F.size(t)
-    stop_frac = F.size(F.filter(t, lambda x: x.isin(*_STOPWORDS))).cast("double") / wc
-    rated = d.select(
-        "lang",
-        (wc.between(_WC_LO, _WC_HI) & (stop_frac >= _STOP_MIN))
-        .cast("int")
-        .alias("pass"),
-    )
+    j1, _ = _judge_preds()
+    rated = d.select("lang", j1.cast("int").alias("pass"))
     agg = rated.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("pass").alias("n_pass"),
@@ -1221,7 +1235,7 @@ _BT_ORACLE = f"""
     ),
     battles AS (
       SELECT a.lang AS la, b.lang AS lb,
-             CAST(a.q > b.q OR (a.q = b.q AND a.doc_id < b.doc_id) AS INT) AS win_a
+             CAST(a.q >= b.q AS INT) AS win_a
       FROM scored a JOIN scored b ON b.doc_id = a.doc_id + 1
       WHERE a.doc_id % 2 = 0 AND a.lang <> b.lang
     ),
@@ -1286,12 +1300,11 @@ def llm_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "la",
             "lb",
-            (
-                (F.col("qa") > F.col("qb"))
-                | ((F.col("qa") == F.col("qb")) & (F.col("id_a") < F.col("id_b")))
-            )
-            .cast("int")
-            .alias("win_a"),
+            # Ties award A outright: with id_b = id_a + 1 the old
+            # (qa = qb AND id_a < id_b) clause was vacuously true, a
+            # hidden always-win-A masquerading as a symmetric tiebreak —
+            # state the actual semantics.
+            (F.col("qa") >= F.col("qb")).cast("int").alias("win_a"),
         )
         .localCheckpoint(eager=True)
     )
@@ -1518,14 +1531,11 @@ def llm_judge_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     grades audits real judges unchanged."""
     tune(spark)
     d = load_table(spark, sf_dir, "documents")
-    t = F.split(F.lower("text"), " ")
-    wc = F.size(t)
-    stop_frac = F.size(F.filter(t, lambda x: x.isin(*_STOPWORDS))).cast("double") / wc
-    mwl = F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x)).cast("double") / wc
+    j1, j2 = _judge_preds()
     rated = d.select(
         "n_chars",
-        (wc.between(_WC_LO, _WC_HI) & (stop_frac >= _STOP_MIN)).cast("int").alias("j1"),
-        (mwl.between(_MWL_LO, _MWL_HI) & (wc >= _WC_LO)).cast("int").alias("j2"),
+        j1.cast("int").alias("j1"),
+        j2.cast("int").alias("j2"),
         F.col("n_chars").between(150, 400).cast("int").alias("j3"),
     ).localCheckpoint(eager=True)
     rows = []
@@ -1604,13 +1614,12 @@ def llm_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     audits real classifiers unchanged."""
     tune(spark)
     d = load_table(spark, sf_dir, "documents")
-    t = F.split(F.lower("text"), " ")
-    wc = F.size(t)
-    stop_frac = F.size(F.filter(t, lambda x: x.isin(*_STOPWORDS))).cast("double") / wc
+    _, _, stop_frac, _ = _text_signals()
+    j1, _ = _judge_preds()
     conf = F.round(
         F.lit(1.0) / (F.lit(1.0) + F.exp(-(stop_frac * 40.0 - 2.0))), 6
     )
-    label = (wc.between(_WC_LO, _WC_HI) & (stop_frac >= _STOP_MIN)).cast("int")
+    label = j1.cast("int")
     binned = d.select(
         F.least(
             F.lit(_ECE_BINS - 1), F.floor(conf * _ECE_BINS).cast("int")
@@ -1696,14 +1705,8 @@ def llm_eval_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
     the joined verdicts, never per-item driver loops."""
     tune(spark)
     d = load_table(spark, sf_dir, "documents")
-    t = F.split(F.lower("text"), " ")
-    wc = F.size(t)
-    stop_frac = F.size(F.filter(t, lambda x: x.isin(*_STOPWORDS))).cast("double") / wc
-    mwl = F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x)).cast("double") / wc
-    rated = d.select(
-        (wc.between(_WC_LO, _WC_HI) & (stop_frac >= _STOP_MIN)).cast("int").alias("a"),
-        (mwl.between(_MWL_LO, _MWL_HI) & (wc >= _WC_LO)).cast("int").alias("b"),
-    )
+    j1, j2 = _judge_preds()
+    rated = d.select(j1.cast("int").alias("a"), j2.cast("int").alias("b"))
     a_only = F.sum(F.col("a") * (1 - F.col("b")))
     b_only = F.sum((1 - F.col("a")) * F.col("b"))
     chi2 = (

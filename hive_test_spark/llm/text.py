@@ -59,12 +59,12 @@ def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_id, token
     ),
     docfreq AS (SELECT token, COUNT(*) AS dfreq FROM tf GROUP BY token)
-    SELECT doc_id, token, tf,
-           ROUND(tf * ln((SELECT n_docs FROM n) / CAST(dfreq AS DOUBLE)), 6) AS tfidf
-    FROM (SELECT tf.doc_id, tf.token, tf.tf, docfreq.dfreq,
+    SELECT doc_id, token, tf, tfidf
+    FROM (SELECT tf.doc_id, tf.token, tf.tf,
+                 ROUND(tf.tf * ln((SELECT n_docs FROM n) / CAST(dfreq AS DOUBLE)), 6) AS tfidf,
                  ROW_NUMBER() OVER (
                    PARTITION BY tf.doc_id
-                   ORDER BY tf.tf * ln((SELECT n_docs FROM n) / CAST(dfreq AS DOUBLE)) DESC,
+                   ORDER BY ROUND(tf.tf * ln((SELECT n_docs FROM n) / CAST(dfreq AS DOUBLE)), 6) DESC,
                             tf.token) AS rn
           FROM tf JOIN docfreq ON tf.token = docfreq.token) ranked
     WHERE rn <= 3
@@ -97,17 +97,22 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "token",
             "tf",
-            (F.col("tf") * F.log(F.col("_n_docs") / F.col("df").cast("double"))).alias("_tfidf_raw"),
+            # rank on the ROUNDED score: DuckDB ln() and JVM Math.log()
+            # are both 1-ulp libms, so an unrounded top-3 boundary could
+            # elect different tokens per engine (the llm_pmi rule).
+            F.round(
+                F.col("tf") * F.log(F.col("_n_docs") / F.col("df").cast("double")), 6
+            ).alias("tfidf"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("_tfidf_raw").desc(), "token")
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
     return (
         scored.select(
-            "doc_id", "token", "tf", F.round("_tfidf_raw", 6).alias("tfidf"),
+            "doc_id", "token", "tf", "tfidf",
             F.row_number().over(w).alias("rn"),
         )
         .filter(F.col("rn") <= 3)
-        .drop("rn", "_tfidf_raw")
+        .drop("rn")
     )
 
 
@@ -234,7 +239,8 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(string_split(text, ' ')) AS ws_tokens,
            len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS re_tokens,
-           ROUND(CAST(n_chars AS DOUBLE) / len(regexp_extract_all(text, '[a-z]+|[0-9]+')), 6)
+           ROUND(CAST(n_chars AS DOUBLE)
+                 / NULLIF(len(regexp_extract_all(text, '[a-z]+|[0-9]+')), 0), 6)
              AS chars_per_token
     FROM documents
     """,
@@ -250,7 +256,13 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split("text", " ")).alias("ws_tokens"),
         re_tokens.alias("re_tokens"),
-        F.round(F.col("n_chars").cast("double") / re_tokens.cast("double"), 6).alias(
+        # NULLIF guard: a zero-token doc must be NULL in both engines,
+        # not DuckDB's IEEE inf (the evt_survival divergence class).
+        F.round(
+            F.col("n_chars").cast("double")
+            / F.nullif(re_tokens.cast("double"), F.lit(0.0)),
+            6,
+        ).alias(
             "chars_per_token"
         ),
     )
@@ -266,6 +278,7 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> CAST(('0x' || substr(md5(array_to_string(string_split(text, ' ')[i:i+2], ' ')), 1, 12)) AS BIGINT)
              ) AS shingle_hashes
       FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
     )
     SELECT doc_id,
            list_aggregate(shingle_hashes, 'min') AS fingerprint,
@@ -278,7 +291,12 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1-permutation MinHash / winnowing-style). Shared fingerprint ⇒
     near-dup candidate bucket. Pure JVM array HOFs, narrow pipeline."""
     tune(spark)
-    d = load_table(spark, sf_dir, "documents")
+    # Guard: Spark's sequence(0, n-3) DESCENDS for <3-token docs (and a
+    # negative i crashes slice), while DuckDB's range(1, n-1) is empty —
+    # the llm_rouge_overlap divergence class. Filter both sides.
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= 3
+    )
     shingle_hashes = F.expr(
         "transform(sequence(0, size(split(text, ' ')) - 3), "
         "i -> CAST(conv(substring(md5(concat_ws(' ', slice(split(text, ' '), i + 1, 3))), 1, 12), 16, 10) AS BIGINT))"
@@ -945,9 +963,10 @@ def llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
            CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT) AS re_tokens,
            ROUND(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) * 1.0
-                 / SUM(len(string_split(text, ' '))), 6) AS fertility,
+                 / NULLIF(SUM(len(string_split(text, ' '))), 0), 6) AS fertility,
            ROUND(SUM(n_chars) * 1.0
-                 / SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))), 6) AS chars_per_token
+                 / NULLIF(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))), 0), 6)
+             AS chars_per_token
     FROM documents GROUP BY lang
     """,
 )
@@ -971,8 +990,14 @@ def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("ws").cast("long").alias("ws_tokens"),
         F.sum("re").cast("long").alias("re_tokens"),
-        F.round(F.sum("re") * 1.0 / F.sum("ws"), 6).alias("fertility"),
-        F.round(F.sum("n_chars") * 1.0 / F.sum("re"), 6).alias("chars_per_token"),
+        # NULLIF guards: an all-punctuation language bucket must be NULL
+        # in both engines, not DuckDB's IEEE inf.
+        F.round(
+            F.sum("re") * 1.0 / F.nullif(F.sum("ws"), F.lit(0)), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_chars") * 1.0 / F.nullif(F.sum("re"), F.lit(0)), 6
+        ).alias("chars_per_token"),
     )
 
 
@@ -985,11 +1010,12 @@ _BM25_PROBE_MOD = 53
 _BM25_QUERY_TOKENS = 8
 _BM25_TOPK = 5
 
-
-@register(
-    "llm_bm25_score",
-    f"""
-    WITH tf AS (
+# The shared BM25 inverted-index dataflow (postings, doc lengths, corpus
+# stats, probe queries, ROUNDED per-(query, doc) scores) in BOTH
+# renderings — one oracle CTE chain and one Spark builder — consumed by
+# llm_bm25_score and llm_query_expansion_prf so the scoring formula and
+# the rounded-rank rule live in exactly one place per rendering.
+_DUCK_BM25_CORE = f"""tf AS (
       SELECT doc_id, token, COUNT(*) AS tf
       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
       GROUP BY doc_id, token
@@ -1008,20 +1034,79 @@ _BM25_TOPK = 5
     ),
     scored AS (
       SELECT q.query_id, tf.doc_id,
-             SUM(
+             ROUND(SUM(
                ln((s.n_docs - d.dfreq + 0.5) / (d.dfreq + 0.5) + 1.0)
                * tf.tf * ({_BM25_K1} + 1.0)
                / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
                                         + {_BM25_B} * l.dl / s.avg_dl))
-             ) AS score
+             ), 6) AS score
       FROM queries q
       JOIN tf ON tf.token = q.token
       JOIN docfreq d ON d.token = q.token
       JOIN dlen l ON l.doc_id = tf.doc_id
       CROSS JOIN stats s
       GROUP BY q.query_id, tf.doc_id
+    )"""
+
+
+def _bm25_corpus_scored(spark: SparkSession, sf_dir: str):
+    """Spark twin of _DUCK_BM25_CORE. Returns (scored, tf, docfreq,
+    stats, queries). The postings, doc-length, and query frames each
+    feed 2-3 stages; materialize them once (checkpoint = building the
+    inverted index, which is exactly what a deployed BM25 system
+    persists) — without it the audit showed nine document scans. The
+    per-(query, doc) score is ROUNDED before any rank consumes it (the
+    llm_pmi_collocations rule): the sum is partial-aggregation-order-
+    dependent at the last ulp."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    tf = (
+        d.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
-    SELECT query_id, doc_id, ROUND(score, 6) AS score, rk
+    dlen = d.select(
+        "doc_id", F.size(toks).cast("double").alias("dl")
+    ).localCheckpoint(eager=True)
+    stats = dlen.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avg_dl"),
+    )
+    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    queries = d.filter(F.col("doc_id") % _BM25_PROBE_MOD == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.array_distinct(F.slice(toks, 1, _BM25_QUERY_TOKENS))).alias(
+            "token"
+        ),
+    ).localCheckpoint(eager=True)
+    idf = F.log(
+        (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5) + 1.0
+    )
+    norm = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avg_dl")
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(tf, "token")
+        .join(docfreq, "token")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(
+                F.sum(idf * F.col("tf") * (_BM25_K1 + 1.0) / norm), 6
+            ).alias("score")
+        )
+    )
+    return scored, tf, docfreq, stats, queries
+
+
+@register(
+    "llm_bm25_score",
+    f"""
+    WITH {_DUCK_BM25_CORE}
+    SELECT query_id, doc_id, score, rk
     FROM (SELECT query_id, doc_id, score,
                  ROW_NUMBER() OVER (PARTITION BY query_id
                                     ORDER BY score DESC, doc_id) AS rk
@@ -1051,49 +1136,13 @@ def llm_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     tune(spark)
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    tf = (
-        d.select("doc_id", F.explode(toks).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dlen = d.select("doc_id", F.size(toks).cast("double").alias("dl"))
-    stats = dlen.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("dl").alias("avg_dl"),
-    )
-    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
-    queries = (
-        d.filter(F.col("doc_id") % _BM25_PROBE_MOD == 0)
-        .select(
-            F.col("doc_id").alias("query_id"),
-            F.explode(
-                F.array_distinct(F.slice(toks, 1, _BM25_QUERY_TOKENS))
-            ).alias("token"),
-        )
-    )
-    idf = F.log(
-        (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5) + 1.0
-    )
-    norm = F.col("tf") + _BM25_K1 * (
-        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avg_dl")
-    )
-    scored = (
-        F.broadcast(queries)
-        .join(tf, "token")
-        .join(docfreq, "token")
-        .join(dlen, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum(idf * F.col("tf") * (_BM25_K1 + 1.0) / norm).alias("score"))
-    )
+    scored, _, _, _, _ = _bm25_corpus_scored(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
     return (
         scored.select(
             "query_id",
             "doc_id",
-            F.round("score", 6).alias("score"),
+            "score",
             F.row_number().over(w).alias("rk"),
         )
         .filter(F.col("rk") <= _BM25_TOPK)
@@ -1444,38 +1493,7 @@ _PRF_TERMS = 2
 @register(
     "llm_query_expansion_prf",
     f"""
-    WITH tf AS (
-      SELECT doc_id, token, COUNT(*) AS tf
-      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
-      GROUP BY doc_id, token
-    ),
-    dlen AS (
-      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
-    ),
-    stats AS (
-      SELECT COUNT(*) AS n_docs, AVG(dl) AS avg_dl FROM dlen
-    ),
-    docfreq AS (SELECT token, COUNT(*) AS dfreq FROM tf GROUP BY token),
-    queries AS (
-      SELECT doc_id AS query_id, unnest(list_distinct(
-               string_split(text, ' ')[1:{_BM25_QUERY_TOKENS}])) AS token
-      FROM documents WHERE doc_id % {_BM25_PROBE_MOD} = 0
-    ),
-    scored AS (
-      SELECT q.query_id, tf.doc_id,
-             SUM(
-               ln((s.n_docs - d.dfreq + 0.5) / (d.dfreq + 0.5) + 1.0)
-               * tf.tf * ({_BM25_K1} + 1.0)
-               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
-                                        + {_BM25_B} * l.dl / s.avg_dl))
-             ) AS score
-      FROM queries q
-      JOIN tf ON tf.token = q.token
-      JOIN docfreq d ON d.token = q.token
-      JOIN dlen l ON l.doc_id = tf.doc_id
-      CROSS JOIN stats s
-      GROUP BY q.query_id, tf.doc_id
-    ),
+    WITH {_DUCK_BM25_CORE},
     feedback AS (
       SELECT query_id, doc_id FROM (
         SELECT query_id, doc_id,
@@ -1526,46 +1544,9 @@ def llm_query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     tune(spark)
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    # The postings, doc-length, and query frames each feed 2-3 stages;
-    # materialize them once (checkpoint = building the inverted index,
-    # which is exactly what a deployed BM25 system persists) — without
-    # it the audit showed nine document scans.
-    tf = (
-        d.select("doc_id", F.explode(toks).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
-    )
-    dlen = d.select(
-        "doc_id", F.size(toks).cast("double").alias("dl")
-    ).localCheckpoint(eager=True)
-    stats = dlen.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("dl").alias("avg_dl"),
-    )
-    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
-    queries = d.filter(F.col("doc_id") % _BM25_PROBE_MOD == 0).select(
-        F.col("doc_id").alias("query_id"),
-        F.explode(F.array_distinct(F.slice(toks, 1, _BM25_QUERY_TOKENS))).alias(
-            "token"
-        ),
-    ).localCheckpoint(eager=True)
+    scored, tf, docfreq, stats, queries = _bm25_corpus_scored(spark, sf_dir)
     idf = F.log(
         (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5) + 1.0
-    )
-    norm = F.col("tf") + _BM25_K1 * (
-        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avg_dl")
-    )
-    scored = (
-        F.broadcast(queries)
-        .join(tf, "token")
-        .join(docfreq, "token")
-        .join(dlen, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum(idf * F.col("tf") * (_BM25_K1 + 1.0) / norm).alias("score"))
     )
     w_fb = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
     feedback = (
@@ -1894,7 +1875,11 @@ def llm_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("t")
     )
-    lens = d.select("doc_id", F.size("t").cast("bigint").alias("doc_len"))
+    # lens feeds the offset window AND the corpus total; checkpoint so
+    # the corpus is tokenized once (the multi-branch audit rule).
+    lens = d.select(
+        "doc_id", F.size("t").cast("bigint").alias("doc_len")
+    ).localCheckpoint(eager=True)
     w_off = (
         Window.orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)

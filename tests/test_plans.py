@@ -1565,14 +1565,16 @@ def test_ks_test_value_dimension_windows_only(spark, registry):
 def test_heaps_law_doc_keyed_join_pruned_scans(spark, registry):
     """llm_heaps_law: the token->offset attach is a doc-keyed equi-join
     (broadcast: offsets live on the doc dimension), never token×doc; the
-    regression is one combinable aggregate; documents scans prune to
-    (doc_id, text) and the doc-length pass to one column."""
+    regression is one combinable aggregate. The doc-length frame is
+    localCheckpoint-materialized (it feeds the offset window AND the
+    corpus total), so exactly ONE documents scan remains — the token
+    explode, pruned to (doc_id, text)."""
     f = _facts(spark, registry, "llm_heaps_law")
     assert f.cartesian == 0
     assert f.sort_merge_joins == 0
     assert f.broadcast_joins == 2, "doc-offset join + total-tokens attach"
     assert "Python" not in f.text
-    assert sorted(scan_read_columns(f)) == [1, 2, 2]
+    assert sorted(scan_read_columns(f)) == [2]
 
 
 def test_mann_whitney_value_dimension_only(spark, registry):

@@ -18,6 +18,8 @@ lesson); mixing is a pure map with an aggregate on top.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -224,14 +226,31 @@ def llm_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The three-tier source weights shared by llm_dataset_mix (the sampler)
+# and llm_token_budget (the planner) in BOTH renderings — one SQL CASE
+# and one Column builder, so re-weighting a tier cannot decouple the
+# planner from the sampler that realizes its plan.
+_TIER_SQL = """CASE WHEN source IN ('src0','src1','src2','src3') THEN 1.0
+                  WHEN source IN ('src4','src5','src6','src7','src8','src9') THEN 0.5
+                  ELSE 0.2 END"""
+
+
+def _tier_weight() -> "F.Column":
+    return (
+        F.when(F.col("source").isin("src0", "src1", "src2", "src3"), 1.0)
+        .when(
+            F.col("source").isin("src4", "src5", "src6", "src7", "src8", "src9"), 0.5
+        )
+        .otherwise(0.2)
+    )
+
+
 @register(
     "llm_dataset_mix",
-    """
+    f"""
     WITH scored AS (
       SELECT source,
-             CASE WHEN source IN ('src0','src1','src2','src3') THEN 1.0
-                  WHEN source IN ('src4','src5','src6','src7','src8','src9') THEN 0.5
-                  ELSE 0.2 END AS target_rate,
+             {_TIER_SQL} AS target_rate,
              CAST(('0x' || substr(md5(concat(source, ':', CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT)
                / 65536.0 AS u
       FROM documents
@@ -260,13 +279,7 @@ def llm_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (no float64 precision loss)."""
     tune(spark)
     d = load_table(spark, sf_dir, "documents")
-    rate = (
-        F.when(F.col("source").isin("src0", "src1", "src2", "src3"), 1.0)
-        .when(
-            F.col("source").isin("src4", "src5", "src6", "src7", "src8", "src9"), 0.5
-        )
-        .otherwise(0.2)
-    )
+    rate = _tier_weight()
     u = (
         F.conv(
             F.substring(
@@ -1175,9 +1188,6 @@ def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tokens (sf-independent), split across sources by the same tier weights
 # the llm_dataset_mix sampler uses.
 _BUDGET_MULT = 2.0
-_TIER_SQL = """CASE WHEN source IN ('src0','src1','src2','src3') THEN 1.0
-                  WHEN source IN ('src4','src5','src6','src7','src8','src9') THEN 0.5
-                  ELSE 0.2 END"""
 
 
 @register(
@@ -1224,13 +1234,7 @@ def llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     llm_epoch_shuffle (the order within each epoch)."""
     tune(spark)
     d = load_table(spark, sf_dir, "documents")
-    weight = (
-        F.when(F.col("source").isin("src0", "src1", "src2", "src3"), 1.0)
-        .when(
-            F.col("source").isin("src4", "src5", "src6", "src7", "src8", "src9"), 0.5
-        )
-        .otherwise(0.2)
-    )
+    weight = _tier_weight()
     re_t = F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)"))
     per_src = d.select("source", weight.alias("weight"), re_t.alias("nt")).groupBy(
         "source"
@@ -1265,11 +1269,17 @@ def llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # URL canonicalization: params dropped before comparing URLs (the public
 # crawl-dedup convention: tracking params never distinguish content).
 _URL_TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=")
+# SQL predicate built FROM the tuple (LIKE needs '_' escaped) so adding a
+# tracker (e.g. "msclkid=") changes both renderings in one place.
+_URL_TRACK_SQL = " AND ".join(
+    "p NOT LIKE '{}%' ESCAPE '\\'".format(pref.replace("_", "\\_"))
+    for pref in _URL_TRACKING_PREFIXES
+)
 
 
 @register(
     "llm_url_dedup",
-    """
+    f"""
     WITH u AS (
       SELECT doc_id, source,
              (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'https' END)
@@ -1302,8 +1312,7 @@ _URL_TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=")
                -- no-query URL collapses into one NULL canonical key.
                COALESCE(array_to_string(
                  list_sort(list_filter(string_split(query, '&'),
-                   p -> p <> '' AND p NOT LIKE 'utm\\_%' ESCAPE '\\'
-                        AND p NOT LIKE 'fbclid=%' AND p NOT LIKE 'gclid=%')),
+                   p -> p <> '' AND {_URL_TRACK_SQL})),
                  '&'), '') AS kept
         FROM parsed
       )
@@ -1362,10 +1371,11 @@ def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(
             F.filter(
                 F.split("query", "&"),
-                lambda p: (p != "")
-                & ~p.startswith("utm_")
-                & ~p.startswith("fbclid=")
-                & ~p.startswith("gclid="),
+                lambda p: reduce(
+                    lambda acc, pref: acc & ~p.startswith(pref),
+                    _URL_TRACKING_PREFIXES,
+                    p != "",
+                ),
             )
         ),
         "&",

@@ -88,12 +88,15 @@ def llm_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = inter / union
     return (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        # filter on the UNROUNDED value, exactly as the oracle's WHERE
+        # does — filtering the rounded column would admit pairs in
+        # [tau - 5e-7, tau) that DuckDB drops.
+        .filter(jac >= JACCARD_THRESHOLD)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.round(jac, 6).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
 
@@ -301,10 +304,17 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_dedup_canonical",
     """
-    WITH keyed AS (
+    WITH docs AS (
+      SELECT doc_id, source, n_chars, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id, 'recrawl' AS source,
+             n_chars + 2 AS n_chars, text || '  ' AS text
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    keyed AS (
       SELECT doc_id, source, n_chars,
              md5(lower(trim(text))) AS grp
-      FROM documents
+      FROM docs
     ),
     ranked AS (
       SELECT doc_id, source, n_chars, grp,
@@ -330,6 +340,13 @@ def llm_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     report each multi-copy group's survivor. llm_exact_dedup counts
     copies; this op makes the KEEP decision a writer consumes.
 
+    The fixture's texts are all distinct, which would make this a 0-row
+    vacuous pass (the trap documented in curation.py and avoided in
+    llm_cross_dedup) — so a deterministic "re-crawl" twin of every 7th
+    doc is injected (same normalized text via trailing whitespace,
+    n_chars + 2), and the election provably picks it: longest text
+    wins, exercising the survivor rule on every group.
+
     Scale shape: one shuffle on the 128-bit group hash (uniform by
     construction — no skew beyond true duplicate mass), ranking window
     and group count ride that same partitioning (single exchange
@@ -338,7 +355,16 @@ def llm_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     tune(spark)
-    d = load_table(spark, sf_dir, "documents")
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    recrawl = base.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.lit("recrawl").alias("source"),
+        (F.col("n_chars") + 2).alias("n_chars"),
+        F.concat("text", F.lit("  ")).alias("text"),
+    )
+    d = base.unionByName(recrawl)
     keyed = d.select(
         "doc_id", "source", "n_chars", F.md5(F.lower(F.trim("text"))).alias("grp")
     )
@@ -434,7 +460,7 @@ _COLLISION_ORACLE = """
       SELECT source, md5(text) AS digest, text FROM documents
     )
     SELECT source,
-           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
            CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_digests,
            CAST(SUM(n_texts - 1) AS BIGINT) AS n_collisions
     FROM (

@@ -98,7 +98,6 @@ def llm_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(
             F.lit("image").alias("modality"),
             F.col("n_chars").alias("declared_size"),
-            F.col("source").alias("origin"),
         ).alias("meta"),
     ).withColumn("modality", F.col("meta.modality"))
 
@@ -106,7 +105,15 @@ def llm_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, modality string, byte_size long, payload_md5 string, "
         "width long, height long, format string"
     )
-    decoded = binary.select("doc_id", "modality", "payload").mapInPandas(_decode_batches, schema)
+    # Push the size gate BEFORE the Python stage: declared_size equals the
+    # payload byte length (ascii corpus), so filtering JVM-side skips the
+    # Arrow round-trip + decode for rows the pipeline would discard — at
+    # 100 TB the decode stage is the most expensive operator in the chain.
+    decoded = (
+        binary.filter(F.col("meta.declared_size") >= 200)
+        .select("doc_id", "modality", "payload")
+        .mapInPandas(_decode_batches, schema)
+    )
     return decoded.filter(F.col("byte_size") >= 200).select(
         "doc_id", "modality", "byte_size", "payload_md5", "width", "height"
     )
@@ -127,9 +134,14 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out_w = (width * scale).map(math.floor).astype("int64")
         out_h = (height * scale).map(math.floor).astype("int64")
         digest = pdf["payload"].map(lambda b: hashlib.md5(b).hexdigest())
+        # half-UP rounding to match DuckDB/Spark ROUND — Python round()
+        # is banker's (half-even) and diverges on exact .xxxxxx5 ties.
         feats = {
             f"f{k}": digest.map(
-                lambda h, k=k: round(int(h[k * 8 : (k + 1) * 8], 16) / 4294967296.0, 6)
+                lambda h, k=k: int(
+                    int(h[k * 8 : (k + 1) * 8], 16) / 4294967296.0 * 1e6 + 0.5
+                )
+                / 1e6
             )
             for k in range(4)
         }

@@ -133,23 +133,56 @@ _MINHASH_ORACLE = f"""
 """
 
 
+def _minhash_sig_from(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared signature build over an arbitrary documents frame: (token
+    sets, per-(doc, k) md5 min-hash signature). The hash salt, K, and
+    tokenization live HERE and only here — the tuning-curve, threshold-
+    sweep, and estimator-error ops all derive from this one chain, so a
+    change cannot skew one exhibit against the others."""
+    toks = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("tok"))
+    hashes = (
+        toks.select("doc_id", F.explode("tok").alias("tok"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_K - 1))).alias("k"),
+            "tok",
+        )
+        .select(
+            "doc_id", "k", F.md5(F.concat_ws(":", F.col("k"), F.col("tok"))).alias("h")
+        )
+    )
+    sig = hashes.groupBy("doc_id", "k").agg(F.min("h").alias("mh"))
+    return toks, sig
+
+
+def _band_keys(sig: DataFrame) -> DataFrame:
+    """Default-config band keys over a signature frame."""
+    return sig.groupBy(
+        "doc_id", (F.col("k") / _BAND_ROWS).cast("int").alias("band")
+    ).agg(F.array_join(F.array_sort(F.collect_list("mh")), "|").alias("bkey"))
+
+
+def _candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Ordered candidate pairs via the (band, bkey) equi-self-join —
+    bucket-bounded, never all-pairs."""
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def _minhash_bands_from(d: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Signature stage over an arbitrary documents frame (static corpus
     or a streaming micro-batch): (token sets, banded LSH index)."""
-    toks = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("tok"))
-    tok_rows = toks.select("doc_id", F.explode("tok").alias("tok"))
-    hashes = tok_rows.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_K - 1))).alias("k"),
-        "tok",
-    ).select(
-        "doc_id", "k", F.md5(F.concat_ws(":", F.col("k"), F.col("tok"))).alias("h")
-    )
-    sig = hashes.groupBy("doc_id", "k").agg(F.min("h").alias("mh"))
-    bands = sig.groupBy(
-        "doc_id", (F.col("k") / _BAND_ROWS).cast("int").alias("band")
-    ).agg(F.array_join(F.array_sort(F.collect_list("mh")), "|").alias("bkey"))
-    return toks, bands
+    toks, sig = _minhash_sig_from(d)
+    return toks, _band_keys(sig)
 
 
 def _minhash_bands(
@@ -167,17 +200,7 @@ def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     llm_dedup_clusters."""
     toks, bands = _minhash_bands(spark, sf_dir)
 
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _candidate_pairs(bands)
 
     ta, tb = toks.alias("ta"), toks.alias("tb")
     inter = F.size(F.array_intersect(F.col("ta.tok"), F.col("tb.tok"))).cast("double")
@@ -447,43 +470,47 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is path compression — chains collapse in O(log diameter) rounds
     # instead of O(diameter), the same trick GraphX's small-star/large-star
     # CC uses.
-    for _ in range(25):  # ≥ log2(diameter) with slack; fixtures converge in ≤5
-        nbr_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        x, y = labels.alias("x"), labels.alias("y")
-        lab2 = x.join(y, F.col("x.cluster_id") == F.col("y.doc_id")).select(
-            F.col("x.doc_id").alias("d2"), F.col("y.cluster_id").alias("ll")
-        )
-        new_labels = (
-            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
-            .join(lab2, labels.doc_id == lab2.d2, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
-                    F.coalesce(F.col("ll"), F.col("cluster_id")),
-                ).alias("cluster_id"),
+    # try/finally: a non-convergence raise must still release the
+    # persisted pair graph, or it leaks in the block manager for the
+    # rest of the session.
+    try:
+        for _ in range(25):  # ≥ log2(diameter) with slack; fixtures converge in ≤5
+            nbr_min = (
+                edges.join(labels, edges.dst == labels.doc_id)
+                .groupBy("src")
+                .agg(F.min("cluster_id").alias("nbr_min"))
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError("label propagation did not converge in 25 rounds")
-
-    edges.unpersist()
+            x, y = labels.alias("x"), labels.alias("y")
+            lab2 = x.join(y, F.col("x.cluster_id") == F.col("y.doc_id")).select(
+                F.col("x.doc_id").alias("d2"), F.col("y.cluster_id").alias("ll")
+            )
+            new_labels = (
+                labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+                .join(lab2, labels.doc_id == lab2.d2, "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("cluster_id"),
+                        F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                        F.coalesce(F.col("ll"), F.col("cluster_id")),
+                    ).alias("cluster_id"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError("label propagation did not converge in 25 rounds")
+    finally:
+        edges.unpersist()
     return labels.select(
         "doc_id",
         "cluster_id",
@@ -505,7 +532,7 @@ _CHUNK_STRIDE = 80
     WITH seq AS (
       SELECT doc_id, text,
              unnest(generate_series(0, (length(text) - 1) // {_CHUNK_STRIDE})) AS k
-      FROM documents
+      FROM documents WHERE length(text) >= 1
     )
     SELECT doc_id, k AS chunk_idx,
            substr(text, k * {_CHUNK_STRIDE} + 1, {_CHUNK_WIDTH}) AS chunk_text,
@@ -521,12 +548,16 @@ def llm_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     len/stride per doc, so the stage streams at any scale. Token-based
     chunking swaps substring for slice() over the split-token array."""
     tune(spark)
-    d = load_table(spark, sf_dir, "documents")
+    # Guard: an empty text gives n_chunks_minus1 = -1, where Spark's
+    # sequence(0, -1) DESCENDS to [0, -1] (two bogus rows) while the
+    # oracle's generate_series is empty — the llm_rouge_overlap
+    # divergence class. Filter both sides.
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 1)
     n_chunks_minus1 = F.floor((F.length("text") - 1) / _CHUNK_STRIDE).cast("int")
     chunked = d.select(
         "doc_id",
         "text",
-        F.posexplode(F.sequence(F.lit(0), n_chunks_minus1)).alias("chunk_idx", "_k"),
+        F.explode(F.sequence(F.lit(0), n_chunks_minus1)).alias("chunk_idx"),
     )
     return chunked.select(
         "doc_id",
@@ -792,8 +823,6 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     node, and checkpointing between stages is a cache() choice, not a
     rewrite."""
     tune(spark)
-    from pyspark.sql import Window
-
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower("text"), " ")
     quality = 0.5 * F.least(F.col("n_chars") / 300.0, F.lit(1.0)) + 0.5 * (
@@ -894,26 +923,10 @@ def llm_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dedup shape it tunes."""
     tune(spark)
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("tok"))
-    hashes = (
-        toks.select("doc_id", F.explode("tok").alias("tok"))
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_K - 1))).alias("k"),
-            "tok",
-        )
-        .select(
-            "doc_id",
-            "k",
-            F.md5(F.concat_ws(":", F.col("k"), F.col("tok"))).alias("h"),
-        )
-    )
-    # One signature build feeds all three configs: checkpoint it.
-    sig = (
-        hashes.groupBy("doc_id", "k")
-        .agg(F.min("h").alias("mh"))
-        .localCheckpoint(eager=True)
-    )
+    # One signature build (the shared _minhash_sig_from chain) feeds all
+    # three configs: checkpoint it.
+    _, sig = _minhash_sig_from(d)
+    sig = sig.localCheckpoint(eager=True)
     # VALUES through SQL plans as a JVM LocalRelation — createDataFrame
     # over a Python list would plan applySchemaToPythonRDD instead.
     configs = spark.sql(
@@ -1147,37 +1160,8 @@ def llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     want to know before deleting 10% of a corpus."""
     tune(spark)
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("tok")
-    )
-    hashes = (
-        toks.select("doc_id", F.explode("tok").alias("tok"))
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_K - 1))).alias("k"),
-            "tok",
-        )
-        .select(
-            "doc_id",
-            "k",
-            F.md5(F.concat_ws(":", F.col("k"), F.col("tok"))).alias("h"),
-        )
-    )
-    sig = hashes.groupBy("doc_id", "k").agg(F.min("h").alias("mh"))
-    bands = sig.groupBy(
-        "doc_id", (F.col("k") / _BAND_ROWS).cast("int").alias("band")
-    ).agg(F.array_join(F.array_sort(F.collect_list("mh")), "|").alias("bkey"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    toks, sig = _minhash_sig_from(d)
+    cand = _candidate_pairs(_band_keys(sig))
     ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("tok_a"))
     tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
     inter = F.size(F.array_intersect("tok_a", "tok_b")).cast("double")
@@ -1282,41 +1266,10 @@ def llm_minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator would remove."""
     tune(spark)
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("tok")
-    ).localCheckpoint(eager=True)
-    hashes = (
-        toks.select("doc_id", F.explode("tok").alias("tok"))
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_K - 1))).alias("k"),
-            "tok",
-        )
-        .select(
-            "doc_id",
-            "k",
-            F.md5(F.concat_ws(":", F.col("k"), F.col("tok"))).alias("h"),
-        )
-    )
-    sig = (
-        hashes.groupBy("doc_id", "k")
-        .agg(F.min("h").alias("mh"))
-        .localCheckpoint(eager=True)
-    )
-    bands = sig.groupBy(
-        "doc_id", (F.col("k") / _BAND_ROWS).cast("int").alias("band")
-    ).agg(F.array_join(F.array_sort(F.collect_list("mh")), "|").alias("bkey"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    toks, sig = _minhash_sig_from(d)
+    toks = toks.localCheckpoint(eager=True)
+    sig = sig.localCheckpoint(eager=True)
+    cand = _candidate_pairs(_band_keys(sig))
     sa = sig.select(
         F.col("doc_id").alias("doc_a"), F.col("k").alias("ka"), F.col("mh").alias("mha")
     )

@@ -286,12 +286,17 @@ def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(path)
         .cache()
     )
-    return parsed.groupBy("status").agg(
+    # Materialize the tiny rollup eagerly, then release the cached parse
+    # — otherwise the full parsed CSV stays pinned in executor storage
+    # for the rest of the session (the sink_multi_insert discipline).
+    out = parsed.groupBy("status").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("_corrupt_record").alias("n_corrupt"),
         (F.count(F.lit(1)) - F.count("_corrupt_record")).alias("n_good"),
         F.sum("cents").alias("good_cents"),
-    )
+    ).localCheckpoint(eager=True)
+    parsed.unpersist()
+    return out
 
 
 _N_BINARY_FILES = 12
@@ -330,10 +335,18 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode happens in Arrow-batched Python (llm/multimodal.py), never
     row-at-a-time."""
     tune(spark)
-    # Scratch dir is keyed on the blob count: changing _N_BINARY_FILES
-    # must invalidate the cache, or stale b*.bin files from a prior run
-    # would still match pathGlobFilter and diverge from the oracle.
-    blob_dir = scratch_dir(f"binfiles_{_N_BINARY_FILES}", "_anchor")
+    # Scratch dir is keyed on the blob count AND a digest of the payload
+    # recipe: changing _N_BINARY_FILES or the generator formula must
+    # invalidate the cache, or stale b*.bin files from a prior run would
+    # still match pathGlobFilter and diverge from the oracle.
+    import hashlib as _hashlib
+
+    recipe = _hashlib.md5(
+        ";".join(
+            f"blob-{i:03d}:" + "x" * (i * 7) for i in range(_N_BINARY_FILES)
+        ).encode("ascii")
+    ).hexdigest()[:8]
+    blob_dir = scratch_dir(f"binfiles_{_N_BINARY_FILES}_{recipe}", "_anchor")
     parent = os.path.dirname(blob_dir)
     marker = os.path.join(parent, ".ready")
     if not os.path.exists(marker):
@@ -451,8 +464,6 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract enforcement, DROPMALFORMED silently loses data and should
     be confined to exploratory reads. Both reads here are one pass,
     schema explicit — inferSchema would add a full extra scan."""
-    import os as _os
-
     tune(spark)
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
@@ -473,7 +484,7 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value")
     )
     path = scratch_dir("fmt", _sf_tag(sf_dir), f"orders_malformed_{_MALFORMED_MOD}")
-    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
         lines.write.mode("overwrite").format("text").save(path)
     schema = (
         "o_orderkey LONG, o_totalprice DOUBLE, o_orderstatus STRING, _bad STRING"
@@ -545,12 +556,10 @@ def scan_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
     fan out to footers; new columns must be APPENDED nullable — type
     narrowing or renames break old readers and are a table-format
     (rename-by-id) feature, not a parquet one."""
-    import os as _os
-
     tune(spark)
     o = load_table(spark, sf_dir, "orders")
     path = scratch_dir("fmt", _sf_tag(sf_dir), "orders_schema_evo")
-    if not _os.path.exists(_os.path.join(path, "_done")):
+    if not os.path.exists(os.path.join(path, "_done")):
         v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
             F.lit("v1").alias("batch"), "o_orderkey", "o_totalprice"
         )
@@ -564,7 +573,7 @@ def scan_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("o_comment_len"),
         )
         v2.write.mode("append").parquet(path)
-        open(_os.path.join(path, "_done"), "w").close()
+        open(os.path.join(path, "_done"), "w").close()
     merged = spark.read.option("mergeSchema", "true").parquet(path)
     return merged.groupBy("batch").agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -604,13 +613,11 @@ def scan_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     Columnar formats shred the same nesting (parquet repetition levels)
     so the struct list survives into parquet too — JSON is exercised
     here because schema-on-read text is the harder contract."""
-    import os as _os
-
     tune(spark)
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
     li = load_table(spark, sf_dir, "lineitem")
     path = scratch_dir("fmt", _sf_tag(sf_dir), "orders_nested_json")
-    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
         items = li.groupBy("l_orderkey").agg(
             F.collect_list(
                 F.struct(

@@ -97,18 +97,23 @@ def ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     p = load_table(spark, sf_dir, "part")
     p.createOrReplaceTempView("hts_part_v")
+    tag = _sf_tag(sf_dir).replace(".", "_")
+    table = f"hts_brand_stats_{tag}"
     path = scratch_dir("sink", _sf_tag(sf_dir), "ctas_brand_stats")
     shutil.rmtree(path, ignore_errors=True)
-    spark.sql("DROP TABLE IF EXISTS hts_brand_stats")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # sf-tagged name: spark.table() is LAZY, so an untagged shared name
+    # re-created at another scale factor in the same session would be
+    # read by the first invocation's still-uncollected result.
     spark.sql(
         f"""
-        CREATE TABLE hts_brand_stats
+        CREATE TABLE {table}
         USING PARQUET LOCATION '{path}'
         AS SELECT p_brand, COUNT(*) AS num_parts, ROUND(AVG(p_retailprice), 6) AS avg_retail
            FROM hts_part_v GROUP BY p_brand
         """
     )
-    return spark.table("hts_brand_stats")
+    return spark.table(table)
 
 
 @register(
@@ -400,8 +405,6 @@ def sink_csv_quoting(spark: SparkSession, sf_dir: str) -> DataFrame:
     the operational reason pipelines re-land CSV as parquet on arrival;
     keep multiline text out of delimited interchange or cap file sizes
     at write time (maxRecordsPerFile)."""
-    import os as _os
-
     tune(spark)
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
     tricky = c.select(
@@ -412,10 +415,12 @@ def sink_csv_quoting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("line1\nline2:"), F.col("c_name")).alias("multiline"),
     )
     path = scratch_dir("fmt", _sf_tag(sf_dir).replace(".", "_"), "csv_quoting")
-    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
-        tricky.write.mode("overwrite").option("header", "true").option(
-            "quoteAll", "true"
-        ).csv(path)
+    # The WRITER is the operator under test (module contract: sink writes
+    # re-run every invocation) — a _SUCCESS gate here would freeze the
+    # first run's files and let a quoting/escape regression pass silently.
+    tricky.write.mode("overwrite").option("header", "true").option(
+        "quoteAll", "true"
+    ).csv(path)
     return spark.read.csv(
         path,
         header=True,
@@ -559,7 +564,7 @@ def meta_msck_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus"
         ),
     )
-    specs_after = spark.sql(f"SHOW PARTITIONS {table}").count()
+    specs_after = specs.count()
     counts = spark.table(table).groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_rows")
     )
@@ -755,7 +760,7 @@ def meta_drop_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"USING parquet PARTITIONED BY (o_orderstatus) LOCATION '{loc}'"
     )
     spark.sql(f"MSCK REPAIR TABLE {table}")
-    spark.sql(f"ALTER TABLE {table} DROP PARTITION (o_orderstatus = 'P')")
+    spark.sql(f"ALTER TABLE {table} DROP IF EXISTS PARTITION (o_orderstatus = 'P')")
     specs_after = spark.sql(f"SHOW PARTITIONS {table}").count()
     return (
         spark.table(table)
@@ -824,7 +829,18 @@ def meta_add_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING) "
         f"USING parquet PARTITIONED BY (o_orderstatus) LOCATION '{loc}'"
     )
-    for status in ("F", "O", "P"):
+    # Register exactly the specs present in the data (bounded catalog
+    # metadata — |statuses| <= 3): a hardcoded status list would register
+    # an empty spec on a fixture slice lacking it and diverge from the
+    # oracle's data-derived COUNT(DISTINCT).
+    statuses = sorted(
+        r[0]
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_orderstatus")
+        .distinct()
+        .collect()
+    )
+    for status in statuses:
         spark.sql(
             f"ALTER TABLE {table} ADD IF NOT EXISTS "
             f"PARTITION (o_orderstatus = '{status}')"
@@ -987,7 +1003,7 @@ def dml_exchange_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ALTER TABLE {tgt} ADD PARTITION (o_orderstatus = 'P') "
         f"LOCATION '{loc}/o_orderstatus=P'"
     )
-    spark.sql(f"ALTER TABLE {src} DROP PARTITION (o_orderstatus = 'P')")
+    spark.sql(f"ALTER TABLE {src} DROP IF EXISTS PARTITION (o_orderstatus = 'P')")
     src_specs = spark.sql(f"SHOW PARTITIONS {src}").count()
     tgt_specs = spark.sql(f"SHOW PARTITIONS {tgt}").count()
     p_src = spark.table(src).filter(F.col("o_orderstatus") == "P")

@@ -36,8 +36,11 @@ from hive_test_spark.session import tune
 _DAMP = 0.85
 _ITERS = 3
 
-_PAGERANK_ORACLE = """
-    WITH pairs AS (
+# The customer–supplier trade graph shared by ALL graph operators, in
+# BOTH renderings — one oracle CTE fragment and one Spark builder — so
+# the five ops can never silently derive different graphs (they pasted
+# this block four times before round-6 review).
+_TRADE_EDGES_SQL = """pairs AS (
       SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     ),
@@ -45,7 +48,29 @@ _PAGERANK_ORACLE = """
       SELECT 'c' || CAST(cust AS VARCHAR) AS src, 's' || CAST(supp AS VARCHAR) AS dst FROM pairs
       UNION ALL
       SELECT 's' || CAST(supp AS VARCHAR) AS src, 'c' || CAST(cust AS VARCHAR) AS dst FROM pairs
-    ),
+    )"""
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _TRADE_EDGES_SQL: the undirected (as two directed
+    rows) customer–supplier bipartite trade graph."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("cust"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("supp"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        F.col("cust").alias("src"), F.col("supp").alias("dst")
+    ).unionAll(pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
+
+
+_PAGERANK_ORACLE = f"""
+    WITH {_TRADE_EDGES_SQL},
     deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
     n AS (SELECT count(*) AS n_nodes FROM deg),
     r0 AS (SELECT src AS node, 1.0 / (SELECT n_nodes FROM n) AS rank FROM deg),
@@ -90,20 +115,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     join reuse that exchange, and a fixed iteration count keeps lineage
     shallow (unbounded loops would localCheckpoint periodically)."""
     tune(spark)
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    pairs = (
-        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("cust"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("supp"),
-        )
-        .distinct()
-    )
-    edges = pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).unionAll(
-        pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
-    )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges = _trade_edges(spark, sf_dir)
+    # deg feeds the initial ranks, every iteration's broadcast n_nodes,
+    # and the final degree join — cache it, or six copies of the
+    # edge-build subtree re-aggregate per reference.
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).cache()
     # Loop invariant: each directed edge carries its source's 1/outdeg.
     edges_w = (
         edges.join(deg, "src")
@@ -143,16 +159,8 @@ _BFS_LEVEL = """
     )"""
 
 _SHORTEST_PATH_ORACLE = (
-    """
-    WITH pairs AS (
-      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
-      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    ),
-    edges AS (
-      SELECT 'c' || CAST(cust AS VARCHAR) AS src, 's' || CAST(supp AS VARCHAR) AS dst FROM pairs
-      UNION ALL
-      SELECT 's' || CAST(supp AS VARCHAR) AS src, 'c' || CAST(cust AS VARCHAR) AS dst FROM pairs
-    ),
+    f"""
+    WITH {_TRADE_EDGES_SQL},
     d0 AS (
       SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node, 0 AS hops
       FROM customer WHERE c_nationkey = """
@@ -186,22 +194,8 @@ def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     llm_dedup_clusters' pointer-doubling variant that halves the level
     count logarithmically)."""
     tune(spark)
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
     customer = load_table(spark, sf_dir, "customer")
-    pairs = (
-        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("cust"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("supp"),
-        )
-        .distinct()
-    )
-    edges = (
-        pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
-        .unionAll(pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
-        .cache()
-    )
+    edges = _trade_edges(spark, sf_dir).cache()
     dist = customer.filter(F.col("c_nationkey") == _BFS_SRC_NATION).select(
         F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node"),
         F.lit(0).alias("hops"),
@@ -219,7 +213,7 @@ _TRIANGLES_ORACLE = """
       SELECT a.l_partkey AS p1, b.l_partkey AS p2
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY 1, 2 HAVING count(*) >= 2
+      GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2
     ),
     tri AS (
       SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
@@ -257,7 +251,11 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("b_ok") == F.col("l_orderkey")) & (F.col("l_partkey") < F.col("p2")),
         )
         .groupBy(F.col("l_partkey").alias("p1"), "p2")
-        .agg(F.count(F.lit(1)).alias("support"))
+        # DISTINCT orders, not pair instances: duplicated (order, part)
+        # lines would otherwise let a single-order pair pass the >= 2
+        # co-occurrence contract (caught in round-6 review: 128 such
+        # edges at sf0.001).
+        .agg(F.countDistinct("l_orderkey").alias("support"))
         .filter(F.col("support") >= 2)
         .select("p1", "p2")
         .cache()
@@ -296,15 +294,7 @@ _DUCK_LP_STEP = """
 """
 
 _LP_ORACLE = f"""
-    WITH pairs AS (
-      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
-      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    ),
-    edges AS (
-      SELECT 'c' || CAST(cust AS VARCHAR) AS src, 's' || CAST(supp AS VARCHAR) AS dst FROM pairs
-      UNION ALL
-      SELECT 's' || CAST(supp AS VARCHAR) AS src, 'c' || CAST(cust AS VARCHAR) AS dst FROM pairs
-    ),
+    WITH {_TRADE_EDGES_SQL},
     l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
     l1 AS ({_DUCK_LP_STEP.format(prev="l0")}),
     l2 AS ({_DUCK_LP_STEP.format(prev="l1")}),
@@ -349,22 +339,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage shallow (convergence loops localCheckpoint, the CC
     pattern). The per-round rollups key on the label dimension."""
     tune(spark)
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("cust"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("supp"),
-        )
-        .distinct()
-    )
-    edges = pairs.select(
-        F.col("cust").alias("src"), F.col("supp").alias("dst")
-    ).unionAll(pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
     # The edge list feeds every round: checkpoint once (the pagerank
     # cached-edges idiom) so the rounds re-read memory, not parquet.
-    edges = edges.localCheckpoint(eager=True)
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -415,15 +392,8 @@ _DUCK_PEEL = f"""
 """
 
 _KCORE_ORACLE = f"""
-    WITH pairs AS (
-      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
-      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    ),
-    e0 AS (
-      SELECT 'c' || CAST(cust AS VARCHAR) AS src, 's' || CAST(supp AS VARCHAR) AS dst FROM pairs
-      UNION ALL
-      SELECT 's' || CAST(supp AS VARCHAR) AS src, 'c' || CAST(cust AS VARCHAR) AS dst FROM pairs
-    ),
+    WITH {_TRADE_EDGES_SQL},
+    e0 AS (SELECT src, dst FROM edges),
     e1 AS ({_DUCK_PEEL.format(prev="e0")}),
     e2 AS ({_DUCK_PEEL.format(prev="e1")}),
     e3 AS ({_DUCK_PEEL.format(prev="e2")}),
@@ -458,23 +428,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-round localCheckpoint keeps the unrolled lineage flat (the CC
     cadence)."""
     tune(spark)
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("cust"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("supp"),
-        )
-        .distinct()
-    )
-    edges = (
-        pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
-        .unionAll(
-            pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
-        )
-        .localCheckpoint(eager=True)
-    )
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
     rounds = [edges]
     for _ in range(_KCORE_ROUNDS):
         prev = rounds[-1]

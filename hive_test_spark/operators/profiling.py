@@ -140,7 +140,12 @@ _CONSTRAINTS_ORACLE = """
     FROM orders
     UNION ALL
     SELECT 'pk_lineitem_composite', COUNT(*),
-           CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+           -- NULL-key rows ARE violations: Spark countDistinct skips
+           -- rows with any NULL key, and the CASE makes DuckDB's
+           -- struct-counting COUNT(DISTINCT) do the same.
+           CAST(COUNT(*) - COUNT(DISTINCT CASE
+                  WHEN l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+                  THEN (l_orderkey, l_linenumber) END) AS BIGINT)
     FROM lineitem
     UNION ALL
     SELECT 'chk_discount_range', COUNT(*),
@@ -224,7 +229,9 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fk_oc = (
         o.join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "left_anti")
         .agg(F.count(F.lit(1)).alias("orphans"))
-        .crossJoin(F.broadcast(o.agg(F.count(F.lit(1)).alias("n_checked"))))
+        # reuse the 1-row o_row aggregate (already computes the orders
+        # count) instead of launching a second full count job.
+        .crossJoin(F.broadcast(o_row.select("n_checked")))
         .select(
             F.lit("fk_orders_customer").alias("constraint_name"),
             "n_checked",
@@ -234,7 +241,7 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fk_lo = (
         li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti")
         .agg(F.count(F.lit(1)).alias("orphans"))
-        .crossJoin(F.broadcast(li.agg(F.count(F.lit(1)).alias("n_checked"))))
+        .crossJoin(F.broadcast(li_row.select("n_checked")))
         .select(
             F.lit("fk_lineitem_orders").alias("constraint_name"),
             "n_checked",

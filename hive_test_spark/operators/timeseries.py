@@ -338,7 +338,10 @@ def evt_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tr AS (
       SELECT day, observed,
-             CAST(day - DATE '2024-01-01' AS INT) % 7 AS dow,
+             -- signed-safe modulo: DuckDB % follows the dividend's sign
+             -- while Spark pmod is always non-negative — one pre-anchor
+             -- event would diverge the dow bucket without this wrap.
+             ((CAST(day - DATE '2024-01-01' AS INT) % 7) + 7) % 7 AS dow,
              CASE WHEN COUNT(*) OVER w7 = 7
                   THEN AVG(observed) OVER w7 END AS trend
       FROM daily

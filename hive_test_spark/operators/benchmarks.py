@@ -125,7 +125,10 @@ def bench_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(
             l,
             (o.o_orderkey == l.l_orderkey)
-            & (l.l_shipdate > F.date_add(o.o_orderdate, 60)),
+            # interval-add, not date_add: the oracle's '+ INTERVAL 60
+            # DAY' preserves time-of-day while date_add truncates — the
+            # bench_q12 convention.
+            & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
             "left_semi",
         )
         .groupBy("o_orderpriority")
@@ -316,8 +319,9 @@ _Q22_EARLY = "1996-01-01"
     """,
 )
 def bench_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""TPC-H Q22 shape (global sales opportunity): above-average-balance
-    late-adopter customers (no order before {_Q22_EARLY}), rolled up per
+    """TPC-H Q22 shape (global sales opportunity): above-average-balance
+    late-adopter customers (no order before _Q22_EARLY = 1996-01-01),
+    rolled up per
     nation (the fixture has no phone column; nationkey plays the
     country-code role, and the anti-join is date-inverted because every
     fixture customer eventually orders — the 0-row vacuity trap). Plan:
@@ -647,7 +651,7 @@ def bench_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .filter(
             F.col("l_shipdate")
-            > F.date_add(F.col("o_orderdate"), _Q21_LATE_DAYS)
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q21_LATE_DAYS} DAYS")
         )
         .select("l_orderkey", "l_suppkey", "o_orderdate")
     )

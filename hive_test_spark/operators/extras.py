@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from hive_test_spark.io import load_table, scratch_dir
 from hive_test_spark.registry import register
+from hive_test_spark.sources.scans import _sf_tag
 from hive_test_spark.session import tune
 
 
@@ -234,18 +235,25 @@ def scale_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     compact = scratch_dir("compact", tag, "orders_compact")
     shutil.rmtree(frag, ignore_errors=True)
     shutil.rmtree(compact, ignore_errors=True)
-    load_table(spark, sf_dir, "orders").repartition(64).write.parquet(frag)
+    # mode("overwrite"): a silently-failed rmtree (EPERM/NFS lag) must
+    # not turn the rewrite into a path-already-exists crash.
+    load_table(spark, sf_dir, "orders").repartition(64).write.mode(
+        "overwrite"
+    ).parquet(frag)
     files = glob.glob(os.path.join(frag, "*.parquet"))
     total = sum(os.path.getsize(f) for f in files)
     n_target = max(1, math.ceil(total / (128 << 20)))
-    spark.read.parquet(frag).repartition(n_target).write.parquet(compact)
+    spark.read.parquet(frag).repartition(n_target).write.mode(
+        "overwrite"
+    ).parquet(compact)
     out_files = glob.glob(os.path.join(compact, "*.parquet"))
-    assert len(out_files) == n_target, (len(out_files), n_target)
+    if len(out_files) != n_target:  # not assert: survives python -O
+        raise RuntimeError(
+            f"compaction produced {len(out_files)} files, expected {n_target}"
+        )
     return spark.read.parquet(compact)
 
 
-def _sf_tag(sf_dir: str) -> str:
-    return os.path.basename(os.path.normpath(sf_dir))
 
 
 @register(
@@ -323,7 +331,10 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag. Both phases are COMBINABLE hash aggs (bitmaps OR-merge
     map-side), so the fact shuffles only (flag, bucket, 4KB-bitmap)
     partials — never an Expand duplication of the fact stream, and
-    unlike HLL the answer is EXACT. Two distinct columns share one scan.
+    unlike HLL the answer is EXACT. Each distinct column runs its own
+    scan+aggregate pipeline (the two prune to different column sets, so
+    no scan reuse exists to share); at 100 TB you'd pre-project the two
+    key columns once and cache that slice if both counts ship together.
     The oracle is plain COUNT(DISTINCT): the bitmap pipeline must
     reproduce it bit-for-bit. At 100 TB: shuffle volume is
     |groups| × |key-space|/32768 × 4KB, independent of row count."""

@@ -137,7 +137,9 @@ def join_bucketed_smb(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed write once, skip the join shuffle forever after.
     """
     tune(spark)
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    from hive_test_spark.sources.scans import _sf_tag
+
+    tag = _sf_tag(sf_dir).replace(".", "_")
     li_tbl, o_tbl = f"hts_li_b_{tag}", f"hts_o_b_{tag}"
     warehouse = os.path.join(SCRATCH_DIR, "warehouse")
     os.makedirs(warehouse, exist_ok=True)
@@ -253,8 +255,6 @@ def scale_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Result is hint-free and stats-driven; values hash-match the plain
     join oracle."""
     tune(spark)
-    spark.conf.set("spark.sql.cbo.enabled", "true")
-    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     from hive_test_spark.sources.scans import _sf_tag
 
     tag = _sf_tag(sf_dir).replace(".", "_")
@@ -277,14 +277,34 @@ def scale_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure(nat_t, "nation")
     sup = spark.table(sup_t)
     nat = spark.table(nat_t)
-    return (
-        sup.join(nat, sup.s_nationkey == nat.n_nationkey)
-        .groupBy("n_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_sup"),
-            F.round(F.sum("s_acctbal"), 6).alias("total_bal"),
+    # Save/restore the CBO confs (the AQE_SKEW_CONFS discipline): the
+    # result is materialized WHILE CBO is on, then the session confs go
+    # back — leaving CBO enabled would silently change every later
+    # operator's plans in the shared session.
+    cbo_confs = {
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.cbo.joinReorder.enabled": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in cbo_confs}
+    for k, v in cbo_confs.items():
+        spark.conf.set(k, v)
+    try:
+        out = (
+            sup.join(nat, sup.s_nationkey == nat.n_nationkey)
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_sup"),
+                F.round(F.sum("s_acctbal"), 6).alias("total_bal"),
+            )
+            .localCheckpoint(eager=True)
         )
-    )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out
 
 
 @register(
@@ -853,7 +873,9 @@ def scale_bucket_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set(
         "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
     )
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    from hive_test_spark.sources.scans import _sf_tag
+
+    tag = _sf_tag(sf_dir).replace(".", "_")
     table = f"hts_o_bp_{tag}"
     warehouse = os.path.join(SCRATCH_DIR, "warehouse")
     os.makedirs(warehouse, exist_ok=True)

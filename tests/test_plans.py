@@ -364,7 +364,14 @@ def test_triangles_ordered_edges_no_cartesian(spark, registry):
     a cartesian wedge join would be the N^2 failure mode at 100 TB."""
     f = _facts(spark, registry, "graph_triangles")
     assert f.cartesian == 0
-    assert scan_read_columns(f) == [2, 2], "both lineitem scans must prune to (orderkey, partkey)"
+    # The edge list is cache()d; once another test materializes it, the
+    # printed plan embeds the cached relation's recorded child (its
+    # FileScans appear an extra time under the InMemoryTableScans). Pin
+    # the 100 TB contract — every lineitem scan prunes to the 2 needed
+    # columns — not the print-time duplication count.
+    cols = scan_read_columns(f)
+    assert set(cols) == {2}, "every lineitem scan must prune to (orderkey, partkey)"
+    assert 2 <= len(cols) <= 3, cols
 
 
 def test_ohlc_is_single_two_phase_agg(spark, registry):

@@ -1365,3 +1365,67 @@ def llm_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Soft dedup: down-weight near-duplicates instead of dropping them
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_soft_dedup_weights",
+    f"""
+    WITH RECURSIVE {_CLUSTER_CTES},
+    sizes AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size
+      FROM labels GROUP BY cluster_id
+    )
+    SELECT l.doc_id, d.source, l.cluster_id,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size,
+           ROUND(1.0 / s.cluster_size, 6) AS weight
+    FROM labels l
+    JOIN sizes s ON s.cluster_id = l.cluster_id
+    JOIN documents d ON d.doc_id = l.doc_id
+    ORDER BY l.doc_id
+    """,
+)
+def llm_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: keep every document but down-weight near-dup
+    cluster members to weight = 1/cluster_size, so each cluster
+    contributes one document's worth of training mass [public method:
+    sampling-weight dedup as in SoftDeDup (arXiv 2024) and the
+    cluster-reweighting alternative to hard removal discussed in
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al. 2022) — hard dedup is the degenerate weight {{1 for the
+    representative, 0 otherwise}}]. Downstream, `llm_pack_sequences` /
+    `llm_dataset_mix` consume the weight column as a sampling
+    multiplier instead of filtering on is_representative.
+
+    Built on the SAME verified near-dup clusters as llm_dedup_clusters
+    (min-label-propagation CC over MinHash-LSH candidates verified by
+    exact Jaccard), so hard and soft dedup can never disagree about
+    what a duplicate is.
+
+    At 100 TB: cluster sizes are one map-side-combinable count on
+    cluster_id; the weight join is same-key and the doc-metadata join
+    is on doc_id (the storage key). Beyond the CC labels the op adds
+    ONE shuffle. Weights are exact reciprocals of integers, rounded at
+    emission — engine-independent by construction."""
+    tune(spark)
+    labels = llm_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        labels.join(sizes, "cluster_id")
+        .join(d, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "cluster_id",
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            F.round(1.0 / F.col("cluster_size"), 6).alias("weight"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1721,3 +1721,124 @@ def llm_eval_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("mcnemar_chi2"),
         (chi2 > 3.841459).cast("int").alias("significant_05"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Group-relative advantage normalization (GRPO-style post-training prep)
+# ---------------------------------------------------------------------------
+
+_GRPO_PROMPT_MOD = 5  # every 5th doc is a prompt -> 100 prompt groups
+_GRPO_G = 8  # rollouts per prompt group
+
+
+@register(
+    "llm_grpo_advantage",
+    f"""
+    WITH prompts AS (
+      SELECT doc_id AS prompt_id, length(text) % 50 AS base
+      FROM documents WHERE doc_id % {_GRPO_PROMPT_MOD} = 0
+    ),
+    rollouts AS (
+      SELECT p.prompt_id, s.i,
+             p.base + CAST('0x' || substring(
+               md5(CAST(p.prompt_id AS VARCHAR) || ':' || CAST(s.i AS VARCHAR)),
+               1, 2) AS INTEGER) % 50 AS reward
+      FROM prompts p
+      CROSS JOIN (SELECT unnest(generate_series(0, {_GRPO_G - 1})) AS i) s
+    ),
+    stats AS (
+      SELECT prompt_id,
+             CAST(SUM(reward) AS BIGINT) AS s,
+             CAST(SUM(reward * reward) AS BIGINT) AS q
+      FROM rollouts GROUP BY prompt_id
+    )
+    SELECT r.prompt_id, r.i AS rollout, CAST(r.reward AS BIGINT) AS reward,
+           ROUND(t.s / {_GRPO_G}.0, 6) AS group_mean,
+           ROUND(sqrt(t.q / {_GRPO_G}.0 - (t.s / {_GRPO_G}.0) * (t.s / {_GRPO_G}.0)), 6)
+             AS group_std,
+           ROUND(COALESCE(
+             (r.reward - t.s / {_GRPO_G}.0)
+             / NULLIF(sqrt(t.q / {_GRPO_G}.0 - (t.s / {_GRPO_G}.0) * (t.s / {_GRPO_G}.0)), 0),
+             0), 6) AS advantage
+    FROM rollouts r JOIN stats t ON t.prompt_id = r.prompt_id
+    ORDER BY r.prompt_id, r.i
+    """,
+)
+def llm_grpo_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-relative advantage normalization [public method: GRPO,
+    Shao et al. 2024 (DeepSeekMath) — the critic-free policy-gradient
+    baseline: advantage_i = (r_i - mean(group)) / std(group) over the
+    G rollouts sharing a prompt]. Rewards are deterministic md5 draws
+    shifted by a per-prompt base (the fixture carries no real reward
+    model; swap the reward column for scored rollouts and the dataflow
+    is production-ready).
+
+    Determinism discipline: mean and POPULATION std are derived from
+    the exact integer sums (S, Q) — var = Q/G - (S/G)^2 — never from a
+    builtin stddev, whose Welford vs two-pass accumulation order can
+    differ across engines at the ULP; sqrt is IEEE correctly-rounded,
+    so both engines agree by construction. Zero-variance groups get
+    advantage 0 (NULLIF guard).
+
+    At 100 TB: rollout scoring is the expensive upstream; this op is
+    one map-side-combinable (S, Q) rollup keyed on prompt_id followed
+    by a same-key join back — with prompt-bucketed rollout storage the
+    join co-locates and the whole normalization is shuffle-once."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    prompts = d.filter(F.col("doc_id") % _GRPO_PROMPT_MOD == 0).select(
+        F.col("doc_id").alias("prompt_id"),
+        (F.length("text") % 50).alias("base"),
+    )
+    rollouts = prompts.select(
+        "prompt_id",
+        "base",
+        F.explode(F.sequence(F.lit(0), F.lit(_GRPO_G - 1))).alias("i"),
+    ).select(
+        "prompt_id",
+        "i",
+        (
+            F.col("base")
+            + F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("prompt_id").cast("string"),
+                            F.col("i").cast("string"),
+                        )
+                    ),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 50
+        ).alias("reward"),
+    )
+    stats = rollouts.groupBy("prompt_id").agg(
+        F.sum("reward").alias("s"),
+        F.sum(F.col("reward") * F.col("reward")).alias("q"),
+    )
+    g = float(_GRPO_G)
+    mean = F.col("s") / g
+    std = F.sqrt(F.col("q") / g - mean * mean)
+    return (
+        rollouts.join(stats, "prompt_id")
+        .select(
+            "prompt_id",
+            F.col("i").alias("rollout"),
+            F.col("reward").cast("bigint").alias("reward"),
+            F.round(mean, 6).alias("group_mean"),
+            F.round(std, 6).alias("group_std"),
+            F.round(
+                F.coalesce(
+                    (F.col("reward") - mean) / F.nullif(std, F.lit(0)),
+                    F.lit(0),
+                ),
+                6,
+            ).alias("advantage"),
+        )
+        .orderBy("prompt_id", "rollout")
+    )

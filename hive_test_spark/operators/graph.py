@@ -453,3 +453,172 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution + power-law fit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_degree_distribution",
+    f"""
+    WITH {_TRADE_EDGES_SQL},
+    degs AS (
+      SELECT src, COUNT(*) AS degree FROM edges GROUP BY src
+    ),
+    mind AS (SELECT MIN(degree) AS dmin FROM degs),
+    fit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes_total,
+             CAST(MAX(m.dmin) AS BIGINT) AS dmin,
+             ROUND(1.0 + COUNT(*) /
+                   SUM(ln(degree / (m.dmin - 0.5))), 6) AS alpha_mle
+      FROM degs CROSS JOIN mind m
+    )
+    SELECT d.degree, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           f.n_nodes_total, f.dmin, f.alpha_mle
+    FROM degs d CROSS JOIN fit f
+    GROUP BY d.degree, f.n_nodes_total, f.dmin, f.alpha_mle
+    ORDER BY d.degree
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the trade graph plus the discrete power-law
+    exponent MLE [public method: Clauset, Shalizi & Newman 2009 — the
+    continuous approximation alpha = 1 + n / SUM(ln(d / (dmin - 0.5))),
+    the standard replacement for the biased log-log OLS slope]. The
+    histogram is what you inspect before ANY graph algorithm at scale:
+    a heavy tail (small alpha) means hub-aware orientation / salting is
+    mandatory for the join-based ops in this family.
+
+    At 100 TB: degrees are one map-side-combinable count keyed on node
+    id; the histogram is a second count keyed on degree (domain:
+    thousands of values, no skew); the fit is a 1-row aggregate attached
+    by broadcast. Nothing after the first rollup scales with edges."""
+    tune(spark)
+    degs = _trade_edges(spark, sf_dir).groupBy("src").agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    # 1-row fit: n, dmin, and the CSN continuous-approximation MLE.
+    # dmin rides in as a broadcast 1-row scalar (not a whole-table
+    # window, which would force a single partition over the degrees).
+    mind = degs.agg(F.min("degree").alias("dmin"))
+    fit = degs.crossJoin(F.broadcast(mind)).agg(
+        F.count(F.lit(1)).alias("n_nodes_total"),
+        F.max("dmin").alias("dmin"),
+        F.round(
+            1.0
+            + F.count(F.lit(1))
+            / F.sum(F.log(F.col("degree") / (F.col("dmin") - 0.5))),
+            6,
+        ).alias("alpha_mle"),
+    )
+    hist = degs.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+    return hist.crossJoin(F.broadcast(fit)).select(
+        "degree", "n_nodes", "n_nodes_total", "dmin", "alpha_mle"
+    ).orderBy("degree")
+
+
+# Link prediction over the supplier projection of the bipartite trade
+# graph: hub customers above this degree are excluded before the wedge
+# join (standard practice — a hub contributes deg^2 candidate pairs and
+# near-zero signal; Adamic-Adar's 1/ln(deg) weight already encodes that).
+_CN_HUB_CAP = 64
+_CN_TOPK = 100
+
+
+@register(
+    "graph_common_neighbors",
+    f"""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    cdeg AS (
+      SELECT cust, COUNT(*) AS cd FROM pairs GROUP BY cust
+    ),
+    kept AS (
+      SELECT p.cust, p.supp, d.cd
+      FROM pairs p JOIN cdeg d ON d.cust = p.cust
+      WHERE d.cd <= {_CN_HUB_CAP}
+    ),
+    sdeg AS (
+      SELECT supp, COUNT(*) AS sd FROM kept GROUP BY supp
+    ),
+    wedges AS (
+      SELECT a.supp AS s1, b.supp AS s2,
+             COUNT(*) AS common_neighbors,
+             ROUND(SUM(1.0 / ln(a.cd)), 6) AS adamic_adar
+      FROM kept a JOIN kept b ON b.cust = a.cust AND a.supp < b.supp
+      GROUP BY a.supp, b.supp
+    )
+    SELECT w.s1, w.s2, w.common_neighbors,
+           ROUND(w.common_neighbors * 1.0
+                 / (d1.sd + d2.sd - w.common_neighbors), 6) AS jaccard,
+           w.adamic_adar
+    FROM wedges w
+    JOIN sdeg d1 ON d1.supp = w.s1
+    JOIN sdeg d2 ON d2.supp = w.s2
+    ORDER BY w.adamic_adar DESC, w.s1, w.s2
+    LIMIT {_CN_TOPK}
+    """,
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction scores over the supplier projection of the
+    customer-supplier bipartite graph [public method: Liben-Nowell &
+    Kleinberg 2003 — common-neighbor count, Jaccard, and Adamic-Adar
+    1/ln(deg) weighting are the classic proximity scores]: for every
+    supplier pair sharing >= 1 (non-hub) customer, emit all three
+    scores and keep the top-{_CN_TOPK} by Adamic-Adar (rounded BEFORE
+    ranking so the cut is engine-independent; ties broken on ids).
+
+    Adamic-Adar's ln(deg) is never ln(1): a shared customer connects
+    both suppliers, so its degree is >= 2 by construction.
+
+    At 100 TB: the wedge join through the shared-customer key is the
+    quadratic term; the hub cap (deg <= {_CN_HUB_CAP}) bounds it by
+    SUM(deg^2) over NON-hub customers — the same blocking discipline as
+    llm_shingle_containment's rare-shingle rule. Degrees join back on
+    supplier id (broadcastable: suppliers are the small side of TPC-H),
+    and the top-k is a single bounded sort."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    cdeg = pairs.groupBy("cust").agg(F.count(F.lit(1)).alias("cd"))
+    kept = pairs.join(cdeg, "cust").filter(F.col("cd") <= _CN_HUB_CAP)
+    sdeg = kept.groupBy("supp").agg(F.count(F.lit(1)).alias("sd"))
+    a = kept.select("cust", F.col("supp").alias("s1"), "cd")
+    b = kept.select("cust", F.col("supp").alias("s2"))
+    wedges = (
+        a.join(b, "cust")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.round(F.sum(1.0 / F.log(F.col("cd"))), 6).alias("adamic_adar"),
+        )
+    )
+    d1 = sdeg.select(F.col("supp").alias("s1"), F.col("sd").alias("sd1"))
+    d2 = sdeg.select(F.col("supp").alias("s2"), F.col("sd").alias("sd2"))
+    return (
+        wedges.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            "s1",
+            "s2",
+            "common_neighbors",
+            F.round(
+                F.col("common_neighbors")
+                / (F.col("sd1") + F.col("sd2") - F.col("common_neighbors")),
+                6,
+            ).alias("jaccard"),
+            "adamic_adar",
+        )
+        .orderBy(F.col("adamic_adar").desc(), "s1", "s2")
+        .limit(_CN_TOPK)
+    )

@@ -248,6 +248,11 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "evt_mann_whitney", "evt_chi2_cramers", "dq_referential",
     # Added in round 6 (third wave — curation rewrite ops):
     "llm_paragraph_dedup", "win_count_distinct_over",
+    # Added in round 6 (fourth wave — graph link-prediction, post-training
+    # data ops, Bayesian A/B, soft dedup, CACHE TABLE verb):
+    "graph_degree_distribution", "graph_common_neighbors",
+    "llm_grpo_advantage", "llm_soft_dedup_weights", "evt_bayes_ab",
+    "meta_cache_table",
 )
 
 

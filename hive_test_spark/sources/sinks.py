@@ -1603,3 +1603,77 @@ def sink_hive_textfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "meta_cache_table",
+    """
+    SELECT 'cached' AS phase, TRUE AS was_cached,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(l_extendedprice), 4) AS total
+    FROM lineitem WHERE l_returnflag = 'R'
+    UNION ALL
+    SELECT 'uncached', FALSE,
+           COUNT(*),
+           ROUND(SUM(l_extendedprice), 4)
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def meta_cache_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CACHE TABLE / UNCACHE TABLE [Spark-public SQL surface; the
+    engine-managed twin of Hive's hot-table pinning]. The op runs the
+    full verb lifecycle: CACHE TABLE (eager — materializes the view
+    into the block manager before returning), a catalog
+    ``isCached`` probe, an aggregate executed while cached (written to
+    a scratch sink as the execution barrier, same discipline as
+    meta_refresh_table), UNCACHE TABLE, a second probe, and the same
+    aggregate re-executed against the de-pinned source. Both phases'
+    values are hash-pinned — identical by definition, which is exactly
+    the contract: caching must never change results — and the
+    was_cached booleans come from the live catalog, so a silently
+    ignored CACHE statement fails the hash.
+
+    At 100 TB: CACHE TABLE pins the columnar-deserialized view across
+    the cluster's storage memory — reserve it for dimensions and hot
+    slices that many queries re-scan (a full fact-table cache evicts
+    itself uselessly); prefer LAZY for wide tables so materialization
+    rides the first real query instead of a blocking scan; and always
+    UNCACHE on pipeline exit — an orphaned cache holds executor memory
+    for the session's lifetime (this repo's cache-hygiene rule)."""
+    tune(spark)
+    tag = _sf_tag(sf_dir).replace(".", "_")
+    view = f"hts_cache_meta_{tag}"
+    load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_returnflag"
+    ).filter(F.col("l_returnflag") == "R").createOrReplaceTempView(view)
+    agg = lambda: spark.table(view).agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 4).alias("total"),
+    )
+    try:
+        spark.sql(f"CACHE TABLE {view}")
+        was_cached = bool(spark.catalog.isCached(view))
+        phase1 = scratch_dir("meta", tag, f"{view}_cached_phase")
+        agg().write.mode("overwrite").parquet(phase1)
+    finally:
+        # The de-pin must happen even on a failed probe/write — an
+        # orphaned cache entry would hold storage memory session-wide.
+        spark.sql(f"UNCACHE TABLE IF EXISTS {view}")
+    still_cached = bool(spark.catalog.isCached(view))
+    return (
+        spark.read.parquet(phase1)
+        .select(
+            F.lit("cached").alias("phase"),
+            F.lit(was_cached).alias("was_cached"),
+            "n_rows",
+            "total",
+        )
+        .unionByName(
+            agg().select(
+                F.lit("uncached").alias("phase"),
+                F.lit(still_cached).alias("was_cached"),
+                "n_rows",
+                "total",
+            )
+        )
+    )

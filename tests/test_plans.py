@@ -1615,3 +1615,42 @@ def test_referential_audit_key_projected_anti_joins(spark, registry):
     assert f.cartesian == 0
     assert set(scan_read_columns(f)) == {1}, "key columns only on every scan"
     assert "Python" not in f.text
+
+
+def test_degree_distribution_two_rollups_broadcast_fit(spark, registry):
+    """graph_degree_distribution: degree count + histogram count, the
+    1-row fit attached by broadcast; scans prune to the join/key pairs."""
+    f = _facts(spark, registry, "graph_degree_distribution")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+    assert set(scan_read_columns(f)) == {2}, "(o_orderkey,o_custkey)/(l_orderkey,l_suppkey)"
+
+
+def test_common_neighbors_wedge_join_broadcast_degrees(spark, registry):
+    """graph_common_neighbors: the wedge join is a shared-customer
+    equi-join (never supplier×supplier); supplier degrees ride
+    broadcasts; the hub cap is applied before the quadratic term."""
+    f = _facts(spark, registry, "graph_common_neighbors")
+    assert f.cartesian == 0
+    assert f.broadcast_joins >= 2, "both degree attaches broadcast"
+    assert "Python" not in f.text
+    assert set(scan_read_columns(f)) == {2}
+
+
+def test_grpo_advantage_single_key_family(spark, registry):
+    """llm_grpo_advantage: one (S,Q) rollup keyed on prompt_id joined
+    straight back on the same key — no second key family, no Python."""
+    f = _facts(spark, registry, "llm_grpo_advantage")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+    assert set(scan_read_columns(f)) == {2}, "(doc_id, text) only"
+
+
+def test_bayes_ab_grid_is_broadcast_epilogue(spark, registry):
+    """evt_bayes_ab: the event log collapses to a 1-row count vector;
+    the 256-point quadrature rides broadcast cross joins (BNLJ against
+    1-row sides, never CartesianProduct) and one bounded window."""
+    f = _facts(spark, registry, "evt_bayes_ab")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+    assert scan_read_columns(f) == [2], "(user_id, value) only"

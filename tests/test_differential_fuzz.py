@@ -1932,3 +1932,114 @@ def test_random_ordered_agg_matches_duckdb(spark, duck, spec):
     duck_pdf = duck.execute(_ordered_agg_sql(spec)).df()
     r = compare("fuzz_ordered_agg", spark_pdf, duck_pdf)
     assert r["ok"], f"spec={spec}\nsql={_ordered_agg_sql(spec)}\nnotes={r['notes']}"
+
+
+# ---- conditional / null-semantics grammar --------------------------------
+#
+# Three-valued logic is where engines quietly disagree: NULL propagation
+# through arithmetic, COALESCE/NULLIF short-circuits, and the
+# null-SKIPPING semantics of LEAST/GREATEST (both engines ignore NULL
+# arguments rather than propagating them — the llm_rouge_overlap lesson,
+# here fuzzed instead of pinned once). NULLs are INJECTED deterministically
+# from the key column so every example exercises real null rows.
+
+_COND_TABLES = {
+    "lineitem": ("l_orderkey", "l_extendedprice"),
+    "orders": ("o_orderkey", "o_totalprice"),
+    "customer": ("c_custkey", "c_acctbal"),
+}
+
+
+@st.composite
+def cond_specs(draw):
+    table = draw(st.sampled_from(sorted(_COND_TABLES)))
+    null_mod = draw(st.integers(2, 5))
+    null_hit = draw(st.integers(0, 1))
+    steps = []
+    for _ in range(draw(st.integers(1, 4))):
+        steps.append(draw(st.sampled_from([
+            ("coalesce", draw(st.integers(-50, 50))),
+            ("nullif_self_mod", draw(st.integers(2, 7))),
+            ("least", draw(st.integers(0, 1000))),
+            ("greatest", draw(st.integers(0, 1000))),
+            ("case_gt", draw(st.integers(100, 100000)),
+             draw(st.integers(-9, 9))),
+            ("add_null_bridge",),
+        ])))
+    mod = draw(st.integers(2, 9))
+    return {"table": table, "null_mod": null_mod, "null_hit": null_hit,
+            "steps": steps, "mod": mod}
+
+
+def _cond_sql(spec) -> str:
+    k, n = _COND_TABLES[spec["table"]]
+    # Deterministic null injection: NULL on k % null_mod = null_hit.
+    e = (f"CASE WHEN {k} % {spec['null_mod']} = {spec['null_hit']} "
+         f"THEN NULL ELSE round({n}, 2) END")
+    for s in spec["steps"]:
+        if s[0] == "coalesce":
+            e = f"coalesce({e}, {s[1]})"
+        elif s[0] == "nullif_self_mod":
+            # re-null where the truncated value lands on the modulus
+            e = f"nullif({e}, CAST(floor({e}) AS BIGINT) % {s[1]})"
+        elif s[0] == "least":
+            e = f"least({e}, {s[1]})"
+        elif s[0] == "greatest":
+            e = f"greatest({e}, {s[1]})"
+        elif s[0] == "case_gt":
+            e = f"CASE WHEN {e} > {s[1]} THEN {e} ELSE {e} + {s[2]} END"
+        else:  # add_null_bridge: NULL + x must stay NULL in both engines
+            e = (f"({e} + CASE WHEN {k} % 11 = 3 THEN NULL ELSE 0 END)")
+    return (
+        f"SELECT {k} AS kk, ROUND({e}, 6) AS v,"
+        f" CAST({e} IS NULL AS INT) AS isnull"
+        f" FROM {spec['table']} WHERE {k} % {spec['mod']} = 1"
+    )
+
+
+def _cond_df(spark, spec):
+    kc, nc = _COND_TABLES[spec["table"]]
+    df = load_table(spark, SF_DIR, spec["table"])
+    k = F.col(kc)
+    e = F.when(
+        k % spec["null_mod"] == spec["null_hit"], F.lit(None).cast("double")
+    ).otherwise(F.round(F.col(nc), 2))
+    for s in spec["steps"]:
+        if s[0] == "coalesce":
+            e = F.coalesce(e, F.lit(float(s[1])))
+        elif s[0] == "nullif_self_mod":
+            e = F.nullif(e, (F.floor(e).cast("bigint") % s[1]).cast("double"))
+        elif s[0] == "least":
+            e = F.least(e, F.lit(float(s[1])))
+        elif s[0] == "greatest":
+            e = F.greatest(e, F.lit(float(s[1])))
+        elif s[0] == "case_gt":
+            e = F.when(e > s[1], e).otherwise(e + s[2])
+        else:
+            e = e + F.when(k % 11 == 3, F.lit(None).cast("double")).otherwise(
+                F.lit(0.0)
+            )
+    return df.filter(k % spec["mod"] == 1).select(
+        k.alias("kk"),
+        F.round(e, 6).alias("v"),
+        e.isNull().cast("int").alias("isnull"),
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=cond_specs())
+def test_random_cond_expr_matches_duckdb(spark, duck, spec):
+    """Conditional/null-semantics fuzz: random CASE/COALESCE/NULLIF/
+    LEAST/GREATEST towers over deterministically null-injected columns
+    must agree cell-for-cell — including WHERE the NULLs are (the
+    isnull flag column), so a null-propagation divergence cannot hide
+    behind the value comparison skipping NULL cells."""
+    spark_pdf = _cond_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_cond_sql(spec)).df()
+    r = compare("fuzz_cond", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nsql={_cond_sql(spec)}\nnotes={r['notes']}"

@@ -47,6 +47,7 @@ GRAMMARS = [
     ("decimal", G.decimal_specs, G._decimal_df, G._decimal_sql),
     ("pattern", G.pattern_specs, G._pattern_df, G._pattern_sql),
     ("ordered_agg", G.ordered_agg_specs, G._ordered_agg_df, G._ordered_agg_sql),
+    ("cond", G.cond_specs, G._cond_df, G._cond_sql),
 ]
 
 

@@ -496,8 +496,13 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     thousands of values, no skew); the fit is a 1-row aggregate attached
     by broadcast. Nothing after the first rollup scales with edges."""
     tune(spark)
-    degs = _trade_edges(spark, sf_dir).groupBy("src").agg(
-        F.count(F.lit(1)).alias("degree")
+    # One row per node; referenced three times (histogram, dmin, fit) —
+    # cache so the edge derivation runs once (the graph_triangles rule).
+    degs = (
+        _trade_edges(spark, sf_dir)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .cache()
     )
     # 1-row fit: n, dmin, and the CSN continuous-approximation MLE.
     # dmin rides in as a broadcast 1-row scalar (not a whole-table
@@ -590,7 +595,10 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     cdeg = pairs.groupBy("cust").agg(F.count(F.lit(1)).alias("cd"))
-    kept = pairs.join(cdeg, "cust").filter(F.col("cd") <= _CN_HUB_CAP)
+    # One row per non-hub (cust, supp) edge; referenced three times
+    # (both wedge sides + supplier degrees) — cache so the orders ×
+    # lineitem distinct runs once (the graph_triangles rule).
+    kept = pairs.join(cdeg, "cust").filter(F.col("cd") <= _CN_HUB_CAP).cache()
     sdeg = kept.groupBy("supp").agg(F.count(F.lit(1)).alias("sd"))
     a = kept.select("cust", F.col("supp").alias("s1"), "cd")
     b = kept.select("cust", F.col("supp").alias("s2"))

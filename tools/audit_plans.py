@@ -158,6 +158,14 @@ EXTRA_AUDIT = [
     "sink_export_import",
     "meta_show_functions",
     "meta_show_views",
+    # Round-6 fourth wave: link prediction's hub-capped wedge join, the
+    # degree-distribution fit broadcast, GRPO's single key family, the
+    # soft-dedup cluster-size join, and the Bayes quadrature epilogue.
+    "graph_degree_distribution",
+    "graph_common_neighbors",
+    "llm_grpo_advantage",
+    "llm_soft_dedup_weights",
+    "evt_bayes_ab",
 ]
 
 

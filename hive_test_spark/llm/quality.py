@@ -1842,3 +1842,106 @@ def llm_grpo_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prompt_id", "rollout")
     )
+
+
+# ---------------------------------------------------------------------------
+# ROC-AUC of the quality classifier (rank-based, tie-averaged)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_roc_auc",
+    f"""
+    WITH rated AS (
+      SELECT ROUND(1.0 / (1.0 + exp(-(
+               len(list_filter(string_split(lower(text), ' '),
+                               x -> x IN {_STOPWORDS!r})) * 1.0
+                 / len(string_split(lower(text), ' ')) * 40.0 - 2.0))), 6)
+               AS conf,
+             CAST(len(string_split(lower(text), ' '))
+                    BETWEEN {_WC_LO} AND {_WC_HI}
+                  AND len(list_filter(string_split(lower(text), ' '),
+                                      x -> x IN {_STOPWORDS!r})) * 1.0
+                      / len(string_split(lower(text), ' ')) >= {_STOP_MIN}
+                  AS INT) AS label
+      FROM documents
+    ),
+    per_score AS (
+      SELECT conf, COUNT(*) AS n, CAST(SUM(label) AS BIGINT) AS n_pos
+      FROM rated GROUP BY conf
+    ),
+    ranked AS (
+      SELECT n, n_pos,
+             COALESCE(SUM(n) OVER (ORDER BY conf
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (n + 1) / 2.0 AS avg_rank
+      FROM per_score
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_pos) AS BIGINT) AS n1,
+             CAST(SUM(n - n_pos) AS BIGINT) AS n0,
+             SUM(n_pos * avg_rank) AS pos_rank_sum
+      FROM ranked
+    )
+    SELECT n1 AS n_pos, n0 AS n_neg,
+           ROUND((pos_rank_sum - n1 * (n1 + 1) / 2.0) / (n1 * n0), 6) AS auc,
+           ROUND(2.0 * (pos_rank_sum - n1 * (n1 + 1) / 2.0) / (n1 * n0) - 1.0, 6)
+             AS gini
+    FROM tot
+    """,
+)
+def llm_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the quality classifier via the rank statistic [public
+    method: AUC = (R1 - n1(n1+1)/2) / (n1*n0) where R1 is the positive
+    class's rank sum with AVERAGE ranks on ties — the Mann-Whitney
+    identity; no threshold sweep needed]. Same confidence/label pair as
+    llm_calibration_ece, completing the classifier-audit deck: ECE
+    measures calibration, AUC measures discrimination — a model can
+    ace one and fail the other, so a curation gate ships both.
+
+    Tie handling is exact: scores roll up to a per-distinct-score
+    (n, n_pos) histogram first, average ranks derive from the running
+    count prefix — integers and halves all the way, identical in both
+    engines by construction.
+
+    At 100 TB: one combinable rollup keyed on the (bounded) score grid,
+    then a prefix scan over distinct scores — the distributed-AUC
+    recipe. With a continuous score, bin to fixed precision first
+    (the rollup already rounds to 6 decimals), which bounds the
+    ordered pass by the grid size, not the corpus."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    _, _, stop_frac, _ = _text_signals()
+    j1, _ = _judge_preds()
+    conf = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-(stop_frac * 40.0 - 2.0))), 6
+    )
+    per_score = (
+        d.select(conf.alias("conf"), j1.cast("int").alias("label"))
+        .groupBy("conf")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("label").alias("n_pos"))
+    )
+    # Bounded ordered pass over the distinct-score grid (never the corpus).
+    rank_win = Window.orderBy("conf").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_score.select(
+        "n",
+        "n_pos",
+        (
+            F.coalesce(F.sum("n").over(rank_win), F.lit(0))
+            + (F.col("n") + 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    tot = ranked.agg(
+        F.sum("n_pos").cast("bigint").alias("n1"),
+        F.sum(F.col("n") - F.col("n_pos")).cast("bigint").alias("n0"),
+        F.sum(F.col("n_pos") * F.col("avg_rank")).alias("pos_rank_sum"),
+    )
+    auc = (F.col("pos_rank_sum") - F.col("n1") * (F.col("n1") + 1) / 2.0) / (
+        F.col("n1") * F.col("n0")
+    )
+    return tot.select(
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+        F.round(2.0 * auc - 1.0, 6).alias("gini"),
+    )

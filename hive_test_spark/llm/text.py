@@ -1911,3 +1911,94 @@ def llm_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fit.crossJoin(F.broadcast(total)).select(
         "vocab_size", "total_tokens", "beta", "k_fit", "r2"
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE round-trip losslessness audit
+# ---------------------------------------------------------------------------
+
+
+_BPE_SPACED_SQL = "' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '"
+_BPE_SEG_SQL = _BPE_SPACED_SQL
+for _a, _b in _BPE_MERGES:
+    _BPE_SEG_SQL = f"replace({_BPE_SEG_SQL}, ' {_a} {_b} ', ' {_a}{_b} ')"
+
+
+@register(
+    "llm_bpe_roundtrip",
+    f"""
+    WITH words AS (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+      FROM documents
+    ),
+    w2 AS (SELECT w FROM words WHERE w <> ''),
+    seg AS (
+      SELECT w, trim({_BPE_SEG_SQL}) AS segmented
+      FROM w2
+    ),
+    checked AS (
+      SELECT w, segmented,
+             len(string_split(segmented, ' ')) AS n_subwords,
+             (replace(segmented, ' ', '') = w) AS lossless
+      FROM seg
+    )
+    SELECT COUNT(*) AS n_words,
+           CAST(SUM(CASE WHEN lossless THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lossless,
+           (COUNT(*) = SUM(CASE WHEN lossless THEN 1 ELSE 0 END))
+             AS all_lossless,
+           CAST(SUM(n_subwords) AS BIGINT) AS total_subwords,
+           ROUND(AVG(n_subwords), 6) AS avg_subwords_per_word
+    FROM checked
+    """,
+)
+def llm_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer losslessness audit: segment every word with the BPE
+    merge table (llm_bpe_apply's exact pipeline), DEtokenize by
+    concatenating the subwords, and prove byte equality with the
+    original word — corpus-wide counts plus the all_lossless verdict
+    [public method: the reversibility check every tokenizer release
+    ships; a tokenizer that drops or duplicates bytes corrupts
+    training data silently, and the failure mode is exactly the
+    string-plumbing layer this pins (boundary spaces, regex char
+    splitting, merge-order rewrites)].
+
+    The compression ratio (avg subwords per word) rides along — the
+    metric a merge table is sized by (llm_tokenizer_fertility reports
+    its per-language cousin).
+
+    At 100 TB: a pure codegen'd string map (split → space-out → merge
+    rewrites → concat-compare) followed by one combinable 1-row
+    rollup; zero shuffles before the final reduce, no Python
+    anywhere."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    s = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")),
+        F.lit(" "),
+    )
+    for a, b in _BPE_MERGES:
+        s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    checked = words.select(
+        "w",
+        F.trim(s).alias("segmented"),
+    ).select(
+        F.size(F.split("segmented", " ")).alias("n_subwords"),
+        (F.replace(F.col("segmented"), F.lit(" "), F.lit("")) == F.col("w")).alias(
+            "lossless"
+        ),
+    )
+    return checked.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.col("lossless").cast("int")).cast("bigint").alias("n_lossless"),
+        (
+            F.count(F.lit(1)) == F.sum(F.col("lossless").cast("int"))
+        ).alias("all_lossless"),
+        F.sum("n_subwords").cast("bigint").alias("total_subwords"),
+        F.round(F.avg("n_subwords"), 6).alias("avg_subwords_per_word"),
+    )

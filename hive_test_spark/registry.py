@@ -252,7 +252,8 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     # data ops, Bayesian A/B, soft dedup, CACHE TABLE verb):
     "graph_degree_distribution", "graph_common_neighbors",
     "llm_grpo_advantage", "llm_soft_dedup_weights", "evt_bayes_ab",
-    "meta_cache_table",
+    "meta_cache_table", "evt_funnel_latency", "llm_roc_auc",
+    "llm_bpe_roundtrip",
 )
 
 

@@ -1654,3 +1654,33 @@ def test_bayes_ab_grid_is_broadcast_epilogue(spark, registry):
     assert f.cartesian == 0
     assert "Python" not in f.text
     assert scan_read_columns(f) == [2], "(user_id, value) only"
+
+
+def test_funnel_latency_single_user_key_family(spark, registry):
+    """evt_funnel_latency: the step chain joins and aggregates on
+    user_id only (the evt_funnel_steps shape) — no cartesian, no
+    Python, events scan pruned to the 3 needed columns."""
+    f = _facts(spark, registry, "evt_funnel_latency")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+    assert set(scan_read_columns(f)) == {3}, "(user_id, event_type, ts)"
+
+
+def test_roc_auc_prefix_scan_over_score_grid(spark, registry):
+    """llm_roc_auc: one combinable rollup keyed on the rounded score,
+    then an ordered pass over the DISTINCT-score grid — never a
+    corpus-wide sort; documents scan prunes to text only."""
+    f = _facts(spark, registry, "llm_roc_auc")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+    assert set(scan_read_columns(f)) == {1}, "(text) only"
+
+
+def test_bpe_roundtrip_pure_map_single_reduce(spark, registry):
+    """llm_bpe_roundtrip: codegen'd string map + one 1-row rollup —
+    zero joins of any kind, zero Python."""
+    f = _facts(spark, registry, "llm_bpe_roundtrip")
+    assert f.cartesian == 0
+    assert f.broadcast_joins == 0 and f.sort_merge_joins == 0
+    assert "Python" not in f.text
+    assert set(scan_read_columns(f)) == {1}, "(text) only"

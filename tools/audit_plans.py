@@ -166,6 +166,9 @@ EXTRA_AUDIT = [
     "llm_grpo_advantage",
     "llm_soft_dedup_weights",
     "evt_bayes_ab",
+    "evt_funnel_latency",
+    "llm_roc_auc",
+    "llm_bpe_roundtrip",
 ]
 
 

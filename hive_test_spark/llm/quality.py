@@ -1817,6 +1817,10 @@ def llm_grpo_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 50
         ).alias("reward"),
     )
+    # Referenced twice (the (S,Q) rollup and the join-back): cache so
+    # the documents scan + md5 reward map run once (the graph_triangles
+    # rule; without it the expensive upstream executes per reference).
+    rollouts = rollouts.cache()
     stats = rollouts.groupBy("prompt_id").agg(
         F.sum("reward").alias("s"),
         F.sum(F.col("reward") * F.col("reward")).alias("q"),

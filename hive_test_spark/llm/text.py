@@ -505,11 +505,35 @@ def llm_topic_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = [("t", "h"), ("th", "e"), ("a", "n"), ("i", "n"), ("e", "r")]
 _BPE_TOPK = 80
 
-_BPE_MERGE_SQL = "s"
-for _a, _b in _BPE_MERGES:
-    _BPE_MERGE_SQL = (
-        f"replace({_BPE_MERGE_SQL}, ' {_a} {_b} ', ' {_a}{_b} ')"
+# THE segmentation pipeline, defined once in both renderings: space out
+# characters, then apply the merge table in priority order. llm_bpe_apply
+# (vocabulary distribution) and llm_bpe_roundtrip (losslessness audit)
+# both consume these — a merge-table or padding tweak can never reach one
+# op and silently skip the other.
+
+
+def _bpe_merge_chain_sql(expr: str) -> str:
+    for _a, _b in _BPE_MERGES:
+        expr = f"replace({expr}, ' {_a} {_b} ', ' {_a}{_b} ')"
+    return expr
+
+
+_BPE_SPACED_SQL = "' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '"
+_BPE_MERGE_SQL = _bpe_merge_chain_sql("s")
+_BPE_SEG_SQL = _bpe_merge_chain_sql(_BPE_SPACED_SQL)
+
+
+def _bpe_segmented_col():
+    """Spark twin: the merged space-separated subword string for word
+    column ``w`` (untrimmed, boundary-spaced)."""
+    s = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")),
+        F.lit(" "),
     )
+    for a, b in _BPE_MERGES:
+        s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    return s
 
 _BPE_APPLY_ORACLE = f"""
     WITH words AS (
@@ -555,14 +579,9 @@ def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"))
         .filter(F.col("w") != "")
     )
-    s = F.concat(
-        F.lit(" "),
-        F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")),
-        F.lit(" "),
+    tokens = words.select(
+        F.explode(F.split(F.trim(_bpe_segmented_col()), " ")).alias("token")
     )
-    for a, b in _BPE_MERGES:
-        s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
-    tokens = words.select(F.explode(F.split(F.trim(s), " ")).alias("token"))
     return (
         tokens.groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
@@ -1918,12 +1937,6 @@ def llm_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-_BPE_SPACED_SQL = "' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '"
-_BPE_SEG_SQL = _BPE_SPACED_SQL
-for _a, _b in _BPE_MERGES:
-    _BPE_SEG_SQL = f"replace({_BPE_SEG_SQL}, ' {_a} {_b} ', ' {_a}{_b} ')"
-
-
 @register(
     "llm_bpe_roundtrip",
     f"""
@@ -1977,16 +1990,9 @@ def llm_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"))
         .filter(F.col("w") != "")
     )
-    s = F.concat(
-        F.lit(" "),
-        F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")),
-        F.lit(" "),
-    )
-    for a, b in _BPE_MERGES:
-        s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
     checked = words.select(
         "w",
-        F.trim(s).alias("segmented"),
+        F.trim(_bpe_segmented_col()).alias("segmented"),
     ).select(
         F.size(F.split("segmented", " ")).alias("n_subwords"),
         (F.replace(F.col("segmented"), F.lit(" "), F.lit("")) == F.col("w")).alias(

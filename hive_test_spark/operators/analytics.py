@@ -4711,8 +4711,13 @@ def evt_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "t1")
         .agg(F.min("ts").alias("t2"))
     )
+    # Exact-micros convention (unix_micros == DuckDB epoch_us): the gap
+    # derives from an exact integer difference, THEN one double division
+    # — identical in both engines. Casting each timestamp to double
+    # first would round each endpoint independently (~1.2e-7 s ULP at
+    # epoch scale) and can flip a ROUND(..., 4) half-boundary.
     gap = lambda a, b: (  # noqa: E731
-        F.col(b).cast("double") - F.col(a).cast("double")
+        (F.unix_micros(F.col(b)) - F.unix_micros(F.col(a))) / 1000000.0
     )
     gaps = c.select(
         F.lit("view_to_click").alias("step"),

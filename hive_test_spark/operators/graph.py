@@ -38,12 +38,16 @@ _ITERS = 3
 
 # The customer–supplier trade graph shared by ALL graph operators, in
 # BOTH renderings — one oracle CTE fragment and one Spark builder — so
-# the five ops can never silently derive different graphs (they pasted
-# this block four times before round-6 review).
-_TRADE_EDGES_SQL = """pairs AS (
+# the ops can never silently derive different graphs (they pasted this
+# block four times before round-6 review). The raw numeric pair list is
+# its own shared fragment because the projection ops (link prediction)
+# consume it WITHOUT the node-name prefixing.
+_TRADE_PAIRS_SQL = """pairs AS (
       SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    ),
+    )"""
+
+_TRADE_EDGES_SQL = f"""{_TRADE_PAIRS_SQL},
     edges AS (
       SELECT 'c' || CAST(cust AS VARCHAR) AS src, 's' || CAST(supp AS VARCHAR) AS dst FROM pairs
       UNION ALL
@@ -51,18 +55,24 @@ _TRADE_EDGES_SQL = """pairs AS (
     )"""
 
 
+def _trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _TRADE_PAIRS_SQL: the distinct numeric
+    (cust, supp) pair list every trade-graph op derives from."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+
+
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of _TRADE_EDGES_SQL: the undirected (as two directed
     rows) customer–supplier bipartite trade graph."""
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    pairs = (
-        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("cust"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("supp"),
-        )
-        .distinct()
+    pairs = _trade_pairs(spark, sf_dir).select(
+        F.concat(F.lit("c"), F.col("cust").cast("string")).alias("cust"),
+        F.concat(F.lit("s"), F.col("supp").cast("string")).alias("supp"),
     )
     return pairs.select(
         F.col("cust").alias("src"), F.col("supp").alias("dst")
@@ -535,10 +545,7 @@ _CN_TOPK = 100
 @register(
     "graph_common_neighbors",
     f"""
-    WITH pairs AS (
-      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
-      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    ),
+    WITH {_TRADE_PAIRS_SQL},
     cdeg AS (
       SELECT cust, COUNT(*) AS cd FROM pairs GROUP BY cust
     ),
@@ -587,13 +594,7 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier id (broadcastable: suppliers are the small side of TPC-H),
     and the top-k is a single bounded sort."""
     tune(spark)
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    pairs = (
-        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
-        .distinct()
-    )
+    pairs = _trade_pairs(spark, sf_dir)
     cdeg = pairs.groupBy("cust").agg(F.count(F.lit(1)).alias("cd"))
     # One row per non-hub (cust, supp) edge; referenced three times
     # (both wedge sides + supplier degrees) — cache so the orders ×

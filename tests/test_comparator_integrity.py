@@ -11,9 +11,8 @@ noise).
 from __future__ import annotations
 
 import pandas as pd
-import pytest
 
-from hive_test_spark.oracle import compare, duck_connect
+from hive_test_spark.oracle import compare
 from tests.conftest import SF_DIR
 
 
@@ -92,11 +91,7 @@ def test_null_vs_value_detected():
 
 
 # --- end-to-end: a mutated ORACLE must fail against the real query ------
-
-
-@pytest.fixture(scope="module")
-def duck():
-    return duck_connect(SF_DIR)
+# (spark/duck/registry are the session-scoped conftest fixtures)
 
 
 def test_mutated_oracle_fails_end_to_end(spark, registry, duck):

@@ -164,6 +164,9 @@ def test_round6_window_closes_driver_exposure(registry):
         "unseen keys missing from _NEXT_ROUNDS (add them when adding "
         f"operators): {unsequenced}"
     )
+    if not residual:
+        # Goal state: every key has a driver row — nothing to sequence.
+        return
     # Every residual key outranks every already-seen key, so windows 6
     # and 7 consist of residual keys first — no backfill displaces them.
     idx = {k: i for i, k in enumerate(qs)}
@@ -220,49 +223,55 @@ def test_driver_exposure_closes_by_round9(registry):
     residual closes by round 10 (it was 9 before the round-6 fourth-wave
     operators landed; each new operator consumes queue capacity, which
     this test re-prices automatically)."""
+    import math
+
     from hive_test_spark import registry as reg
 
     qs, _ = registry
     idx = {k: i for i, k in enumerate(qs)}
-    seen = set(reg.DRIVER_SEEN) | set(reg.DRIVER_FAILED)
+    # Pending work mirrors the REAL scheduler's non-tier-5 population:
+    # never-tested keys, plus latest-row-red keys (tier 0) and unexpired
+    # retests (tier 2) — the latter two are driver-seen yet legitimately
+    # consume window slots, so the simulation must charge for them.
+    retest_pending = frozenset(
+        k
+        for k in reg._RETEST
+        if reg.DRIVER_LAST_ROUND.get(k, 0) <= reg._PLANNED_AFTER_ROUND
+    )
+    consumed = {
+        k
+        for k in reg.DRIVER_SEEN
+        if k not in retest_pending and k not in reg.DRIVER_FAILED
+    }
 
-    def rank_with(seen_now, key):
-        # Mirror reg._rank but with a simulated seen set and expired
-        # _FRONT/_RETEST (post-r5 reports, all retests consumed in r6).
-        if key in reg._RETEST and key not in seen_now:
+    def rank_with(consumed_now, key):
+        # reg._rank with the simulated consumed set and _FRONT expired.
+        if key in reg.DRIVER_FAILED and key not in consumed_now:
+            return (0, 0, idx[key])
+        if key in retest_pending and key not in consumed_now:
             return (2, reg._RETEST.index(key), idx[key])
-        if key in seen_now:
+        if key in consumed_now or key in reg.DRIVER_SEEN:
             return (5, 0, idx[key])
         if key in reg._NEXT_ROUNDS:
             return (3, reg._NEXT_ROUNDS.index(key), idx[key])
         return (4, 0, idx[key])
 
-    # The three graduated property-oracle keys re-queue ahead of the
-    # never-tested keys in round 6, exactly as staged.
-    retest_pending = [
-        k
-        for k in reg._RETEST
-        if reg.DRIVER_LAST_ROUND.get(k, 0) <= reg._PLANNED_AFTER_ROUND
-    ]
-    import math
-
-    start_residual = [k for k in qs if k not in seen and k not in retest_pending]
-    min_rounds = math.ceil(len(start_residual) / 50)
+    pending = [k for k in qs if k not in consumed]
+    min_rounds = math.ceil(len(pending) / 50)
     for rnd in range(min_rounds):
-        window = sorted(qs, key=lambda k: rank_with(seen, k))[:50]
-        # Zero-waste invariant: while never-tested keys remain, no window
-        # slot may go to an already-seen key.
-        remaining = sum(1 for k in qs if k not in seen)
-        seen_in_window = [k for k in window if k in seen]
+        window = sorted(qs, key=lambda k: rank_with(consumed, k))[:50]
+        # Zero-waste invariant: while pending keys remain, no window slot
+        # may go to an already-consumed key.
+        remaining = sum(1 for k in qs if k not in consumed)
+        stale = [k for k in window if k in consumed]
         allowed_backfill = max(0, 50 - remaining)
-        assert len(seen_in_window) <= allowed_backfill, (
-            f"round {rnd + 6} wasted slots on: {seen_in_window[:5]}"
+        assert len(stale) <= allowed_backfill, (
+            f"round {rnd + 6} wasted slots on: {stale[:5]}"
         )
-        seen |= set(window)
-        seen |= set(retest_pending)  # their rows land with round 6
-    never = [k for k in qs if k not in seen]
+        consumed |= set(window)
+    never = [k for k in qs if k not in consumed]
     assert not never, (
-        f"{len(never)} keys still never driver-tested after "
+        f"{len(never)} keys still lack a driver row after "
         f"{min_rounds} more rounds: {never[:10]}"
     )
 

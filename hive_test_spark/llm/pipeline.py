@@ -1429,3 +1429,87 @@ def llm_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-density audit: how much does CC chain-inflate the clusters?
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_cluster_density_audit",
+    f"""
+    WITH RECURSIVE {_CLUSTER_CTES},
+    sizes AS (
+      SELECT cluster_id, COUNT(*) AS sz FROM labels GROUP BY cluster_id
+    ),
+    pair_home AS (
+      SELECT la.cluster_id, COUNT(*) AS n_pairs
+      FROM verified v
+      JOIN labels la ON la.doc_id = v.doc_a
+      GROUP BY la.cluster_id
+    )
+    SELECT s.sz AS cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(SUM(COALESCE(p.n_pairs, 0)) AS BIGINT) AS verified_pairs,
+           CAST(SUM(s.sz * (s.sz - 1) / 2) AS BIGINT) AS possible_pairs,
+           ROUND(SUM(COALESCE(p.n_pairs, 0)) * 1.0
+                 / NULLIF(SUM(s.sz * (s.sz - 1) / 2), 0), 6) AS density
+    FROM sizes s LEFT JOIN pair_home p ON p.cluster_id = s.cluster_id
+    WHERE s.sz >= 2
+    GROUP BY s.sz
+    ORDER BY s.sz
+    """,
+)
+def llm_cluster_density_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-inflation audit of the CC dedup clusters [public method:
+    connected components is TRANSITIVE but near-duplicate similarity is
+    NOT — A~B and B~C do not imply A~C, so CC clusters can chain
+    unrelated documents through intermediates. The standard diagnostic
+    is edge density: verified pairs observed per cluster vs C(size, 2)
+    possible. Density 1.0 = clique (every member is a verified near-dup
+    of every other — safe to drop all but one); low density at large
+    sizes = chaining (a destructive dedup would remove documents never
+    actually verified similar to their cluster representative)].
+    Reported per cluster size on the SAME labels + verified pairs as
+    llm_dedup_clusters, so the audit prices exactly the clusters the
+    dedup would act on.
+
+    Both endpoints of a verified pair share a cluster by construction
+    (CC is built from these edges), so homing each pair by doc_a alone
+    is exact, not an approximation.
+
+    At 100 TB: two joins keyed on doc_id/cluster_id over the (already
+    bounded) verified-pair set and the label table, then a rollup on
+    the tiny cluster-size domain — nothing quadratic beyond what the
+    LSH candidate generation already bounded."""
+    tune(spark)
+    labels = llm_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    pairs = _minhash_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    pair_home = (
+        pairs.join(
+            labels.select(F.col("doc_id").alias("doc_a"), "cluster_id"), "doc_a"
+        )
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    possible = F.col("sz") * (F.col("sz") - 1) / 2
+    return (
+        sizes.filter(F.col("sz") >= 2)
+        .join(pair_home, "cluster_id", "left")
+        .groupBy(F.col("sz").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum(F.coalesce(F.col("n_pairs"), F.lit(0)))
+            .cast("bigint")
+            .alias("verified_pairs"),
+            F.sum(possible).cast("bigint").alias("possible_pairs"),
+            F.round(
+                F.sum(F.coalesce(F.col("n_pairs"), F.lit(0)))
+                / F.nullif(F.sum(possible), F.lit(0)),
+                6,
+            ).alias("density"),
+        )
+        .orderBy("cluster_size")
+    )

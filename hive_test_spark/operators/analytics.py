@@ -4741,3 +4741,127 @@ def evt_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("step")
     )
+
+
+# ---------------------------------------------------------------------------
+# Retention decay-curve fit (power-law over day-k retention)
+# ---------------------------------------------------------------------------
+
+_RETFIT_MAX_K = 14
+
+
+@register(
+    "evt_retention_fit",
+    f"""
+    WITH days AS (
+      SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d
+      FROM events
+    ),
+    cohort AS (
+      SELECT user_id, MIN(d) AS d0 FROM days GROUP BY user_id
+    ),
+    c0 AS (
+      SELECT user_id, d0 FROM cohort
+      WHERE d0 = (SELECT MIN(d0) FROM cohort)
+    ),
+    n0 AS (SELECT COUNT(*) AS cohort_n FROM c0),
+    ret AS (
+      SELECT k.k, COUNT(DISTINCT c.user_id) AS n_retained
+      FROM (SELECT unnest(generate_series(1, {_RETFIT_MAX_K})) AS k) k
+      LEFT JOIN c0 c ON TRUE
+      JOIN days d ON d.user_id = c.user_id
+       AND d.d = c.d0 + to_days(CAST(k.k AS INTEGER))
+      GROUP BY k.k
+    ),
+    pts AS (
+      SELECT k, n_retained,
+             ln(CAST(k AS DOUBLE)) AS x,
+             ln(n_retained * 1.0 / (SELECT cohort_n FROM n0)) AS y
+      FROM ret WHERE n_retained > 0
+    ),
+    fit AS (
+      SELECT (SUM(x * y) - SUM(x) * SUM(y) / COUNT(*))
+             / (SUM(x * x) - SUM(x) * SUM(x) / COUNT(*)) AS slope,
+             SUM(y) / COUNT(*) AS ybar, SUM(x) / COUNT(*) AS xbar
+      FROM pts
+    )
+    SELECT p.k AS day_k, p.n_retained,
+           (SELECT cohort_n FROM n0) AS cohort_n,
+           ROUND(p.n_retained * 1.0 / (SELECT cohort_n FROM n0), 6) AS rate,
+           ROUND(-f.slope, 6) AS decay_b,
+           ROUND(exp(f.ybar - f.slope * f.xbar), 6) AS level_c
+    FROM pts p CROSS JOIN fit f
+    ORDER BY p.k
+    """,
+)
+def evt_retention_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention decay-curve fit [public method: day-k retention is
+    famously well described by a shifted power law r(k) ≈ c·k^(-b)
+    (the "retention curve" of growth accounting); b is THE comparable
+    health number across products/cohorts and extrapolates the curve
+    beyond the observed window]. The first-activity cohort's day-k
+    retention rates (k = 1..{_RETFIT_MAX_K}) are fit by log-log OLS
+    through the explicit normal-equation sums (the evt_ols_multifactor
+    discipline — no BLAS, engine-exact sufficient statistics), and
+    every per-k row carries the observed rate next to the fitted
+    (b, c) so curve and fit ship together.
+
+    At 100 TB: the (user, day) distinct set is the only corpus-scale
+    rollup (map-side combinable); the cohort anchor is a 1-row min;
+    day-k membership is a user-keyed join against a {_RETFIT_MAX_K}-row
+    broadcast grid; the OLS runs on ≤{_RETFIT_MAX_K} points."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts").cast("timestamp")).alias("d")
+    ).distinct()
+    cohort = days.groupBy("user_id").agg(F.min("d").alias("d0"))
+    dmin = cohort.agg(F.min("d0").alias("dmin"))
+    c0 = cohort.join(F.broadcast(dmin), F.col("d0") == F.col("dmin")).select(
+        "user_id", "d0"
+    )
+    n0 = c0.agg(F.count(F.lit(1)).alias("cohort_n"))
+    grid = spark.range(1, _RETFIT_MAX_K + 1).select(F.col("id").cast("int").alias("k"))
+    ret = (
+        c0.crossJoin(F.broadcast(grid))
+        .join(
+            days,
+            (days["user_id"] == c0["user_id"])
+            & (days["d"] == F.col("d0") + F.make_dt_interval(F.col("k"))),
+        )
+        .groupBy("k")
+        .agg(F.countDistinct(c0["user_id"]).alias("n_retained"))
+    )
+    pts = (
+        ret.filter(F.col("n_retained") > 0)
+        .crossJoin(F.broadcast(n0))
+        .select(
+            "k",
+            "n_retained",
+            "cohort_n",
+            F.log(F.col("k").cast("double")).alias("x"),
+            F.log(F.col("n_retained") / F.col("cohort_n")).alias("y"),
+        )
+    )
+    fit = pts.agg(
+        (
+            (F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y") / F.count(F.lit(1)))
+            / (F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x") / F.count(F.lit(1)))
+        ).alias("slope"),
+        (F.sum("y") / F.count(F.lit(1))).alias("ybar"),
+        (F.sum("x") / F.count(F.lit(1))).alias("xbar"),
+    )
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("k").alias("day_k"),
+            "n_retained",
+            "cohort_n",
+            F.round(F.col("n_retained") / F.col("cohort_n"), 6).alias("rate"),
+            F.round(-F.col("slope"), 6).alias("decay_b"),
+            F.round(F.exp(F.col("ybar") - F.col("slope") * F.col("xbar")), 6).alias(
+                "level_c"
+            ),
+        )
+        .orderBy("day_k")
+    )

@@ -253,7 +253,7 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "graph_degree_distribution", "graph_common_neighbors",
     "llm_grpo_advantage", "llm_soft_dedup_weights", "evt_bayes_ab",
     "meta_cache_table", "evt_funnel_latency", "llm_roc_auc",
-    "llm_bpe_roundtrip",
+    "llm_bpe_roundtrip", "llm_cluster_density_audit", "evt_retention_fit",
 )
 
 

@@ -1684,3 +1684,13 @@ def test_bpe_roundtrip_pure_map_single_reduce(spark, registry):
     assert f.broadcast_joins == 0 and f.sort_merge_joins == 0
     assert "Python" not in f.text
     assert set(scan_read_columns(f)) == {1}, "(text) only"
+
+
+def test_retention_fit_user_keyed_with_broadcast_grid(spark, registry):
+    """evt_retention_fit: day-k membership joins user-keyed against a
+    broadcast 14-row grid; the OLS epilogue rides 1-row broadcasts —
+    no cartesian, events scan pruned to (user_id, ts)."""
+    f = _facts(spark, registry, "evt_retention_fit")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+    assert set(scan_read_columns(f)) == {2}, "(user_id, ts) only"

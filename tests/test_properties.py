@@ -1708,3 +1708,19 @@ def test_dup_rate_by_source_accounting(spark, registry):
     pairs = qs["llm_minhash_det"](spark, SF_DIR).collect()
     marked = {p.doc_a for p in pairs} | {p.doc_b for p in pairs}
     assert sum(r.n_in_dup_pair for r in rows) == len(marked)
+
+
+def test_cluster_density_bounds(spark, registry):
+    """llm_cluster_density_audit: density is a true pair fraction —
+    verified pairs never exceed C(size,2), density in (0, 1], and a
+    2-cluster is by construction a verified pair (density 1.0)."""
+    qs, _ = registry
+    from tests.conftest import SF_DIR
+
+    pdf = qs["llm_cluster_density_audit"](spark, SF_DIR).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["verified_pairs"] <= pdf["possible_pairs"]).all()
+    assert ((pdf["density"] > 0) & (pdf["density"] <= 1.0)).all()
+    two = pdf[pdf["cluster_size"] == 2]
+    if len(two):
+        assert (two["density"] == 1.0).all()

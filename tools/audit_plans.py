@@ -169,6 +169,7 @@ EXTRA_AUDIT = [
     "evt_funnel_latency",
     "llm_roc_auc",
     "llm_bpe_roundtrip",
+    "evt_retention_fit",
 ]
 
 

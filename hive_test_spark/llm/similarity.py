@@ -1480,3 +1480,151 @@ def llm_mixup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("convexity_ok"),
     ).orderBy("id_a")
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe tuning curve: recall@k vs scanned candidates per nprobe
+# ---------------------------------------------------------------------------
+
+_NPROBE_SWEEP = (1, 2, 3)
+
+
+def _nprobe_oracle() -> str:
+    cells = []
+    rows = []
+    for np_ in _NPROBE_SWEEP:
+        cells.append(f"""
+    cand{np_} AS (
+      SELECT cl.probe_id, b.vec_id AS neighbor_id,
+             ROUND({_DUCK_COS}, 6) AS cos_sim
+      FROM (SELECT probe_id, label FROM ranked WHERE rn <= {np_}) cl
+      JOIN embeddings a ON a.vec_id = cl.probe_id
+      JOIN embeddings b ON b.label = cl.label AND b.vec_id <> cl.probe_id
+    ),
+    topk{np_} AS (
+      SELECT probe_id, neighbor_id
+      FROM (SELECT probe_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY cos_sim DESC, neighbor_id) AS rn2
+            FROM cand{np_}) t
+      WHERE rn2 <= {TOP_K}
+    )""")
+        rows.append(f"""
+    SELECT {np_} AS nprobe,
+           COUNT(*) AS n_exact_pairs,
+           COUNT(t.neighbor_id) AS n_found,
+           ROUND(COUNT(t.neighbor_id) * 1.0 / COUNT(*), 6) AS recall_at_k,
+           (SELECT COUNT(*) FROM cand{np_}) AS total_candidates
+    FROM exact e LEFT JOIN topk{np_} t
+      ON t.probe_id = e.probe_id AND t.neighbor_id = e.neighbor_id""")
+    return f"""
+    WITH {_DUCK_LABEL_CENTROIDS},
+    probes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_PROBES}),
+    ranked AS (
+      SELECT p.vec_id AS probe_id, c.label,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.vec_id
+               ORDER BY ROUND(list_cosine_similarity(
+                 list_transform(p.embedding, x -> CAST(x AS DOUBLE)),
+                 c.centroid), 6) DESC, c.label) AS rn
+      FROM probes p CROSS JOIN centroids c
+    ),
+    exact AS (SELECT probe_id, neighbor_id FROM ({_TOPK_ORACLE}) t),
+    {",".join(cells)}
+    {" UNION ALL ".join(rows)}
+    ORDER BY nprobe
+    """
+
+
+@register("llm_ann_nprobe_curve", _nprobe_oracle())
+def llm_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe tuning curve [public method: the standard IVF
+    accept-tune step — recall@k rises with the number of probed cells
+    while scan cost rises linearly; the knee of this curve IS the
+    nprobe you deploy (FAISS's nprobe parameter)]. For nprobe in
+    {_NPROBE_SWEEP!r}: route each probe to its top-nprobe nearest
+    centroids (rounded-cosine ranking, label tiebreak — the
+    llm_ann_ivf router generalized past rank 1), search the union of
+    those cells exactly, and score pooled recall@{TOP_K} against the
+    brute-force ground truth, emitting the scanned-candidate count as
+    the cost axis. Completes the index-economics deck:
+    llm_lsh_tuning_curve prices banding, this prices probing.
+
+    At 100 TB: routing is probes × broadcast centroid table; each
+    sweep point is the production routed plan with a wider cell
+    union — candidate volume (the reported cost) is Σ probed cell
+    sizes, never the corpus; the eval join is (probe, neighbor)-keyed
+    on the k × |panel| ground-truth rows. The sweep reuses one routed
+    ranking, so the whole curve costs one routing pass plus
+    len(sweep) cell scans."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    cents = _label_centroids(spark, sf_dir)
+    probes = e.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p_emb"),
+        F.col("norm").alias("p_norm"),
+    )
+    w_route = Window.partitionBy("probe_id").orderBy(
+        F.col("c_sim").desc(), "label"
+    )
+    routed = (
+        probes.crossJoin(F.broadcast(cents))
+        .select(
+            "probe_id",
+            "p_emb",
+            "p_norm",
+            "label",
+            F.round(
+                cosine("p_emb", "centroid") / (F.col("p_norm") * F.col("c_norm")), 6
+            ).alias("c_sim"),
+        )
+        .select("*", F.row_number().over(w_route).alias("rn"))
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("b_label"),
+        F.col("embedding").alias("b_emb"),
+        F.col("norm").alias("b_norm"),
+    )
+    exact = llm_cosine_topk(spark, sf_dir).select("probe_id", "neighbor_id")
+    w_k = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    out = None
+    for np_ in _NPROBE_SWEEP:
+        cand = (
+            routed.filter(F.col("rn") <= np_)
+            .join(
+                corpus,
+                (F.col("label") == F.col("b_label"))
+                & (F.col("neighbor_id") != F.col("probe_id")),
+            )
+            .select(
+                "probe_id",
+                "neighbor_id",
+                F.round(
+                    cosine("p_emb", "b_emb") / (F.col("p_norm") * F.col("b_norm")), 6
+                ).alias("cos_sim"),
+            )
+        )
+        n_cand = cand.agg(F.count(F.lit(1)).alias("total_candidates"))
+        topk = (
+            cand.select("*", F.row_number().over(w_k).alias("rn2"))
+            .filter(F.col("rn2") <= TOP_K)
+            .select("probe_id", "neighbor_id", F.lit(1).alias("hit"))
+        )
+        row = (
+            exact.join(topk, ["probe_id", "neighbor_id"], "left")
+            .agg(
+                F.lit(np_).alias("nprobe"),
+                F.count(F.lit(1)).alias("n_exact_pairs"),
+                F.count("hit").alias("n_found"),
+                F.round(F.count("hit") / F.count(F.lit(1)), 6).alias("recall_at_k"),
+            )
+            .crossJoin(F.broadcast(n_cand))
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("nprobe")

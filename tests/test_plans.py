@@ -1694,3 +1694,13 @@ def test_retention_fit_user_keyed_with_broadcast_grid(spark, registry):
     assert f.cartesian == 0
     assert "Python" not in f.text
     assert set(scan_read_columns(f)) == {2}, "(user_id, ts) only"
+
+
+def test_nprobe_curve_routed_never_corpus_pairs(spark, registry):
+    """llm_ann_nprobe_curve: routing is probes x broadcast centroids;
+    every sweep point searches only routed cells (label equi-joins) —
+    no cartesian, no Python."""
+    f = _facts(spark, registry, "llm_ann_nprobe_curve")
+    assert f.cartesian == 0
+    assert f.broadcast_joins >= 3, "centroid routing + candidate attaches"
+    assert "Python" not in f.text

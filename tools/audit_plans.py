@@ -170,6 +170,7 @@ EXTRA_AUDIT = [
     "llm_roc_auc",
     "llm_bpe_roundtrip",
     "evt_retention_fit",
+    "llm_ann_nprobe_curve",
 ]
 
 

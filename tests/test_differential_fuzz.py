@@ -2043,3 +2043,94 @@ def test_random_cond_expr_matches_duckdb(spark, duck, spec):
     duck_pdf = duck.execute(_cond_sql(spec)).df()
     r = compare("fuzz_cond", spark_pdf, duck_pdf)
     assert r["ok"], f"spec={spec}\nsql={_cond_sql(spec)}\nnotes={r['notes']}"
+
+
+# ---- percentile / quantile interpolation grammar -------------------------
+#
+# Spark's exact percentile() and DuckDB's quantile_cont() both promise
+# linear interpolation between order statistics; several operators
+# (evt_funnel_latency, agg_percentile, evt_rolling_median) lean on that
+# equivalence. Fuzz it under random probabilities, groupings, filters,
+# and value derivations — interpolation drift would shift every latency
+# report in the repo.
+
+_PCT_TABLES = {
+    "lineitem": ("l_orderkey", "l_extendedprice", "l_returnflag"),
+    "orders": ("o_orderkey", "o_totalprice", "o_orderstatus"),
+    "customer": ("c_custkey", "c_acctbal", "c_mktsegment"),
+}
+
+
+@st.composite
+def percentile_specs(draw):
+    table = draw(st.sampled_from(sorted(_PCT_TABLES)))
+    p = round(draw(st.floats(0.05, 0.95, allow_nan=False)), 3)
+    q = round(draw(st.floats(0.05, 0.95, allow_nan=False)), 3)
+    mod = draw(st.integers(2, 9))
+    derive = draw(st.sampled_from(["raw", "round1", "neg", "plus_key_mod"]))
+    return {"table": table, "p": p, "q": q, "mod": mod, "derive": derive}
+
+
+def _pct_val_sql(spec, key, num):
+    if spec["derive"] == "round1":
+        return f"round({num}, 1)"
+    if spec["derive"] == "neg":
+        return f"-{num}"
+    if spec["derive"] == "plus_key_mod":
+        return f"({num} + {key} % 7)"
+    return num
+
+
+def _pct_sql(spec) -> str:
+    key, num, cat = _PCT_TABLES[spec["table"]]
+    v = _pct_val_sql(spec, key, num)
+    return (
+        f"SELECT {cat} AS g, COUNT(*) AS n,"
+        f" ROUND(quantile_cont({v}, {spec['p']}), 6) AS pa,"
+        f" ROUND(quantile_cont({v}, {spec['q']}), 6) AS pb,"
+        f" ROUND(median({v}), 6) AS med"
+        f" FROM {spec['table']} WHERE {key} % {spec['mod']} = 1"
+        f" GROUP BY {cat}"
+    )
+
+
+def _pct_df(spark, spec):
+    key, num, cat = _PCT_TABLES[spec["table"]]
+    df = load_table(spark, SF_DIR, spec["table"])
+    k = F.col(key)
+    v = F.col(num)
+    if spec["derive"] == "round1":
+        v = F.round(v, 1)
+    elif spec["derive"] == "neg":
+        v = -v
+    elif spec["derive"] == "plus_key_mod":
+        v = v + (k % 7)
+    return (
+        df.filter(k % spec["mod"] == 1)
+        .select(F.col(cat).alias("g"), v.alias("_v"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr(f"percentile(_v, {spec['p']})"), 6).alias("pa"),
+            F.round(F.expr(f"percentile(_v, {spec['q']})"), 6).alias("pb"),
+            F.round(F.expr("percentile(_v, 0.5)"), 6).alias("med"),
+        )
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=percentile_specs())
+def test_random_percentile_matches_duckdb(spark, duck, spec):
+    """Percentile-interpolation fuzz: Spark exact percentile() vs DuckDB
+    quantile_cont()/median() must interpolate identically under random
+    probabilities, value derivations (rounding, negation, integer
+    shifts), filters, and groupings."""
+    spark_pdf = _pct_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_pct_sql(spec)).df()
+    r = compare("fuzz_percentile", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nsql={_pct_sql(spec)}\nnotes={r['notes']}"

@@ -48,6 +48,7 @@ GRAMMARS = [
     ("pattern", G.pattern_specs, G._pattern_df, G._pattern_sql),
     ("ordered_agg", G.ordered_agg_specs, G._ordered_agg_df, G._ordered_agg_sql),
     ("cond", G.cond_specs, G._cond_df, G._cond_sql),
+    ("percentile", G.percentile_specs, G._pct_df, G._pct_sql),
 ]
 
 

@@ -1555,3 +1555,130 @@ def llm_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-length economics: truncate-vs-pack utilization per ctx size
+# ---------------------------------------------------------------------------
+
+_PACK_CTX_SWEEP = (64, 128, 256)
+
+
+@register(
+    "llm_pack_efficiency_curve",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    shard_tot AS (
+      SELECT shard, CAST(SUM(n_tok) AS BIGINT) AS shard_tok
+      FROM toks GROUP BY shard
+    ),
+    grid AS (SELECT unnest(ARRAY[{", ".join(str(c) for c in _PACK_CTX_SWEEP)}]) AS ctx_len),
+    unpacked AS (
+      SELECT g.ctx_len,
+             COUNT(*) AS n_docs,
+             CAST(SUM(LEAST(t.n_tok, g.ctx_len)) AS BIGINT) AS tokens_kept,
+             CAST(SUM(GREATEST(t.n_tok - g.ctx_len, 0)) AS BIGINT)
+               AS tokens_truncated,
+             ROUND(SUM(GREATEST(t.n_tok - g.ctx_len, 0)) * 1.0 / SUM(t.n_tok), 6)
+               AS truncation_frac,
+             ROUND(SUM(LEAST(t.n_tok, g.ctx_len)) * 1.0
+                   / (COUNT(*) * g.ctx_len), 6) AS unpacked_utilization
+      FROM toks t CROSS JOIN grid g
+      GROUP BY g.ctx_len
+    ),
+    packed AS (
+      SELECT g.ctx_len,
+             ROUND(SUM(s.shard_tok) * 1.0
+                   / (SUM(CAST(CEIL(s.shard_tok * 1.0 / g.ctx_len) AS BIGINT))
+                      * g.ctx_len), 6) AS packed_utilization
+      FROM shard_tot s CROSS JOIN grid g
+      GROUP BY g.ctx_len
+    )
+    SELECT u.ctx_len, u.n_docs, u.tokens_kept, u.tokens_truncated,
+           u.truncation_frac, u.unpacked_utilization, p.packed_utilization
+    FROM unpacked u JOIN packed p ON p.ctx_len = u.ctx_len
+    ORDER BY u.ctx_len
+    """,
+)
+def llm_pack_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length economics table [public method: the standard
+    motivation for sequence packing — one-doc-per-sequence training
+    either pads (short docs waste compute) or truncates (long docs
+    lose data); streaming packing fills every window except each
+    shard's tail]. For ctx in {_PACK_CTX_SWEEP!r}: tokens kept vs
+    truncated and the padded utilization under the one-doc-per-window
+    model, next to the packed utilization (shard-wise streaming
+    concatenation, llm_pack_sequences' model: Σtokens /
+    (Σ_shard ceil(shard_tokens/ctx) · ctx)). The gap between the two
+    utilization columns is the compute a packing shard-writer saves;
+    truncation_frac is the data a truncating loader destroys —
+    together they price the ctx choice before a training run.
+
+    At 100 TB: one narrow token-count scan feeds a doc-level rollup
+    crossed with the fixed 3-row ctx grid (broadcast), plus a
+    shard-level (8-row) rollup for the packed side — no shuffle grows
+    with ctx choices, and the curve costs one corpus pass."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    shard_tot = toks.groupBy("shard").agg(F.sum("n_tok").alias("shard_tok"))
+    # Literal-array explode, not createDataFrame: a local Python
+    # relation would put an applySchemaToPythonRDD scan in the plan.
+    grid = spark.range(1).select(
+        F.explode(F.array(*[F.lit(c) for c in _PACK_CTX_SWEEP])).alias("ctx_len")
+    )
+    ctx = F.col("ctx_len").cast("double")
+    unpacked = (
+        toks.crossJoin(F.broadcast(grid))
+        .groupBy("ctx_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.least(F.col("n_tok"), F.col("ctx_len").cast("long")))
+            .cast("bigint")
+            .alias("tokens_kept"),
+            F.sum(F.greatest(F.col("n_tok") - F.col("ctx_len"), F.lit(0)))
+            .cast("bigint")
+            .alias("tokens_truncated"),
+            F.round(
+                F.sum(F.greatest(F.col("n_tok") - F.col("ctx_len"), F.lit(0)))
+                / F.sum("n_tok"),
+                6,
+            ).alias("truncation_frac"),
+            F.round(
+                F.sum(F.least(F.col("n_tok"), F.col("ctx_len").cast("long")))
+                / (F.count(F.lit(1)) * ctx),
+                6,
+            ).alias("unpacked_utilization"),
+        )
+    )
+    packed = (
+        shard_tot.crossJoin(F.broadcast(grid))
+        .groupBy("ctx_len")
+        .agg(
+            F.round(
+                F.sum("shard_tok")
+                / (F.sum(F.ceil(F.col("shard_tok") / ctx)) * ctx),
+                6,
+            ).alias("packed_utilization")
+        )
+    )
+    return (
+        unpacked.join(packed, "ctx_len")
+        .select(
+            "ctx_len",
+            "n_docs",
+            "tokens_kept",
+            "tokens_truncated",
+            "truncation_frac",
+            "unpacked_utilization",
+            "packed_utilization",
+        )
+        .orderBy("ctx_len")
+    )

@@ -254,7 +254,7 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "llm_grpo_advantage", "llm_soft_dedup_weights", "evt_bayes_ab",
     "meta_cache_table", "evt_funnel_latency", "llm_roc_auc",
     "llm_bpe_roundtrip", "llm_cluster_density_audit", "evt_retention_fit",
-    "llm_ann_nprobe_curve",
+    "llm_ann_nprobe_curve", "llm_pack_efficiency_curve",
 )
 
 

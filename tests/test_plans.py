@@ -1704,3 +1704,16 @@ def test_nprobe_curve_routed_never_corpus_pairs(spark, registry):
     assert f.cartesian == 0
     assert f.broadcast_joins >= 3, "centroid routing + candidate attaches"
     assert "Python" not in f.text
+
+
+def test_pack_curve_one_corpus_pass_broadcast_grid(spark, registry):
+    """llm_pack_efficiency_curve: one narrow token-count scan crossed
+    with the broadcast 3-row ctx grid; the packed side rides the 8-row
+    shard rollup — no cartesian, no Python, text-only scans."""
+    f = _facts(spark, registry, "llm_pack_efficiency_curve")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+    # The unpacked branch needs only text (token counts); the packed
+    # branch additionally needs doc_id for the shard key — pruning
+    # should give exactly those shapes.
+    assert sorted(scan_read_columns(f)) == [1, 2], "text-only + (doc_id, text)"

@@ -171,6 +171,7 @@ EXTRA_AUDIT = [
     "llm_bpe_roundtrip",
     "evt_retention_fit",
     "llm_ann_nprobe_curve",
+    "llm_pack_efficiency_curve",
 ]
 
 

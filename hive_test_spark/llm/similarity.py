@@ -1582,6 +1582,9 @@ def llm_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c_sim"),
         )
         .select("*", F.row_number().over(w_route).alias("rn"))
+        # referenced once per sweep point (the graph_triangles 2+-refs rule):
+        # cache so the probes x centroids routing pass runs once, not len(sweep) times
+        .cache()
     )
     corpus = e.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -1589,7 +1592,9 @@ def llm_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("b_emb"),
         F.col("norm").alias("b_norm"),
     )
-    exact = llm_cosine_topk(spark, sf_dir).select("probe_id", "neighbor_id")
+    # ground truth is reused by every sweep point — cache instead of
+    # recomputing the exact top-k chain len(sweep) times
+    exact = llm_cosine_topk(spark, sf_dir).select("probe_id", "neighbor_id").cache()
     w_k = Window.partitionBy("probe_id").orderBy(
         F.col("cos_sim").desc(), "neighbor_id"
     )
@@ -1609,6 +1614,9 @@ def llm_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                     cosine("p_emb", "b_emb") / (F.col("p_norm") * F.col("b_norm")), 6
                 ).alias("cos_sim"),
             )
+            # read twice below (candidate-count agg + top-k cut): cache the
+            # bucket-bounded candidate table so each cell scan runs once
+            .cache()
         )
         n_cand = cand.agg(F.count(F.lit(1)).alias("total_candidates"))
         topk = (

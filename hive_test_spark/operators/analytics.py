@@ -4822,15 +4822,20 @@ def evt_retention_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n0 = c0.agg(F.count(F.lit(1)).alias("cohort_n"))
     grid = spark.range(1, _RETFIT_MAX_K + 1).select(F.col("id").cast("int").alias("k"))
+    # c0 derives from days, so an unaliased self-join predicate resolves both
+    # user_id refs to the same attribute (Spark warns and auto-rewrites);
+    # explicit aliases make the equi-key unambiguous by construction.
+    dd = days.alias("dd")
+    cc = c0.alias("cc")
     ret = (
-        c0.crossJoin(F.broadcast(grid))
+        cc.crossJoin(F.broadcast(grid))
         .join(
-            days,
-            (days["user_id"] == c0["user_id"])
-            & (days["d"] == F.col("d0") + F.make_dt_interval(F.col("k"))),
+            dd,
+            (F.col("dd.user_id") == F.col("cc.user_id"))
+            & (F.col("dd.d") == F.col("cc.d0") + F.make_dt_interval(F.col("k"))),
         )
         .groupBy("k")
-        .agg(F.countDistinct(c0["user_id"]).alias("n_retained"))
+        .agg(F.countDistinct(F.col("cc.user_id")).alias("n_retained"))
     )
     pts = (
         ret.filter(F.col("n_retained") > 0)

@@ -213,16 +213,17 @@ def test_survey_inventory_totals_match_table_rows(registry):
     )
 
 
-def test_driver_exposure_closes_by_round9(registry):
-    """VERDICT r5 item 2, generalized for late-round additions: simulate
+def test_driver_exposure_closes_in_min_rounds(registry):
+    """VERDICT r5 item 2 (renamed per VERDICT r6 item 5 — the old
+    `..._by_round9` name predated the round-6 additions that moved the
+    priced bound), generalized for late-round additions: simulate
     future driver rounds — each round tests exactly ordered_keys()[:50];
     marking those seen must leave ZERO never-tested keys after
     ceil(residual/50) rounds (the MINIMUM possible — i.e. no window
     wastes a slot on a seen key while a never-tested key waits), with no
-    key dropped from any window. With the r1-r5 reports on disk the
-    residual closes by round 10 (it was 9 before the round-6 fourth-wave
-    operators landed; each new operator consumes queue capacity, which
-    this test re-prices automatically)."""
+    key dropped from any window. The priced closure round is computed
+    and asserted explicitly in the failure message; with the r1-r6
+    reports on disk it is round 10."""
     import math
 
     from hive_test_spark import registry as reg
@@ -269,10 +270,18 @@ def test_driver_exposure_closes_by_round9(registry):
             f"round {rnd + 6} wasted slots on: {stale[:5]}"
         )
         consumed |= set(window)
+    closure_round = reg.LATEST_DRIVER_ROUND + min_rounds
+    assert closure_round <= 10, (
+        f"priced closure round {closure_round} > 10: registry growth has "
+        f"pushed full driver exposure past the planned bound "
+        f"({len(pending)} pending / 50 per round after driver round "
+        f"{reg.LATEST_DRIVER_ROUND})"
+    )
     never = [k for k in qs if k not in consumed]
     assert not never, (
         f"{len(never)} keys still lack a driver row after "
-        f"{min_rounds} more rounds: {never[:10]}"
+        f"{min_rounds} more rounds (priced closure = round {closure_round}): "
+        f"{never[:10]}"
     )
 
 

@@ -1717,3 +1717,35 @@ def test_pack_curve_one_corpus_pass_broadcast_grid(spark, registry):
     # branch additionally needs doc_id for the shard key — pruning
     # should give exactly those shapes.
     assert sorted(scan_read_columns(f)) == [1, 2], "text-only + (doc_id, text)"
+
+
+def test_soft_dedup_weights_same_key_joins(spark, registry):
+    """llm_soft_dedup_weights: cluster sizes are one combinable count
+    on cluster_id joined back same-key, metadata attaches on doc_id —
+    no cartesian, no Python, documents scan pruned to (doc_id, source)
+    beyond the checkpointed CC labels."""
+    f = _facts(spark, registry, "llm_soft_dedup_weights")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+    assert 2 in set(scan_read_columns(f)), "(doc_id, source) metadata scan"
+
+
+def test_cluster_density_audit_bounded_joins(spark, registry):
+    """llm_cluster_density_audit: pair-homing is a doc_id equi-join of
+    the (already LSH-bounded) verified pairs against the labels, the
+    rollup runs on the tiny cluster-size domain — no cartesian, no
+    Python anywhere in the chain."""
+    f = _facts(spark, registry, "llm_cluster_density_audit")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+
+
+def test_cache_table_pruned_scan_both_phases(spark, registry):
+    """meta_cache_table: both phases aggregate the same 2-column
+    lineitem slice — the returnflag filter reaches the scan and no
+    phase widens the read; cache/uncache is pure catalog lifecycle."""
+    f = _facts(spark, registry, "meta_cache_table")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+    assert has_pushed_filters(f), "l_returnflag='R' must reach the scan"
+    assert set(scan_read_columns(f)) == {2}, "phase sink + pruned lineitem"

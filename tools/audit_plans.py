@@ -172,6 +172,11 @@ EXTRA_AUDIT = [
     "evt_retention_fit",
     "llm_ann_nprobe_curve",
     "llm_pack_efficiency_curve",
+    # Round-7 lockstep backfill (ADVICE r6): the two round-6 keys that
+    # missed the checklist — the density audit's pair-vs-C(size,2) join
+    # chain and the cache-lifecycle verb exhibit.
+    "llm_cluster_density_audit",
+    "meta_cache_table",
 ]
 
 

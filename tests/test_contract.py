@@ -285,6 +285,81 @@ def test_driver_exposure_closes_in_min_rounds(registry):
     )
 
 
+def test_staged_windows_partition_the_residual(registry):
+    """VERDICT r6 item 8: SURVEY §2.M records the exact round-8/9/10
+    driver windows so a fresh-context round can verify the plan without
+    re-deriving it. This test re-runs the scheduler simulation and pins
+    the documented window membership to it — if a registry change moves
+    a key between windows, the doc must move with it (the lockstep
+    convention). The three documented fresh sets plus the already-seen
+    round-7 window must exactly partition the never-tested residual."""
+    import os
+    import re
+
+    from hive_test_spark import registry as reg
+
+    qs, _ = registry
+    idx = {k: i for i, k in enumerate(qs)}
+    retest_pending = frozenset(
+        k
+        for k in reg._RETEST
+        if reg.DRIVER_LAST_ROUND.get(k, 0) <= reg._PLANNED_AFTER_ROUND
+    )
+    consumed = {
+        k
+        for k in reg.DRIVER_SEEN
+        if k not in retest_pending and k not in reg.DRIVER_FAILED
+    }
+
+    def rank_with(consumed_now, key):
+        if key in reg.DRIVER_FAILED and key not in consumed_now:
+            return (0, 0, idx[key])
+        if key in retest_pending and key not in consumed_now:
+            return (2, reg._RETEST.index(key), idx[key])
+        if key in consumed_now or key in reg.DRIVER_SEEN:
+            return (5, 0, idx[key])
+        if key in reg._NEXT_ROUNDS:
+            return (3, reg._NEXT_ROUNDS.index(key), idx[key])
+        return (4, 0, idx[key])
+
+    simulated = {}
+    for rnd in (7, 8, 9, 10):
+        window = sorted(qs, key=lambda k: rank_with(consumed, k))[:50]
+        simulated[rnd] = frozenset(k for k in window if k not in consumed)
+        consumed |= set(window)
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "SURVEY.md")) as fh:
+        survey = fh.read()
+    documented = {
+        int(m.group(1)): frozenset(m.group(2).split())
+        for m in re.finditer(
+            r"Round (\d+) \(\d+ fresh[^)]*\):\s*\n`([^`]+)`", survey
+        )
+    }
+    assert set(documented) == {8, 9, 10}, (
+        f"SURVEY §2.M must document exactly rounds 8-10, got {sorted(documented)}"
+    )
+    for rnd in (8, 9, 10):
+        extra = sorted(documented[rnd] - simulated[rnd])
+        missing = sorted(simulated[rnd] - documented[rnd])
+        assert not extra and not missing, (
+            f"round-{rnd} window drift vs SURVEY §2.M — "
+            f"doc-only: {extra[:5]}, sim-only: {missing[:5]}"
+        )
+    # Partition check: r7 (already staged) + the three documented windows
+    # cover every never-tested key exactly once.
+    union = simulated[7] | documented[8] | documented[9] | documented[10]
+    never = frozenset(k for k in qs if k not in reg.DRIVER_SEEN)
+    assert union == never, (
+        f"windows do not partition the residual: "
+        f"uncovered={sorted(never - union)[:5]}, "
+        f"spurious={sorted(union - never)[:5]}"
+    )
+    sizes = sum(len(documented[r]) for r in (8, 9, 10)) + len(simulated[7])
+    assert sizes == len(never), "windows overlap — not a partition"
+
+
 def test_every_registered_key_is_documented_in_survey(registry):
     """SURVEY.md §2 is the coverage checklist the judge reads line by
     line — a registered operator missing from it is invisible to the

@@ -852,3 +852,93 @@ def sql_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNPIVOT (val FOR measure IN (qty, revenue))
         """
     )
+
+
+@_sql_register(
+    "sql_scripting",
+    """
+    WITH lv AS (
+      SELECT g, CAST(1000 AS BIGINT) * (CAST(1 AS BIGINT) << g) AS thr
+      FROM (SELECT UNNEST(generate_series(0, 39)) AS g)
+    ),
+    cnts AS (
+      SELECT g, thr,
+             (SELECT COUNT(*) FROM orders o
+              WHERE o.o_totalprice > lv.thr) AS n_above
+      FROM lv
+    ),
+    pick AS (
+      SELECT g, thr, n_above FROM cnts WHERE n_above <= 150
+      ORDER BY g LIMIT 1
+    )
+    SELECT p.thr AS threshold,
+           CAST(p.n_above AS BIGINT) AS n_above,
+           CAST(c.n_above AS BIGINT) AS n_above_prev,
+           CAST(p.g AS BIGINT) AS n_iterations,
+           (p.n_above <= 150 AND (p.g = 0 OR c.n_above > 150)) AS minimal
+    FROM pick p LEFT JOIN cnts c ON c.g = p.g - 1
+    """,
+)
+def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting surface [Spark-public: SQL scripting
+    (``BEGIN ... END`` compound statements with DECLARE / SET / WHILE,
+    SPARK-48338, Spark 4.0+) — the native twin of Hive's HPL/SQL
+    procedural dialect (Hive 2.x+ ``hplsql``: the same
+    DECLARE/WHILE/SET control flow HiveQL migrations carry)]. The
+    script runs a DATA-DEPENDENT loop — the canonical procedural
+    pattern no single declarative statement expresses: starting at
+    1000, double a revenue threshold until at most 150 orders exceed
+    it. The emitted row carries a minimality certificate (count at the
+    found threshold ≤ 150 < count at half of it), so the hash pins the
+    loop's exact stopping decision, not just its endpoint; the DuckDB
+    oracle re-derives the same fixpoint relationally from a bounded
+    power-of-two ladder (counts are monotone in the threshold, so
+    first-satisfying == min-satisfying).
+
+    The block executes when ``spark.sql`` is invoked; the single result
+    row is pinned with ``localCheckpoint`` so the returned frame no
+    longer references session variables (which are scoped to the
+    script) and the scripting conf can be restored immediately.
+
+    At 100 TB: each loop iteration is one pushed-predicate scan-count
+    (a Catalyst job like any other — scripting is driver-side control
+    flow around distributed statements, exactly HPL/SQL's model on
+    Hive); iterations are O(log(max/base)) ≤ 40 by construction. The
+    relational ladder form the oracle uses is ONE pass (39 conditional
+    counts in a single aggregate) and is what you deploy when the
+    sweep bounds are known up front; the scripting form wins when the
+    loop body must see the previous iteration's result — model-fit
+    convergence, retry-until-drained compaction, watermark advance."""
+    tune(spark)
+    _views(spark, sf_dir, "orders")
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
+    try:
+        spark.conf.set("spark.sql.scripting.enabled", "true")
+        out = spark.sql(
+            """
+            BEGIN
+              DECLARE thr BIGINT DEFAULT 1000;
+              DECLARE prev BIGINT DEFAULT NULL;
+              DECLARE iters BIGINT DEFAULT 0;
+              DECLARE cnt BIGINT DEFAULT 0;
+              SET cnt = (SELECT COUNT(*) FROM hts_sql_orders
+                         WHERE o_totalprice > thr);
+              WHILE cnt > 150 DO
+                SET prev = cnt;
+                SET thr = thr * 2;
+                SET iters = iters + 1;
+                SET cnt = (SELECT COUNT(*) FROM hts_sql_orders
+                           WHERE o_totalprice > thr);
+              END WHILE;
+              SELECT thr AS threshold, cnt AS n_above,
+                     prev AS n_above_prev, iters AS n_iterations,
+                     (cnt <= 150 AND (iters = 0 OR prev > 150)) AS minimal;
+            END
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)
+    return out

@@ -255,6 +255,11 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "meta_cache_table", "evt_funnel_latency", "llm_roc_auc",
     "llm_bpe_roundtrip", "llm_cluster_density_audit", "evt_retention_fit",
     "llm_ann_nprobe_curve", "llm_pack_efficiency_curve",
+    # Added in round 7 (tail-gated per VERDICT r6 item 2 — two
+    # demonstrated surface gaps, appended at the END so the staged
+    # r7-r9 windows never shift; they land in round 10's backfill
+    # headroom, closure stays <= round 10):
+    "sql_scripting", "meta_database_lifecycle",
 )
 
 

@@ -1677,3 +1677,114 @@ def meta_cache_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+_DB_LIFECYCLE_ORACLE = """
+    SELECT 'db_listed_after_create' AS element, 'true' AS value
+    UNION ALL SELECT 'db_comment', 'governance boundary: curated zone'
+    UNION ALL SELECT 'current_db_is_target_after_use', 'true'
+    UNION ALL SELECT 'n_tables_in_db', '1'
+    UNION ALL SELECT 'table_rowcount',
+      CAST((SELECT COUNT(*) FROM customer WHERE c_custkey % 10 = 0)
+           AS VARCHAR)
+    UNION ALL SELECT 'db_listed_after_drop', 'false'
+    UNION ALL SELECT 'current_db_restored', 'true'
+"""
+
+
+@register("meta_database_lifecycle", _DB_LIFECYCLE_ORACLE)
+def meta_database_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Database/schema lifecycle verbs [Hive-public: CREATE DATABASE ...
+    COMMENT, SHOW DATABASES, USE db, db-qualified tables, DROP DATABASE
+    CASCADE — the namespace layer of the metastore, completing the verb
+    families beside SHOW TABLES/VIEWS/PARTITIONS/FUNCTIONS and
+    TBLPROPERTIES]. The op runs the full lifecycle: CREATE DATABASE
+    with a COMMENT, catalog-listing probe (SHOW DATABASES LIKE), USE +
+    current_database() probe, DESCRIBE DATABASE comment readback, one
+    external table created INSIDE the database (db-qualified name,
+    external-path idiom), SHOW TABLES IN db count, then USE default +
+    DROP DATABASE CASCADE and a post-drop listing probe. Every phase
+    emits a hash-pinned (element, value) fact — a silently ignored
+    CREATE, a USE that doesn't switch, or a CASCADE that leaves the
+    namespace listed all flip a row. The one DATA fact (table_rowcount)
+    flows distributed from a path-based re-read of the table's files
+    (catalog-independent, so the already-dropped catalog entry cannot
+    poison lazy execution); catalog probes are O(1) driver-side
+    metadata, the meta_cache_table discipline.
+
+    At 100 TB: databases are pure metastore namespacing — zero data
+    movement at any scale; the operational content is the teardown
+    contract (CASCADE drops REGISTRATIONS; external table data files
+    survive, exactly like Hive EXTERNAL semantics — this op's files
+    stay in scratch after the drop, proving the external contract) and
+    the name-scoping that SHOW TABLES LIKE prefix hacks approximate
+    without it (see meta_show_tables)."""
+    tune(spark)
+    tag = _sf_tag(sf_dir).replace(".", "_")
+    db = f"hts_db_{tag}"
+    comment = "governance boundary: curated zone"
+    spark.sql("USE default")
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    loc = scratch_dir("meta", tag, "db_cust_slice")
+    try:
+        spark.sql(f"CREATE DATABASE {db} COMMENT '{comment}'")
+        listed_after_create = (
+            spark.sql(f"SHOW DATABASES LIKE '{db}'").count() == 1
+        )
+        spark.sql(f"USE {db}")
+        current_is_target = (
+            spark.sql("SELECT current_database() AS db").first()["db"] == db
+        )
+        desc = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql(f"DESCRIBE DATABASE {db}").collect()
+        }
+        db_comment = desc.get("Comment", "")
+        shutil.rmtree(loc, ignore_errors=True)
+        (
+            load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") % 10 == 0)
+            .select("c_custkey", "c_mktsegment")
+            .write.option("path", loc)
+            .mode("overwrite")
+            .saveAsTable(f"{db}.cust_slice")
+        )
+        # SHOW TABLES also lists session temp views regardless of the
+        # database qualifier — count only the db's own (non-temporary)
+        # tables so the fact is independent of session history.
+        n_tables = (
+            spark.sql(f"SHOW TABLES IN {db}")
+            .filter(~F.col("isTemporary"))
+            .count()
+        )
+    finally:
+        spark.sql("USE default")
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    listed_after_drop = spark.sql(f"SHOW DATABASES LIKE '{db}'").count() > 0
+    current_restored = (
+        spark.sql("SELECT current_database() AS db").first()["db"] == "default"
+    )
+
+    def fact(element: str, value) -> DataFrame:
+        v = str(value).lower() if isinstance(value, bool) else str(value)
+        return spark.range(1).select(
+            F.lit(element).alias("element"), F.lit(v).alias("value")
+        )
+
+    facts = (
+        fact("db_listed_after_create", listed_after_create)
+        .unionByName(fact("db_comment", db_comment))
+        .unionByName(fact("current_db_is_target_after_use", current_is_target))
+        .unionByName(fact("n_tables_in_db", n_tables))
+        .unionByName(fact("db_listed_after_drop", listed_after_drop))
+        .unionByName(fact("current_db_restored", current_restored))
+    )
+    rowcount = (
+        spark.read.parquet(loc)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("table_rowcount").alias("element"),
+            F.col("n").cast("string").alias("value"),
+        )
+    )
+    return facts.unionByName(rowcount)

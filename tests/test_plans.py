@@ -1740,6 +1740,32 @@ def test_cluster_density_audit_bounded_joins(spark, registry):
     assert "Python" not in f.text
 
 
+def test_sql_scripting_checkpointed_scalar_result(spark, registry):
+    """sql_scripting: the script's loop statements execute at call time
+    (driver-side control flow around distributed counts); the returned
+    frame is the checkpointed 1-row result — no joins, no Python, no
+    cartesian, and no session-variable references left in the plan."""
+    qs, _ = registry
+    df = qs["sql_scripting"](spark, SF_DIR)
+    f = analyze(df)
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+    assert f.exchanges == 0, "checkpointed scalar result must not shuffle"
+    row = df.collect()[0]
+    assert row["minimal"], "loop must stop at the FIRST satisfying threshold"
+    assert row["n_above"] <= 150 < (row["n_above_prev"] or 151)
+
+
+def test_database_lifecycle_zero_col_count_scan(spark, registry):
+    """meta_database_lifecycle: the one distributed fact is a count over
+    the path-read external table — pruned to zero columns; everything
+    else is literal fact rows. No Python, no cartesian."""
+    f = _facts(spark, registry, "meta_database_lifecycle")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+    assert all(c == 0 for c in scan_read_columns(f)), "count() prunes all columns"
+
+
 def test_cache_table_pruned_scan_both_phases(spark, registry):
     """meta_cache_table: both phases aggregate the same 2-column
     lineitem slice — the returnflag filter reaches the scan and no

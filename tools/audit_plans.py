@@ -177,6 +177,9 @@ EXTRA_AUDIT = [
     # chain and the cache-lifecycle verb exhibit.
     "llm_cluster_density_audit",
     "meta_cache_table",
+    # Round-7 tail-gated additions.
+    "sql_scripting",
+    "meta_database_lifecycle",
 ]
 
 

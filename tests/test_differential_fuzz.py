@@ -2134,3 +2134,100 @@ def test_random_percentile_matches_duckdb(spark, duck, spec):
     duck_pdf = duck.execute(_pct_sql(spec)).df()
     r = compare("fuzz_percentile", spark_pdf, duck_pdf)
     assert r["ok"], f"spec={spec}\nsql={_pct_sql(spec)}\nnotes={r['notes']}"
+
+
+# ---- guarded HOF-window grammar (SCALE.md §13) ----------------------------
+#
+# The n-gram/shingle idiom every llm_* windowing op uses: truncate token
+# arrays to a RANDOM length L (manufacturing degenerate sub-window docs on
+# purpose), then apply the guarded window transform —
+# Spark `filter(size >= W)` + `transform(sequence(1, size-W+1), ...)` vs
+# DuckDB `WHERE len >= W` + `generate_series(1, len-W+1)`. Spark's
+# sequence() DESCENDS when start > stop while generate_series is empty,
+# so any doc that slips the guard diverges instantly — this grammar pins
+# the repo-wide guard convention for arbitrary (L, W), including L < W
+# (all docs filtered) and L == W (exactly one gram per doc).
+
+
+@st.composite
+def hofwin_specs(draw):
+    return {
+        "L": draw(st.integers(1, 8)),     # truncation length (degenerate when < W)
+        "W": draw(st.integers(2, 5)),     # gram window
+        "mod": draw(st.integers(2, 7)),
+        "by": draw(st.sampled_from(["doc", "gram"])),
+        "lower": draw(st.booleans()),
+    }
+
+
+def _hofwin_sql(spec) -> str:
+    txt = "lower(text)" if spec["lower"] else "text"
+    L, W = spec["L"], spec["W"]
+    grams = f"""
+      SELECT doc_id, array_to_string(t[i:i+{W - 1}], ' ') AS gram
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - {W - 1})) AS i
+            FROM (SELECT doc_id, (string_split({txt}, ' '))[1:{L}] AS t
+                  FROM documents WHERE doc_id % {spec["mod"]} = 0)
+            WHERE len(t) >= {W})
+    """
+    if spec["by"] == "doc":
+        return (
+            f"SELECT doc_id AS k, COUNT(*) AS n_grams,"
+            f" COUNT(DISTINCT gram) AS n_distinct, MIN(gram) AS first_gram"
+            f" FROM ({grams}) g GROUP BY doc_id"
+        )
+    return (
+        f"SELECT gram AS k, COUNT(*) AS n_grams,"
+        f" COUNT(DISTINCT doc_id) AS n_distinct"
+        f" FROM ({grams}) g GROUP BY gram"
+    )
+
+
+def _hofwin_df(spark, spec):
+    txt = "lower(text)" if spec["lower"] else "text"
+    L, W = spec["L"], spec["W"]
+    d = load_table(spark, SF_DIR, "documents")
+    grams = (
+        d.filter(F.col("doc_id") % spec["mod"] == 0)
+        .select("doc_id", F.expr(f"slice(split({txt}, ' '), 1, {L})").alias("t"))
+        .filter(F.expr(f"size(t) >= {W}"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {W - 1}),"
+                    f" i -> array_join(slice(t, i, {W}), ' '))"
+                )
+            ).alias("gram"),
+        )
+    )
+    if spec["by"] == "doc":
+        return grams.groupBy(F.col("doc_id").alias("k")).agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.countDistinct("gram").alias("n_distinct"),
+            F.min("gram").alias("first_gram"),
+        )
+    return grams.groupBy(F.col("gram").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.countDistinct("doc_id").alias("n_distinct"),
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=hofwin_specs())
+def test_random_hof_window_matches_duckdb(spark, duck, spec):
+    """Guarded HOF-window fuzz (SCALE.md §13): the shingle idiom over
+    deliberately truncated token arrays must agree gram-for-gram across
+    engines for arbitrary (L, W) — incl. L < W (all docs guarded out)
+    and L == W (one gram per doc). Pins the sequence()-descends vs
+    generate_series()-empty divergence class repo-wide."""
+    spark_pdf = _hofwin_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_hofwin_sql(spec)).df()
+    r = compare("fuzz_hof_window", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nsql={_hofwin_sql(spec)}\nnotes={r['notes']}"

@@ -49,6 +49,7 @@ GRAMMARS = [
     ("ordered_agg", G.ordered_agg_specs, G._ordered_agg_df, G._ordered_agg_sql),
     ("cond", G.cond_specs, G._cond_df, G._cond_sql),
     ("percentile", G.percentile_specs, G._pct_df, G._pct_sql),
+    ("hof_window", G.hofwin_specs, G._hofwin_df, G._hofwin_sql),
 ]
 
 

@@ -1583,8 +1583,12 @@ def llm_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("*", F.row_number().over(w_route).alias("rn"))
         # referenced once per sweep point (the graph_triangles 2+-refs rule):
-        # cache so the probes x centroids routing pass runs once, not len(sweep) times
-        .cache()
+        # localCheckpoint, not cache — a returned-plan cache can never be
+        # unpersisted before consumption, so repeated invocations would pin
+        # CacheManager entries in the shared session forever (ADVICE r7);
+        # checkpoint blocks are freed by the ContextCleaner once the
+        # returned frame is released.
+        .localCheckpoint(eager=True)
     )
     corpus = e.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -1592,9 +1596,14 @@ def llm_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("b_emb"),
         F.col("norm").alias("b_norm"),
     )
-    # ground truth is reused by every sweep point — cache instead of
-    # recomputing the exact top-k chain len(sweep) times
-    exact = llm_cosine_topk(spark, sf_dir).select("probe_id", "neighbor_id").cache()
+    # ground truth is reused by every sweep point — materialize once instead
+    # of recomputing the exact top-k chain len(sweep) times (localCheckpoint
+    # so storage stays bounded per run, see the routed note above)
+    exact = (
+        llm_cosine_topk(spark, sf_dir)
+        .select("probe_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
     w_k = Window.partitionBy("probe_id").orderBy(
         F.col("cos_sim").desc(), "neighbor_id"
     )
@@ -1614,9 +1623,10 @@ def llm_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                     cosine("p_emb", "b_emb") / (F.col("p_norm") * F.col("b_norm")), 6
                 ).alias("cos_sim"),
             )
-            # read twice below (candidate-count agg + top-k cut): cache the
-            # bucket-bounded candidate table so each cell scan runs once
-            .cache()
+            # read twice below (candidate-count agg + top-k cut): materialize
+            # the bucket-bounded candidate table so each cell scan runs once
+            # (localCheckpoint, not cache — see the routed note above)
+            .localCheckpoint(eager=True)
         )
         n_cand = cand.agg(F.count(F.lit(1)).alias("total_candidates"))
         topk = (

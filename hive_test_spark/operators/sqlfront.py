@@ -923,7 +923,14 @@ def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
               DECLARE cnt BIGINT DEFAULT 0;
               SET cnt = (SELECT COUNT(*) FROM hts_sql_orders
                          WHERE o_totalprice > thr);
-              WHILE cnt > 150 DO
+              -- Shared bound with the oracle: the DuckDB ladder enumerates
+              -- g = 0..39 (thr = 1000 * 2^g), so this loop and the oracle
+              -- agree only while the fixpoint lands at iters <= 39. TPC-H
+              -- o_totalprice tops out well under 1000*2^39 at any SF, but
+              -- a data change that pushed >150 orders past that threshold
+              -- would silently desync the engines (ADVICE r7) — the guard
+              -- below turns that into a loud empty result instead.
+              WHILE cnt > 150 AND iters <= 39 DO
                 SET prev = cnt;
                 SET thr = thr * 2;
                 SET iters = iters + 1;

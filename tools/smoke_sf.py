@@ -63,6 +63,21 @@ def main() -> None:
             spark.sparkContext.cancelJobGroup(f"smoke:{key}")
             th.join(30)
             n_to += 1
+            if th.is_alive():
+                # The worker survived the cancel (driver-side loop or long
+                # non-Spark work). Operators mutate session-global state
+                # (USE db, conf set, CACHE TABLE), so a straggler thread
+                # could corrupt later keys' results through the shared
+                # session — recreate it before continuing (ADVICE r7).
+                print(
+                    f"TIMEOUT {key}: >{budget:.0f}s (cancel did not stop the "
+                    f"worker; restarting session)",
+                    flush=True,
+                )
+                spark.stop()
+                spark = get_spark("hts-smoke-sf")
+                spark.sparkContext.setLogLevel("ERROR")
+                continue
             print(f"TIMEOUT {key}: >{budget:.0f}s (cancelled)", flush=True)
         elif "err" in out:
             # A cancelled job surfaces as an exception in the worker; a

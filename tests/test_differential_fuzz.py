@@ -2231,3 +2231,251 @@ def test_random_hof_window_matches_duckdb(spark, duck, spec):
     duck_pdf = duck.execute(_hofwin_sql(spec)).df()
     r = compare("fuzz_hof_window", spark_pdf, duck_pdf)
     assert r["ok"], f"spec={spec}\nsql={_hofwin_sql(spec)}\nnotes={r['notes']}"
+
+
+# ---- rank-statistic grammar (staged evt_* statistical family) --------------
+#
+# The tied-midrank prefix-sum idiom behind evt_mann_whitney / evt_ks_test
+# (round-9 window): collapse to per-distinct-value cohort counts, midrank
+# = (cum ties before) + (ties+1)/2, rank-sum by cohort. The grammar
+# randomizes the COHORT SPLIT (event_type vs user_id modulus) and the TIE
+# DENSITY (floor(value * s) buckets — floor is exact and engine-identical,
+# unlike round on binary fractions), including degenerate splits where a
+# cohort is empty (NULL propagation through the U formula must agree).
+# Every accumulated term is an exact multiple of 0.5 below 2^52, so sums
+# are partition-order-proof by design (the repo determinism rule).
+
+
+@st.composite
+def rank_stat_specs(draw):
+    split = draw(st.sampled_from(["type", "mod"]))
+    return {
+        "split": split,
+        "type": draw(
+            st.sampled_from(["signup", "click", "error", "view", "purchase"])
+        ),
+        "m": draw(st.integers(2, 7)),
+        "scale": draw(st.sampled_from([1, 2, 10])),  # tie density knob
+        "vmin": draw(st.sampled_from([0, 50, 300])),  # 300+ nearly empties input
+    }
+
+
+def _rank_is_a_sql(spec) -> str:
+    if spec["split"] == "type":
+        return f"CASE WHEN event_type = '{spec['type']}' THEN 1 ELSE 0 END"
+    return f"CASE WHEN user_id % {spec['m']} = 0 THEN 1 ELSE 0 END"
+
+
+def _rank_stat_sql(spec) -> str:
+    return f"""
+    WITH t AS (
+      SELECT CAST(FLOOR(value * {spec["scale"]}) AS BIGINT) AS v,
+             {_rank_is_a_sql(spec)} AS is_a
+      FROM events WHERE value >= {spec["vmin"]}
+    ),
+    per_v AS (
+      SELECT v, SUM(is_a) AS ca, COUNT(*) AS tie FROM t GROUP BY v
+    ),
+    ranked AS (
+      SELECT ca, tie,
+             COALESCE(SUM(tie) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (tie + 1) / 2.0 AS avg_rank
+      FROM per_v
+    )
+    SELECT CAST(COALESCE(SUM(ca), 0) AS BIGINT) AS n_a,
+           CAST(COALESCE(SUM(tie - ca), 0) AS BIGINT) AS n_b,
+           ROUND(COALESCE(SUM(ca * avg_rank), 0), 1) AS rank_sum_a,
+           CAST(COALESCE(SUM(CAST(tie AS BIGINT) * tie * tie - tie), 0)
+                AS BIGINT) AS tie3
+    FROM ranked
+    """
+
+
+def _rank_stat_df(spark, spec):
+    ev = load_table(spark, SF_DIR, "events").filter(
+        F.col("value") >= spec["vmin"]
+    )
+    if spec["split"] == "type":
+        is_a = F.when(F.col("event_type") == spec["type"], 1).otherwise(0)
+    else:
+        is_a = F.when(F.col("user_id") % spec["m"] == 0, 1).otherwise(0)
+    t = ev.select(
+        F.floor(F.col("value") * spec["scale"]).cast("bigint").alias("v"),
+        is_a.alias("is_a"),
+    )
+    per_v = t.groupBy("v").agg(
+        F.sum("is_a").alias("ca"), F.count(F.lit(1)).alias("tie")
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = _W.orderBy("v").rowsBetween(_W.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "ca",
+        "tie",
+        (
+            F.coalesce(F.sum("tie").over(w), F.lit(0))
+            + (F.col("tie") + 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    return ranked.agg(
+        F.coalesce(F.sum("ca"), F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce(F.sum(F.col("tie") - F.col("ca")), F.lit(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.round(
+            F.coalesce(F.sum(F.col("ca") * F.col("avg_rank")), F.lit(0)), 1
+        ).alias("rank_sum_a"),
+        F.coalesce(
+            F.sum(
+                F.col("tie").cast("bigint") * F.col("tie") * F.col("tie")
+                - F.col("tie")
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("tie3"),
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=rank_stat_specs())
+def test_random_rank_stat_matches_duckdb(spark, duck, spec):
+    """Rank-statistic fuzz (staged evt_* family): tied-midrank rank sums
+    over randomized cohort splits and tie densities must agree exactly —
+    including empty cohorts and (vmin=300) near-empty inputs where NULL
+    handling through the prefix-sum window is the divergence risk."""
+    spark_pdf = _rank_stat_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_rank_stat_sql(spec)).df()
+    r = compare("fuzz_rank_stat", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nsql={_rank_stat_sql(spec)}\nnotes={r['notes']}"
+
+
+# ---- graph-derivation grammar (staged graph_* family) ----------------------
+#
+# The shared trade-graph idioms behind graph_kcore / graph_degree_
+# distribution / graph_common_neighbors (round-9/10 windows): DISTINCT
+# edge derivation from orders x lineitem, per-side degrees, degree
+# thresholds (a k-core's first peel), and the ordered common-neighbor
+# self-join (a.cust < b.cust so each pair counts once). The grammar
+# randomizes the subgraph (custkey modulus filter), the side, the
+# threshold k, and the reporting mode — pinning dedup, symmetrization,
+# and threshold semantics across engines for arbitrary subgraphs.
+
+
+@st.composite
+def graph_deriv_specs(draw):
+    m = draw(st.integers(2, 5))
+    return {
+        "m": m,
+        "r": draw(st.integers(0, m - 1)),
+        "mode": draw(st.sampled_from(["degree_hist", "kfilter", "common"])),
+        "side": draw(st.sampled_from(["c", "s", "both"])),
+        "k": draw(st.integers(1, 4)),
+    }
+
+
+_GRAPH_PAIRS_SQL = """
+    SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_custkey % {m} = {r}
+"""
+
+_GRAPH_DEGS_SQL = """
+    SELECT 'c' AS side, cust AS node, COUNT(*) AS degree FROM pairs GROUP BY cust
+    UNION ALL
+    SELECT 's' AS side, supp AS node, COUNT(*) AS degree FROM pairs GROUP BY supp
+"""
+
+
+def _graph_deriv_sql(spec) -> str:
+    pairs = _GRAPH_PAIRS_SQL.format(m=spec["m"], r=spec["r"])
+    side = "" if spec["side"] == "both" else f"WHERE side = '{spec['side']}'"
+    if spec["mode"] == "degree_hist":
+        return f"""
+        WITH pairs AS ({pairs}), degs AS ({_GRAPH_DEGS_SQL})
+        SELECT side, degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM degs {side} GROUP BY side, degree
+        """
+    if spec["mode"] == "kfilter":
+        return f"""
+        WITH pairs AS ({pairs}), degs AS ({_GRAPH_DEGS_SQL})
+        SELECT side, node, degree FROM degs
+        {side} {"AND" if side else "WHERE"} degree >= {spec["k"]}
+        """
+    return f"""
+    WITH pairs AS ({pairs}),
+    common AS (
+      SELECT a.cust AS ca, b.cust AS cb, COUNT(*) AS n_common
+      FROM pairs a JOIN pairs b ON a.supp = b.supp AND a.cust < b.cust
+      GROUP BY a.cust, b.cust HAVING COUNT(*) >= {spec["k"]}
+    )
+    SELECT n_common, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM common GROUP BY n_common
+    """
+
+
+def _graph_deriv_df(spark, spec):
+    o = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    pairs = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("o_custkey") % spec["m"] == spec["r"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    if spec["mode"] == "common":
+        a, b = pairs.alias("a"), pairs.alias("b")
+        common = (
+            a.join(
+                b,
+                (F.col("a.supp") == F.col("b.supp"))
+                & (F.col("a.cust") < F.col("b.cust")),
+            )
+            .groupBy(F.col("a.cust").alias("ca"), F.col("b.cust").alias("cb"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+            .filter(F.col("n_common") >= spec["k"])
+        )
+        return common.groupBy("n_common").agg(
+            F.count(F.lit(1)).alias("n_pairs")
+        )
+    degs = (
+        pairs.groupBy(F.col("cust").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.lit("c").alias("side"), "node", "degree")
+        .unionByName(
+            pairs.groupBy(F.col("supp").alias("node"))
+            .agg(F.count(F.lit(1)).alias("degree"))
+            .select(F.lit("s").alias("side"), "node", "degree")
+        )
+    )
+    if spec["side"] != "both":
+        degs = degs.filter(F.col("side") == spec["side"])
+    if spec["mode"] == "degree_hist":
+        return degs.groupBy("side", "degree").agg(
+            F.count(F.lit(1)).alias("n_nodes")
+        )
+    return degs.filter(F.col("degree") >= spec["k"])
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=graph_deriv_specs())
+def test_random_graph_deriv_matches_duckdb(spark, duck, spec):
+    """Graph-derivation fuzz (staged graph_* family): DISTINCT edge
+    derivation, per-side degrees, k thresholds, and the ordered
+    common-neighbor self-join must agree across engines for arbitrary
+    custkey-modulus subgraphs."""
+    spark_pdf = _graph_deriv_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_graph_deriv_sql(spec)).df()
+    r = compare("fuzz_graph_deriv", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nsql={_graph_deriv_sql(spec)}\nnotes={r['notes']}"

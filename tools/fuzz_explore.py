@@ -50,6 +50,8 @@ GRAMMARS = [
     ("cond", G.cond_specs, G._cond_df, G._cond_sql),
     ("percentile", G.percentile_specs, G._pct_df, G._pct_sql),
     ("hof_window", G.hofwin_specs, G._hofwin_df, G._hofwin_sql),
+    ("rank_stat", G.rank_stat_specs, G._rank_stat_df, G._rank_stat_sql),
+    ("graph_deriv", G.graph_deriv_specs, G._graph_deriv_df, G._graph_deriv_sql),
 ]
 
 

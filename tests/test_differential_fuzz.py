@@ -2479,3 +2479,98 @@ def test_random_graph_deriv_matches_duckdb(spark, duck, spec):
     duck_pdf = duck.execute(_graph_deriv_sql(spec)).df()
     r = compare("fuzz_graph_deriv", spark_pdf, duck_pdf)
     assert r["ok"], f"spec={spec}\nsql={_graph_deriv_sql(spec)}\nnotes={r['notes']}"
+
+
+# ---- transition-matrix grammar (staged evt_* Markov family) -----------------
+#
+# The per-user sequence → LEAD pairing → transition-count / row-normalize
+# idiom behind evt_transition_matrix / evt_markov_stationary /
+# llm_bigram_lm (round-9 window). The grammar randomizes the user
+# subpopulation and the reporting mode; ordering inside a user is the
+# repo's deterministic (ts, event_id) total order, counts are exact
+# integers, and every probability is ONE IEEE division rounded at 6dp —
+# no sum-of-floats ordering risk by construction.
+
+
+@st.composite
+def transition_specs(draw):
+    m = draw(st.integers(2, 6))
+    return {
+        "m": m,
+        "r": draw(st.integers(0, m - 1)),
+        "mode": draw(st.sampled_from(["counts", "rownorm", "selfshare"])),
+    }
+
+
+def _transition_sql(spec) -> str:
+    seq = f"""
+      SELECT event_type AS f,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS t
+      FROM events WHERE user_id % {spec["m"]} = {spec["r"]}
+    """
+    pairs = f"SELECT f, t, COUNT(*) AS n FROM ({seq}) s WHERE t IS NOT NULL GROUP BY f, t"
+    if spec["mode"] == "counts":
+        return f"SELECT f AS from_type, t AS to_type, n FROM ({pairs}) p"
+    if spec["mode"] == "rownorm":
+        return f"""
+        SELECT f AS from_type, t AS to_type,
+               ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY f), 6) AS p
+        FROM ({pairs}) p
+        """
+    return f"""
+    SELECT f AS from_type,
+           ROUND(SUM(CASE WHEN t = f THEN n ELSE 0 END) * 1.0 / SUM(n), 6)
+             AS self_share
+    FROM ({pairs}) p GROUP BY f
+    """
+
+
+def _transition_df(spark, spec):
+    from pyspark.sql.window import Window as _W
+
+    ev = load_table(spark, SF_DIR, "events").filter(
+        F.col("user_id") % spec["m"] == spec["r"]
+    )
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("f"),
+        F.lead("event_type").over(w).alias("t"),
+    ).filter(F.col("t").isNotNull())
+    pairs = seq.groupBy("f", "t").agg(F.count(F.lit(1)).alias("n"))
+    if spec["mode"] == "counts":
+        return pairs.select(
+            F.col("f").alias("from_type"), F.col("t").alias("to_type"), "n"
+        )
+    if spec["mode"] == "rownorm":
+        wr = _W.partitionBy("f")
+        return pairs.select(
+            F.col("f").alias("from_type"),
+            F.col("t").alias("to_type"),
+            F.round(F.col("n") / F.sum("n").over(wr), 6).alias("p"),
+        )
+    return pairs.groupBy(F.col("f").alias("from_type")).agg(
+        F.round(
+            F.sum(F.when(F.col("t") == F.col("f"), F.col("n")).otherwise(0))
+            / F.sum("n"),
+            6,
+        ).alias("self_share")
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=transition_specs())
+def test_random_transition_matches_duckdb(spark, duck, spec):
+    """Transition-matrix fuzz (staged evt_* Markov family): per-user
+    LEAD pairing on the deterministic (ts, event_id) order, transition
+    counts, row-normalized probabilities, and self-loop shares must
+    agree across engines for arbitrary user subpopulations."""
+    spark_pdf = _transition_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_transition_sql(spec)).df()
+    r = compare("fuzz_transition", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nsql={_transition_sql(spec)}\nnotes={r['notes']}"

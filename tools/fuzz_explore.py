@@ -52,6 +52,7 @@ GRAMMARS = [
     ("hof_window", G.hofwin_specs, G._hofwin_df, G._hofwin_sql),
     ("rank_stat", G.rank_stat_specs, G._rank_stat_df, G._rank_stat_sql),
     ("graph_deriv", G.graph_deriv_specs, G._graph_deriv_df, G._graph_deriv_sql),
+    ("transition", G.transition_specs, G._transition_df, G._transition_sql),
 ]
 
 

@@ -2574,3 +2574,131 @@ def test_random_transition_matches_duckdb(spark, duck, spec):
     duck_pdf = duck.execute(_transition_sql(spec)).df()
     r = compare("fuzz_transition", spark_pdf, duck_pdf)
     assert r["ok"], f"spec={spec}\nsql={_transition_sql(spec)}\nnotes={r['notes']}"
+
+
+# ---- cohort-grid grammar (staged evt_* retention family) -------------------
+#
+# The anchor-relative integer-period cohort idiom behind
+# evt_retention_grid / evt_retention / evt_wow_growth (round-9 window):
+# period = floor((date - anchor) / unit_days) — deliberately portable
+# integer arithmetic instead of date_trunc, so week/period semantics are
+# identical across engines by construction. The grammar randomizes the
+# anchor, the period length, the user subpopulation, and the reporting
+# mode (activity grid, cohort sizes, retained share — one IEEE division
+# rounded at 6dp).
+
+
+@st.composite
+def cohort_specs(draw):
+    m = draw(st.integers(2, 6))
+    return {
+        "anchor": draw(
+            st.sampled_from(["2024-01-01", "2024-01-03", "2023-12-28"])
+        ),
+        "u": draw(st.integers(5, 9)),  # period length in days
+        "m": m,
+        "r": draw(st.integers(0, m - 1)),
+        "mode": draw(st.sampled_from(["grid", "sizes", "share"])),
+    }
+
+
+def _cohort_core_sql(spec) -> str:
+    return f"""
+      periods AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                               - DATE '{spec["anchor"]}' AS INT)
+                          / {spec["u"]}) AS INT) AS period
+        FROM events WHERE user_id % {spec["m"]} = {spec["r"]}
+      ),
+      cohort AS (
+        SELECT user_id, MIN(period) AS cohort_period
+        FROM periods GROUP BY user_id
+      ),
+      grid AS (
+        SELECT c.cohort_period, p.period - c.cohort_period AS offset_p,
+               CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_active
+        FROM periods p JOIN cohort c USING (user_id)
+        GROUP BY 1, 2
+      )
+    """
+
+
+def _cohort_sql(spec) -> str:
+    core = _cohort_core_sql(spec)
+    if spec["mode"] == "grid":
+        return f"WITH {core} SELECT cohort_period, offset_p, n_active FROM grid"
+    if spec["mode"] == "sizes":
+        return f"""
+        WITH {core}
+        SELECT cohort_period, n_active AS cohort_size FROM grid
+        WHERE offset_p = 0
+        """
+    return f"""
+    WITH {core},
+    base AS (
+      SELECT cohort_period, n_active AS cohort_size FROM grid
+      WHERE offset_p = 0
+    )
+    SELECT g.cohort_period, g.offset_p,
+           ROUND(g.n_active * 1.0 / b.cohort_size, 6) AS retained_share
+    FROM grid g JOIN base b USING (cohort_period)
+    """
+
+
+def _cohort_df(spark, spec):
+    ev = load_table(spark, SF_DIR, "events").filter(
+        F.col("user_id") % spec["m"] == spec["r"]
+    )
+    periods = ev.select(
+        "user_id",
+        F.floor(
+            F.datediff(F.to_date("ts"), F.to_date(F.lit(spec["anchor"])))
+            / spec["u"]
+        )
+        .cast("int")
+        .alias("period"),
+    ).distinct()
+    cohort = periods.groupBy("user_id").agg(
+        F.min("period").alias("cohort_period")
+    )
+    grid = (
+        periods.join(cohort, "user_id")
+        .groupBy(
+            "cohort_period",
+            (F.col("period") - F.col("cohort_period")).alias("offset_p"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    if spec["mode"] == "grid":
+        return grid
+    base = grid.filter(F.col("offset_p") == 0).select(
+        "cohort_period", F.col("n_active").alias("cohort_size")
+    )
+    if spec["mode"] == "sizes":
+        return base
+    return grid.join(base, "cohort_period").select(
+        "cohort_period",
+        "offset_p",
+        F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+            "retained_share"
+        ),
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=cohort_specs())
+def test_random_cohort_grid_matches_duckdb(spark, duck, spec):
+    """Cohort-grid fuzz (staged evt_* retention family): anchor-relative
+    integer periods, first-touch cohorts, activity grids, and retained
+    shares must agree across engines for arbitrary anchors, period
+    lengths, and user subpopulations."""
+    spark_pdf = _cohort_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_cohort_sql(spec)).df()
+    r = compare("fuzz_cohort_grid", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nsql={_cohort_sql(spec)}\nnotes={r['notes']}"

@@ -53,6 +53,7 @@ GRAMMARS = [
     ("rank_stat", G.rank_stat_specs, G._rank_stat_df, G._rank_stat_sql),
     ("graph_deriv", G.graph_deriv_specs, G._graph_deriv_df, G._graph_deriv_sql),
     ("transition", G.transition_specs, G._transition_df, G._transition_sql),
+    ("cohort_grid", G.cohort_specs, G._cohort_df, G._cohort_sql),
 ]
 
 

@@ -2702,3 +2702,137 @@ def test_random_cohort_grid_matches_duckdb(spark, duck, spec):
     duck_pdf = duck.execute(_cohort_sql(spec)).df()
     r = compare("fuzz_cohort_grid", spark_pdf, duck_pdf)
     assert r["ok"], f"spec={spec}\nsql={_cohort_sql(spec)}\nnotes={r['notes']}"
+
+
+# ---- funnel-sequence grammar (staged evt_* funnel family) -------------------
+#
+# The ordered step-matching idiom behind evt_funnel / evt_funnel_steps /
+# evt_funnel_latency / evt_sequence_match (round-10 window): first touch
+# of step 1, then the earliest STRICTLY-LATER occurrence of each
+# subsequent step, per user. The grammar randomizes the step sequence
+# (including repeated types — 'click then click again' must match a
+# LATER event, the classic funnel bug), the depth, and the user
+# subpopulation. Latencies accumulate as floor-second BIGINTs via the
+# unix_micros == epoch_us anchor, so every reported number is an exact
+# integer sum — no float summation order anywhere.
+
+
+@st.composite
+def funnel_specs(draw):
+    types = ["signup", "click", "error", "view", "purchase"]
+    depth = draw(st.integers(2, 3))
+    m = draw(st.integers(2, 5))
+    return {
+        "steps": [draw(st.sampled_from(types)) for _ in range(depth)],
+        "m": m,
+        "r": draw(st.integers(0, m - 1)),
+        "mode": draw(st.sampled_from(["counts", "latency"])),
+    }
+
+
+def _funnel_sql(spec) -> str:
+    base = (
+        f"SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts "
+        f"FROM events WHERE user_id % {spec['m']} = {spec['r']}"
+    )
+    ctes = [f"e AS ({base})"]
+    prev = None
+    for i, step in enumerate(spec["steps"], start=1):
+        if prev is None:
+            ctes.append(
+                f"s{i} AS (SELECT user_id, MIN(ts) AS t{i} FROM e "
+                f"WHERE event_type = '{step}' GROUP BY user_id)"
+            )
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT e.user_id, MIN(e.ts) AS t{i} "
+                f"FROM e JOIN s{prev} USING (user_id) "
+                f"WHERE e.event_type = '{step}' AND e.ts > s{prev}.t{prev} "
+                f"GROUP BY e.user_id)"
+            )
+        prev = i
+    with_clause = "WITH " + ",\n".join(ctes)
+    if spec["mode"] == "counts":
+        unions = " UNION ALL ".join(
+            f"SELECT {i} AS depth, CAST(COUNT(*) AS BIGINT) AS n_users FROM s{i}"
+            for i in range(1, len(spec["steps"]) + 1)
+        )
+        return f"{with_clause} {unions}"
+    last = len(spec["steps"])
+    return f"""
+    {with_clause}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_completed,
+           CAST(COALESCE(SUM(CAST(floor(
+             (epoch_us(s{last}.t{last}) - epoch_us(s1.t1)) / 1000000.0
+           ) AS BIGINT)), 0) AS BIGINT) AS total_latency_s
+    FROM s{last} JOIN s1 USING (user_id)
+    """
+
+
+def _funnel_df(spark, spec):
+    e = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("user_id") % spec["m"] == spec["r"])
+        .select("user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    stages = []
+    for i, step in enumerate(spec["steps"], start=1):
+        matched = e.filter(F.col("event_type") == step)
+        if stages:
+            prevdf = stages[-1].select(
+                "user_id", F.col(f"t{i - 1}").alias("_pt")
+            )
+            matched = matched.join(prevdf, "user_id").filter(
+                F.col("ts") > F.col("_pt")
+            )
+        stages.append(
+            matched.groupBy("user_id").agg(F.min("ts").alias(f"t{i}"))
+        )
+    if spec["mode"] == "counts":
+        out = None
+        for i, s in enumerate(stages, start=1):
+            row = s.agg(
+                F.lit(i).alias("depth"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+            out = row if out is None else out.unionByName(row)
+        return out
+    last = len(stages)
+    lat = (
+        F.floor(
+            (
+                F.unix_micros(F.col(f"t{last}")) - F.unix_micros(F.col("t1"))
+            )
+            / 1000000.0
+        )
+        .cast("bigint")
+    )
+    return (
+        stages[-1]
+        .join(stages[0], "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_completed"),
+            F.coalesce(F.sum(lat), F.lit(0))
+            .cast("bigint")
+            .alias("total_latency_s"),
+        )
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=funnel_specs())
+def test_random_funnel_matches_duckdb(spark, duck, spec):
+    """Funnel-sequence fuzz (staged evt_* funnel family): first-touch
+    then strictly-later step matching, per-depth user counts, and exact
+    integer-second completion latencies must agree across engines for
+    arbitrary step sequences (including repeated types) and
+    subpopulations."""
+    spark_pdf = _funnel_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_funnel_sql(spec)).df()
+    r = compare("fuzz_funnel", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nsql={_funnel_sql(spec)}\nnotes={r['notes']}"

@@ -54,6 +54,7 @@ GRAMMARS = [
     ("graph_deriv", G.graph_deriv_specs, G._graph_deriv_df, G._graph_deriv_sql),
     ("transition", G.transition_specs, G._transition_df, G._transition_sql),
     ("cohort_grid", G.cohort_specs, G._cohort_df, G._cohort_sql),
+    ("funnel", G.funnel_specs, G._funnel_df, G._funnel_sql),
 ]
 
 

@@ -2836,3 +2836,106 @@ def test_random_funnel_matches_duckdb(spark, duck, spec):
     duck_pdf = duck.execute(_funnel_sql(spec)).df()
     r = compare("fuzz_funnel", spark_pdf, duck_pdf)
     assert r["ok"], f"spec={spec}\nsql={_funnel_sql(spec)}\nnotes={r['notes']}"
+
+
+# ---- Poisson-bootstrap weight grammar (staged evt_* resampling family) ------
+#
+# The deterministic resampling idiom behind evt_bootstrap_ci (round-9
+# window): md5-derived uniform on (unit, replicate) → inverse-CDF CASE →
+# Poisson(1) replicate weight. The divergence classes pinned here are
+# hex-substring parsing (CONV vs '0x'-cast), string key assembly
+# (CONCAT_WS vs ||), and the CDF threshold comparisons — so the grammar
+# reports EXACT integer reductions per replicate (Σw and Σw·floor(value))
+# and deliberately avoids the op's float ratio estimates: a weight
+# mismatch anywhere flips an integer, never a 1-ulp tail. The CASE is
+# imported from the operator module so the grammar and the registered op
+# can never drift apart.
+
+from hive_test_spark.operators.analytics import _poisson1_case  # noqa: E402
+
+
+@st.composite
+def poisson_boot_specs(draw):
+    m = draw(st.integers(2, 5))
+    return {
+        "reps": draw(st.integers(3, 8)),
+        "m": m,
+        "r": draw(st.integers(0, m - 1)),
+        "unit": draw(st.sampled_from(["user", "event_mod"])),
+        "k": draw(st.sampled_from([20, 37, 50])),  # event_mod unit count
+    }
+
+
+def _pboot_unit_sql(spec) -> str:
+    if spec["unit"] == "user":
+        return "user_id"
+    return f"event_id % {spec['k']}"
+
+
+def _pboot_sql(spec) -> str:
+    u = (
+        "(CAST(('0x' || substr(md5(CAST(unit AS VARCHAR) || ':' ||"
+        " CAST(rep AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0)"
+    )
+    return f"""
+    WITH per_unit AS (
+      SELECT {_pboot_unit_sql(spec)} AS unit,
+             SUM(CAST(floor(value) AS BIGINT)) AS uval
+      FROM events WHERE user_id % {spec["m"]} = {spec["r"]}
+      GROUP BY 1
+    ),
+    weighted AS (
+      SELECT r.rep, u.uval, {_poisson1_case(u)} AS w
+      FROM per_unit u
+      CROSS JOIN (SELECT unnest(generate_series(0, {spec["reps"] - 1})) AS rep) r
+    )
+    SELECT rep, CAST(SUM(w) AS BIGINT) AS sum_w,
+           CAST(SUM(w * uval) AS BIGINT) AS weighted_sum
+    FROM weighted GROUP BY rep
+    """
+
+
+def _pboot_df(spark, spec):
+    ev = load_table(spark, SF_DIR, "events").filter(
+        F.col("user_id") % spec["m"] == spec["r"]
+    )
+    unit = (
+        F.col("user_id")
+        if spec["unit"] == "user"
+        else F.col("event_id") % spec["k"]
+    )
+    per_unit = ev.groupBy(unit.alias("unit")).agg(
+        F.sum(F.floor("value").cast("bigint")).alias("uval")
+    )
+    u_spark = (
+        "(CAST(CONV(SUBSTRING(MD5(CONCAT_WS(':', CAST(unit AS STRING),"
+        " CAST(rep AS STRING))), 1, 8), 16, 10) AS DOUBLE) / 4294967296.0)"
+    )
+    weighted = per_unit.select(
+        "unit",
+        "uval",
+        F.explode(F.sequence(F.lit(0), F.lit(spec["reps"] - 1))).alias("rep"),
+    ).select("rep", "uval", F.expr(_poisson1_case(u_spark)).alias("w"))
+    return weighted.groupBy("rep").agg(
+        F.sum("w").cast("bigint").alias("sum_w"),
+        F.sum(F.col("w") * F.col("uval")).cast("bigint").alias("weighted_sum"),
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=poisson_boot_specs())
+def test_random_poisson_boot_matches_duckdb(spark, duck, spec):
+    """Poisson-bootstrap weight fuzz (staged evt_* resampling family):
+    md5-uniform → inverse-CDF Poisson(1) weights on randomized units,
+    subpopulations, and replicate counts must produce identical exact
+    integer reductions (Σw, Σw·floor(value)) per replicate across
+    engines."""
+    spark_pdf = _pboot_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_pboot_sql(spec)).df()
+    r = compare("fuzz_poisson_boot", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nsql={_pboot_sql(spec)}\nnotes={r['notes']}"

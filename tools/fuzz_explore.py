@@ -55,6 +55,7 @@ GRAMMARS = [
     ("transition", G.transition_specs, G._transition_df, G._transition_sql),
     ("cohort_grid", G.cohort_specs, G._cohort_df, G._cohort_sql),
     ("funnel", G.funnel_specs, G._funnel_df, G._funnel_sql),
+    ("poisson_boot", G.poisson_boot_specs, G._pboot_df, G._pboot_sql),
 ]
 
 

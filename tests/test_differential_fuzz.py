@@ -2939,3 +2939,99 @@ def test_random_poisson_boot_matches_duckdb(spark, duck, spec):
     duck_pdf = duck.execute(_pboot_sql(spec)).df()
     r = compare("fuzz_poisson_boot", spark_pdf, duck_pdf)
     assert r["ok"], f"spec={spec}\nsql={_pboot_sql(spec)}\nnotes={r['notes']}"
+
+
+# ---- hashed-feature bucket grammar (staged llm_* importance family) ---------
+#
+# The md5-bucket hashed-feature idiom behind llm_importance_weights (DSIR)
+# and llm_dataset_mix: tokenize, bucket each token by a prefix of its
+# content md5 (portable hashed features — no vocabulary), and roll up
+# exact integer bucket counts per stratum. The grammar randomizes the
+# bucket width (1-2 hex chars = 16 or 256 buckets), the tokenizer casing,
+# the stratum column, the empty-token guard, and a min-count cut. All
+# outputs are exact integer counts — a bucketing or tokenizer divergence
+# flips an integer, never a float tail.
+
+
+@st.composite
+def hash_bucket_specs(draw):
+    return {
+        "width": draw(st.integers(1, 2)),
+        "lower": draw(st.booleans()),
+        "by": draw(st.sampled_from(["lang", "source"])),
+        "minc": draw(st.sampled_from([1, 2, 5])),
+        "mode": draw(st.sampled_from(["strata", "marginal"])),
+    }
+
+
+def _hash_bucket_sql(spec) -> str:
+    txt = "lower(text)" if spec["lower"] else "text"
+    base = f"""
+      SELECT doc_id, {spec["by"]} AS stratum,
+             substr(md5(tok), 1, {spec["width"]}) AS bucket
+      FROM (SELECT doc_id, {spec["by"]}, unnest(string_split({txt}, ' ')) AS tok
+            FROM documents) u
+      WHERE tok <> ''
+    """
+    if spec["mode"] == "strata":
+        return f"""
+        SELECT stratum, bucket, CAST(COUNT(*) AS BIGINT) AS n
+        FROM ({base}) b GROUP BY stratum, bucket
+        HAVING COUNT(*) >= {spec["minc"]}
+        """
+    return f"""
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM ({base}) b GROUP BY bucket
+    HAVING COUNT(*) >= {spec["minc"]}
+    """
+
+
+def _hash_bucket_df(spark, spec):
+    txt = F.lower(F.col("text")) if spec["lower"] else F.col("text")
+    d = load_table(spark, SF_DIR, "documents")
+    b = (
+        d.select(
+            "doc_id",
+            F.col(spec["by"]).alias("stratum"),
+            F.explode(F.split(txt, " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id",
+            "stratum",
+            F.substring(F.md5("tok"), 1, spec["width"]).alias("bucket"),
+        )
+    )
+    if spec["mode"] == "strata":
+        return (
+            b.groupBy("stratum", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= spec["minc"])
+        )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n") >= spec["minc"])
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=hash_bucket_specs())
+def test_random_hash_bucket_matches_duckdb(spark, duck, spec):
+    """Hashed-feature bucket fuzz (staged llm_* importance family):
+    md5-prefix token bucketing with exact integer per-stratum counts
+    must agree across engines for arbitrary bucket widths, casings,
+    strata, and min-count cuts."""
+    spark_pdf = _hash_bucket_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_hash_bucket_sql(spec)).df()
+    r = compare("fuzz_hash_bucket", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nsql={_hash_bucket_sql(spec)}\nnotes={r['notes']}"

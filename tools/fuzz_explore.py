@@ -56,6 +56,7 @@ GRAMMARS = [
     ("cohort_grid", G.cohort_specs, G._cohort_df, G._cohort_sql),
     ("funnel", G.funnel_specs, G._funnel_df, G._funnel_sql),
     ("poisson_boot", G.poisson_boot_specs, G._pboot_df, G._pboot_sql),
+    ("hash_bucket", G.hash_bucket_specs, G._hash_bucket_df, G._hash_bucket_sql),
 ]
 
 

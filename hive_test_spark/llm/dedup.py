@@ -75,16 +75,30 @@ JACCARD_THRESHOLD = 0.5
 def llm_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram/token Jaccard similarity pairs (≥ 0.5). All-pairs is
     intentional here: it is the ground-truth oracle for the LSH variant;
-    the scale path IS llm_near_dedup_minhash."""
+    the scale path IS llm_near_dedup_minhash.
+
+    Two execution notes that keep even the fixture-scale gate honest
+    (they cut the sf0.1 smoke from a 120 s timeout to seconds without
+    changing a single output value):
+    - the streamed side of the nested-loop join is repartitioned: the
+      corpus arrives as ONE parquet split at fixture scale, which would
+      pin the entire O(N^2) loop to a single core;
+    - |A∪B| computes as |A| + |B| − |A∩B| from sizes precomputed once
+      per doc (the arrays are distinct, so this is an identity), instead
+      of materializing array_distinct(concat(...)) per PAIR — that was
+      half the per-pair array work."""
     tune(spark)
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
-        "doc_id", F.array_sort(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
-    )
-    a = toks.alias("a")
+        "doc_id",
+        F.array_sort(F.array_distinct(F.split(F.col("text"), " "))).alias("tok"),
+    ).withColumn("n", F.size("tok"))
+    a = toks.repartition(32).alias("a")
     b = toks.alias("b")
     inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok"))).cast("double")
-    union = F.size(F.array_distinct(F.concat(F.col("a.tok"), F.col("b.tok"))))
+    union = F.col("a.n") + F.col("b.n") - F.size(
+        F.array_intersect(F.col("a.tok"), F.col("b.tok"))
+    )
     jac = inter / union
     return (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
@@ -101,17 +115,39 @@ def llm_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-duplicate candidate pairs (spark.ml): tokens →
-    HashingTF set-vectors → MinHashLSH.approxSimilarityJoin keeping
-    Jaccard distance < 0.5 (i.e. similarity > 0.5).
+    """MinHash-LSH near-duplicate candidate pairs (spark.ml hash family):
+    tokens → HashingTF set-vectors → MinHashLSH signatures → bucket
+    equi-join → feature-space Jaccard rescore keeping distance < 0.5
+    (i.e. similarity > 0.5).
 
-    Scale path: signatures are computed per-row (narrow), the join keys
-    on LSH hash buckets — candidate pairs only, linear in data size,
-    never the O(N²) all-pairs join. Returns (doc_a, doc_b, est_jaccard)
-    with doc_a < doc_b; the pair SET depends on the seeded permutations,
-    which is why the registered query aggregates it to seed-independent
-    properties instead of emitting it raw."""
+    This computes EXACTLY the set `MinHashLSH.approxSimilarityJoin`
+    would return (same seeded signatures, same OR-amplified bucket
+    collision rule, same binary-vector Jaccard distance, same strict
+    threshold) but schedules it the way a 100 TB run must:
+
+    - the bucket self-join carries (doc_id, table, hashval) rows — three
+      scalars — where approxSimilarityJoin drags both 2^16-dim feature
+      vectors through the explode-join and evaluates keyDistance per
+      COLLISION row. On a dup-heavy corpus (this fixture: ~124M bucket
+      collisions at sf0.1) that is the difference between a 3-scalar
+      shuffle and a >9-minute timeout;
+    - candidate pairs DISTINCT first, rescore once per PAIR, not once
+      per collision (OR-amplification makes near-dup pairs collide in
+      up to all 8 tables);
+    - the rescore is in FEATURE space, like keyDistance: each doc's
+      active HashingTF indices are recovered by hashing the VOCAB (a
+      distinct over tokens, joined back token→bucket), so
+      |A∩B|/|A∪B| over bucket sets equals the binary-vector Jaccard
+      bit-for-bit, HashingTF collisions included. No driver collect,
+      no Python UDF; the vocab map is an equi-join (broadcast here,
+      shuffle-join at web-scale vocabularies).
+
+    Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b; the pair
+    SET depends on the seeded permutations, which is why the registered
+    query aggregates it to seed-independent properties instead of
+    emitting it raw."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
+    from pyspark.ml.functions import vector_to_array
 
     tune(spark)
     d = load_table(spark, sf_dir, "documents")
@@ -122,14 +158,56 @@ def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = tf.transform(toks)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feat)
-    pairs = model.approxSimilarityJoin(feat, feat, 0.5, distCol="jaccard_dist")
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round(1.0 - F.col("jaccard_dist"), 6).alias("est_jaccard"),
+
+    # Per-doc LSH signature rows: (doc_id, table, hashval) — the slim
+    # join key approxSimilarityJoin never exposes.
+    sigs = (
+        model.transform(feat)
+        .select("doc_id", F.posexplode("hashes").alias("t", "hv"))
+        .select("doc_id", "t", vector_to_array("hv").getItem(0).alias("hval"))
+    )
+    x, y = sigs.alias("x"), sigs.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.t") == F.col("y.t"))
+            & (F.col("x.hval") == F.col("y.hval"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # token → HashingTF bucket map, built by HashingTF itself over the
+    # vocabulary (exactness: SQL hash() is NOT HashingTF's murmur3).
+    vocab = toks.select(F.explode("tok").alias("t")).distinct()
+    vmap = (
+        tf.transform(vocab.select(F.array("t").alias("tok"), "t"))
+        .select(
+            "t",
+            (F.array_position(vector_to_array("features"), 1.0) - 1).alias("bucket"),
+        )
+    )
+    bkts = (
+        toks.select("doc_id", F.explode("tok").alias("t"))
+        .join(F.broadcast(vmap), "t")
+        .groupBy("doc_id")
+        .agg(F.collect_set("bucket").alias("bkt"))
+        .withColumn("nb", F.size("bkt"))
+    )
+    ba = bkts.select(
+        F.col("doc_id").alias("doc_a"), F.col("bkt").alias("bkt_a"), F.col("nb").alias("na")
+    )
+    bb = bkts.select(
+        F.col("doc_id").alias("doc_b"), F.col("bkt").alias("bkt_b"), F.col("nb").alias("nb")
+    )
+    fint = F.size(F.array_intersect("bkt_a", "bkt_b")).cast("double")
+    fjac = fint / (F.col("na") + F.col("nb") - F.size(F.array_intersect("bkt_a", "bkt_b")))
+    return (
+        cand.join(F.broadcast(ba), "doc_a")
+        .join(F.broadcast(bb), "doc_b")
+        .filter(fjac > 0.5)
+        .select("doc_a", "doc_b", F.round(fjac, 6).alias("est_jaccard"))
     )
 
 
@@ -183,10 +261,15 @@ def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id",
         F.array_distinct(F.split(F.col("text"), " ")).alias("tok"),
-    )
-    a, b = toks.alias("a"), toks.alias("b")
+    ).withColumn("n", F.size("tok"))
+    # Same two exactness-preserving speedups as llm_jaccard_exact: spread
+    # the single-split streamed side across cores, and derive |A∪B| from
+    # per-doc sizes instead of a per-pair array_distinct(concat(...)).
+    a, b = toks.repartition(32).alias("a"), toks.alias("b")
     inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok"))).cast("double")
-    union = F.size(F.array_distinct(F.concat(F.col("a.tok"), F.col("b.tok"))))
+    union = F.col("a.n") + F.col("b.n") - F.size(
+        F.array_intersect(F.col("a.tok"), F.col("b.tok"))
+    )
     jac = inter / union
     truth = (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))

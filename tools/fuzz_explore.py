@@ -57,6 +57,7 @@ GRAMMARS = [
     ("funnel", G.funnel_specs, G._funnel_df, G._funnel_sql),
     ("poisson_boot", G.poisson_boot_specs, G._pboot_df, G._pboot_sql),
     ("hash_bucket", G.hash_bucket_specs, G._hash_bucket_df, G._hash_bucket_sql),
+    ("cosine_fast", G.cosine_fastpath_specs, G._cosfp_df, G._cosfp_sql),
 ]
 
 

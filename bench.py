@@ -126,6 +126,15 @@ def main() -> None:
                 "first_run_total": total_first,
                 "ratio_to_baseline": ratios,
                 "ratio_to_baseline_best": ratios_best,
+                # Which ratio is drift-comparable round-over-round:
+                # ratio_to_baseline is first-run-vs-cold-baseline (codegen
+                # compile + box drift, ±25% noise — BASELINE.md round-3
+                # note); compare ratio_to_baseline_best across rounds.
+                "note": (
+                    "compare ratio_to_baseline_best across rounds; "
+                    "ratio_to_baseline is first-run (compile+drift) vs "
+                    "cold single-run baseline"
+                ),
                 "extended_queries": ext_query,
                 "extended_queries_first_run": ext_query_first,
                 "extended_total": round(sum(ext_query.values()), 3),

@@ -737,3 +737,261 @@ def llm_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = frame.select(F.lit(step).alias("step"), "center_id", "radius")
         out = row if out is None else out.unionByName(row)
     return out.orderBy("step")
+
+
+# Power iteration: fixed deterministic init (uniform unit vector), a
+# fixed iteration count, and per-iteration 6dp rounding of the
+# normalized iterate so both engines feed IDENTICAL vectors into the
+# next round (the _assign round-before-argmin rule, applied to state).
+_PCA_ITERS = 4
+_PCA_DIM = 64
+_PCA_V0 = 0.125  # 1/sqrt(64): uniform unit start vector
+
+_PCA_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+)
+
+
+def _pca_oracle() -> str:
+    ctes = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        " AS emb FROM embeddings)",
+        f"v0 AS (SELECT list_transform(generate_series(1, {_PCA_DIM}),"
+        f" i -> {_PCA_V0}) AS v)",
+        f"pos AS (SELECT unnest(generate_series(1, {_PCA_DIM})) AS pos)",
+    ]
+    for k in range(1, _PCA_ITERS + 1):
+        ctes.append(
+            f"av{k} AS (SELECT e.vec_id, e.emb,"
+            f" list_dot_product(e.emb, (SELECT v FROM v{k - 1})) AS av FROM e)"
+        )
+        ctes.append(
+            f"t{k} AS (SELECT p.pos, SUM(a.emb[p.pos] * a.av) AS t"
+            f" FROM av{k} a CROSS JOIN pos p GROUP BY p.pos)"
+        )
+        ctes.append(f"n{k} AS (SELECT sqrt(SUM(t * t)) AS nrm FROM t{k})")
+        ctes.append(
+            f"v{k} AS (SELECT list(ROUND(t.t / n.nrm, 6) ORDER BY t.pos) AS v"
+            f" FROM t{k} t CROSS JOIN n{k} n)"
+        )
+    last = _PCA_ITERS
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined},
+    fro AS (SELECT SUM(list_dot_product(emb, emb)) AS fro FROM e)
+    SELECT p.pos,
+           ROUND((SELECT v FROM v{last})[p.pos], 6) AS component,
+           ROUND((SELECT nrm FROM n{last}), 4) AS eigval,
+           ROUND((SELECT nrm FROM n{last}) / (SELECT fro FROM fro), 6)
+             AS explained_ratio
+    FROM pos p
+    ORDER BY p.pos
+    """
+
+
+@register("llm_pca_power_iter", _pca_oracle())
+def llm_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by distributed
+    power iteration on the (uncentered) Gram operator [public method:
+    the classic power method; v <- normalize((A^T A) v), the route
+    PySpark's own RowMatrix/ARPACK paths and every streaming-PCA
+    system take when the corpus can't be materialized as a matrix].
+    Per iteration the corpus is scanned ONCE, fused into two
+    map-side-combinable shapes: the scalar score per row, av =
+    <emb, v>, against the broadcast 1-row iterate flows straight
+    into the dimension-keyed aggregate t[pos] = SUM(emb[pos] * av) —
+    64 groups — followed by tiny norm + rebuild frames (the
+    _centroids collect-struct idiom; nothing ever leaves the
+    cluster). The
+    iterate is ROUNDED to 6dp each round, so Spark and DuckDB (whose
+    oracle unrolls the same fixed iterations as chained CTEs) track
+    bit-identical state; eigval is the operator norm ||A^T A v||
+    (top singular value squared), explained_ratio its share of the
+    Frobenius mass SUM||x||^2 — the deflation-ready PCA acceptance
+    number (dominant-direction share, the llm_embed_standardize /
+    whitening precursor).
+
+    At 100 TB: per iteration one broadcast of a 64-double vector and
+    one 64-group shuffle — depth-constant cost; the corpus never
+    shuffles. Fixed iteration count keeps lineage shallow (the
+    graph_pagerank rule); a convergence-driven variant would
+    localCheckpoint every ~10 rounds like llm_dedup_clusters."""
+    tune(spark)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+    )
+    v = spark.range(1).select(
+        F.expr(
+            f"transform(sequence(1, {_PCA_DIM}), i -> CAST({_PCA_V0} AS DOUBLE))"
+        ).alias("v")
+    )
+    nrm = None
+    for _ in range(_PCA_ITERS):
+        av = e.crossJoin(F.broadcast(v)).select(
+            "emb", F.expr(_PCA_DOT.format(a="emb", b="v")).alias("av")
+        )
+        t = (
+            av.select(F.posexplode("emb").alias("pos0", "x"), "av")
+            .groupBy((F.col("pos0") + 1).alias("pos"))
+            .agg(F.sum(F.col("x") * F.col("av")).alias("t"))
+        )
+        nrm = t.agg(F.sqrt(F.sum(F.col("t") * F.col("t"))).alias("nrm"))
+        v = (
+            t.crossJoin(F.broadcast(nrm))
+            .select("pos", F.round(F.col("t") / F.col("nrm"), 6).alias("c"))
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc")
+            )
+            .select(F.expr("transform(pc, x -> x.c)").alias("v"))
+        )
+    fro = e.agg(
+        F.sum(F.expr(_PCA_DOT.format(a="emb", b="emb"))).alias("fro")
+    )
+    final = (
+        spark.range(1, _PCA_DIM + 1)
+        .select(F.col("id").cast("int").alias("pos"))
+        .crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(nrm))
+        .crossJoin(F.broadcast(fro))
+    )
+    return final.select(
+        "pos",
+        F.round(F.expr("element_at(v, pos)"), 6).alias("component"),
+        F.round("nrm", 4).alias("eigval"),
+        F.round(F.col("nrm") / F.col("fro"), 6).alias("explained_ratio"),
+    ).orderBy("pos")
+
+
+# IVF+PQ compound index: coarse-quantize probes to their nprobe nearest
+# label cells, then rank ONLY those cells' vectors by PQ asymmetric
+# distance — the FAISS IVFADC composition of llm_ann_ivf (routing) and
+# llm_ann_pq (compression).
+IVFPQ_NPROBE = 2
+IVFPQ_K = 10
+
+
+def _ivfpq_oracle() -> str:
+    from hive_test_spark.llm.similarity import _DUCK_LABEL_CENTROIDS, N_PROBES
+
+    return f"""
+    WITH {_PQ_CHAIN_CTES},
+    {_DUCK_LABEL_CENTROIDS},
+    probes AS (SELECT vec_id AS probe_id, emb FROM e WHERE vec_id < {N_PROBES}),
+    cells AS (
+      SELECT probe_id, cell FROM (
+        SELECT p.probe_id, c.label AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.probe_id
+                 ORDER BY ROUND(list_cosine_similarity(p.emb, c.centroid), 6)
+                          DESC, c.label) AS rn
+        FROM probes p CROSS JOIN centroids c
+      ) t WHERE rn <= {IVFPQ_NPROBE}
+    ),
+    psubs AS (
+      SELECT vec_id AS probe_id, m, sub FROM subs WHERE vec_id < {N_PROBES}
+    ),
+    partials AS (
+      SELECT p.probe_id, c.m, c.cluster,
+             ROUND(list_sum(list_transform(
+                      generate_series(1, len(c.centroid)),
+                      i -> (p.sub[i] - c.centroid[i]) ^ 2)), 6) AS pd
+      FROM psubs p JOIN c1 c ON c.m = p.m
+    ),
+    corp AS (
+      SELECT a.vec_id, a.m, a.cluster, emb2.label
+      FROM a2 a JOIN embeddings emb2 ON emb2.vec_id = a.vec_id
+    ),
+    adc AS (
+      SELECT cl.probe_id, cl.cell, co.vec_id AS neighbor_id,
+             ROUND(SUM(pt.pd), 6) AS adc_dist
+      FROM cells cl
+      JOIN corp co ON co.label = cl.cell AND co.vec_id <> cl.probe_id
+      JOIN partials pt ON pt.probe_id = cl.probe_id
+                      AND pt.m = co.m AND pt.cluster = co.cluster
+      GROUP BY cl.probe_id, cl.cell, co.vec_id
+    )
+    SELECT probe_id, neighbor_id, cell, adc_dist, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY adc_dist, neighbor_id) AS rnk
+      FROM adc
+    ) t WHERE rnk <= {IVFPQ_K}
+    ORDER BY probe_id, rnk
+    """
+
+
+@register("llm_ann_ivfpq", _ivfpq_oracle())
+def llm_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ compound ANN serving path [public method: Jégou et al.
+    2011's IVFADC, the FAISS default at billion scale — an inverted
+    file routes each query to nprobe coarse cells, and ONLY those
+    cells' vectors are ranked, by asymmetric distance against their
+    PQ codes]: composes llm_ann_ivf's label-cell routing (nprobe=2,
+    cosine to the per-label mean centroids) with llm_ann_pq's 8x8d
+    codebooks; emits the per-probe ADC shortlist (top-10 with cell
+    provenance) a deployment reranks exactly. Both engines rank on
+    6dp-rounded cell cosines and ADC sums with id tie-breaks, so the
+    routed sets and shortlists match exactly.
+
+    At 100 TB this is THE serving plan the separate index ops build
+    toward: the scan is |cells probed| / |cells| of the corpus (the
+    IVF win), touches only integer codes + an M x K partial-distance
+    table per probe (the PQ win — raw vectors never leave the index
+    build), and every join is equi (cell id, then (m, code)); the
+    partial-distance table is probe-bounded and broadcasts. Recall is
+    gated by the existing llm_ann_ivf_recall / llm_ann_pq_recall
+    acceptance ops; llm_ann_nprobe_curve prices the nprobe knob."""
+    from hive_test_spark.llm.similarity import N_PROBES, _label_centroids, _NORM
+
+    tune(spark)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+        "label",
+    )
+    probes = e.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("emb").alias("p_emb"),
+        F.expr(_NORM.format(a="emb")).alias("p_norm"),
+    )
+    cents = _label_centroids(spark, sf_dir)
+    cos = F.round(
+        F.expr(_PCA_DOT.format(a="p_emb", b="centroid"))
+        / (F.col("p_norm") * F.col("c_norm")),
+        6,
+    )
+    w_cell = Window.partitionBy("probe_id").orderBy(F.col("cs").desc(), "label")
+    cells = (
+        probes.crossJoin(F.broadcast(cents))
+        .select("probe_id", "label", cos.alias("cs"))
+        .select("*", F.row_number().over(w_cell).alias("rn"))
+        .filter(F.col("rn") <= IVFPQ_NPROBE)
+        .select("probe_id", F.col("label").alias("cell"))
+    )
+    subs = _pq_subvectors(spark, sf_dir)
+    c1, a2 = _pq_train_encode(subs)
+    psubs = subs.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("m").alias("pm"), "sub"
+    )
+    partials = psubs.join(F.broadcast(c1), F.col("pm") == F.col("m")).select(
+        "probe_id",
+        "m",
+        "cluster",
+        F.round(F.expr(_SQDIST.format(a="sub", b="centroid")), 6).alias("pd"),
+    )
+    corp = a2.select("vec_id", "m", "cluster").join(
+        e.select("vec_id", "label"), "vec_id"
+    )
+    adc = (
+        cells.join(corp, (F.col("label") == F.col("cell")) & (F.col("vec_id") != F.col("probe_id")))
+        .join(partials, ["probe_id", "m", "cluster"])
+        .groupBy("probe_id", "cell", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("pd"), 6).alias("adc_dist"))
+    )
+    w_rank = Window.partitionBy("probe_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        adc.select("*", F.row_number().over(w_rank).alias("rnk"))
+        .filter(F.col("rnk") <= IVFPQ_K)
+        .select("probe_id", "neighbor_id", "cell", "adc_dist", "rnk")
+        .orderBy("probe_id", "rnk")
+    )

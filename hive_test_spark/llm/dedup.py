@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from hive_test_spark.io import load_table
 from hive_test_spark.registry import register
-from hive_test_spark.session import tune
+from hive_test_spark.session import fanout, tune
 
 
 @register(
@@ -93,7 +93,7 @@ def llm_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_sort(F.array_distinct(F.split(F.col("text"), " "))).alias("tok"),
     ).withColumn("n", F.size("tok"))
-    a = toks.repartition(32).alias("a")
+    a = toks.repartition(fanout(spark)).alias("a")
     b = toks.alias("b")
     inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok"))).cast("double")
     union = F.col("a.n") + F.col("b.n") - F.size(
@@ -180,12 +180,17 @@ def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # token → HashingTF bucket map, built by HashingTF itself over the
     # vocabulary (exactness: SQL hash() is NOT HashingTF's murmur3).
+    # The bucket is read from the SPARSE vector's index list (a 1-token
+    # array hashes to exactly one active index), NOT by densifying to a
+    # 2^16-element array per vocab row — O(1) per token instead of
+    # O(numFeatures) (~512 KB transient per token), which is what keeps
+    # the map viable at web-scale vocabularies.
     vocab = toks.select(F.explode("tok").alias("t")).distinct()
     vmap = (
         tf.transform(vocab.select(F.array("t").alias("tok"), "t"))
         .select(
             "t",
-            (F.array_position(vector_to_array("features"), 1.0) - 1).alias("bucket"),
+            F.unwrap_udt("features").getField("indices").getItem(0).alias("bucket"),
         )
     )
     bkts = (
@@ -203,9 +208,14 @@ def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fint = F.size(F.array_intersect("bkt_a", "bkt_b")).cast("double")
     fjac = fint / (F.col("na") + F.col("nb") - F.size(F.array_intersect("bkt_a", "bkt_b")))
+    # No broadcast hints: the bucket-set tables span the ENTIRE corpus,
+    # so at 100 TB these are doc_id-keyed shuffle joins (the schedule the
+    # docstring describes); at fixture scale AQE auto-broadcasts the tiny
+    # build sides on its own. A forced F.broadcast here would pin a
+    # corpus-wide table to the driver at any real scale.
     return (
-        cand.join(F.broadcast(ba), "doc_a")
-        .join(F.broadcast(bb), "doc_b")
+        cand.join(ba, "doc_a")
+        .join(bb, "doc_b")
         .filter(fjac > 0.5)
         .select("doc_a", "doc_b", F.round(fjac, 6).alias("est_jaccard"))
     )
@@ -265,7 +275,7 @@ def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same two exactness-preserving speedups as llm_jaccard_exact: spread
     # the single-split streamed side across cores, and derive |A∪B| from
     # per-doc sizes instead of a per-pair array_distinct(concat(...)).
-    a, b = toks.repartition(32).alias("a"), toks.alias("b")
+    a, b = toks.repartition(fanout(spark)).alias("a"), toks.alias("b")
     inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok"))).cast("double")
     union = F.col("a.n") + F.col("b.n") - F.size(
         F.array_intersect(F.col("a.tok"), F.col("b.tok"))

@@ -1949,3 +1949,74 @@ def llm_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(auc, 6).alias("auc"),
         F.round(2.0 * auc - 1.0, 6).alias("gini"),
     )
+
+
+# Deterministic DP release: epsilon-1 Laplace noise derived from md5 (a
+# keyed inverse-CDF transform — both engines compute identical digests,
+# so the "noise" is reproducible and oracle-checkable; a production
+# release swaps the digest for a real CSPRNG draw and DROPS true_n).
+_DP_EPS = 1.0
+
+_DP_NOISE = (
+    "(-1.0 / {eps}) * sign({u} - 0.5) * ln(1.0 - 2.0 * abs({u} - 0.5))"
+)
+_DP_U_DUCK = (
+    "(CAST(('0x' || substr(md5('dp:' || lang || ':' || source), 1, 8)) AS BIGINT)"
+    " / 4294967296.0)"
+)
+_DP_U_SPARK = (
+    "(CAST(conv(substring(md5(concat('dp:', lang, ':', source)), 1, 8), 16, 10)"
+    " AS BIGINT) / 4294967296.0D)"
+)
+
+
+@register(
+    "llm_dp_counts",
+    f"""
+    WITH g AS (
+      SELECT lang, source, COUNT(*) AS true_n
+      FROM documents GROUP BY lang, source
+    )
+    SELECT lang, source, true_n,
+           ROUND(GREATEST(0.0, true_n + {_DP_NOISE.format(eps=_DP_EPS, u=_DP_U_DUCK)}), 3)
+             AS dp_count,
+           CAST({_DP_EPS} AS DOUBLE) AS epsilon,
+           1 AS sensitivity
+    FROM g
+    ORDER BY lang, source
+    """,
+)
+def llm_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release of per-(lang, source)
+    document counts [public method: Dwork et al. 2006 — the Laplace
+    mechanism; count queries have sensitivity 1, so noise ~
+    Lap(1/epsilon) gives epsilon-DP, and the non-negativity clamp is
+    DP-safe post-processing]. The Laplace draw is the INVERSE-CDF
+    transform -1/eps * sign(u-1/2) * ln(1-2|u-1/2|) of an md5-derived
+    uniform keyed on the group (the llm_hash_sample idiom), so both
+    engines produce bit-identical releases and the oracle can
+    hash-check a mechanism that is normally untestable; a production
+    release swaps in a real CSPRNG and drops true_n from the output.
+    Pairs with llm_kanonymity: that op suppresses small groups, this
+    one noises every group under a quantified budget.
+
+    At 100 TB: one map-side-combinable count — the noise is a pure
+    per-group map over |lang x source| rows. Per-release epsilon and
+    sensitivity ride along as the budget-ledger columns an auditor
+    sums across releases."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    noise = _DP_NOISE.format(eps=_DP_EPS, u=_DP_U_SPARK)
+    return (
+        d.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .selectExpr(
+            "lang",
+            "source",
+            "true_n",
+            f"ROUND(GREATEST(0.0D, true_n + {noise}), 3) AS dp_count",
+            f"CAST({_DP_EPS} AS DOUBLE) AS epsilon",
+            "1 AS sensitivity",
+        )
+        .orderBy("lang", "source")
+    )

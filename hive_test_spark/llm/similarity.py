@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from hive_test_spark.io import load_table
 from hive_test_spark.registry import register
-from hive_test_spark.session import tune
+from hive_test_spark.session import fanout, tune
 
 # JVM-side vector math over array<float> (cast to double element-wise).
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
@@ -39,13 +39,17 @@ _NORM = "sqrt(aggregate({a}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS
 # (verified over every sf0.01 pair) — 3-4x faster per pair. Vectors of
 # any other length take the general HOF branch of the CASE (evaluated
 # lazily per row), so nothing is hardcoded about the data.
-_DOT_DIM = 64  # embeddings.embedding dimensionality (TESTDATA.md)
+# THE module's single embedding-dimensionality constant (TESTDATA.md:
+# embeddings.embedding is array<float>[64]). Both the unrolled codegen
+# dot product below and the LSH hyperplane generator further down derive
+# from this one name so the two can never drift (ADVICE r8).
+EMBED_DIM = 64
 _DOT_UNROLLED = "0D + " + " + ".join(
     f"CAST(element_at({{a}}, {i}) AS DOUBLE) * CAST(element_at({{b}}, {i}) AS DOUBLE)"
-    for i in range(1, _DOT_DIM + 1)
+    for i in range(1, EMBED_DIM + 1)
 )
 _DOT_FAST = (
-    f"CASE WHEN size({{a}}) = {_DOT_DIM} AND size({{b}}) = {_DOT_DIM} "
+    f"CASE WHEN size({{a}}) = {EMBED_DIM} AND size({{b}}) = {EMBED_DIM} "
     f"THEN {_DOT_UNROLLED} ELSE {_DOT} END"
 )
 
@@ -95,7 +99,7 @@ def _probe_cosines(
         F.col("norm").alias("_q_norm"),
         *[F.col(c).alias(a) for c, a in q_extra],
     )
-    corpus = e.repartition(32).select(
+    corpus = e.repartition(fanout(e.sparkSession)).select(
         F.col("vec_id").alias(d),
         F.col("embedding").alias("_d_emb"),
         F.col("norm").alias("_d_norm"),
@@ -367,7 +371,7 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_BITS = 12   # hyperplanes per band
 LSH_BANDS = 3   # OR-amplification: candidate if ANY band signature collides
 LSH_TAU = 0.25  # exact-cosine verify threshold (fixtures are weakly clustered)
-_DIM = 64
+_DIM = EMBED_DIM  # alias for the signature builders below (single source above)
 
 # Deterministic pseudo-random hyperplane component w(p, i) — pure integer
 # arithmetic, so Spark and DuckDB compute bit-identical planes (no RNG, no

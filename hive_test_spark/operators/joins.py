@@ -858,3 +858,118 @@ def join_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gap_us",
         (F.col("c_ts") <= F.col("p_ts")).cast("int").alias("is_backward"),
     )
+
+
+# Geo radius join: deterministic synthetic coordinates (md5-uniform in a
+# [40,60]x[-10,30] box), 200 km radius, and a grid sized so a 3x3
+# neighborhood PROVABLY covers the radius: 2 deg lat (~221 km/deg) and
+# 4 deg lon (>= 200 km even at the box's worst-case cos(60) = 55.7
+# km/deg). Radius <= cell size in both axes is the blocking-correctness
+# invariant — shrink the cells and the join silently drops true pairs.
+_GEO_RADIUS_KM = 200.0
+_GEO_CELL_LAT = 2.0
+_GEO_CELL_LON = 4.0
+
+_GEO_U = "(CAST(('0x' || substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0)"
+_GEO_U_SPARK = "(CAST(conv(substring(md5(concat('{salt}', CAST({key} AS STRING))), 1, 8), 16, 10) AS BIGINT) / 4294967296.0D)"
+
+# One haversine rendering parsed by BOTH engines (identical op order, so
+# the floats agree to the last ulp modulo libm; the radius filter runs on
+# the UNROUNDED value on both sides — the llm_jaccard_exact rule).
+_HAVERSINE = (
+    "2 * 6371.0088 * asin(sqrt("
+    "pow(sin(radians({lat2} - {lat1}) / 2), 2) "
+    "+ cos(radians({lat1})) * cos(radians({lat2})) "
+    "* pow(sin(radians({lon2} - {lon1}) / 2), 2)))"
+)
+
+
+@register(
+    "join_geo_grid",
+    f"""
+    WITH c AS (
+      SELECT c_custkey,
+             40 + 20 * {_GEO_U.format(salt='lat:c', key='c_custkey')} AS lat,
+             -10 + 40 * {_GEO_U.format(salt='lon:c', key='c_custkey')} AS lon
+      FROM customer
+    ),
+    s AS (
+      SELECT s_suppkey,
+             40 + 20 * {_GEO_U.format(salt='lat:s', key='s_suppkey')} AS lat,
+             -10 + 40 * {_GEO_U.format(salt='lon:s', key='s_suppkey')} AS lon
+      FROM supplier
+    ),
+    d AS (
+      SELECT c.c_custkey, s.s_suppkey,
+             {_HAVERSINE.format(lat1='c.lat', lon1='c.lon', lat2='s.lat', lon2='s.lon')} AS km
+      FROM c CROSS JOIN s
+    )
+    SELECT c_custkey, s_suppkey, ROUND(km, 3) AS dist_km
+    FROM d WHERE km <= {_GEO_RADIUS_KM}
+    ORDER BY c_custkey, s_suppkey
+    """,
+)
+def join_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked geo radius join: every (customer, supplier) pair
+    within 200 km of haversine distance, over deterministic md5-derived
+    coordinates (the llm_hash_sample uniform idiom — the fixtures carry
+    no geo columns, and both engines derive identical doubles from the
+    same digests). Spark NEVER builds the cross product the oracle
+    brute-forces: suppliers replicate into their 3x3 neighbor cells of
+    a (2 deg x 4 deg) grid sized so one cell covers the radius at the
+    box's worst-case latitude, customers key into their OWN cell, and
+    the join is EQUI on the cell id with the exact haversine as a
+    post-filter — the standard distributed spatial-join blocking
+    (DJ/PBSM family), same discipline as join_fuzzy_levenshtein's
+    equi-block + residual.
+
+    At 100 TB: the cell id is the shuffle key (uniform here by
+    construction; real geo data needs hot-cell salting — cities), the
+    9x supplier replication is the bounded side, and the pair count is
+    SUM over cells of |c_cell| x |s_cell9| — never |C| x |S|. A pair
+    is emitted exactly once: the customer's cell is unique and each
+    supplier replica lands in a distinct cell, so no post-join
+    DISTINCT is needed."""
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        f"40 + 20 * {_GEO_U_SPARK.format(salt='lat:c', key='c_custkey')} AS lat",
+        f"-10 + 40 * {_GEO_U_SPARK.format(salt='lon:c', key='c_custkey')} AS lon",
+    )
+    supp = load_table(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey",
+        f"40 + 20 * {_GEO_U_SPARK.format(salt='lat:s', key='s_suppkey')} AS lat",
+        f"-10 + 40 * {_GEO_U_SPARK.format(salt='lon:s', key='s_suppkey')} AS lon",
+    )
+    cell = (
+        f"concat(CAST(CAST(floor(lat / {_GEO_CELL_LAT}) AS INT) AS STRING), ':', "
+        f"CAST(CAST(floor(lon / {_GEO_CELL_LON}) AS INT) AS STRING))"
+    )
+    c_cells = cust.selectExpr("*", f"{cell} AS cell")
+    s_cells = supp.selectExpr(
+        "s_suppkey",
+        "lat AS s_lat",
+        "lon AS s_lon",
+        f"CAST(floor(lat / {_GEO_CELL_LAT}) AS INT) AS cx",
+        f"CAST(floor(lon / {_GEO_CELL_LON}) AS INT) AS cy",
+    ).select(
+        "s_suppkey",
+        "s_lat",
+        "s_lon",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dx -> "
+                "transform(sequence(-1, 1), dy -> "
+                "concat(CAST(cx + dx AS STRING), ':', CAST(cy + dy AS STRING)))))"
+            )
+        ).alias("cell"),
+    )
+    dist = F.expr(
+        _HAVERSINE.format(lat1="lat", lon1="lon", lat2="s_lat", lon2="s_lon")
+    )
+    return (
+        c_cells.join(s_cells, "cell")
+        .filter(dist <= _GEO_RADIUS_KM)
+        .select("c_custkey", "s_suppkey", F.round(dist, 3).alias("dist_km"))
+        .orderBy("c_custkey", "s_suppkey")
+    )

@@ -472,3 +472,116 @@ def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     for e in per_edge[1:]:
         out = out.unionByName(e)
     return out.orderBy("edge")
+
+
+# PSI drift monitor: fixed-width price bins (edges are CONSTANTS — a
+# data-driven edge would make the metric depend on the comparison window
+# itself), Laplace-smoothed proportions, reference year 1995.
+_PSI_BIN_W = 60000.0
+_PSI_BINS = 10
+_PSI_REF_YEAR = 1995
+_PSI_ALERT = 0.2
+
+
+@register(
+    "dq_drift_psi",
+    f"""
+    WITH b AS (
+      SELECT year(CAST(o_orderdate AS TIMESTAMP)) AS yr,
+             LEAST(CAST(FLOOR(o_totalprice / {_PSI_BIN_W}) AS INT), {_PSI_BINS - 1}) AS bin
+      FROM orders
+    ),
+    years AS (SELECT DISTINCT yr FROM b),
+    bins AS (SELECT unnest(generate_series(0, {_PSI_BINS - 1})) AS bin),
+    grid AS (SELECT y.yr, bn.bin FROM years y CROSS JOIN bins bn),
+    cnts AS (SELECT yr, bin, COUNT(*) AS c FROM b GROUP BY yr, bin),
+    g AS (
+      SELECT grid.yr, grid.bin, COALESCE(c.c, 0) AS c
+      FROM grid LEFT JOIN cnts c ON c.yr = grid.yr AND c.bin = grid.bin
+    ),
+    tot AS (SELECT yr, CAST(SUM(c) AS BIGINT) AS n FROM g GROUP BY yr),
+    prop AS (
+      SELECT g.yr, g.bin,
+             (g.c + 0.5) / (t.n + {_PSI_BINS} * 0.5) AS p, t.n
+      FROM g JOIN tot t ON t.yr = g.yr
+    ),
+    ref AS (SELECT bin, p FROM prop WHERE yr = {_PSI_REF_YEAR}),
+    cur AS (SELECT * FROM prop WHERE yr > {_PSI_REF_YEAR}),
+    psi AS (
+      SELECT cur.yr, cur.n,
+             ROUND(SUM((cur.p - ref.p) * ln(cur.p / ref.p)), 6) AS price_psi
+      FROM cur JOIN ref ON ref.bin = cur.bin
+      GROUP BY cur.yr, cur.n
+    )
+    SELECT yr AS year, n AS n_rows, price_psi,
+           price_psi > {_PSI_ALERT} AS drift_flag
+    FROM psi
+    ORDER BY year
+    """,
+)
+def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor [public method: the
+    standard credit-scoring / ML-monitoring drift statistic, PSI =
+    SUM_i (q_i - p_i) ln(q_i / p_i) over binned proportions; rule of
+    thumb: > 0.1 investigate, > 0.2 act]: each post-1995 order-year's
+    o_totalprice distribution vs the 1995 reference, over FIXED
+    constant bin edges (data-driven edges would entangle the metric
+    with the window being tested) with Laplace 0.5-smoothing so empty
+    bins contribute finite terms. The alert flag derives from the
+    ROUNDED statistic, so both engines flip it identically at the
+    boundary. Complements llm_corpus_drift (source-vs-rest JS on
+    token distributions) with the TIME-axis drift a warehouse DQ
+    suite pages on.
+
+    At 100 TB: one map-side-combinable (year, bin) count over the
+    fact — the only full scan; the grid completion, smoothing, and
+    the reference join all run on |years| x |bins| rows (~70). The
+    reference year's proportions broadcast; at web scale the same op
+    runs per (table, column) in one pass by stacking a column id into
+    the grouping key."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(
+        F.year("o_orderdate").alias("yr"),
+        F.least(
+            F.floor(F.col("o_totalprice") / _PSI_BIN_W).cast("int"),
+            F.lit(_PSI_BINS - 1),
+        ).alias("bin"),
+    )
+    years = b.select("yr").distinct()
+    bins = spark.range(_PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+    grid = years.crossJoin(F.broadcast(bins))
+    cnts = b.groupBy("yr", "bin").agg(F.count(F.lit(1)).alias("c"))
+    g = grid.join(cnts, ["yr", "bin"], "left").select(
+        "yr", "bin", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    tot = g.groupBy("yr").agg(F.sum("c").alias("n"))
+    prop = g.join(tot, "yr").select(
+        "yr",
+        "bin",
+        ((F.col("c") + 0.5) / (F.col("n") + _PSI_BINS * 0.5)).alias("p"),
+        "n",
+    )
+    ref = prop.filter(F.col("yr") == _PSI_REF_YEAR).select(
+        "bin", F.col("p").alias("p_ref")
+    )
+    cur = prop.filter(F.col("yr") > _PSI_REF_YEAR)
+    psi = (
+        cur.join(F.broadcast(ref), "bin")
+        .groupBy("yr", "n")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("p") - F.col("p_ref"))
+                    * F.log(F.col("p") / F.col("p_ref"))
+                ),
+                6,
+            ).alias("price_psi")
+        )
+    )
+    return psi.select(
+        F.col("yr").alias("year"),
+        F.col("n").alias("n_rows"),
+        "price_psi",
+        (F.col("price_psi") > _PSI_ALERT).alias("drift_flag"),
+    ).orderBy("year")

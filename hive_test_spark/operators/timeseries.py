@@ -601,3 +601,220 @@ def evt_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "evt_theil_sen",
+    """
+    WITH s AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             ROUND(SUM(value), 6) AS rev
+      FROM events GROUP BY event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+    ),
+    t AS (
+      SELECT event_type, date_diff('day', DATE '2024-01-01', day) AS t, rev
+      FROM s
+    ),
+    slopes AS (
+      SELECT a.event_type, (b.rev - a.rev) / (b.t - a.t) AS sl
+      FROM t a JOIN t b ON b.event_type = a.event_type AND b.t > a.t
+    ),
+    m AS (
+      SELECT event_type, quantile_cont(sl, 0.5) AS slope, COUNT(*) AS n_pairs
+      FROM slopes GROUP BY event_type
+    )
+    SELECT m.event_type,
+           ROUND(m.slope, 6) AS ts_slope,
+           ROUND(quantile_cont(t.rev - m.slope * t.t, 0.5), 6) AS ts_intercept,
+           m.n_pairs
+    FROM m JOIN t ON t.event_type = m.event_type
+    GROUP BY m.event_type, m.slope, m.n_pairs
+    ORDER BY m.event_type
+    """,
+)
+def evt_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event-type daily revenue series
+    [public method: Theil 1950 / Sen 1968 — slope = median of all
+    pairwise slopes, intercept = median residual; the
+    outlier-immune rival of evt_rolling_slope's OLS, with a 29.3%
+    breakdown point where one spike day drags OLS arbitrarily]. Daily
+    revenue is rounded to 6dp BEFORE the pair join (the
+    evt_holt_linear round-the-inputs rule), the day axis is an integer
+    ordinal, and both medians interpolate linearly (Spark
+    ``percentile`` == DuckDB ``quantile_cont``), so both engines rank
+    and interpolate identical doubles.
+
+    At 100 TB: the pairwise join is per-series and CALENDAR-bounded
+    (d days -> d(d-1)/2 slope rows per series, d = 30 here), keyed on
+    the series id, so the scale axis is #series — embarrassingly
+    parallel, one shuffle. The exact median is an in-group sort of
+    ~435 values; a year-long whale series (66k pairs) still fits a
+    task, and past that the repeated-median variant subsamples pairs
+    per point. The intercept pass re-joins the tiny per-series slope
+    frame (broadcast) against the daily points — never the raw log."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("rev"))
+    t = s.select(
+        "event_type",
+        F.datediff("day", F.lit("2024-01-01").cast("date")).alias("t"),
+        "rev",
+    )
+    a = t.select("event_type", F.col("t").alias("ta"), F.col("rev").alias("ra"))
+    b = t.select("event_type", F.col("t").alias("tb"), F.col("rev").alias("rb"))
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("tb") > F.col("ta"))
+        .select(
+            "event_type",
+            ((F.col("rb") - F.col("ra")) / (F.col("tb") - F.col("ta"))).alias("sl"),
+        )
+    )
+    m = slopes.groupBy("event_type").agg(
+        F.expr("percentile(sl, 0.5D)").alias("slope"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    return (
+        t.join(F.broadcast(m), "event_type")
+        .groupBy("event_type", "slope", "n_pairs")
+        .agg(
+            F.expr("percentile(rev - slope * t, 0.5D)").alias("intercept")
+        )
+        .select(
+            "event_type",
+            F.round("slope", 6).alias("ts_slope"),
+            F.round("intercept", 6).alias("ts_intercept"),
+            "n_pairs",
+        )
+        .orderBy("event_type")
+    )
+
+
+# Holt-Winters additive smoothing constants (weekly seasonality).
+_HW_ALPHA = 0.3
+_HW_BETA = 0.2
+_HW_GAMMA = 0.25
+_HW_M = 7
+
+
+def _hw_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    # Same float-op sequence as the oracle's recursive CTE: init on the
+    # first m days (l0 = mean, b0 = 0, s_i = x_i - l0), then the coupled
+    # level/trend/seasonal recursion from day m+1. Inputs are pre-rounded
+    # daily sums (the evt_holt_linear rule), intermediates are NOT
+    # rounded — both engines iterate identical doubles because the op
+    # order matches; the smoothers are contractions, so the ~1e-16 init
+    # averaging noise cannot amplify past the 6dp output rounding.
+    pdf = pdf.sort_values("day").reset_index(drop=True)
+    if len(pdf) <= _HW_M:
+        return pdf.iloc[0:0].reindex(
+            columns=["event_type", "day", "rev", "level", "trend",
+                     "seasonal", "forecast_next"]
+        )
+    xs = list(pdf["rev"])
+    l = sum(xs[:_HW_M]) / float(_HW_M)
+    b = 0.0
+    slist = [x - l for x in xs[:_HW_M]]
+    out = []
+    for t in range(_HW_M, len(xs)):
+        x = xs[t]
+        l_new = _HW_ALPHA * (x - slist[0]) + (1.0 - _HW_ALPHA) * (l + b)
+        b_new = _HW_BETA * (l_new - l) + (1.0 - _HW_BETA) * b
+        s_new = _HW_GAMMA * (x - l_new) + (1.0 - _HW_GAMMA) * slist[0]
+        slist = slist[1:] + [s_new]
+        l, b = l_new, b_new
+        out.append(
+            (
+                pdf["event_type"].iloc[t],
+                pdf["day"].iloc[t],
+                x,
+                round(l, 6),
+                round(b, 6),
+                round(s_new, 6),
+                round(l + b + slist[0], 6),
+            )
+        )
+    return pd.DataFrame(
+        out,
+        columns=["event_type", "day", "rev", "level", "trend",
+                 "seasonal", "forecast_next"],
+    )
+
+
+@register(
+    "evt_holt_winters",
+    f"""
+    WITH RECURSIVE s AS (
+      SELECT event_type,
+             CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR) AS day,
+             ROUND(SUM(value), 6) AS rev,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS rn
+      FROM events
+      GROUP BY event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+    ),
+    init AS (
+      SELECT event_type,
+             SUM(rev) / {_HW_M}.0 AS l0,
+             list(rev ORDER BY rn) AS xs
+      FROM s WHERE rn <= {_HW_M} GROUP BY event_type
+    ),
+    rec (event_type, rn, day, rev, l, b, slist) AS (
+      SELECT i.event_type, {_HW_M}, CAST(NULL AS VARCHAR),
+             CAST(NULL AS DOUBLE), i.l0, CAST(0.0 AS DOUBLE),
+             list_transform(i.xs, x -> x - i.l0)
+      FROM init i
+      UNION ALL
+      SELECT n.event_type, n.rn, n.day, n.rev,
+             {_HW_ALPHA} * (n.rev - r.slist[1])
+               + (1.0 - {_HW_ALPHA}) * (r.l + r.b),
+             {_HW_BETA} * (({_HW_ALPHA} * (n.rev - r.slist[1])
+                            + (1.0 - {_HW_ALPHA}) * (r.l + r.b)) - r.l)
+               + (1.0 - {_HW_BETA}) * r.b,
+             list_append(r.slist[2:{_HW_M}],
+                         {_HW_GAMMA} * (n.rev - ({_HW_ALPHA} * (n.rev - r.slist[1])
+                                                 + (1.0 - {_HW_ALPHA}) * (r.l + r.b)))
+                           + (1.0 - {_HW_GAMMA}) * r.slist[1])
+      FROM rec r JOIN s n ON n.event_type = r.event_type AND n.rn = r.rn + 1
+    )
+    SELECT event_type, day, rev,
+           ROUND(l, 6) AS level,
+           ROUND(b, 6) AS trend,
+           ROUND(slist[{_HW_M}], 6) AS seasonal,
+           ROUND(l + b + slist[1], 6) AS forecast_next
+    FROM rec WHERE rn > {_HW_M}
+    ORDER BY event_type, rn
+    """,
+)
+def evt_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive (triple-exponential) smoothing per
+    event-type daily series, weekly seasonality m=7 [public
+    method: Winters 1960 — level + trend + seasonal recursion; the
+    seasonal rung above evt_holt_linear, and the model-based rival of
+    evt_forecast_snaive / evt_seasonal_decompose's moving-average
+    split]. Init on the first m days (l0 = mean, b0 = 0, s_i = x_i −
+    l0), then l/b/s update jointly from day m+1; emitted rows start at
+    day m+1 (the recursion region). The seasonal STATE is a length-m
+    vector, so the oracle's recursive CTE carries it as a LIST column
+    rotated one slot per step — the Spark side runs the identical
+    float-op sequence as grouped-map ``applyInPandas``, one Arrow
+    batch per series (the evt_holt_linear execution pattern; coupled
+    whole-prefix recursions are inexpressible in SQL windows).
+
+    At 100 TB: grouping keys the shuffle on the series id; each series
+    is one bounded Arrow batch (calendar-bounded days). The update is
+    affine in (l, b, s-vector), so a whale series folds associatively
+    as (m+2)x(m+2) matrix products — the evt_ewma segmented-scan
+    escape hatch, one rung bigger."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy(
+        "event_type", F.to_date("ts").cast("string").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("rev"))
+    schema = (
+        "event_type string, day string, rev double, level double, "
+        "trend double, seasonal double, forecast_next double"
+    )
+    return s.groupBy("event_type").applyInPandas(_hw_group, schema)

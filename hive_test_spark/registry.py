@@ -260,6 +260,14 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     # r7-r9 windows never shift; they land in round 10's backfill
     # headroom, closure stays <= round 10):
     "sql_scripting", "meta_database_lifecycle",
+    # Added in round 9 (appended at the END per the freeze discipline —
+    # the staged r9 window is untouched; these land in round 10's
+    # backfill headroom, closure stays <= round 10): community-quality
+    # audit, robust/seasonal trend, drift monitoring, geo blocking,
+    # DP release, distributed PCA, and the IVF+PQ compound ANN path.
+    "graph_modularity", "evt_theil_sen", "evt_holt_winters",
+    "dq_drift_psi", "join_geo_grid", "llm_dp_counts",
+    "llm_pca_power_iter", "llm_ann_ivfpq",
 )
 
 

@@ -38,6 +38,25 @@ _RUNTIME_CONFS = {
 }
 
 
+def fanout(spark: SparkSession) -> int:
+    """Partition fan-out used to SPREAD a single-split fixture table before
+    per-pair-heavy work (the recurring 1-parquet-split disease, SCALE.md
+    §9y): narrow chains and broadcast nested-loop joins inherit the
+    streamed side's layout, so without an explicit repartition every
+    probe×corpus pair evaluates on one core.
+
+    Derived from ``defaultParallelism`` (= total cores on local[N],
+    executor-count-scaled on a real cluster) rather than a literal 32, so
+    the spread adapts to the host instead of over/under-parallelizing
+    (ADVICE r8). On this harness (local[32]) it returns exactly 32, so
+    existing verified plans are unchanged."""
+    try:
+        n = spark.sparkContext.defaultParallelism
+    except Exception:  # session without a live context (never in practice)
+        n = 0
+    return n if n and n > 0 else 32
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an existing session. Idempotent, cheap."""
     for k, v in _RUNTIME_CONFS.items():

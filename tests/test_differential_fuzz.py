@@ -3134,3 +3134,398 @@ def test_random_cosine_fastpath_matches_duckdb(spark, duck, spec):
     duck_pdf = duck.execute(_cosfp_sql(spec)).df()
     r = compare("fuzz_cosine_fastpath", spark_pdf, duck_pdf)
     assert r["ok"], f"spec={spec}\nsql={_cosfp_sql(spec)}\nnotes={r['notes']}"
+
+
+# ---- GRPO group-advantage grammar (staged llm_grpo_advantage family) --------
+#
+# (reward - group_mean) / group_std from EXACT integer (S, Q) sums, with
+# the prompt stride, rollout count, reward modulus, and base feature all
+# randomized. A sum/ordering divergence flips an integer before any
+# float forms; the epilogue divides only at the end (6dp-rounded), so
+# mean/std/advantage agree bit-for-bit across engines.
+
+
+@st.composite
+def grpo_specs(draw):
+    return {
+        "mod": draw(st.sampled_from([3, 5, 10])),
+        "g": draw(st.sampled_from([4, 8, 16])),
+        "rmod": draw(st.sampled_from([25, 50])),
+        "base": draw(st.sampled_from(["len", "chars"])),
+    }
+
+
+def _grpo_base_sql(spec) -> str:
+    return "length(text) % 50" if spec["base"] == "len" else "n_chars % 50"
+
+
+def _grpo_sql(spec) -> str:
+    g = spec["g"]
+    return f"""
+    WITH prompts AS (
+      SELECT doc_id AS prompt_id, {_grpo_base_sql(spec)} AS base
+      FROM documents WHERE doc_id % {spec["mod"]} = 0
+    ),
+    rollouts AS (
+      SELECT p.prompt_id, s.i,
+             p.base + CAST('0x' || substring(
+               md5(CAST(p.prompt_id AS VARCHAR) || ':' || CAST(s.i AS VARCHAR)),
+               1, 2) AS INTEGER) % {spec["rmod"]} AS reward
+      FROM prompts p
+      CROSS JOIN (SELECT unnest(generate_series(0, {g - 1})) AS i) s
+    ),
+    stats AS (
+      SELECT prompt_id,
+             CAST(SUM(reward) AS BIGINT) AS s,
+             CAST(SUM(reward * reward) AS BIGINT) AS q
+      FROM rollouts GROUP BY prompt_id
+    )
+    SELECT r.prompt_id, r.i AS rollout, CAST(r.reward AS BIGINT) AS reward,
+           ROUND(COALESCE(
+             (r.reward - t.s / {g}.0)
+             / NULLIF(sqrt(t.q / {g}.0 - (t.s / {g}.0) * (t.s / {g}.0)), 0),
+             0), 6) AS advantage
+    FROM rollouts r JOIN stats t ON t.prompt_id = r.prompt_id
+    """
+
+
+def _grpo_df(spark, spec):
+    g = spec["g"]
+    base = (
+        F.length("text") % 50 if spec["base"] == "len" else F.col("n_chars") % 50
+    )
+    d = load_table(spark, SF_DIR, "documents")
+    prompts = d.filter(F.col("doc_id") % spec["mod"] == 0).select(
+        F.col("doc_id").alias("prompt_id"), base.alias("base")
+    )
+    rollouts = prompts.select(
+        "prompt_id",
+        "base",
+        F.explode(F.sequence(F.lit(0), F.lit(g - 1))).alias("i"),
+    ).select(
+        "prompt_id",
+        "i",
+        (
+            F.col("base")
+            + F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("prompt_id").cast("string"),
+                            F.col("i").cast("string"),
+                        )
+                    ),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % spec["rmod"]
+        ).alias("reward"),
+    )
+    stats = rollouts.groupBy("prompt_id").agg(
+        F.sum("reward").cast("long").alias("s"),
+        F.sum(F.col("reward") * F.col("reward")).cast("long").alias("q"),
+    )
+    mean = F.col("s") / float(g)
+    var = F.col("q") / float(g) - mean * mean
+    return rollouts.join(stats, "prompt_id").select(
+        "prompt_id",
+        F.col("i").alias("rollout"),
+        F.col("reward").cast("long").alias("reward"),
+        F.round(
+            F.coalesce(
+                (F.col("reward") - mean) / F.nullif(F.sqrt(var), F.lit(0)),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("advantage"),
+    )
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=grpo_specs())
+def test_random_grpo_matches_duckdb(spark, duck, spec):
+    """GRPO advantage fuzz (r10 llm_grpo_advantage family): randomized
+    prompt stride / rollout count / reward modulus / base feature must
+    yield identical exact-integer group stats and 6dp advantages."""
+    spark_pdf = _grpo_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_grpo_sql(spec)).df()
+    r = compare("fuzz_grpo", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nnotes={r['notes']}"
+
+
+# ---- log-log OLS grammar (r10 evt_retention_fit family) ---------------------
+#
+# The explicit normal-equation OLS epilogue behind evt_retention_fit
+# (and evt_ols_multifactor's 1-factor degenerate case): fit ln(y) vs
+# ln(x) through raw Σx/Σy/Σxy/Σxx sums. Randomizes the series (daily
+# event counts per type), the prefix length K, and a min-count guard.
+# Counts are exact integers; the logs and the closed-form slope agree
+# to 6dp because both engines fold the same handful of doubles.
+
+
+@st.composite
+def loglog_specs(draw):
+    return {
+        "k": draw(st.sampled_from([5, 8, 12])),
+        "minc": draw(st.sampled_from([0, 2])),
+        "etype": draw(st.sampled_from(["click", "view", "purchase", None])),
+    }
+
+
+def _loglog_sql(spec) -> str:
+    where = f"WHERE event_type = '{spec['etype']}'" if spec["etype"] else ""
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             COUNT(*) AS y
+      FROM events {where}
+      GROUP BY event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+    ),
+    ranked AS (
+      SELECT event_type, y,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS k
+      FROM daily
+    ),
+    pts AS (
+      SELECT event_type, ln(CAST(k AS DOUBLE)) AS x, ln(CAST(y AS DOUBLE)) AS yl
+      FROM ranked WHERE k <= {spec["k"]} AND y > {spec["minc"]}
+    ),
+    sums AS (
+      SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(yl) AS sy,
+             SUM(x * yl) AS sxy, SUM(x * x) AS sxx
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6) AS slope,
+           ROUND((sy - sx * (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0)) / n, 6)
+             AS intercept
+    FROM sums WHERE n >= 2
+    """
+
+
+def _loglog_df(spark, spec):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, SF_DIR, "events")
+    if spec["etype"]:
+        ev = ev.filter(F.col("event_type") == spec["etype"])
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    pts = (
+        daily.select("event_type", "y", F.row_number().over(w).alias("k"))
+        .filter((F.col("k") <= spec["k"]) & (F.col("y") > spec["minc"]))
+        .select(
+            "event_type",
+            F.log(F.col("k").cast("double")).alias("x"),
+            F.log(F.col("y").cast("double")).alias("yl"),
+        )
+    )
+    sums = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("yl").alias("sy"),
+        F.sum(F.col("x") * F.col("yl")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.nullif(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0))
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    return sums.filter(F.col("n") >= 2).select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - F.col("sx") * slope) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=loglog_specs())
+def test_random_loglog_ols_matches_duckdb(spark, duck, spec):
+    """Log-log normal-equation OLS fuzz (r10 evt_retention_fit family):
+    randomized series prefix / count guard / type filter must produce
+    identical 6dp slope+intercept from raw sums."""
+    spark_pdf = _loglog_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_loglog_sql(spec)).df()
+    r = compare("fuzz_loglog_ols", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nnotes={r['notes']}"
+
+
+# ---- segment-ownership rewrite grammar (r10 llm_paragraph_dedup family) -----
+#
+# First-occurrence segment ownership + in-order reassembly: split each
+# doc on a randomized delimiter token, assign each distinct segment to
+# its global (doc_id, pos)-min owner, and rebuild each doc from the
+# segments it owns. Randomizes the split token, a min-segment-length
+# cut, and casing. Output is the reassembled string — any ownership or
+# ordering divergence corrupts a concatenation, never a float tail.
+
+
+@st.composite
+def segown_specs(draw):
+    return {
+        "delim": draw(st.sampled_from([" spark ", " join ", " filter "])),
+        "minlen": draw(st.sampled_from([0, 5, 20])),
+        "lower": draw(st.booleans()),
+    }
+
+
+def _segown_sql(spec) -> str:
+    txt = "lower(text)" if spec["lower"] else "text"
+    return f"""
+    WITH segs AS (
+      SELECT doc_id, pos, seg FROM (
+        SELECT doc_id,
+               generate_subscripts(string_split({txt}, '{spec["delim"]}'), 1) AS pos,
+               unnest(string_split({txt}, '{spec["delim"]}')) AS seg
+        FROM documents
+      ) u
+      WHERE length(seg) > {spec["minlen"]}
+    ),
+    kept AS (
+      SELECT doc_id, pos, seg FROM (
+        SELECT doc_id, pos, seg,
+               ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+        FROM segs
+      ) t WHERE rn = 1
+    )
+    SELECT doc_id,
+           array_to_string(list(seg ORDER BY pos), '|') AS kept_text,
+           CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM kept GROUP BY doc_id
+    """
+
+
+def _segown_df(spark, spec):
+    txt = F.lower(F.col("text")) if spec["lower"] else F.col("text")
+    d = load_table(spark, SF_DIR, "documents")
+    segs = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(txt, spec["delim"])).alias("pos0", "seg"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "seg")
+        .filter(F.length("seg") > spec["minlen"])
+    )
+    owner = segs.groupBy("seg").agg(
+        F.min(F.struct("doc_id", "pos")).alias("o")
+    )
+    kept = segs.join(owner, "seg").filter(
+        (F.col("o.doc_id") == F.col("doc_id")) & (F.col("o.pos") == F.col("pos"))
+    )
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(pos, seg))), x -> x.seg)"),
+            "|",
+        ).alias("kept_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+
+
+@settings(
+    max_examples=18,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=segown_specs())
+def test_random_segment_ownership_matches_duckdb(spark, duck, spec):
+    """Segment-ownership rewrite fuzz (r10 llm_paragraph_dedup family):
+    randomized delimiter / length cut / casing must give identical
+    global first-occurrence owners and reassembled survivor strings."""
+    spark_pdf = _segown_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_segown_sql(spec)).df()
+    r = compare("fuzz_segment_ownership", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nnotes={r['notes']}"
+
+
+# ---- pack-efficiency grammar (r10 llm_pack_efficiency_curve family) ---------
+#
+# Context-window economics from per-doc token counts: for a randomized
+# ctx size, truncation loss Σ max(0, n-C), capped mass Σ min(n, C),
+# bin count ceil(capped/C), and utilization capped/(bins*C). All-integer
+# until the single final division. Randomizes ctx, the token splitter,
+# and a stratum axis.
+
+
+@st.composite
+def packeff_specs(draw):
+    return {
+        "ctx": draw(st.sampled_from([32, 64, 128, 256])),
+        "by": draw(st.sampled_from(["lang", "source", None])),
+        "lower": draw(st.booleans()),
+    }
+
+
+def _packeff_sql(spec) -> str:
+    txt = "lower(text)" if spec["lower"] else "text"
+    by = spec["by"] or "'all'"
+    c = spec["ctx"]
+    return f"""
+    WITH n AS (
+      SELECT {by} AS stratum,
+             len(list_filter(string_split({txt}, ' '), t -> t <> '')) AS n
+      FROM documents
+    )
+    SELECT stratum,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(GREATEST(n - {c}, 0)) AS BIGINT) AS trunc_loss,
+           CAST(SUM(LEAST(n, {c})) AS BIGINT) AS capped_tokens,
+           CAST(CEIL(SUM(LEAST(n, {c})) * 1.0 / {c}) AS BIGINT) AS bins,
+           ROUND(SUM(LEAST(n, {c}))
+                 / (CEIL(SUM(LEAST(n, {c})) * 1.0 / {c}) * {c}.0), 6) AS util
+    FROM n GROUP BY stratum
+    """
+
+
+def _packeff_df(spark, spec):
+    txt = F.lower(F.col("text")) if spec["lower"] else F.col("text")
+    c = spec["ctx"]
+    d = load_table(spark, SF_DIR, "documents")
+    by = F.col(spec["by"]) if spec["by"] else F.lit("all")
+    n = d.select(
+        by.alias("stratum"),
+        F.size(F.filter(F.split(txt, " "), lambda t: t != "")).alias("n"),
+    )
+    capped = F.sum(F.least(F.col("n"), F.lit(c)))
+    bins = F.ceil(capped * 1.0 / c)
+    return n.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.greatest(F.col("n") - c, F.lit(0))).cast("long").alias("trunc_loss"),
+        capped.cast("long").alias("capped_tokens"),
+        bins.cast("long").alias("bins"),
+        F.round(capped / (bins * float(c)), 6).alias("util"),
+    )
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=packeff_specs())
+def test_random_pack_efficiency_matches_duckdb(spark, duck, spec):
+    """Pack-efficiency fuzz (r10 llm_pack_efficiency_curve family):
+    randomized ctx / stratum / casing must agree on the all-integer
+    packing ledger and the single final utilization division."""
+    spark_pdf = _packeff_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_packeff_sql(spec)).df()
+    r = compare("fuzz_pack_efficiency", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nnotes={r['notes']}"

@@ -1775,3 +1775,79 @@ def test_cache_table_pruned_scan_both_phases(spark, registry):
     assert "Python" not in f.text
     assert has_pushed_filters(f), "l_returnflag='R' must reach the scan"
     assert set(scan_read_columns(f)) == {2}, "phase sink + pruned lineitem"
+
+
+def test_geo_grid_join_is_equi_blocked(spark, registry):
+    """join_geo_grid: the radius join must plan as an EQUI join on the
+    cell id (hash or broadcast), never a cartesian — the blocking is
+    the whole point; the haversine is a post-join filter."""
+    f = _facts(spark, registry, "join_geo_grid")
+    assert f.cartesian == 0, "grid blocking must avoid the cross product"
+    assert "Python" not in f.text
+
+
+def test_modularity_broadcasts_node_attributes(spark, registry):
+    """graph_modularity: the two node-attribute dimension joins
+    (customer/supplier nation labels) broadcast; the only fact-sized
+    work is the orders x lineitem edge derivation."""
+    f = _facts(spark, registry, "graph_modularity")
+    assert f.cartesian == 0
+    assert f.broadcast_joins >= 3, "dims + 1-row edge total must broadcast"
+
+
+def test_drift_psi_single_fact_scan_shape(spark, registry):
+    """dq_drift_psi: the fact contributes one 2-column (date, price)
+    scan feeding a map-side-combinable (year, bin) count; the grid /
+    smoothing / reference joins run on ~70 rows."""
+    f = _facts(spark, registry, "dq_drift_psi")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+    assert min(scan_read_columns(f)) <= 2, "fact scan pruned to 2 columns"
+
+
+def test_theil_sen_pair_join_keyed_on_series(spark, registry):
+    """evt_theil_sen: the pairwise-slope join is EQUI on event_type
+    (calendar-bounded per series) and the tiny slope frame broadcasts
+    back; no cartesian, no Python."""
+    f = _facts(spark, registry, "evt_theil_sen")
+    assert f.cartesian == 0
+    assert f.broadcast_joins >= 1, "per-series slope medians broadcast back"
+    assert "Python" not in f.text
+
+
+def test_pca_power_iter_corpus_never_shuffles(spark, registry):
+    """llm_pca_power_iter: every iteration reduces to 64-group
+    aggregates — the corpus-sized frame itself is never exchange-keyed
+    (all joins against 1-row iterate/norm frames are broadcast)."""
+    f = _facts(spark, registry, "llm_pca_power_iter")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+    assert f.broadcast_joins >= 4, "iterate/norm frames join via broadcast"
+
+
+def test_ivfpq_equi_joins_only(spark, registry):
+    """llm_ann_ivfpq: routing is a broadcast of the centroid table;
+    ADC is equi-keyed on (cell) then (probe, m, code); no cartesian
+    anywhere in the compound plan."""
+    f = _facts(spark, registry, "llm_ann_ivfpq")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+    assert f.broadcast_joins >= 2
+
+
+def test_dp_counts_one_aggregate(spark, registry):
+    """llm_dp_counts: one map-side-combinable (lang, source) count; the
+    noise is a pure projection — no joins at all."""
+    f = _facts(spark, registry, "llm_dp_counts")
+    assert f.cartesian == 0
+    assert f.broadcast_joins == 0 and f.sort_merge_joins == 0
+    assert "Python" not in f.text
+
+
+def test_holt_winters_single_series_shuffle(spark, registry):
+    """evt_holt_winters: the only corpus-sized shuffles are the daily
+    rollup and the series-keyed grouped-map; the recursion itself is
+    one Arrow batch per series."""
+    f = _facts(spark, registry, "evt_holt_winters")
+    assert f.cartesian == 0
+    assert "FlatMapGroupsInPandas" in f.text or "Python" in f.text

@@ -4870,3 +4870,100 @@ def evt_retention_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_k")
     )
+
+
+# PACF depth: Durbin-Levinson unrolled to lag 4 (the AR-order
+# identification depth a daily series with ~30 points supports).
+_PACF_LAGS = 4
+
+
+def _pacf_oracle() -> str:
+    from hive_test_spark.registry import ORACLES
+
+    return f"""
+    WITH base AS ({ORACLES["evt_acf"]}),
+    w AS (
+      SELECT MAX(CASE WHEN lag = 1 THEN acf END) AS r1,
+             MAX(CASE WHEN lag = 2 THEN acf END) AS r2,
+             MAX(CASE WHEN lag = 3 THEN acf END) AS r3,
+             MAX(CASE WHEN lag = 4 THEN acf END) AS r4
+      FROM base WHERE lag <= {_PACF_LAGS}
+    ),
+    p2 AS (SELECT *, (r2 - r1 * r1) / (1 - r1 * r1) AS phi22 FROM w),
+    p2b AS (SELECT *, r1 - phi22 * r1 AS phi21 FROM p2),
+    p3 AS (SELECT *, (r3 - phi21 * r2 - phi22 * r1)
+                     / (1 - phi21 * r1 - phi22 * r2) AS phi33 FROM p2b),
+    p3b AS (SELECT *, phi21 - phi33 * phi22 AS phi31,
+                      phi22 - phi33 * phi21 AS phi32 FROM p3),
+    p4 AS (SELECT *, (r4 - phi31 * r3 - phi32 * r2 - phi33 * r1)
+                     / (1 - phi31 * r1 - phi32 * r2 - phi33 * r3) AS phi44
+           FROM p3b)
+    SELECT lag, acf, pacf FROM (
+      SELECT 1 AS lag, r1 AS acf, ROUND(r1, 6) AS pacf FROM p4
+      UNION ALL SELECT 2, r2, ROUND(phi22, 6) FROM p4
+      UNION ALL SELECT 3, r3, ROUND(phi33, 6) FROM p4
+      UNION ALL SELECT 4, r4, ROUND(phi44, 6) FROM p4
+    ) u ORDER BY lag
+    """
+
+
+@register("evt_pacf", _pacf_oracle())
+def evt_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the daily-revenue series via the
+    Durbin-Levinson recursion unrolled to lag 4 [public method:
+    Durbin 1960 — phi_kk from the ACF prefix; THE AR(p) order-selection
+    diagnostic: the PACF of an AR(p) process cuts off after lag p,
+    where the raw ACF (evt_acf) tails forever]. The recursion consumes
+    the 6dp-ROUNDED ACF coefficients evt_acf already oracle-verifies,
+    so both engines run identical scalar arithmetic on identical
+    inputs — bitwise-equal partials without any new float contract.
+
+    At 100 TB: identical cost profile to evt_acf (one map-side
+    date-keyed rollup is the only corpus pass); the Durbin-Levinson
+    chain is O(lag^2) scalar math on a ONE-ROW frame — optimizer
+    epilogue, not data processing. Composes the registered evt_acf
+    function directly (the llm_soft_dedup_weights reuse rule: derived
+    diagnostics must consume the verified frame, not re-derive it)."""
+    from hive_test_spark.registry import QUERIES
+
+    tune(spark)
+    acf = QUERIES["evt_acf"](spark, sf_dir).filter(F.col("lag") <= _PACF_LAGS)
+    w = acf.agg(
+        *[
+            F.max(F.when(F.col("lag") == k, F.col("acf"))).alias(f"r{k}")
+            for k in range(1, _PACF_LAGS + 1)
+        ]
+    )
+    w = w.withColumn(
+        "phi22", (F.col("r2") - F.col("r1") * F.col("r1")) / (1 - F.col("r1") * F.col("r1"))
+    )
+    w = w.withColumn("phi21", F.col("r1") - F.col("phi22") * F.col("r1"))
+    w = w.withColumn(
+        "phi33",
+        (F.col("r3") - F.col("phi21") * F.col("r2") - F.col("phi22") * F.col("r1"))
+        / (1 - F.col("phi21") * F.col("r1") - F.col("phi22") * F.col("r2")),
+    )
+    w = w.withColumn("phi31", F.col("phi21") - F.col("phi33") * F.col("phi22"))
+    w = w.withColumn("phi32", F.col("phi22") - F.col("phi33") * F.col("phi21"))
+    w = w.withColumn(
+        "phi44",
+        (
+            F.col("r4")
+            - F.col("phi31") * F.col("r3")
+            - F.col("phi32") * F.col("r2")
+            - F.col("phi33") * F.col("r1")
+        )
+        / (
+            1
+            - F.col("phi31") * F.col("r1")
+            - F.col("phi32") * F.col("r2")
+            - F.col("phi33") * F.col("r3")
+        ),
+    )
+    return w.selectExpr(
+        "stack(4, "
+        "1, r1, ROUND(r1, 6), "
+        "2, r2, ROUND(phi22, 6), "
+        "3, r3, ROUND(phi33, 6), "
+        "4, r4, ROUND(phi44, 6)) AS (lag, acf, pacf)"
+    ).orderBy("lag")

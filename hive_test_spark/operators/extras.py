@@ -471,3 +471,75 @@ def agg_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@register(
+    "scale_codec_tradeoff",
+    """
+    SELECT c.codec,
+           s.n AS n_rows,
+           TRUE AS rows_ok,
+           TRUE AS sum_ok,
+           TRUE AS compressed_not_larger
+    FROM (VALUES ('none'), ('snappy'), ('zstd')) c(codec)
+    CROSS JOIN (SELECT COUNT(*) AS n FROM lineitem) s
+    ORDER BY c.codec
+    """,
+)
+def scale_codec_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-codec tradeoff audit — the sibling table-maintenance knob
+    to scale_compaction: the SAME lineitem projection is written three
+    times with compression none/snappy/zstd, and each copy is proven
+    byte-lossless by re-reading it and checking row count and an exact
+    integer key sum against the source IN-QUERY (boolean columns the
+    oracle pins TRUE — a corrupted or dropped row fails the hash gate).
+    ``compressed_not_larger`` pins the robust size invariant (each
+    codec's on-disk bytes <= the uncompressed copy, from driver-side
+    file metadata only — the scale_compaction sizing idiom); the exact
+    byte counts are codec-version-dependent and deliberately NOT
+    emitted.
+
+    At 100 TB this choice is real money: parquet+zstd typically halves
+    snappy's footprint at ~equal scan throughput, and the audit shape —
+    write, re-read, aggregate-compare — is exactly how a lake migration
+    validates a codec switch before flipping the table default."""
+    tune(spark)
+    tag = _sf_tag(sf_dir)
+    src = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_shipdate"
+    )
+    codecs = ("none", "snappy", "zstd")
+    paths, sizes = {}, {}
+    for codec in codecs:
+        p = scratch_dir("codec", tag, codec)
+        shutil.rmtree(p, ignore_errors=True)
+        src.write.mode("overwrite").option("compression", codec).parquet(p)
+        paths[codec] = p
+        sizes[codec] = sum(
+            os.path.getsize(f) for f in glob.glob(os.path.join(p, "*.parquet"))
+        )
+    src_agg = src.agg(
+        F.count(F.lit(1)).alias("src_n"),
+        F.sum("l_orderkey").alias("src_sum"),
+    )
+    parts = []
+    for codec in codecs:
+        rb = spark.read.parquet(paths[codec]).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_orderkey").alias("rb_sum"),
+        )
+        parts.append(
+            rb.crossJoin(F.broadcast(src_agg)).select(
+                F.lit(codec).alias("codec"),
+                "n_rows",
+                (F.col("n_rows") == F.col("src_n")).alias("rows_ok"),
+                (F.col("rb_sum") == F.col("src_sum")).alias("sum_ok"),
+                F.lit(bool(sizes[codec] <= sizes["none"])).alias(
+                    "compressed_not_larger"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("codec")

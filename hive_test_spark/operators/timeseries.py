@@ -818,3 +818,63 @@ def evt_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trend double, seasonal double, forecast_next double"
     )
     return s.groupBy("event_type").applyInPandas(_hw_group, schema)
+
+
+def _seasonality_strength_oracle() -> str:
+    from hive_test_spark.registry import ORACLES
+
+    return f"""
+    WITH d AS ({ORACLES["evt_seasonal_decompose"]}),
+    v AS (
+      SELECT var_samp(residual) AS vr,
+             var_samp(seasonal + residual) AS vsr,
+             var_samp(trend + residual) AS vtr,
+             COUNT(*) AS n_days
+      FROM d WHERE trend IS NOT NULL
+    )
+    SELECT CAST(n_days AS BIGINT) AS n_days,
+           ROUND(GREATEST(0.0, 1 - vr / vsr), 6) AS f_seasonal,
+           ROUND(GREATEST(0.0, 1 - vr / vtr), 6) AS f_trend
+    FROM v
+    """
+
+
+@register("evt_seasonality_strength", _seasonality_strength_oracle())
+def evt_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality / trend strength of the daily revenue series [public
+    method: Wang-Smith-Hyndman feature measures, F_s = max(0, 1 -
+    Var(R)/Var(S+R)) and F_t = max(0, 1 - Var(R)/Var(T+R)) — the
+    scalar that decides whether evt_holt_winters' seasonal state or
+    evt_holt_linear's trend-only model is worth fitting at all].
+    Composes the registered evt_seasonal_decompose frame (the
+    evt_pacf reuse rule: derived diagnostics consume the verified
+    decomposition, never re-derive it), restricted to the interior
+    days where the centered trend is defined.
+
+    At 100 TB: the decomposition's one date-keyed rollup is the only
+    corpus pass; the strength epilogue is two variance aggregates over
+    the day-dimension frame — metadata-sized however large the event
+    log. Both engines variance identical 6dp-rounded components, and
+    the output rounds at 6dp, comfortably above var_samp's
+    summation-order noise floor."""
+    from hive_test_spark.registry import QUERIES
+
+    tune(spark)
+    d = QUERIES["evt_seasonal_decompose"](spark, sf_dir).filter(
+        F.col("trend").isNotNull()
+    )
+    v = d.agg(
+        F.var_samp("residual").alias("vr"),
+        F.var_samp(F.col("seasonal") + F.col("residual")).alias("vsr"),
+        F.var_samp(F.col("trend") + F.col("residual")).alias("vtr"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    return v.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(F.greatest(F.lit(0.0), 1 - F.col("vr") / F.col("vsr")), 6).alias(
+            "f_seasonal"
+        ),
+        F.round(F.greatest(F.lit(0.0), 1 - F.col("vr") / F.col("vtr")), 6).alias(
+            "f_trend"
+        ),
+    )

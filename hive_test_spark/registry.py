@@ -268,6 +268,9 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     "graph_modularity", "evt_theil_sen", "evt_holt_winters",
     "dq_drift_psi", "join_geo_grid", "llm_dp_counts",
     "llm_pca_power_iter", "llm_ann_ivfpq",
+    # Round-9 second wave: codec economics, AR-order identification,
+    # and the decomposition-strength scalar (also appended at the END).
+    "scale_codec_tradeoff", "evt_pacf", "evt_seasonality_strength",
 )
 
 

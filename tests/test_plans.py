@@ -1851,3 +1851,31 @@ def test_holt_winters_single_series_shuffle(spark, registry):
     f = _facts(spark, registry, "evt_holt_winters")
     assert f.cartesian == 0
     assert "FlatMapGroupsInPandas" in f.text or "Python" in f.text
+
+
+def test_codec_tradeoff_projection_pruned(spark, registry):
+    """scale_codec_tradeoff: every leg (source agg + three re-reads)
+    aggregates a pruned slice; no joins beyond the broadcast 1-row
+    source totals, no Python."""
+    f = _facts(spark, registry, "scale_codec_tradeoff")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+    assert f.sort_merge_joins == 0
+
+
+def test_pacf_is_scalar_epilogue(spark, registry):
+    """evt_pacf: one corpus pass (the evt_acf day rollup); the
+    Durbin-Levinson chain runs on a ONE-ROW frame — no extra joins of
+    fact-sized frames, no Python."""
+    f = _facts(spark, registry, "evt_pacf")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+
+
+def test_seasonality_strength_two_aggs_on_day_frame(spark, registry):
+    """evt_seasonality_strength: the decompose day-frame feeds two
+    variance aggregates — day-dimension-sized work after the single
+    date-keyed rollup."""
+    f = _facts(spark, registry, "evt_seasonality_strength")
+    assert f.cartesian == 0
+    assert "Python" not in f.text

@@ -878,3 +878,104 @@ def evt_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             "f_trend"
         ),
     )
+
+
+# Backtest region: skip the first 8 days so the seasonal-naive (lag 7)
+# and drift baselines are defined at every scored origin.
+_BT_MIN_RN = 9
+
+
+@register(
+    "evt_forecast_backtest",
+    f"""
+    WITH s AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             ROUND(SUM(value), 6) AS rev,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS rn
+      FROM events
+      GROUP BY event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+    ),
+    p AS (
+      SELECT event_type, rn, rev,
+             LAG(rev, 1) OVER w AS p_naive,
+             LAG(rev, 7) OVER w AS p_snaive,
+             LAG(rev, 1) OVER w
+               + (LAG(rev, 1) OVER w - FIRST_VALUE(rev) OVER w) / NULLIF(rn - 2, 0)
+               AS p_drift
+      FROM s
+      WINDOW w AS (PARTITION BY event_type ORDER BY rn)
+    ),
+    u AS (
+      SELECT event_type, rn, rev, 'naive' AS method, p_naive AS pred FROM p
+      UNION ALL
+      SELECT event_type, rn, rev, 'snaive', p_snaive FROM p
+      UNION ALL
+      SELECT event_type, rn, rev, 'drift', p_drift FROM p
+    )
+    SELECT event_type, method,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(AVG(ABS(rev - pred)), 6) AS mae,
+           ROUND(AVG(ABS(rev - pred) / NULLIF(ABS(rev), 0)), 6) AS mape
+    FROM u WHERE rn >= {_BT_MIN_RN}
+    GROUP BY event_type, method
+    ORDER BY event_type, method
+    """,
+)
+def evt_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtest of the three classical baselines
+    [public method: Hyndman & Athanasopoulos's benchmark rule — naive
+    (last value), seasonal-naive (value one period back), and drift
+    (last value + average historical increment); any model that cannot
+    beat these per-series MAE/MAPE numbers is not worth deploying]:
+    each day from rn=9 on is scored as a one-step-ahead
+    origin using ONLY strictly-prior data (LAG windows — no leakage by
+    construction), and errors aggregate per (series, method). This is
+    the acceptance gate evt_holt_linear / evt_holt_winters /
+    evt_forecast_snaive feed into: a 100 TB forecast platform runs
+    exactly this shape nightly over millions of series.
+
+    At 100 TB: one map-side-combinable daily rollup (the only corpus
+    pass), one series-keyed window pass for all three predictors at
+    once, a 3x day-frame unpivot, and a tiny (series, method) agg.
+    Daily revenue is rounded to 6dp BEFORE the windows (the
+    evt_holt_linear round-the-inputs rule) so both engines difference
+    identical doubles."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 6).alias("rev")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    p = s.select(
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        "rev",
+        F.lag("rev", 1).over(w).alias("p_naive"),
+        F.lag("rev", 7).over(w).alias("p_snaive"),
+        (
+            F.lag("rev", 1).over(w)
+            + (F.lag("rev", 1).over(w) - F.first("rev").over(w))
+            / F.nullif(F.row_number().over(w) - 2, F.lit(0))
+        ).alias("p_drift"),
+    )
+    u = p.selectExpr(
+        "event_type",
+        "rn",
+        "rev",
+        "stack(3, 'naive', p_naive, 'snaive', p_snaive, 'drift', p_drift)"
+        " AS (method, pred)",
+    )
+    err = F.abs(F.col("rev") - F.col("pred"))
+    return (
+        u.filter(F.col("rn") >= _BT_MIN_RN)
+        .groupBy("event_type", "method")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.avg(err), 6).alias("mae"),
+            F.round(
+                F.avg(err / F.nullif(F.abs(F.col("rev")), F.lit(0))), 6
+            ).alias("mape"),
+        )
+        .orderBy("event_type", "method")
+    )

@@ -271,6 +271,9 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     # Round-9 second wave: codec economics, AR-order identification,
     # and the decomposition-strength scalar (also appended at the END).
     "scale_codec_tradeoff", "evt_pacf", "evt_seasonality_strength",
+    # Round-9 third wave: the baseline acceptance gate the forecast
+    # family (snaive/holt/holt_winters) is judged against.
+    "evt_forecast_backtest",
 )
 
 

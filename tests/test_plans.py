@@ -1879,3 +1879,13 @@ def test_seasonality_strength_two_aggs_on_day_frame(spark, registry):
     f = _facts(spark, registry, "evt_seasonality_strength")
     assert f.cartesian == 0
     assert "Python" not in f.text
+
+
+def test_forecast_backtest_single_window_pass(spark, registry):
+    """evt_forecast_backtest: one daily rollup, one series-keyed window
+    pass computing all three predictors, a 3x unpivot, and a tiny agg —
+    no joins, no Python."""
+    f = _facts(spark, registry, "evt_forecast_backtest")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+    assert f.broadcast_joins == 0 and f.sort_merge_joins == 0

@@ -3529,3 +3529,183 @@ def test_random_pack_efficiency_matches_duckdb(spark, duck, spec):
     duck_pdf = duck.execute(_packeff_sql(spec)).df()
     r = compare("fuzz_pack_efficiency", spark_pdf, duck_pdf)
     assert r["ok"], f"spec={spec}\nnotes={r['notes']}"
+
+
+# ---- geo grid-blocking grammar (r9 join_geo_grid family) --------------------
+#
+# The blocking-correctness invariant under fuzz: Spark's 3x3
+# neighbor-cell equi-join must return EXACTLY the pairs DuckDB's
+# brute-force cross join finds, for any radius <= the cell-coverage
+# bound and any key stride. A cell-sizing or neighbor-enumeration bug
+# drops whole pairs — integer-visible, never a float tail.
+
+
+@st.composite
+def geogrid_specs(draw):
+    return {
+        "radius": draw(st.sampled_from([80.0, 120.0, 200.0])),
+        "cmod": draw(st.sampled_from([1, 2, 3])),
+        "smod": draw(st.sampled_from([1, 2])),
+    }
+
+
+_GG_U = "(CAST(('0x' || substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0)"
+_GG_U_SPARK = "(CAST(conv(substring(md5(concat('{salt}', CAST({key} AS STRING))), 1, 8), 16, 10) AS BIGINT) / 4294967296.0D)"
+_GG_HAV = (
+    "2 * 6371.0088 * asin(sqrt("
+    "pow(sin(radians({lat2} - {lat1}) / 2), 2) "
+    "+ cos(radians({lat1})) * cos(radians({lat2})) "
+    "* pow(sin(radians({lon2} - {lon1}) / 2), 2)))"
+)
+
+
+def _geogrid_sql(spec) -> str:
+    return f"""
+    WITH c AS (
+      SELECT c_custkey,
+             40 + 20 * {_GG_U.format(salt='lat:c', key='c_custkey')} AS lat,
+             -10 + 40 * {_GG_U.format(salt='lon:c', key='c_custkey')} AS lon
+      FROM customer WHERE c_custkey % {spec["cmod"]} = 0
+    ),
+    s AS (
+      SELECT s_suppkey,
+             40 + 20 * {_GG_U.format(salt='lat:s', key='s_suppkey')} AS lat,
+             -10 + 40 * {_GG_U.format(salt='lon:s', key='s_suppkey')} AS lon
+      FROM supplier WHERE s_suppkey % {spec["smod"]} = 0
+    )
+    SELECT c.c_custkey, s.s_suppkey,
+           ROUND({_GG_HAV.format(lat1='c.lat', lon1='c.lon', lat2='s.lat', lon2='s.lon')}, 3) AS dist_km
+    FROM c CROSS JOIN s
+    WHERE {_GG_HAV.format(lat1='c.lat', lon1='c.lon', lat2='s.lat', lon2='s.lon')} <= {spec["radius"]}
+    """
+
+
+def _geogrid_df(spark, spec):
+    cust = load_table(spark, SF_DIR, "customer").filter(
+        F.col("c_custkey") % spec["cmod"] == 0
+    ).selectExpr(
+        "c_custkey",
+        f"40 + 20 * {_GG_U_SPARK.format(salt='lat:c', key='c_custkey')} AS lat",
+        f"-10 + 40 * {_GG_U_SPARK.format(salt='lon:c', key='c_custkey')} AS lon",
+    )
+    supp = load_table(spark, SF_DIR, "supplier").filter(
+        F.col("s_suppkey") % spec["smod"] == 0
+    ).selectExpr(
+        "s_suppkey",
+        f"40 + 20 * {_GG_U_SPARK.format(salt='lat:s', key='s_suppkey')} AS lat",
+        f"-10 + 40 * {_GG_U_SPARK.format(salt='lon:s', key='s_suppkey')} AS lon",
+    )
+    c_cells = cust.selectExpr(
+        "*",
+        "concat(CAST(CAST(floor(lat / 2.0) AS INT) AS STRING), ':', "
+        "CAST(CAST(floor(lon / 4.0) AS INT) AS STRING)) AS cell",
+    )
+    s_cells = supp.selectExpr(
+        "s_suppkey",
+        "lat AS s_lat",
+        "lon AS s_lon",
+        "CAST(floor(lat / 2.0) AS INT) AS cx",
+        "CAST(floor(lon / 4.0) AS INT) AS cy",
+    ).select(
+        "s_suppkey",
+        "s_lat",
+        "s_lon",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dx -> "
+                "transform(sequence(-1, 1), dy -> "
+                "concat(CAST(cx + dx AS STRING), ':', CAST(cy + dy AS STRING)))))"
+            )
+        ).alias("cell"),
+    )
+    dist = F.expr(_GG_HAV.format(lat1="lat", lon1="lon", lat2="s_lat", lon2="s_lon"))
+    return (
+        c_cells.join(s_cells, "cell")
+        .filter(dist <= spec["radius"])
+        .select("c_custkey", "s_suppkey", F.round(dist, 3).alias("dist_km"))
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=geogrid_specs())
+def test_random_geo_grid_matches_duckdb(spark, duck, spec):
+    """Geo grid-blocking fuzz (r9 join_geo_grid family): for every
+    radius within the cell-coverage bound and any key stride, the
+    blocked equi-join must equal the brute-force radius join exactly."""
+    spark_pdf = _geogrid_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_geogrid_sql(spec)).df()
+    r = compare("fuzz_geo_grid", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nnotes={r['notes']}"
+
+
+# ---- deterministic Laplace release grammar (r9 llm_dp_counts family) --------
+#
+# The md5-keyed inverse-CDF Laplace mechanism under fuzz: randomized
+# epsilon, grouping axis, and clamping must produce bit-identical noisy
+# releases — the sign/ln/abs chain is the same scalar arithmetic in
+# both engines once the uniform is fixed by the digest.
+
+
+@st.composite
+def dplap_specs(draw):
+    return {
+        "eps": draw(st.sampled_from([0.5, 1.0, 2.0])),
+        "by": draw(st.sampled_from(["lang", "source"])),
+        "clamp": draw(st.booleans()),
+    }
+
+
+def _dplap_noise(u: str, eps: float) -> str:
+    return f"(-1.0 / {eps}) * sign({u} - 0.5) * ln(1.0 - 2.0 * abs({u} - 0.5))"
+
+
+def _dplap_sql(spec) -> str:
+    by = spec["by"]
+    u = f"(CAST(('0x' || substr(md5('dpz:' || {by}), 1, 8)) AS BIGINT) / 4294967296.0)"
+    noisy = f"true_n + {_dplap_noise(u, spec['eps'])}"
+    if spec["clamp"]:
+        noisy = f"GREATEST(0.0, {noisy})"
+    return f"""
+    WITH g AS (SELECT {by}, COUNT(*) AS true_n FROM documents GROUP BY {by})
+    SELECT {by} AS grp, true_n, ROUND({noisy}, 3) AS dp_count
+    FROM g
+    """
+
+
+def _dplap_df(spark, spec):
+    by = spec["by"]
+    d = load_table(spark, SF_DIR, "documents")
+    u = (
+        f"(CAST(conv(substring(md5(concat('dpz:', {by})), 1, 8), 16, 10)"
+        f" AS BIGINT) / 4294967296.0D)"
+    )
+    noisy = f"true_n + {_dplap_noise(u, spec['eps'])}"
+    if spec["clamp"]:
+        noisy = f"GREATEST(0.0D, {noisy})"
+    return (
+        d.groupBy(by)
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .selectExpr(f"{by} AS grp", "true_n", f"ROUND({noisy}, 3) AS dp_count")
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=dplap_specs())
+def test_random_dp_laplace_matches_duckdb(spark, duck, spec):
+    """Deterministic Laplace-release fuzz (r9 llm_dp_counts family):
+    randomized epsilon / axis / clamping must yield bit-identical
+    md5-keyed inverse-CDF noise in both engines."""
+    spark_pdf = _dplap_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_dplap_sql(spec)).df()
+    r = compare("fuzz_dp_laplace", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nnotes={r['notes']}"

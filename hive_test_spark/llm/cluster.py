@@ -871,11 +871,14 @@ IVFPQ_NPROBE = 2
 IVFPQ_K = 10
 
 
-def _ivfpq_oracle() -> str:
+def _ivfpq_ctes() -> str:
+    """The shared IVFADC oracle prefix (through the ``adc`` distance
+    table) — consumed by both llm_ann_ivfpq (shortlist) and
+    llm_ann_ivfpq_recall (acceptance gate), so the routing + ADC
+    arithmetic cannot drift between the index and its gate."""
     from hive_test_spark.llm.similarity import _DUCK_LABEL_CENTROIDS, N_PROBES
 
-    return f"""
-    WITH {_PQ_CHAIN_CTES},
+    return f"""{_PQ_CHAIN_CTES},
     {_DUCK_LABEL_CENTROIDS},
     probes AS (SELECT vec_id AS probe_id, emb FROM e WHERE vec_id < {N_PROBES}),
     cells AS (
@@ -910,7 +913,12 @@ def _ivfpq_oracle() -> str:
       JOIN partials pt ON pt.probe_id = cl.probe_id
                       AND pt.m = co.m AND pt.cluster = co.cluster
       GROUP BY cl.probe_id, cl.cell, co.vec_id
-    )
+    )"""
+
+
+def _ivfpq_oracle() -> str:
+    return f"""
+    WITH {_ivfpq_ctes()}
     SELECT probe_id, neighbor_id, cell, adc_dist, rnk FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
                                    ORDER BY adc_dist, neighbor_id) AS rnk
@@ -939,11 +947,27 @@ def llm_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     table per probe (the PQ win — raw vectors never leave the index
     build), and every join is equi (cell id, then (m, code)); the
     partial-distance table is probe-bounded and broadcasts. Recall is
-    gated by the existing llm_ann_ivf_recall / llm_ann_pq_recall
-    acceptance ops; llm_ann_nprobe_curve prices the nprobe knob."""
+    gated end-to-end by llm_ann_ivfpq_recall (routing loss x
+    quantization loss in one number), per index family alongside
+    llm_ann_ivf_recall / llm_ann_pq_recall; llm_ann_nprobe_curve
+    prices the nprobe knob."""
+    tune(spark)
+    _, adc = _ivfpq_adc(spark, sf_dir)
+    w_rank = Window.partitionBy("probe_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        adc.select("*", F.row_number().over(w_rank).alias("rnk"))
+        .filter(F.col("rnk") <= IVFPQ_K)
+        .select("probe_id", "neighbor_id", "cell", "adc_dist", "rnk")
+        .orderBy("probe_id", "rnk")
+    )
+
+
+def _ivfpq_adc(spark: SparkSession, sf_dir: str):
+    """Spark twin of _ivfpq_ctes(): returns (e, adc) where ``e`` is the
+    double-cast corpus (vec_id, emb, label) and ``adc`` the per-(probe,
+    candidate) asymmetric-distance table over the routed cells."""
     from hive_test_spark.llm.similarity import N_PROBES, _label_centroids, _NORM
 
-    tune(spark)
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
@@ -988,10 +1012,109 @@ def llm_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("probe_id", "cell", F.col("vec_id").alias("neighbor_id"))
         .agg(F.round(F.sum("pd"), 6).alias("adc_dist"))
     )
-    w_rank = Window.partitionBy("probe_id").orderBy("adc_dist", "neighbor_id")
-    return (
-        adc.select("*", F.row_number().over(w_rank).alias("rnk"))
-        .filter(F.col("rnk") <= IVFPQ_K)
-        .select("probe_id", "neighbor_id", "cell", "adc_dist", "rnk")
-        .orderBy("probe_id", "rnk")
+    return e, adc
+
+
+def _ivfpq_recall_oracle() -> str:
+    from hive_test_spark.llm.similarity import N_PROBES  # noqa: F401 (doc parity)
+
+    return f"""
+    WITH {_ivfpq_ctes()},
+    exact AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT p.probe_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.probe_id
+                 ORDER BY ROUND(list_sum(list_transform(
+                            generate_series(1, len(c.emb)),
+                            i -> (p.emb[i] - c.emb[i]) ^ 2)), 6),
+                          c.vec_id) AS rn
+        FROM probes p JOIN e c ON c.vec_id <> p.probe_id
+      ) t WHERE rn <= {PQ_RECALL_K}
+    ),
+    short AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT probe_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY adc_dist, neighbor_id) AS rnk
+        FROM adc
+      ) t WHERE rnk <= {IVFPQ_K}
     )
+    SELECT x.probe_id,
+           COUNT(*) AS n_exact,
+           COUNT(s.neighbor_id) AS n_found,
+           ROUND(COUNT(s.neighbor_id) * 1.0 / COUNT(*), 6) AS recall_at_k
+    FROM exact x LEFT JOIN short s
+      ON s.probe_id = x.probe_id AND s.neighbor_id = x.neighbor_id
+    GROUP BY x.probe_id
+    ORDER BY x.probe_id
+    """
+
+
+@register("llm_ann_ivfpq_recall", _ivfpq_recall_oracle())
+def llm_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END recall acceptance gate for the IVF+PQ compound index:
+    how much of the true exact top-10 the routed ADC
+    shortlist captures — routing loss (a true neighbor living in an
+    unprobed cell) TIMES quantization loss (ADC misranking inside a
+    probed cell) in one per-probe number, which is exactly what a
+    deployment observes. Completes the per-family gate symmetry:
+    llm_ann_recall gates LSH, llm_ann_ivf_recall gates IVF,
+    llm_ann_pq_recall gates PQ alone, this gates their composition
+    (shared _ivfpq_ctes()/_ivfpq_adc machinery, so the gated
+    arithmetic IS the index's arithmetic).
+
+    At 100 TB: the ADC leg is the llm_ann_ivfpq serving plan verbatim;
+    the exact leg is the usual bounded-probe x corpus ground-truth
+    pass every recall gate pays (probes are an eval panel, never the
+    corpus). Both engines rank on 6dp-rounded distances with id
+    tie-breaks, and the recall join is pair-keyed."""
+    tune(spark)
+    e, adc = _ivfpq_adc(spark, sf_dir)
+    probes = e.filter(F.col("vec_id") < _ivfpq_nprobes()).select(
+        F.col("vec_id").alias("probe_id"), F.col("emb").alias("p_emb")
+    )
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb"))
+    w_exact = Window.partitionBy("probe_id").orderBy("d", "c_id")
+    exact = (
+        F.broadcast(probes)
+        .join(corpus, F.col("c_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "c_id",
+            F.round(F.expr(_SQDIST.format(a="p_emb", b="c_emb")), 6).alias("d"),
+        )
+        .select("*", F.row_number().over(w_exact).alias("rn"))
+        .filter(F.col("rn") <= PQ_RECALL_K)
+        .select("probe_id", F.col("c_id").alias("neighbor_id"))
+    )
+    w_rank = Window.partitionBy("probe_id").orderBy("adc_dist", "neighbor_id")
+    short = (
+        adc.select("probe_id", "neighbor_id", "adc_dist")
+        .select("*", F.row_number().over(w_rank).alias("rnk"))
+        .filter(F.col("rnk") <= IVFPQ_K)
+        .select("probe_id", F.col("neighbor_id").alias("s_nb"))
+    )
+    return (
+        exact.join(
+            short,
+            (short.probe_id == exact.probe_id) & (F.col("s_nb") == F.col("neighbor_id")),
+            "left",
+        )
+        .drop(short.probe_id)
+        .groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("s_nb").alias("n_found"),
+            F.round(F.count("s_nb") * 1.0 / F.count(F.lit(1)), 6).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("probe_id")
+    )
+
+
+def _ivfpq_nprobes() -> int:
+    from hive_test_spark.llm.similarity import N_PROBES
+
+    return N_PROBES

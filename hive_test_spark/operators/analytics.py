@@ -4967,3 +4967,101 @@ def evt_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "3, r3, ROUND(phi33, 6), "
         "4, r4, ROUND(phi44, 6)) AS (lag, acf, pacf)"
     ).orderBy("lag")
+
+
+@register(
+    "evt_entropy_over_time",
+    """
+    WITH c AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+             COUNT(*) AS cnt
+      FROM events GROUP BY CAST(CAST(ts AS TIMESTAMP) AS DATE), event_type
+    ),
+    days AS (SELECT DISTINCT day FROM c),
+    types AS (SELECT DISTINCT event_type FROM c),
+    grid AS (
+      SELECT d.day, t.event_type, COALESCE(c.cnt, 0) AS cnt
+      FROM days d CROSS JOIN types t
+      LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
+    ),
+    tot AS (SELECT day, CAST(SUM(cnt) AS BIGINT) AS n FROM grid GROUP BY day),
+    p AS (
+      SELECT g.day, g.event_type, g.cnt * 1.0 / t.n AS p, t.n
+      FROM grid g JOIN tot t ON t.day = g.day
+    ),
+    lagged AS (
+      SELECT day, event_type, p, n,
+             LAG(p) OVER (PARTITION BY event_type ORDER BY day) AS q
+      FROM p
+    )
+    SELECT CAST(day AS VARCHAR) AS dayd, MAX(n) AS n_events,
+           ROUND(-SUM(CASE WHEN p > 0 THEN p * ln(p) ELSE 0 END), 6) AS entropy,
+           CASE WHEN bool_and(q IS NOT NULL) THEN
+             ROUND(SUM(
+               CASE WHEN p > 0 THEN 0.5 * p * ln(2 * p / (p + q)) ELSE 0 END
+               + CASE WHEN q > 0 THEN 0.5 * q * ln(2 * q / (p + q)) ELSE 0 END
+             ), 6)
+           END AS js_prev
+    FROM lagged
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def evt_entropy_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily behavioral-mix monitoring: Shannon entropy of each day's
+    event-type distribution plus the Jensen-Shannon divergence against
+    the PREVIOUS day's mix [public method: the JS day-over-day drift
+    statistic — the time-axis, behavior-level sibling of
+    llm_corpus_drift's source-vs-rest token JS and dq_drift_psi's
+    binned-numeric PSI; a traffic-mix incident (bot flood, outage
+    dropping one event type) moves this before any volume alarm]. The
+    complete day x type grid keeps zero-count cells so absent types
+    still contribute to the divergence, the 0·ln0 = 0 convention is
+    explicit CASE arithmetic in both engines, and day 1's JS is NULL
+    via a bool_and guard rather than a silently partial sum.
+
+    At 100 TB: one map-side-combinable (day, type) count is the only
+    corpus pass; the grid is |days| x |types| (calendar x enum —
+    metadata-sized), the LAG pairs consecutive days per type in one
+    tiny window, and the per-day reduction is a 5-term sum."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    days = c.select("day").distinct()
+    types = c.select("event_type").distinct()
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(c, ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+    )
+    tot = grid.groupBy("day").agg(F.sum("cnt").cast("long").alias("n"))
+    p = grid.join(tot, "day").select(
+        "day", "event_type", (F.col("cnt") * 1.0 / F.col("n")).alias("p"), "n"
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = p.select("*", F.lag("p").over(w).alias("q"))
+    ent_term = F.when(F.col("p") > 0, F.col("p") * F.log(F.col("p"))).otherwise(0.0)
+    js_term = F.when(
+        F.col("p") > 0, 0.5 * F.col("p") * F.log(2 * F.col("p") / (F.col("p") + F.col("q")))
+    ).otherwise(0.0) + F.when(
+        F.col("q") > 0, 0.5 * F.col("q") * F.log(2 * F.col("q") / (F.col("p") + F.col("q")))
+    ).otherwise(0.0)
+    return (
+        lagged.groupBy("day")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.round(-F.sum(ent_term), 6).alias("entropy"),
+            F.when(
+                F.expr("bool_and(q IS NOT NULL)"), F.round(F.sum(js_term), 6)
+            ).alias("js_prev"),
+        )
+        .select(
+            F.col("day").cast("string").alias("dayd"),
+            "n_events",
+            "entropy",
+            "js_prev",
+        )
+        .orderBy("dayd")
+    )

@@ -218,8 +218,10 @@ def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist
 
 
-_TRIANGLES_ORACLE = """
-    WITH pairs AS (
+# The co-purchase affinity graph fragments, shared by graph_triangles
+# and graph_clustering_coefficient (the _TRADE_PAIRS_SQL single-source
+# rule, applied to the part-projection graph).
+_COPURCHASE_TRI_SQL = """pairs AS (
       SELECT a.l_partkey AS p1, b.l_partkey AS p2
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -235,9 +237,15 @@ _TRIANGLES_ORACLE = """
       SELECT a AS part FROM tri UNION ALL
       SELECT b FROM tri UNION ALL
       SELECT c FROM tri
-    )
-    SELECT part AS l_partkey, count(*) AS n_triangles
-    FROM corners GROUP BY part
+    ),
+    tri_counts AS (
+      SELECT part AS l_partkey, count(*) AS n_triangles
+      FROM corners GROUP BY part
+    )"""
+
+_TRIANGLES_ORACLE = f"""
+    WITH {_COPURCHASE_TRI_SQL}
+    SELECT l_partkey, n_triangles FROM tri_counts
 """
 
 
@@ -253,9 +261,16 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     to orient edges by (degree, id) instead of raw id so high-degree hubs
     never fan out — same two-join plan, different orientation key."""
     tune(spark)
+    return _triangle_counts(_copurchase_pairs(spark, sf_dir))
+
+
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _COPURCHASE_TRI_SQL's ``pairs`` CTE: the support>=2
+    co-purchase edge list, oriented p1 < p2, cached (it is referenced
+    three times by the wedge join and again by degree consumers)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     b_side = li.select(F.col("l_orderkey").alias("b_ok"), F.col("l_partkey").alias("p2"))
-    pairs = (
+    return (
         li.join(
             b_side,
             (F.col("b_ok") == F.col("l_orderkey")) & (F.col("l_partkey") < F.col("p2")),
@@ -270,6 +285,11 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p1", "p2")
         .cache()
     )
+
+
+def _triangle_counts(pairs: DataFrame) -> DataFrame:
+    """Spark twin of _COPURCHASE_TRI_SQL's ``tri_counts`` CTE: per-node
+    triangle participation via the ordered-edge two-join enumeration."""
     e2 = pairs.select(F.col("p1").alias("q1"), F.col("p2").alias("q2"))
     wedges = pairs.join(e2, F.col("q1") == F.col("p2")).select(
         F.col("p1").alias("a"), F.col("p2").alias("b"), F.col("q2").alias("c")
@@ -732,3 +752,68 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrib.select(
         "*", F.round(F.sum("q_contrib").over(w_all), 6).alias("q_total")
     ).orderBy("nationkey")
+
+
+@register(
+    "graph_clustering_coefficient",
+    f"""
+    WITH {_COPURCHASE_TRI_SQL},
+    deg AS (
+      SELECT node AS l_partkey, COUNT(*) AS degree FROM (
+        SELECT p1 AS node FROM pairs UNION ALL SELECT p2 FROM pairs
+      ) u GROUP BY node
+    )
+    SELECT d.l_partkey,
+           CAST(d.degree AS BIGINT) AS degree,
+           CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           ROUND(2.0 * COALESCE(t.n_triangles, 0)
+                 / (d.degree * (d.degree - 1)), 6) AS clustering_coeff,
+           ROUND(AVG(2.0 * COALESCE(t.n_triangles, 0)
+                     / (d.degree * (d.degree - 1))) OVER (), 6) AS avg_cc
+    FROM deg d LEFT JOIN tri_counts t ON t.l_partkey = d.l_partkey
+    WHERE d.degree >= 2
+    ORDER BY d.l_partkey
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node of the co-purchase affinity
+    graph [public method: Watts & Strogatz 1998 — cc_v = 2 T_v /
+    (deg_v (deg_v - 1)), the neighborhood-density score whose average
+    against a degree-matched random graph is the small-world
+    diagnostic]: composes the SAME support>=2 edge list and
+    ordered-edge triangle enumeration graph_triangles verifies (the
+    _TRADE_PAIRS_SQL single-source rule — both ops share the
+    _COPURCHASE_TRI_SQL fragment / _copurchase_pairs builder, so the
+    graph derivations cannot drift). Nodes with degree < 2 are
+    excluded (coefficient undefined); zero-triangle nodes survive via
+    the LEFT join with COALESCE 0. The graph-level mean rides along
+    per row (the graph_modularity q_total pattern).
+
+    At 100 TB: degree is one map-side-combinable count over the edge
+    list (already support-filtered); the triangle leg is the bounded
+    wedge join graph_triangles documents; the final join keys on node
+    id. The windowed mean runs on |nodes| rows."""
+    tune(spark)
+    pairs = _copurchase_pairs(spark, sf_dir)
+    tri = _triangle_counts(pairs)
+    deg = (
+        pairs.select(F.col("p1").alias("node"))
+        .unionAll(pairs.select(F.col("p2").alias("node")))
+        .groupBy(F.col("node").alias("l_partkey"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    t = F.coalesce(F.col("n_triangles"), F.lit(0))
+    cc = 2.0 * t / (F.col("degree") * (F.col("degree") - 1))
+    w_all = Window.partitionBy()
+    return (
+        deg.join(tri, "l_partkey", "left")
+        .filter(F.col("degree") >= 2)
+        .select(
+            "l_partkey",
+            F.col("degree").cast("long").alias("degree"),
+            t.cast("long").alias("n_triangles"),
+            F.round(cc, 6).alias("clustering_coeff"),
+            F.round(F.avg(cc).over(w_all), 6).alias("avg_cc"),
+        )
+        .orderBy("l_partkey")
+    )

@@ -274,6 +274,11 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     # Round-9 third wave: the baseline acceptance gate the forecast
     # family (snaive/holt/holt_winters) is judged against.
     "evt_forecast_backtest",
+    # Round-9 fourth wave: clustering coefficient over the shared
+    # co-purchase fragments, behavioral-mix drift, and the IVF+PQ
+    # recall acceptance gate.
+    "graph_clustering_coefficient", "evt_entropy_over_time",
+    "llm_ann_ivfpq_recall",
 )
 
 

@@ -1889,3 +1889,32 @@ def test_forecast_backtest_single_window_pass(spark, registry):
     assert f.cartesian == 0
     assert "Python" not in f.text
     assert f.broadcast_joins == 0 and f.sort_merge_joins == 0
+
+
+def test_clustering_coefficient_shares_copurchase_graph(spark, registry):
+    """graph_clustering_coefficient: support-filtered edge list feeds
+    both the degree count and the bounded wedge join; no cartesian,
+    no Python."""
+    f = _facts(spark, registry, "graph_clustering_coefficient")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+
+
+def test_entropy_over_time_single_corpus_pass(spark, registry):
+    """evt_entropy_over_time: one (day, type) count is the only
+    corpus-sized work; the grid/LAG/reduction run on calendar x enum
+    rows with the type frame broadcast."""
+    f = _facts(spark, registry, "evt_entropy_over_time")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+    assert f.broadcast_joins >= 1
+
+
+def test_ivfpq_recall_pair_keyed_join(spark, registry):
+    """llm_ann_ivfpq_recall: the ADC leg is the serving plan verbatim;
+    the exact leg broadcasts the bounded probe panel; the recall join
+    is pair-keyed. No cartesian."""
+    f = _facts(spark, registry, "llm_ann_ivfpq_recall")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+    assert f.broadcast_joins >= 2

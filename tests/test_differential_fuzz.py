@@ -3709,3 +3709,315 @@ def test_random_dp_laplace_matches_duckdb(spark, duck, spec):
     duck_pdf = duck.execute(_dplap_sql(spec)).df()
     r = compare("fuzz_dp_laplace", spark_pdf, duck_pdf)
     assert r["ok"], f"spec={spec}\nnotes={r['notes']}"
+
+
+# ---- Holt-Winters recursion grammar (r9 evt_holt_winters family) ------------
+#
+# The coupled level/trend/seasonal recursion under RANDOMIZED smoothing
+# constants and season length: the pandas fold and the recursive CTE
+# must iterate identical doubles for any (alpha, beta, gamma, m). This
+# pins the recursion parity itself, which the fixed-constant operator
+# oracle can only witness at one point of the parameter space.
+
+
+@st.composite
+def hw_specs(draw):
+    return {
+        "a": draw(st.sampled_from([0.2, 0.3, 0.5])),
+        "b": draw(st.sampled_from([0.1, 0.2])),
+        "g": draw(st.sampled_from([0.15, 0.25])),
+        "m": draw(st.sampled_from([5, 7])),
+    }
+
+
+def _hw_fuzz_sql(spec) -> str:
+    a, b, g, m = spec["a"], spec["b"], spec["g"], spec["m"]
+    return f"""
+    WITH RECURSIVE s AS (
+      SELECT event_type,
+             CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR) AS day,
+             ROUND(SUM(value), 6) AS rev,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS rn
+      FROM events
+      GROUP BY event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+    ),
+    init AS (
+      SELECT event_type, SUM(rev) / {m}.0 AS l0, list(rev ORDER BY rn) AS xs
+      FROM s WHERE rn <= {m} GROUP BY event_type
+    ),
+    rec (event_type, rn, day, rev, l, b, slist) AS (
+      SELECT i.event_type, {m}, CAST(NULL AS VARCHAR),
+             CAST(NULL AS DOUBLE), i.l0, CAST(0.0 AS DOUBLE),
+             list_transform(i.xs, x -> x - i.l0)
+      FROM init i
+      UNION ALL
+      SELECT n.event_type, n.rn, n.day, n.rev,
+             {a} * (n.rev - r.slist[1]) + (1.0 - {a}) * (r.l + r.b),
+             {b} * (({a} * (n.rev - r.slist[1])
+                     + (1.0 - {a}) * (r.l + r.b)) - r.l) + (1.0 - {b}) * r.b,
+             list_append(r.slist[2:{m}],
+                         {g} * (n.rev - ({a} * (n.rev - r.slist[1])
+                                         + (1.0 - {a}) * (r.l + r.b)))
+                           + (1.0 - {g}) * r.slist[1])
+      FROM rec r JOIN s n ON n.event_type = r.event_type AND n.rn = r.rn + 1
+    )
+    SELECT event_type, day,
+           ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
+           ROUND(l + b + slist[1], 6) AS forecast_next
+    FROM rec WHERE rn > {m}
+    """
+
+
+def _hw_fuzz_df(spark, spec):
+    import pandas as pd
+
+    a, b_, g, m = spec["a"], spec["b"], spec["g"], spec["m"]
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        if len(pdf) <= m:
+            return pdf.iloc[0:0].reindex(
+                columns=["event_type", "day", "level", "trend", "forecast_next"]
+            )
+        xs = list(pdf["rev"])
+        l = sum(xs[:m]) / float(m)
+        b = 0.0
+        slist = [x - l for x in xs[:m]]
+        out = []
+        for t in range(m, len(xs)):
+            x = xs[t]
+            l_new = a * (x - slist[0]) + (1.0 - a) * (l + b)
+            b_new = b_ * (l_new - l) + (1.0 - b_) * b
+            s_new = g * (x - l_new) + (1.0 - g) * slist[0]
+            slist = slist[1:] + [s_new]
+            l, b = l_new, b_new
+            out.append(
+                (pdf["event_type"].iloc[t], pdf["day"].iloc[t],
+                 round(l, 6), round(b, 6), round(l + b + slist[0], 6))
+            )
+        return pd.DataFrame(
+            out, columns=["event_type", "day", "level", "trend", "forecast_next"]
+        )
+
+    ev = load_table(spark, SF_DIR, "events")
+    s = ev.groupBy(
+        "event_type", F.to_date("ts").cast("string").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("rev"))
+    schema = (
+        "event_type string, day string, level double, trend double, "
+        "forecast_next double"
+    )
+    return s.groupBy("event_type").applyInPandas(fold, schema)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=hw_specs())
+def test_random_holt_winters_matches_duckdb(spark, duck, spec):
+    """Holt-Winters recursion fuzz (r9 evt_holt_winters family): for any
+    (alpha, beta, gamma, season length) the pandas fold and the
+    recursive CTE must track identical doubles."""
+    spark_pdf = _hw_fuzz_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_hw_fuzz_sql(spec)).df()
+    r = compare("fuzz_holt_winters", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nnotes={r['notes']}"
+
+
+# ---- percentile-interpolation parity grammar (r9 evt_theil_sen family) ------
+#
+# Spark's exact `percentile` and DuckDB's `quantile_cont` must land on
+# the same linear interpolation for ANY quantile point and ANY derived
+# value set — the exact contract evt_theil_sen's medians lean on,
+# randomized over q, the pair threshold, and the value expression.
+
+
+@st.composite
+def qinterp_specs(draw):
+    return {
+        "q": draw(st.sampled_from([0.1, 0.25, 0.5, 0.75, 0.9])),
+        "mode": draw(st.sampled_from(["slopes", "daily"])),
+        "mind": draw(st.sampled_from([1, 3])),
+    }
+
+
+def _qinterp_sql(spec) -> str:
+    q = spec["q"]
+    if spec["mode"] == "daily":
+        return f"""
+        WITH s AS (
+          SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                 ROUND(SUM(value), 6) AS rev
+          FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(quantile_cont(rev, {q}), 6) AS qv
+        FROM s GROUP BY event_type
+        """
+    return f"""
+    WITH s AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             ROUND(SUM(value), 6) AS rev
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT event_type, date_diff('day', DATE '2024-01-01', day) AS t, rev FROM s),
+    sl AS (
+      SELECT a.event_type, (b.rev - a.rev) / (b.t - a.t) AS v
+      FROM t a JOIN t b
+        ON b.event_type = a.event_type AND b.t >= a.t + {spec["mind"]}
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(v, {q}), 6) AS qv
+    FROM sl GROUP BY event_type
+    """
+
+
+def _qinterp_df(spark, spec):
+    q = spec["q"]
+    ev = load_table(spark, SF_DIR, "events")
+    s = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 6).alias("rev")
+    )
+    if spec["mode"] == "daily":
+        return s.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.expr(f"percentile(rev, {q}D)"), 6).alias("qv"),
+        )
+    t = s.select(
+        "event_type",
+        F.datediff("day", F.lit("2024-01-01").cast("date")).alias("t"),
+        "rev",
+    )
+    a = t.select("event_type", F.col("t").alias("ta"), F.col("rev").alias("ra"))
+    b = t.select("event_type", F.col("t").alias("tb"), F.col("rev").alias("rb"))
+    sl = (
+        a.join(b, "event_type")
+        .filter(F.col("tb") >= F.col("ta") + spec["mind"])
+        .select(
+            "event_type",
+            ((F.col("rb") - F.col("ra")) / (F.col("tb") - F.col("ta"))).alias("v"),
+        )
+    )
+    return sl.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.expr(f"percentile(v, {q}D)"), 6).alias("qv"),
+    )
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=qinterp_specs())
+def test_random_quantile_interp_matches_duckdb(spark, duck, spec):
+    """Percentile-interpolation parity fuzz (r9 evt_theil_sen family):
+    Spark exact percentile == DuckDB quantile_cont at any quantile
+    point over randomized derived value sets."""
+    spark_pdf = _qinterp_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_qinterp_sql(spec)).df()
+    r = compare("fuzz_quantile_interp", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nnotes={r['notes']}"
+
+
+# ---- PSI binning grammar (r9 dq_drift_psi family) ---------------------------
+#
+# Randomized bin count / width / reference year / smoothing: the binned
+# PSI is exact integer counting until a handful of final float terms,
+# so a binning or grid-completion divergence flips counts, not tails.
+
+
+@st.composite
+def psi_specs(draw):
+    return {
+        "bins": draw(st.sampled_from([5, 10, 20])),
+        "width": draw(st.sampled_from([30000.0, 60000.0, 120000.0])),
+        "ref": draw(st.sampled_from([1995, 1996])),
+        "eps": draw(st.sampled_from([0.5, 1.0])),
+    }
+
+
+def _psi_sql(spec) -> str:
+    nb, w, ref, eps = spec["bins"], spec["width"], spec["ref"], spec["eps"]
+    return f"""
+    WITH b AS (
+      SELECT year(CAST(o_orderdate AS TIMESTAMP)) AS yr,
+             LEAST(CAST(FLOOR(o_totalprice / {w}) AS INT), {nb - 1}) AS bin
+      FROM orders
+    ),
+    years AS (SELECT DISTINCT yr FROM b),
+    bins AS (SELECT unnest(generate_series(0, {nb - 1})) AS bin),
+    grid AS (SELECT y.yr, bn.bin FROM years y CROSS JOIN bins bn),
+    cnts AS (SELECT yr, bin, COUNT(*) AS c FROM b GROUP BY yr, bin),
+    g AS (
+      SELECT grid.yr, grid.bin, COALESCE(c.c, 0) AS c
+      FROM grid LEFT JOIN cnts c ON c.yr = grid.yr AND c.bin = grid.bin
+    ),
+    tot AS (SELECT yr, CAST(SUM(c) AS BIGINT) AS n FROM g GROUP BY yr),
+    prop AS (
+      SELECT g.yr, g.bin, (g.c + {eps}) / (t.n + {nb} * {eps}) AS p, t.n
+      FROM g JOIN tot t ON t.yr = g.yr
+    ),
+    ref AS (SELECT bin, p FROM prop WHERE yr = {ref}),
+    cur AS (SELECT * FROM prop WHERE yr > {ref})
+    SELECT cur.yr AS year, cur.n AS n_rows,
+           ROUND(SUM((cur.p - ref.p) * ln(cur.p / ref.p)), 6) AS psi
+    FROM cur JOIN ref ON ref.bin = cur.bin
+    GROUP BY cur.yr, cur.n
+    """
+
+
+def _psi_df(spark, spec):
+    nb, w, ref, eps = spec["bins"], spec["width"], spec["ref"], spec["eps"]
+    o = load_table(spark, SF_DIR, "orders")
+    b = o.select(
+        F.year("o_orderdate").alias("yr"),
+        F.least(
+            F.floor(F.col("o_totalprice") / w).cast("int"), F.lit(nb - 1)
+        ).alias("bin"),
+    )
+    years = b.select("yr").distinct()
+    bins = spark.range(nb).select(F.col("id").cast("int").alias("bin"))
+    grid = years.crossJoin(F.broadcast(bins))
+    cnts = b.groupBy("yr", "bin").agg(F.count(F.lit(1)).alias("c"))
+    g = grid.join(cnts, ["yr", "bin"], "left").select(
+        "yr", "bin", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    tot = g.groupBy("yr").agg(F.sum("c").cast("long").alias("n"))
+    prop = g.join(tot, "yr").select(
+        "yr", "bin", ((F.col("c") + eps) / (F.col("n") + nb * eps)).alias("p"), "n"
+    )
+    refp = prop.filter(F.col("yr") == ref).select("bin", F.col("p").alias("p_ref"))
+    cur = prop.filter(F.col("yr") > ref)
+    return (
+        cur.join(F.broadcast(refp), "bin")
+        .groupBy(F.col("yr").alias("year"), F.col("n").alias("n_rows"))
+        .agg(
+            F.round(
+                F.sum((F.col("p") - F.col("p_ref")) * F.log(F.col("p") / F.col("p_ref"))),
+                6,
+            ).alias("psi")
+        )
+    )
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=psi_specs())
+def test_random_psi_matches_duckdb(spark, duck, spec):
+    """PSI binning fuzz (r9 dq_drift_psi family): randomized bin
+    count / width / reference year / smoothing must agree on the
+    grid-completed counts and the final PSI terms."""
+    spark_pdf = _psi_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_psi_sql(spec)).df()
+    r = compare("fuzz_psi", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nnotes={r['notes']}"

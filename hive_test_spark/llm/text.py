@@ -1068,7 +1068,7 @@ _DUCK_BM25_CORE = f"""tf AS (
     )"""
 
 
-def _bm25_corpus_scored(spark: SparkSession, sf_dir: str):
+def _bm25_corpus_scored(spark: SparkSession, sf_dir: str, k1: float = _BM25_K1, b: float = _BM25_B):
     """Spark twin of _DUCK_BM25_CORE. Returns (scored, tf, docfreq,
     stats, queries). The postings, doc-length, and query frames each
     feed 2-3 stages; materialize them once (checkpoint = building the
@@ -1102,8 +1102,8 @@ def _bm25_corpus_scored(spark: SparkSession, sf_dir: str):
     idf = F.log(
         (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5) + 1.0
     )
-    norm = F.col("tf") + _BM25_K1 * (
-        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avg_dl")
+    norm = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dl") / F.col("avg_dl")
     )
     scored = (
         F.broadcast(queries)
@@ -1114,7 +1114,7 @@ def _bm25_corpus_scored(spark: SparkSession, sf_dir: str):
         .groupBy("query_id", "doc_id")
         .agg(
             F.round(
-                F.sum(idf * F.col("tf") * (_BM25_K1 + 1.0) / norm), 6
+                F.sum(idf * F.col("tf") * (k1 + 1.0) / norm), 6
             ).alias("score")
         )
     )
@@ -2008,3 +2008,141 @@ def llm_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_subwords").cast("bigint").alias("total_subwords"),
         F.round(F.avg("n_subwords"), 6).alias("avg_subwords_per_word"),
     )
+
+
+# BM25 tuning grid: the classic corners — short-doc-light (low b),
+# Robertson defaults, and aggressive length-normalization — priced by
+# SELF-RETRIEVAL (each query is the first tokens OF a document, so the
+# config should rank that document first).
+_BM25_GRID = ((0.9, 0.4), (1.2, 0.75), (2.0, 0.9))
+
+
+def _duck_bm25_core_params(k1: float, b: float) -> str:
+    """The _DUCK_BM25_CORE CTE chain with (k1, b) injected — shared by
+    the tuning-curve oracle so every grid point runs the IDENTICAL
+    arithmetic as the default-constant llm_bm25_score oracle."""
+    return f"""tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+      GROUP BY doc_id, token
+    ),
+    dlen AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avg_dl FROM dlen
+    ),
+    docfreq AS (SELECT token, COUNT(*) AS dfreq FROM tf GROUP BY token),
+    queries AS (
+      SELECT doc_id AS query_id, unnest(list_distinct(
+               string_split(text, ' ')[1:{_BM25_QUERY_TOKENS}])) AS token
+      FROM documents WHERE doc_id % {_BM25_PROBE_MOD} = 0
+    )"""
+
+
+def _duck_bm25_config_leg(k1: float, b: float) -> str:
+    """One grid point's self-retrieval reduction (consumes the shared
+    CTEs from _duck_bm25_core_params)."""
+    return f"""
+      SELECT CAST({k1} AS DOUBLE) AS k1, CAST({b} AS DOUBLE) AS b,
+             CAST(COUNT(*) AS BIGINT) AS n_queries,
+             ROUND(AVG(CASE WHEN self_rank = 1 THEN 1.0 ELSE 0.0 END), 6)
+               AS top1_rate,
+             ROUND(AVG(1.0 / self_rank), 6) AS mrr,
+             ROUND(AVG(CAST(self_rank AS DOUBLE)), 6) AS mean_self_rank
+      FROM (
+        SELECT query_id, MAX(CASE WHEN doc_id = query_id THEN rk END)
+                 AS self_rank
+        FROM (
+          SELECT query_id, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc_id) AS rk
+          FROM (
+            SELECT q.query_id, tf.doc_id,
+                   ROUND(SUM(
+                     ln((s.n_docs - d.dfreq + 0.5) / (d.dfreq + 0.5) + 1.0)
+                     * tf.tf * ({k1} + 1.0)
+                     / (tf.tf + {k1} * (1.0 - {b} + {b} * l.dl / s.avg_dl))
+                   ), 6) AS score
+            FROM queries q
+            JOIN tf ON tf.token = q.token
+            JOIN docfreq d ON d.token = q.token
+            JOIN dlen l ON l.doc_id = tf.doc_id
+            CROSS JOIN stats s
+            GROUP BY q.query_id, tf.doc_id
+          ) sc
+        ) rk
+        GROUP BY query_id
+      ) sr
+    """
+
+
+def _bm25_tuning_oracle() -> str:
+    legs = " UNION ALL ".join(
+        _duck_bm25_config_leg(k1, b) for k1, b in _BM25_GRID
+    )
+    return f"""
+    WITH {_duck_bm25_core_params(*_BM25_GRID[0])}
+    SELECT * FROM ({legs}) u
+    ORDER BY k1, b
+    """
+
+
+@register("llm_bm25_tuning_curve", _bm25_tuning_oracle())
+def llm_bm25_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1, b) tuning curve priced by SELF-RETRIEVAL [public
+    method: Robertson's grid — k1 trades term-frequency saturation, b
+    trades document-length normalization; since each probe query here
+    IS a document's opening tokens, the config's job is to rank that
+    source document first, so MRR / top-1 / mean-self-rank measure the
+    knob directly with no external judgments]. Completes the
+    index-economics deck: llm_lsh_tuning_curve prices (bands, rows),
+    llm_ann_nprobe_curve prices nprobe, llm_pack_efficiency_curve
+    prices ctx, llm_dedup_threshold_sweep prices tau — this prices the
+    lexical retriever the RRF/NDCG hybrid ops consume. The grid legs
+    run the IDENTICAL arithmetic as llm_bm25_score with (k1, b)
+    injected (the parameterized _bm25_corpus_scored — default args
+    keep the verified scorer bit-unchanged).
+
+    At 100 TB: the inverted index (postings/doclen/queries) is built
+    ONCE (the checkpointed frames every leg reuses — exactly how a
+    deployment sweeps parameters against a persisted index); each grid
+    point re-scores only the matched postings and reduces per query.
+    Scores are 6dp-rounded before ranks; ties break on doc_id."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    legs = []
+    for k1, b in _BM25_GRID:
+        scored, _, _, _, _ = _bm25_corpus_scored(spark, sf_dir, k1=k1, b=b)
+        w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+        self_rank = (
+            scored.select(
+                "query_id", "doc_id", F.row_number().over(w).alias("rk")
+            )
+            .filter(F.col("doc_id") == F.col("query_id"))
+            .select("query_id", F.col("rk").alias("self_rank"))
+        )
+        legs.append(
+            self_rank.agg(
+                F.count(F.lit(1)).cast("long").alias("n_queries"),
+                F.round(
+                    F.avg(F.when(F.col("self_rank") == 1, 1.0).otherwise(0.0)), 6
+                ).alias("top1_rate"),
+                F.round(F.avg(1.0 / F.col("self_rank")), 6).alias("mrr"),
+                F.round(F.avg(F.col("self_rank").cast("double")), 6).alias(
+                    "mean_self_rank"
+                ),
+            ).select(
+                F.lit(float(k1)).alias("k1"),
+                F.lit(float(b)).alias("b"),
+                "n_queries",
+                "top1_rate",
+                "mrr",
+                "mean_self_rank",
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("k1", "b")

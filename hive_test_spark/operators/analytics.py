@@ -5065,3 +5065,100 @@ def evt_entropy_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dayd")
     )
+
+
+@register(
+    "evt_did_event_study",
+    f"""
+    WITH cells AS (
+      SELECT CAST(FLOOR(date_diff('day', DATE '{_DID_CUTOVER}',
+                                  CAST(CAST(ts AS TIMESTAMP) AS DATE)) / 7.0)
+                  AS INT) AS rel_week,
+             CAST(user_id % 2 AS INT) AS treated,
+             COUNT(*) AS n, AVG(value) AS mu, var_samp(value) AS v
+      FROM events
+      GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT rel_week,
+             MAX(CASE WHEN treated = 1 THEN mu END) AS t_mu,
+             MAX(CASE WHEN treated = 0 THEN mu END) AS c_mu,
+             MAX(CASE WHEN treated = 1 THEN n END) AS t_n,
+             MAX(CASE WHEN treated = 0 THEN n END) AS c_n,
+             SUM(v / n) AS var_sum
+      FROM cells GROUP BY rel_week
+    ),
+    base AS (
+      SELECT AVG(t_mu - c_mu) AS pre_gap FROM wide WHERE rel_week < 0
+    )
+    SELECT w.rel_week,
+           CAST(w.t_n AS BIGINT) AS n_treated,
+           CAST(w.c_n AS BIGINT) AS n_control,
+           ROUND(w.t_mu - w.c_mu, 6) AS gap,
+           ROUND((w.t_mu - w.c_mu) - b.pre_gap, 6) AS effect,
+           ROUND(sqrt(w.var_sum), 6) AS se,
+           ROUND(((w.t_mu - w.c_mu) - b.pre_gap) / sqrt(w.var_sum), 6)
+             AS t_stat
+    FROM wide w CROSS JOIN base b
+    ORDER BY w.rel_week
+    """,
+)
+def evt_did_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-study (dynamic DiD) around the same intervention evt_did
+    estimates as a single 2x2 [public method: the event-study
+    regression's nonparametric twin — per relative-week treated-vs-
+    control gaps, re-centered on the average PRE-period gap; flat
+    pre-period effects are THE parallel-trends diagnostic that decides
+    whether the 2x2 DiD number can be believed, and the post-period
+    profile shows effect dynamics a single pooled estimate hides].
+    Treatment is the deterministic odd-id assignment; each week's SE
+    pools the two cell variances sqrt(s_t^2/n_t + s_c^2/n_c); the
+    t-stat divides unrounded effect by unrounded SE (the evt_did
+    rounding rule).
+
+    At 100 TB: ONE map-side-combinable aggregate on the tiny
+    (rel_week, treated) key carries (n, mean, M2) partials — the scan
+    is the whole cost; the pivot, pre-period baseline (a 1-row
+    broadcast), and per-week epilogue run on |weeks| rows."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.floor(
+            F.datediff(
+                F.to_date("ts"), F.lit(_DID_CUTOVER).cast("date")
+            )
+            / 7.0
+        )
+        .cast("int")
+        .alias("rel_week"),
+        (F.col("user_id") % 2).cast("int").alias("treated"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("mu"),
+        F.var_samp("value").alias("v"),
+    )
+    wide = cells.groupBy("rel_week").agg(
+        F.max(F.when(F.col("treated") == 1, F.col("mu"))).alias("t_mu"),
+        F.max(F.when(F.col("treated") == 0, F.col("mu"))).alias("c_mu"),
+        F.max(F.when(F.col("treated") == 1, F.col("n"))).alias("t_n"),
+        F.max(F.when(F.col("treated") == 0, F.col("n"))).alias("c_n"),
+        F.sum(F.col("v") / F.col("n")).alias("var_sum"),
+    )
+    base = wide.filter(F.col("rel_week") < 0).agg(
+        F.avg(F.col("t_mu") - F.col("c_mu")).alias("pre_gap")
+    )
+    gap = F.col("t_mu") - F.col("c_mu")
+    eff = gap - F.col("pre_gap")
+    return (
+        wide.crossJoin(F.broadcast(base))
+        .select(
+            "rel_week",
+            F.col("t_n").cast("long").alias("n_treated"),
+            F.col("c_n").cast("long").alias("n_control"),
+            F.round(gap, 6).alias("gap"),
+            F.round(eff, 6).alias("effect"),
+            F.round(F.sqrt("var_sum"), 6).alias("se"),
+            F.round(eff / F.sqrt("var_sum"), 6).alias("t_stat"),
+        )
+        .orderBy("rel_week")
+    )

@@ -279,6 +279,9 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     # recall acceptance gate.
     "graph_clustering_coefficient", "evt_entropy_over_time",
     "llm_ann_ivfpq_recall",
+    # Round-9 fifth wave: the lexical-retriever pricing curve and the
+    # parallel-trends diagnostic for the DiD family.
+    "llm_bm25_tuning_curve", "evt_did_event_study",
 )
 
 

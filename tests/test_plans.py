@@ -1918,3 +1918,22 @@ def test_ivfpq_recall_pair_keyed_join(spark, registry):
     assert f.cartesian == 0
     assert "Python" not in f.text
     assert f.broadcast_joins >= 2
+
+
+def test_bm25_tuning_reuses_index_frames(spark, registry):
+    """llm_bm25_tuning_curve: each grid point re-scores the SAME
+    checkpointed postings/doclen/query frames (index built once); no
+    cartesian, no Python."""
+    f = _facts(spark, registry, "llm_bm25_tuning_curve")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+
+
+def test_did_event_study_one_aggregate(spark, registry):
+    """evt_did_event_study: one (rel_week, treated) aggregate is the
+    only corpus pass; baseline + epilogue run on |weeks| rows with the
+    1-row pre-gap broadcast."""
+    f = _facts(spark, registry, "evt_did_event_study")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+    assert f.broadcast_joins >= 1

@@ -4021,3 +4021,335 @@ def test_random_psi_matches_duckdb(spark, duck, spec):
     duck_pdf = duck.execute(_psi_sql(spec)).df()
     r = compare("fuzz_psi", spark_pdf, duck_pdf)
     assert r["ok"], f"spec={spec}\nnotes={r['notes']}"
+
+
+# ---- DiD / event-study grammar (r9 evt_did_event_study family) --------------
+#
+# The 2x2-and-dynamic DiD arithmetic under randomized cutover, bucket
+# width, and treatment stride: cell means/variances from one aggregate,
+# pre-period baseline re-centering, pooled SE — integer counts plus a
+# handful of final float terms.
+
+
+@st.composite
+def did_specs(draw):
+    return {
+        "cut": draw(st.sampled_from(["2024-01-10", "2024-01-15", "2024-01-20"])),
+        "wdays": draw(st.sampled_from([5, 7, 10])),
+        "tmod": draw(st.sampled_from([2, 3])),
+    }
+
+
+def _did_fuzz_sql(spec) -> str:
+    cut, wd, tm = spec["cut"], spec["wdays"], spec["tmod"]
+    return f"""
+    WITH cells AS (
+      SELECT CAST(FLOOR(date_diff('day', DATE '{cut}',
+                                  CAST(CAST(ts AS TIMESTAMP) AS DATE)) / {wd}.0)
+                  AS INT) AS rel_w,
+             CAST(user_id % {tm} = 0 AS INT) AS treated,
+             COUNT(*) AS n, AVG(value) AS mu, var_samp(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT rel_w,
+             MAX(CASE WHEN treated = 1 THEN mu END) AS t_mu,
+             MAX(CASE WHEN treated = 0 THEN mu END) AS c_mu,
+             SUM(v / n) AS var_sum
+      FROM cells GROUP BY rel_w
+    ),
+    base AS (SELECT AVG(t_mu - c_mu) AS pre_gap FROM wide WHERE rel_w < 0)
+    SELECT w.rel_w,
+           ROUND(w.t_mu - w.c_mu, 6) AS gap,
+           ROUND((w.t_mu - w.c_mu) - b.pre_gap, 6) AS effect,
+           ROUND(sqrt(w.var_sum), 6) AS se
+    FROM wide w CROSS JOIN base b
+    WHERE w.t_mu IS NOT NULL AND w.c_mu IS NOT NULL
+    """
+
+
+def _did_fuzz_df(spark, spec):
+    cut, wd, tm = spec["cut"], spec["wdays"], spec["tmod"]
+    ev = load_table(spark, SF_DIR, "events")
+    cells = ev.groupBy(
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit(cut).cast("date")) / float(wd)
+        ).cast("int").alias("rel_w"),
+        (F.col("user_id") % tm == 0).cast("int").alias("treated"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("mu"),
+        F.var_samp("value").alias("v"),
+    )
+    wide = cells.groupBy("rel_w").agg(
+        F.max(F.when(F.col("treated") == 1, F.col("mu"))).alias("t_mu"),
+        F.max(F.when(F.col("treated") == 0, F.col("mu"))).alias("c_mu"),
+        F.sum(F.col("v") / F.col("n")).alias("var_sum"),
+    )
+    base = wide.filter(F.col("rel_w") < 0).agg(
+        F.avg(F.col("t_mu") - F.col("c_mu")).alias("pre_gap")
+    )
+    gap = F.col("t_mu") - F.col("c_mu")
+    return (
+        wide.crossJoin(F.broadcast(base))
+        .filter(F.col("t_mu").isNotNull() & F.col("c_mu").isNotNull())
+        .select(
+            "rel_w",
+            F.round(gap, 6).alias("gap"),
+            F.round(gap - F.col("pre_gap"), 6).alias("effect"),
+            F.round(F.sqrt("var_sum"), 6).alias("se"),
+        )
+    )
+
+
+@settings(
+    max_examples=18,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=did_specs())
+def test_random_did_event_study_matches_duckdb(spark, duck, spec):
+    """DiD event-study fuzz (r9 evt_did_event_study family): randomized
+    cutover / bucket width / treatment stride must agree on cell
+    means, baseline re-centering, and pooled SEs."""
+    spark_pdf = _did_fuzz_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_did_fuzz_sql(spec)).df()
+    r = compare("fuzz_did_event_study", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nnotes={r['notes']}"
+
+
+# ---- graph-audit grammar (r9 graph_modularity / clustering family) ----------
+#
+# Modularity of a randomized partition axis over the trade graph, and
+# degree/within-edge counting under a randomized edge filter: exact
+# integer counting up to the final Q terms, so a labeling or grid bug
+# flips integers.
+
+
+@st.composite
+def graphaudit_specs(draw):
+    return {
+        "axis": draw(st.sampled_from(["nation", "mktseg", "mod5"])),
+        "minsupp": draw(st.sampled_from([0, 2])),
+    }
+
+
+def _ga_comm_sql(spec) -> tuple:
+    if spec["axis"] == "nation":
+        return "c.c_nationkey", "s.s_nationkey"
+    if spec["axis"] == "mktseg":
+        # suppliers carry no segment; hash them into the 5 segments' ids
+        return (
+            "CAST(('0x' || substr(md5(c.c_mktsegment), 1, 2)) AS INTEGER) % 5",
+            "CAST(s.s_suppkey % 5 AS INTEGER)",
+        )
+    return "CAST(c.c_custkey % 5 AS INTEGER)", "CAST(s.s_suppkey % 5 AS INTEGER)"
+
+
+def _graphaudit_sql(spec) -> str:
+    cexp, sexp = _ga_comm_sql(spec)
+    supp = (
+        f"GROUP BY o.o_custkey, l.l_suppkey HAVING COUNT(*) >= {spec['minsupp']}"
+        if spec["minsupp"]
+        else "GROUP BY o.o_custkey, l.l_suppkey"
+    )
+    return f"""
+    WITH pairs AS (
+      SELECT o.o_custkey AS cust, l.l_suppkey AS supp
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      {supp}
+    ),
+    comm AS (
+      SELECT p.cust, p.supp, {cexp} AS c_comm, {sexp} AS s_comm
+      FROM pairs p
+      JOIN customer c ON c.c_custkey = p.cust
+      JOIN supplier s ON s.s_suppkey = p.supp
+    ),
+    m AS (SELECT COUNT(*) AS m FROM comm),
+    within AS (
+      SELECT c_comm AS comm, COUNT(*) AS e_within
+      FROM comm WHERE c_comm = s_comm GROUP BY c_comm
+    ),
+    deg AS (
+      SELECT comm, CAST(SUM(d) AS BIGINT) AS deg_total FROM (
+        SELECT c_comm AS comm, COUNT(*) AS d FROM comm GROUP BY c_comm
+        UNION ALL
+        SELECT s_comm AS comm, COUNT(*) AS d FROM comm GROUP BY s_comm
+      ) u GROUP BY comm
+    )
+    SELECT d.comm, CAST(COALESCE(w.e_within, 0) AS BIGINT) AS e_within,
+           d.deg_total,
+           ROUND(COALESCE(w.e_within, 0) * 1.0 / m.m
+                 - (d.deg_total * 1.0 / (2 * m.m)) ^ 2, 6) AS q_contrib
+    FROM deg d LEFT JOIN within w ON w.comm = d.comm CROSS JOIN m
+    """
+
+
+def _graphaudit_df(spark, spec):
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    base = orders.join(li, F.col("l_orderkey") == F.col("o_orderkey")).groupBy(
+        F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+    ).agg(F.count(F.lit(1)).alias("npair"))
+    pairs = (
+        base.filter(F.col("npair") >= spec["minsupp"]) if spec["minsupp"] else base
+    ).select("cust", "supp")
+    cust = load_table(spark, SF_DIR, "customer")
+    supp = load_table(spark, SF_DIR, "supplier")
+    if spec["axis"] == "nation":
+        c_comm = F.col("c_nationkey")
+        s_comm = F.col("s_nationkey")
+    elif spec["axis"] == "mktseg":
+        c_comm = (
+            F.conv(F.substring(F.md5("c_mktsegment"), 1, 2), 16, 10).cast("int") % 5
+        )
+        s_comm = (F.col("s_suppkey") % 5).cast("int")
+    else:
+        c_comm = (F.col("c_custkey") % 5).cast("int")
+        s_comm = (F.col("s_suppkey") % 5).cast("int")
+    comm = pairs.join(
+        F.broadcast(cust.select(F.col("c_custkey").alias("cust"), c_comm.alias("c_comm"))),
+        "cust",
+    ).join(
+        F.broadcast(supp.select(F.col("s_suppkey").alias("supp"), s_comm.alias("s_comm"))),
+        "supp",
+    )
+    m = comm.agg(F.count(F.lit(1)).alias("m"))
+    within = (
+        comm.filter(F.col("c_comm") == F.col("s_comm"))
+        .groupBy(F.col("c_comm").alias("comm"))
+        .agg(F.count(F.lit(1)).alias("e_within"))
+    )
+    deg = (
+        comm.groupBy(F.col("c_comm").alias("comm")).agg(F.count(F.lit(1)).alias("d"))
+        .unionAll(
+            comm.groupBy(F.col("s_comm").alias("comm")).agg(F.count(F.lit(1)).alias("d"))
+        )
+        .groupBy("comm")
+        .agg(F.sum("d").cast("long").alias("deg_total"))
+    )
+    e_w = F.coalesce(F.col("e_within"), F.lit(0))
+    return (
+        deg.join(within, "comm", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "comm",
+            e_w.cast("long").alias("e_within"),
+            "deg_total",
+            F.round(
+                e_w / F.col("m") - F.pow(F.col("deg_total") / (2 * F.col("m")), 2), 6
+            ).alias("q_contrib"),
+        )
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=graphaudit_specs())
+def test_random_graph_modularity_matches_duckdb(spark, duck, spec):
+    """Graph-audit fuzz (r9 graph_modularity family): randomized
+    community axis and edge-support filter must agree on within-edge /
+    degree counts and the Q contributions."""
+    spark_pdf = _graphaudit_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_graphaudit_sql(spec)).df()
+    r = compare("fuzz_graph_modularity", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nnotes={r['notes']}"
+
+
+# ---- forecast-backtest grammar (r9 evt_forecast_backtest family) ------------
+#
+# The rolling-origin error ledger under randomized seasonal lag and
+# scoring region: LAG predictors, strict-prior origins, MAE/MAPE.
+
+
+@st.composite
+def backtest_specs(draw):
+    return {
+        "slag": draw(st.sampled_from([3, 7, 10])),
+        "minrn": draw(st.sampled_from([9, 12, 15])),
+    }
+
+
+def _bt_fuzz_sql(spec) -> str:
+    sl, mr = spec["slag"], spec["minrn"]
+    return f"""
+    WITH s AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             ROUND(SUM(value), 6) AS rev,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS rn
+      FROM events GROUP BY event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+    ),
+    p AS (
+      SELECT event_type, rn, rev,
+             LAG(rev, 1) OVER w AS p_naive,
+             LAG(rev, {sl}) OVER w AS p_snaive
+      FROM s WINDOW w AS (PARTITION BY event_type ORDER BY rn)
+    ),
+    u AS (
+      SELECT event_type, rn, rev, 'naive' AS method, p_naive AS pred FROM p
+      UNION ALL
+      SELECT event_type, rn, rev, 'snaive', p_snaive FROM p
+    )
+    SELECT event_type, method, CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(AVG(ABS(rev - pred)), 6) AS mae,
+           ROUND(AVG(ABS(rev - pred) / NULLIF(ABS(rev), 0)), 6) AS mape
+    FROM u WHERE rn >= {mr}
+    GROUP BY event_type, method
+    """
+
+
+def _bt_fuzz_df(spark, spec):
+    from pyspark.sql import Window
+
+    sl, mr = spec["slag"], spec["minrn"]
+    ev = load_table(spark, SF_DIR, "events")
+    s = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 6).alias("rev")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    p = s.select(
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        "rev",
+        F.lag("rev", 1).over(w).alias("p_naive"),
+        F.lag("rev", sl).over(w).alias("p_snaive"),
+    )
+    u = p.selectExpr(
+        "event_type", "rn", "rev",
+        "stack(2, 'naive', p_naive, 'snaive', p_snaive) AS (method, pred)",
+    )
+    err = F.abs(F.col("rev") - F.col("pred"))
+    return (
+        u.filter(F.col("rn") >= mr)
+        .groupBy("event_type", "method")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.avg(err), 6).alias("mae"),
+            F.round(F.avg(err / F.nullif(F.abs(F.col("rev")), F.lit(0))), 6).alias(
+                "mape"
+            ),
+        )
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=backtest_specs())
+def test_random_forecast_backtest_matches_duckdb(spark, duck, spec):
+    """Forecast-backtest fuzz (r9 evt_forecast_backtest family):
+    randomized seasonal lag and scoring region must agree on the
+    strict-prior error ledger."""
+    spark_pdf = _bt_fuzz_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_bt_fuzz_sql(spec)).df()
+    r = compare("fuzz_forecast_backtest", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nnotes={r['notes']}"

@@ -371,7 +371,6 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_BITS = 12   # hyperplanes per band
 LSH_BANDS = 3   # OR-amplification: candidate if ANY band signature collides
 LSH_TAU = 0.25  # exact-cosine verify threshold (fixtures are weakly clustered)
-_DIM = EMBED_DIM  # alias for the signature builders below (single source above)
 
 # Deterministic pseudo-random hyperplane component w(p, i) — pure integer
 # arithmetic, so Spark and DuckDB compute bit-identical planes (no RNG, no
@@ -384,7 +383,7 @@ def _spark_sig(band: int) -> str:
     for p in range(LSH_BITS):
         plane = _PLANE.format(p=band * LSH_BITS + p)
         dot = (
-            f"aggregate(zip_with(embedding, transform(sequence(0, {_DIM - 1}), "
+            f"aggregate(zip_with(embedding, transform(sequence(0, {EMBED_DIM - 1}), "
             f"i -> CAST({plane} AS DOUBLE)), (x, y) -> CAST(x AS DOUBLE) * y), "
             f"0D, (acc, v) -> acc + v)"
         )
@@ -398,7 +397,7 @@ def _duck_sig(band: int) -> str:
         plane = _PLANE.format(p=band * LSH_BITS + p)
         dot = (
             f"list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), "
-            f"list_transform(generate_series(0, {_DIM - 1}), i -> CAST({plane} AS DOUBLE)))"
+            f"list_transform(generate_series(0, {EMBED_DIM - 1}), i -> CAST({plane} AS DOUBLE)))"
         )
         terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
     return " + ".join(terms)

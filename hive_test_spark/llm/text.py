@@ -1034,7 +1034,12 @@ _BM25_TOPK = 5
 # renderings — one oracle CTE chain and one Spark builder — consumed by
 # llm_bm25_score and llm_query_expansion_prf so the scoring formula and
 # the rounded-rank rule live in exactly one place per rendering.
-_DUCK_BM25_CORE = f"""tf AS (
+# The inverted-index CTE prefix (postings / doc lengths / corpus stats /
+# document frequencies / probe queries) WITHOUT a scorer — the single
+# source every BM25 oracle composes: the default-constant scorer below
+# appends its `scored` CTE, and the tuning-curve oracle appends one
+# (k1, b)-parameterized scoring leg per grid point.
+_DUCK_BM25_INDEX = f"""tf AS (
       SELECT doc_id, token, COUNT(*) AS tf
       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
       GROUP BY doc_id, token
@@ -1050,7 +1055,9 @@ _DUCK_BM25_CORE = f"""tf AS (
       SELECT doc_id AS query_id, unnest(list_distinct(
                string_split(text, ' ')[1:{_BM25_QUERY_TOKENS}])) AS token
       FROM documents WHERE doc_id % {_BM25_PROBE_MOD} = 0
-    ),
+    )"""
+
+_DUCK_BM25_CORE = f"""{_DUCK_BM25_INDEX},
     scored AS (
       SELECT q.query_id, tf.doc_id,
              ROUND(SUM(
@@ -1068,15 +1075,13 @@ _DUCK_BM25_CORE = f"""tf AS (
     )"""
 
 
-def _bm25_corpus_scored(spark: SparkSession, sf_dir: str, k1: float = _BM25_K1, b: float = _BM25_B):
-    """Spark twin of _DUCK_BM25_CORE. Returns (scored, tf, docfreq,
-    stats, queries). The postings, doc-length, and query frames each
-    feed 2-3 stages; materialize them once (checkpoint = building the
-    inverted index, which is exactly what a deployed BM25 system
-    persists) — without it the audit showed nine document scans. The
-    per-(query, doc) score is ROUNDED before any rank consumes it (the
-    llm_pmi_collocations rule): the sum is partial-aggregation-order-
-    dependent at the last ulp."""
+def _bm25_index_frames(spark: SparkSession, sf_dir: str):
+    """Spark twin of _DUCK_BM25_INDEX: build the inverted-index frames
+    ONCE and return (tf, dlen, stats, docfreq, queries). The postings,
+    doc-length, and query frames each feed 2-3 stages; materialize
+    them once (checkpoint = building the inverted index, which is
+    exactly what a deployed BM25 system persists) — without it the
+    audit showed nine document scans."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     tf = (
@@ -1099,13 +1104,24 @@ def _bm25_corpus_scored(spark: SparkSession, sf_dir: str, k1: float = _BM25_K1, 
             "token"
         ),
     ).localCheckpoint(eager=True)
+    return tf, dlen, stats, docfreq, queries
+
+
+def _bm25_score_frames(
+    tf, dlen, stats, docfreq, queries, k1: float = _BM25_K1, b: float = _BM25_B
+):
+    """One (k1, b) scoring leg over prebuilt index frames — the Spark
+    twin of the oracle's `scored` CTE. The per-(query, doc) score is
+    ROUNDED before any rank consumes it (the llm_pmi_collocations
+    rule): the sum is partial-aggregation-order-dependent at the last
+    ulp."""
     idf = F.log(
         (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5) + 1.0
     )
     norm = F.col("tf") + k1 * (
         1.0 - b + b * F.col("dl") / F.col("avg_dl")
     )
-    scored = (
+    return (
         F.broadcast(queries)
         .join(tf, "token")
         .join(docfreq, "token")
@@ -1118,6 +1134,13 @@ def _bm25_corpus_scored(spark: SparkSession, sf_dir: str, k1: float = _BM25_K1, 
             ).alias("score")
         )
     )
+
+
+def _bm25_corpus_scored(spark: SparkSession, sf_dir: str, k1: float = _BM25_K1, b: float = _BM25_B):
+    """Spark twin of _DUCK_BM25_CORE (index build + one scoring leg).
+    Returns (scored, tf, docfreq, stats, queries)."""
+    tf, dlen, stats, docfreq, queries = _bm25_index_frames(spark, sf_dir)
+    scored = _bm25_score_frames(tf, dlen, stats, docfreq, queries, k1=k1, b=b)
     return scored, tf, docfreq, stats, queries
 
 
@@ -2017,32 +2040,9 @@ def llm_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_GRID = ((0.9, 0.4), (1.2, 0.75), (2.0, 0.9))
 
 
-def _duck_bm25_core_params(k1: float, b: float) -> str:
-    """The _DUCK_BM25_CORE CTE chain with (k1, b) injected — shared by
-    the tuning-curve oracle so every grid point runs the IDENTICAL
-    arithmetic as the default-constant llm_bm25_score oracle."""
-    return f"""tf AS (
-      SELECT doc_id, token, COUNT(*) AS tf
-      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
-      GROUP BY doc_id, token
-    ),
-    dlen AS (
-      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
-    ),
-    stats AS (
-      SELECT COUNT(*) AS n_docs, AVG(dl) AS avg_dl FROM dlen
-    ),
-    docfreq AS (SELECT token, COUNT(*) AS dfreq FROM tf GROUP BY token),
-    queries AS (
-      SELECT doc_id AS query_id, unnest(list_distinct(
-               string_split(text, ' ')[1:{_BM25_QUERY_TOKENS}])) AS token
-      FROM documents WHERE doc_id % {_BM25_PROBE_MOD} = 0
-    )"""
-
-
 def _duck_bm25_config_leg(k1: float, b: float) -> str:
     """One grid point's self-retrieval reduction (consumes the shared
-    CTEs from _duck_bm25_core_params)."""
+    CTEs from _DUCK_BM25_INDEX)."""
     return f"""
       SELECT CAST({k1} AS DOUBLE) AS k1, CAST({b} AS DOUBLE) AS b,
              CAST(COUNT(*) AS BIGINT) AS n_queries,
@@ -2082,7 +2082,7 @@ def _bm25_tuning_oracle() -> str:
         _duck_bm25_config_leg(k1, b) for k1, b in _BM25_GRID
     )
     return f"""
-    WITH {_duck_bm25_core_params(*_BM25_GRID[0])}
+    WITH {_DUCK_BM25_INDEX}
     SELECT * FROM ({legs}) u
     ORDER BY k1, b
     """
@@ -2101,20 +2101,22 @@ def llm_bm25_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     prices ctx, llm_dedup_threshold_sweep prices tau — this prices the
     lexical retriever the RRF/NDCG hybrid ops consume. The grid legs
     run the IDENTICAL arithmetic as llm_bm25_score with (k1, b)
-    injected (the parameterized _bm25_corpus_scored — default args
-    keep the verified scorer bit-unchanged).
+    injected (_bm25_score_frames — default args keep the verified
+    scorer bit-unchanged).
 
     At 100 TB: the inverted index (postings/doclen/queries) is built
-    ONCE (the checkpointed frames every leg reuses — exactly how a
+    ONCE (_bm25_index_frames, called a single time here — the
+    checkpointed frames every grid leg reuses, exactly how a
     deployment sweeps parameters against a persisted index); each grid
     point re-scores only the matched postings and reduces per query.
     Scores are 6dp-rounded before ranks; ties break on doc_id."""
     from pyspark.sql import Window
 
     tune(spark)
+    frames = _bm25_index_frames(spark, sf_dir)
     legs = []
     for k1, b in _BM25_GRID:
-        scored, _, _, _, _ = _bm25_corpus_scored(spark, sf_dir, k1=k1, b=b)
+        scored = _bm25_score_frames(*frames, k1=k1, b=b)
         w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
         self_rank = (
             scored.select(

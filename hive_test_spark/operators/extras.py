@@ -494,8 +494,11 @@ def scale_codec_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer key sum against the source IN-QUERY (boolean columns the
     oracle pins TRUE — a corrupted or dropped row fails the hash gate).
     ``compressed_not_larger`` pins the robust size invariant (each
-    codec's on-disk bytes <= the uncompressed copy, from driver-side
-    file metadata only — the scale_compaction sizing idiom); the exact
+    codec's on-disk bytes <= 1.05x the uncompressed copy, from
+    driver-side file metadata only — the scale_compaction sizing
+    idiom; the 5% slack absorbs codec/writer-version footer and
+    page-header overhead so a parquet upgrade can't flip the pinned
+    boolean on data that is still correctly round-tripping); the exact
     byte counts are codec-version-dependent and deliberately NOT
     emitted.
 
@@ -534,7 +537,7 @@ def scale_codec_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_rows",
                 (F.col("n_rows") == F.col("src_n")).alias("rows_ok"),
                 (F.col("rb_sum") == F.col("src_sum")).alias("sum_ok"),
-                F.lit(bool(sizes[codec] <= sizes["none"])).alias(
+                F.lit(bool(sizes[codec] <= sizes["none"] * 1.05)).alias(
                     "compressed_not_larger"
                 ),
             )

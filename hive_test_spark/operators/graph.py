@@ -786,13 +786,15 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     _COPURCHASE_TRI_SQL fragment / _copurchase_pairs builder, so the
     graph derivations cannot drift). Nodes with degree < 2 are
     excluded (coefficient undefined); zero-triangle nodes survive via
-    the LEFT join with COALESCE 0. The graph-level mean rides along
-    per row (the graph_modularity q_total pattern).
+    the LEFT join with COALESCE 0. The graph-level mean is a 1-row
+    aggregate crossed back in as a broadcast (the llm_tfidf
+    no-driver-count idiom) — NOT an unpartitioned window, which would
+    drag every corpus-scale node row to one partition.
 
     At 100 TB: degree is one map-side-combinable count over the edge
     list (already support-filtered); the triangle leg is the bounded
     wedge join graph_triangles documents; the final join keys on node
-    id. The windowed mean runs on |nodes| rows."""
+    id. The mean reduces map-side and ships one row."""
     tune(spark)
     pairs = _copurchase_pairs(spark, sf_dir)
     tri = _triangle_counts(pairs)
@@ -804,16 +806,16 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = F.coalesce(F.col("n_triangles"), F.lit(0))
     cc = 2.0 * t / (F.col("degree") * (F.col("degree") - 1))
-    w_all = Window.partitionBy()
+    joined = deg.join(tri, "l_partkey", "left").filter(F.col("degree") >= 2)
+    mean = joined.agg(F.round(F.avg(cc), 6).alias("avg_cc"))
     return (
-        deg.join(tri, "l_partkey", "left")
-        .filter(F.col("degree") >= 2)
+        joined.crossJoin(F.broadcast(mean))
         .select(
             "l_partkey",
             F.col("degree").cast("long").alias("degree"),
             t.cast("long").alias("n_triangles"),
             F.round(cc, 6).alias("clustering_coeff"),
-            F.round(F.avg(cc).over(w_all), 6).alias("avg_cc"),
+            "avg_cc",
         )
         .orderBy("l_partkey")
     )

@@ -915,6 +915,8 @@ _BT_MIN_RN = 9
     )
     SELECT event_type, method,
            CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(COUNT(ABS(rev - pred) / NULLIF(ABS(rev), 0)) AS BIGINT)
+             AS n_mape,
            ROUND(AVG(ABS(rev - pred)), 6) AS mae,
            ROUND(AVG(ABS(rev - pred) / NULLIF(ABS(rev), 0)), 6) AS mape
     FROM u WHERE rn >= {_BT_MIN_RN}
@@ -930,7 +932,10 @@ def evt_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     beat these per-series MAE/MAPE numbers is not worth deploying]:
     each day from rn=9 on is scored as a one-step-ahead
     origin using ONLY strictly-prior data (LAG windows — no leakage by
-    construction), and errors aggregate per (series, method). This is
+    construction), and errors aggregate per (series, method). MAPE is
+    undefined on zero-revenue days (its AVG skips them via the NULLIF
+    guard), so ``n_mape`` reports that metric's actual sample size
+    beside the full origin count ``n_days``. This is
     the acceptance gate evt_holt_linear / evt_holt_winters /
     evt_forecast_snaive feed into: a 100 TB forecast platform runs
     exactly this shape nightly over millions of series.
@@ -972,6 +977,12 @@ def evt_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "method")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_days"),
+            # MAPE's AVG skips zero-revenue days (the NULLIF guard), so
+            # n_days does not describe its sample — emit the non-null
+            # term count so the metric's support is explicit.
+            F.count(err / F.nullif(F.abs(F.col("rev")), F.lit(0)))
+            .cast("long")
+            .alias("n_mape"),
             F.round(F.avg(err), 6).alias("mae"),
             F.round(
                 F.avg(err / F.nullif(F.abs(F.col("rev")), F.lit(0))), 6

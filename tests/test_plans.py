@@ -1923,10 +1923,17 @@ def test_ivfpq_recall_pair_keyed_join(spark, registry):
 def test_bm25_tuning_reuses_index_frames(spark, registry):
     """llm_bm25_tuning_curve: each grid point re-scores the SAME
     checkpointed postings/doclen/query frames (index built once); no
-    cartesian, no Python."""
+    cartesian, no Python. The distinct checkpoint-RDD count proves the
+    hoist: 3 shared frames (tf/dlen/queries), not 3-per-grid-point."""
+    import re
+
     f = _facts(spark, registry, "llm_bm25_tuning_curve")
     assert f.cartesian == 0
     assert "Python" not in f.text
+    rdd_ids = set(re.findall(r"MapPartitionsRDD\[(\d+)\] at localCheckpoint", f.text))
+    assert 0 < len(rdd_ids) <= 3, (
+        f"index frames must be built once and shared: {sorted(rdd_ids)}"
+    )
 
 
 def test_did_event_study_one_aggregate(spark, registry):

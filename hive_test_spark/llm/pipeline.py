@@ -206,9 +206,22 @@ def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect(F.col("ta.tok"), F.col("tb.tok"))).cast("double")
     union = F.size(F.array_distinct(F.concat(F.col("ta.tok"), F.col("tb.tok"))))
     jac = inter / union
+    # Value-identical size-ratio prefilter: |A∩B| <= min(|A|,|B|) and
+    # |A∪B| >= max(|A|,|B|), so J(A,B) <= min/max — a pair whose
+    # distinct-token counts differ by more than tau CANNOT verify, and
+    # discarding it here skips the O(|A|+|B|) array_intersect/union
+    # work that dominates this op's wall time. Both ratios are
+    # correctly-rounded quotients of exact integers, and rounding is
+    # monotonic, so fl(jac) <= fl(min/max): the prefilter can never
+    # drop a pair the jac >= tau filter would keep. The two filters
+    # stay separate so CombineFilters orders the cheap conjunct first
+    # (codegen AND short-circuits left-to-right).
+    na = F.size(F.col("ta.tok")).cast("double")
+    nb = F.size(F.col("tb.tok")).cast("double")
     return (
         cand.join(F.broadcast(ta), F.col("doc_a") == F.col("ta.doc_id"))
         .join(F.broadcast(tb), F.col("doc_b") == F.col("tb.doc_id"))
+        .filter(F.least(na, nb) / F.greatest(na, nb) >= _MINHASH_VERIFY_TAU)
         .filter(jac >= _MINHASH_VERIFY_TAU)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )

@@ -142,6 +142,20 @@ _FRONT: tuple[str, ...] = (
     "bench_q14_promo_revenue", "bench_q19_disjunctive_revenue",
 )
 
+# The round whose CORRECTNESS report closes driver exposure (every
+# registered key has a hard row once it lands). Post-closure scheduling
+# (the rounds-11-20 policy, SURVEY §M) activates when the on-disk
+# reports reach this round.
+_CLOSURE_ROUND = 10
+
+# Post-closure retest triggers (rounds 11+): a key whose BEHAVIOR
+# changes after its latest driver row maps to the round the change was
+# made in; it ranks tier 2 (ahead of backfills) until a LATER round's
+# report re-earns its row. This replaces the legacy _RETEST tuple below
+# for new entries — that tuple's expiry is tied to _PLANNED_AFTER_ROUND
+# and can no longer trigger for keys whose rows postdate round 4.
+_RETEST_SINCE: dict[str, int] = {}
+
 # Keys already driver-seen whose BEHAVIOR changed since their last driver
 # row (e.g. rows-only ops hardened with a real oracle): they re-queue
 # right after this round's window so the next round re-earns their row
@@ -299,8 +313,23 @@ def _rank(key: str, reg_idx: int) -> tuple[int, int, int]:
         and DRIVER_LAST_ROUND.get(key, 0) <= _PLANNED_AFTER_ROUND
     ):
         return (2, _RETEST.index(key), reg_idx)  # changed since last row
+    if (
+        key in _RETEST_SINCE
+        # expires once a round AFTER the change re-earns the row
+        and DRIVER_LAST_ROUND.get(key, 0) <= _RETEST_SINCE[key]
+    ):
+        return (2, list(_RETEST_SINCE).index(key), reg_idx)
     if key in DRIVER_SEEN:
-        return (5, 0, reg_idx)  # already driver-verified: yield the window
+        if LATEST_DRIVER_ROUND >= _CLOSURE_ROUND:
+            # Post-closure backfill ROTATION (SURVEY §M rounds-11-20
+            # policy): stalest driver row first, so with 477 keys and
+            # 50 slots/round every key re-earns a fresh row within
+            # ceil(477/50) = 10 rounds — the whole registry re-verifies
+            # across rounds 11-20 instead of re-testing the same
+            # registration-order prefix forever. Unseen keys (tiers
+            # 3/4) and retests (tier 2) still pre-empt the rotation.
+            return (5, DRIVER_LAST_ROUND.get(key, 0), reg_idx)
+        return (5, 0, reg_idx)  # pre-closure: yield the window, keep plan
     if key in _NEXT_ROUNDS:
         return (3, _NEXT_ROUNDS.index(key), reg_idx)
     return (4, 0, reg_idx)  # unseen, unscheduled (added after planning)

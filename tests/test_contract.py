@@ -376,6 +376,75 @@ def test_staged_windows_partition_the_residual(registry):
     assert sizes == len(never), "windows overlap — not a partition"
 
 
+def test_post_closure_rotation_re_earns_every_row(registry):
+    """SURVEY §M rounds-11-20 policy (planned in round 10, VERDICT r9
+    item 2): once the round-10 report closes exposure, tier-5 backfills
+    rotate STALEST-ROW-FIRST (ordered by DRIVER_LAST_ROUND, then
+    registration index), so every registered key re-earns a fresh
+    driver row within ceil(N/50) rounds — the whole registry
+    re-verifies across rounds 11-20 instead of re-testing the same
+    registration-order prefix forever. This test simulates the
+    scheduler forward from the on-disk reports and pins both halves:
+
+    - pre-closure (pending round-10 report): the rotation is INERT —
+      the window is still the staged 34-fresh + 16-backfill plan;
+    - post-closure: rounds 11.. windows, simulated with the same
+      stalest-first rule _rank uses, cover EVERY key within
+      ceil(N/50) rounds, and a _RETEST_SINCE entry pre-empts the
+      rotation until a later round's row lands."""
+    from hive_test_spark import registry as reg
+
+    qs, _ = registry
+    idx = {k: i for i, k in enumerate(qs)}
+    n_rounds = -(-len(qs) // 50)  # ceil
+
+    if reg.LATEST_DRIVER_ROUND < reg._CLOSURE_ROUND:
+        # Pending state: flipping the closure gate must be the ONLY
+        # thing that changes the ordering — the staged round-10 window
+        # is untouched by the policy addition.
+        window = list(qs)[:50]
+        fresh = [k for k in window if k not in reg.DRIVER_SEEN]
+        assert len(fresh) >= 1, "pending window must lead with unseen keys"
+        assert all(
+            k not in reg.DRIVER_SEEN or k in reg._RETEST
+            for k in window[: len(fresh)]
+        )
+
+    # Simulate the post-closure state: the pending window lands in
+    # round _CLOSURE_ROUND, then rounds 11.. rotate stalest-first.
+    last = dict(reg.DRIVER_LAST_ROUND)
+    for k in list(qs)[:50]:
+        last[k] = reg._CLOSURE_ROUND
+    for k in qs:
+        last.setdefault(k, reg._CLOSURE_ROUND)
+
+    retested: set = set()
+    for rnd in range(reg._CLOSURE_ROUND + 1, reg._CLOSURE_ROUND + 1 + n_rounds):
+        window = sorted(qs, key=lambda k: (last.get(k, 0), idx[k]))[:50]
+        retested |= set(window)
+        for k in window:
+            last[k] = rnd
+    missing = [k for k in qs if k not in retested]
+    assert not missing, (
+        f"{len(missing)} keys never re-earn a row in {n_rounds} "
+        f"post-closure rounds: {missing[:5]}"
+    )
+
+    # Retest pre-emption: a behavior change queued via _RETEST_SINCE
+    # ranks tier 2 (ahead of every tier-5 backfill) until a LATER
+    # round's row lands, then expires — exercise reg._rank directly.
+    probe = sorted(k for k in reg.DRIVER_SEEN if k not in reg._RETEST_SINCE)[0]
+    saved = dict(reg._RETEST_SINCE)
+    try:
+        reg._RETEST_SINCE[probe] = reg.LATEST_DRIVER_ROUND + 1
+        assert reg._rank(probe, idx[probe])[0] == 2
+        reg._RETEST_SINCE[probe] = reg.DRIVER_LAST_ROUND.get(probe, 0) - 1
+        assert reg._rank(probe, idx[probe])[0] == 5  # expired: back to pool
+    finally:
+        reg._RETEST_SINCE.clear()
+        reg._RETEST_SINCE.update(saved)
+
+
 def test_every_registered_key_is_documented_in_survey(registry):
     """SURVEY.md §2 is the coverage checklist the judge reads line by
     line — a registered operator missing from it is invisible to the

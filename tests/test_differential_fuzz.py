@@ -4353,3 +4353,278 @@ def test_random_forecast_backtest_matches_duckdb(spark, duck, spec):
     duck_pdf = duck.execute(_bt_fuzz_sql(spec)).df()
     r = compare("fuzz_forecast_backtest", spark_pdf, duck_pdf)
     assert r["ok"], f"spec={spec}\nnotes={r['notes']}"
+
+
+# ---- power-iteration grammar (r9 llm_pca_power_iter family) ------------------
+#
+# The distributed power-method fold under randomized iteration depth,
+# start vector, dimensionality slice, and corpus subset: per iteration
+# av = <emb, v> against the broadcast iterate, t[pos] = SUM(emb[pos]*av),
+# v <- ROUND(t/||t||, 6). The 6dp re-round each iteration is the
+# cross-engine contract the fixed-fixture oracle can only probe at one
+# (dim, iters, v0) point — this randomizes all of them, including a
+# sign-alternating start the PSD Gram operator must still contract.
+
+
+@st.composite
+def pca_specs(draw):
+    return {
+        "dim": draw(st.sampled_from([16, 64])),
+        "iters": draw(st.integers(1, 3)),
+        "mod": draw(st.sampled_from([1, 2])),
+        # Expressions valid as a lambda body over integer i in BOTH
+        # engines; only binary-exact constants and double division.
+        "v0": draw(
+            st.sampled_from(
+                [
+                    "0.125",
+                    "CAST(i AS DOUBLE) / 64",
+                    "CASE WHEN i % 2 = 0 THEN 0.125 ELSE -0.125 END",
+                ]
+            )
+        ),
+    }
+
+
+def _pca_fuzz_sql(spec) -> str:
+    d, iters, mod, v0 = spec["dim"], spec["iters"], spec["mod"], spec["v0"]
+    ctes = [
+        f"e AS (SELECT vec_id, list_transform(embedding[1:{d}],"
+        f" x -> CAST(x AS DOUBLE)) AS emb FROM embeddings"
+        f" WHERE vec_id % {mod} = 0)",
+        f"v0 AS (SELECT list_transform(generate_series(1, {d}),"
+        f" i -> CAST({v0} AS DOUBLE)) AS v)",
+        f"pos AS (SELECT unnest(generate_series(1, {d})) AS pos)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"av{k} AS (SELECT e.vec_id, e.emb,"
+            f" list_dot_product(e.emb, (SELECT v FROM v{k - 1})) AS av FROM e)"
+        )
+        ctes.append(
+            f"t{k} AS (SELECT p.pos, SUM(a.emb[p.pos] * a.av) AS t"
+            f" FROM av{k} a CROSS JOIN pos p GROUP BY p.pos)"
+        )
+        ctes.append(f"n{k} AS (SELECT sqrt(SUM(t * t)) AS nrm FROM t{k})")
+        ctes.append(
+            f"v{k} AS (SELECT list(ROUND(t.t / n.nrm, 6) ORDER BY t.pos) AS v"
+            f" FROM t{k} t CROSS JOIN n{k} n)"
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT p.pos,
+           ROUND((SELECT v FROM v{iters})[p.pos], 6) AS component,
+           ROUND((SELECT nrm FROM n{iters}), 4) AS eigval
+    FROM pos p
+    ORDER BY p.pos
+    """
+
+
+_PCA_FUZZ_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, w) -> acc + w)"
+)
+
+
+def _pca_fuzz_df(spark, spec):
+    d, iters, mod, v0 = spec["dim"], spec["iters"], spec["mod"], spec["v0"]
+    e = (
+        load_table(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") % mod == 0)
+        .select(
+            "vec_id",
+            F.expr(
+                f"transform(slice(embedding, 1, {d}), x -> CAST(x AS DOUBLE))"
+            ).alias("emb"),
+        )
+    )
+    v = spark.range(1).select(
+        F.expr(f"transform(sequence(1, {d}), i -> CAST({v0} AS DOUBLE))").alias(
+            "v"
+        )
+    )
+    nrm = None
+    for _ in range(iters):
+        av = e.crossJoin(F.broadcast(v)).select(
+            "emb", F.expr(_PCA_FUZZ_DOT.format(a="emb", b="v")).alias("av")
+        )
+        t = (
+            av.select(F.posexplode("emb").alias("pos0", "x"), "av")
+            .groupBy((F.col("pos0") + 1).alias("pos"))
+            .agg(F.sum(F.col("x") * F.col("av")).alias("t"))
+        )
+        nrm = t.agg(F.sqrt(F.sum(F.col("t") * F.col("t"))).alias("nrm"))
+        v = (
+            t.crossJoin(F.broadcast(nrm))
+            .select("pos", F.round(F.col("t") / F.col("nrm"), 6).alias("c"))
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select(F.expr("transform(pc, x -> x.c)").alias("v"))
+        )
+    final = (
+        spark.range(1, d + 1)
+        .select(F.col("id").cast("int").alias("pos"))
+        .crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(nrm))
+    )
+    return final.select(
+        "pos",
+        F.round(F.expr("element_at(v, pos)"), 6).alias("component"),
+        F.round("nrm", 4).alias("eigval"),
+    ).orderBy("pos")
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=pca_specs())
+def test_random_power_iter_matches_duckdb(spark, duck, spec):
+    """Power-iteration fuzz (r9 llm_pca_power_iter family): the
+    broadcast-iterate fold and the chained-CTE unroll must track
+    identical 6dp-rounded iterates for any depth/start/slice/subset."""
+    spark_pdf = _pca_fuzz_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_pca_fuzz_sql(spec)).df()
+    r = compare("fuzz_power_iter", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nnotes={r['notes']}"
+
+
+# ---- PQ asymmetric-distance grammar (r9 llm_ann_ivfpq family) ----------------
+#
+# The ADC arithmetic under randomized subspace count, codebook size,
+# probe panel, and shortlist depth: subvector slicing, per-(m, cluster)
+# element-wise mean centroids (seeded assignment — training loops are
+# the operators' job, the ARITHMETIC is the fuzz target), 6dp-rounded
+# per-subspace partial distances, the (m, cluster)-keyed ADC sum, and
+# the (adc_dist, neighbor_id) rank tie-break.
+
+
+@st.composite
+def adc_specs(draw):
+    return {
+        "m": draw(st.sampled_from([4, 8])),   # subspaces (width = 64/m)
+        "c": draw(st.sampled_from([8, 16])),  # codebook size
+        "pmod": draw(st.sampled_from([25, 50])),
+        "k": draw(st.sampled_from([5, 10])),
+    }
+
+
+def _adc_fuzz_sql(spec) -> str:
+    m, c, pmod, k = spec["m"], spec["c"], spec["pmod"], spec["k"]
+    w = 64 // m
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    subs AS (
+      SELECT vec_id, m.m, emb[m.m * {w} + 1 : (m.m + 1) * {w}] AS sub
+      FROM e CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS m) m
+    ),
+    seeded AS (SELECT vec_id, m, vec_id % {c} AS cluster, sub FROM subs),
+    cent AS (
+      SELECT m, cluster, list(comp_avg ORDER BY pos) AS centroid FROM (
+        SELECT m, cluster, pos, AVG(comp) AS comp_avg FROM (
+          SELECT m, cluster, generate_subscripts(sub, 1) AS pos,
+                 unnest(sub) AS comp
+          FROM seeded
+        ) x GROUP BY m, cluster, pos
+      ) p GROUP BY m, cluster
+    ),
+    psubs AS (
+      SELECT vec_id AS probe_id, m, sub FROM subs WHERE vec_id % {pmod} = 0
+    ),
+    partials AS (
+      SELECT p.probe_id, ct.m, ct.cluster,
+             ROUND(list_sum(list_transform(
+                      generate_series(1, len(ct.centroid)),
+                      i -> (p.sub[i] - ct.centroid[i]) ^ 2)), 6) AS pd
+      FROM psubs p JOIN cent ct ON ct.m = p.m
+    ),
+    adc AS (
+      SELECT pt.probe_id, s.vec_id AS neighbor_id, ROUND(SUM(pt.pd), 6) AS adc_dist
+      FROM seeded s JOIN partials pt ON pt.m = s.m AND pt.cluster = s.cluster
+      WHERE s.vec_id <> pt.probe_id
+      GROUP BY 1, 2
+    )
+    SELECT probe_id, neighbor_id, adc_dist, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY adc_dist, neighbor_id) AS rnk
+      FROM adc
+    ) t WHERE rnk <= {k}
+    """
+
+
+def _adc_fuzz_df(spark, spec):
+    from pyspark.sql import Window
+
+    m, c, pmod, k = spec["m"], spec["c"], spec["pmod"], spec["k"]
+    w = 64 // m
+    e = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+    )
+    subs = e.select(
+        "vec_id", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m"), "emb"
+    ).select("vec_id", "m", F.expr(f"slice(emb, m * {w} + 1, {w})").alias("sub"))
+    seeded = subs.select("vec_id", "m", (F.col("vec_id") % c).alias("cluster"), "sub")
+    cent = (
+        seeded.select("m", "cluster", F.posexplode("sub").alias("pos0", "comp"))
+        .groupBy("m", "cluster", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.avg("comp").alias("comp_avg"))
+        .groupBy("m", "cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "comp_avg"))).alias("pc"))
+        .select("m", "cluster", F.expr("transform(pc, x -> x.comp_avg)").alias("centroid"))
+    )
+    psubs = subs.filter(F.col("vec_id") % pmod == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("m").alias("pm"), "sub"
+    )
+    pd_col = F.round(
+        F.expr(
+            "aggregate(zip_with(sub, centroid, (x, y) -> (x - y) * (x - y)), "
+            "0D, (acc, z) -> acc + z)"
+        ),
+        6,
+    )
+    partials = psubs.join(F.broadcast(cent), F.col("pm") == F.col("m")).select(
+        "probe_id", "m", "cluster", pd_col.alias("pd")
+    )
+    cand = seeded.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("m").alias("cm"),
+        F.col("cluster").alias("cc"),
+    )
+    adc = (
+        cand.join(
+            partials,
+            (F.col("cm") == F.col("m")) & (F.col("cc") == F.col("cluster")),
+        )
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .groupBy("probe_id", "neighbor_id")
+        .agg(F.round(F.sum("pd"), 6).alias("adc_dist"))
+    )
+    w_rank = Window.partitionBy("probe_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        adc.select("*", F.row_number().over(w_rank).alias("rnk"))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "neighbor_id", "adc_dist", "rnk")
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=adc_specs())
+def test_random_pq_adc_matches_duckdb(spark, duck, spec):
+    """PQ asymmetric-distance fuzz (r9 llm_ann_ivfpq family): subvector
+    slicing, seeded codebook means, rounded partial distances, the
+    (m, cluster)-keyed ADC sum, and the shortlist rank must agree for
+    any (M, K, probe panel, k)."""
+    spark_pdf = _adc_fuzz_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_adc_fuzz_sql(spec)).df()
+    r = compare("fuzz_pq_adc", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nnotes={r['notes']}"

@@ -337,10 +337,10 @@ def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_BITS = 48
 
 
-@register(
-    "llm_simhash",
-    f"""
-    WITH tok AS (
+# The fingerprint derivation (token hash -> per-bit votes), shared by
+# the llm_simhash exhibit and the llm_simhash_hamming banded index so
+# the two can never drift (the _MINHASH_SIG_CTES single-source rule).
+_DUCK_SIMHASH_PREFIX = f"""tok AS (
       SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
       FROM documents
     ),
@@ -354,11 +354,19 @@ _SIMHASH_BITS = 48
       FROM tok_hash
       CROSS JOIN (SELECT unnest(range(0, {_SIMHASH_BITS})) AS bit) b
       GROUP BY doc_id, b.bit
-    )
-    SELECT doc_id,
+    )"""
+
+_DUCK_SIMHASH_FP = """SELECT doc_id,
            CAST(SUM(CASE WHEN score > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
     FROM bits
-    GROUP BY doc_id
+    GROUP BY doc_id"""
+
+
+@register(
+    "llm_simhash",
+    f"""
+    WITH {_DUCK_SIMHASH_PREFIX}
+    {_DUCK_SIMHASH_FP}
     """,
 )
 def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -367,9 +375,17 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All JVM-side set math (explode + bit ops + two hash aggs) — at scale
     this is a linear pipeline; candidate pairing then joins on fingerprint
-    prefixes (bucketed Hamming search), not all-pairs.
+    prefixes (bucketed Hamming search — llm_simhash_hamming), not
+    all-pairs.
     """
     tune(spark)
+    return _simhash_frame(spark, sf_dir)
+
+
+def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash): the Spark twin of _DUCK_SIMHASH_PREFIX +
+    _DUCK_SIMHASH_FP — shared by the llm_simhash exhibit and the
+    llm_simhash_hamming banded index."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t"))
     tok_hash = tok.select(
@@ -391,6 +407,94 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0).cast("bigint")
             )
         ).alias("simhash")
+    )
+
+
+# Banded Hamming search over the 48-bit fingerprints: 4 bands x 12 bits.
+# Pigeonhole: a pair within Hamming radius 3 differs in at most 3 of the
+# 4 bands, so at least one band matches EXACTLY — the band equi-join is
+# a complete (recall-1.0) index for radius <= bands - 1.
+_SH_BANDS = 4
+_SH_BAND_BITS = _SIMHASH_BITS // _SH_BANDS
+_SH_BAND_MASK = (1 << _SH_BAND_BITS) - 1
+_SH_RADIUS = _SH_BANDS - 1
+
+
+@register(
+    "llm_simhash_hamming",
+    f"""
+    WITH {_DUCK_SIMHASH_PREFIX},
+    sim AS ({_DUCK_SIMHASH_FP}),
+    bands AS (
+      SELECT doc_id, simhash, b.band,
+             (simhash >> (b.band * {_SH_BAND_BITS})) & {_SH_BAND_MASK} AS bval
+      FROM sim CROSS JOIN (SELECT unnest(range(0, {_SH_BANDS})) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS fa, b.simhash AS fb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= {_SH_RADIUS}
+    """,
+)
+def llm_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Hamming near-dup search over SimHash fingerprints [public
+    method: Manku, Jain & Das Sarma 2007 — Google's web-crawl
+    near-dedup: split each f-bit fingerprint into B bands, bucket on
+    each band's exact value, and verify only bucket collisions; the
+    pigeonhole principle makes the index COMPLETE for Hamming radius
+    B-1]. Completes the SimHash path the llm_simhash docstring
+    promises: fingerprints ({_SIMHASH_BITS}-bit, shared builder
+    _simhash_frame / _DUCK_SIMHASH_PREFIX so exhibit and index cannot
+    drift) explode to {_SH_BANDS} (band, 12-bit value) keys; the
+    candidate self-join is EQUI on (band, bval); verification is one
+    integer bit_count(fa XOR fb) <= {_SH_RADIUS} per DISTINCT pair —
+    no token arrays are ever re-joined (the structural contrast with
+    llm_minhash_det, whose verification re-reads content).
+
+    At 100 TB: the fingerprint table is 16 bytes/doc; the band
+    explode is x{_SH_BANDS}; the self-join shuffles on the band key
+    (hot boilerplate buckets are AQE skew-split shape, as in the
+    minhash index); verification is pure integer codegen riding the
+    join output — the cheapest near-dup verify in the whole dedup
+    deck. Radius {_SH_RADIUS} of {_SIMHASH_BITS} bits ~= 94% bit
+    agreement, the standard crawl-dedup operating point."""
+    tune(spark)
+    sim = _simhash_frame(spark, sf_dir)
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(_SH_BANDS - 1))).alias("band"),
+    ).select(
+        "doc_id",
+        "simhash",
+        "band",
+        F.expr(
+            f"shiftright(simhash, band * {_SH_BAND_BITS}) & {_SH_BAND_MASK}"
+        ).alias("bval"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("fa"),
+            F.col("b.simhash").alias("fb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.expr("fa ^ fb"))
+    return cand.filter(ham <= _SH_RADIUS).select(
+        "doc_a", "doc_b", ham.cast("int").alias("hamming")
     )
 
 

@@ -819,3 +819,110 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_partkey")
     )
+
+
+# HITS: 2 full hub/authority rounds; each half-step L2-normalizes and
+# rounds to 6dp so both engines track identical doubles (the
+# llm_pca_power_iter iterate-rounding rule).
+_HITS_ITERS = 2
+
+
+def _hits_oracle() -> str:
+    ctes = [
+        _TRADE_PAIRS_SQL,
+        "hd AS (SELECT cust, COUNT(*) AS hdeg FROM pairs GROUP BY cust)",
+        "ad AS (SELECT supp, COUNT(*) AS adeg FROM pairs GROUP BY supp)",
+        "h0 AS (SELECT cust, CAST(1 AS DOUBLE) AS h FROM hd)",
+    ]
+    for k in range(1, _HITS_ITERS + 1):
+        ctes.append(
+            f"a{k}r AS (SELECT p.supp, SUM(h.h) AS a FROM pairs p"
+            f" JOIN h{k - 1} h ON h.cust = p.cust GROUP BY p.supp)"
+        )
+        ctes.append(f"a{k}n AS (SELECT sqrt(SUM(a * a)) AS nrm FROM a{k}r)")
+        ctes.append(
+            f"a{k} AS (SELECT supp, ROUND(a / (SELECT nrm FROM a{k}n), 6) AS a"
+            f" FROM a{k}r)"
+        )
+        ctes.append(
+            f"h{k}r AS (SELECT p.cust, SUM(a.a) AS h FROM pairs p"
+            f" JOIN a{k} a ON a.supp = p.supp GROUP BY p.cust)"
+        )
+        ctes.append(f"h{k}n AS (SELECT sqrt(SUM(h * h)) AS nrm FROM h{k}r)")
+        ctes.append(
+            f"h{k} AS (SELECT cust, ROUND(h / (SELECT nrm FROM h{k}n), 6) AS h"
+            f" FROM h{k}r)"
+        )
+    last = _HITS_ITERS
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT 's' || CAST(a.supp AS VARCHAR) AS node, 'authority' AS role,
+           a.a AS score, CAST(d.adeg AS BIGINT) AS degree
+    FROM a{last} a JOIN ad d ON d.supp = a.supp
+    UNION ALL
+    SELECT 'c' || CAST(h.cust AS VARCHAR) AS node, 'hub' AS role,
+           h.h AS score, CAST(d.hdeg AS BIGINT) AS degree
+    FROM h{last} h JOIN hd d ON d.cust = h.cust
+    """
+
+
+@register("graph_hits", _hits_oracle())
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities on the bipartite trade graph [public
+    method: Kleinberg 1999 — a(s) = Σ h(c) over in-edges, h(c) = Σ a(s)
+    over out-edges, L2-normalized each half-step; THE ranking for
+    bipartite affinity where PageRank's random surfer conflates the two
+    roles]: customers are hubs, suppliers authorities, over the same
+    support-distinct (cust, supp) pair list every trade-graph op shares
+    (_TRADE_PAIRS_SQL / _trade_pairs — the single-source rule). Two
+    full rounds, each iterate ROUNDED to 6dp after its L2 normalize so
+    Spark and the chained-CTE oracle track bit-identical state (the
+    llm_pca_power_iter rule); emits every node with its role, final
+    score, and degree.
+
+    At 100 TB: per half-step ONE equi-join of the edge list against
+    the broadcast-size score frame keyed on the joining side plus one
+    map-side-combinable SUM by the other side; the norm is a 1-row
+    aggregate crossed back in as a broadcast (the llm_tfidf
+    no-driver-count idiom). Fixed iteration count keeps lineage
+    shallow (the graph_pagerank rule); the edge list never re-derives
+    inside the loop."""
+    tune(spark)
+    pairs = _trade_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    hd = pairs.groupBy("cust").agg(F.count(F.lit(1)).alias("hdeg"))
+    ad = pairs.groupBy("supp").agg(F.count(F.lit(1)).alias("adeg"))
+    h = hd.select("cust", F.lit(1.0).alias("h"))
+    a = None
+    for _ in range(_HITS_ITERS):
+        ar = (
+            pairs.join(h, "cust")
+            .groupBy("supp")
+            .agg(F.sum("h").alias("a"))
+        )
+        an = ar.agg(F.sqrt(F.sum(F.col("a") * F.col("a"))).alias("nrm"))
+        a = ar.crossJoin(F.broadcast(an)).select(
+            "supp", F.round(F.col("a") / F.col("nrm"), 6).alias("a")
+        )
+        hr = (
+            pairs.join(a, "supp")
+            .groupBy("cust")
+            .agg(F.sum("a").alias("h"))
+        )
+        hn = hr.agg(F.sqrt(F.sum(F.col("h") * F.col("h"))).alias("nrm"))
+        h = hr.crossJoin(F.broadcast(hn)).select(
+            "cust", F.round(F.col("h") / F.col("nrm"), 6).alias("h")
+        )
+    auth = a.join(ad, "supp").select(
+        F.concat(F.lit("s"), F.col("supp").cast("string")).alias("node"),
+        F.lit("authority").alias("role"),
+        F.col("a").alias("score"),
+        F.col("adeg").cast("long").alias("degree"),
+    )
+    hubs = h.join(hd, "cust").select(
+        F.concat(F.lit("c"), F.col("cust").cast("string")).alias("node"),
+        F.lit("hub").alias("role"),
+        F.col("h").alias("score"),
+        F.col("hdeg").cast("long").alias("degree"),
+    )
+    return auth.unionByName(hubs)

@@ -990,3 +990,77 @@ def evt_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "method")
     )
+
+
+# Cross-correlation scan range and the fixed lead/lag series pair: does
+# browsing activity LEAD purchasing revenue, and by how many days?
+_CCF_MAX_LAG = 7
+
+
+@register(
+    "evt_ccf",
+    f"""
+    WITH s AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             ROUND(SUM(value), 6) AS rev
+      FROM events WHERE event_type IN ('view', 'purchase')
+      GROUP BY event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+    ),
+    x AS (SELECT day, rev FROM s WHERE event_type = 'view'),
+    y AS (SELECT day, rev FROM s WHERE event_type = 'purchase'),
+    lags AS (SELECT unnest(range(-{_CCF_MAX_LAG}, {_CCF_MAX_LAG + 1})) AS lag)
+    SELECT CAST(l.lag AS INT) AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(corr(x.rev, y.rev), 6) AS ccf
+    FROM lags l
+    CROSS JOIN x
+    JOIN y ON y.day = x.day + CAST(l.lag AS INT)
+    GROUP BY l.lag
+    ORDER BY lag
+    """,
+)
+def evt_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between two event-type daily series
+    [public method: the CCF of classical time-series analysis — Pearson
+    correlation of x_t against y_(t+lag) for each lag in a symmetric
+    scan window; the lag of the peak is the lead/lag relationship, the
+    standard browse-leads-purchase diagnostic]: completes the
+    second-order deck beside evt_acf (self-correlation) and evt_pacf
+    (partial) with the CROSS-series member those two cannot express.
+    Daily revenue is rounded to 6dp BEFORE the correlation (the
+    evt_holt_linear round-the-inputs rule); the correlation itself is
+    6dp-rounded, absorbing both engines' co-moment accumulation-order
+    ulps.
+
+    At 100 TB: one (type, day) rollup is the only corpus pass; the lag
+    scan runs on |days| x |lags| rows — the 15-row lag spine broadcasts
+    against the day frame and the shifted self-join keys on the
+    arithmetic date, so each lag's pairing is an equi-join, never a
+    range scan. Millions of series would partition the rollup by
+    series key and reuse the identical plan per pair."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("rev"))
+    )
+    x = s.filter(F.col("event_type") == "view").select(
+        F.col("day").alias("xday"), F.col("rev").alias("xrev")
+    )
+    y = s.filter(F.col("event_type") == "purchase").select(
+        F.col("day").alias("yday"), F.col("rev").alias("yrev")
+    )
+    lags = spark.range(-_CCF_MAX_LAG, _CCF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    return (
+        x.crossJoin(F.broadcast(lags))
+        .join(y, F.col("yday") == F.date_add(F.col("xday"), F.col("lag")))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.corr("xrev", "yrev"), 6).alias("ccf"),
+        )
+        .orderBy("lag")
+    )

@@ -296,6 +296,12 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     # Round-9 fifth wave: the lexical-retriever pricing curve and the
     # parallel-trends diagnostic for the DiD family.
     "llm_bm25_tuning_curve", "evt_did_event_study",
+    # Added in round 10 (appended at the END per the freeze discipline;
+    # being unseen they lead the round-11 window under the post-closure
+    # policy): banded-Hamming SimHash search (Manku et al.), HITS
+    # hubs/authorities on the bipartite trade graph, and the
+    # cross-series CCF member of the acf/pacf deck.
+    "llm_simhash_hamming", "graph_hits", "evt_ccf",
 )
 
 

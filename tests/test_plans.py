@@ -1944,3 +1944,34 @@ def test_did_event_study_one_aggregate(spark, registry):
     assert f.cartesian == 0
     assert "Python" not in f.text
     assert f.broadcast_joins >= 1
+
+
+def test_simhash_hamming_band_join_no_arrays(spark, registry):
+    """llm_simhash_hamming: candidates come from the (band, bval)
+    equi-self-join over the 16-byte fingerprint table; verification is
+    integer bit_count on the joined row — no cartesian, no Python, and
+    no token-array rejoin (the whole point vs minhash verify)."""
+    f = _facts(spark, registry, "llm_simhash_hamming")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+    assert "array_intersect" not in f.text
+
+
+def test_hits_iterates_with_broadcast_norms(spark, registry):
+    """graph_hits: each half-step is one equi-join of the checkpointed
+    pair list against the score frame plus a 1-row broadcast norm; no
+    cartesian, no Python."""
+    f = _facts(spark, registry, "graph_hits")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+    assert f.broadcast_joins >= 2
+
+
+def test_ccf_broadcasts_lag_spine(spark, registry):
+    """evt_ccf: the 15-row lag spine broadcasts against the daily frame
+    and each lag's pairing is an equi-join on the shifted date; one
+    corpus rollup, no cartesian, no Python."""
+    f = _facts(spark, registry, "evt_ccf")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+    assert f.broadcast_joins >= 1

@@ -926,3 +926,71 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hdeg").cast("long").alias("degree"),
     )
     return auth.unionByName(hubs)
+
+
+@register(
+    "graph_assortativity",
+    f"""
+    WITH {_COPURCHASE_TRI_SQL},
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT p1 AS node FROM pairs UNION ALL SELECT p2 FROM pairs
+      ) u GROUP BY node
+    ),
+    ends AS (
+      SELECT da.d AS dx, db.d AS dy
+      FROM pairs p JOIN deg da ON da.node = p.p1 JOIN deg db ON db.node = p.p2
+      UNION ALL
+      SELECT db.d AS dx, da.d AS dy
+      FROM pairs p JOIN deg da ON da.node = p.p1 JOIN deg db ON db.node = p.p2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_edge_ends,
+           ROUND(AVG(CAST(dx AS DOUBLE)), 6) AS mean_end_degree,
+           ROUND(corr(CAST(dx AS DOUBLE), CAST(dy AS DOUBLE)), 6)
+             AS assortativity
+    FROM ends
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase affinity graph [public
+    method: Newman 2002 — the Pearson correlation of degrees at the two
+    ends of every edge; positive = hubs link hubs (social), negative =
+    hubs link leaves (technological/retail), the one-number structure
+    diagnostic beside graph_degree_distribution (the marginal) and
+    graph_clustering_coefficient (local density)]: same support>=2
+    edge list every co-purchase op shares (_COPURCHASE_TRI_SQL /
+    _copurchase_pairs — the single-source rule), symmetrized so each
+    undirected edge contributes both (dx, dy) and (dy, dx) as the
+    undirected estimator requires. The correlation is 6dp-rounded,
+    absorbing both engines' co-moment accumulation-order ulps.
+
+    At 100 TB: degree is one map-side-combinable count; the two
+    degree lookups are equi-joins on node id (vertex-cut shape); the
+    correlation is a single 1-row co-moment reduction — no window, no
+    collect, nothing quadratic beyond the already-bounded edge list."""
+    tune(spark)
+    pairs = _copurchase_pairs(spark, sf_dir)
+    deg = (
+        pairs.select(F.col("p1").alias("node"))
+        .unionAll(pairs.select(F.col("p2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("node").alias("na"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("nb"), F.col("d").alias("db"))
+    joined = pairs.join(da, F.col("na") == F.col("p1")).join(
+        db, F.col("nb") == F.col("p2")
+    )
+    fwd = joined.select(
+        F.col("da").cast("double").alias("dx"),
+        F.col("db").cast("double").alias("dy"),
+    )
+    rev = joined.select(
+        F.col("db").cast("double").alias("dx"),
+        F.col("da").cast("double").alias("dy"),
+    )
+    return fwd.unionAll(rev).agg(
+        F.count(F.lit(1)).cast("long").alias("n_edge_ends"),
+        F.round(F.avg("dx"), 6).alias("mean_end_degree"),
+        F.round(F.corr("dx", "dy"), 6).alias("assortativity"),
+    )

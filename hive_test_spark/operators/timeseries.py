@@ -1064,3 +1064,268 @@ def evt_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+def _granger_leg_sql(direction: str, t: str, sl: str, cl: str) -> str:
+    """One Granger direction as a moment-sum reduction: regress target
+    ``t`` on [1, self-lag ``sl``] (restricted) and [1, ``sl``, cross-lag
+    ``cl``] (unrestricted) via the evt_ols_multifactor Cramer pattern,
+    then F = (RSS_r - RSS_u) / (RSS_u / (n - 3))."""
+    return f"""
+      SELECT '{direction}' AS direction,
+             CAST(n AS BIGINT) AS n_days,
+             ROUND(det_b1 / det, 6) AS b_self,
+             ROUND(det_b2 / det, 6) AS b_cross,
+             ROUND(rss_r, 6) AS rss_r,
+             ROUND(rss_u, 6) AS rss_u,
+             ROUND((rss_r - rss_u) / (rss_u / (n - 3)), 6) AS f_stat
+      FROM (
+        SELECT n, det, det_b0, det_b1, det_b2,
+               stt - (st - ((n * sslt - ssl * st) / (n * sslsl - ssl * ssl))
+                      * ssl) / n * st
+                   - ((n * sslt - ssl * st) / (n * sslsl - ssl * ssl)) * sslt
+                 AS rss_r,
+               stt - (det_b0 / det) * st - (det_b1 / det) * sslt
+                   - (det_b2 / det) * sclt AS rss_u
+        FROM (
+          SELECT n, ssl, scl, st, sslsl, sclcl, sslcl, sslt, sclt, stt,
+                 (n * (sslsl * sclcl - sslcl * sslcl)
+                  - ssl * (ssl * sclcl - sslcl * scl)
+                  + scl * (ssl * sslcl - sslsl * scl)) AS det,
+                 (st * (sslsl * sclcl - sslcl * sslcl)
+                  - ssl * (sslt * sclcl - sslcl * sclt)
+                  + scl * (sslt * sslcl - sslsl * sclt)) AS det_b0,
+                 (n * (sslt * sclcl - sslcl * sclt)
+                  - st * (ssl * sclcl - sslcl * scl)
+                  + scl * (ssl * sclt - sslt * scl)) AS det_b1,
+                 (n * (sslsl * sclt - sslt * sslcl)
+                  - ssl * (ssl * sclt - sslt * scl)
+                  + st * (ssl * sslcl - sslsl * scl)) AS det_b2
+          FROM (
+            SELECT COUNT(*) AS n,
+                   SUM({sl}) AS ssl, SUM({cl}) AS scl, SUM({t}) AS st,
+                   SUM({sl} * {sl}) AS sslsl, SUM({cl} * {cl}) AS sclcl,
+                   SUM({sl} * {cl}) AS sslcl,
+                   SUM({sl} * {t}) AS sslt, SUM({cl} * {t}) AS sclt,
+                   SUM({t} * {t}) AS stt
+            FROM lagged WHERE {sl} IS NOT NULL AND {cl} IS NOT NULL
+          ) m
+        ) solved
+      ) rss
+    """
+
+
+_GRANGER_BASE_SQL = """
+    WITH s AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             ROUND(SUM(value), 6) AS rev
+      FROM events WHERE event_type IN ('view', 'purchase')
+      GROUP BY event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+    ),
+    base AS (
+      SELECT x.day, x.rev AS x, y.rev AS y
+      FROM (SELECT day, rev FROM s WHERE event_type = 'view') x
+      JOIN (SELECT day, rev FROM s WHERE event_type = 'purchase') y
+        ON y.day = x.day
+    ),
+    lagged AS (
+      SELECT day, x, y,
+             LAG(x, 1) OVER (ORDER BY day) AS xl,
+             LAG(y, 1) OVER (ORDER BY day) AS yl
+      FROM base
+    )
+"""
+
+
+@register(
+    "evt_granger",
+    _GRANGER_BASE_SQL
+    + f"""
+    SELECT * FROM ({_granger_leg_sql("view->purchase", "y", "yl", "xl")}
+    UNION ALL {_granger_leg_sql("purchase->view", "x", "xl", "yl")}) u
+    ORDER BY direction
+    """,
+)
+def evt_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Granger causality test between the view and purchase daily
+    revenue series, both directions [public method: Granger 1969 — does
+    adding the OTHER series' lag improve the autoregression? F-test of
+    the restricted (target on its own lag) vs unrestricted (plus the
+    cross lag) OLS fits]: completes the causal deck beside evt_did /
+    evt_did_event_study (interventions), evt_ab_cuped (randomized),
+    and the new evt_ccf (whose peak lag this formalizes into a test
+    statistic). Both regressions reduce to ONE pass of moment sums
+    over the lagged day frame; the 3x3 unrestricted system solves by
+    Cramer's rule (the evt_ols_multifactor pattern, shared leg builder
+    for both directions so the arithmetic cannot drift) and RSS comes
+    from the normal-equation identity RSS = Syy - b'X'y. Daily revenue
+    is rounded to 6dp before the lags (the evt_holt_linear rule).
+
+    At 100 TB: the (type, day) rollup is the only corpus pass; the LAG
+    window runs on the |days| calendar frame (bounded, like
+    graph_modularity's 25-community window — NOT corpus-scale), and
+    each direction is a 1-row moment reduction plus scalar epilogue.
+    Millions of series pairs would partition the lag window by pair
+    key and keep the identical leg arithmetic."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("rev"))
+    )
+    x = s.filter(F.col("event_type") == "view").select(
+        "day", F.col("rev").alias("x")
+    )
+    y = s.filter(F.col("event_type") == "purchase").select(
+        F.col("day").alias("yday"), F.col("rev").alias("y")
+    )
+    w = Window.orderBy("day")
+    lagged = (
+        x.join(y, F.col("yday") == F.col("day"))
+        .select("day", "x", "y")
+        .select(
+            "day",
+            "x",
+            "y",
+            F.lag("x", 1).over(w).alias("xl"),
+            F.lag("y", 1).over(w).alias("yl"),
+        )
+    )
+
+    def leg(direction: str, t: str, sl: str, cl: str) -> DataFrame:
+        tc, slc, clc = F.col(t), F.col(sl), F.col(cl)
+        m = lagged.filter(slc.isNotNull() & clc.isNotNull()).agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(slc).alias("ssl"),
+            F.sum(clc).alias("scl"),
+            F.sum(tc).alias("st"),
+            F.sum(slc * slc).alias("sslsl"),
+            F.sum(clc * clc).alias("sclcl"),
+            F.sum(slc * clc).alias("sslcl"),
+            F.sum(slc * tc).alias("sslt"),
+            F.sum(clc * tc).alias("sclt"),
+            F.sum(tc * tc).alias("stt"),
+        )
+        c = {k: F.col(k) for k in
+             ("n", "ssl", "scl", "st", "sslsl", "sclcl", "sslcl",
+              "sslt", "sclt", "stt")}
+        det = (
+            c["n"] * (c["sslsl"] * c["sclcl"] - c["sslcl"] * c["sslcl"])
+            - c["ssl"] * (c["ssl"] * c["sclcl"] - c["sslcl"] * c["scl"])
+            + c["scl"] * (c["ssl"] * c["sslcl"] - c["sslsl"] * c["scl"])
+        )
+        det_b0 = (
+            c["st"] * (c["sslsl"] * c["sclcl"] - c["sslcl"] * c["sslcl"])
+            - c["ssl"] * (c["sslt"] * c["sclcl"] - c["sslcl"] * c["sclt"])
+            + c["scl"] * (c["sslt"] * c["sslcl"] - c["sslsl"] * c["sclt"])
+        )
+        det_b1 = (
+            c["n"] * (c["sslt"] * c["sclcl"] - c["sslcl"] * c["sclt"])
+            - c["st"] * (c["ssl"] * c["sclcl"] - c["sslcl"] * c["scl"])
+            + c["scl"] * (c["ssl"] * c["sclt"] - c["sslt"] * c["scl"])
+        )
+        det_b2 = (
+            c["n"] * (c["sslsl"] * c["sclt"] - c["sslt"] * c["sslcl"])
+            - c["ssl"] * (c["ssl"] * c["sclt"] - c["sslt"] * c["scl"])
+            + c["st"] * (c["ssl"] * c["sslcl"] - c["sslsl"] * c["scl"])
+        )
+        b1r = (c["n"] * c["sslt"] - c["ssl"] * c["st"]) / (
+            c["n"] * c["sslsl"] - c["ssl"] * c["ssl"]
+        )
+        rss_r = (
+            c["stt"]
+            - (c["st"] - b1r * c["ssl"]) / c["n"] * c["st"]
+            - b1r * c["sslt"]
+        )
+        rss_u = (
+            c["stt"]
+            - (det_b0 / det) * c["st"]
+            - (det_b1 / det) * c["sslt"]
+            - (det_b2 / det) * c["sclt"]
+        )
+        return m.select(
+            F.lit(direction).alias("direction"),
+            c["n"].cast("long").alias("n_days"),
+            F.round(det_b1 / det, 6).alias("b_self"),
+            F.round(det_b2 / det, 6).alias("b_cross"),
+            F.round(rss_r, 6).alias("rss_r"),
+            F.round(rss_u, 6).alias("rss_u"),
+            F.round((rss_r - rss_u) / (rss_u / (c["n"] - 3)), 6).alias(
+                "f_stat"
+            ),
+        )
+
+    return (
+        leg("view->purchase", "y", "yl", "xl")
+        .unionByName(leg("purchase->view", "x", "xl", "yl"))
+        .orderBy("direction")
+    )
+
+
+@register(
+    "evt_winsorized_mean",
+    """
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN e.value >= q.p05 AND e.value <= q.p95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_inlier,
+           ROUND(MIN(q.p05), 6) AS p05,
+           ROUND(MIN(q.p95), 6) AS p95,
+           ROUND(AVG(e.value), 6) AS mean_raw,
+           ROUND(AVG(GREATEST(q.p05, LEAST(q.p95, e.value))), 6)
+             AS mean_winsorized,
+           ROUND(AVG(CASE WHEN e.value >= q.p05 AND e.value <= q.p95
+                          THEN e.value END), 6) AS mean_trimmed
+    FROM events e JOIN q ON q.event_type = e.event_type
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def evt_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized and trimmed means per event type [public method: the
+    classical robust-location estimators — clamp (winsorize) or drop
+    (trim) values outside the exact [p5, p95] quantile band before
+    averaging; the robust-aggregation member of the outlier deck
+    beside evt_anomaly_mad (detection) and dq_outlier_iqr (flagging),
+    which diagnose but never re-estimate]: per-group exact
+    percentiles reduce in one aggregate, join back on the group key,
+    and the clamped/trimmed means reduce in a second pass. The
+    percentile interpolation is the Spark-percentile/DuckDB-
+    quantile_cont contract the quantile-interp fuzz grammar pins;
+    clamps compare against the UNROUNDED interpolated value in both
+    engines, display columns round to 6dp.
+
+    At 100 TB: two map-side-combinable passes over the events table
+    keyed on the (5-value) event_type — the quantile frame is
+    broadcast-size by construction, so the join back is a broadcast
+    hash join, never a shuffle of the fact side."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy(F.col("event_type").alias("q_type")).agg(
+        F.expr("percentile(value, 0.05D)").alias("p05"),
+        F.expr("percentile(value, 0.95D)").alias("p95"),
+    )
+    j = ev.join(F.broadcast(q), F.col("q_type") == F.col("event_type"))
+    inlier = (F.col("value") >= F.col("p05")) & (F.col("value") <= F.col("p95"))
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(inlier.cast("int")).cast("long").alias("n_inlier"),
+            F.round(F.min("p05"), 6).alias("p05"),
+            F.round(F.min("p95"), 6).alias("p95"),
+            F.round(F.avg("value"), 6).alias("mean_raw"),
+            F.round(
+                F.avg(F.greatest(F.col("p05"), F.least(F.col("p95"), F.col("value")))), 6
+            ).alias("mean_winsorized"),
+            F.round(F.avg(F.when(inlier, F.col("value"))), 6).alias("mean_trimmed"),
+        )
+        .orderBy("event_type")
+    )

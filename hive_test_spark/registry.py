@@ -302,6 +302,10 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     # hubs/authorities on the bipartite trade graph, and the
     # cross-series CCF member of the acf/pacf deck.
     "llm_simhash_hamming", "graph_hits", "evt_ccf",
+    # Round-10 second wave: the Granger F-test the CCF peak formalizes,
+    # Newman degree assortativity over the shared co-purchase edges,
+    # and the winsorized/trimmed robust-mean member of the outlier deck.
+    "evt_granger", "graph_assortativity", "evt_winsorized_mean",
 )
 
 

@@ -1975,3 +1975,32 @@ def test_ccf_broadcasts_lag_spine(spark, registry):
     assert f.cartesian == 0
     assert "Python" not in f.text
     assert f.broadcast_joins >= 1
+
+
+def test_granger_single_corpus_pass(spark, registry):
+    """evt_granger: one (type, day) rollup is the only corpus work;
+    each direction is a 1-row moment reduction + scalar epilogue. No
+    cartesian, no Python."""
+    f = _facts(spark, registry, "evt_granger")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+
+
+def test_assortativity_no_window_no_cartesian(spark, registry):
+    """graph_assortativity: degree lookups are equi-joins on node id
+    and the correlation is a 1-row co-moment reduction — no global
+    window, no cartesian, no Python."""
+    f = _facts(spark, registry, "graph_assortativity")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+    assert "Window" not in f.simple
+
+
+def test_winsorized_mean_broadcasts_quantiles(spark, registry):
+    """evt_winsorized_mean: the 5-row quantile frame broadcasts back
+    onto the fact side — the events table is never shuffled for the
+    join."""
+    f = _facts(spark, registry, "evt_winsorized_mean")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+    assert f.broadcast_joins >= 1

@@ -4628,3 +4628,203 @@ def test_random_pq_adc_matches_duckdb(spark, duck, spec):
     duck_pdf = duck.execute(_adc_fuzz_sql(spec)).df()
     r = compare("fuzz_pq_adc", spark_pdf, duck_pdf)
     assert r["ok"], f"spec={spec}\nnotes={r['notes']}"
+
+
+# ---- lag-correlation grammar (r10 evt_ccf / evt_granger family) --------------
+#
+# Pearson correlation over lag-joined daily series under randomized
+# series pair, lag range, and aggregation: the arithmetic both the CCF
+# scan and the Granger moment sums lean on — shifted equi-join pairing
+# plus co-moment reduction, 6dp-rounded.
+
+
+@st.composite
+def lagcorr_specs(draw):
+    pair = draw(
+        st.sampled_from(
+            [("view", "purchase"), ("click", "signup"), ("view", "error")]
+        )
+    )
+    return {
+        "x": pair[0],
+        "y": pair[1],
+        "maxlag": draw(st.sampled_from([3, 7])),
+        "stat": draw(st.sampled_from(["rev", "cnt"])),
+    }
+
+
+def _lagcorr_sql(spec) -> str:
+    agg = (
+        "ROUND(SUM(value), 6)"
+        if spec["stat"] == "rev"
+        else "CAST(COUNT(*) AS DOUBLE)"
+    )
+    return f"""
+    WITH s AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             {agg} AS v
+      FROM events WHERE event_type IN ('{spec["x"]}', '{spec["y"]}')
+      GROUP BY event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+    ),
+    x AS (SELECT day, v FROM s WHERE event_type = '{spec["x"]}'),
+    y AS (SELECT day, v FROM s WHERE event_type = '{spec["y"]}'),
+    lags AS (SELECT unnest(range(-{spec["maxlag"]}, {spec["maxlag"] + 1})) AS lag)
+    SELECT CAST(l.lag AS INT) AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(corr(x.v, y.v), 6) AS ccf
+    FROM lags l CROSS JOIN x
+    JOIN y ON y.day = x.day + CAST(l.lag AS INT)
+    GROUP BY l.lag
+    """
+
+
+def _lagcorr_df(spark, spec):
+    ev = load_table(spark, SF_DIR, "events")
+    agg = (
+        F.round(F.sum("value"), 6)
+        if spec["stat"] == "rev"
+        else F.count(F.lit(1)).cast("double")
+    )
+    s = (
+        ev.filter(F.col("event_type").isin(spec["x"], spec["y"]))
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(agg.alias("v"))
+    )
+    x = s.filter(F.col("event_type") == spec["x"]).select(
+        F.col("day").alias("xday"), F.col("v").alias("xv")
+    )
+    y = s.filter(F.col("event_type") == spec["y"]).select(
+        F.col("day").alias("yday"), F.col("v").alias("yv")
+    )
+    lags = spark.range(-spec["maxlag"], spec["maxlag"] + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    return (
+        x.crossJoin(F.broadcast(lags))
+        .join(y, F.col("yday") == F.date_add(F.col("xday"), F.col("lag")))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.corr("xv", "yv"), 6).alias("ccf"),
+        )
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=lagcorr_specs())
+def test_random_lag_corr_matches_duckdb(spark, duck, spec):
+    """Lag-correlation fuzz (r10 evt_ccf/evt_granger family): shifted
+    equi-join pairing + co-moment correlation must agree for any series
+    pair, lag range, and daily statistic."""
+    spark_pdf = _lagcorr_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_lagcorr_sql(spec)).df()
+    r = compare("fuzz_lag_corr", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nnotes={r['notes']}"
+
+
+# ---- bipartite score-fold grammar (r10 graph_hits family) --------------------
+#
+# The HITS half-step fold under randomized iteration depth and edge
+# derivation: score = SUM over the joined side, L2-normalize, ROUND 6dp,
+# alternate sides. The bipartite cousin of the power-iteration grammar
+# (same normalize-round contract, two frames instead of one).
+
+
+@st.composite
+def hits_specs(draw):
+    return {
+        "iters": draw(st.integers(1, 3)),
+        # edge derivation: full trade pairs, or the order-count >= 2
+        # support-filtered variant (changes the graph, not the fold)
+        "minsupp": draw(st.sampled_from([1, 2])),
+    }
+
+
+def _hits_fuzz_sql(spec) -> str:
+    supp = (
+        ""
+        if spec["minsupp"] == 1
+        else "HAVING COUNT(DISTINCT o.o_orderkey) >= 2"
+    )
+    ctes = [
+        f"""pairs AS (
+          SELECT o.o_custkey AS cust, l.l_suppkey AS supp
+          FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          GROUP BY 1, 2 {supp}
+        )""",
+        "h0 AS (SELECT DISTINCT cust, CAST(1 AS DOUBLE) AS h FROM pairs)",
+    ]
+    for k in range(1, spec["iters"] + 1):
+        ctes.append(
+            f"a{k}r AS (SELECT p.supp, SUM(h.h) AS a FROM pairs p"
+            f" JOIN h{k - 1} h ON h.cust = p.cust GROUP BY p.supp)"
+        )
+        ctes.append(f"a{k}n AS (SELECT sqrt(SUM(a * a)) AS nrm FROM a{k}r)")
+        ctes.append(
+            f"a{k} AS (SELECT supp, ROUND(a / (SELECT nrm FROM a{k}n), 6) AS a"
+            f" FROM a{k}r)"
+        )
+        ctes.append(
+            f"h{k}r AS (SELECT p.cust, SUM(a.a) AS h FROM pairs p"
+            f" JOIN a{k} a ON a.supp = p.supp GROUP BY p.cust)"
+        )
+        ctes.append(f"h{k}n AS (SELECT sqrt(SUM(h * h)) AS nrm FROM h{k}r)")
+        ctes.append(
+            f"h{k} AS (SELECT cust, ROUND(h / (SELECT nrm FROM h{k}n), 6) AS h"
+            f" FROM h{k}r)"
+        )
+    last = spec["iters"]
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT supp AS node_id, a AS score FROM a{last}
+    """
+
+
+def _hits_fuzz_df(spark, spec):
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    g = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+        )
+        .agg(F.countDistinct("o_orderkey").alias("ns"))
+    )
+    pairs = g.filter(F.col("ns") >= spec["minsupp"]).select("cust", "supp")
+    h = pairs.select("cust").distinct().select("cust", F.lit(1.0).alias("h"))
+    a = None
+    for _ in range(spec["iters"]):
+        ar = pairs.join(h, "cust").groupBy("supp").agg(F.sum("h").alias("a"))
+        an = ar.agg(F.sqrt(F.sum(F.col("a") * F.col("a"))).alias("nrm"))
+        a = ar.crossJoin(F.broadcast(an)).select(
+            "supp", F.round(F.col("a") / F.col("nrm"), 6).alias("a")
+        )
+        hr = pairs.join(a, "supp").groupBy("cust").agg(F.sum("a").alias("h"))
+        hn = hr.agg(F.sqrt(F.sum(F.col("h") * F.col("h"))).alias("nrm"))
+        h = hr.crossJoin(F.broadcast(hn)).select(
+            "cust", F.round(F.col("h") / F.col("nrm"), 6).alias("h")
+        )
+    return a.select(F.col("supp").alias("node_id"), F.col("a").alias("score"))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=hits_specs())
+def test_random_hits_fold_matches_duckdb(spark, duck, spec):
+    """Bipartite score-fold fuzz (r10 graph_hits family): the
+    alternate-side SUM / L2-normalize / 6dp-round fold must track the
+    chained-CTE unroll for any depth and edge support filter."""
+    spark_pdf = _hits_fuzz_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_hits_fuzz_sql(spec)).df()
+    r = compare("fuzz_hits_fold", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nnotes={r['notes']}"

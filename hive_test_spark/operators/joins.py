@@ -973,3 +973,44 @@ def join_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "s_suppkey", F.round(dist, 3).alias("dist_km"))
         .orderBy("c_custkey", "s_suppkey")
     )
+
+
+@register(
+    "join_shuffle_hash",
+    """
+    SELECT c.c_mktsegment,
+           COUNT(*) AS num_orders,
+           ROUND(SUM(o.o_totalprice), 6) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-hash join: the SHUFFLE_HASH hint pins the third physical
+    equi-join strategy, completing the trio beside join_broadcast
+    (BroadcastHashJoin) and join_sort_merge (SortMergeJoin) — the plan
+    is asserted, not assumed. Spark prefers SMJ for two large sides
+    because sort state spills gracefully; shuffle-hash wins when ONE
+    side's per-partition share comfortably fits memory but the side is
+    too big to broadcast — exactly this orders x customer shape, and
+    the hint is how a tuned 100 TB job pins it (or
+    spark.sql.join.preferSortMergeJoin=false globally).
+
+    At 100 TB: both sides shuffle once on the key (same exchange as
+    SMJ) but the build side hashes instead of sorting — no sort, no
+    spill-sort merge; the risk is a skewed build partition OOMing,
+    which AQE's skew split mitigates. The oracle is strategy-blind
+    (same rows whatever the physical join), so the hash gate proves
+    result-equivalence across all three strategies together with
+    join_broadcast/join_sort_merge over the same fixtures."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").hint("shuffle_hash")
+    return (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("num_orders"),
+            F.round(F.sum("o_totalprice"), 6).alias("total_price"),
+        )
+    )

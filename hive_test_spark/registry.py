@@ -306,6 +306,10 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     # Newman degree assortativity over the shared co-purchase edges,
     # and the winsorized/trimmed robust-mean member of the outlier deck.
     "evt_granger", "graph_assortativity", "evt_winsorized_mean",
+    # Round-10 third wave: the SHUFFLE_HASH hint — the third physical
+    # equi-join strategy, plan-asserted, completing the
+    # broadcast/sort-merge/shuffle-hash trio.
+    "join_shuffle_hash",
 )
 
 

@@ -2004,3 +2004,13 @@ def test_winsorized_mean_broadcasts_quantiles(spark, registry):
     assert f.cartesian == 0
     assert "Python" not in f.text
     assert f.broadcast_joins >= 1
+
+
+def test_shuffle_hash_hint_is_honored(spark, registry):
+    """join_shuffle_hash: the SHUFFLE_HASH hint must pin
+    ShuffledHashJoin — the third physical strategy beside the asserted
+    broadcast and sort-merge ops."""
+    f = _facts(spark, registry, "join_shuffle_hash")
+    assert "ShuffledHashJoin" in f.text
+    assert f.sort_merge_joins == 0
+    assert f.cartesian == 0

@@ -5162,3 +5162,246 @@ def evt_did_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rel_week")
     )
+
+
+@register(
+    "evt_kruskal_wallis",
+    """
+    WITH per_v AS (
+      SELECT value AS v, COUNT(*) AS tie FROM events GROUP BY value
+    ),
+    ranked AS (
+      SELECT v, tie,
+             COALESCE(SUM(tie) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (tie + 1) / 2.0 AS avg_rank
+      FROM per_v
+    ),
+    per_vt AS (
+      SELECT value AS v, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+    ),
+    grp AS (
+      SELECT t.event_type, SUM(t.c) AS n, SUM(t.c * r.avg_rank) AS rsum
+      FROM per_vt t JOIN ranked r ON r.v = t.v
+      GROUP BY t.event_type
+    ),
+    tot AS (
+      SELECT CAST(SUM(tie) AS DOUBLE) AS nn,
+             SUM(CAST(tie AS DOUBLE) * tie * tie - tie) AS tsum
+      FROM per_v
+    ),
+    h AS (
+      SELECT t.nn, t.tsum,
+             12.0 / (t.nn * (t.nn + 1.0)) * SUM(g.rsum * g.rsum / g.n)
+               - 3.0 * (t.nn + 1.0) AS h_raw,
+             CAST(COUNT(*) AS BIGINT) - 1 AS df
+      FROM grp g CROSS JOIN tot t
+      GROUP BY t.nn, t.tsum
+    )
+    SELECT g.event_type,
+           CAST(g.n AS BIGINT) AS n,
+           ROUND(g.rsum / g.n, 6) AS mean_rank,
+           h.df,
+           ROUND(h.h_raw, 6) AS h_stat,
+           ROUND(h.h_raw / (1.0 - h.tsum / (h.nn * h.nn * h.nn - h.nn)), 6)
+             AS h_tie_corrected
+    FROM grp g CROSS JOIN h
+    ORDER BY g.event_type
+    """,
+)
+def evt_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test across all five event types [public
+    method: the K-sample rank ANOVA — does ANY cohort's value
+    distribution differ in location? — the K-group generalization of
+    evt_mann_whitney's two-sample U and the nonparametric companion to
+    evt_anova_dow's parametric F]: the corpus collapses to the
+    distinct-value dimension, midranks come from the prefix sum over
+    that dimension ((cum-before) + (ties+1)/2, the shared tied-rank
+    rule), per-group rank sums reduce from the (value, type) rollup
+    joined to the midrank frame, and H applies the full tie
+    correction H / (1 - Σ(t³-t)/(N³-N)). Every accumulated rank term
+    is an exact multiple of 0.5 far below 2^52, so rank sums are
+    EXACT in IEEE double regardless of partition order (the
+    evt_mann_whitney argument); only the final H terms are rounded.
+    Emits one row per group (n, mean rank) with the H statistic and
+    df riding along (the graph_modularity q_total pattern) — compare
+    to the chi-square critical value at df = K-1.
+
+    At 100 TB: two map-side-combinable rollups (per-value, per
+    (value, type)); the prefix-sum window runs over the DISTINCT
+    VALUE dimension only (pre-bucket a continuous metric to a fixed
+    grid first — midranks within a bucket collapse to the bucket
+    midrank, exactly the tie rule); everything after is a 5-group
+    reduction with 1-row broadcast epilogues."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    per_v = ev.groupBy(F.col("value").alias("v")).agg(
+        F.count(F.lit(1)).alias("tie")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "v",
+        "tie",
+        (
+            F.coalesce(F.sum("tie").over(w), F.lit(0))
+            + (F.col("tie") + 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    per_vt = ev.groupBy(F.col("value").alias("tv"), "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    grp = (
+        per_vt.join(ranked, F.col("v") == F.col("tv"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.col("avg_rank")).alias("rsum"),
+        )
+    )
+    tot = per_v.agg(
+        F.sum("tie").cast("double").alias("nn"),
+        F.sum(
+            F.col("tie").cast("double") * F.col("tie") * F.col("tie")
+            - F.col("tie")
+        ).alias("tsum"),
+    )
+    h = (
+        grp.crossJoin(F.broadcast(tot))
+        .groupBy("nn", "tsum")
+        .agg(
+            (
+                12.0
+                / (F.col("nn") * (F.col("nn") + 1.0))
+                * F.sum(F.col("rsum") * F.col("rsum") / F.col("n"))
+                - 3.0 * (F.col("nn") + 1.0)
+            ).alias("h_raw"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("df"),
+        )
+    )
+    return (
+        grp.crossJoin(F.broadcast(h))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("rsum") / F.col("n"), 6).alias("mean_rank"),
+            "df",
+            F.round("h_raw", 6).alias("h_stat"),
+            F.round(
+                F.col("h_raw")
+                / (
+                    1.0
+                    - F.col("tsum")
+                    / (F.col("nn") * F.col("nn") * F.col("nn") - F.col("nn"))
+                ),
+                6,
+            ).alias("h_tie_corrected"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "evt_levene",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    z AS (
+      SELECT e.event_type, ABS(e.value - m.med) AS z
+      FROM events e JOIN med m ON m.event_type = e.event_type
+    ),
+    g AS (
+      SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+             AVG(z) AS mz, SUM(z * z) AS szz
+      FROM z GROUP BY event_type
+    ),
+    tot AS (
+      SELECT SUM(n) AS nn, CAST(COUNT(*) AS DOUBLE) AS k,
+             SUM(n * mz) / SUM(n) AS gz,
+             SUM(n * mz * mz) AS snmz2,
+             SUM(szz) AS sszz,
+             SUM(szz - n * mz * mz) AS ssw
+      FROM g
+    ),
+    w AS (
+      SELECT t.nn, t.k,
+             (t.nn - t.k) / (t.k - 1.0)
+               * (t.snmz2 - t.nn * t.gz * t.gz) / t.ssw AS w_stat
+      FROM tot t
+    )
+    SELECT g.event_type,
+           CAST(g.n AS BIGINT) AS n,
+           ROUND(g.mz, 6) AS mean_abs_dev,
+           CAST(w.k - 1 AS BIGINT) AS df1,
+           CAST(w.nn - w.k AS BIGINT) AS df2,
+           ROUND(w.w_stat, 6) AS w_stat
+    FROM g CROSS JOIN w
+    ORDER BY g.event_type
+    """,
+)
+def evt_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) test for variance
+    homogeneity across the five event types [public method: Levene
+    1960 / Brown & Forsythe 1974 — one-way ANOVA on the absolute
+    deviations from each group's MEDIAN; the robust
+    equality-of-variances check that gates whether evt_anova_dow's
+    pooled-variance F is even applicable, completing the testing deck:
+    location (anova/kruskal-wallis/mann-whitney), distribution (ks),
+    association (chi2), and now scale]: exact per-group medians (the
+    pinned percentile/quantile_cont interpolation contract) broadcast
+    back onto the fact rows; the W statistic reduces from per-group
+    (n, mean |dev|, sum |dev|^2) via the between/within sum-of-squares
+    identities SSB = Sum n_j m_j^2 - N zbar^2 and SSW = Sum (Szz_j -
+    n_j m_j^2) — no second pass over centered rows. Emits one row per
+    group with W and its (df1, df2) riding along (the graph_modularity
+    pattern); compare to the F critical value.
+
+    At 100 TB: one aggregate for medians, one broadcast join + one
+    map-side-combinable aggregate for the moment sums, 1-row epilogue
+    — the fact table is scanned twice and shuffled never (group key
+    has 5 values; partial aggregation collapses everything)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy(F.col("event_type").alias("m_type")).agg(
+        F.expr("percentile(value, 0.5D)").alias("med")
+    )
+    z = ev.join(F.broadcast(med), F.col("m_type") == F.col("event_type")).select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("z")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("z").alias("mz"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("nn"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+        (F.sum(F.col("n") * F.col("mz")) / F.sum("n")).alias("gz"),
+        F.sum(F.col("n") * F.col("mz") * F.col("mz")).alias("snmz2"),
+        F.sum(F.col("szz") - F.col("n") * F.col("mz") * F.col("mz")).alias(
+            "ssw"
+        ),
+    )
+    w = tot.select(
+        "nn",
+        "k",
+        (
+            (F.col("nn") - F.col("k"))
+            / (F.col("k") - 1.0)
+            * (F.col("snmz2") - F.col("nn") * F.col("gz") * F.col("gz"))
+            / F.col("ssw")
+        ).alias("w_stat"),
+    )
+    return (
+        g.crossJoin(F.broadcast(w))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.round("mz", 6).alias("mean_abs_dev"),
+            (F.col("k") - 1).cast("long").alias("df1"),
+            (F.col("nn") - F.col("k")).cast("long").alias("df2"),
+            F.round("w_stat", 6).alias("w_stat"),
+        )
+        .orderBy("event_type")
+    )

@@ -310,6 +310,10 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     # equi-join strategy, plan-asserted, completing the
     # broadcast/sort-merge/shuffle-hash trio.
     "join_shuffle_hash",
+    # Round-10 fourth wave: the K-sample rank ANOVA and the
+    # variance-homogeneity gate, completing the testing deck
+    # (location / distribution / association / scale).
+    "evt_kruskal_wallis", "evt_levene",
 )
 
 

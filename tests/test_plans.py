@@ -2014,3 +2014,23 @@ def test_shuffle_hash_hint_is_honored(spark, registry):
     assert "ShuffledHashJoin" in f.text
     assert f.sort_merge_joins == 0
     assert f.cartesian == 0
+
+
+def test_kruskal_wallis_value_dimension_window(spark, registry):
+    """evt_kruskal_wallis: the prefix-sum window runs over the distinct
+    VALUE dimension (two map-side rollups are the only corpus passes);
+    epilogues are 1-row broadcasts. No cartesian, no Python."""
+    f = _facts(spark, registry, "evt_kruskal_wallis")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+
+
+def test_levene_broadcasts_medians(spark, registry):
+    """evt_levene: the 5-row median frame broadcasts onto the fact
+    side; moment sums reduce map-side. No cartesian, no Python, no
+    window at all."""
+    f = _facts(spark, registry, "evt_levene")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+    assert f.broadcast_joins >= 1
+    assert "Window" not in f.simple

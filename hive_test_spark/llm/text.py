@@ -2148,3 +2148,140 @@ def llm_bm25_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out.orderBy("k1", "b")
+
+
+# RBO configuration: compare the two extreme corners of the BM25 tuning
+# grid at depth K with persistence p. Each doc common to both top-K
+# prefixes first appears at depth m = max(rank_a, rank_b) and then stays,
+# so its total RBO contribution is the closed-form constant
+# w(m) = (1-p) * sum_{d=m..K} p^(d-1)/d — precomputed in Python and
+# injected into BOTH engines as identical shortest-roundtrip double
+# literals, so the rank-weighted sum is bit-identical by construction.
+_RBO_P = 0.9
+_RBO_K = 10
+_RBO_CFG_A = (0.9, 0.4)
+_RBO_CFG_B = (2.0, 0.9)
+_RBO_W = [
+    (1.0 - _RBO_P) * sum(_RBO_P ** (d - 1) / d for d in range(m, _RBO_K + 1))
+    for m in range(1, _RBO_K + 1)
+]
+_RBO_W_SQL = ", ".join(repr(w) for w in _RBO_W)
+
+
+def _duck_rbo_ranked(name: str, k1: float, b: float) -> str:
+    """Top-K ranked list for one (k1, b) config — the identical scoring
+    arithmetic as _duck_bm25_config_leg, cut at rank K."""
+    return f"""{name} AS (
+      SELECT query_id, doc_id, rk FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rk
+        FROM (
+          SELECT q.query_id, tf.doc_id,
+                 ROUND(SUM(
+                   ln((s.n_docs - d.dfreq + 0.5) / (d.dfreq + 0.5) + 1.0)
+                   * tf.tf * ({k1} + 1.0)
+                   / (tf.tf + {k1} * (1.0 - {b} + {b} * l.dl / s.avg_dl))
+                 ), 6) AS score
+          FROM queries q
+          JOIN tf ON tf.token = q.token
+          JOIN docfreq d ON d.token = q.token
+          JOIN dlen l ON l.doc_id = tf.doc_id
+          CROSS JOIN stats s
+          GROUP BY q.query_id, tf.doc_id
+        ) sc
+      ) r WHERE rk <= {_RBO_K}
+    )"""
+
+
+@register(
+    "llm_rank_rbo",
+    f"""
+    WITH {_DUCK_BM25_INDEX},
+    {_duck_rbo_ranked("ra", *_RBO_CFG_A)},
+    {_duck_rbo_ranked("rb", *_RBO_CFG_B)},
+    common AS (
+      SELECT a.query_id,
+             ([{_RBO_W_SQL}])[GREATEST(a.rk, b.rk)] AS w
+      FROM ra a JOIN rb b
+        ON b.query_id = a.query_id AND b.doc_id = a.doc_id
+    ),
+    per_q AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_common,
+             SUM(w) AS rbo
+      FROM common GROUP BY query_id
+    )
+    SELECT q.query_id,
+           COALESCE(p.n_common, 0) AS n_common,
+           ROUND(COALESCE(p.n_common, 0) / CAST({_RBO_K} AS DOUBLE), 6)
+             AS overlap_at_k,
+           ROUND(COALESCE(p.rbo, 0.0), 6) AS rbo
+    FROM (SELECT DISTINCT query_id FROM queries) q
+    LEFT JOIN per_q p ON p.query_id = q.query_id
+    ORDER BY q.query_id
+    """,
+)
+def llm_rank_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap between two retriever configurations
+    [public method: Webber, Moffat & Zobel 2010 — the top-weighted
+    rank-similarity measure for INDEFINITE rankings; the standard way
+    to quantify how much a retriever config change actually reorders
+    results, beside llm_ndcg_eval (quality vs judgments) and
+    llm_judge_agreement (rater consistency)]: the two extreme corners
+    of the BM25 tuning grid ({_RBO_CFG_A} vs {_RBO_CFG_B}) are ranked
+    to depth K={_RBO_K} over the SAME prebuilt inverted index
+    (_bm25_index_frames — one build, two scoring legs, the tuning-curve
+    hoist), and per query RBO@K = (1-p) sum p^(d-1) X_d / d folds to a
+    per-common-doc closed-form weight w(max(rank_a, rank_b)) injected
+    into both engines as identical double literals — no per-depth
+    explode, one equi-join on (query, doc). Queries whose top-K
+    prefixes share nothing survive via the LEFT join with RBO 0.
+
+    At 100 TB: the scoring legs are the audited BM25 postings-join
+    shape; the RBO fold adds one (query, doc)-keyed equi-join over two
+    K-bounded lists and a per-query sum — cost proportional to the
+    probe panel, never the corpus."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    frames = _bm25_index_frames(spark, sf_dir)
+    queries = frames[4]
+
+    def ranked(k1: float, b: float, rk_name: str) -> DataFrame:
+        scored = _bm25_score_frames(*frames, k1=k1, b=b)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), "doc_id"
+        )
+        return (
+            scored.select(
+                "query_id", "doc_id", F.row_number().over(w).alias(rk_name)
+            )
+            .filter(F.col(rk_name) <= _RBO_K)
+        )
+
+    ra = ranked(*_RBO_CFG_A, "ra")
+    rb = ranked(*_RBO_CFG_B, "rb")
+    warr = F.expr(f"array({_RBO_W_SQL})")
+    common = ra.join(rb, ["query_id", "doc_id"]).select(
+        "query_id",
+        F.element_at(warr, F.greatest("ra", "rb").cast("int")).alias("w"),
+    )
+    per_q = common.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum("w").alias("rbo"),
+    )
+    universe = queries.select("query_id").distinct()
+    return (
+        universe.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common"),
+            F.round(
+                F.coalesce(F.col("n_common"), F.lit(0))
+                / float(_RBO_K),
+                6,
+            ).alias("overlap_at_k"),
+            F.round(F.coalesce(F.col("rbo"), F.lit(0.0)), 6).alias("rbo"),
+        )
+        .orderBy("query_id")
+    )

@@ -314,6 +314,10 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     # variance-homogeneity gate, completing the testing deck
     # (location / distribution / association / scale).
     "evt_kruskal_wallis", "evt_levene",
+    # Round-10 fifth wave: rank-biased overlap between retriever
+    # configurations — the rank-similarity member of the retrieval
+    # eval deck (ndcg/rrf/judge_agreement).
+    "llm_rank_rbo",
 )
 
 

@@ -2034,3 +2034,17 @@ def test_levene_broadcasts_medians(spark, registry):
     assert "Python" not in f.text
     assert f.broadcast_joins >= 1
     assert "Window" not in f.simple
+
+
+def test_rank_rbo_shares_index_frames(spark, registry):
+    """llm_rank_rbo: both config legs score the SAME checkpointed index
+    frames (the tuning-curve hoist — <= 3 distinct checkpoint RDDs);
+    the RBO fold is one pair-keyed equi-join, no cartesian, no
+    Python, no per-depth explode."""
+    import re
+
+    f = _facts(spark, registry, "llm_rank_rbo")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+    rdd_ids = set(re.findall(r"MapPartitionsRDD\[(\d+)\] at localCheckpoint", f.text))
+    assert 0 < len(rdd_ids) <= 3, sorted(rdd_ids)

@@ -4828,3 +4828,211 @@ def test_random_hits_fold_matches_duckdb(spark, duck, spec):
     duck_pdf = duck.execute(_hits_fuzz_sql(spec)).df()
     r = compare("fuzz_hits_fold", spark_pdf, duck_pdf)
     assert r["ok"], f"spec={spec}\nnotes={r['notes']}"
+
+
+# ---- banded-Hamming grammar (r10 llm_simhash_hamming family) ------------------
+#
+# The Manku banded index under randomized band geometry and verify
+# radius: 48-bit fingerprints (the shared simhash derivation, inlined)
+# band-split B ways, candidates from the (band, value) equi-self-join,
+# verified by integer bit_count(xor) <= r. Exercises shift/mask/xor/
+# popcount parity at geometries the fixed-constant operator never runs.
+
+
+@st.composite
+def hamming_specs(draw):
+    return {
+        "bands": draw(st.sampled_from([3, 4, 6])),  # 48 % bands == 0
+        "radius": draw(st.sampled_from([2, 3])),
+        "bits": 48,
+    }
+
+
+def _hamming_sql(spec) -> str:
+    bb = spec["bits"] // spec["bands"]
+    mask = (1 << bb) - 1
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+      FROM documents
+    ),
+    tok_hash AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT) AS h
+      FROM tok
+    ),
+    bits AS (
+      SELECT doc_id, b.bit,
+             SUM(CASE WHEN (h // (CAST(1 AS BIGINT) << b.bit)) % 2 = 1
+                      THEN 1 ELSE -1 END) AS score
+      FROM tok_hash
+      CROSS JOIN (SELECT unnest(range(0, {spec["bits"]})) AS bit) b
+      GROUP BY doc_id, b.bit
+    ),
+    sim AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN score > 0 THEN (CAST(1 AS BIGINT) << bit)
+                           ELSE 0 END) AS BIGINT) AS f
+      FROM bits GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, f, b.band, (f >> (b.band * {bb})) & {mask} AS bval
+      FROM sim CROSS JOIN (SELECT unnest(range(0, {spec["bands"]})) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.f AS fa, b.f AS fb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= {spec["radius"]}
+    """
+
+
+def _hamming_df(spark, spec):
+    from hive_test_spark.llm.dedup import _simhash_frame
+
+    bb = spec["bits"] // spec["bands"]
+    mask = (1 << bb) - 1
+    sim = _simhash_frame(spark, SF_DIR)
+    bands = sim.select(
+        "doc_id",
+        F.col("simhash").alias("f"),
+        F.explode(F.sequence(F.lit(0), F.lit(spec["bands"] - 1))).alias("band"),
+    ).select(
+        "doc_id",
+        "f",
+        "band",
+        F.expr(f"shiftright(f, band * {bb}) & {mask}").alias("bval"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.f").alias("fa"),
+            F.col("b.f").alias("fb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.expr("fa ^ fb"))
+    return cand.filter(ham <= spec["radius"]).select(
+        "doc_a", "doc_b", ham.cast("int").alias("hamming")
+    )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=hamming_specs())
+def test_random_banded_hamming_matches_duckdb(spark, duck, spec):
+    """Banded-Hamming fuzz (r10 llm_simhash_hamming family): band
+    split, bucket self-join, and popcount verify must agree for any
+    band geometry and radius."""
+    spark_pdf = _hamming_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_hamming_sql(spec)).df()
+    r = compare("fuzz_banded_hamming", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nnotes={r['notes']}"
+
+
+# ---- tied-rank grammar (r10 evt_kruskal_wallis / mann-whitney family) --------
+#
+# The distinct-value midrank machinery under randomized value
+# transforms (tie densities) and group subsets: midranks from the
+# prefix sum over the value dimension, per-group rank sums, and the
+# tie-corrected H reduction.
+
+
+@st.composite
+def rank_specs(draw):
+    return {
+        "expr": draw(st.sampled_from(["value", "round(value)", "round(value / 10)"])),
+        "types": draw(
+            st.sampled_from(
+                [
+                    ("view", "purchase", "click"),
+                    ("view", "purchase", "click", "signup", "error"),
+                ]
+            )
+        ),
+    }
+
+
+def _rank_sql(spec) -> str:
+    types = ", ".join(f"'{t}'" for t in spec["types"])
+    return f"""
+    WITH ev AS (
+      SELECT event_type, {spec["expr"]} AS v FROM events
+      WHERE event_type IN ({types})
+    ),
+    per_v AS (SELECT v, COUNT(*) AS tie FROM ev GROUP BY v),
+    ranked AS (
+      SELECT v, tie,
+             COALESCE(SUM(tie) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (tie + 1) / 2.0 AS avg_rank
+      FROM per_v
+    ),
+    per_vt AS (SELECT v, event_type, COUNT(*) AS c FROM ev GROUP BY 1, 2)
+    SELECT t.event_type,
+           CAST(SUM(t.c) AS BIGINT) AS n,
+           ROUND(SUM(t.c * r.avg_rank), 6) AS rank_sum
+    FROM per_vt t JOIN ranked r ON r.v = t.v
+    GROUP BY t.event_type
+    """
+
+
+def _rank_df(spark, spec):
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_type").isin(*spec["types"]))
+        .select("event_type", F.expr(spec["expr"]).alias("v"))
+    )
+    per_v = ev.groupBy("v").agg(F.count(F.lit(1)).alias("tie"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "v",
+        (
+            F.coalesce(F.sum("tie").over(w), F.lit(0))
+            + (F.col("tie") + 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    per_vt = ev.groupBy(F.col("v").alias("tv"), "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_vt.join(ranked, F.col("v") == F.col("tv"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.round(F.sum(F.col("c") * F.col("avg_rank")), 6).alias("rank_sum"),
+        )
+    )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=rank_specs())
+def test_random_tied_ranks_match_duckdb(spark, duck, spec):
+    """Tied-rank fuzz (r10 evt_kruskal_wallis family): midranks over
+    the distinct-value dimension and per-group rank sums must agree for
+    any tie density and group subset."""
+    spark_pdf = _rank_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_rank_sql(spec)).df()
+    r = compare("fuzz_tied_ranks", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nnotes={r['notes']}"

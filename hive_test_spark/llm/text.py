@@ -2165,7 +2165,12 @@ _RBO_W = [
     (1.0 - _RBO_P) * sum(_RBO_P ** (d - 1) / d for d in range(m, _RBO_K + 1))
     for m in range(1, _RBO_K + 1)
 ]
-_RBO_W_SQL = ", ".join(repr(w) for w in _RBO_W)
+# The 'D' suffix / ::DOUBLE cast pins the literals to DOUBLE in each
+# engine — a bare 17-digit decimal literal parses as DECIMAL in both
+# Spark and DuckDB, silently switching the fold to exact decimal
+# arithmetic (caught by the RBO fuzz grammar).
+_RBO_W_SQL_SPARK = ", ".join(repr(w) + "D" for w in _RBO_W)
+_RBO_W_SQL_DUCK = ", ".join(f"CAST({w!r} AS DOUBLE)" for w in _RBO_W)
 
 
 def _duck_rbo_ranked(name: str, k1: float, b: float) -> str:
@@ -2202,7 +2207,7 @@ def _duck_rbo_ranked(name: str, k1: float, b: float) -> str:
     {_duck_rbo_ranked("rb", *_RBO_CFG_B)},
     common AS (
       SELECT a.query_id,
-             ([{_RBO_W_SQL}])[GREATEST(a.rk, b.rk)] AS w
+             ([{_RBO_W_SQL_DUCK}])[GREATEST(a.rk, b.rk)] AS w
       FROM ra a JOIN rb b
         ON b.query_id = a.query_id AND b.doc_id = a.doc_id
     ),
@@ -2261,7 +2266,7 @@ def llm_rank_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ra = ranked(*_RBO_CFG_A, "ra")
     rb = ranked(*_RBO_CFG_B, "rb")
-    warr = F.expr(f"array({_RBO_W_SQL})")
+    warr = F.expr(f"array({_RBO_W_SQL_SPARK})")
     common = ra.join(rb, ["query_id", "doc_id"]).select(
         "query_id",
         F.element_at(warr, F.greatest("ra", "rb").cast("int")).alias("w"),

@@ -5036,3 +5036,122 @@ def test_random_tied_ranks_match_duckdb(spark, duck, spec):
     duck_pdf = duck.execute(_rank_sql(spec)).df()
     r = compare("fuzz_tied_ranks", spark_pdf, duck_pdf)
     assert r["ok"], f"spec={spec}\nnotes={r['notes']}"
+
+
+# ---- RBO weight-fold grammar (r10 llm_rank_rbo family) -----------------------
+#
+# Rank-biased overlap between two (k1, b) scoring legs under randomized
+# persistence, depth, and config pair: the per-common-doc closed-form
+# weight w(max(ra, rb)) — recomputed per spec and injected into both
+# engines as identical double literals — must reproduce the depth-sum
+# definition for every geometry.
+
+
+@st.composite
+def rbo_specs(draw):
+    cfgs = [(0.9, 0.4), (1.2, 0.75), (2.0, 0.9)]
+    i = draw(st.sampled_from([0, 1]))
+    j = draw(st.sampled_from([1, 2]))
+    return {
+        "p": draw(st.sampled_from([0.8, 0.9])),
+        "k": draw(st.sampled_from([5, 10])),
+        "ca": cfgs[i],
+        "cb": cfgs[2 if i == j else j],
+    }
+
+
+def _rbo_weights(spec):
+    p, k = spec["p"], spec["k"]
+    return [
+        (1.0 - p) * sum(p ** (d - 1) / d for d in range(m, k + 1))
+        for m in range(1, k + 1)
+    ]
+
+
+def _rbo_fuzz_sql(spec) -> str:
+    from hive_test_spark.llm.text import _DUCK_BM25_INDEX
+
+    w_sql = ", ".join(f"CAST({w!r} AS DOUBLE)" for w in _rbo_weights(spec))
+
+    def leg(name, k1, b):
+        return f"""{name} AS (
+          SELECT query_id, doc_id, rk FROM (
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rk
+            FROM (
+              SELECT q.query_id, tf.doc_id,
+                     ROUND(SUM(
+                       ln((s.n_docs - d.dfreq + 0.5) / (d.dfreq + 0.5) + 1.0)
+                       * tf.tf * ({k1} + 1.0)
+                       / (tf.tf + {k1} * (1.0 - {b} + {b} * l.dl / s.avg_dl))
+                     ), 6) AS score
+              FROM queries q
+              JOIN tf ON tf.token = q.token
+              JOIN docfreq d ON d.token = q.token
+              JOIN dlen l ON l.doc_id = tf.doc_id
+              CROSS JOIN stats s
+              GROUP BY q.query_id, tf.doc_id
+            ) sc
+          ) r WHERE rk <= {spec["k"]}
+        )"""
+
+    return f"""
+    WITH {_DUCK_BM25_INDEX},
+    {leg("ra", *spec["ca"])},
+    {leg("rb", *spec["cb"])}
+    SELECT a.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_common,
+           ROUND(SUM(([{w_sql}])[GREATEST(a.rk, b.rk)]), 6) AS rbo
+    FROM ra a JOIN rb b ON b.query_id = a.query_id AND b.doc_id = a.doc_id
+    GROUP BY a.query_id
+    """
+
+
+def _rbo_fuzz_df(spark, spec):
+    from pyspark.sql import Window
+
+    from hive_test_spark.llm.text import _bm25_index_frames, _bm25_score_frames
+
+    frames = _bm25_index_frames(spark, SF_DIR)
+
+    def ranked(cfg, rk_name):
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), "doc_id"
+        )
+        return (
+            _bm25_score_frames(*frames, k1=cfg[0], b=cfg[1])
+            .select("query_id", "doc_id", F.row_number().over(w).alias(rk_name))
+            .filter(F.col(rk_name) <= spec["k"])
+        )
+
+    w_sql = ", ".join(repr(w) + "D" for w in _rbo_weights(spec))
+    warr = F.expr(f"array({w_sql})")
+    return (
+        ranked(spec["ca"], "ra")
+        .join(ranked(spec["cb"], "rb"), ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.round(
+                F.sum(F.element_at(warr, F.greatest("ra", "rb").cast("int"))), 6
+            ).alias("rbo"),
+        )
+    )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=rbo_specs())
+def test_random_rbo_fold_matches_duckdb(spark, duck, spec):
+    """RBO weight-fold fuzz (r10 llm_rank_rbo family): the closed-form
+    per-common-doc weight must reproduce the depth-sum RBO for any
+    persistence, depth, and config pair."""
+    spark_pdf = _rbo_fuzz_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_rbo_fuzz_sql(spec)).df()
+    r = compare("fuzz_rbo_fold", spark_pdf, duck_pdf)
+    assert r["ok"], f"spec={spec}\nnotes={r['notes']}"

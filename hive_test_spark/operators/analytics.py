@@ -4149,7 +4149,7 @@ _KS_P_EXPR = (
     WITH t AS (
       SELECT value AS v,
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     per_v AS (
       SELECT v, SUM(is_a) AS ca, SUM(1 - is_a) AS cb FROM t GROUP BY v
@@ -4202,7 +4202,11 @@ def evt_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side."""
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
-    tagged = ev.select(
+    # value IS NOT NULL before ranking: a NULL metric would land NULLS
+    # FIRST in Spark's rank window but NULLS LAST in DuckDB's — the
+    # latent cross-engine hazard ADVICE r10 flagged; rank tests drop
+    # missing metrics by definition.
+    tagged = ev.filter(F.col("value").isNotNull()).select(
         F.col("value").alias("v"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_a"),
     )
@@ -4261,7 +4265,7 @@ _NORM_P2_EXPR = (
     WITH t AS (
       SELECT value AS v,
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     per_v AS (
       SELECT v, SUM(is_a) AS ca, SUM(1 - is_a) AS cb,
@@ -4325,7 +4329,11 @@ def evt_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     midrank, exactly the tie rule)."""
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
-    tagged = ev.select(
+    # value IS NOT NULL before ranking: a NULL metric would land NULLS
+    # FIRST in Spark's rank window but NULLS LAST in DuckDB's — the
+    # latent cross-engine hazard ADVICE r10 flagged; rank tests drop
+    # missing metrics by definition.
+    tagged = ev.filter(F.col("value").isNotNull()).select(
         F.col("value").alias("v"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_a"),
     )
@@ -5168,7 +5176,8 @@ def evt_did_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
     "evt_kruskal_wallis",
     """
     WITH per_v AS (
-      SELECT value AS v, COUNT(*) AS tie FROM events GROUP BY value
+      SELECT value AS v, COUNT(*) AS tie FROM events
+      WHERE value IS NOT NULL GROUP BY value
     ),
     ranked AS (
       SELECT v, tie,
@@ -5178,7 +5187,8 @@ def evt_did_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per_v
     ),
     per_vt AS (
-      SELECT value AS v, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+      SELECT value AS v, event_type, COUNT(*) AS c FROM events
+      WHERE value IS NOT NULL GROUP BY 1, 2
     ),
     grp AS (
       SELECT t.event_type, SUM(t.c) AS n, SUM(t.c * r.avg_rank) AS rsum
@@ -5235,6 +5245,9 @@ def evt_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduction with 1-row broadcast epilogues."""
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
+    # value IS NOT NULL before ranking (the evt_mann_whitney rule —
+    # NULLS FIRST/LAST divergence between the engines' rank windows).
+    ev = ev.filter(F.col("value").isNotNull())
     per_v = ev.groupBy(F.col("value").alias("v")).agg(
         F.count(F.lit(1)).alias("tie")
     )

@@ -980,7 +980,8 @@ def join_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c.c_mktsegment,
            COUNT(*) AS num_orders,
-           ROUND(SUM(o.o_totalprice), 6) AS total_price
+           CAST(SUM(CAST(round(o.o_totalprice, 2) AS DECIMAL(18,2)))
+                AS DOUBLE) AS total_price
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -995,6 +996,14 @@ def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     too big to broadcast — exactly this orders x customer shape, and
     the hint is how a tuned 100 TB job pins it (or
     spark.sql.join.preferSortMergeJoin=false globally).
+
+    total_price sums as exact DECIMAL(18,2) (the fn_decimal parity
+    pattern: tie-free pre-round, exact decimal SUM, DOUBLE on the way
+    out) because a double SUM over ~1e5-magnitude prices reaches ~1e9
+    per segment where ulp ~1e-7 — partition-merge order then legally
+    perturbs the 6th decimal vs DuckDB's sequential sum (the round-10
+    driver-red lesson). Decimal partial sums stay map-side combinable;
+    order-independence costs nothing at 100 TB.
 
     At 100 TB: both sides shuffle once on the key (same exchange as
     SMJ) but the build side hashes instead of sorting — no sort, no
@@ -1011,6 +1020,8 @@ def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("num_orders"),
-            F.round(F.sum("o_totalprice"), 6).alias("total_price"),
+            F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
         )
     )

@@ -1102,12 +1102,23 @@ def _granger_leg_sql(direction: str, t: str, sl: str, cl: str) -> str:
                   - ssl * (ssl * sclt - sslt * scl)
                   + st * (ssl * sslcl - sslsl * scl)) AS det_b2
           FROM (
+            -- decimal -> VARCHAR -> DOUBLE, not a direct double cast:
+            -- DuckDB's decimal->double multiplies the int128 unscaled
+            -- value by a double 10^-s (two roundings), Spark's
+            -- BigDecimal.doubleValue is correctly rounded — they differ
+            -- by 1 ulp on ~21-digit sums. decimal->string is exact
+            -- digits and string->double is correctly-rounded strtod in
+            -- BOTH engines, so the epilogue sees bitwise-equal inputs.
             SELECT COUNT(*) AS n,
-                   SUM({sl}) AS ssl, SUM({cl}) AS scl, SUM({t}) AS st,
-                   SUM({sl} * {sl}) AS sslsl, SUM({cl} * {cl}) AS sclcl,
-                   SUM({sl} * {cl}) AS sslcl,
-                   SUM({sl} * {t}) AS sslt, SUM({cl} * {t}) AS sclt,
-                   SUM({t} * {t}) AS stt
+                   CAST(CAST(SUM({sl}) AS VARCHAR) AS DOUBLE) AS ssl,
+                   CAST(CAST(SUM({cl}) AS VARCHAR) AS DOUBLE) AS scl,
+                   CAST(CAST(SUM({t}) AS VARCHAR) AS DOUBLE) AS st,
+                   CAST(CAST(SUM({sl} * {sl}) AS VARCHAR) AS DOUBLE) AS sslsl,
+                   CAST(CAST(SUM({cl} * {cl}) AS VARCHAR) AS DOUBLE) AS sclcl,
+                   CAST(CAST(SUM({sl} * {cl}) AS VARCHAR) AS DOUBLE) AS sslcl,
+                   CAST(CAST(SUM({sl} * {t}) AS VARCHAR) AS DOUBLE) AS sslt,
+                   CAST(CAST(SUM({cl} * {t}) AS VARCHAR) AS DOUBLE) AS sclt,
+                   CAST(CAST(SUM({t} * {t}) AS VARCHAR) AS DOUBLE) AS stt
             FROM lagged WHERE {sl} IS NOT NULL AND {cl} IS NOT NULL
           ) m
         ) solved
@@ -1123,7 +1134,13 @@ _GRANGER_BASE_SQL = """
       GROUP BY event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE)
     ),
     base AS (
-      SELECT x.day, x.rev AS x, y.rev AS y
+      -- DECIMAL(12,6) ingest of the 6dp-rounded revenues (the
+      -- fn_decimal tie-free pattern): every moment sum below is then
+      -- EXACT and partition-order-independent — the round-10
+      -- driver-red fix. Products are (37,12), sums (38,12); only the
+      -- finished sums return to DOUBLE for the scalar epilogue.
+      SELECT x.day, CAST(x.rev AS DECIMAL(19,6)) AS x,
+             CAST(y.rev AS DECIMAL(19,6)) AS y
       FROM (SELECT day, rev FROM s WHERE event_type = 'view') x
       JOIN (SELECT day, rev FROM s WHERE event_type = 'purchase') y
         ON y.day = x.day
@@ -1159,7 +1176,16 @@ def evt_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cramer's rule (the evt_ols_multifactor pattern, shared leg builder
     for both directions so the arithmetic cannot drift) and RSS comes
     from the normal-equation identity RSS = Syy - b'X'y. Daily revenue
-    is rounded to 6dp before the lags (the evt_holt_linear rule).
+    is rounded to 6dp before the lags (the evt_holt_linear rule) and
+    ingested as DECIMAL so every moment sum is EXACT and partition-
+    order-independent — the round-10 driver-red fix: double moment sums
+    reach ~3e8 where a 1-ulp reduction-order wiggle amplifies through
+    the det/RSS cancellation and flips the 6th decimal of rss_u. The
+    finished sums return to DOUBLE via a string cast (decimal→string is
+    exact digits, string→double is correctly-rounded in both engines;
+    the direct decimal→double casts disagree by 1 ulp: DuckDB scales
+    the int128 by a double 10^-12, Spark rounds correctly), so the
+    scalar epilogue sees bitwise-equal inputs on both engines.
 
     At 100 TB: the (type, day) rollup is the only corpus pass; the LAG
     window runs on the |days| calendar frame (bounded, like
@@ -1183,7 +1209,11 @@ def evt_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("day")
     lagged = (
         x.join(y, F.col("yday") == F.col("day"))
-        .select("day", "x", "y")
+        .select(
+            "day",
+            F.col("x").cast("decimal(12,6)").alias("x"),
+            F.col("y").cast("decimal(12,6)").alias("y"),
+        )
         .select(
             "day",
             "x",
@@ -1197,15 +1227,15 @@ def evt_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
         tc, slc, clc = F.col(t), F.col(sl), F.col(cl)
         m = lagged.filter(slc.isNotNull() & clc.isNotNull()).agg(
             F.count(F.lit(1)).cast("double").alias("n"),
-            F.sum(slc).alias("ssl"),
-            F.sum(clc).alias("scl"),
-            F.sum(tc).alias("st"),
-            F.sum(slc * slc).alias("sslsl"),
-            F.sum(clc * clc).alias("sclcl"),
-            F.sum(slc * clc).alias("sslcl"),
-            F.sum(slc * tc).alias("sslt"),
-            F.sum(clc * tc).alias("sclt"),
-            F.sum(tc * tc).alias("stt"),
+            F.sum(slc).cast("string").cast("double").alias("ssl"),
+            F.sum(clc).cast("string").cast("double").alias("scl"),
+            F.sum(tc).cast("string").cast("double").alias("st"),
+            F.sum(slc * slc).cast("string").cast("double").alias("sslsl"),
+            F.sum(clc * clc).cast("string").cast("double").alias("sclcl"),
+            F.sum(slc * clc).cast("string").cast("double").alias("sslcl"),
+            F.sum(slc * tc).cast("string").cast("double").alias("sslt"),
+            F.sum(clc * tc).cast("string").cast("double").alias("sclt"),
+            F.sum(tc * tc).cast("string").cast("double").alias("stt"),
         )
         c = {k: F.col(k) for k in
              ("n", "ssl", "scl", "st", "sslsl", "sclcl", "sslcl",

@@ -344,9 +344,9 @@ def _rank(key: str, reg_idx: int) -> tuple[int, int, int]:
     if key in DRIVER_SEEN:
         if LATEST_DRIVER_ROUND >= _CLOSURE_ROUND:
             # Post-closure backfill ROTATION (SURVEY §M rounds-11-20
-            # policy): stalest driver row first, so with 477 keys and
+            # policy): stalest driver row first, so with N registered keys and
             # 50 slots/round every key re-earns a fresh row within
-            # ceil(477/50) = 10 rounds — the whole registry re-verifies
+            # ceil(N/50) rounds (10 at the current 487) — the whole registry re-verifies
             # across rounds 11-20 instead of re-testing the same
             # registration-order prefix forever. Unseen keys (tiers
             # 3/4) and retests (tier 2) still pre-empt the rotation.

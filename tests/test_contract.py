@@ -270,18 +270,39 @@ def test_driver_exposure_closes_in_min_rounds(registry):
             f"round {rnd + 6} wasted slots on: {stale[:5]}"
         )
         consumed |= set(window)
-    closure_round = reg.LATEST_DRIVER_ROUND + min_rounds
-    assert closure_round <= 10, (
-        f"priced closure round {closure_round} > 10: registry growth has "
-        f"pushed full driver exposure past the planned bound "
-        f"({len(pending)} pending / 50 per round after driver round "
-        f"{reg.LATEST_DRIVER_ROUND})"
-    )
+    # EXPOSURE closure (a hard driver row per key — red rows are rows;
+    # re-earning a red is the tier-0 scheduler's job, priced separately
+    # below) is bounded at _CLOSURE_ROUND while the plan is pending.
+    # Once that report lands the bound is a HISTORICAL fact: every key
+    # has a row, and only keys registered after closure may still price
+    # future rounds (they close at the minimum ceil/50 rate).
+    has_row = reg.DRIVER_SEEN | reg.DRIVER_FAILED
+    if reg.LATEST_DRIVER_ROUND < reg._CLOSURE_ROUND:
+        closure_round = reg.LATEST_DRIVER_ROUND + min_rounds
+        assert closure_round <= reg._CLOSURE_ROUND, (
+            f"priced closure round {closure_round} > {reg._CLOSURE_ROUND}: "
+            f"registry growth has pushed full driver exposure past the "
+            f"planned bound ({len(pending)} pending / 50 per round after "
+            f"driver round {reg.LATEST_DRIVER_ROUND})"
+        )
+    else:
+        unexposed = [k for k in qs if k not in has_row]
+        assert math.ceil(len(unexposed) / 50) <= min_rounds, (
+            f"{len(unexposed)} post-closure additions cannot close at the "
+            f"minimum rate: {unexposed[:10]}"
+        )
+        # Latest-red keys must lead the very next window (tier 0): the
+        # round after a red row re-earns it before anything else runs.
+        head = reg.ordered_keys()[: max(1, len(reg.DRIVER_FAILED))]
+        missing_reds = sorted(reg.DRIVER_FAILED - frozenset(head))
+        assert not missing_reds, (
+            f"driver-red keys not at the head of the next window "
+            f"(tier-0 violated): {missing_reds}"
+        )
     never = [k for k in qs if k not in consumed]
     assert not never, (
         f"{len(never)} keys still lack a driver row after "
-        f"{min_rounds} more rounds (priced closure = round {closure_round}): "
-        f"{never[:10]}"
+        f"{min_rounds} more rounds: {never[:10]}"
     )
 
 
@@ -348,9 +369,13 @@ def test_staged_windows_partition_the_residual(registry):
     )
     for rnd in sorted(documented):
         if rnd <= latest:
-            # This documented window already landed; its keys must all be
-            # in DRIVER_SEEN (the doc stays as the historical record).
-            landed_missing = sorted(documented[rnd] - reg.DRIVER_SEEN)
+            # This documented window already landed; its keys must all
+            # have a hard driver row — red rows ARE rows (exposure
+            # closed; re-earning a red is the tier-0 scheduler's job,
+            # asserted in test_driver_exposure_closes_in_min_rounds).
+            landed_missing = sorted(
+                documented[rnd] - (reg.DRIVER_SEEN | reg.DRIVER_FAILED)
+            )
             assert not landed_missing, (
                 f"round-{rnd} is documented as landed but these keys have "
                 f"no driver row: {landed_missing[:5]}"
@@ -366,7 +391,9 @@ def test_staged_windows_partition_the_residual(registry):
     # never-tested key exactly once.
     pending_rounds = [r for r in sorted(documented) if r > latest]
     union = frozenset().union(*(documented[r] for r in pending_rounds)) if pending_rounds else frozenset()
-    never = frozenset(k for k in qs if k not in reg.DRIVER_SEEN)
+    never = frozenset(
+        k for k in qs if k not in (reg.DRIVER_SEEN | reg.DRIVER_FAILED)
+    )
     assert union == never, (
         f"windows do not partition the residual: "
         f"uncovered={sorted(never - union)[:5]}, "

@@ -5,6 +5,13 @@ DuckDB at the given sf dir and compares via hive_test_spark.oracle.
 
 Usage:
     python tools/verify_local.py [--sf /root/testdata/sf0.01] [key ...]
+
+A float-tolerant-only match (``~ok``) is a FAILURE by default: the
+driver's gate is an order-insensitive VALUE HASH, so a key that matches
+only within 1e-9 tolerance is a latent driver-red row — exactly how
+evt_granger and join_shuffle_hash shipped red in round 10 while the
+close-sweep counted their ``~ok`` as green. Pass ``--tolerant`` only
+for exploratory runs that are not gating a driver exposure.
 """
 
 from __future__ import annotations
@@ -23,6 +30,12 @@ from hive_test_spark.session import get_spark
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--tolerant",
+        action="store_true",
+        help="count float-tolerant-only (~ok) matches as passing "
+        "(default: ~ok is a FAIL — it is a latent driver hash-red row)",
+    )
     ap.add_argument("keys", nargs="*")
     args = ap.parse_args()
 
@@ -59,12 +72,18 @@ def main() -> int:
             failures.append(key)
             continue
         r = compare(key, spark_pdf, duck_pdf)
-        if r["ok"]:
+        if r["ok"] and (r["bitwise"] or args.tolerant):
             n_ok += 1
             flag = "ok" if r["bitwise"] else "~ok"
             print(f"{flag} {key}: {len(spark_pdf)} rows ({time.time()-t0:.1f}s)")
             for n in r["notes"]:
                 print(f"     note: {n}")
+        elif r["ok"]:
+            n_fail += 1
+            failures.append(key)
+            print(f"XX {key}: ~ok = latent driver hash-red (float-tolerant only)")
+            for n in r["notes"]:
+                print(f"     {n}")
         else:
             n_fail += 1
             failures.append(key)

@@ -5418,3 +5418,131 @@ def evt_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_SPEARMAN_RANK_SQL = """
+      SELECT v, cum + (tie + 1) / 2.0 AS r FROM (
+        SELECT v, tie,
+               COALESCE(SUM(tie) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        FROM (SELECT {col} AS v, COUNT(*) AS tie FROM base GROUP BY {col}) t
+      ) u
+"""
+
+_SPEARMAN_RHO_SQL = (
+    "(n * sab - sa * sb) / SQRT((n * saa - sa * sa) * (n * sbb - sb * sb))"
+)
+
+
+@register(
+    "evt_spearman",
+    f"""
+    WITH s AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             ROUND(SUM(value), 6) AS rev
+      FROM events WHERE event_type IN ('view', 'purchase')
+      GROUP BY event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+    ),
+    base AS (
+      SELECT x.day, x.rev AS x, y.rev AS y
+      FROM (SELECT day, rev FROM s WHERE event_type = 'view') x
+      JOIN (SELECT day, rev FROM s WHERE event_type = 'purchase') y
+        ON y.day = x.day
+    ),
+    rx AS ({_SPEARMAN_RANK_SQL.format(col="x")}),
+    ry AS ({_SPEARMAN_RANK_SQL.format(col="y")}),
+    pairs AS (
+      SELECT rx.r AS ra, ry.r AS rb
+      FROM base b JOIN rx ON rx.v = b.x JOIN ry ON ry.v = b.y
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(ra) AS sa, SUM(rb) AS sb, SUM(ra * rb) AS sab,
+             SUM(ra * ra) AS saa, SUM(rb * rb) AS sbb
+      FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           ROUND({_SPEARMAN_RHO_SQL}, 6) AS rho,
+           ROUND({_SPEARMAN_RHO_SQL}
+                 * SQRT((n - 2) / (1 - {_SPEARMAN_RHO_SQL}
+                                     * {_SPEARMAN_RHO_SQL})), 6) AS t_stat
+    FROM m
+    """,
+)
+def evt_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the view and purchase daily
+    revenue series [public method: Spearman 1904 — Pearson's r over
+    midranks; the monotone-association member of the correlation deck
+    beside agg_corr_matrix (linear Pearson), evt_ccf (lagged linear),
+    and evt_granger (lagged predictive), robust to the outlier days
+    that drag a product-moment estimate]: the (type, day) rollup is
+    the only corpus pass; each axis ranks through the shared exact-
+    midrank machinery (per-distinct-value prefix sum, cum + (tie+1)/2
+    — the evt_mann_whitney rule), midranks join back onto the ~|days|
+    frame, and rho reduces from the six rank-moment sums. Every rank
+    is an exact multiple of 0.5 with products ≤ n² far below 2^52, so
+    ALL moment sums are exact in IEEE double regardless of partition
+    order — no decimal ingest needed (contrast evt_granger, whose
+    moments are revenue-scaled); t = rho·√((n−2)/(1−rho²)) rides
+    along for the significance readout.
+
+    At 100 TB: two map-side-combinable rollups to the distinct-value
+    dimension, prefix-sum windows over that bounded dimension only,
+    two broadcast-size rank joins, then a 1-row reduction — the
+    evt_kruskal_wallis scale shape. Millions of series pairs would
+    partition every stage by pair key with identical arithmetic."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("rev"))
+    )
+    x = s.filter(F.col("event_type") == "view").select(
+        "day", F.col("rev").alias("x")
+    )
+    y = s.filter(F.col("event_type") == "purchase").select(
+        F.col("day").alias("yday"), F.col("rev").alias("y")
+    )
+    base = x.join(y, F.col("yday") == F.col("day")).select("day", "x", "y")
+
+    def ranks(col: str) -> DataFrame:
+        per_v = base.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("tie")
+        )
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        return per_v.select(
+            "v",
+            (
+                F.coalesce(F.sum("tie").over(w), F.lit(0))
+                + (F.col("tie") + 1) / 2.0
+            ).alias("r"),
+        )
+
+    rx = ranks("x").select(F.col("v").alias("xv"), F.col("r").alias("ra"))
+    ry = ranks("y").select(F.col("v").alias("yv"), F.col("r").alias("rb"))
+    pairs = (
+        base.join(F.broadcast(rx), F.col("xv") == F.col("x"))
+        .join(F.broadcast(ry), F.col("yv") == F.col("y"))
+        .select("ra", "rb")
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("ra").alias("sa"),
+        F.sum("rb").alias("sb"),
+        F.sum(F.col("ra") * F.col("rb")).alias("sab"),
+        F.sum(F.col("ra") * F.col("ra")).alias("saa"),
+        F.sum(F.col("rb") * F.col("rb")).alias("sbb"),
+    )
+    c = {k: F.col(k) for k in ("n", "sa", "sb", "sab", "saa", "sbb")}
+    rho = (c["n"] * c["sab"] - c["sa"] * c["sb"]) / F.sqrt(
+        (c["n"] * c["saa"] - c["sa"] * c["sa"])
+        * (c["n"] * c["sbb"] - c["sb"] * c["sb"])
+    )
+    return m.select(
+        c["n"].cast("long").alias("n_days"),
+        F.round(rho, 6).alias("rho"),
+        F.round(
+            rho * F.sqrt((c["n"] - 2) / (1 - rho * rho)), 6
+        ).alias("t_stat"),
+    )

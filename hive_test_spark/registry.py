@@ -318,6 +318,11 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     # configurations — the rank-similarity member of the retrieval
     # eval deck (ndcg/rrf/judge_agreement).
     "llm_rank_rbo",
+    # Added in round 11 (appended at the END per the freeze discipline;
+    # unseen keys rank tier 3 and lead the post-closure window right
+    # behind the tier-0 re-earns): Spearman rank correlation — the
+    # monotone-association member of the correlation deck.
+    "evt_spearman",
 )
 
 

@@ -5155,3 +5155,106 @@ def test_random_rbo_fold_matches_duckdb(spark, duck, spec):
     duck_pdf = duck.execute(_rbo_fuzz_sql(spec)).df()
     r = compare("fuzz_rbo_fold", spark_pdf, duck_pdf)
     assert r["ok"], f"spec={spec}\nnotes={r['notes']}"
+
+# ---- reduction-order grammar (r11, the round-10 driver-red disease) ----------
+#
+# Round 10 shipped the build's first driver-red rows: ROUND(SUM(double))
+# reductions whose partition-merge order legally perturbs the rounded
+# decimal (joins.py join_shuffle_hash, timeseries.py evt_granger). The
+# sanctioned fix is the fn_decimal parity pattern — tie-free pre-round,
+# EXACT decimal accumulation (products included, the granger moment
+# shape), and decimal -> string -> double on the way out (the direct
+# decimal->double casts disagree by 1 ulp across engines). This grammar
+# pins that pattern: for random tables / groupings / scales the hardened
+# reduction must be (a) BITWISE identical across deliberately different
+# partition layouts with hash-scrambled input order, and (b) BITWISE
+# equal to DuckDB's sequential evaluation — not merely 1e-9-close, which
+# is exactly the `~ok` state the round-10 close-sweep wrongly counted as
+# green.
+
+_RED_TABLES = {
+    "orders": ("o_totalprice", "o_orderpriority", "o_orderkey"),
+    "lineitem": ("l_extendedprice", "l_returnflag", "l_orderkey"),
+    "customer": ("c_acctbal", "c_mktsegment", "c_custkey"),
+}
+
+
+@st.composite
+def reduction_specs(draw):
+    return {
+        "table": draw(st.sampled_from(sorted(_RED_TABLES))),
+        "scale": draw(st.sampled_from([2, 6])),
+        "parts": draw(st.sampled_from([(32, 17), (32, 5), (17, 64)])),
+        "moment": draw(st.booleans()),  # include SUM(v_dec * v_dec)?
+    }
+
+
+def _reduction_duck_sql(spec) -> str:
+    v, g, _ = _RED_TABLES[spec["table"]]
+    s = spec["scale"]
+    dec = f"CAST(round({v}, {s}) AS DECIMAL(18,{s}))"
+    cols = [
+        f"CAST(CAST(SUM({dec}) AS VARCHAR) AS DOUBLE) AS sum_v",
+        "COUNT(*) AS n",
+    ]
+    if spec["moment"]:
+        # (18,s) x (18,s) stays exact only on DuckDB's int128 path:
+        # width >= 19 forces it (the evt_granger lesson — DECIMAL(18)
+        # multiplies in int64 and overflows).
+        dec19 = f"CAST(round({v}, {s}) AS DECIMAL(19,{s}))"
+        cols.append(
+            f"CAST(CAST(SUM({dec19} * {dec19}) AS VARCHAR) AS DOUBLE) AS sum_vv"
+        )
+    return (
+        f"SELECT {g} AS grp, " + ", ".join(cols)
+        + f" FROM {spec['table']} GROUP BY {g}"
+    )
+
+
+def _reduction_df(spark, spec, n_parts):
+    v, g, key = _RED_TABLES[spec["table"]]
+    s = spec["scale"]
+    dec = F.round(v, s).cast(f"decimal(18,{s})")
+    # Scramble the row order deterministically (hash of the key) then
+    # force a different partitioning — a red reduction would surface as
+    # a last-ulp wiggle between the two layouts.
+    df = (
+        load_table(spark, SF_DIR, spec["table"])
+        .orderBy(F.hash(key))
+        .repartition(n_parts)
+    )
+    aggs = [
+        F.sum(dec).cast("string").cast("double").alias("sum_v"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+    if spec["moment"]:
+        aggs.append(
+            F.sum(dec * dec).cast("string").cast("double").alias("sum_vv")
+        )
+    return df.groupBy(F.col(g).alias("grp")).agg(*aggs)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=reduction_specs())
+def test_random_reductions_are_layout_stable_and_bitwise(spark, duck, spec):
+    """Reduction-order fuzz (r11): the decimal-exact rounded-reduction
+    pattern must be bitwise-stable under permuted partition layouts and
+    bitwise-equal to the oracle — float-tolerant-only agreement is the
+    round-10 driver-red disease, not a pass."""
+    k1, k2 = spec["parts"]
+    a = _reduction_df(spark, spec, k1).toPandas()
+    b = _reduction_df(spark, spec, k2).toPandas()
+    r_layout = compare("fuzz_reduction_layout", a, b)
+    assert r_layout["ok"] and r_layout["bitwise"], (
+        f"layout instability spec={spec}\nnotes={r_layout['notes']}"
+    )
+    duck_pdf = duck.execute(_reduction_duck_sql(spec)).df()
+    r = compare("fuzz_reduction_oracle", a, duck_pdf)
+    assert r["ok"] and r["bitwise"], (
+        f"cross-engine drift spec={spec}\nnotes={r['notes']}"
+    )

@@ -1681,3 +1681,131 @@ def llm_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("nprobe")
+
+
+# Mean reciprocal rank: dense-relevant set depth, rank cutoff.
+_MRR_QTOKENS = 8
+_MRR_REL_K = 10
+_MRR_MAXRANK = 100
+
+
+@register(
+    "llm_mrr",
+    f"""
+    WITH {_DUCK_BM25_LEX.format(qtokens=_MRR_QTOKENS, probes=N_PROBES)},
+    lex AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rk
+      FROM lex_scored
+    ),
+    rel AS (
+      SELECT query_id, doc_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY ROUND({_DUCK_COS}, 6) DESC, b.vec_id) AS drk
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < {N_PROBES}
+      ) t WHERE drk <= {_MRR_REL_K}
+    ),
+    hits AS (
+      SELECT l.query_id, MIN(l.rk) AS first_rk
+      FROM lex l JOIN rel r ON r.query_id = l.query_id AND r.doc_id = l.doc_id
+      WHERE l.rk <= {_MRR_MAXRANK}
+      GROUP BY l.query_id
+    ),
+    per_q AS (
+      SELECT q.query_id,
+             CAST(COALESCE(h.first_rk, 0) AS BIGINT) AS first_rel_rank,
+             ROUND(COALESCE(1.0 / h.first_rk, 0.0), 6) AS rr
+      FROM (SELECT doc_id AS query_id FROM documents
+            WHERE doc_id < {N_PROBES}) q
+      LEFT JOIN hits h ON h.query_id = q.query_id
+    ),
+    tot AS (
+      SELECT CAST(CAST(SUM(CAST(rr AS DECIMAL(8,6))) AS VARCHAR) AS DOUBLE)
+             / COUNT(*) AS mrr
+      FROM per_q
+    )
+    SELECT p.query_id, p.first_rel_rank, p.rr,
+           ROUND(t.mrr, 6) AS mrr_at_100
+    FROM per_q p CROSS JOIN tot t
+    """,
+)
+def llm_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank of the first dense-relevant document in the
+    BM25 ranking [public metric: MRR, the TREC-QA navigational-search
+    staple — where does the FIRST right answer surface?]: the
+    reciprocal-rank member of the retrieval eval deck beside
+    llm_ndcg_eval (graded order quality), llm_rank_rbo (rank
+    similarity), and llm_rrf_fusion (rank fusion). Relevance is
+    cross-modal like NDCG's: the dense top-{_MRR_REL_K} per probe is
+    the relevant set, the lexical ranking is scored by MIN(rank) over
+    the hits capped at MRR@{_MRR_MAXRANK} (no hit => rr = 0, rank 0).
+    Per-query reciprocal ranks are rounded to 6dp and the corpus MRR
+    accumulates them as exact DECIMAL(8,6) surfaced via the
+    decimal->string->double parity cast (SCALE.md 9ac rule 3), so the
+    cross-query mean is partition-order-independent by construction;
+    it rides along each per-query row (the graph_modularity pattern).
+
+    At 100 TB: both legs are the proven bounded shapes — postings
+    equi-join for the lexical scores (never queries x docs), the
+    broadcast probe panel for dense ground truth; the metric itself
+    reduces |Q| rows. A labeled qrels table swaps the rel CTE for the
+    label join — no shape change."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    lex_scored = _bm25_lex_scores(spark, sf_dir, _MRR_QTOKENS)
+    w_lex = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    lex = (
+        lex_scored.select(
+            "query_id", "doc_id", F.row_number().over(w_lex).alias("rk")
+        )
+        .filter(F.col("rk") <= _MRR_MAXRANK)
+    )
+    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    w_d = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "doc_id"
+    )
+    rel = (
+        _probe_cosines(e, N_PROBES, "query_id", "doc_id")
+        .select("query_id", "doc_id", F.row_number().over(w_d).alias("drk"))
+        .filter(F.col("drk") <= _MRR_REL_K)
+        .select("query_id", "doc_id")
+    )
+    hits = (
+        lex.join(rel, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(F.min("rk").alias("first_rk"))
+    )
+    panel = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < N_PROBES)
+        .select(F.col("doc_id").alias("query_id"))
+    )
+    per_q = panel.join(F.broadcast(hits), "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("first_rk"), F.lit(0)).cast("long").alias(
+            "first_rel_rank"
+        ),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("first_rk"), F.lit(0.0)), 6
+        ).alias("rr"),
+    )
+    tot = per_q.agg(
+        (
+            F.sum(F.col("rr").cast("decimal(8,6)"))
+            .cast("string")
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("mrr")
+    )
+    return per_q.crossJoin(F.broadcast(tot)).select(
+        "query_id",
+        "first_rel_rank",
+        "rr",
+        F.round("mrr", 6).alias("mrr_at_100"),
+    )

@@ -323,6 +323,12 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     # behind the tier-0 re-earns): Spearman rank correlation — the
     # monotone-association member of the correlation deck.
     "evt_spearman",
+    # Round-11 second wave: mean reciprocal rank — the first-answer
+    # member of the retrieval eval deck (ndcg/rbo/rrf).
+    "llm_mrr",
+    # Round-11 third wave: Benjamini-Hochberg FDR step-up — the
+    # multiple-testing correction the testing deck feeds.
+    "evt_benjamini_hochberg",
 )
 
 

@@ -2048,3 +2048,35 @@ def test_rank_rbo_shares_index_frames(spark, registry):
     assert "Python" not in f.text
     rdd_ids = set(re.findall(r"MapPartitionsRDD\[(\d+)\] at localCheckpoint", f.text))
     assert 0 < len(rdd_ids) <= 3, sorted(rdd_ids)
+
+
+def test_spearman_rank_dimension_only(spark, registry):
+    """evt_spearman: the (type, day) rollup is the only corpus pass;
+    midranks window over the distinct-value dimension and join back
+    broadcast-size. No cartesian, no Python."""
+    f = _facts(spark, registry, "evt_spearman")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+    assert f.broadcast_joins >= 2
+
+
+def test_mrr_postings_join_never_queries_x_docs(spark, registry):
+    """llm_mrr: the lexical leg is the shared postings equi-join and
+    the dense relevance leg broadcasts the probe panel — no cartesian
+    blowup, no Python."""
+    f = _facts(spark, registry, "llm_mrr")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+    assert f.broadcast_joins >= 2
+
+
+def test_benjamini_hochberg_single_fact_pass(spark, registry):
+    """evt_benjamini_hochberg: ONE map-side-combinable pass over the
+    fact table (totals derive from the per-type decimal sums); the BH
+    windows run over the 5-row hypothesis family. No cartesian beyond
+    the 1-row totals broadcast, no Python."""
+    f = _facts(spark, registry, "evt_benjamini_hochberg")
+    assert "Python" not in f.text
+    assert (
+        sum(1 for s in f.scans if "events" in s.get("Location", "")) == 1
+    )

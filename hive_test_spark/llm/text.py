@@ -2290,3 +2290,107 @@ def llm_rank_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "llm_chao1_vocab",
+    """
+    WITH tok AS (
+      SELECT 'token' AS unit, unnest(string_split(text, ' ')) AS g
+      FROM documents
+      UNION ALL
+      SELECT 'trigram' AS unit,
+             unnest(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> string_split(text, ' ')[i] || ' '
+                    || string_split(text, ' ')[i + 1] || ' '
+                    || string_split(text, ' ')[i + 2])) AS g
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    counts AS (SELECT unit, g, COUNT(*) AS c FROM tok GROUP BY unit, g),
+    s AS (
+      SELECT unit,
+             CAST(COUNT(*) AS BIGINT) AS vocab_size,
+             CAST(SUM(c) AS BIGINT) AS total_tokens,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      FROM counts GROUP BY unit
+    )
+    SELECT unit, vocab_size, total_tokens, f1, f2,
+           ROUND(vocab_size
+                 + CAST(f1 AS DOUBLE) * (f1 - 1) / (2.0 * (f2 + 1)), 6)
+             AS chao1,
+           ROUND(1.0 - CAST(f1 AS DOUBLE) / total_tokens, 6)
+             AS gt_coverage
+    FROM s ORDER BY unit
+    """,
+)
+def llm_chao1_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 vocabulary-richness estimate + Good-Turing coverage per
+    census unit [public methods: Chao 1984 (bias-corrected form,
+    defined at f2 = 0) and Good 1953 — how many types does the unseen
+    tail hide, and what probability mass is already covered?]: the
+    census member of the corpus-statistics deck beside llm_heaps_law
+    (growth-curve fit) and llm_zipf_fit (frequency shape) — a
+    tokenizer-vocab sizing and crawl-completeness readout. Two units
+    ride one frame: raw TOKENS (this synthetic corpus's closed
+    31-type vocabulary — f1 = 0, Chao1 = V, coverage = 1, the
+    saturated negative-result row) and word TRIGRAMS (a genuinely
+    open tail: thousands of singletons, so Chao1 projects real unseen
+    mass). Chao1 = V + f1(f1-1)/(2(f2+1)); coverage = 1 - f1/N.
+    Everything reduces over INTEGER frequency-of-frequency rollups —
+    the only doubles are two final single divisions, so the result is
+    partition-order-independent with no decimal machinery needed.
+
+    At 100 TB: one explode + two map-side-combinable aggregates per
+    unit (type counts, then the per-unit census); the token-count
+    frame is the one llm_tfidf/llm_zipf_fit already shuffle. No
+    windows, no joins, nothing driver-side."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    uni = d.select(
+        F.lit("token").alias("unit"), F.explode(toks).alias("g")
+    )
+    tri_expr = (
+        "transform(sequence(1, size(split(text, ' ')) - 2), "
+        "i -> concat(split(text, ' ')[i - 1], ' ', split(text, ' ')[i], "
+        "' ', split(text, ' ')[i + 1]))"
+    )
+    tri = (
+        d.filter(F.size(toks) >= 3)
+        .select(F.explode(F.expr(tri_expr)).alias("g"))
+        .select(F.lit("trigram").alias("unit"), "g")
+    )
+    counts = (
+        uni.unionByName(tri)
+        .groupBy("unit", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = counts.groupBy("unit").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum("c").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("f2"),
+    )
+    return s.select(
+        "unit",
+        "vocab_size",
+        "total_tokens",
+        "f1",
+        "f2",
+        F.round(
+            F.col("vocab_size")
+            + F.col("f1").cast("double")
+            * (F.col("f1") - 1)
+            / (2.0 * (F.col("f2") + 1)),
+            6,
+        ).alias("chao1"),
+        F.round(
+            1.0 - F.col("f1").cast("double") / F.col("total_tokens"), 6
+        ).alias("gt_coverage"),
+    ).orderBy("unit")

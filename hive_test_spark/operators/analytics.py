@@ -5742,3 +5742,136 @@ def evt_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_value") <= F.col("p_star"), F.lit(False)
         ).alias("rejected"),
     ).orderBy("event_type")
+
+
+@register(
+    "evt_friedman_test",
+    """
+    WITH s AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             ROUND(SUM(value), 6) AS rev
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+    ),
+    full_days AS (
+      SELECT day FROM s GROUP BY day
+      HAVING COUNT(*) = (SELECT COUNT(DISTINCT event_type) FROM s)
+    ),
+    b AS (SELECT s.event_type, s.day, s.rev
+          FROM s JOIN full_days f ON f.day = s.day),
+    per_v AS (SELECT day, rev, COUNT(*) AS tie FROM b GROUP BY day, rev),
+    ranked AS (
+      SELECT day, rev,
+             COALESCE(SUM(tie) OVER (PARTITION BY day ORDER BY rev
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (tie + 1) / 2.0 AS r
+      FROM per_v
+    ),
+    rk AS (
+      SELECT b.event_type, r.r
+      FROM b JOIN ranked r ON r.day = b.day AND r.rev = b.rev
+    ),
+    g AS (
+      SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n, SUM(r) AS rsum
+      FROM rk GROUP BY event_type
+    ),
+    h AS (
+      SELECT event_type, n, rsum, k,
+             12.0 / (n * k * (k + 1.0)) * sr2 - 3.0 * n * (k + 1.0) AS chi2
+      FROM (SELECT event_type, n, rsum,
+                   CAST(COUNT(*) OVER () AS DOUBLE) AS k,
+                   SUM(rsum * rsum) OVER () AS sr2
+            FROM g) t
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           ROUND(rsum, 1) AS rank_sum, ROUND(rsum / n, 6) AS mean_rank,
+           CAST(k AS BIGINT) - 1 AS df, ROUND(chi2, 6) AS chi2
+    FROM h ORDER BY event_type
+    """,
+)
+def evt_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test across the event types with days as blocks
+    [public method: Friedman 1937 — the repeated-measures rank ANOVA:
+    rank the K treatments WITHIN each block, then ask whether any
+    treatment's rank sum deviates; the blocked/paired member that
+    completes the testing deck beside evt_kruskal_wallis (independent
+    K-sample), evt_mann_whitney (two-sample), evt_levene (scale) and
+    evt_benjamini_hochberg (the correction downstream)]: blocks are
+    complete days (every type present — incomplete edge days drop),
+    treatments are the K event types, the blocked observation is the
+    6dp daily revenue. Midranks come from the shared prefix-sum rule
+    PARTITIONED BY DAY (cum + (tie+1)/2), so every rank is an exact
+    multiple of 0.5 and all rank sums / squared rank sums are exact
+    in IEEE double regardless of partition order — the
+    evt_mann_whitney exactness argument, blocked. chi2_F =
+    12/(nk(k+1)) * sum R_j^2 - 3n(k+1) vs the chi-square at df = K-1;
+    the family totals ride window sums over the K-row frame (the
+    evt_benjamini_hochberg single-scan shape).
+
+    At 100 TB: one (type, day) rollup is the only corpus pass; ranks
+    window over the per-day frame (K rows per block, millions of
+    blocks parallelize on the partition key), and the epilogue is a
+    K-row reduction. The day-completeness filter is a group-count
+    semi-join on the same rollup — no second corpus scan."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    s = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 6).alias("rev")
+    )
+    k_types = s.select(
+        F.countDistinct("event_type").alias("n_types")
+    )
+    full_days = (
+        s.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(F.broadcast(k_types), F.col("c") == F.col("n_types"))
+        .select("day")
+    )
+    b = s.join(F.broadcast(full_days), "day")
+    per_v = b.groupBy("day", "rev").agg(F.count(F.lit(1)).alias("tie"))
+    w = (
+        Window.partitionBy("day")
+        .orderBy("rev")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per_v.select(
+        F.col("day").alias("rday"),
+        F.col("rev").alias("rrev"),
+        (
+            F.coalesce(F.sum("tie").over(w), F.lit(0))
+            + (F.col("tie") + 1) / 2.0
+        ).alias("r"),
+    )
+    rk = b.join(
+        ranked,
+        (F.col("rday") == F.col("day")) & (F.col("rrev") == F.col("rev")),
+    ).select("event_type", "r")
+    g = rk.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("r").alias("rsum"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = g.select(
+        "event_type",
+        "n",
+        "rsum",
+        F.count(F.lit(1)).over(w_all).cast("double").alias("k"),
+        F.sum(F.col("rsum") * F.col("rsum")).over(w_all).alias("sr2"),
+    )
+    c = {x: F.col(x) for x in ("n", "rsum", "k", "sr2")}
+    chi2 = (
+        12.0 / (c["n"] * c["k"] * (c["k"] + 1.0)) * c["sr2"]
+        - 3.0 * c["n"] * (c["k"] + 1.0)
+    )
+    return t.select(
+        "event_type",
+        c["n"].cast("long").alias("n_days"),
+        F.round("rsum", 1).alias("rank_sum"),
+        F.round(c["rsum"] / c["n"], 6).alias("mean_rank"),
+        (c["k"].cast("long") - 1).alias("df"),
+        F.round(chi2, 6).alias("chi2"),
+    ).orderBy("event_type")

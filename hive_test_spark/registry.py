@@ -329,6 +329,12 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     # Round-11 third wave: Benjamini-Hochberg FDR step-up — the
     # multiple-testing correction the testing deck feeds.
     "evt_benjamini_hochberg",
+    # Round-11 fourth wave: Chao1 richness + Good-Turing coverage —
+    # the census member of the corpus-statistics deck (heaps/zipf).
+    "llm_chao1_vocab",
+    # Round-11 fifth wave: Friedman blocked rank ANOVA — the
+    # repeated-measures member of the testing deck.
+    "evt_friedman_test",
 )
 
 

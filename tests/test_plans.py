@@ -2080,3 +2080,22 @@ def test_benjamini_hochberg_single_fact_pass(spark, registry):
     assert (
         sum(1 for s in f.scans if "events" in s.get("Location", "")) == 1
     )
+
+
+def test_chao1_no_joins_no_windows(spark, registry):
+    """llm_chao1_vocab: explode + two map-side-combinable aggregates
+    per census unit — no joins, no windows, no Python."""
+    f = _facts(spark, registry, "llm_chao1_vocab")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+    assert "Window" not in f.simple
+    assert f.sort_merge_joins == 0 and f.broadcast_joins == 0
+
+
+def test_friedman_blocks_partition_the_rank_window(spark, registry):
+    """evt_friedman_test: the midrank window is PARTITIONED BY DAY
+    (blocks parallelize); one (type, day) rollup is the only corpus
+    work. No cartesian, no Python."""
+    f = _facts(spark, registry, "evt_friedman_test")
+    assert f.cartesian == 0
+    assert "Python" not in f.text

@@ -5875,3 +5875,271 @@ def evt_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (c["k"].cast("long") - 1).alias("df"),
         F.round(chi2, 6).alias("chi2"),
     ).orderBy("event_type")
+
+
+@register(
+    "evt_kendall_tau",
+    """
+    WITH s AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             ROUND(SUM(value), 6) AS rev
+      FROM events WHERE event_type IN ('view', 'purchase')
+      GROUP BY event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+    ),
+    base AS (
+      SELECT x.day, x.rev AS x, y.rev AS y
+      FROM (SELECT day, rev FROM s WHERE event_type = 'view') x
+      JOIN (SELECT day, rev FROM s WHERE event_type = 'purchase') y
+        ON y.day = x.day
+    ),
+    pairs AS (
+      SELECT CAST(SUM(CASE WHEN (a.x < b.x AND a.y < b.y)
+                             OR (a.x > b.x AND a.y > b.y)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+             CAST(SUM(CASE WHEN (a.x < b.x AND a.y > b.y)
+                             OR (a.x > b.x AND a.y < b.y)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS disc
+      FROM base a JOIN base b ON a.day < b.day
+    ),
+    ties AS (
+      SELECT
+        (SELECT COALESCE(SUM(c * (c - 1) / 2), 0) FROM
+          (SELECT COUNT(*) AS c FROM base GROUP BY x) tx) AS n1,
+        (SELECT COALESCE(SUM(c * (c - 1) / 2), 0) FROM
+          (SELECT COUNT(*) AS c FROM base GROUP BY y) ty) AS n2,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS n
+    )
+    SELECT n AS n_days, conc AS concordant, disc AS discordant,
+           CAST(n1 AS BIGINT) AS tied_x, CAST(n2 AS BIGINT) AS tied_y,
+           ROUND((conc - disc)
+                 / SQRT((CAST(n AS DOUBLE) * (n - 1) / 2 - n1)
+                        * (CAST(n AS DOUBLE) * (n - 1) / 2 - n2)), 6)
+             AS tau_b,
+           ROUND(3.0 * (conc - disc)
+                 / SQRT(CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) / 2.0),
+                 6) AS z_score
+    FROM pairs CROSS JOIN ties
+    """,
+)
+def evt_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between the view and purchase daily revenue
+    series [public method: Kendall 1938 with the tau-b tie correction
+    — the concordant-vs-discordant pair census; the second
+    rank-association member beside evt_spearman (midrank Pearson),
+    preferred when the n is small enough that tau's cleaner null
+    distribution matters]: the (type, day) rollup is the only corpus
+    pass, then the CALENDAR-BOUNDED day frame (~|days|, the
+    evt_granger argument) self-joins on day < day for the n(n-1)/2
+    pair census — concordant/discordant/tie counts are INTEGERS, so
+    tau-b and the normal z are single deterministic expressions with
+    no accumulation hazard at all. Tie terms n1/n2 come from
+    per-distinct-value group counts (consistent with the midrank
+    machinery's tie handling).
+
+    At 100 TB: the pair join is over the bounded day dimension, never
+    the corpus — 10 years of days is ~6.7M pairs, one task's work;
+    millions of series would partition by pair key. The O(n log n)
+    merge-sort inversion count is the whale-series rewrite; the pair
+    census IS the definition, kept while the frame is bounded."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("rev"))
+    )
+    x = s.filter(F.col("event_type") == "view").select(
+        "day", F.col("rev").alias("x")
+    )
+    y = s.filter(F.col("event_type") == "purchase").select(
+        F.col("day").alias("yday"), F.col("rev").alias("y")
+    )
+    base = x.join(y, F.col("yday") == F.col("day")).select("day", "x", "y")
+    a = base.select(
+        F.col("day").alias("d1"), F.col("x").alias("x1"), F.col("y").alias("y1")
+    )
+    b = base.select(
+        F.col("day").alias("d2"), F.col("x").alias("x2"), F.col("y").alias("y2")
+    )
+    conc_cond = ((F.col("x1") < F.col("x2")) & (F.col("y1") < F.col("y2"))) | (
+        (F.col("x1") > F.col("x2")) & (F.col("y1") > F.col("y2"))
+    )
+    disc_cond = ((F.col("x1") < F.col("x2")) & (F.col("y1") > F.col("y2"))) | (
+        (F.col("x1") > F.col("x2")) & (F.col("y1") < F.col("y2"))
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
+        .agg(
+            F.sum(F.when(conc_cond, 1).otherwise(0)).cast("long").alias("conc"),
+            F.sum(F.when(disc_cond, 1).otherwise(0)).cast("long").alias("disc"),
+        )
+    )
+    tie_x = (
+        base.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0)
+            ).alias("n1")
+        )
+    )
+    tie_y = (
+        base.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0)
+            ).alias("n2")
+        )
+    )
+    n = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = (
+        pairs.crossJoin(F.broadcast(tie_x))
+        .crossJoin(F.broadcast(tie_y))
+        .crossJoin(F.broadcast(n))
+    )
+    nd = F.col("n").cast("double")
+    cd = F.col("conc") - F.col("disc")
+    return t.select(
+        F.col("n").alias("n_days"),
+        F.col("conc").alias("concordant"),
+        F.col("disc").alias("discordant"),
+        F.col("n1").cast("long").alias("tied_x"),
+        F.col("n2").cast("long").alias("tied_y"),
+        F.round(
+            cd
+            / F.sqrt(
+                (nd * (F.col("n") - 1) / 2 - F.col("n1"))
+                * (nd * (F.col("n") - 1) / 2 - F.col("n2"))
+            ),
+            6,
+        ).alias("tau_b"),
+        F.round(
+            3.0
+            * cd
+            / F.sqrt(
+                nd * (F.col("n") - 1) * (2 * F.col("n") + 5) / 2.0
+            ),
+            6,
+        ).alias("z_score"),
+    )
+
+
+@register(
+    "evt_runs_test",
+    f"""
+    WITH s AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             ROUND(SUM(value), 6) AS rev
+      FROM events WHERE value IS NOT NULL
+      GROUP BY CAST(CAST(ts AS TIMESTAMP) AS DATE)
+    ),
+    med AS (SELECT quantile_cont(rev, 0.5) AS med FROM s),
+    signed AS (
+      SELECT day, rev > m.med AS above
+      FROM s CROSS JOIN med m WHERE rev <> m.med
+    ),
+    runs AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN above THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+             CAST(1 + SUM(CASE WHEN above <> prev THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r
+      FROM (SELECT above,
+                   LAG(above, 1) OVER (ORDER BY day) AS prev
+            FROM signed) t
+    ),
+    zt AS (
+      SELECT n, n1, n2, r,
+             (r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+               / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                      / ((CAST(n1 + n2 AS DOUBLE)) * (n1 + n2)
+                         * (n1 + n2 - 1))) AS z
+      FROM runs
+    ),
+    ztt AS (
+      SELECT n, n1, n2, r, z,
+             1 / (1 + 0.2316419 * ABS(z)) AS tt FROM zt
+    )
+    SELECT n AS n_days, n1 AS n_above, n2 AS n_below, r AS runs,
+           ROUND(z, 6) AS z_score, ROUND({{norm_p2}}, 6) AS p_value
+    FROM ztt
+    """.format(norm_p2=_NORM_P2_EXPR),
+)
+def evt_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily total-revenue series
+    [public method: Wald & Wolfowitz 1940 — is the sequence of
+    above/below-median days random, or does it cluster (trend/regime)
+    the way evt_cusum_changepoint would then localize? The randomness
+    gate of the time-series deck beside evt_acf (linear memory) and
+    evt_seasonality_strength (structured memory)]: the day rollup is
+    the only corpus pass; the exact median (pinned quantile_cont /
+    percentile interpolation contract) dichotomizes the ~|days| frame
+    (median-equal days drop, the classical rule), runs count from ONE
+    LAG pass over the bounded calendar frame, and every input to z is
+    an INTEGER (n1, n2, R) — the statistic is a single deterministic
+    expression, no accumulation hazard. Two-sided p renders from the
+    shared A&S 26.2.17 literal (the evt_mann_whitney constant).
+
+    At 100 TB: one map-side-combinable rollup + a bounded-frame
+    window + a 1-row epilogue — the evt_granger scale shape. Per-user
+    or per-SKU runs tests partition the LAG window by series key with
+    identical arithmetic."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    s = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 6).alias("rev")
+    )
+    med = s.agg(F.expr("percentile(rev, 0.5D)").alias("med"))
+    signed = (
+        s.crossJoin(F.broadcast(med))
+        .filter(F.col("rev") != F.col("med"))
+        .select("day", (F.col("rev") > F.col("med")).alias("above"))
+    )
+    w = Window.orderBy("day")
+    t = signed.select(
+        "above", F.lag("above", 1).over(w).alias("prev")
+    )
+    runs = t.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("above"), 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("above"), 0).otherwise(1))
+        .cast("long")
+        .alias("n2"),
+        (
+            1
+            + F.sum(
+                F.when(F.col("above") != F.col("prev"), 1).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("r"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    z = (r - (2.0 * n1 * n2 / (n1 + n2) + 1)) / F.sqrt(
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2).cast("double") * (n1 + n2) * (n1 + n2 - 1))
+    )
+    zt = runs.select("n", "n1", "n2", "r", z.alias("z")).select(
+        "n",
+        "n1",
+        "n2",
+        "r",
+        "z",
+        (1 / (1 + 0.2316419 * F.abs(F.col("z")))).alias("tt"),
+    )
+    return zt.select(
+        F.col("n").alias("n_days"),
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        F.col("r").alias("runs"),
+        F.round("z", 6).alias("z_score"),
+        F.round(F.expr(_NORM_P2_EXPR), 6).alias("p_value"),
+    )

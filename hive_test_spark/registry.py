@@ -335,6 +335,12 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     # Round-11 fifth wave: Friedman blocked rank ANOVA — the
     # repeated-measures member of the testing deck.
     "evt_friedman_test",
+    # Round-11 sixth wave: Kendall tau-b — the pair-census
+    # rank-association member beside evt_spearman.
+    "evt_kendall_tau",
+    # Round-11 seventh wave: Wald-Wolfowitz runs test — the
+    # randomness gate of the time-series deck.
+    "evt_runs_test",
 )
 
 

@@ -2099,3 +2099,20 @@ def test_friedman_blocks_partition_the_rank_window(spark, registry):
     f = _facts(spark, registry, "evt_friedman_test")
     assert f.cartesian == 0
     assert "Python" not in f.text
+
+
+def test_kendall_pair_join_is_day_bounded(spark, registry):
+    """evt_kendall_tau: the pair census self-joins the CALENDAR frame
+    (broadcast, day < day theta join) — the corpus is rolled up once;
+    no Python."""
+    f = _facts(spark, registry, "evt_kendall_tau")
+    assert "Python" not in f.text
+    assert f.broadcast_joins >= 1
+
+
+def test_runs_test_single_rollup(spark, registry):
+    """evt_runs_test: one day rollup, a broadcast median, one bounded
+    LAG window, 1-row epilogue. No cartesian blowup, no Python."""
+    f = _facts(spark, registry, "evt_runs_test")
+    assert "Python" not in f.text
+    assert f.broadcast_joins >= 1

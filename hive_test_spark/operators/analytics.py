@@ -6143,3 +6143,125 @@ def evt_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("z", 6).alias("z_score"),
         F.round(F.expr(_NORM_P2_EXPR), 6).alias("p_value"),
     )
+
+
+_PH_DELTA = 0.5
+_PH_LAMBDA = 25.0
+
+
+@register(
+    "evt_page_hinkley",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    st AS (
+      SELECT event_type, d, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               * 1.0
+               / COUNT(*) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS mu_run
+      FROM daily
+    ),
+    m AS (
+      SELECT event_type, d,
+             SUM(n - mu_run - {_PH_DELTA}) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mt
+      FROM st
+    ),
+    ph AS (
+      SELECT event_type, d, mt,
+             mt - MIN(mt) OVER (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+      FROM m
+    ),
+    ranked AS (
+      SELECT event_type, d, ph,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ph DESC, d) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_days
+      FROM ph
+    )
+    SELECT event_type, CAST(d AS VARCHAR) AS peak_day,
+           ROUND(ph, 6) AS peak_ph,
+           CAST(n_days AS BIGINT) AS n_days,
+           ph > {_PH_LAMBDA} AS alarmed
+    FROM ranked WHERE rk = 1 ORDER BY event_type
+    """,
+)
+def evt_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift detector per event-type daily-count series
+    [public method: Page 1954 / the PH test as used in stream-mining
+    (Gama et al.) — accumulate deviations from the RUNNING mean minus
+    a tolerance delta; the gap between the accumulator and its running
+    minimum exceeding lambda signals an upward level shift]: the
+    sequential-detection member of the changepoint deck —
+    evt_cusum_changepoint localizes a shift retrospectively against
+    the GLOBAL mean, PH is the one-pass online rule a monitor
+    actually runs (its state is (m_t, min m), mergeable per series).
+    Determinism: daily counts are INTEGERS, the running mean is an
+    exact-integer prefix sum over one division, and every later stage
+    is a RUNNING window (evaluated sequentially in frame order on
+    both engines — the evt_cusum_changepoint parity argument); the
+    peak day tie-breaks on day.
+
+    At 100 TB: rollup-before-window — the log collapses to (type,
+    day) once; all windows run on the bounded per-series daily frame,
+    parallel across series. The online deployment is the same
+    recurrence inside applyInPandasWithState."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    st = daily.select(
+        "event_type",
+        "d",
+        "n",
+        (
+            F.sum("n").over(w_run) * 1.0 / F.count(F.lit(1)).over(w_run)
+        ).alias("mu_run"),
+    )
+    m = st.select(
+        "event_type",
+        "d",
+        F.sum(F.col("n") - F.col("mu_run") - _PH_DELTA)
+        .over(w_run)
+        .alias("mt"),
+    )
+    ph = m.select(
+        "event_type",
+        "d",
+        (F.col("mt") - F.min("mt").over(w_run)).alias("ph"),
+    )
+    w_rk = Window.partitionBy("event_type").orderBy(
+        F.col("ph").desc(), "d"
+    )
+    w_all = Window.partitionBy("event_type")
+    ranked = ph.select(
+        "event_type",
+        "d",
+        "ph",
+        F.row_number().over(w_rk).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("n_days"),
+    )
+    return (
+        ranked.filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("d").cast("string").alias("peak_day"),
+            F.round("ph", 6).alias("peak_ph"),
+            F.col("n_days").cast("long").alias("n_days"),
+            (F.col("ph") > _PH_LAMBDA).alias("alarmed"),
+        )
+        .orderBy("event_type")
+    )

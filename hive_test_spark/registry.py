@@ -341,6 +341,9 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     # Round-11 seventh wave: Wald-Wolfowitz runs test — the
     # randomness gate of the time-series deck.
     "evt_runs_test",
+    # Round-11 eighth wave: Page-Hinkley drift detector — the
+    # sequential-detection member of the changepoint deck.
+    "evt_page_hinkley",
 )
 
 

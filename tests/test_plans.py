@@ -2116,3 +2116,13 @@ def test_runs_test_single_rollup(spark, registry):
     f = _facts(spark, registry, "evt_runs_test")
     assert "Python" not in f.text
     assert f.broadcast_joins >= 1
+
+
+def test_page_hinkley_rollup_before_window(spark, registry):
+    """evt_page_hinkley: the log collapses to (type, day) once; every
+    later stage is a running window over the bounded per-series daily
+    frame. No joins, no cartesian, no Python."""
+    f = _facts(spark, registry, "evt_page_hinkley")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+    assert f.sort_merge_joins == 0 and f.broadcast_joins == 0

@@ -6265,3 +6265,201 @@ def evt_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_HURST_SIZES = (5, 10, 15)
+
+
+def _hurst_chunk_sql(m: int) -> str:
+    """One R/S window size as SQL: chunk the day-ordered daily-count
+    series into complete blocks of m, rescaled range per block, then
+    the 6dp-rounded ln(R/S) terms accumulate as exact DECIMAL."""
+    return f"""
+      SELECT {m} AS m,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(CAST(SUM(CAST(ln_rs AS DECIMAL(10,6))) AS VARCHAR)
+                  AS DOUBLE) / COUNT(*) AS mean_ln_rs
+      FROM (
+        SELECT chunk, ROUND(LN((mx - mn) / NULLIF(s, 0)), 6) AS ln_rs
+        FROM (
+          SELECT chunk,
+                 MAX(cumdev) AS mx, MIN(cumdev) AS mn,
+                 SQRT(CAST(CAST(SUM(CAST(ROUND(dev * dev, 6)
+                                         AS DECIMAL(18,6))) AS VARCHAR)
+                           AS DOUBLE) / {m}) AS s
+          FROM (
+            SELECT chunk, dev,
+                   SUM(dev) OVER (PARTITION BY chunk ORDER BY rn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cumdev
+            FROM (
+              SELECT chunk, rn, n - mu AS dev
+              FROM (
+                SELECT chunk, rn, n,
+                       SUM(n) OVER (PARTITION BY chunk) * 1.0 / {m} AS mu,
+                       COUNT(*) OVER (PARTITION BY chunk) AS csize
+                FROM (
+                  SELECT CAST(FLOOR((rn - 1) / {m}) AS BIGINT) AS chunk, rn, n
+                  FROM ds
+                ) c
+              ) cc WHERE csize = {m}
+            ) d
+          ) cd
+          GROUP BY chunk
+        ) rs WHERE s <> 0
+      ) t
+    """
+
+
+@register(
+    "evt_hurst_exponent",
+    f"""
+    WITH ds AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             ROW_NUMBER() OVER (ORDER BY CAST(ts AS DATE)) AS rn
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    pts AS (
+      {" UNION ALL ".join(_hurst_chunk_sql(m) for m in _HURST_SIZES)}
+    ),
+    xy AS (
+      SELECT m, n_chunks, ROUND(mean_ln_rs, 6) AS y,
+             ROUND(LN(m), 6) AS x
+      FROM pts
+    ),
+    fit AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(8,6))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(y AS DECIMAL(8,6))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(8,6)) * CAST(y AS DECIMAL(8,6)))
+                  AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(8,6)) * CAST(x AS DECIMAL(8,6)))
+                  AS VARCHAR) AS DOUBLE) AS sxx
+      FROM xy
+    )
+    SELECT xy.m, xy.n_chunks, ROUND(xy.y, 6) AS mean_ln_rs,
+           ROUND((f.k * f.sxy - f.sx * f.sy)
+                 / (f.k * f.sxx - f.sx * f.sx), 6) AS hurst
+    FROM xy CROSS JOIN fit f
+    ORDER BY xy.m
+    """,
+)
+def evt_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent via rescaled-range analysis of the daily event-
+    count series [public method: Hurst 1951 / Mandelbrot-Wallis R/S —
+    slope of ln(R/S) against ln(window): H ~ 0.5 = memoryless, > 0.5
+    = persistent long memory, < 0.5 = mean-reverting; the long-memory
+    member of the time-series deck beside evt_acf (short-lag linear
+    memory) and evt_runs_test (sign randomness)]: the day rollup is
+    the only corpus pass; for each window size m the bounded daily
+    frame chunks into complete blocks, each block's range comes from
+    a RUNNING cumulative-deviation window (sequential frame order =
+    cross-engine parity, the cusum argument) and its deviation energy
+    accumulates as 6dp-rounded exact DECIMAL (SCALE.md 9ac rule 2);
+    ln(R/S) terms and the final 3-point log-log slope accumulate the
+    same exact-decimal way, so every stage is partition-order-
+    independent. Emits one row per window size with the fitted H
+    riding along (the graph_modularity pattern).
+
+    At 100 TB: one map-side-combinable rollup, windows over the
+    bounded calendar frame, K·|chunks| epilogue rows. Per-series H at
+    scale partitions the chunk windows by series key; dyadic window
+    ladders just extend _HURST_SIZES."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w_day = Window.orderBy(F.col("day"))
+    ds = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select("n", F.row_number().over(w_day).alias("rn"))
+    )
+    pts = None
+    for m in _HURST_SIZES:
+        chunked = ds.select(
+            ((F.col("rn") - 1) / m).cast("long").alias("chunk"),
+            "rn",
+            "n",
+        )
+        w_chunk = Window.partitionBy("chunk")
+        cc = chunked.select(
+            "chunk",
+            "rn",
+            "n",
+            (F.sum("n").over(w_chunk) * 1.0 / m).alias("mu"),
+            F.count(F.lit(1)).over(w_chunk).alias("csize"),
+        ).filter(F.col("csize") == m)
+        w_run = (
+            Window.partitionBy("chunk")
+            .orderBy("rn")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        d = cc.select(
+            "chunk", "rn", (F.col("n") - F.col("mu")).alias("dev")
+        ).select(
+            "chunk",
+            "dev",
+            F.sum("dev").over(w_run).alias("cumdev"),
+        )
+        rs = (
+            d.groupBy("chunk")
+            .agg(
+                F.max("cumdev").alias("mx"),
+                F.min("cumdev").alias("mn"),
+                F.sqrt(
+                    F.sum(
+                        F.round(F.col("dev") * F.col("dev"), 6).cast(
+                            "decimal(18,6)"
+                        )
+                    )
+                    .cast("string")
+                    .cast("double")
+                    / m
+                ).alias("s"),
+            )
+            .filter(F.col("s") != 0)
+        )
+        point = rs.select(
+            F.round(
+                F.log((F.col("mx") - F.col("mn")) / F.expr("NULLIF(s, 0)")),
+                6,
+            ).alias("ln_rs")
+        ).agg(
+            F.lit(m).alias("m"),
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            (
+                F.sum(F.col("ln_rs").cast("decimal(10,6)"))
+                .cast("string")
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_ln_rs"),
+        )
+        pts = point if pts is None else pts.unionByName(point)
+    xy = pts.select(
+        "m",
+        "n_chunks",
+        F.round("mean_ln_rs", 6).alias("y"),
+        F.round(F.log(F.col("m").cast("double")), 6).alias("x"),
+    )
+    xd = F.col("x").cast("decimal(8,6)")
+    yd = F.col("y").cast("decimal(8,6)")
+    fit = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum(xd).cast("string").cast("double").alias("sx"),
+        F.sum(yd).cast("string").cast("double").alias("sy"),
+        F.sum(xd * yd).cast("string").cast("double").alias("sxy"),
+        F.sum(xd * xd).cast("string").cast("double").alias("sxx"),
+    )
+    c = {k: F.col(k) for k in ("k", "sx", "sy", "sxy", "sxx")}
+    hurst = (c["k"] * c["sxy"] - c["sx"] * c["sy"]) / (
+        c["k"] * c["sxx"] - c["sx"] * c["sx"]
+    )
+    return (
+        xy.crossJoin(F.broadcast(fit))
+        .select(
+            "m",
+            "n_chunks",
+            F.round("y", 6).alias("mean_ln_rs"),
+            F.round(hurst, 6).alias("hurst"),
+        )
+        .orderBy("m")
+    )

@@ -344,6 +344,9 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     # Round-11 eighth wave: Page-Hinkley drift detector — the
     # sequential-detection member of the changepoint deck.
     "evt_page_hinkley",
+    # Round-11 ninth wave: Hurst exponent via R/S analysis — the
+    # long-memory member of the time-series deck.
+    "evt_hurst_exponent",
 )
 
 

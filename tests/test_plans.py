@@ -2126,3 +2126,12 @@ def test_page_hinkley_rollup_before_window(spark, registry):
     assert f.cartesian == 0
     assert "Python" not in f.text
     assert f.sort_merge_joins == 0 and f.broadcast_joins == 0
+
+
+def test_hurst_rollup_before_chunk_windows(spark, registry):
+    """evt_hurst_exponent: one day rollup; chunk windows run over the
+    bounded calendar frame; the 3-point log-log fit is a broadcast
+    epilogue. No Python, no cartesian blowup."""
+    f = _facts(spark, registry, "evt_hurst_exponent")
+    assert "Python" not in f.text
+    assert f.broadcast_joins >= 1

@@ -4972,7 +4972,7 @@ def _rank_sql(spec) -> str:
     return f"""
     WITH ev AS (
       SELECT event_type, {spec["expr"]} AS v FROM events
-      WHERE event_type IN ({types})
+      WHERE event_type IN ({types}) AND value IS NOT NULL
     ),
     per_v AS (SELECT v, COUNT(*) AS tie FROM ev GROUP BY v),
     ranked AS (
@@ -4994,9 +4994,13 @@ def _rank_sql(spec) -> str:
 def _rank_df(spark, spec):
     from pyspark.sql import Window
 
+    # value IS NOT NULL pinned in BOTH engines (ADVICE r10): Spark's
+    # rank window sorts NULLS FIRST, DuckDB's NULLS LAST — the grammar
+    # pins the operators' null-hardened contract, not engine defaults.
     ev = (
         load_table(spark, SF_DIR, "events")
         .filter(F.col("event_type").isin(*spec["types"]))
+        .filter(F.col("value").isNotNull())
         .select("event_type", F.expr(spec["expr"]).alias("v"))
     )
     per_v = ev.groupBy("v").agg(F.count(F.lit(1)).alias("tie"))

@@ -5504,7 +5504,15 @@ def evt_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = s.filter(F.col("event_type") == "purchase").select(
         F.col("day").alias("yday"), F.col("rev").alias("y")
     )
-    base = x.join(y, F.col("yday") == F.col("day")).select("day", "x", "y")
+    # ONE corpus pass: the ~|days| base frame is localCheckpoint-
+    # materialized (the llm_rank_rbo shared-frame idiom) so the two
+    # rank legs and the pair join reuse it instead of re-deriving the
+    # (type, day) rollup lineage per reference.
+    base = (
+        x.join(y, F.col("yday") == F.col("day"))
+        .select("day", "x", "y")
+        .localCheckpoint(eager=True)
+    )
 
     def ranks(col: str) -> DataFrame:
         per_v = base.groupBy(F.col(col).alias("v")).agg(
@@ -5817,8 +5825,13 @@ def evt_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
     )
-    s = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
-        F.round(F.sum("value"), 6).alias("rev")
+    # ONE corpus pass: the (type, day) rollup is referenced by the
+    # type-count, the completeness filter, and the block join —
+    # checkpoint it (the llm_rank_rbo shared-frame idiom).
+    s = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("rev"))
+        .localCheckpoint(eager=True)
     )
     k_types = s.select(
         F.countDistinct("event_type").alias("n_types")
@@ -5954,7 +5967,14 @@ def evt_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = s.filter(F.col("event_type") == "purchase").select(
         F.col("day").alias("yday"), F.col("rev").alias("y")
     )
-    base = x.join(y, F.col("yday") == F.col("day")).select("day", "x", "y")
+    # ONE corpus pass (the llm_rank_rbo shared-frame idiom): the pair
+    # census references base four ways (a, b, ties, n) — checkpoint the
+    # ~|days| frame so the rollup lineage isn't re-scanned per leg.
+    base = (
+        x.join(y, F.col("yday") == F.col("day"))
+        .select("day", "x", "y")
+        .localCheckpoint(eager=True)
+    )
     a = base.select(
         F.col("day").alias("d1"), F.col("x").alias("x1"), F.col("y").alias("y1")
     )
@@ -6368,10 +6388,13 @@ def evt_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
     w_day = Window.orderBy(F.col("day"))
+    # ONE corpus pass: the day-count frame feeds all three window
+    # sizes — checkpoint it (the llm_rank_rbo shared-frame idiom).
     ds = (
         ev.groupBy(F.col("ts").cast("date").alias("day"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .select("n", F.row_number().over(w_day).alias("rn"))
+        .localCheckpoint(eager=True)
     )
     pts = None
     for m in _HURST_SIZES:

@@ -6486,3 +6486,95 @@ def evt_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("m")
     )
+
+
+# Chi-square 95th-percentile critical values for df = 1..7, injected as
+# identical literals in both engines (the llm_rank_rbo shared-literal
+# rule; neither engine ships an inverse chi-square).
+_CHI2_CRIT_95 = (3.841459, 5.991465, 7.814728, 9.487729,
+                 11.070498, 12.591587, 14.067140)
+
+
+def _ljung_box_oracle() -> str:
+    from hive_test_spark.registry import ORACLES
+
+    crit_case = "CASE lag " + " ".join(
+        f"WHEN {df + 1} THEN CAST({c!r} AS DOUBLE)"
+        for df, c in enumerate(_CHI2_CRIT_95)
+    ) + " END"
+    return f"""
+    WITH base AS ({ORACLES["evt_acf"]}),
+    nn AS (SELECT MAX(n_pairs + lag) AS n FROM base),
+    terms AS (
+      SELECT b.lag, b.acf, t.n,
+             SUM(b.acf * b.acf / b.n_pairs) OVER (ORDER BY b.lag
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ssum
+      FROM base b CROSS JOIN nn t
+    ),
+    withcrit AS (
+      SELECT lag, acf, n, ssum, {crit_case} AS chi2_crit FROM terms
+    )
+    SELECT t.lag, t.acf,
+           ROUND(t.n * (t.n + 2.0) * t.ssum, 6) AS q_stat,
+           CAST(t.lag AS BIGINT) AS df,
+           t.chi2_crit,
+           t.n * (t.n + 2.0) * t.ssum > t.chi2_crit AS reject_whiteness
+    FROM withcrit t
+    ORDER BY t.lag
+    """
+
+
+@register("evt_ljung_box", _ljung_box_oracle())
+def evt_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test at every h = 1..7 [public
+    method: Ljung & Box 1978 — Q(h) = n(n+2) Σ_{{k<=h}} r_k²/(n-k) vs
+    the chi-square at df = h; THE residual-diagnostics gate a
+    forecaster runs after fitting: if Q rejects, structure remains and
+    evt_acf/evt_pacf say where]. Completes the ACF deck — evt_acf
+    measures the coefficients, evt_pacf identifies AR order, this
+    tests their JOINT significance. Composes the registered evt_acf
+    frame directly (the evt_pacf reuse rule: derived diagnostics
+    consume the verified frame, never re-derive it); n recovers
+    exactly as MAX(n_pairs + lag), the per-lag denominators (n-k) ARE
+    the verified n_pairs, and the Q ladder is a RUNNING window over
+    the 7-row lag frame (sequential frame order = cross-engine parity,
+    the cusum argument) on the 6dp-rounded ACF — identical scalar
+    arithmetic on identical inputs, no new float contract. Chi-square
+    critical values are shared literals (the llm_rank_rbo rule).
+
+    At 100 TB: identical cost to evt_acf — one map-side date rollup is
+    the only corpus pass; everything after is a 7-row epilogue."""
+    from hive_test_spark.registry import QUERIES
+
+    tune(spark)
+    acf = QUERIES["evt_acf"](spark, sf_dir)
+    nn = acf.agg(F.max(F.col("n_pairs") + F.col("lag")).alias("n"))
+    w_run = Window.orderBy("lag").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    terms = acf.crossJoin(F.broadcast(nn)).select(
+        "lag",
+        "acf",
+        "n",
+        F.sum(F.col("acf") * F.col("acf") / F.col("n_pairs"))
+        .over(w_run)
+        .alias("ssum"),
+    )
+    # Shared-literal criticals as a CASE chain on the lag column (no
+    # extra frame: createDataFrame would plant a Python RDD scan in an
+    # otherwise JVM-only plan).
+    crit = F.lit(None).cast("double")
+    for df_, c in reversed(list(enumerate(_CHI2_CRIT_95))):
+        crit = F.when(F.col("lag") == df_ + 1, F.lit(c)).otherwise(crit)
+    q = F.col("n") * (F.col("n") + 2.0) * F.col("ssum")
+    return (
+        terms.select(
+            "lag",
+            "acf",
+            F.round(q, 6).alias("q_stat"),
+            F.col("lag").cast("long").alias("df"),
+            crit.alias("chi2_crit"),
+            (q > crit).alias("reject_whiteness"),
+        )
+        .orderBy("lag")
+    )

@@ -347,6 +347,9 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     # Round-11 ninth wave: Hurst exponent via R/S analysis — the
     # long-memory member of the time-series deck.
     "evt_hurst_exponent",
+    # Round-11 tenth wave: Ljung-Box portmanteau whiteness test —
+    # the joint-significance gate completing the ACF deck.
+    "evt_ljung_box",
 )
 
 

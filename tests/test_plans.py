@@ -2135,3 +2135,14 @@ def test_hurst_rollup_before_chunk_windows(spark, registry):
     f = _facts(spark, registry, "evt_hurst_exponent")
     assert "Python" not in f.text
     assert f.broadcast_joins >= 1
+
+
+def test_ljung_box_composes_verified_acf(spark, registry):
+    """evt_ljung_box: consumes the registered evt_acf frame (one
+    date-rollup corpus pass via its checkpoint); the Q ladder is a
+    7-row running-window epilogue with a broadcast criticals join.
+    No cartesian blowup, no Python."""
+    f = _facts(spark, registry, "evt_ljung_box")
+    assert "Python" not in f.text
+    assert f.broadcast_joins >= 1
+    assert f.cartesian == 0

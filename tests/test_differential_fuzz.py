@@ -5262,3 +5262,112 @@ def test_random_reductions_are_layout_stable_and_bitwise(spark, duck, spec):
     assert r["ok"] and r["bitwise"], (
         f"cross-engine drift spec={spec}\nnotes={r['notes']}"
     )
+
+# ---- pair-census grammar (r11 evt_kendall_tau family) ------------------------
+#
+# Concordant/discordant pair censuses over the calendar-bounded day
+# frame under randomized series pairs and day predicates: the counts
+# are INTEGERS, so any cross-engine divergence is a logic bug (join
+# bounds, tie classification), never float noise — assert bitwise.
+
+
+@st.composite
+def pair_census_specs(draw):
+    pairs = [("view", "purchase"), ("view", "click"), ("purchase", "signup")]
+    return {
+        "pair": draw(st.sampled_from(pairs)),
+        "dow": draw(st.sampled_from([None, (2, 6), (1, 4)])),
+        "metric": draw(st.sampled_from(["SUM(value)", "COUNT(*)"])),
+    }
+
+
+def _pair_census_sql(spec) -> str:
+    ta, tb = spec["pair"]
+    # DuckDB dayofweek is 0-based (Sun=0), Spark's is 1-based (Sun=1)
+    # — the +1 aligns the oracle to Spark's convention (this grammar
+    # caught the gap on its first run).
+    where = "" if spec["dow"] is None else (
+        f" AND dayofweek(CAST(CAST(ts AS TIMESTAMP) AS DATE)) + 1"
+        f" BETWEEN {spec['dow'][0]} AND {spec['dow'][1]}"
+    )
+    return f"""
+    WITH s AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             ROUND({spec["metric"]} * 1.0, 6) AS m
+      FROM events WHERE event_type IN ('{ta}', '{tb}'){where}
+      GROUP BY event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+    ),
+    base AS (
+      SELECT x.day, x.m AS x, y.m AS y
+      FROM (SELECT day, m FROM s WHERE event_type = '{ta}') x
+      JOIN (SELECT day, m FROM s WHERE event_type = '{tb}') y
+        ON y.day = x.day
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN (a.x < b.x AND a.y < b.y)
+                           OR (a.x > b.x AND a.y > b.y)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+           CAST(SUM(CASE WHEN (a.x < b.x AND a.y > b.y)
+                           OR (a.x > b.x AND a.y < b.y)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS disc
+    FROM base a JOIN base b ON a.day < b.day
+    """
+
+
+def _pair_census_df(spark, spec):
+    ta, tb = spec["pair"]
+    ev = load_table(spark, SF_DIR, "events").filter(
+        F.col("event_type").isin(ta, tb)
+    )
+    if spec["dow"] is not None:
+        lo, hi = spec["dow"]
+        ev = ev.filter(F.dayofweek(F.to_date("ts")).between(lo, hi))
+    metric = (
+        F.sum("value") if spec["metric"] == "SUM(value)" else F.count(F.lit(1))
+    )
+    s = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.round(metric * 1.0, 6).alias("m")
+    )
+    x = s.filter(F.col("event_type") == ta).select("day", F.col("m").alias("x"))
+    y = s.filter(F.col("event_type") == tb).select(
+        F.col("day").alias("yday"), F.col("m").alias("y")
+    )
+    base = (
+        x.join(y, F.col("yday") == F.col("day"))
+        .select("day", "x", "y")
+        .localCheckpoint(eager=True)
+    )
+    a = base.select(
+        F.col("day").alias("d1"), F.col("x").alias("x1"), F.col("y").alias("y1")
+    )
+    b = base.select(
+        F.col("day").alias("d2"), F.col("x").alias("x2"), F.col("y").alias("y2")
+    )
+    conc = ((F.col("x1") < F.col("x2")) & (F.col("y1") < F.col("y2"))) | (
+        (F.col("x1") > F.col("x2")) & (F.col("y1") > F.col("y2"))
+    )
+    disc = ((F.col("x1") < F.col("x2")) & (F.col("y1") > F.col("y2"))) | (
+        (F.col("x1") > F.col("x2")) & (F.col("y1") < F.col("y2"))
+    )
+    return a.join(F.broadcast(b), F.col("d1") < F.col("d2")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(conc, 1).otherwise(0)).cast("long").alias("conc"),
+        F.sum(F.when(disc, 1).otherwise(0)).cast("long").alias("disc"),
+    )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=pair_census_specs())
+def test_random_pair_censuses_match_duckdb(spark, duck, spec):
+    """Pair-census fuzz (r11 evt_kendall_tau family): integer
+    concordant/discordant counts over randomized series pairs and day
+    predicates must match DuckDB bitwise."""
+    spark_pdf = _pair_census_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_pair_census_sql(spec)).df()
+    r = compare("fuzz_pair_census", spark_pdf, duck_pdf)
+    assert r["ok"] and r["bitwise"], f"spec={spec}\nnotes={r['notes']}"

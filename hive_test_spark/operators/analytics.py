@@ -5440,7 +5440,8 @@ _SPEARMAN_RHO_SQL = (
     WITH s AS (
       SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
              ROUND(SUM(value), 6) AS rev
-      FROM events WHERE event_type IN ('view', 'purchase')
+      FROM events
+      WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
       GROUP BY event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE)
     ),
     base AS (
@@ -5493,8 +5494,17 @@ def evt_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition every stage by pair key with identical arithmetic."""
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
+    # NULL guard (ADVICE r11): a NULL-summing (type, day) group would
+    # enter the ORDER BY v rank window, which sorts NULLS FIRST in
+    # Spark but NULLS LAST in DuckDB, shifting every midrank's prefix
+    # sum and diverging rho — the exact hazard class the r11 evt_ks/
+    # mann_whitney/kruskal_wallis fix targeted. Latent on current
+    # fixtures (zero NULL values); hardened at both engines together.
     s = (
-        ev.filter(F.col("event_type").isin("view", "purchase"))
+        ev.filter(
+            F.col("event_type").isin("view", "purchase")
+            & F.col("value").isNotNull()
+        )
         .groupBy("event_type", F.to_date("ts").alias("day"))
         .agg(F.round(F.sum("value"), 6).alias("rev"))
     )
@@ -5654,7 +5664,14 @@ def evt_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
     )
-    dec = F.round("value", 6).cast("decimal(12,6)")
+    # decimal(18,6), not the oracle's (19,6): Spark's product rule
+    # needs p1+p2+1 <= 38 for an exact (37,12) dec*dec, while DuckDB
+    # needs a >=19-width operand for its int128 multiply path. Both
+    # are exact integers at scale 6 so the sums agree bitwise; (18,6)
+    # lifts the silent ANSI-off overflow ceiling from |value| 1e6 to
+    # 1e12 (ADVICE r11 — the (12,6) width was a latent divergence if
+    # a fixture vintage ships larger values).
+    dec = F.round("value", 6).cast("decimal(18,6)")
     m = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum(dec).alias("s1"),
@@ -5896,7 +5913,8 @@ def evt_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
              ROUND(SUM(value), 6) AS rev
-      FROM events WHERE event_type IN ('view', 'purchase')
+      FROM events
+      WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
       GROUP BY event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE)
     ),
     base AS (
@@ -5956,8 +5974,15 @@ def evt_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     census IS the definition, kept while the frame is bounded."""
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
+    # NULL guard (ADVICE r11): kept in lockstep with evt_spearman's
+    # null-hardened contract — the integer pair census happens to
+    # treat NULL comparisons identically on both engines, but the
+    # guard keeps the (type, day) ingest contract uniform.
     s = (
-        ev.filter(F.col("event_type").isin("view", "purchase"))
+        ev.filter(
+            F.col("event_type").isin("view", "purchase")
+            & F.col("value").isNotNull()
+        )
         .groupBy("event_type", F.to_date("ts").alias("day"))
         .agg(F.round(F.sum("value"), 6).alias("rev"))
     )

@@ -1134,11 +1134,19 @@ _GRANGER_BASE_SQL = """
       GROUP BY event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE)
     ),
     base AS (
-      -- DECIMAL(12,6) ingest of the 6dp-rounded revenues (the
+      -- DECIMAL(19,6) ingest of the 6dp-rounded revenues (the
       -- fn_decimal tie-free pattern): every moment sum below is then
       -- EXACT and partition-order-independent — the round-10
-      -- driver-red fix. Products are (37,12), sums (38,12); only the
-      -- finished sums return to DOUBLE for the scalar epilogue.
+      -- driver-red fix. Width 19 keeps DuckDB's multiply on the
+      -- int128 path (an 18x18 product overflows its int64 physical
+      -- type); the Spark side ingests DECIMAL(18,6) instead because
+      -- Spark's product rule (p1+p2+1, s1+s2) must stay within
+      -- precision 38 to avoid the lossy rescale — (37,12) is the
+      -- widest exact product. Both sides are exact integers at scale
+      -- 6, so the sums agree bitwise; only the silent-overflow
+      -- headroom differs (Spark NULLs past |rev| ~1e12, DuckDB keeps
+      -- to 1e13 — ADVICE r11 widened Spark from (12,6) whose 1e6
+      -- ceiling was only ~27x above the sf0.1 maximum).
       SELECT x.day, CAST(x.rev AS DECIMAL(19,6)) AS x,
              CAST(y.rev AS DECIMAL(19,6)) AS y
       FROM (SELECT day, rev FROM s WHERE event_type = 'view') x
@@ -1211,8 +1219,11 @@ def evt_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
         x.join(y, F.col("yday") == F.col("day"))
         .select(
             "day",
-            F.col("x").cast("decimal(12,6)").alias("x"),
-            F.col("y").cast("decimal(12,6)").alias("y"),
+            # decimal(18,6), not (19,6): Spark's product rule needs
+            # p1+p2+1 <= 38 for an exact (37,12) product; headroom to
+            # |rev| ~1e12 before a silent ANSI-off NULL (ADVICE r11).
+            F.col("x").cast("decimal(18,6)").alias("x"),
+            F.col("y").cast("decimal(18,6)").alias("y"),
         )
         .select(
             "day",

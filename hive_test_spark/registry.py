@@ -154,7 +154,25 @@ _CLOSURE_ROUND = 10
 # report re-earns its row. This replaces the legacy _RETEST tuple below
 # for new entries — that tuple's expiry is tied to _PLANNED_AFTER_ROUND
 # and can no longer trigger for keys whose rows postdate round 4.
-_RETEST_SINCE: dict[str, int] = {}
+_RETEST_SINCE: dict[str, int] = {
+    # Round-12 ADVICE-r11 hardening (tier 2 until a later row lands):
+    # evt_spearman / evt_kendall_tau gained the `value IS NOT NULL`
+    # ingest guard (NULL-ordering hazard: Spark ranks NULLS FIRST,
+    # DuckDB NULLS LAST); evt_granger / evt_benjamini_hochberg widened
+    # the Spark-side decimal ingest (12,6)->(18,6) so the silent
+    # ANSI-off overflow ceiling moves from |v|~1e6 to ~1e12. All four
+    # verified bitwise-identical on current fixtures before staging,
+    # but the BEHAVIOR (on NULL-bearing / larger-valued data) changed
+    # after their r11 rows — policy says they re-earn rows first. The
+    # value is the NEWEST REPORT ROUND at change time (11): the entry
+    # stays tier 2 while DRIVER_LAST_ROUND <= 11 and expires the
+    # moment the round-12 report re-earns the row (a value of 12
+    # would keep them tier 2 through round 13 — one report too long).
+    "evt_spearman": 11,
+    "evt_kendall_tau": 11,
+    "evt_granger": 11,
+    "evt_benjamini_hochberg": 11,
+}
 
 # Keys already driver-seen whose BEHAVIOR changed since their last driver
 # row (e.g. rows-only ops hardened with a real oracle): they re-queue
@@ -376,12 +394,14 @@ def _rank(key: str, reg_idx: int) -> tuple[int, int, int]:
     if key in DRIVER_SEEN:
         if LATEST_DRIVER_ROUND >= _CLOSURE_ROUND:
             # Post-closure backfill ROTATION (SURVEY §M rounds-11-20
-            # policy): stalest driver row first, so with N registered keys and
-            # 50 slots/round every key re-earns a fresh row within
-            # ceil(N/50) rounds (10 at the current 487) — the whole registry re-verifies
-            # across rounds 11-20 instead of re-testing the same
-            # registration-order prefix forever. Unseen keys (tiers
-            # 3/4) and retests (tier 2) still pre-empt the rotation.
+            # policy): stalest driver row first — a round-robin queue,
+            # so from ANY report state every key re-earns a fresh row
+            # within ceil(N/50) windows of the then-current registry
+            # (the ROLLING staleness bound restated in round 12; the
+            # r10 "full refresh by r20" phrasing is retired as
+            # arithmetically unkeepable under ~10 additions/round).
+            # Unseen keys (tiers 3/4) and retests (tier 2) still
+            # pre-empt the rotation; additions freeze at round 17.
             return (5, DRIVER_LAST_ROUND.get(key, 0), reg_idx)
         return (5, 0, reg_idx)  # pre-closure: yield the window, keep plan
     if key in _NEXT_ROUNDS:

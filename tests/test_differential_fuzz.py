@@ -5277,8 +5277,23 @@ def pair_census_specs(draw):
     return {
         "pair": draw(st.sampled_from(pairs)),
         "dow": draw(st.sampled_from([None, (2, 6), (1, 4)])),
-        "metric": draw(st.sampled_from(["SUM(value)", "COUNT(*)"])),
+        "metric": draw(st.sampled_from(["SUM_DEC", "COUNT"])),
     }
+
+
+# The SUM metric accumulates through the decimal-exact pattern
+# (tie-free 6dp pre-round -> DECIMAL cast -> exact SUM -> string ->
+# double), NOT ROUND(SUM(double),6) — a daily double-sum landing on a
+# 6dp rounding boundary can round differently across engines or
+# partition layouts, flipping x<y comparisons and breaking the
+# bitwise conc/disc assertion flakily (ADVICE r11; the very disease
+# the reduction-order grammar above exists to forbid). Widths follow
+# the SCALE §9ac rule: DuckDB >=19 for the int128 path, Spark <=18.
+_PAIR_CENSUS_METRIC_SQL = {
+    "SUM_DEC": "CAST(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(19,6)))"
+               " AS VARCHAR) AS DOUBLE)",
+    "COUNT": "CAST(COUNT(*) AS DOUBLE)",
+}
 
 
 def _pair_census_sql(spec) -> str:
@@ -5293,7 +5308,7 @@ def _pair_census_sql(spec) -> str:
     return f"""
     WITH s AS (
       SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
-             ROUND({spec["metric"]} * 1.0, 6) AS m
+             {_PAIR_CENSUS_METRIC_SQL[spec["metric"]]} AS m
       FROM events WHERE event_type IN ('{ta}', '{tb}'){where}
       GROUP BY event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE)
     ),
@@ -5323,10 +5338,14 @@ def _pair_census_df(spark, spec):
         lo, hi = spec["dow"]
         ev = ev.filter(F.dayofweek(F.to_date("ts")).between(lo, hi))
     metric = (
-        F.sum("value") if spec["metric"] == "SUM(value)" else F.count(F.lit(1))
+        F.sum(F.round("value", 6).cast("decimal(18,6)"))
+        .cast("string")
+        .cast("double")
+        if spec["metric"] == "SUM_DEC"
+        else F.count(F.lit(1)).cast("double")
     )
     s = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
-        F.round(metric * 1.0, 6).alias("m")
+        metric.alias("m")
     )
     x = s.filter(F.col("event_type") == ta).select("day", F.col("m").alias("x"))
     y = s.filter(F.col("event_type") == tb).select(

@@ -1118,3 +1118,278 @@ def _ivfpq_nprobes() -> int:
     from hive_test_spark.llm.similarity import N_PROBES
 
     return N_PROBES
+
+
+# ---------------------------------------------------------------------------
+# Round-12: internal clustering-validity indices over the shared Lloyd
+# chain (no-label complements to llm_cluster_purity's external grade).
+
+_LLOYD_CTES_C2 = f"""{_LLOYD_CTES_A2},
+    c2 AS ({_DUCK_CENTROIDS.format(src="a2")})"""
+
+# Rounded (6dp) squared euclidean vector->centroid distance, DuckDB side
+# (the _DUCK_ASSIGN distance expression, shared verbatim).
+_DUCK_VDIST = """ROUND(list_sum(list_transform(
+                   generate_series(1, len(c.centroid)),
+                   i -> (a2.emb[i] - c.centroid[i]) ^ 2)), 6)"""
+
+
+@register(
+    "llm_silhouette",
+    f"""
+    WITH {_LLOYD_CTES_C2},
+    dist AS (
+      SELECT a2.vec_id, a2.cluster, c.cluster AS cc,
+             SQRT({_DUCK_VDIST}) AS d
+      FROM a2 CROSS JOIN c2 c
+    ),
+    ab AS (
+      SELECT vec_id, cluster,
+             MAX(CASE WHEN cc = cluster THEN d END) AS a,
+             MIN(CASE WHEN cc <> cluster THEN d END) AS b
+      FROM dist GROUP BY vec_id, cluster
+    ),
+    s AS (
+      SELECT vec_id, cluster,
+             CAST(ROUND((b - a) / GREATEST(a, b), 6) AS DECIMAL(9,6)) AS sil,
+             CAST(ROUND(a, 6) AS DECIMAL(12,6)) AS ad
+      FROM ab
+    ),
+    per_c AS (
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(CAST(SUM(ad) AS VARCHAR) AS DOUBLE) / COUNT(*) AS mean_a,
+             CAST(CAST(SUM(sil) AS VARCHAR) AS DOUBLE) / COUNT(*) AS mean_sil
+      FROM s GROUP BY cluster
+    ),
+    overall AS (
+      SELECT CAST(CAST(SUM(sil) AS VARCHAR) AS DOUBLE) / COUNT(*) AS o
+      FROM s
+    )
+    SELECT cluster, n_members,
+           ROUND(mean_a, 6) AS mean_intra_dist,
+           ROUND(mean_sil, 6) AS mean_silhouette,
+           ROUND(o, 6) AS overall_silhouette
+    FROM per_c CROSS JOIN overall
+    ORDER BY cluster
+    """,
+)
+def llm_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette over the shared Lloyd
+    assignment [public method: Rousseeuw 1987 silhouette with the
+    medoid/centroid simplification (Hruschka et al. 2004): a(i) =
+    dist to OWN centroid, b(i) = min dist to another centroid, s =
+    (b-a)/max(a,b) — O(n k) instead of the O(n^2) pairwise original;
+    the label-free validity grade beside llm_cluster_purity
+    (label-based) and llm_cluster_density_audit (radius-based)]:
+    distances are 6dp-rounded squared-euclidean (the _assign rule, so
+    last-ulp centroid noise can never flip a sign), per-vector s is a
+    single deterministic expression, and the per-cluster / overall
+    means accumulate 6dp-rounded terms as exact DECIMAL surfaced via
+    the string cast (SCALE.md 9ac) — partition-order-independent by
+    construction.
+
+    At 100 TB: one broadcast of the k x dim centroid table against
+    the assignment (narrow pass, no shuffle), then a k-row combinable
+    rollup — the Lloyd iteration's own profile; the full-pairwise
+    silhouette is the O(n^2) rewrite this one replaces at scale.
+
+    Parity note: a(i) > 0 always holds here (no member sits ON its
+    centroid at 6dp), so GREATEST never sees the 0/0 guard case."""
+    tune(spark)
+    e, c1 = _lloyd_chain(spark, sf_dir)
+    a2 = _assign(e, c1).localCheckpoint(eager=True)
+    c2 = _centroids(a2)
+    dist = a2.crossJoin(F.broadcast(c2.withColumnRenamed("cluster", "cc"))).select(
+        "vec_id",
+        "cluster",
+        "cc",
+        F.sqrt(
+            F.round(F.expr(_SQDIST.format(a="emb", b="centroid")), 6)
+        ).alias("d"),
+    )
+    ab = dist.groupBy("vec_id", "cluster").agg(
+        F.max(F.when(F.col("cc") == F.col("cluster"), F.col("d"))).alias("a"),
+        F.min(F.when(F.col("cc") != F.col("cluster"), F.col("d"))).alias("b"),
+    )
+    s = ab.select(
+        "vec_id",
+        "cluster",
+        F.round(
+            (F.col("b") - F.col("a")) / F.greatest("a", "b"), 6
+        )
+        .cast("decimal(9,6)")
+        .alias("sil"),
+        F.round("a", 6).cast("decimal(12,6)").alias("ad"),
+    ).localCheckpoint(eager=True)
+    per_c = s.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        (
+            F.sum("ad").cast("string").cast("double") / F.count(F.lit(1))
+        ).alias("mean_a"),
+        (
+            F.sum("sil").cast("string").cast("double") / F.count(F.lit(1))
+        ).alias("mean_sil"),
+    )
+    overall = s.agg(
+        (
+            F.sum("sil").cast("string").cast("double") / F.count(F.lit(1))
+        ).alias("o")
+    )
+    return (
+        per_c.crossJoin(F.broadcast(overall))
+        .select(
+            "cluster",
+            "n_members",
+            F.round("mean_a", 6).alias("mean_intra_dist"),
+            F.round("mean_sil", 6).alias("mean_silhouette"),
+            F.round("o", 6).alias("overall_silhouette"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@register(
+    "llm_davies_bouldin",
+    f"""
+    WITH {_LLOYD_CTES_C2},
+    scatter AS (
+      SELECT a2.cluster,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             ROUND(CAST(CAST(SUM(CAST(ROUND(SQRT({_DUCK_VDIST}), 6)
+                     AS DECIMAL(12,6))) AS VARCHAR) AS DOUBLE)
+                   / COUNT(*), 6) AS s_i
+      FROM a2 JOIN c2 c ON c.cluster = a2.cluster
+      GROUP BY a2.cluster
+    ),
+    cd AS (
+      SELECT i.cluster AS ci, j.cluster AS cj,
+             SQRT(ROUND(list_sum(list_transform(
+               generate_series(1, len(i.centroid)),
+               p -> (i.centroid[p] - j.centroid[p]) ^ 2)), 6)) AS m_ij
+      FROM c2 i JOIN c2 j ON i.cluster <> j.cluster
+    ),
+    r AS (
+      SELECT cd.ci, cd.cj,
+             ROUND((si.s_i + sj.s_i) / cd.m_ij, 6) AS r_ij
+      FROM cd
+      JOIN scatter si ON si.cluster = cd.ci
+      JOIN scatter sj ON sj.cluster = cd.cj
+    ),
+    worst AS (
+      SELECT ci AS cluster, cj AS worst_neighbor, r_ij AS r_max
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY ci
+                        ORDER BY r_ij DESC, cj) AS rn FROM r) t
+      WHERE rn = 1
+    ),
+    db AS (
+      SELECT CAST(CAST(SUM(CAST(r_max AS DECIMAL(12,6))) AS VARCHAR)
+                  AS DOUBLE) / COUNT(*) AS db_index
+      FROM worst
+    )
+    SELECT w.cluster, s.n_members, s.s_i AS scatter,
+           w.worst_neighbor, w.r_max,
+           ROUND(db.db_index, 6) AS db_index
+    FROM worst w
+    JOIN scatter s ON s.cluster = w.cluster
+    CROSS JOIN db
+    ORDER BY w.cluster
+    """,
+)
+def llm_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies-Bouldin index over the shared Lloyd assignment [public
+    method: Davies & Bouldin 1979 — R_ij = (S_i + S_j) / M_ij with
+    S_i the mean member->centroid distance and M_ij the centroid
+    separation; DB = mean over clusters of the worst R_ij. Lower is
+    better; the separation-aware validity grade beside
+    llm_silhouette (per-point) and llm_cluster_density_audit
+    (radius)]: scatters accumulate 6dp-rounded distances as exact
+    DECIMAL (SCALE.md 9ac) and are re-rounded at 6dp, centroid
+    separations round the squared distance before SQRT (the _assign
+    rule), so every R_ij is a single deterministic expression and
+    the worst-neighbor pick breaks ties on cluster id in both
+    engines.
+
+    At 100 TB: one broadcast-centroid narrow pass + k-row combinable
+    scatter rollup; the pair matrix is k x k — metadata-sized. The
+    shape is identical for k in the tens of thousands (the pair
+    matrix then shards by cluster-id range)."""
+    tune(spark)
+    e, c1 = _lloyd_chain(spark, sf_dir)
+    a2 = _assign(e, c1).localCheckpoint(eager=True)
+    c2 = _centroids(a2).localCheckpoint(eager=True)
+    scatter = (
+        a2.join(F.broadcast(c2), "cluster")
+        .select(
+            "cluster",
+            F.round(
+                F.sqrt(
+                    F.round(F.expr(_SQDIST.format(a="emb", b="centroid")), 6)
+                ),
+                6,
+            )
+            .cast("decimal(12,6)")
+            .alias("dd"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.round(
+                F.sum("dd").cast("string").cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("s_i"),
+        )
+    )
+    ci = c2.select(F.col("cluster").alias("ci"), F.col("centroid").alias("ca"))
+    cj = c2.select(F.col("cluster").alias("cj"), F.col("centroid").alias("cb"))
+    cd = ci.join(F.broadcast(cj), F.col("ci") != F.col("cj")).select(
+        "ci",
+        "cj",
+        F.sqrt(F.round(F.expr(_SQDIST.format(a="ca", b="cb")), 6)).alias(
+            "m_ij"
+        ),
+    )
+    si = scatter.select(F.col("cluster").alias("ci"), F.col("s_i").alias("sa"))
+    sj = scatter.select(F.col("cluster").alias("cj"), F.col("s_i").alias("sb"))
+    r = (
+        cd.join(F.broadcast(si), "ci")
+        .join(F.broadcast(sj), "cj")
+        .select(
+            "ci",
+            "cj",
+            F.round((F.col("sa") + F.col("sb")) / F.col("m_ij"), 6).alias(
+                "r_ij"
+            ),
+        )
+    )
+    w_pick = Window.partitionBy("ci").orderBy(F.col("r_ij").desc(), "cj")
+    worst = (
+        r.select("*", F.row_number().over(w_pick).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("ci").alias("cluster"),
+            F.col("cj").alias("worst_neighbor"),
+            F.col("r_ij").alias("r_max"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    db = worst.agg(
+        (
+            F.sum(F.col("r_max").cast("decimal(12,6)"))
+            .cast("string")
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("db_index")
+    )
+    return (
+        worst.join(F.broadcast(scatter), "cluster")
+        .crossJoin(F.broadcast(db))
+        .select(
+            "cluster",
+            "n_members",
+            F.col("s_i").alias("scatter"),
+            "worst_neighbor",
+            "r_max",
+            F.round("db_index", 6).alias("db_index"),
+        )
+        .orderBy("cluster")
+    )

@@ -1809,3 +1809,161 @@ def llm_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rr",
         F.round("mrr", 6).alias("mrr_at_100"),
     )
+
+
+# Precision/recall@k: dense-relevant depth and the two rank cuts.
+_PRK_QTOKENS = 8
+_PRK_REL_K = 10
+_PRK_KS = (5, 10)
+
+
+@register(
+    "llm_precision_recall_at_k",
+    f"""
+    WITH {_DUCK_BM25_LEX.format(qtokens=_PRK_QTOKENS, probes=N_PROBES)},
+    lex AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rk
+      FROM lex_scored
+    ),
+    rel AS (
+      SELECT query_id, doc_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY ROUND({_DUCK_COS}, 6) DESC, b.vec_id) AS drk
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < {N_PROBES}
+      ) t WHERE drk <= {_PRK_REL_K}
+    ),
+    ks AS (SELECT UNNEST([{", ".join(str(k) for k in _PRK_KS)}]) AS k),
+    hits AS (
+      SELECT l.query_id, k.k, CAST(COUNT(r.doc_id) AS BIGINT) AS n_hits
+      FROM ks k
+      JOIN lex l ON l.rk <= k.k
+      JOIN rel r ON r.query_id = l.query_id AND r.doc_id = l.doc_id
+      GROUP BY l.query_id, k.k
+    ),
+    per_q AS (
+      SELECT q.query_id, k.k,
+             CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+             ROUND(COALESCE(h.n_hits, 0) * 1.0 / k.k, 6) AS p_at_k,
+             ROUND(COALESCE(h.n_hits, 0) * 1.0 / {_PRK_REL_K}, 6) AS r_at_k,
+             ROUND(COALESCE(h.n_hits, 0) * 2.0
+                   / (k.k + {_PRK_REL_K}), 6) AS f1_at_k
+      FROM (SELECT doc_id AS query_id FROM documents
+            WHERE doc_id < {N_PROBES}) q
+      CROSS JOIN ks k
+      LEFT JOIN hits h ON h.query_id = q.query_id AND h.k = k.k
+    ),
+    macro AS (
+      SELECT k,
+             CAST(CAST(SUM(CAST(p_at_k AS DECIMAL(8,6))) AS VARCHAR)
+                  AS DOUBLE) / COUNT(*) AS mp,
+             CAST(CAST(SUM(CAST(r_at_k AS DECIMAL(8,6))) AS VARCHAR)
+                  AS DOUBLE) / COUNT(*) AS mr
+      FROM per_q GROUP BY k
+    )
+    SELECT p.query_id, p.k, p.n_hits, p.p_at_k, p.r_at_k, p.f1_at_k,
+           ROUND(m.mp, 6) AS macro_p, ROUND(m.mr, 6) AS macro_r
+    FROM per_q p JOIN macro m ON m.k = p.k
+    ORDER BY p.k, p.query_id
+    """,
+)
+def llm_precision_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 at k for the BM25 ranking against the
+    dense-relevant set [public metrics: P@k = |rel intersect top-k|/k,
+    R@k = .../|rel|, and the set-size-fixed F1 = 2 hits/(k+|rel|) —
+    the set-based members completing the retrieval eval deck beside
+    llm_mrr (first hit), llm_ndcg_eval (graded order), llm_rank_rbo
+    (rank similarity)]: relevance is cross-modal like NDCG's (dense
+    top-{_PRK_REL_K} per probe), the hit census is an INTEGER join of
+    the lexical top-k against that set, so every per-query metric is
+    an exact-integer ratio; macro means accumulate 6dp-rounded
+    per-query values as exact DECIMAL(8,6) surfaced via the
+    decimal->string->double parity cast (SCALE.md 9ac) and ride along
+    each row (the llm_mrr pattern).
+
+    At 100 TB: the lexical leg is the shared postings equi-join
+    (never queries x docs), the dense leg the broadcast probe panel;
+    the census joins |Q| x k rows against |Q| x {_PRK_REL_K} — both
+    metadata-sized. A labeled qrels table swaps the rel CTE for the
+    label join, unchanged shape."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    lex_scored = _bm25_lex_scores(spark, sf_dir, _PRK_QTOKENS)
+    w_lex = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    lex = lex_scored.select(
+        "query_id", "doc_id", F.row_number().over(w_lex).alias("rk")
+    ).filter(F.col("rk") <= max(_PRK_KS))
+    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    w_d = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "doc_id"
+    )
+    rel = (
+        _probe_cosines(e, N_PROBES, "query_id", "doc_id")
+        .select("query_id", "doc_id", F.row_number().over(w_d).alias("drk"))
+        .filter(F.col("drk") <= _PRK_REL_K)
+        .select("query_id", "doc_id")
+    )
+    ks = None
+    for k in _PRK_KS:
+        row = F.lit(k).alias("k")
+        frame = lex.select("query_id", "doc_id", "rk", row).filter(
+            F.col("rk") <= k
+        )
+        ks = frame if ks is None else ks.unionByName(frame)
+    hits = (
+        ks.join(rel, ["query_id", "doc_id"])
+        .groupBy("query_id", "k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    panel = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < N_PROBES)
+        .select(F.col("doc_id").alias("query_id"))
+    )
+    kdim = None
+    for k in _PRK_KS:
+        r1 = panel.select("query_id", F.lit(k).alias("k"))
+        kdim = r1 if kdim is None else kdim.unionByName(r1)
+    nh = F.coalesce(F.col("n_hits"), F.lit(0))
+    per_q = kdim.join(F.broadcast(hits), ["query_id", "k"], "left").select(
+        "query_id",
+        "k",
+        nh.cast("long").alias("n_hits"),
+        F.round(nh * 1.0 / F.col("k"), 6).alias("p_at_k"),
+        F.round(nh * 1.0 / _PRK_REL_K, 6).alias("r_at_k"),
+        F.round(nh * 2.0 / (F.col("k") + _PRK_REL_K), 6).alias("f1_at_k"),
+    ).localCheckpoint(eager=True)
+    macro = per_q.groupBy("k").agg(
+        (
+            F.sum(F.col("p_at_k").cast("decimal(8,6)"))
+            .cast("string")
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("mp"),
+        (
+            F.sum(F.col("r_at_k").cast("decimal(8,6)"))
+            .cast("string")
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("mr"),
+    )
+    return (
+        per_q.join(F.broadcast(macro), "k")
+        .select(
+            "query_id",
+            "k",
+            "n_hits",
+            "p_at_k",
+            "r_at_k",
+            "f1_at_k",
+            F.round("mp", 6).alias("macro_p"),
+            F.round("mr", 6).alias("macro_r"),
+        )
+        .orderBy("k", "query_id")
+    )

@@ -6603,3 +6603,799 @@ def evt_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 wave: trend / normality / outlier / post-hoc / association deck.
+
+# Two-sided 95% normal critical (6dp literal shared by both engines).
+_Z_95 = 1.959964
+# Bonferroni-corrected two-sided normal critical for the 21 day-of-week
+# pairs: Phi^-1(1 - 0.05/42), computed once with Acklam's rational
+# approximation + one Halley/erfc refinement (pure Python, no scipy)
+# and injected as the SAME 6dp literal into both engines — the
+# llm_rank_rbo shared-literal idiom.
+_Z_BONF_21 = 3.038074
+
+# Shared (type, day) 6dp-rounded daily-revenue CTE for the view-vs-
+# purchase series deck (the evt_spearman/evt_kendall_tau ingest, NULL
+# guard included).
+_DAILY_VP_SQL = """s AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             ROUND(SUM(value), 6) AS rev
+      FROM events
+      WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+      GROUP BY event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+    )"""
+
+
+def _daily_vp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _DAILY_VP_SQL (one corpus pass, map-side
+    combinable; callers localCheckpoint when they branch)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            F.col("event_type").isin("view", "purchase")
+            & F.col("value").isNotNull()
+        )
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("rev"))
+    )
+
+
+@register(
+    "evt_mann_kendall",
+    f"""
+    WITH {_DAILY_VP_SQL},
+    census AS (
+      SELECT a.event_type,
+             CAST(SUM(CASE WHEN b.rev > a.rev THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gt,
+             CAST(SUM(CASE WHEN b.rev < a.rev THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lt
+      FROM s a JOIN s b
+        ON b.event_type = a.event_type AND b.day > a.day
+      GROUP BY a.event_type
+    ),
+    ties AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_term
+      FROM (
+        SELECT event_type, COUNT(*) AS t FROM s GROUP BY event_type, rev
+      ) g GROUP BY event_type
+    ),
+    stat AS (
+      SELECT t.event_type, t.n, c.n_gt - c.n_lt AS s_stat,
+             (t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_term) / 18.0 AS var_s
+      FROM ties t JOIN census c ON c.event_type = t.event_type
+    )
+    SELECT event_type, n AS n_days, s_stat,
+           ROUND(var_s, 6) AS var_s,
+           ROUND(CASE WHEN s_stat > 0 THEN (s_stat - 1) / SQRT(var_s)
+                      WHEN s_stat < 0 THEN (s_stat + 1) / SQRT(var_s)
+                      ELSE 0.0 END, 6) AS z_score,
+           CASE WHEN (CASE WHEN s_stat > 0 THEN (s_stat - 1) / SQRT(var_s)
+                           WHEN s_stat < 0 THEN (s_stat + 1) / SQRT(var_s)
+                           ELSE 0.0 END) > {_Z_95} THEN 'increasing'
+                WHEN (CASE WHEN s_stat > 0 THEN (s_stat - 1) / SQRT(var_s)
+                           WHEN s_stat < 0 THEN (s_stat + 1) / SQRT(var_s)
+                           ELSE 0.0 END) < -{_Z_95} THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM stat ORDER BY event_type
+    """,
+)
+def evt_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test per daily revenue series
+    [public method: Mann 1945 / Kendall 1975 with the tie-corrected
+    variance Var(S) = (n(n-1)(2n+5) - SUM t(t-1)(2t+5))/18 and the
+    +-1 continuity-corrected normal z — the nonparametric "is this
+    series drifting?" gate beside evt_theil_sen (how fast) and
+    evt_kendall_tau (cross-series association)]: the (type, day)
+    rollup is the only corpus pass; S is an INTEGER pair census over
+    the calendar-bounded day frame (the evt_kendall_tau shape), the
+    tie term is an integer rollup over per-distinct-value counts, so
+    z is a single deterministic expression — no accumulation hazard
+    anywhere. The trend label compares z against the shared
+    two-sided 95% literal.
+
+    At 100 TB: the self-join is over the bounded day dimension
+    (grouped by series key), never the corpus; millions of series
+    partition the census by series key with identical arithmetic —
+    the O(n log n) merge-sort S-count is the whale-series rewrite."""
+    tune(spark)
+    s = _daily_vp(spark, sf_dir).localCheckpoint(eager=True)
+    a = s.select(
+        F.col("event_type").alias("et"),
+        F.col("day").alias("d1"),
+        F.col("rev").alias("r1"),
+    )
+    b = s.select(
+        F.col("event_type").alias("et2"),
+        F.col("day").alias("d2"),
+        F.col("rev").alias("r2"),
+    )
+    census = (
+        a.join(
+            F.broadcast(b),
+            (F.col("et2") == F.col("et")) & (F.col("d2") > F.col("d1")),
+        )
+        .groupBy(F.col("et").alias("event_type"))
+        .agg(
+            F.sum(F.when(F.col("r2") > F.col("r1"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_gt"),
+            F.sum(F.when(F.col("r2") < F.col("r1"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_lt"),
+        )
+    )
+    ties = (
+        s.groupBy("event_type", "rev")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum("t").cast("long").alias("n"),
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term"),
+        )
+        .select("event_type", "n", "tie_term")
+    )
+    stat = ties.join(census, "event_type").select(
+        "event_type",
+        "n",
+        (F.col("n_gt") - F.col("n_lt")).alias("s_stat"),
+        (
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tie_term")
+            )
+            / 18.0
+        ).alias("var_s"),
+    )
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1) / F.sqrt(F.col("var_s")),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1) / F.sqrt(F.col("var_s")),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return stat.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        "s_stat",
+        F.round("var_s", 6).alias("var_s"),
+        F.round(z, 6).alias("z_score"),
+        F.when(z > _Z_95, F.lit("increasing"))
+        .when(z < -_Z_95, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    ).orderBy("event_type")
+
+
+# Chi-square 95% critical at df=2 (the JB statistic's asymptotic null).
+_CHI2_95_DF2 = 5.991465
+
+
+@register(
+    "evt_jarque_bera",
+    """
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(v * v) AS VARCHAR) AS DOUBLE) AS s2,
+             CAST(CAST(SUM((v * v) * v) AS VARCHAR) AS DOUBLE) AS s3,
+             CAST(CAST(SUM((v * v) * (v * v)) AS VARCHAR) AS DOUBLE) AS s4
+      FROM (
+        -- DECIMAL(19,2) ingest of the 2dp-rounded values: width >= 19
+        -- keeps every DuckDB product on the int128 path; all four
+        -- power sums are then EXACT and partition-order-independent
+        -- (the Spark side uses DECIMAL(8,2) so its (p1+p2+1) product
+        -- rule tops out at the exact (35,8) quartic).
+        SELECT event_type, CAST(ROUND(value, 2) AS DECIMAL(19,2)) AS v
+        FROM events WHERE value IS NOT NULL
+      ) t GROUP BY event_type
+    ),
+    c AS (
+      SELECT event_type, n,
+             s1 / n AS mu,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3 * (s1 / n) * (s2 / n)
+                    + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             s4 / n - 4 * (s1 / n) * (s3 / n)
+                    + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                    - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM m
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_events,
+           ROUND(mu, 6) AS mean_value,
+           ROUND(m3 / POWER(m2, 1.5), 6) AS skewness,
+           ROUND(m4 / (m2 * m2), 6) AS kurtosis,
+           ROUND(n / 6.0 * (POWER(m3 / POWER(m2, 1.5), 2)
+                 + POWER(m4 / (m2 * m2) - 3, 2) / 4.0), 6) AS jb_stat,
+           (n / 6.0 * (POWER(m3 / POWER(m2, 1.5), 2)
+                 + POWER(m4 / (m2 * m2) - 3, 2) / 4.0)) > 5.991465
+             AS reject_normality
+    FROM c ORDER BY event_type
+    """,
+)
+def evt_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per event type [public method:
+    Jarque & Bera 1980 — JB = n/6 (S^2 + (K-3)^2/4), asymptotically
+    chi-square(2) under normality; the moment-based normality gate
+    completing the distribution-shape deck beside evt_ks_test
+    (distribution equality), evt_levene (variance equality) and
+    evt_anova_dow (mean equality)]: values are 2dp at source, so the
+    DECIMAL ingest is lossless and all four raw power sums are EXACT
+    integers at scale 8 — the SCALE.md 9ac discipline extended to
+    third and fourth moments (Spark multiplies (8,2) operands so the
+    quartic stays inside precision 38 at (35,8); the oracle widens to
+    (19,2) operands so DuckDB's multiply runs on int128). Central
+    moments, skewness, kurtosis, and JB are single deterministic
+    double expressions from bitwise-equal sums; the reject flag
+    compares against the shared chi-square(2) 95% literal.
+
+    At 100 TB: ONE map-side-combinable corpus pass carrying four
+    decimal accumulators per group — the same shuffle profile as
+    agg_stats; the epilogue is K rows. Per-segment normality scans
+    (per SKU, per cohort) reuse the identical shape keyed by the
+    segment dimension."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    # decimal(8,2), not (19,2): Spark's product rule (p1+p2+1, s1+s2)
+    # must keep the quartic inside precision 38 — (8,2)^2 = (17,4),
+    # (17,4)x(8,2) = (26,6), (17,4)^2 = (35,8), all exact.
+    v = F.round("value", 2).cast("decimal(8,2)")
+    v2 = v * v
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(v).cast("string").cast("double").alias("s1"),
+        F.sum(v2).cast("string").cast("double").alias("s2"),
+        F.sum(v2 * v).cast("string").cast("double").alias("s3"),
+        F.sum(v2 * v2).cast("string").cast("double").alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(x) for x in ("n", "s1", "s2", "s3", "s4"))
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu
+    m4 = (
+        s4 / n
+        - 4 * mu * (s3 / n)
+        + 6 * mu * mu * (s2 / n)
+        - 3 * mu * mu * mu * mu
+    )
+    skew = m3 / F.pow(m2, 1.5)
+    kurt = m4 / (m2 * m2)
+    jb = n / 6.0 * (F.pow(skew, 2) + F.pow(kurt - 3, 2) / 4.0)
+    return m.select(
+        "event_type",
+        n.cast("long").alias("n_events"),
+        F.round(mu, 6).alias("mean_value"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("kurtosis"),
+        F.round(jb, 6).alias("jb_stat"),
+        (jb > _CHI2_95_DF2).alias("reject_normality"),
+    ).orderBy("event_type")
+
+
+_FENCE_MULT = 1.5
+
+
+@register(
+    "evt_tukey_fences",
+    f"""
+    WITH q AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             ROUND(quantile_cont(value, 0.25), 6) AS q1,
+             ROUND(quantile_cont(value, 0.75), 6) AS q3
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type
+    ),
+    f AS (
+      SELECT event_type, n_events, q1, q3,
+             ROUND(q3 - q1, 6) AS iqr,
+             q1 - {_FENCE_MULT} * (q3 - q1) AS lo,
+             q3 + {_FENCE_MULT} * (q3 - q1) AS hi
+      FROM q
+    )
+    SELECT f.event_type, f.n_events, f.q1, f.q3, f.iqr,
+           ROUND(f.lo, 6) AS fence_lo,
+           ROUND(f.hi, 6) AS fence_hi,
+           CAST(SUM(CASE WHEN e.value < f.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below,
+           CAST(SUM(CASE WHEN e.value > f.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above,
+           ROUND(MAX(e.value), 6) AS max_value
+    FROM events e JOIN f ON f.event_type = e.event_type
+    WHERE e.value IS NOT NULL
+    GROUP BY f.event_type, f.n_events, f.q1, f.q3, f.iqr, f.lo, f.hi
+    ORDER BY f.event_type
+    """,
+)
+def evt_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey boxplot-fence outlier profile per event type [public
+    method: Tukey 1977 — outliers fall outside Q1/Q3 -/+ 1.5 IQR; the
+    rank-based robust companion to evt_anomaly_zscore (moment-based)
+    and evt_anomaly_mad (median-based), immune to the outliers it
+    hunts]: quartiles are exact percentile_cont/quantile_cont twins
+    rounded at 6dp (the agg_percentile parity), fences derive from
+    the ROUNDED quartiles so both engines compare raw values against
+    bitwise-equal fence doubles, and the outlier census is an
+    integer count — strict < / > keeps boundary values inboard in
+    both engines identically.
+
+    At 100 TB: two corpus passes — the exact per-group quantile sort
+    and the fence-count scan with the 5-row fence table broadcast;
+    the first pass swaps to approx_percentile (t-digest sketch,
+    map-side combinable) when the group sort outgrows the cluster,
+    which changes the fence values but not the operator shape."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    q = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("q1"),
+        F.round(F.percentile("value", F.lit(0.75)), 6).alias("q3"),
+    )
+    f = q.select(
+        "event_type",
+        "n_events",
+        "q1",
+        "q3",
+        F.round(F.col("q3") - F.col("q1"), 6).alias("iqr"),
+        (F.col("q1") - _FENCE_MULT * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + _FENCE_MULT * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(f), "event_type")
+        .groupBy("event_type", "n_events", "q1", "q3", "iqr", "lo", "hi")
+        .agg(
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_below"),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_above"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "q1",
+            "q3",
+            "iqr",
+            F.round("lo", 6).alias("fence_lo"),
+            F.round("hi", 6).alias("fence_hi"),
+            "n_below",
+            "n_above",
+            "max_value",
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "evt_pairwise_welch",
+    f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                  - DATE '{_DOW_ANCHOR}' AS INT) % 7 AS dow,
+             ROUND(SUM(value), 6) AS rev
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      -- DECIMAL(19,6) ingest of the 6dp daily revenues: group moment
+      -- sums are EXACT (int128 products), surfaced via the
+      -- decimal->string->double parity cast.
+      SELECT dow,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(rd) AS VARCHAR) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(rd * rd) AS VARCHAR) AS DOUBLE) AS s2
+      FROM (SELECT dow, CAST(rev AS DECIMAL(19,6)) AS rd FROM daily) t
+      GROUP BY dow
+    ),
+    pairs AS (
+      SELECT a.dow AS dow_a, b.dow AS dow_b,
+             a.n AS na, b.n AS nb,
+             a.s1 / a.n AS ma, b.s1 / b.n AS mb,
+             (a.s2 - a.s1 * a.s1 / a.n) / (a.n - 1) AS va,
+             (b.s2 - b.s1 * b.s1 / b.n) / (b.n - 1) AS vb
+      FROM g a JOIN g b ON a.dow < b.dow
+    )
+    SELECT CAST(dow_a AS BIGINT) AS dow_a,
+           CAST(dow_b AS BIGINT) AS dow_b,
+           CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           ROUND(ma - mb, 6) AS mean_diff,
+           ROUND((ma - mb) / SQRT(va / na + vb / nb), 6) AS t_stat,
+           ROUND(POWER(va / na + vb / nb, 2)
+                 / (POWER(va / na, 2) / (na - 1)
+                    + POWER(vb / nb, 2) / (nb - 1)), 6) AS welch_df,
+           ABS((ma - mb) / SQRT(va / na + vb / nb)) > {_Z_BONF_21}
+             AS significant
+    FROM pairs ORDER BY dow_a, dow_b
+    """,
+)
+def evt_pairwise_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bonferroni-corrected pairwise Welch t-tests between day-of-week
+    daily-revenue groups [public method: Welch 1947 unequal-variance t
+    with the Welch-Satterthwaite df, Bonferroni 0.05/21 family
+    correction — the post-hoc follow-up evt_anova_dow's omnibus F
+    cannot answer: WHICH weekdays differ?]: the per-day rollup is the
+    only corpus pass (the anova frame); group moments accumulate as
+    exact DECIMAL over the 6dp daily revenues (SCALE.md 9ac), so
+    means/variances are single deterministic expressions from
+    bitwise-equal sums, and the 7x7 pair frame is metadata-sized. The
+    significance flag compares |t| against the Acklam-computed
+    Phi^-1(1 - 0.05/42) literal shared by both engines (dfs ~= 50 per
+    group make the normal approximation conservative to ~2%% on the
+    critical value — documented contract).
+
+    At 100 TB: one map-side-combinable rollup to the day dimension,
+    one 7-row moment aggregate, one broadcast 21-pair epilogue —
+    nothing downstream of the first shuffle scales with the corpus."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        (
+            F.datediff(F.to_date("ts"), F.to_date(F.lit(_DOW_ANCHOR))) % 7
+        ).alias("dow"),
+    ).agg(F.round(F.sum("value"), 6).alias("rev"))
+    rd = F.col("rev").cast("decimal(18,6)")
+    g = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(rd).cast("string").cast("double").alias("s1"),
+        F.sum(rd * rd).cast("string").cast("double").alias("s2"),
+    )
+    a = g.select(
+        F.col("dow").alias("dow_a"),
+        F.col("n").alias("na"),
+        (F.col("s1") / F.col("n")).alias("ma"),
+        (
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("va"),
+    )
+    b = g.select(
+        F.col("dow").alias("dow_b"),
+        F.col("n").alias("nb"),
+        (F.col("s1") / F.col("n")).alias("mb"),
+        (
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("vb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("dow_a") < F.col("dow_b"))
+    se2 = F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    t = (F.col("ma") - F.col("mb")) / F.sqrt(se2)
+    df_w = F.pow(se2, 2) / (
+        F.pow(F.col("va") / F.col("na"), 2) / (F.col("na") - 1)
+        + F.pow(F.col("vb") / F.col("nb"), 2) / (F.col("nb") - 1)
+    )
+    return pairs.select(
+        F.col("dow_a").cast("long").alias("dow_a"),
+        F.col("dow_b").cast("long").alias("dow_b"),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(F.col("ma") - F.col("mb"), 6).alias("mean_diff"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df_w, 6).alias("welch_df"),
+        (F.abs(t) > _Z_BONF_21).alias("significant"),
+    ).orderBy("dow_a", "dow_b")
+
+
+@register(
+    "evt_mutual_info",
+    f"""
+    WITH cells AS (
+      SELECT event_type,
+             CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                  - DATE '{_DOW_ANCHOR}' AS INT) % 7 AS dow,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    marg AS (
+      SELECT event_type, dow, c,
+             SUM(c) OVER (PARTITION BY event_type) AS r,
+             SUM(c) OVER (PARTITION BY dow) AS cc,
+             SUM(c) OVER () AS n
+      FROM cells
+    ),
+    terms AS (
+      SELECT
+        CAST(CAST(SUM(CAST(ROUND((c * 1.0 / n)
+               * LN((c * 1.0 * n) / (r * 1.0 * cc)), 6)
+             AS DECIMAL(12,6))) AS VARCHAR) AS DOUBLE) AS mi,
+        MAX(n) AS n
+      FROM marg
+    ),
+    hx AS (
+      SELECT CAST(CAST(SUM(CAST(ROUND(-(r * 1.0 / n) * LN(r * 1.0 / n), 6)
+               AS DECIMAL(12,6))) AS VARCHAR) AS DOUBLE) AS h
+      FROM (SELECT event_type, MAX(r) AS r, MAX(n) AS n
+            FROM marg GROUP BY event_type) t
+    ),
+    hy AS (
+      SELECT CAST(CAST(SUM(CAST(ROUND(-(cc * 1.0 / n) * LN(cc * 1.0 / n), 6)
+               AS DECIMAL(12,6))) AS VARCHAR) AS DOUBLE) AS h
+      FROM (SELECT dow, MAX(cc) AS cc, MAX(n) AS n
+            FROM marg GROUP BY dow) t
+    )
+    SELECT CAST(t.n AS BIGINT) AS n_events,
+           ROUND(t.mi, 6) AS mi_nats,
+           ROUND(hx.h, 6) AS h_type,
+           ROUND(hy.h, 6) AS h_dow,
+           ROUND(t.mi / SQRT(hx.h * hy.h), 6) AS nmi
+    FROM terms t CROSS JOIN hx CROSS JOIN hy
+    """,
+)
+def evt_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and day-of-week [public
+    method: Shannon MI = SUM p_ij ln(p_ij / p_i p_j) with
+    sqrt-normalized NMI (Strehl & Ghosh 2002) — the information-
+    theoretic association measure beside evt_chi2_cramers
+    (chi-square/Cramer's V on the same contingency shape) and
+    evt_entropy_over_time (marginal entropy drift)]: the contingency
+    table is ONE map-side-combinable integer count rollup; every MI /
+    entropy term is a single deterministic expression over exact
+    integer counts (the ratio inside LN is integers-only), rounded at
+    6dp per term and accumulated as exact DECIMAL over the <= 5x7
+    cell frame (the pca/hits per-term rounding idiom), so the sums
+    are partition-order-independent by construction.
+
+    At 100 TB: the corpus collapses to the K x 7 contingency table in
+    one combinable pass; the windows and term sums run over that
+    metadata-sized frame. Feature-selection sweeps (MI of label vs
+    thousands of features) partition the same shape by feature key."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        (
+            F.datediff(F.to_date("ts"), F.to_date(F.lit(_DOW_ANCHOR))) % 7
+        ).alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w_r = Window.partitionBy("event_type")
+    w_c = Window.partitionBy("dow")
+    w_n = Window.partitionBy()
+    marg = cells.select(
+        "event_type",
+        "dow",
+        "c",
+        F.sum("c").over(w_r).alias("r"),
+        F.sum("c").over(w_c).alias("cc"),
+        F.sum("c").over(w_n).alias("n"),
+    ).localCheckpoint(eager=True)
+    mi_term = F.round(
+        (F.col("c") * 1.0 / F.col("n"))
+        * F.log(
+            (F.col("c") * 1.0 * F.col("n")) / (F.col("r") * 1.0 * F.col("cc"))
+        ),
+        6,
+    ).cast("decimal(12,6)")
+    terms = marg.agg(
+        F.sum(mi_term).cast("string").cast("double").alias("mi"),
+        F.max("n").alias("n"),
+    )
+    h_of = lambda col: F.round(
+        -(F.col(col) * 1.0 / F.col("n"))
+        * F.log(F.col(col) * 1.0 / F.col("n")),
+        6,
+    ).cast("decimal(12,6)")
+    hx = (
+        marg.groupBy("event_type")
+        .agg(F.max("r").alias("r"), F.max("n").alias("n"))
+        .agg(F.sum(h_of("r")).cast("string").cast("double").alias("h_type"))
+    )
+    hy = (
+        marg.groupBy("dow")
+        .agg(F.max("cc").alias("cc"), F.max("n").alias("n"))
+        .agg(F.sum(h_of("cc")).cast("string").cast("double").alias("h_dow"))
+    )
+    return (
+        terms.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            F.col("n").cast("long").alias("n_events"),
+            F.round("mi", 6).alias("mi_nats"),
+            F.round("h_type", 6).alias("h_type"),
+            F.round("h_dow", 6).alias("h_dow"),
+            F.round(
+                F.col("mi") / F.sqrt(F.col("h_type") * F.col("h_dow")), 6
+            ).alias("nmi"),
+        )
+    )
+
+
+# Cliff's delta magnitude bands (Romano et al. 2006 conventional cuts).
+_CLIFF_SMALL, _CLIFF_MEDIUM, _CLIFF_LARGE = 0.147, 0.33, 0.474
+
+
+@register(
+    "evt_cliffs_delta",
+    f"""
+    WITH {_DAILY_VP_SQL},
+    x AS (SELECT rev FROM s WHERE event_type = 'view'),
+    y AS (SELECT rev FROM s WHERE event_type = 'purchase'),
+    census AS (
+      SELECT CAST(SUM(CASE WHEN x.rev > y.rev THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gt,
+             CAST(SUM(CASE WHEN x.rev < y.rev THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lt,
+             CAST(SUM(CASE WHEN x.rev = y.rev THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_eq
+      FROM x CROSS JOIN y
+    ),
+    sizes AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM x) AS nx,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM y) AS ny
+    )
+    SELECT nx, ny, n_gt, n_lt, n_eq,
+           ROUND((n_gt - n_lt) * 1.0 / (nx * ny), 6) AS cliffs_delta,
+           CASE WHEN ABS((n_gt - n_lt) * 1.0 / (nx * ny)) < {_CLIFF_SMALL}
+                  THEN 'negligible'
+                WHEN ABS((n_gt - n_lt) * 1.0 / (nx * ny)) < {_CLIFF_MEDIUM}
+                  THEN 'small'
+                WHEN ABS((n_gt - n_lt) * 1.0 / (nx * ny)) < {_CLIFF_LARGE}
+                  THEN 'medium'
+                ELSE 'large' END AS magnitude
+    FROM census CROSS JOIN sizes
+    """,
+)
+def evt_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta ordinal effect size between the view and purchase
+    daily revenue distributions [public method: Cliff 1993 — delta =
+    (#(x>y) - #(x<y)) / (nx ny), the dominance-probability effect
+    size that pairs with evt_mann_whitney's U (delta = 2U/(nx ny) - 1)
+    and answers what its p-value cannot: HOW MUCH do the
+    distributions separate; banded by the Romano et al. 2006 cuts]:
+    the (type, day) rollup is the only corpus pass, the dominance
+    census is an INTEGER full cross over the two calendar-bounded day
+    frames (~365 x ~365, one broadcast task), so delta and its band
+    are single deterministic expressions — no accumulation hazard.
+
+    At 100 TB: the census is over the bounded day dimension, never
+    the corpus; for value-level comparisons at corpus scale the
+    rewrite is the rank-sum identity via evt_mann_whitney's midrank
+    machinery (one sort-free window pass), which this operator's
+    day-frame census cross-checks at fixture scale."""
+    tune(spark)
+    s = _daily_vp(spark, sf_dir).localCheckpoint(eager=True)
+    x = s.filter(F.col("event_type") == "view").select(
+        F.col("rev").alias("xr")
+    )
+    y = s.filter(F.col("event_type") == "purchase").select(
+        F.col("rev").alias("yr")
+    )
+    census = x.crossJoin(F.broadcast(y)).agg(
+        F.sum(F.when(F.col("xr") > F.col("yr"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_gt"),
+        F.sum(F.when(F.col("xr") < F.col("yr"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_lt"),
+        F.sum(F.when(F.col("xr") == F.col("yr"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_eq"),
+    )
+    sizes = x.agg(F.count(F.lit(1)).cast("long").alias("nx")).crossJoin(
+        y.agg(F.count(F.lit(1)).cast("long").alias("ny"))
+    )
+    delta = (F.col("n_gt") - F.col("n_lt")) * 1.0 / (
+        F.col("nx") * F.col("ny")
+    )
+    return census.crossJoin(F.broadcast(sizes)).select(
+        "nx",
+        "ny",
+        "n_gt",
+        "n_lt",
+        "n_eq",
+        F.round(delta, 6).alias("cliffs_delta"),
+        F.when(F.abs(delta) < _CLIFF_SMALL, F.lit("negligible"))
+        .when(F.abs(delta) < _CLIFF_MEDIUM, F.lit("small"))
+        .when(F.abs(delta) < _CLIFF_LARGE, F.lit("medium"))
+        .otherwise(F.lit("large"))
+        .alias("magnitude"),
+    )
+
+
+@register(
+    "evt_odds_ratio",
+    f"""
+    WITH flags AS (
+      SELECT CASE WHEN CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                       - DATE '{_DOW_ANCHOR}' AS INT) % 7 IN (5, 6)
+                  THEN 1 ELSE 0 END AS weekend,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS outcome
+      FROM events
+    ),
+    cells AS (
+      SELECT CAST(SUM(weekend * outcome) AS BIGINT) AS a,
+             CAST(SUM(weekend * (1 - outcome)) AS BIGINT) AS b,
+             CAST(SUM((1 - weekend) * outcome) AS BIGINT) AS c,
+             CAST(SUM((1 - weekend) * (1 - outcome)) AS BIGINT) AS d
+      FROM flags
+    )
+    SELECT a AS weekend_purchases, b AS weekend_other,
+           c AS weekday_purchases, d AS weekday_other,
+           ROUND((a * 1.0 * d) / (b * 1.0 * c), 6) AS odds_ratio,
+           ROUND(EXP(LN((a * 1.0 * d) / (b * 1.0 * c))
+                 - {_Z_95} * SQRT(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6)
+             AS or_ci_lo,
+           ROUND(EXP(LN((a * 1.0 * d) / (b * 1.0 * c))
+                 + {_Z_95} * SQRT(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6)
+             AS or_ci_hi,
+           ROUND((a * 1.0 / (a + b)) / (c * 1.0 / (c + d)), 6)
+             AS risk_ratio
+    FROM cells
+    """,
+)
+def evt_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend-vs-weekday purchase odds ratio with the Wald CI [public
+    method: Woolf 1955 — SE(ln OR) = sqrt(1/a + 1/b + 1/c + 1/d), CI
+    = exp(ln OR -/+ z SE); the epidemiology-style 2x2 readout beside
+    evt_ab_lift (difference-in-proportions) and evt_chi2_cramers
+    (independence test on the full table): multiplicative effect with
+    uncertainty]: ONE map-side-combinable pass reduces the corpus to
+    the four integer cells, so the OR, risk ratio, and CI bounds are
+    single deterministic expressions over exact integers — no
+    accumulation hazard; z is the shared two-sided 95%% literal.
+
+    At 100 TB: a 4-accumulator combinable aggregate — the cheapest
+    shape in the deck. Stratified ORs (per country, per cohort;
+    Mantel-Haenszel pooling) key the same pass by the stratum
+    dimension."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    weekend = (
+        F.when(
+            (
+                F.datediff(F.to_date("ts"), F.to_date(F.lit(_DOW_ANCHOR))) % 7
+            ).isin(5, 6),
+            1,
+        ).otherwise(0)
+    )
+    outcome = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    cells = ev.select(
+        weekend.alias("w"), outcome.alias("o")
+    ).agg(
+        F.sum(F.col("w") * F.col("o")).cast("long").alias("a"),
+        F.sum(F.col("w") * (1 - F.col("o"))).cast("long").alias("b"),
+        F.sum((1 - F.col("w")) * F.col("o")).cast("long").alias("c"),
+        F.sum((1 - F.col("w")) * (1 - F.col("o"))).cast("long").alias("d"),
+    )
+    a, b, c, d = (F.col(x) for x in ("a", "b", "c", "d"))
+    or_ = (a * 1.0 * d) / (b * 1.0 * c)
+    se = F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    return cells.select(
+        a.alias("weekend_purchases"),
+        b.alias("weekend_other"),
+        c.alias("weekday_purchases"),
+        d.alias("weekday_other"),
+        F.round(or_, 6).alias("odds_ratio"),
+        F.round(F.exp(F.log(or_) - _Z_95 * se), 6).alias("or_ci_lo"),
+        F.round(F.exp(F.log(or_) + _Z_95 * se), 6).alias("or_ci_hi"),
+        F.round((a * 1.0 / (a + b)) / (c * 1.0 / (c + d)), 6).alias(
+            "risk_ratio"
+        ),
+    )

@@ -368,6 +368,28 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     # Round-11 tenth wave: Ljung-Box portmanteau whiteness test —
     # the joint-significance gate completing the ACF deck.
     "evt_ljung_box",
+    # Round-12 first wave: monotone-trend + normality gates — the
+    # Mann-Kendall S census with tie-corrected variance, and the
+    # Jarque-Bera moment test on exact decimal power sums.
+    "evt_mann_kendall",
+    "evt_jarque_bera",
+    # Round-12 second wave: robust outlier fences and the post-hoc
+    # pairwise Welch deck behind evt_anova_dow's omnibus F.
+    "evt_tukey_fences",
+    "evt_pairwise_welch",
+    # Round-12 third wave: association/effect-size completions —
+    # MI/NMI on the type x dow contingency, Cliff's dominance delta,
+    # and the Woolf-CI odds/risk-ratio 2x2 readout.
+    "evt_mutual_info",
+    "evt_cliffs_delta",
+    "evt_odds_ratio",
+    # Round-12 fourth wave: label-free clustering validity over the
+    # shared Lloyd chain (simplified silhouette + Davies-Bouldin).
+    "llm_silhouette",
+    "llm_davies_bouldin",
+    # Round-12 fifth wave: set-based retrieval eval (P/R/F1@k over
+    # the shared BM25 postings panel).
+    "llm_precision_recall_at_k",
 )
 
 

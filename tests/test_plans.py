@@ -2146,3 +2146,101 @@ def test_ljung_box_composes_verified_acf(spark, registry):
     assert "Python" not in f.text
     assert f.broadcast_joins >= 1
     assert f.cartesian == 0
+
+
+def test_mann_kendall_census_is_day_bounded(spark, registry):
+    """evt_mann_kendall: one (type, day) rollup corpus pass; the S pair
+    census is a broadcast theta self-join over the calendar frame and
+    the tie term an integer rollup — no cartesian, no Python."""
+    f = _facts(spark, registry, "evt_mann_kendall")
+    assert "Python" not in f.text
+    assert f.broadcast_joins >= 1
+    assert f.cartesian == 0
+
+
+def test_jarque_bera_single_combinable_pass(spark, registry):
+    """evt_jarque_bera: ONE map-side-combinable aggregate carrying four
+    decimal power sums — no joins at all, no Python."""
+    f = _facts(spark, registry, "evt_jarque_bera")
+    assert "Python" not in f.text
+    assert f.broadcast_joins == 0 and f.sort_merge_joins == 0
+    assert f.cartesian == 0
+
+
+def test_tukey_fences_broadcasts_fence_table(spark, registry):
+    """evt_tukey_fences: quantile pass reduces to a 5-row fence table
+    that joins back broadcast; the census is a second combinable
+    scan. No cartesian, no Python."""
+    f = _facts(spark, registry, "evt_tukey_fences")
+    assert "Python" not in f.text
+    assert f.broadcast_joins >= 1
+    assert f.cartesian == 0
+
+
+def test_pairwise_welch_pair_frame_is_tiny(spark, registry):
+    """evt_pairwise_welch: one day rollup, a 7-row moment aggregate,
+    then a broadcast 21-pair epilogue — no corpus-scale join, no
+    Python."""
+    f = _facts(spark, registry, "evt_pairwise_welch")
+    assert "Python" not in f.text
+    assert f.broadcast_joins >= 1
+    assert f.cartesian == 0
+
+
+def test_mutual_info_contingency_rollup(spark, registry):
+    """evt_mutual_info: the corpus collapses to the K x 7 contingency
+    in one combinable pass; windows and term sums run over that
+    frame. No Python in the hot path."""
+    f = _facts(spark, registry, "evt_mutual_info")
+    assert f.cartesian == 0
+    assert "Python" not in f.text
+
+
+def test_cliffs_delta_census_is_day_bounded(spark, registry):
+    """evt_cliffs_delta: the dominance census crosses the two bounded
+    day frames under a broadcast — the corpus is rolled up once; no
+    Python."""
+    f = _facts(spark, registry, "evt_cliffs_delta")
+    assert "Python" not in f.text
+    assert f.broadcast_joins >= 1
+
+
+def test_odds_ratio_single_pass(spark, registry):
+    """evt_odds_ratio: a 4-accumulator combinable aggregate plus a
+    1-row epilogue — no joins beyond the 1-row broadcast, no
+    Python."""
+    f = _facts(spark, registry, "evt_odds_ratio")
+    assert "Python" not in f.text
+    assert f.sort_merge_joins == 0
+    assert f.cartesian == 0
+
+
+def test_silhouette_broadcasts_centroids(spark, registry):
+    """llm_silhouette: the k x dim centroid table broadcasts against
+    the checkpointed assignment (narrow pass); rollups are k-row.
+    No cartesian fallback, no Python."""
+    f = _facts(spark, registry, "llm_silhouette")
+    assert "Python" not in f.text
+    assert f.broadcast_joins >= 1
+    assert f.cartesian == 0
+
+
+def test_davies_bouldin_broadcasts_centroids(spark, registry):
+    """llm_davies_bouldin: broadcast centroid scatter pass + k x k
+    pair matrix — metadata-sized epilogue. No cartesian, no
+    Python."""
+    f = _facts(spark, registry, "llm_davies_bouldin")
+    assert "Python" not in f.text
+    assert f.broadcast_joins >= 1
+    assert f.cartesian == 0
+
+
+def test_precision_recall_postings_join(spark, registry):
+    """llm_precision_recall_at_k: the lexical leg is the shared BM25
+    postings equi-join (never queries x docs) with the probe panel
+    broadcast; the hit census is |Q| x k rows. No cartesian, no
+    Python."""
+    f = _facts(spark, registry, "llm_precision_recall_at_k")
+    assert "Python" not in f.text
+    assert f.broadcast_joins >= 1
+    assert f.cartesian == 0

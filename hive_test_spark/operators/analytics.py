@@ -7047,7 +7047,7 @@ def evt_pairwise_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitwise-equal sums, and the 7x7 pair frame is metadata-sized. The
     significance flag compares |t| against the Acklam-computed
     Phi^-1(1 - 0.05/42) literal shared by both engines (dfs ~= 50 per
-    group make the normal approximation conservative to ~2%% on the
+    group make the normal approximation conservative to ~2% on the
     critical value — documented contract).
 
     At 100 TB: one map-side-combinable rollup to the day dimension,
@@ -7359,7 +7359,7 @@ def evt_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     uncertainty]: ONE map-side-combinable pass reduces the corpus to
     the four integer cells, so the OR, risk ratio, and CI bounds are
     single deterministic expressions over exact integers — no
-    accumulation hazard; z is the shared two-sided 95%% literal.
+    accumulation hazard; z is the shared two-sided 95% literal.
 
     At 100 TB: a 4-accumulator combinable aggregate — the cheapest
     shape in the deck. Stratified ORs (per country, per cohort;

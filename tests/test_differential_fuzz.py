@@ -5390,3 +5390,159 @@ def test_random_pair_censuses_match_duckdb(spark, duck, spec):
     duck_pdf = duck.execute(_pair_census_sql(spec)).df()
     r = compare("fuzz_pair_census", spark_pdf, duck_pdf)
     assert r["ok"] and r["bitwise"], f"spec={spec}\nnotes={r['notes']}"
+
+
+# ---- contingency-census grammar (r12 evt_mutual_info / evt_odds_ratio family)
+#
+# Randomized two-way contingency tables over the event log: both axes
+# are deterministic integer-valued groupings, so every cell, marginal,
+# and the derived chi-square / MI readouts are functions of exact
+# integer counts — any cross-engine divergence is a marginal-window or
+# grouping-logic bug, never float noise. MI terms follow the per-cell
+# 6dp-round + exact-DECIMAL-sum discipline (SCALE 9ac / the pca-hits
+# idiom); cells and marginals assert bitwise as integers.
+
+_CTG_AXES = {
+    "type": (
+        "event_type",
+        "event_type",
+    ),
+    "dow": (
+        "CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '2024-01-01'"
+        " AS INT) % 7",
+        None,  # spark expression built in code
+    ),
+    # NB: DuckDB's / on integers is FLOAT division — use // (floor) to
+    # match Spark's int-cast truncation (both operands nonnegative).
+    "hour3": (
+        "CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS INT) // 8",
+        None,
+    ),
+    "vbucket": (
+        "CASE WHEN value < 50 THEN 0 WHEN value < 200 THEN 1 ELSE 2 END",
+        None,
+    ),
+}
+
+
+@st.composite
+def contingency_specs(draw):
+    axes = sorted(_CTG_AXES)
+    ax = draw(st.sampled_from(axes))
+    ay = draw(st.sampled_from([a for a in axes if a != ax]))
+    return {
+        "x": ax,
+        "y": ay,
+        "types": draw(
+            st.sampled_from(
+                [None, ("view", "purchase"), ("click", "error", "signup")]
+            )
+        ),
+    }
+
+
+def _ctg_where(spec) -> str:
+    if spec["types"] is None or spec["x"] == "type" or spec["y"] == "type":
+        return "WHERE value IS NOT NULL"
+    quoted = ", ".join(f"'{t}'" for t in spec["types"])
+    return f"WHERE value IS NOT NULL AND event_type IN ({quoted})"
+
+
+def _ctg_sql(spec) -> str:
+    ex = _CTG_AXES[spec["x"]][0]
+    ey = _CTG_AXES[spec["y"]][0]
+    return f"""
+    WITH cells AS (
+      SELECT {ex} AS gx, {ey} AS gy, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events {_ctg_where(spec)} GROUP BY 1, 2
+    ),
+    marg AS (
+      SELECT gx, gy, c,
+             SUM(c) OVER (PARTITION BY gx) AS r,
+             SUM(c) OVER (PARTITION BY gy) AS cc,
+             SUM(c) OVER () AS n
+      FROM cells
+    )
+    SELECT CAST(gx AS VARCHAR) AS gx, CAST(gy AS VARCHAR) AS gy,
+           c, CAST(r AS BIGINT) AS r, CAST(cc AS BIGINT) AS cc,
+           CAST(n AS BIGINT) AS n,
+           CAST(CAST(CAST(ROUND((c * 1.0 / n)
+                * LN((c * 1.0 * n) / (r * 1.0 * cc)), 6)
+             AS DECIMAL(12,6)) AS VARCHAR) AS DOUBLE) AS mi_term
+    FROM marg ORDER BY gx, gy
+    """
+
+
+def _ctg_spark_axis(name):
+    if name == "type":
+        return F.col("event_type")
+    if name == "dow":
+        return (
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01"))) % 7
+        )
+    if name == "hour3":
+        return (F.hour("ts").cast("int") / F.lit(8)).cast("int")
+    return (
+        F.when(F.col("value") < 50, 0)
+        .when(F.col("value") < 200, 1)
+        .otherwise(2)
+    )
+
+
+def _ctg_df(spark, spec):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, SF_DIR, "events").filter(
+        F.col("value").isNotNull()
+    )
+    if spec["types"] is not None and "type" not in (spec["x"], spec["y"]):
+        ev = ev.filter(F.col("event_type").isin(*spec["types"]))
+    cells = ev.groupBy(
+        _ctg_spark_axis(spec["x"]).alias("gx"),
+        _ctg_spark_axis(spec["y"]).alias("gy"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    marg = cells.select(
+        "gx",
+        "gy",
+        "c",
+        F.sum("c").over(Window.partitionBy("gx")).alias("r"),
+        F.sum("c").over(Window.partitionBy("gy")).alias("cc"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    return marg.select(
+        F.col("gx").cast("string").alias("gx"),
+        F.col("gy").cast("string").alias("gy"),
+        "c",
+        F.col("r").cast("long").alias("r"),
+        F.col("cc").cast("long").alias("cc"),
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            (F.col("c") * 1.0 / F.col("n"))
+            * F.log(
+                (F.col("c") * 1.0 * F.col("n"))
+                / (F.col("r") * 1.0 * F.col("cc"))
+            ),
+            6,
+        )
+        .cast("decimal(12,6)")
+        .cast("string")
+        .cast("double")
+        .alias("mi_term"),
+    ).orderBy("gx", "gy")
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=contingency_specs())
+def test_random_contingency_tables_match_duckdb(spark, duck, spec):
+    """Contingency-census fuzz (r12 evt_mutual_info family): integer
+    cells/marginals and per-cell decimal MI terms over randomized
+    axis pairs must match DuckDB bitwise."""
+    spark_pdf = _ctg_df(spark, spec).toPandas()
+    duck_pdf = duck.execute(_ctg_sql(spec)).df()
+    r = compare("fuzz_contingency", spark_pdf, duck_pdf)
+    assert r["ok"] and r["bitwise"], f"spec={spec}\nnotes={r['notes']}"

@@ -1393,3 +1393,116 @@ def llm_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@register(
+    "llm_cluster_ari",
+    f"""
+    WITH {_LLOYD_CTES_A2},
+    joined AS (
+      SELECT a2.cluster, emb_t.label
+      FROM a2 JOIN embeddings emb_t ON emb_t.vec_id = a2.vec_id
+    ),
+    cell AS (
+      SELECT cluster, label, CAST(COUNT(*) AS BIGINT) AS nij
+      FROM joined GROUP BY cluster, label
+    ),
+    sums AS (
+      SELECT CAST(SUM(nij * (nij - 1) / 2) AS BIGINT) AS sum_cells,
+             (SELECT CAST(SUM(a * (a - 1) / 2) AS BIGINT) FROM
+               (SELECT SUM(nij) AS a FROM cell GROUP BY cluster) ra)
+               AS sum_rows,
+             (SELECT CAST(SUM(b * (b - 1) / 2) AS BIGINT) FROM
+               (SELECT SUM(nij) AS b FROM cell GROUP BY label) cb)
+               AS sum_cols,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM joined) AS n,
+             (SELECT CAST(COUNT(DISTINCT cluster) AS BIGINT) FROM cell)
+               AS n_clusters,
+             (SELECT CAST(COUNT(DISTINCT label) AS BIGINT) FROM cell)
+               AS n_labels
+      FROM cell
+    )
+    SELECT n, n_clusters, n_labels, sum_cells, sum_rows, sum_cols,
+           ROUND((sum_rows * 1.0 * sum_cols) / (n * (n - 1) / 2.0), 6)
+             AS expected_index,
+           ROUND((sum_rows + sum_cols) / 2.0, 6) AS max_index,
+           ROUND((sum_cells - (sum_rows * 1.0 * sum_cols)
+                              / (n * (n - 1) / 2.0))
+                 / ((sum_rows + sum_cols) / 2.0
+                    - (sum_rows * 1.0 * sum_cols) / (n * (n - 1) / 2.0)),
+                 6) AS ari
+    FROM sums
+    """,
+)
+def llm_cluster_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index of the Lloyd assignment against the fixture
+    labels [public method: Hubert & Arabie 1985 — pair-counting Rand
+    index corrected for chance, ARI = (SUM C(nij,2) - E) / (max - E)
+    with E = SUM C(ai,2) SUM C(bj,2) / C(n,2); the chance-corrected
+    external grade beside llm_cluster_purity (majority share, not
+    chance-corrected) — a random assignment scores ~0 here while
+    purity can look respectable]: every term is an INTEGER
+    pair-count over the k x |labels| contingency (one count rollup),
+    so ARI is a single deterministic expression — no accumulation
+    hazard anywhere.
+
+    At 100 TB: the label join keys on vec_id (co-partitioned with the
+    assignment), the contingency is k x |labels| — tiny — and the
+    pair-count sums are combinable integer rollups over it.
+    Everything upstream is the proven Lloyd shape."""
+    tune(spark)
+    e, c1 = _lloyd_chain(spark, sf_dir)
+    a2 = _assign(e, c1)
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cell = (
+        a2.join(labels, "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("nij"))
+        .localCheckpoint(eager=True)
+    )
+    sum_cells = cell.agg(
+        F.sum((F.col("nij") * (F.col("nij") - 1) / 2).cast("long"))
+        .cast("long")
+        .alias("sum_cells"),
+        F.countDistinct("cluster").cast("long").alias("n_clusters"),
+        F.countDistinct("label").cast("long").alias("n_labels"),
+        F.sum("nij").cast("long").alias("n"),
+    )
+    sum_rows = (
+        cell.groupBy("cluster")
+        .agg(F.sum("nij").alias("a"))
+        .agg(
+            F.sum((F.col("a") * (F.col("a") - 1) / 2).cast("long"))
+            .cast("long")
+            .alias("sum_rows")
+        )
+    )
+    sum_cols = (
+        cell.groupBy("label")
+        .agg(F.sum("nij").alias("b"))
+        .agg(
+            F.sum((F.col("b") * (F.col("b") - 1) / 2).cast("long"))
+            .cast("long")
+            .alias("sum_cols")
+        )
+    )
+    s = (
+        sum_cells.crossJoin(F.broadcast(sum_rows))
+        .crossJoin(F.broadcast(sum_cols))
+    )
+    npairs = F.col("n") * (F.col("n") - 1) / 2.0
+    expected = (F.col("sum_rows") * 1.0 * F.col("sum_cols")) / npairs
+    maxidx = (F.col("sum_rows") + F.col("sum_cols")) / 2.0
+    return s.select(
+        "n",
+        "n_clusters",
+        "n_labels",
+        "sum_cells",
+        "sum_rows",
+        "sum_cols",
+        F.round(expected, 6).alias("expected_index"),
+        F.round(maxidx, 6).alias("max_index"),
+        F.round(
+            (F.col("sum_cells") - expected) / (maxidx - expected), 6
+        ).alias("ari"),
+    )

@@ -7399,3 +7399,202 @@ def evt_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "risk_ratio"
         ),
     )
+
+
+@register(
+    "evt_cochran_armitage",
+    f"""
+    WITH g AS (
+      SELECT CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                  - DATE '{_DOW_ANCHOR}' AS INT) % 7 AS w,
+             CAST(COUNT(*) AS BIGINT) AS n_i,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r_i
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+             CAST(SUM(r_i) AS BIGINT) AS r,
+             CAST(SUM(w * r_i) AS BIGINT) AS swr,
+             CAST(SUM(w * n_i) AS BIGINT) AS swn,
+             CAST(SUM(w * w * n_i) AS BIGINT) AS swwn,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM g
+    )
+    SELECT n AS n_events, r AS n_purchases, k AS n_groups,
+           ROUND(r * 1.0 / n, 6) AS pooled_rate,
+           ROUND(swr - swn * (r * 1.0 / n), 6) AS t_num,
+           ROUND((swr - swn * (r * 1.0 / n))
+                 / SQRT((r * 1.0 / n) * (1 - r * 1.0 / n)
+                        * (swwn - swn * 1.0 * swn / n)), 6) AS z_score,
+           ABS((swr - swn * (r * 1.0 / n))
+               / SQRT((r * 1.0 / n) * (1 - r * 1.0 / n)
+                      * (swwn - swn * 1.0 * swn / n))) > {_Z_95}
+             AS significant
+    FROM s
+    """,
+)
+def evt_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test for the purchase rate across
+    ordered day-of-week groups [public method: Cochran 1954 /
+    Armitage 1955 — T = SUM w_i (r_i - n_i pbar), Var(T) =
+    pbar(1-pbar)(SUM n_i w_i^2 - (SUM n_i w_i)^2 / N), z = T/sqrt(V);
+    the ORDERED-groups complement to evt_chi2_cramers' unordered
+    independence test: is conversion drifting monotonically through
+    the week?]: one map-side-combinable pass reduces the corpus to
+    per-group (n_i, r_i) integer cells with dow itself as the score
+    w_i, so T, Var, and z are single deterministic expressions over
+    exact integer sums — no accumulation hazard; the flag compares
+    |z| against the shared two-sided 95% literal.
+
+    At 100 TB: a K-row integer rollup plus a 1-row epilogue — the
+    evt_odds_ratio shape. Dose-response sweeps (rate vs ordered
+    exposure buckets) key the identical pass by the bucket score."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        (
+            F.datediff(F.to_date("ts"), F.to_date(F.lit(_DOW_ANCHOR))) % 7
+        ).alias("w")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_i"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("r_i"),
+    )
+    s = g.agg(
+        F.sum("n_i").cast("long").alias("n"),
+        F.sum("r_i").cast("long").alias("r"),
+        F.sum(F.col("w") * F.col("r_i")).cast("long").alias("swr"),
+        F.sum(F.col("w") * F.col("n_i")).cast("long").alias("swn"),
+        F.sum(F.col("w") * F.col("w") * F.col("n_i"))
+        .cast("long")
+        .alias("swwn"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    p = F.col("r") * 1.0 / F.col("n")
+    t_num = F.col("swr") - F.col("swn") * p
+    z = t_num / F.sqrt(
+        p
+        * (1 - p)
+        * (F.col("swwn") - F.col("swn") * 1.0 * F.col("swn") / F.col("n"))
+    )
+    return s.select(
+        F.col("n").alias("n_events"),
+        F.col("r").alias("n_purchases"),
+        F.col("k").alias("n_groups"),
+        F.round(p, 6).alias("pooled_rate"),
+        F.round(t_num, 6).alias("t_num"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) > _Z_95).alias("significant"),
+    )
+
+
+# One-sided 95% normal critical (TOST legs) + equivalence margin as a
+# fraction of the pooled mean.
+_Z_95_ONE = 1.644854
+_TOST_MARGIN_FRAC = 0.1
+
+
+@register(
+    "evt_tost_equivalence",
+    f"""
+    WITH {_DAILY_VP_SQL},
+    g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(rd) AS VARCHAR) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(rd * rd) AS VARCHAR) AS DOUBLE) AS s2
+      FROM (SELECT event_type, CAST(rev AS DECIMAL(19,6)) AS rd FROM s) t
+      GROUP BY event_type
+    ),
+    m AS (
+      SELECT
+        (SELECT n FROM g WHERE event_type = 'view') AS n1,
+        (SELECT s1 / n FROM g WHERE event_type = 'view') AS m1,
+        (SELECT (s2 - s1 * s1 / n) / (n - 1)
+         FROM g WHERE event_type = 'view') AS v1,
+        (SELECT n FROM g WHERE event_type = 'purchase') AS n2,
+        (SELECT s1 / n FROM g WHERE event_type = 'purchase') AS m2,
+        (SELECT (s2 - s1 * s1 / n) / (n - 1)
+         FROM g WHERE event_type = 'purchase') AS v2
+    ),
+    t AS (
+      SELECT n1, n2, m1, m2,
+             m1 - m2 AS diff,
+             {_TOST_MARGIN_FRAC} * (m1 + m2) / 2 AS delta,
+             SQRT(v1 / n1 + v2 / n2) AS se
+      FROM m
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_view, CAST(n2 AS BIGINT) AS n_purchase,
+           ROUND(m1, 6) AS mean_view, ROUND(m2, 6) AS mean_purchase,
+           ROUND(diff, 6) AS mean_diff,
+           ROUND(delta, 6) AS margin,
+           ROUND((diff + delta) / se, 6) AS t_lower,
+           ROUND((diff - delta) / se, 6) AS t_upper,
+           ((diff + delta) / se > {_Z_95_ONE}
+            AND (diff - delta) / se < -{_Z_95_ONE}) AS equivalent
+    FROM t
+    """,
+)
+def evt_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test between the view and purchase daily
+    revenue means [public method: Schuirmann 1987 two one-sided
+    tests — equivalence is CLAIMED only when BOTH one-sided nulls
+    (diff <= -delta, diff >= +delta) reject; the inferential inverse
+    of evt_pairwise_welch's difference tests, answering "are these
+    means the SAME to within a margin?" — absence of significance is
+    not equivalence, TOST is]: the margin is {_TOST_MARGIN_FRAC:.0%}
+    of the pooled mean (derived from the same exact sums, so it is a
+    deterministic single expression, not a tunable float); group
+    moments accumulate as exact DECIMAL over the 6dp daily revenues
+    (SCALE.md 9ac) and both z-legs compare against the shared
+    one-sided 95% literal. Large day counts justify the normal
+    critical (documented contract, the evt_pairwise_welch argument).
+
+    At 100 TB: the (type, day) rollup is the only corpus pass; the
+    moment rollup is 2 rows and the TOST epilogue is 1 row.
+    Per-experiment equivalence sweeps key the same shape by
+    experiment id."""
+    tune(spark)
+    s = _daily_vp(spark, sf_dir)
+    rd = F.col("rev").cast("decimal(18,6)")
+    g = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(rd).cast("string").cast("double").alias("s1"),
+        F.sum(rd * rd).cast("string").cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    a = g.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("n1"), mean.alias("m1"), var.alias("v1")
+    )
+    b = g.filter(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n2"), mean.alias("m2"), var.alias("v2")
+    )
+    t = a.crossJoin(F.broadcast(b)).select(
+        "n1",
+        "n2",
+        "m1",
+        "m2",
+        (F.col("m1") - F.col("m2")).alias("diff"),
+        (_TOST_MARGIN_FRAC * (F.col("m1") + F.col("m2")) / 2).alias("delta"),
+        F.sqrt(F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")).alias(
+            "se"
+        ),
+    )
+    t_lo = (F.col("diff") + F.col("delta")) / F.col("se")
+    t_hi = (F.col("diff") - F.col("delta")) / F.col("se")
+    return t.select(
+        F.col("n1").cast("long").alias("n_view"),
+        F.col("n2").cast("long").alias("n_purchase"),
+        F.round("m1", 6).alias("mean_view"),
+        F.round("m2", 6).alias("mean_purchase"),
+        F.round("diff", 6).alias("mean_diff"),
+        F.round("delta", 6).alias("margin"),
+        F.round(t_lo, 6).alias("t_lower"),
+        F.round(t_hi, 6).alias("t_upper"),
+        ((t_lo > _Z_95_ONE) & (t_hi < -_Z_95_ONE)).alias("equivalent"),
+    )

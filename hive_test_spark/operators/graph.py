@@ -994,3 +994,91 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("dx"), 6).alias("mean_end_degree"),
         F.round(F.corr("dx", "dy"), 6).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12: Katz centrality — the attenuated-walk member of the
+# centrality family (degree < Katz < PageRank in sophistication).
+
+_KATZ_ALPHA = 0.05
+_KATZ_ITERS = 3
+_KATZ_TOPK = 100
+
+# One Katz sweep: x_{t+1}(v) = 1 + alpha * SUM_{(u,v) in E} x_t(u),
+# the in-neighbor sum accumulated as exact DECIMAL over the 6dp
+# iterate (SCALE 9ac — the per-iterate rounding keeps both engines on
+# identical state, the decimal sum makes the fold order-independent).
+_DUCK_KATZ_STEP = """
+      SELECT e.dst AS node,
+             ROUND(1 + {alpha} * CAST(CAST(SUM(CAST(x.katz AS DECIMAL(19,6)))
+                   AS VARCHAR) AS DOUBLE), 6) AS katz
+      FROM edges e JOIN {prev} x ON x.node = e.src
+      GROUP BY e.dst
+"""
+
+_KATZ_ORACLE = f"""
+    WITH {_TRADE_EDGES_SQL},
+    k0 AS (SELECT DISTINCT src AS node, 1.0 AS katz FROM edges),
+    k1 AS ({_DUCK_KATZ_STEP.format(alpha=_KATZ_ALPHA, prev="k0")}),
+    k2 AS ({_DUCK_KATZ_STEP.format(alpha=_KATZ_ALPHA, prev="k1")}),
+    k3 AS ({_DUCK_KATZ_STEP.format(alpha=_KATZ_ALPHA, prev="k2")}),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM edges GROUP BY src)
+    SELECT k3.node, deg.degree, k3.katz
+    FROM k3 JOIN deg ON deg.node = k3.node
+    ORDER BY k3.katz DESC, k3.node
+    LIMIT {_KATZ_TOPK}
+"""
+
+
+@register("graph_katz_centrality", _KATZ_ORACLE)
+def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality over the shared trade graph [public method:
+    Katz 1953 — x = SUM_k alpha^k A^k 1, computed as the truncated
+    fixed-point x_{t+1} = 1 + alpha A x_t for 3 sweeps at alpha=0.05
+    (well under 1/lambda_max for this graph, so the truncation tail
+    is < 1e-6 of the 6dp-rounded iterate); the attenuated-ALL-walks
+    member of the centrality family beside graph_pagerank (random
+    surfer, degree-normalized) and graph_hits (bipartite dual) — Katz
+    credits every walk, damped by length, without degree division]:
+    each sweep joins edges to the previous 6dp-rounded iterate and
+    accumulates the in-neighbor fold as exact DECIMAL surfaced via
+    the string cast (SCALE 9ac), so both engines carry bitwise-equal
+    state into every sweep; the top-{_KATZ_TOPK} cut orders on
+    (katz DESC, node) — deterministic under ties.
+
+    At 100 TB: per sweep one shuffle join (edges x iterate on src)
+    plus a map-side-combinable dst fold — the graph_pagerank profile;
+    the iterate is node-dimension-sized and the lineage stays 3 deep
+    (longer sweeps would localCheckpoint every few rounds like
+    llm_dedup_clusters)."""
+    tune(spark)
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    x = edges.select("src").distinct().select(
+        F.col("src").alias("node"), F.lit(1.0).alias("katz")
+    )
+    for _ in range(_KATZ_ITERS):
+        x = (
+            edges.join(x, x.node == edges.src)
+            .groupBy(F.col("dst").alias("nxt"))
+            .agg(
+                F.round(
+                    1
+                    + _KATZ_ALPHA
+                    * F.sum(F.col("katz").cast("decimal(18,6)"))
+                    .cast("string")
+                    .cast("double"),
+                    6,
+                ).alias("katz")
+            )
+            .select(F.col("nxt").alias("node"), "katz")
+        )
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    return (
+        x.join(deg, x.node == deg.src)
+        .select("node", "degree", "katz")
+        .orderBy(F.col("katz").desc(), "node")
+        .limit(_KATZ_TOPK)
+    )

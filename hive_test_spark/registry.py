@@ -390,6 +390,16 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     # Round-12 fifth wave: set-based retrieval eval (P/R/F1@k over
     # the shared BM25 postings panel).
     "llm_precision_recall_at_k",
+    # Round-12 sixth wave: chance-corrected external clustering grade
+    # (integer pair-counting ARI) and the ordered-groups proportion
+    # trend test (Cochran-Armitage on integer dow cells).
+    "llm_cluster_ari",
+    "evt_cochran_armitage",
+    # Round-12 seventh wave: attenuated-walk centrality (Katz, exact
+    # decimal in-neighbor folds) and the TOST equivalence gate (the
+    # inferential inverse of the pairwise-difference deck).
+    "graph_katz_centrality",
+    "evt_tost_equivalence",
 )
 
 

@@ -2244,3 +2244,41 @@ def test_precision_recall_postings_join(spark, registry):
     assert "Python" not in f.text
     assert f.broadcast_joins >= 1
     assert f.cartesian == 0
+
+
+def test_cluster_ari_contingency_rollup(spark, registry):
+    """llm_cluster_ari: label join keys on vec_id, the contingency is
+    k x |labels|, pair-count sums are integer rollups over it. No
+    cartesian blowup, no Python."""
+    f = _facts(spark, registry, "llm_cluster_ari")
+    assert "Python" not in f.text
+    assert f.cartesian == 0
+
+
+def test_cochran_armitage_single_pass(spark, registry):
+    """evt_cochran_armitage: one combinable K-row integer rollup plus
+    a 1-row epilogue — no corpus-scale joins, no Python."""
+    f = _facts(spark, registry, "evt_cochran_armitage")
+    assert "Python" not in f.text
+    assert f.sort_merge_joins == 0
+    assert f.cartesian == 0
+
+
+def test_katz_per_sweep_join_and_fold(spark, registry):
+    """graph_katz_centrality: three edges-x-iterate shuffle joins with
+    map-side-combinable dst folds (the pagerank profile); the top-k
+    cut is a sort over the node dimension. No cartesian, no
+    Python."""
+    f = _facts(spark, registry, "graph_katz_centrality")
+    assert "Python" not in f.text
+    assert f.cartesian == 0
+
+
+def test_tost_moment_rollup(spark, registry):
+    """evt_tost_equivalence: one (type, day) corpus rollup, a 2-row
+    moment aggregate, a broadcast 1-row epilogue. No cartesian
+    blowup, no Python."""
+    f = _facts(spark, registry, "evt_tost_equivalence")
+    assert "Python" not in f.text
+    assert f.broadcast_joins >= 1
+    assert f.cartesian == 0

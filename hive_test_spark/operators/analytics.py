@@ -7598,3 +7598,482 @@ def evt_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(t_hi, 6).alias("t_upper"),
         ((t_lo > _Z_95_ONE) & (t_hi < -_Z_95_ONE)).alias("equivalent"),
     )
+
+
+@register(
+    "evt_poisson_rate_ratio",
+    f"""
+    WITH d AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CASE WHEN CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                       - DATE '{_DOW_ANCHOR}' AS INT) % 7 IN (5, 6)
+                  THEN 1 ELSE 0 END AS weekend,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS purchases
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN weekend = 1 THEN purchases END) AS BIGINT)
+               AS c1,
+             CAST(SUM(CASE WHEN weekend = 0 THEN purchases END) AS BIGINT)
+               AS c2,
+             CAST(SUM(weekend) AS BIGINT) AS t1,
+             CAST(SUM(1 - weekend) AS BIGINT) AS t2
+      FROM d
+    )
+    SELECT c1 AS weekend_purchases, t1 AS weekend_days,
+           c2 AS weekday_purchases, t2 AS weekday_days,
+           ROUND(c1 * 1.0 / t1, 6) AS weekend_rate,
+           ROUND(c2 * 1.0 / t2, 6) AS weekday_rate,
+           ROUND((c1 * 1.0 / t1) / (c2 * 1.0 / t2), 6) AS rate_ratio,
+           ROUND(EXP(LN((c1 * 1.0 / t1) / (c2 * 1.0 / t2))
+                 - {_Z_95} * SQRT(1.0 / c1 + 1.0 / c2)), 6) AS rr_ci_lo,
+           ROUND(EXP(LN((c1 * 1.0 / t1) / (c2 * 1.0 / t2))
+                 + {_Z_95} * SQRT(1.0 / c1 + 1.0 / c2)), 6) AS rr_ci_hi
+    FROM s
+    """,
+)
+def evt_poisson_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend-vs-weekday purchase RATE ratio under the Poisson model
+    [public method: the two-sample Poisson rate comparison with the
+    Wald interval on the log rate ratio, SE = sqrt(1/c1 + 1/c2)
+    (Rothman/Greenland) — the PER-TIME companion to evt_odds_ratio's
+    per-event 2x2: the OR asks "is a weekend event likelier to be a
+    purchase", this asks "does a weekend DAY produce purchases
+    faster", with day counts as exposure]: the corpus collapses to
+    per-day purchase counts in one combinable pass, exposures are
+    integer day counts from the same frame, and the ratio with its
+    CI is a single deterministic expression over four exact
+    integers; z is the shared two-sided 95% literal.
+
+    At 100 TB: a day-dimension rollup plus a 1-row epilogue — the
+    evt_odds_ratio shape with exposure tracking. Per-segment rate
+    surveillance keys the identical pass by segment."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        F.when(
+            (
+                F.datediff(F.to_date("ts"), F.to_date(F.lit(_DOW_ANCHOR))) % 7
+            ).isin(5, 6),
+            1,
+        )
+        .otherwise(0)
+        .alias("weekend"),
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("purchases")
+    )
+    s = d.agg(
+        F.sum(F.when(F.col("weekend") == 1, F.col("purchases")))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("weekend") == 0, F.col("purchases")))
+        .cast("long")
+        .alias("c2"),
+        F.sum("weekend").cast("long").alias("t1"),
+        F.sum(1 - F.col("weekend")).cast("long").alias("t2"),
+    )
+    c1, c2, t1, t2 = (F.col(x) for x in ("c1", "c2", "t1", "t2"))
+    rr = (c1 * 1.0 / t1) / (c2 * 1.0 / t2)
+    se = F.sqrt(1.0 / c1 + 1.0 / c2)
+    return s.select(
+        c1.alias("weekend_purchases"),
+        t1.alias("weekend_days"),
+        c2.alias("weekday_purchases"),
+        t2.alias("weekday_days"),
+        F.round(c1 * 1.0 / t1, 6).alias("weekend_rate"),
+        F.round(c2 * 1.0 / t2, 6).alias("weekday_rate"),
+        F.round(rr, 6).alias("rate_ratio"),
+        F.round(F.exp(F.log(rr) - _Z_95 * se), 6).alias("rr_ci_lo"),
+        F.round(F.exp(F.log(rr) + _Z_95 * se), 6).alias("rr_ci_hi"),
+    )
+
+
+@register(
+    "evt_bland_altman",
+    f"""
+    WITH {_DAILY_VP_SQL},
+    paired AS (
+      SELECT x.day,
+             CAST(x.rev AS DECIMAL(19,6)) AS a,
+             CAST(y.rev AS DECIMAL(19,6)) AS b
+      FROM (SELECT day, rev FROM s WHERE event_type = 'view') x
+      JOIN (SELECT day, rev FROM s WHERE event_type = 'purchase') y
+        ON y.day = x.day
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(a - b) AS VARCHAR) AS DOUBLE) AS sd1,
+             -- re-cast the scale-6-exact difference to a >=19-width
+             -- operand so the square stays on DuckDB's int128 path
+             -- (Spark mirrors with (18,6) so its product rule lands
+             -- at the exact (37,12), not a 39-precision rescale)
+             CAST(CAST(SUM(CAST(a - b AS DECIMAL(19,6))
+                           * CAST(a - b AS DECIMAL(19,6)))
+                  AS VARCHAR) AS DOUBLE) AS sd2
+      FROM paired
+    ),
+    lim AS (
+      SELECT n, sd1 / n AS bias,
+             SQRT((sd2 - sd1 * sd1 / n) / (n - 1)) AS sd
+      FROM m
+    ),
+    census AS (
+      SELECT CAST(SUM(CASE WHEN CAST(a AS DOUBLE) - CAST(b AS DOUBLE)
+                              > l.bias + {_Z_95} * l.sd
+                            OR CAST(a AS DOUBLE) - CAST(b AS DOUBLE)
+                              < l.bias - {_Z_95} * l.sd
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outside
+      FROM paired CROSS JOIN lim l
+    )
+    SELECT CAST(l.n AS BIGINT) AS n_days,
+           ROUND(l.bias, 6) AS bias,
+           ROUND(l.sd, 6) AS sd_diff,
+           ROUND(l.bias - {_Z_95} * l.sd, 6) AS loa_lower,
+           ROUND(l.bias + {_Z_95} * l.sd, 6) AS loa_upper,
+           c.n_outside,
+           ROUND(c.n_outside / l.n, 6) AS frac_outside
+    FROM lim l CROSS JOIN census c
+    """,
+)
+def evt_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bland-Altman agreement analysis between the view and purchase
+    daily revenue series [public method: Bland & Altman 1986 — bias =
+    mean paired difference, limits of agreement = bias -/+ 1.96 sd of
+    the differences, plus the fraction of days outside the limits;
+    the AGREEMENT readout the correlation deck cannot give:
+    evt_spearman says the series co-move, this says by how much one
+    systematically exceeds the other and how wide the disagreement
+    band is]: paired differences stay DECIMAL so the two moment sums
+    are exact (SCALE.md 9ac), bias/sd/limits are single deterministic
+    expressions, and the outside-census compares each raw difference
+    against bitwise-equal limit doubles (strict inequalities keep
+    boundary days inboard in both engines).
+
+    At 100 TB: the (type, day) rollup is the only corpus pass; the
+    paired frame is calendar-bounded and the census re-reads it with
+    a 1-row broadcast of the limits. Method-comparison sweeps (every
+    sensor pair) key the same shape by pair id."""
+    tune(spark)
+    s = _daily_vp(spark, sf_dir)
+    x = s.filter(F.col("event_type") == "view").select(
+        "day", F.col("rev").cast("decimal(18,6)").alias("a")
+    )
+    y = s.filter(F.col("event_type") == "purchase").select(
+        F.col("day").alias("yday"), F.col("rev").cast("decimal(18,6)").alias("b")
+    )
+    paired = (
+        x.join(y, F.col("yday") == F.col("day"))
+        .select("day", "a", "b")
+        .localCheckpoint(eager=True)
+    )
+    diff = F.col("a") - F.col("b")
+    # (18,6), not the natural (19,6) subtract width: the square must
+    # stay inside Spark's 38-precision product rule — (37,12) exact.
+    diff6 = diff.cast("decimal(18,6)")
+    m = paired.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(diff).cast("string").cast("double").alias("sd1"),
+        F.sum(diff6 * diff6).cast("string").cast("double").alias("sd2"),
+    )
+    lim = m.select(
+        "n",
+        (F.col("sd1") / F.col("n")).alias("bias"),
+        F.sqrt(
+            (F.col("sd2") - F.col("sd1") * F.col("sd1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sd"),
+    )
+    d_dbl = F.col("a").cast("double") - F.col("b").cast("double")
+    census = paired.crossJoin(F.broadcast(lim)).agg(
+        F.sum(
+            F.when(
+                (d_dbl > F.col("bias") + _Z_95 * F.col("sd"))
+                | (d_dbl < F.col("bias") - _Z_95 * F.col("sd")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outside")
+    )
+    return lim.crossJoin(F.broadcast(census)).select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round("bias", 6).alias("bias"),
+        F.round("sd", 6).alias("sd_diff"),
+        F.round(F.col("bias") - _Z_95 * F.col("sd"), 6).alias("loa_lower"),
+        F.round(F.col("bias") + _Z_95 * F.col("sd"), 6).alias("loa_upper"),
+        "n_outside",
+        F.round(F.col("n_outside") / F.col("n"), 6).alias("frac_outside"),
+    )
+
+
+@register(
+    "evt_brier_decomposition",
+    f"""
+    WITH ev AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                  - DATE '{_DOW_ANCHOR}' AS INT) % 7 AS dow,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    split AS (
+      SELECT MIN(day) + CAST(FLOOR(
+               CAST(MAX(day) - MIN(day) AS INT) / 2.0) AS INT) AS mid
+      FROM ev
+    ),
+    train AS (
+      SELECT dow, ROUND(SUM(y) * 1.0 / COUNT(*), 6) AS p_k,
+             CAST(COUNT(*) AS BIGINT) AS n_train_k
+      FROM ev CROSS JOIN split WHERE day <= mid GROUP BY dow
+    ),
+    test AS (
+      SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_k,
+             CAST(SUM(y) AS BIGINT) AS s_k
+      FROM ev CROSS JOIN split WHERE day > mid GROUP BY dow
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_k) AS BIGINT) AS n,
+             CAST(SUM(s_k) AS BIGINT) AS s
+      FROM test
+    ),
+    terms AS (
+      SELECT
+        CAST(CAST(SUM(CAST(ROUND(
+          (t.s_k * (tr.p_k - 1) * (tr.p_k - 1)
+           + (t.n_k - t.s_k) * tr.p_k * tr.p_k) / o.n, 6)
+          AS DECIMAL(12,6))) AS VARCHAR) AS DOUBLE) AS brier,
+        CAST(CAST(SUM(CAST(ROUND(
+          t.n_k * (tr.p_k - t.s_k * 1.0 / t.n_k)
+                * (tr.p_k - t.s_k * 1.0 / t.n_k) / o.n, 6)
+          AS DECIMAL(12,6))) AS VARCHAR) AS DOUBLE) AS reliability,
+        CAST(CAST(SUM(CAST(ROUND(
+          t.n_k * (t.s_k * 1.0 / t.n_k - o.s * 1.0 / o.n)
+                * (t.s_k * 1.0 / t.n_k - o.s * 1.0 / o.n) / o.n, 6)
+          AS DECIMAL(12,6))) AS VARCHAR) AS DOUBLE) AS resolution,
+        MAX(o.n) AS n, MAX(o.s) AS s,
+        CAST(SUM(tr.n_train_k) AS BIGINT) AS n_train
+      FROM test t JOIN train tr ON tr.dow = t.dow CROSS JOIN tot o
+    )
+    SELECT n_train, n AS n_test,
+           ROUND(brier, 6) AS brier,
+           ROUND(reliability, 6) AS reliability,
+           ROUND(resolution, 6) AS resolution,
+           ROUND((s * 1.0 / n) * (1 - s * 1.0 / n), 6) AS uncertainty
+    FROM terms
+    """,
+)
+def evt_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with the Murphy decomposition for the day-of-week
+    purchase-probability forecast [public method: Brier 1950; Murphy
+    1973 — Brier = REL − RES + UNC over forecast bins: reliability
+    (calibration gap), resolution (how much the bins separate), and
+    the outcome's own uncertainty; the forecast-EVALUATION member of
+    the deck beside evt_forecast_backtest (point accuracy) and
+    llm_calibration_ece (classifier calibration)]: the calendar
+    splits at its exact integer midpoint (train ≤ mid < test), the
+    train half yields one 6dp forecast probability per dow bin, and
+    every decomposition term is a per-bin expression over exact
+    integer test counts — rounded at 6dp and accumulated as exact
+    DECIMAL over the 7-bin frame (the evt_mutual_info idiom).
+
+    At 100 TB: two combinable passes over the event log (train and
+    test collapse to 7-row bin tables); the decomposition is a 7-row
+    broadcast join. Forecast sweeps (per segment, per horizon) key
+    the identical shape by forecast id."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        (
+            F.datediff(F.to_date("ts"), F.to_date(F.lit(_DOW_ANCHOR))) % 7
+        ).alias("dow"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    split = ev.agg(
+        (
+            F.min("day")
+            + F.floor(F.datediff(F.max("day"), F.min("day")) / 2.0).cast(
+                "int"
+            )
+        ).alias("mid")
+    )
+    evs = ev.crossJoin(F.broadcast(split)).localCheckpoint(eager=True)
+    train = (
+        evs.filter(F.col("day") <= F.col("mid"))
+        .groupBy("dow")
+        .agg(
+            F.round(F.sum("y") * 1.0 / F.count(F.lit(1)), 6).alias("p_k"),
+            F.count(F.lit(1)).cast("long").alias("n_train_k"),
+        )
+    )
+    test = (
+        evs.filter(F.col("day") > F.col("mid"))
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_k"),
+            F.sum("y").cast("long").alias("s_k"),
+        )
+    )
+    tot = test.agg(
+        F.sum("n_k").cast("long").alias("n"),
+        F.sum("s_k").cast("long").alias("s"),
+    )
+    j = test.join(F.broadcast(train), "dow").crossJoin(F.broadcast(tot))
+    ybar_k = F.col("s_k") * 1.0 / F.col("n_k")
+    ybar = F.col("s") * 1.0 / F.col("n")
+    dec = lambda c: F.sum(
+        F.round(c, 6).cast("decimal(12,6)")
+    ).cast("string").cast("double")
+    terms = j.agg(
+        dec(
+            (
+                F.col("s_k") * (F.col("p_k") - 1) * (F.col("p_k") - 1)
+                + (F.col("n_k") - F.col("s_k"))
+                * F.col("p_k")
+                * F.col("p_k")
+            )
+            / F.col("n")
+        ).alias("brier"),
+        dec(
+            F.col("n_k")
+            * (F.col("p_k") - ybar_k)
+            * (F.col("p_k") - ybar_k)
+            / F.col("n")
+        ).alias("reliability"),
+        dec(
+            F.col("n_k") * (ybar_k - ybar) * (ybar_k - ybar) / F.col("n")
+        ).alias("resolution"),
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+        F.sum("n_train_k").cast("long").alias("n_train"),
+    )
+    u = F.col("s") * 1.0 / F.col("n")
+    return terms.select(
+        "n_train",
+        F.col("n").alias("n_test"),
+        F.round("brier", 6).alias("brier"),
+        F.round("reliability", 6).alias("reliability"),
+        F.round("resolution", 6).alias("resolution"),
+        F.round(u * (1 - u), 6).alias("uncertainty"),
+    )
+
+
+# Chi-square 95% critical at df=6 (7 dow groups - 1).
+_CHI2_95_DF6 = 12.591587
+
+
+@register(
+    "evt_bartlett",
+    f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                  - DATE '{_DOW_ANCHOR}' AS INT) % 7 AS dow,
+             ROUND(SUM(value), 6) AS rev
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT dow,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(rd) AS VARCHAR) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(rd * rd) AS VARCHAR) AS DOUBLE) AS s2
+      FROM (SELECT dow, CAST(rev AS DECIMAL(19,6)) AS rd FROM daily) t
+      GROUP BY dow
+    ),
+    v AS (
+      SELECT dow, n, (s2 - s1 * s1 / n) / (n - 1) AS s2_i FROM g
+    ),
+    agg AS (
+      SELECT CAST(SUM(n) AS DOUBLE) AS nn,
+             CAST(COUNT(*) AS DOUBLE) AS k,
+             CAST(CAST(SUM(CAST(ROUND((n - 1) * LN(s2_i), 6)
+                  AS DECIMAL(14,6))) AS VARCHAR) AS DOUBLE) AS sum_ln,
+             CAST(CAST(SUM(CAST(ROUND((n - 1) * s2_i, 6)
+                  AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_ss,
+             CAST(CAST(SUM(CAST(ROUND(1.0 / (n - 1), 6)
+                  AS DECIMAL(10,6))) AS VARCHAR) AS DOUBLE) AS sum_inv
+      FROM v
+    )
+    SELECT CAST(nn AS BIGINT) AS n_days,
+           CAST(k AS BIGINT) AS n_groups,
+           ROUND(sum_ss / (nn - k), 6) AS pooled_var,
+           ROUND(((nn - k) * LN(sum_ss / (nn - k)) - sum_ln)
+                 / (1 + (sum_inv - 1.0 / (nn - k)) / (3 * (k - 1))), 6)
+             AS chi2_stat,
+           CAST(k - 1 AS BIGINT) AS df,
+           (((nn - k) * LN(sum_ss / (nn - k)) - sum_ln)
+            / (1 + (sum_inv - 1.0 / (nn - k)) / (3 * (k - 1))))
+             > {_CHI2_95_DF6} AS reject_homogeneity
+    FROM agg
+    """,
+)
+def evt_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test for variance homogeneity across day-of-week
+    daily-revenue groups [public method: Bartlett 1937 — chi2 =
+    ((N-k) ln Sp^2 - SUM (n_i-1) ln s_i^2) / C with the Bartlett
+    correction C = 1 + (SUM 1/(n_i-1) - 1/(N-k)) / (3(k-1)); the
+    PARAMETRIC scale test beside evt_levene's robust Brown-Forsythe —
+    more powerful under normality (which evt_jarque_bera now gates),
+    fragile outside it, so the pair belongs together]: group moments
+    accumulate as exact DECIMAL over the 6dp daily revenues, each
+    per-group term ((n-1) ln s_i^2, (n-1) s_i^2, 1/(n-1)) rounds at
+    6dp and folds as exact DECIMAL over the 7-row frame (the
+    evt_mutual_info idiom), and the statistic is a single
+    deterministic expression; the flag compares against the shared
+    chi-square(6) 95% literal.
+
+    At 100 TB: one map-side-combinable rollup to the day dimension,
+    a 7-row moment aggregate, a 1-row epilogue — the evt_anova_dow
+    profile exactly."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        (
+            F.datediff(F.to_date("ts"), F.to_date(F.lit(_DOW_ANCHOR))) % 7
+        ).alias("dow"),
+    ).agg(F.round(F.sum("value"), 6).alias("rev"))
+    rd = F.col("rev").cast("decimal(18,6)")
+    g = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(rd).cast("string").cast("double").alias("s1"),
+        F.sum(rd * rd).cast("string").cast("double").alias("s2"),
+    )
+    v = g.select(
+        "dow",
+        "n",
+        (
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("s2_i"),
+    )
+    dec = lambda c, w: F.sum(F.round(c, 6).cast(w)).cast("string").cast(
+        "double"
+    )
+    agg = v.agg(
+        F.sum("n").alias("nn"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+        dec((F.col("n") - 1) * F.log("s2_i"), "decimal(14,6)").alias(
+            "sum_ln"
+        ),
+        dec((F.col("n") - 1) * F.col("s2_i"), "decimal(18,6)").alias(
+            "sum_ss"
+        ),
+        dec(1.0 / (F.col("n") - 1), "decimal(10,6)").alias("sum_inv"),
+    )
+    nn, k = F.col("nn"), F.col("k")
+    pooled = F.col("sum_ss") / (nn - k)
+    chi2 = ((nn - k) * F.log(pooled) - F.col("sum_ln")) / (
+        1 + (F.col("sum_inv") - 1.0 / (nn - k)) / (3 * (k - 1))
+    )
+    return agg.select(
+        nn.cast("long").alias("n_days"),
+        k.cast("long").alias("n_groups"),
+        F.round(pooled, 6).alias("pooled_var"),
+        F.round(chi2, 6).alias("chi2_stat"),
+        (k - 1).cast("long").alias("df"),
+        (chi2 > _CHI2_95_DF6).alias("reject_homogeneity"),
+    )

@@ -400,6 +400,16 @@ _NEXT_ROUNDS: tuple[str, ...] = (
     # inferential inverse of the pairwise-difference deck).
     "graph_katz_centrality",
     "evt_tost_equivalence",
+    # Round-12 eighth wave: per-time rates and agreement — the Poisson
+    # rate-ratio CI (exposure-aware twin of the 2x2 odds ratio) and
+    # Bland-Altman limits of agreement over the paired day frame.
+    "evt_poisson_rate_ratio",
+    "evt_bland_altman",
+    # Round-12 ninth wave: forecast evaluation and the parametric
+    # scale test — Murphy-decomposed Brier over the dow forecast bins,
+    # and Bartlett's chi-square beside the robust evt_levene.
+    "evt_brier_decomposition",
+    "evt_bartlett",
 )
 
 

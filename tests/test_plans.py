@@ -2282,3 +2282,40 @@ def test_tost_moment_rollup(spark, registry):
     assert "Python" not in f.text
     assert f.broadcast_joins >= 1
     assert f.cartesian == 0
+
+
+def test_poisson_rate_single_pass(spark, registry):
+    """evt_poisson_rate_ratio: the corpus collapses to per-day counts
+    in one combinable pass; the ratio is a 1-row epilogue. No
+    corpus-scale joins, no Python."""
+    f = _facts(spark, registry, "evt_poisson_rate_ratio")
+    assert "Python" not in f.text
+    assert f.sort_merge_joins == 0
+    assert f.cartesian == 0
+
+
+def test_bland_altman_paired_day_frame(spark, registry):
+    """evt_bland_altman: one (type, day) rollup, a checkpointed paired
+    day frame, exact-decimal moment reduction, and a 1-row broadcast
+    limits census. No cartesian blowup, no Python."""
+    f = _facts(spark, registry, "evt_bland_altman")
+    assert "Python" not in f.text
+    assert f.broadcast_joins >= 1
+
+
+def test_brier_two_combinable_passes(spark, registry):
+    """evt_brier_decomposition: train and test halves collapse to
+    7-row bin tables; the decomposition is a 7-row broadcast join.
+    No Python."""
+    f = _facts(spark, registry, "evt_brier_decomposition")
+    assert "Python" not in f.text
+    assert f.sort_merge_joins == 0
+
+
+def test_bartlett_moment_rollup(spark, registry):
+    """evt_bartlett: one day rollup, a 7-row moment aggregate, a 1-row
+    epilogue — the anova profile. No joins, no Python."""
+    f = _facts(spark, registry, "evt_bartlett")
+    assert "Python" not in f.text
+    assert f.broadcast_joins == 0 and f.sort_merge_joins == 0
+    assert f.cartesian == 0

@@ -100,8 +100,18 @@ def llm_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_intersect(F.col("a.tok"), F.col("b.tok"))
     )
     jac = inter / union
+    # Value-identical size-ratio prefilter (r12): jac <= min(n)/max(n)
+    # exactly (correctly-rounded quotients of exact ints, rounding
+    # monotone), so this cheap 2-int conjunct can never drop a pair the
+    # jac >= tau filter keeps — it only skips the O(|A|+|B|)
+    # array_intersect for size-mismatched pairs. Separate filter so
+    # codegen orders the cheap conjunct first.
+    ratio = F.least(F.col("a.n"), F.col("b.n")).cast("double") / F.greatest(
+        F.col("a.n"), F.col("b.n")
+    )
     return (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(ratio >= JACCARD_THRESHOLD)
         # filter on the UNROUNDED value, exactly as the oracle's WHERE
         # does — filtering the rounded column would admit pairs in
         # [tau - 5e-7, tau) that DuckDB drops.
@@ -125,15 +135,17 @@ def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision rule, same binary-vector Jaccard distance, same strict
     threshold) but schedules it the way a 100 TB run must:
 
-    - the bucket self-join carries (doc_id, table, hashval) rows — three
-      scalars — where approxSimilarityJoin drags both 2^16-dim feature
-      vectors through the explode-join and evaluates keyDistance per
-      COLLISION row. On a dup-heavy corpus (this fixture: ~124M bucket
-      collisions at sf0.1) that is the difference between a 3-scalar
-      shuffle and a >9-minute timeout;
-    - candidate pairs DISTINCT first, rescore once per PAIR, not once
-      per collision (OR-amplification makes near-dup pairs collide in
-      up to all 8 tables);
+    - candidate generation is SINGLE-SIDED over (doc_id, table,
+      hashval) buckets — three scalars plus a size — where
+      approxSimilarityJoin drags both 2^16-dim feature vectors through
+      an explode-join and evaluates keyDistance per COLLISION row. On a
+      dup-heavy corpus (this fixture: ~124M bucket collisions at sf0.1)
+      that is the difference between a bounded bucket explode and a
+      >9-minute timeout;
+    - a value-identical size-ratio prefilter runs at pair-emission
+      time, then candidate pairs DISTINCT, then rescore once per PAIR,
+      not once per collision (OR-amplification makes near-dup pairs
+      collide in up to all 8 tables);
     - the rescore is in FEATURE space, like keyDistance: each doc's
       active HashingTF indices are recovered by hashing the VOCAB (a
       distinct over tokens, joined back token→bucket), so
@@ -166,17 +178,6 @@ def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.posexplode("hashes").alias("t", "hv"))
         .select("doc_id", "t", vector_to_array("hv").getItem(0).alias("hval"))
     )
-    x, y = sigs.alias("x"), sigs.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.t") == F.col("y.t"))
-            & (F.col("x.hval") == F.col("y.hval"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
 
     # token → HashingTF bucket map, built by HashingTF itself over the
     # vocabulary (exactness: SQL hash() is NOT HashingTF's murmur3).
@@ -199,6 +200,41 @@ def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.collect_set("bucket").alias("bkt"))
         .withColumn("nb", F.size("bkt"))
+    )
+
+    # Candidate pairs, SINGLE-SIDED (r12 optimization round, guide
+    # §2.4/§2.5): each (table, hashval) bucket collects its sorted
+    # (doc_id, nb) members once and emits ordered pairs by nested
+    # explode. The old (t, hval) equi-self-join evaluated the whole
+    # scan→HashingTF→MinHashLSH subtree twice (the exchange-reuse miss
+    # across the join boundary) and its tiny post-agg probe side was
+    # AQE-coalesced to ~1 partition, pinning the 124M-collision-row
+    # explosion and the pre-distinct partial aggregate to one core.
+    # Carrying nb (the doc's distinct-HashingTF-bucket count — the same
+    # quantity the rescore's na/nb uses) lets the value-identical
+    # size-ratio prefilter run BEFORE the distinct: fjac <=
+    # min(na,nb)/max(na,nb) exactly (correctly-rounded quotients of
+    # exact integers, rounding monotone), so a dropped pair can never
+    # pass the fjac > 0.5 rescore below.
+    buckets = (
+        sigs.join(bkts.select("doc_id", "nb"), "doc_id")
+        .groupBy("t", "hval")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "nb"))).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .repartition(fanout(spark))
+    )
+    cand = (
+        buckets.select(F.posexplode("ids").alias("i", "a"), "ids")
+        .select(
+            "a", F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("b")
+        )
+        .filter(
+            F.least(F.col("a.nb"), F.col("b.nb")).cast("double")
+            / F.greatest(F.col("a.nb"), F.col("b.nb"))
+            > 0.5
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
     ba = bkts.select(
         F.col("doc_id").alias("doc_a"), F.col("bkt").alias("bkt_a"), F.col("nb").alias("na")
@@ -281,8 +317,15 @@ def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_intersect(F.col("a.tok"), F.col("b.tok"))
     )
     jac = inter / union
+    # Value-identical size-ratio prefilter (r12, same proof as
+    # llm_jaccard_exact, strict-> strict): fl(jac) <= fl(min/max), so
+    # min/max <= tau implies jac > tau is false.
+    ratio = F.least(F.col("a.n"), F.col("b.n")).cast("double") / F.greatest(
+        F.col("a.n"), F.col("b.n")
+    )
     truth = (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(ratio > JACCARD_THRESHOLD)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -290,17 +333,36 @@ def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jac") > JACCARD_THRESHOLD)
     )
-    cand = minhash_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # Materialized once (r12): the candidate set feeds BOTH the
+    # precision and the recall leg; without the checkpoint the subtree
+    # is computed twice AND its post-rewrite static size estimate reads
+    # tiny, so the planner broadcast-built the multi-million-row pair
+    # set on both legs (measured 3× the op's old wall time). The
+    # checkpoint gives the planner the relation's REAL size (too big to
+    # broadcast) and cuts the double compute.
+    cand = minhash_candidate_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    ).localCheckpoint(eager=True)
 
-    # Precision leg: rescore every candidate on raw token sets.
+    # Precision leg: rescore every candidate on raw token sets. The
+    # token tables are broadcast EXPLICITLY (r12): the checkpointed cand
+    # is a LogicalRDD whose size estimate reads tiny, and without hints
+    # the planner broadcast-built the multi-million-row PAIR side and
+    # probed it from the corpus scan's single partition — the whole
+    # rescore on one core (measured 106 s vs 2.4 s hinted at sf0.1).
+    # |A∪B| derives from sizes (arrays are distinct — exact identity).
     ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("tok_a"))
     tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
     cand_jac = (
-        cand.join(ta, "doc_a").join(tb, "doc_b")
+        cand.join(F.broadcast(ta), "doc_a").join(F.broadcast(tb), "doc_b")
         .select(
             (
                 F.size(F.array_intersect("tok_a", "tok_b")).cast("double")
-                / F.size(F.array_distinct(F.concat("tok_a", "tok_b")))
+                / (
+                    F.size("tok_a")
+                    + F.size("tok_b")
+                    - F.size(F.array_intersect("tok_a", "tok_b"))
+                )
             ).alias("token_jac")
         )
     )
@@ -313,8 +375,12 @@ def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("candidates_all_true")
     )
 
-    # Recall leg + exact ground-truth stats in one aggregate.
-    hit = cand.withColumn("hit", F.lit(1))
+    # Recall leg + exact ground-truth stats in one aggregate. The hit
+    # side carries a shuffle_hash hint (r12): its checkpoint stats read
+    # tiny, and the default plan broadcast-built the multi-million-row
+    # pair set (driver + every task holds it); a shuffled hash join on
+    # the (doc_a, doc_b) key measures the same and keeps memory flat.
+    hit = cand.withColumn("hit", F.lit(1)).hint("shuffle_hash")
     stats = (
         truth.join(hit, ["doc_a", "doc_b"], "left")
         .agg(

@@ -23,7 +23,7 @@ from pyspark.sql.window import Window
 
 from hive_test_spark.io import load_table
 from hive_test_spark.registry import register
-from hive_test_spark.session import tune
+from hive_test_spark.session import fanout, tune
 
 
 # ---------------------------------------------------------------------------
@@ -133,25 +133,52 @@ _MINHASH_ORACLE = f"""
 """
 
 
-def _minhash_sig_from(d: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Shared signature build over an arbitrary documents frame: (token
-    sets, per-(doc, k) md5 min-hash signature). The hash salt, K, and
-    tokenization live HERE and only here — the tuning-curve, threshold-
-    sweep, and estimator-error ops all derive from this one chain, so a
-    change cannot skew one exhibit against the others."""
+def _minhash_wide(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared signature build over an arbitrary documents frame, WIDE
+    form: (token sets, one row per doc carrying its distinct-token count
+    `n` plus all K min-hashes as columns m0..m{K-1}). The hash salt, K,
+    and tokenization live HERE and only here — every minhash exhibit
+    derives from this one chain, so a change cannot skew one exhibit
+    against the others.
+
+    Optimization-round shape (guide §2.3/§2.4, r12): min() over a STRING
+    agg buffer cannot hash-aggregate (Spark plans Sort+SortAggregate),
+    so the old explode-×K chain sorted K·|corpus tokens| rows by
+    (doc_id, k) — twice per self-join, since the broadcast boundary
+    defeats exchange reuse. The wide form computes the K mins as K
+    parallel agg columns over the UN-exploded token rows: one sort of
+    |corpus tokens| rows keyed by doc_id alone, and the ×K row blow-up
+    never materializes. Values are bitwise the ones the explode-×K
+    formulation produced: same md5(k:tok) set, same min per (doc, k)."""
     toks = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("tok"))
-    hashes = (
-        toks.select("doc_id", F.explode("tok").alias("tok"))
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_K - 1))).alias("k"),
-            "tok",
-        )
-        .select(
-            "doc_id", "k", F.md5(F.concat_ws(":", F.col("k"), F.col("tok"))).alias("h")
-        )
+    tokrows = toks.select("doc_id", F.explode("tok").alias("tok"))
+    mins = tokrows.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.min(F.md5(F.concat_ws(":", F.lit(str(k)), F.col("tok")))).alias(f"m{k}")
+            for k in range(_MINHASH_K)
+        ],
     )
-    sig = hashes.groupBy("doc_id", "k").agg(F.min("h").alias("mh"))
+    return toks, mins
+
+
+def _minhash_sig_from(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared signature build: (token sets, per-(doc, k) md5 min-hash
+    signature frame) — the narrow (doc_id, k, mh) view of
+    ``_minhash_wide``, value-identical to the old explode-×K build but
+    without its K·|tokens| Sort+SortAggregate (see _minhash_wide)."""
+    toks, mins = _minhash_wide(d)
+    sig = mins.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("k"), F.col(f"m{k}").alias("mh"))
+                    for k in range(_MINHASH_K)
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.k").alias("k"), F.col("s.mh").alias("mh"))
     return toks, sig
 
 
@@ -162,18 +189,65 @@ def _band_keys(sig: DataFrame) -> DataFrame:
     ).agg(F.array_join(F.array_sort(F.collect_list("mh")), "|").alias("bkey"))
 
 
+def _bands_from_wide(mins: DataFrame) -> DataFrame:
+    """Banded LSH index built straight from the wide signature frame:
+    (doc_id, n, band, bkey), one row per (doc, band), no aggregation —
+    each band key is array_sort of its _BAND_ROWS min-hash COLUMNS
+    joined '|', bitwise what _band_keys' collect_list+array_sort emits
+    (collection order is irrelevant under the sort)."""
+    n_bands = _MINHASH_K // _BAND_ROWS
+    return mins.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.array_join(
+                            F.array_sort(
+                                F.array(
+                                    *[
+                                        F.col(f"m{_BAND_ROWS * b + j}")
+                                        for j in range(_BAND_ROWS)
+                                    ]
+                                )
+                            ),
+                            "|",
+                        ).alias("bkey"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", "n", F.col("s.band").alias("band"), F.col("s.bkey").alias("bkey"))
+
+
 def _candidate_pairs(bands: DataFrame) -> DataFrame:
-    """Ordered candidate pairs via the (band, bkey) equi-self-join —
-    bucket-bounded, never all-pairs."""
-    a, b = bands.alias("a"), bands.alias("b")
+    """Ordered candidate pairs from a banded index — bucket-bounded,
+    never all-pairs.
+
+    Optimization-round shape (guide §2.4/§2.5, r12): SINGLE-SIDED. The
+    old (band, bkey) equi-self-join evaluated the whole signature
+    subtree twice (the BroadcastExchange boundary defeats exchange
+    reuse), and its tiny post-agg probe side was AQE-coalesced to ~1
+    partition, so the quadratic pair explosion and the pre-distinct
+    partial aggregate ran on one core (the 1-split disease, SCALE.md
+    §9y). Buckets now collect their sorted doc_ids once, are re-spread
+    across cores, and emit ordered pairs by nested explode — one
+    signature pass, parallel explosion, identical pair set."""
+    buckets = (
+        bands.groupBy("band", "bkey")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .repartition(fanout(bands.sparkSession))
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(F.posexplode("ids").alias("i", "doc_a"), "ids")
+        .select(
+            "doc_a",
+            F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("doc_b"),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
 
@@ -181,8 +255,8 @@ def _candidate_pairs(bands: DataFrame) -> DataFrame:
 def _minhash_bands_from(d: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Signature stage over an arbitrary documents frame (static corpus
     or a streaming micro-batch): (token sets, banded LSH index)."""
-    toks, sig = _minhash_sig_from(d)
-    return toks, _band_keys(sig)
+    toks, mins = _minhash_wide(d)
+    return toks, _bands_from_wide(mins).drop("n")
 
 
 def _minhash_bands(
@@ -197,31 +271,58 @@ def _minhash_bands(
 def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared candidate-generation + verification stage (see
     llm_minhash_det for the full docstring); also feeds
-    llm_dedup_clusters."""
-    toks, bands = _minhash_bands(spark, sf_dir)
+    llm_dedup_clusters.
 
-    cand = _candidate_pairs(bands)
+    Optimization-round shape (r12, guide §2.3/§2.4): buckets carry
+    (doc_id, n) structs so the value-identical size-ratio prefilter
+    runs at PAIR-EXPLOSION time, BEFORE the distinct — on this corpus
+    it kills ~55% of collision rows, so both the distinct's shuffle and
+    the token-array verify join shrink by that factor. Prefilter
+    soundness (unchanged from r8): |A∩B| <= min(|A|,|B|) and |A∪B| >=
+    max(|A|,|B|), so J(A,B) <= min/max; both ratios are correctly-
+    rounded quotients of exact integers and rounding is monotonic, so
+    fl(jac) <= fl(min/max) — the prefilter can never drop a pair the
+    jac >= tau filter would keep. |A∪B| in the verify leg is derived
+    as |A|+|B|-|A∩B| (exact integers, tokens are distinct) instead of
+    re-hashing array_distinct(concat(...)) per pair."""
+    toks, mins = _minhash_wide(load_table(spark, sf_dir, "documents"))
+    bands = _bands_from_wide(mins)
+    buckets = (
+        bands.groupBy("band", "bkey")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ids"))
+        .filter(F.size("ids") > 1)
+        # Tiny post-agg table: without a re-spread, AQE coalesces it to
+        # ~1 partition and the quadratic explode below runs on one core
+        # (the 1-split disease, SCALE.md §9y).
+        .repartition(fanout(spark))
+    )
+    pairs = (
+        buckets.select(F.posexplode("ids").alias("i", "a"), "ids")
+        .select(
+            "a", F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("b")
+        )
+        .filter(
+            F.least(F.col("a.n"), F.col("b.n")).cast("double")
+            / F.greatest(F.col("a.n"), F.col("b.n"))
+            >= _MINHASH_VERIFY_TAU
+        )
+    )
+    cand = pairs.select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    ).distinct()
 
-    ta, tb = toks.alias("ta"), toks.alias("tb")
-    inter = F.size(F.array_intersect(F.col("ta.tok"), F.col("tb.tok"))).cast("double")
-    union = F.size(F.array_distinct(F.concat(F.col("ta.tok"), F.col("tb.tok"))))
+    ta = toks.select(F.col("doc_id").alias("_ida"), F.col("tok").alias("tok_a"))
+    tb = toks.select(F.col("doc_id").alias("_idb"), F.col("tok").alias("tok_b"))
+    inter = F.size(F.array_intersect("tok_a", "tok_b")).cast("double")
+    union = (
+        F.size("tok_a") + F.size("tok_b") - F.size(F.array_intersect("tok_a", "tok_b"))
+    )
     jac = inter / union
-    # Value-identical size-ratio prefilter: |A∩B| <= min(|A|,|B|) and
-    # |A∪B| >= max(|A|,|B|), so J(A,B) <= min/max — a pair whose
-    # distinct-token counts differ by more than tau CANNOT verify, and
-    # discarding it here skips the O(|A|+|B|) array_intersect/union
-    # work that dominates this op's wall time. Both ratios are
-    # correctly-rounded quotients of exact integers, and rounding is
-    # monotonic, so fl(jac) <= fl(min/max): the prefilter can never
-    # drop a pair the jac >= tau filter would keep. The two filters
-    # stay separate so CombineFilters orders the cheap conjunct first
-    # (codegen AND short-circuits left-to-right).
-    na = F.size(F.col("ta.tok")).cast("double")
-    nb = F.size(F.col("tb.tok")).cast("double")
+    # Broadcast at this SF only; at 100 TB both verify joins shuffle on
+    # doc_id (the docstring's schedule) — the hint mirrors the r8 code.
     return (
-        cand.join(F.broadcast(ta), F.col("doc_a") == F.col("ta.doc_id"))
-        .join(F.broadcast(tb), F.col("doc_b") == F.col("tb.doc_id"))
-        .filter(F.least(na, nb) / F.greatest(na, nb) >= _MINHASH_VERIFY_TAU)
+        cand.join(F.broadcast(ta), F.col("doc_a") == F.col("_ida"))
+        .join(F.broadcast(tb), F.col("doc_b") == F.col("_idb"))
         .filter(jac >= _MINHASH_VERIFY_TAU)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )

@@ -474,7 +474,13 @@ def _probe_band_index(
     jac = inter / union
     ver = (
         cand.join(F.broadcast(ti), F.col("in_id") == F.col("ti.doc_id"))
-        .join(te, F.col("ex_id") == F.col("te.doc_id"))
+        # shuffle_hash (r12): pins the documented shuffle-on-doc_id
+        # schedule. The rewritten candidate subtree's size estimate
+        # reads tiny, and without the hint the planner broadcast-built
+        # the CANDIDATE×batch-token side and probed it from the index
+        # scan's few partitions — the verify ran near-single-core
+        # (measured 55 s vs 9 s at sf0.1).
+        .join(te.hint("shuffle_hash"), F.col("ex_id") == F.col("te.doc_id"))
         .filter(jac >= _MINHASH_VERIFY_TAU)
         .select("in_id", "ex_id", jac.alias("jac"))
     )
@@ -1374,42 +1380,52 @@ def llm_minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the fixture), the quantified warning against reading
     LSH-selected estimates as unbiased Jaccards.
 
-    At 100 TB: the signature join keys on (doc pair, k) over K-row
-    signatures — candidate-bounded like every stage of the chain; the
-    exact leg exists only for the audit and is exactly the cost the
-    estimator would remove."""
+    At 100 TB: the signature attach is a doc_id-keyed join of the WIDE
+    (one row, K columns) signature table — candidate-bounded like every
+    stage of the chain, no K× row blow-up; the exact leg exists only
+    for the audit and is exactly the cost the estimator would remove."""
     tune(spark)
     d = load_table(spark, sf_dir, "documents")
-    toks, sig = _minhash_sig_from(d)
+    toks, mins = _minhash_wide(d)
     toks = toks.localCheckpoint(eager=True)
-    sig = sig.localCheckpoint(eager=True)
-    cand = _candidate_pairs(_band_keys(sig))
-    sa = sig.select(
-        F.col("doc_id").alias("doc_a"), F.col("k").alias("ka"), F.col("mh").alias("mha")
+    mins = mins.localCheckpoint(eager=True)
+    cand = _candidate_pairs(_bands_from_wide(mins))
+    # r12 (guide §2.3): the match fraction compares the K signature
+    # COLUMNS of the wide frame row-to-row — one row per pair — instead
+    # of exploding each pair into K (doc, k, mh) rows, joining twice and
+    # re-grouping (a K× row blow-up and a shuffle for the same sum of
+    # indicators; measured 40 s → 11 s at sf0.1). Same integer match
+    # count, same /K double division, bitwise-identical estimate.
+    ma = mins.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{k}").alias(f"_a{k}") for k in range(_MINHASH_K)],
     )
-    sb = sig.select(
-        F.col("doc_id").alias("b_doc"), F.col("k").alias("kb"), F.col("mh").alias("mhb")
+    mb = mins.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{k}").alias(f"_b{k}") for k in range(_MINHASH_K)],
+    )
+    n_match = sum(
+        F.when(F.col(f"_a{k}") == F.col(f"_b{k}"), 1).otherwise(0)
+        for k in range(_MINHASH_K)
     )
     est = (
-        cand.join(F.broadcast(sa), "doc_a")
-        .join(
-            F.broadcast(sb),
-            (F.col("b_doc") == F.col("doc_b")) & (F.col("kb") == F.col("ka")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.round(
-                F.sum(F.when(F.col("mha") == F.col("mhb"), 1).otherwise(0))
-                / F.lit(float(_MINHASH_K)),
-                6,
-            ).alias("sig_estimate")
+        cand.join(F.broadcast(ma), "doc_a")
+        .join(F.broadcast(mb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(n_match / F.lit(float(_MINHASH_K)), 6).alias("sig_estimate"),
         )
     )
     ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("tok_a"))
     tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
     exact = (
         F.size(F.array_intersect("tok_a", "tok_b")).cast("double")
-        / F.size(F.array_distinct(F.concat("tok_a", "tok_b")))
+        / (
+            F.size("tok_a")
+            + F.size("tok_b")
+            - F.size(F.array_intersect("tok_a", "tok_b"))
+        )
     )
     return (
         est.join(F.broadcast(ta), "doc_a")

@@ -31,11 +31,27 @@ _RUNTIME_CONFS = {
     # ANSI off: Hive/legacy-permissive semantics (NULL on bad cast, not error),
     # which is also what the DuckDB oracle's permissive functions expect.
     "spark.sql.ansi.enabled": "false",
-    # Right-size shuffles for the local[32] harness (default 200 wastes
-    # task overhead at fixture scale and pins streaming state stores).
-    # On a real cluster this is set per-deployment; AQE coalesces above it.
-    "spark.sql.shuffle.partitions": "32",
 }
+
+
+def shuffle_partitions(spark: SparkSession) -> int:
+    """Shuffle partition count: ``$SPARK_GRAFT_SHUFFLE_PARTITIONS`` when
+    set (the per-deployment knob — on a cluster size it so post-shuffle
+    partitions land in the 100 MB–1 GB band, guide §2.2), otherwise the
+    session's core count (``defaultParallelism``).
+
+    r12 optimization round: this was a literal 32 — right for the
+    local[32] harness, wrong everywhere else (the driver also benches at
+    a LOWER core count, where 32 shuffle tasks are pure scheduling
+    overhead at fixture scale, and a real cluster wants a data-sized
+    value). Every cross-partition reduction in the engine accumulates in
+    exact DECIMAL or integers (SCALE.md §9ac), so results are
+    partition-count-invariant by construction; AQE coalesces above
+    whatever is set here."""
+    env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if env:
+        return int(env)
+    return fanout(spark)
 
 
 def fanout(spark: SparkSession) -> int:
@@ -64,6 +80,10 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # conf not settable on this build — non-fatal
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions(spark)))
+    except Exception:
+        pass
     _ship_package(spark)
     return spark
 
@@ -114,7 +134,6 @@ def get_spark(app_name: str = "hive-test-spark") -> SparkSession:
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", "32")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -124,4 +143,8 @@ def get_spark(app_name: str = "hive-test-spark") -> SparkSession:
     )
     for k, v in _RUNTIME_CONFS.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Needs a live context (core count), so set after creation; tune()
+    # re-applies it per query for sessions built elsewhere.
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions(spark)))
+    return spark

@@ -22,6 +22,7 @@ Default key set: every registered key with no CORRECTNESS_r*.json row
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 import traceback
@@ -51,9 +52,14 @@ def main() -> int:
     for key in keys:
         t0 = time.time()
         try:
-            spark.conf.set("spark.sql.shuffle.partitions", "32")
+            # Route through $SPARK_GRAFT_SHUFFLE_PARTITIONS: every query
+            # calls tune(), which (re-)applies session.shuffle_partitions
+            # at build time — a bare spark.conf.set here is clobbered
+            # before execution (r12 fix: the old conf.set probe never
+            # actually ran the second leg under a different layout).
+            os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = "32"
             a = qs[key](spark, args.sf).toPandas()
-            spark.conf.set("spark.sql.shuffle.partitions", "17")
+            os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = "17"
             b = qs[key](spark, args.sf).toPandas()
         except Exception:
             print(f"XX {key}: ERROR\n{traceback.format_exc()}")
@@ -61,7 +67,7 @@ def main() -> int:
             failures.append(key)
             continue
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", "32")
+            os.environ.pop("SPARK_GRAFT_SHUFFLE_PARTITIONS", None)
         r = compare(key, a, b)
         if r["ok"]:
             n_ok += 1

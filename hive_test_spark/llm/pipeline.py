@@ -570,6 +570,15 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune(spark)
     pairs = _minhash_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return _cluster_labels_from(spark, sf_dir, pairs)
+
+
+def _cluster_labels_from(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame
+) -> DataFrame:
+    """CC label propagation over an arbitrary (doc_a, doc_b) pair frame
+    (split out r12 so llm_cluster_density_audit can share ONE verified-
+    pairs pass between the labels and its pair-density numerator)."""
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).toDF("src", "dst").persist()
@@ -1614,8 +1623,18 @@ def llm_cluster_density_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tiny cluster-size domain — nothing quadratic beyond what the
     LSH candidate generation already bounded."""
     tune(spark)
-    labels = llm_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
-    pairs = _minhash_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # ONE verified-pairs pass (r12): checkpointed, then shared by the CC
+    # labels and the density numerator — previously the whole candidate
+    # + verify chain ran twice (once inside llm_dedup_clusters, once
+    # here).
+    pairs = (
+        _minhash_verified_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    labels = _cluster_labels_from(spark, sf_dir, pairs).select(
+        "doc_id", "cluster_id"
+    )
     sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
     pair_home = (
         pairs.join(

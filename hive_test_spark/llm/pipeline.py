@@ -254,9 +254,13 @@ def _candidate_pairs(bands: DataFrame) -> DataFrame:
 
 def _minhash_bands_from(d: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Signature stage over an arbitrary documents frame (static corpus
-    or a streaming micro-batch): (token sets, banded LSH index)."""
+    or a streaming micro-batch): (token sets, banded LSH index). The
+    index rows keep the doc's distinct-token count ``n`` (r13) so the
+    incremental probe can run the value-identical size-ratio prefilter
+    at candidate time — 2 ints per row against the index, the same
+    trade _minhash_verified_pairs makes."""
     toks, mins = _minhash_wide(d)
-    return toks, _bands_from_wide(mins).drop("n")
+    return toks, _bands_from_wide(mins)
 
 
 def _minhash_bands(
@@ -421,6 +425,16 @@ def llm_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     their band rows (insert-only, no rebuild)."""
     tune(spark)
     toks, bands = _minhash_bands(spark, sf_dir)
+    # Materialized once (r13): both probe sides filter from ONE banded
+    # index, so the corpus-wide signature aggregation runs once instead
+    # of twice (in_bands and ex_bands each re-planned the whole
+    # scan→tokenize→min-hash chain), and the candidate join plans
+    # against the relation's REAL size instead of the rewritten
+    # subtree's tiny static estimate — the r12 pathology where the
+    # planner broadcast-built candidate×batch-tokens and probed it from
+    # ~1 partition. ~4 small rows per doc (band, bkey, n), the same
+    # persisted-index stand-in stream_incremental_neardup checkpoints.
+    bands = bands.localCheckpoint(eager=True)
     decisions = _probe_band_index(
         incoming_docs=load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % _INCR_MOD == 0)
@@ -453,13 +467,32 @@ def _probe_band_index(
     corpus-sized, and a broadcast hint there would materialize every
     stored doc's token set in memory on every probe tick (caught in
     round-6 review; hints bypass the size threshold, so at scale that
-    is an OOM, not a fallback)."""
+    is an OOM, not a fallback).
+
+    r13 verify-leg rework (guide §2.3/§8; measured 30.8 s full vs 4.8 s
+    candidate stage at sf0.1 — the per-pair array work WAS the op):
+    - the value-identical size-ratio prefilter (r12 monotone-rounding
+      proof: fl(jac) <= fl(min/max), so min/max < tau can never kill a
+      pair the jac >= tau filter keeps) now runs at collision time,
+      BEFORE the distinct — it needs only the 2 ints the index rows
+      carry and drops 56% of the distinct pairs (2.15M → 0.95M);
+    - |A∪B| derives from sizes (|A|+|B|−|A∩B|, exact — token arrays
+      are distinct) instead of array_distinct(concat(...)) per pair;
+    - the index-side shuffle_hash join runs FIRST, while the pair rows
+      are two bare ids, and the batch-token broadcast join attaches
+      tok_i after — so the shuffle moves 16-byte pair keys, never the
+      incoming docs' token payloads (§8: move heavy bytes once)."""
     cand = (
         in_bands.alias("i")
         .join(
             ex_bands.alias("e"),
             (F.col("i.band") == F.col("e.band"))
             & (F.col("i.bkey") == F.col("e.bkey")),
+        )
+        .filter(
+            F.least(F.col("i.n"), F.col("e.n")).cast("double")
+            / F.greatest(F.col("i.n"), F.col("e.n"))
+            >= _MINHASH_VERIFY_TAU
         )
         .select(
             F.col("i.doc_id").alias("in_id"), F.col("e.doc_id").alias("ex_id")
@@ -470,17 +503,21 @@ def _probe_band_index(
     inter = F.size(F.array_intersect(F.col("ti.tok"), F.col("te.tok"))).cast(
         "double"
     )
-    union = F.size(F.array_distinct(F.concat(F.col("ti.tok"), F.col("te.tok"))))
+    union = (
+        F.size(F.col("ti.tok"))
+        + F.size(F.col("te.tok"))
+        - F.size(F.array_intersect(F.col("ti.tok"), F.col("te.tok")))
+    )
     jac = inter / union
     ver = (
-        cand.join(F.broadcast(ti), F.col("in_id") == F.col("ti.doc_id"))
         # shuffle_hash (r12): pins the documented shuffle-on-doc_id
         # schedule. The rewritten candidate subtree's size estimate
         # reads tiny, and without the hint the planner broadcast-built
         # the CANDIDATE×batch-token side and probed it from the index
         # scan's few partitions — the verify ran near-single-core
         # (measured 55 s vs 9 s at sf0.1).
-        .join(te.hint("shuffle_hash"), F.col("ex_id") == F.col("te.doc_id"))
+        cand.join(te.hint("shuffle_hash"), F.col("ex_id") == F.col("te.doc_id"))
+        .join(F.broadcast(ti), F.col("in_id") == F.col("ti.doc_id"))
         .filter(jac >= _MINHASH_VERIFY_TAU)
         .select("in_id", "ex_id", jac.alias("jac"))
     )

@@ -109,13 +109,23 @@ def llm_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio = F.least(F.col("a.n"), F.col("b.n")).cast("double") / F.greatest(
         F.col("a.n"), F.col("b.n")
     )
+    # All three predicates live IN the join condition, cheapest first
+    # (r13, guide §1.2 per-task work): written as chained .filter()s the
+    # optimizer AND-ed them into the nested-loop condition with the
+    # array-intersect Jaccard evaluated BEFORE the doc_id ordering test,
+    # so the per-pair array work ran for BOTH orderings of every pair.
+    # Explicit conjunct order (id test → 2-int ratio → arrays) halves
+    # the intersect evaluations; measured 9.8 s → 6.0 s at sf0.1, same
+    # 8 926 373 rows. The jac conjunct still compares the UNROUNDED
+    # value, exactly as the oracle's WHERE does — filtering the rounded
+    # column would admit pairs in [tau - 5e-7, tau) that DuckDB drops.
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .filter(ratio >= JACCARD_THRESHOLD)
-        # filter on the UNROUNDED value, exactly as the oracle's WHERE
-        # does — filtering the rounded column would admit pairs in
-        # [tau - 5e-7, tau) that DuckDB drops.
-        .filter(jac >= JACCARD_THRESHOLD)
+        a.join(
+            b,
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (ratio >= JACCARD_THRESHOLD)
+            & (jac >= JACCARD_THRESHOLD),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -323,15 +333,22 @@ def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio = F.least(F.col("a.n"), F.col("b.n")).cast("double") / F.greatest(
         F.col("a.n"), F.col("b.n")
     )
+    # Conjuncts in the join condition, cheapest first (r13, same
+    # rationale and measurement as llm_jaccard_exact: the optimizer's
+    # own AND-ordering ran the array-intersect Jaccard before the
+    # doc_id ordering test, paying the per-pair array work twice).
     truth = (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .filter(ratio > JACCARD_THRESHOLD)
+        a.join(
+            b,
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (ratio > JACCARD_THRESHOLD)
+            & (jac > JACCARD_THRESHOLD),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             jac.alias("jac"),
         )
-        .filter(F.col("jac") > JACCARD_THRESHOLD)
     )
     # Materialized once (r12): the candidate set feeds BOTH the
     # precision and the recall leg; without the checkpoint the subtree

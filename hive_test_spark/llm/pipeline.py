@@ -650,27 +650,32 @@ def _cluster_labels_from(
             lab2 = x.join(y, F.col("x.cluster_id") == F.col("y.doc_id")).select(
                 F.col("x.doc_id").alias("d2"), F.col("y.cluster_id").alias("ll")
             )
+            new_label = F.least(
+                F.col("cluster_id"),
+                F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                F.coalesce(F.col("ll"), F.col("cluster_id")),
+            )
+            # The convergence flag rides the checkpointed frame (r13):
+            # the old formulation re-joined new labels against old
+            # labels — one extra shuffle join per round just to ask
+            # "did anything move". Labels only ever decrease, so
+            # new < old IS the change test, computable in the same
+            # projection; the check below scans cached checkpoint
+            # blocks instead of joining.
             new_labels = (
                 labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
                 .join(lab2, labels.doc_id == lab2.d2, "left")
                 .select(
                     "doc_id",
-                    F.least(
-                        F.col("cluster_id"),
-                        F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
-                        F.coalesce(F.col("ll"), F.col("cluster_id")),
-                    ).alias("cluster_id"),
+                    new_label.alias("new_cid"),
+                    (new_label < F.col("cluster_id")).alias("chg"),
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-                .limit(1)
-                .count()
+            changed = new_labels.filter("chg").limit(1).count()
+            labels = new_labels.select(
+                "doc_id", F.col("new_cid").alias("cluster_id")
             )
-            labels = new_labels
             if changed == 0:
                 break
         else:

@@ -214,7 +214,17 @@ def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         step = edges.join(dist, edges.src == dist.node).select(
             F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops")
         )
-        dist = dist.unionAll(step).groupBy("node").agg(F.min("hops").alias("hops"))
+        dist = (
+            dist.unionAll(step)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+            # Per-level truncation (r13, the graph_label_propagation
+            # cadence): each level references the previous `dist` TWICE
+            # (union branch + join branch), so without materialization
+            # the plan doubles per level — the before-plan carried 96
+            # parquet scans and 62 joins for 4 levels; 5 joins remain.
+            .localCheckpoint(eager=True)
+        )
     return dist
 
 

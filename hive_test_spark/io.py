@@ -45,6 +45,50 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk bytes of a fixture table (single file at fixture scale, a
+    directory of files at warehouse scale). Unknown/missing reads as
+    'huge' so size-gated broadcasts fail SAFE (never broadcast)."""
+    p = table_path(sf_dir, name)
+    try:
+        if os.path.isdir(p):
+            return sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(p)
+                for f in fs
+            )
+        return os.path.getsize(p)
+    except OSError:
+        return 1 << 62
+
+
+# Mirrors the session's autoBroadcastJoinThreshold (64 MB, get_spark):
+# the gate below makes the SAME decision correct statistics would make,
+# from file metadata, with no Spark job.
+_BROADCAST_BYTES_LIMIT = 64 * 1024 * 1024
+
+
+def attach_side(df: DataFrame, sf_dir: str, name: str = "documents"):
+    """Join-side wrapper for a corpus-wide PER-DOCUMENT table being
+    attached to a pair/candidate frame (token sets, signatures, shingle
+    sets): broadcast when the source table is provably dimension-sized,
+    shuffle-hash otherwise.
+
+    A bare ``F.broadcast`` hint OVERRIDES the planner's size threshold,
+    so an unconditional hint on a per-doc table pins the whole corpus
+    into driver + executor memory at any real scale (VERDICT r12 item
+    3). The on-disk byte gate keeps the fixture-scale plan (broadcast,
+    measured ~20% faster than shuffle_hash on the minhash verify legs
+    at sf0.1) while a 100 TB corpus flips every such join to a
+    doc_id-keyed shuffled hash join with the per-doc table as build —
+    the schedule the op docstrings document."""
+    from pyspark.sql import functions as F
+
+    if table_bytes(sf_dir, name) <= _BROADCAST_BYTES_LIMIT:
+        return F.broadcast(df)
+    return df.hint("shuffle_hash")
+
+
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalize events.ts to TimestampType across fixture vintages.
 

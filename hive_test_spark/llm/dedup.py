@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hive_test_spark.io import load_table
+from hive_test_spark.io import attach_side, load_table
 from hive_test_spark.registry import register
 from hive_test_spark.session import fanout, tune
 
@@ -206,7 +206,10 @@ def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bkts = (
         toks.select("doc_id", F.explode("tok").alias("t"))
-        .join(F.broadcast(vmap), "t")
+        # Size-gated (r13): the vocab map spans the corpus vocabulary —
+        # broadcast at fixture scale, shuffle join at web-scale vocab
+        # (the docstring's schedule).
+        .join(attach_side(vmap, sf_dir), "t")
         .groupBy("doc_id")
         .agg(F.collect_set("bucket").alias("bkt"))
         .withColumn("nb", F.size("bkt"))
@@ -371,7 +374,11 @@ def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("tok_a"))
     tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
     cand_jac = (
-        cand.join(F.broadcast(ta), "doc_a").join(F.broadcast(tb), "doc_b")
+        # Size-gated attach (r13): io.attach_side broadcasts ONLY while
+        # the corpus is dimension-sized; the rescore is part of the
+        # 100 TB leg, where these flip to doc_id-keyed shuffled hash
+        # joins (the scale rule this file documents).
+        cand.join(attach_side(ta, sf_dir), "doc_a").join(attach_side(tb, sf_dir), "doc_b")
         .select(
             (
                 F.size(F.array_intersect("tok_a", "tok_b")).cast("double")
@@ -884,8 +891,9 @@ def llm_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_common = F.size(F.array_intersect("sh_a", "sh_b"))
     n_a, n_b = F.size("sh_a"), F.size("sh_b")
     return (
-        cand.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        # Size-gated attach (r13): shingle sets span the corpus too.
+        cand.join(attach_side(sa, sf_dir), "doc_a")
+        .join(attach_side(sb, sf_dir), "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from hive_test_spark.io import load_table
+from hive_test_spark.io import attach_side, load_table
 from hive_test_spark.registry import register
 from hive_test_spark.session import fanout, tune
 
@@ -322,11 +322,13 @@ def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("tok_a") + F.size("tok_b") - F.size(F.array_intersect("tok_a", "tok_b"))
     )
     jac = inter / union
-    # Broadcast at this SF only; at 100 TB both verify joins shuffle on
-    # doc_id (the docstring's schedule) — the hint mirrors the r8 code.
+    # Size-gated attach (r13, VERDICT r12 item 3): broadcast while the
+    # corpus is provably dimension-sized, doc_id-keyed shuffled hash
+    # join at scale — an unconditional broadcast HINT would override
+    # the size threshold and pin the whole corpus to the driver.
     return (
-        cand.join(F.broadcast(ta), F.col("doc_a") == F.col("_ida"))
-        .join(F.broadcast(tb), F.col("doc_b") == F.col("_idb"))
+        cand.join(attach_side(ta, sf_dir), F.col("doc_a") == F.col("_ida"))
+        .join(attach_side(tb, sf_dir), F.col("doc_b") == F.col("_idb"))
         .filter(jac >= _MINHASH_VERIFY_TAU)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
@@ -1338,8 +1340,10 @@ def llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("tok_a", "tok_b")).cast("double")
     union = F.size(F.array_distinct(F.concat("tok_a", "tok_b")))
     scored = (
-        cand.join(F.broadcast(ta), "doc_a")
-        .join(F.broadcast(tb), "doc_b")
+        # Size-gated attach (r13): see io.attach_side — broadcast at
+        # fixture scale, doc_id-keyed shuffled hash join at 100 TB.
+        cand.join(attach_side(ta, sf_dir), "doc_a")
+        .join(attach_side(tb, sf_dir), "doc_b")
         .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
         .localCheckpoint(eager=True)
     )
@@ -1460,8 +1464,10 @@ def llm_minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(_MINHASH_K)
     )
     est = (
-        cand.join(F.broadcast(ma), "doc_a")
-        .join(F.broadcast(mb), "doc_b")
+        # Size-gated attach (r13): the wide signature table spans the
+        # corpus — broadcast only while it is provably dimension-sized.
+        cand.join(attach_side(ma, sf_dir), "doc_a")
+        .join(attach_side(mb, sf_dir), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -1479,8 +1485,8 @@ def llm_minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        est.join(F.broadcast(ta), "doc_a")
-        .join(F.broadcast(tb), "doc_b")
+        est.join(attach_side(ta, sf_dir), "doc_a")
+        .join(attach_side(tb, sf_dir), "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -67,6 +67,27 @@ def _trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _node_side(df: DataFrame, sf_dir: str):
+    """Size-gated broadcast for NODE-BOUNDED per-round frames (BFS
+    frontier, propagation labels, k-core survivor set): their row count
+    is bounded by |customers| + |suppliers|, so broadcast while those
+    dimension tables are provably small, shuffle-hash at scale.
+
+    Why a hint at all (r13): per-round localCheckpoint frames surface
+    as LogicalRDD leaves whose size estimate is unknown, so the planner
+    falls back to sort-merge — sorting the million-row edge list every
+    round to join a 16k-row frontier (BFS loop measured 5.8–8.7 s
+    default vs 4.0–4.3 s broadcast at sf0.1, identical results)."""
+    from hive_test_spark.io import _BROADCAST_BYTES_LIMIT, table_bytes
+
+    if (
+        table_bytes(sf_dir, "customer") + table_bytes(sf_dir, "supplier")
+        <= _BROADCAST_BYTES_LIMIT
+    ):
+        return F.broadcast(df)
+    return df.hint("shuffle_hash")
+
+
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of _TRADE_EDGES_SQL: the undirected (as two directed
     rows) customer–supplier bipartite trade graph."""
@@ -211,7 +232,7 @@ def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("hops"),
     )
     for _ in range(_BFS_ITERS):
-        step = edges.join(dist, edges.src == dist.node).select(
+        step = edges.join(_node_side(dist, sf_dir), edges.src == dist.node).select(
             F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops")
         )
         dist = (
@@ -388,7 +409,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds = [labels.select(F.lit(0).alias("round"), "label")]
     for i in range(_LP_ITERS):
         nb = (
-            edges.join(labels, edges.src == labels.node)
+            # _node_side (r13): `labels` is a checkpointed LogicalRDD
+            # with unknown stats — without the gate the planner
+            # sort-merges the edge list against it every round.
+            edges.join(_node_side(labels, sf_dir), edges.src == labels.node)
             .groupBy(F.col("dst").alias("nb_node"))
             .agg(F.min("label").alias("minl"))
         )
@@ -479,8 +503,15 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("src")
         )
         nxt = (
-            prev.join(surv, "src", "left_semi")
-            .join(surv.select(F.col("src").alias("dst")), "dst", "left_semi")
+            # _node_side (r13): the survivor set is node-bounded and
+            # `prev` is a stats-less checkpoint leaf — gate-broadcast
+            # the small side of both semi-joins.
+            prev.join(_node_side(surv, sf_dir), "src", "left_semi")
+            .join(
+                _node_side(surv.select(F.col("src").alias("dst")), sf_dir),
+                "dst",
+                "left_semi",
+            )
             .localCheckpoint(eager=True)
         )
         rounds.append(nxt)

@@ -75,25 +75,52 @@ def _read_events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> Da
     return _normalize_stream_ts(raw)
 
 
-def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+def _run_to_memory(
+    df: DataFrame, output_mode: str, *, final_watermark_batch: bool = True
+) -> DataFrame:
     """Start the streaming query with AvailableNow into a memory sink, wait
-    for completion, return the sink table (fresh checkpoint every run)."""
+    for completion, return the sink table (fresh checkpoint every run).
+
+    ``final_watermark_batch=False`` disables the trailing NO-DATA
+    micro-batch (``spark.sql.streaming.noDataMicroBatches.enabled``) for
+    this query. That batch exists to advance the watermark so that
+    append-mode aggregations/outer joins can EMIT their final rows and
+    stateful ops can evict state — for an INNER stream-stream join or
+    dropDuplicates it emits nothing (results flow on arrival; the
+    watermark only evicts state the terminating run discards anyway),
+    yet it costs a full state-store commit cycle across every shuffle
+    partition (r13 measured: stream_stream_join median 11.9 s → 5.9 s,
+    stream_dedup 2.0 s → 1.2 s at sf0.1, identical sink fingerprints).
+    Callers must pass False ONLY when the final batch provably emits no
+    rows; anything append-mode that emits ON watermark advance (window
+    aggs, outer joins) must keep the default."""
     spark = df.sparkSession
     name = f"hts_mem_{uuid.uuid4().hex[:12]}"
     ckpt = scratch_dir("ckpt", name)
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    conf_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    saved = spark.conf.get(conf_key, None)
+    if not final_watermark_batch:
+        spark.conf.set(conf_key, "false")
     try:
-        q.awaitTermination(300)
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            if q.isActive:
+                q.stop()
     finally:
-        if q.isActive:
-            q.stop()
+        if not final_watermark_batch:
+            if saved is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, saved)
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
@@ -137,7 +164,9 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     ev = _read_events_stream(spark, sf_dir, copies=2)
     deduped = ev.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
-    out = _run_to_memory(deduped, "append")
+    # Dedup emits first-seen rows ON ARRIVAL; the trailing no-data batch
+    # would only evict state (see _run_to_memory).
+    out = _run_to_memory(deduped, "append", final_watermark_batch=False)
     return out.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_unique"),
         F.round(F.sum("value"), 6).alias("total_value"),
@@ -263,7 +292,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("p_ts")),
         "inner",
     ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
-    return _run_to_memory(joined, "append")
+    # INNER join: matches emit on arrival; the trailing no-data batch
+    # would only evict state (see _run_to_memory).
+    return _run_to_memory(joined, "append", final_watermark_batch=False)
 
 
 @register(

@@ -608,7 +608,16 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     data rows.
     """
     tune(spark)
-    pairs = _minhash_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # Materialized once (r13): the CC loop issues ~2 jobs per round and
+    # each re-optimized the full candidate+verify lineage behind the
+    # persisted edge cache; a checkpoint leaf cuts that replanning
+    # (llm_dedup_clusters 14.1–15.6 s → 11.5–13.5 s at sf0.1, identical
+    # labels) — the same shape llm_cluster_density_audit already uses.
+    pairs = (
+        _minhash_verified_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     return _cluster_labels_from(spark, sf_dir, pairs)
 
 

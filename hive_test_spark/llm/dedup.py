@@ -244,7 +244,10 @@ def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             F.least(F.col("a.nb"), F.col("b.nb")).cast("double")
             / F.greatest(F.col("a.nb"), F.col("b.nb"))
-            > 0.5
+            # Same constant as the fjac rescore below (ADVICE r12): if
+            # the rescore threshold moves, the prefilter must move with
+            # it or it would silently drop candidates.
+            > JACCARD_THRESHOLD
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -265,7 +268,7 @@ def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(ba, "doc_a")
         .join(bb, "doc_b")
-        .filter(fjac > 0.5)
+        .filter(fjac > JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(fjac, 6).alias("est_jaccard"))
     )
 
@@ -359,7 +362,11 @@ def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tiny, so the planner broadcast-built the multi-million-row pair
     # set on both legs (measured 3× the op's old wall time). The
     # checkpoint gives the planner the relation's REAL size (too big to
-    # broadcast) and cuts the double compute.
+    # broadcast) and cuts the double compute. Lifetime (ADVICE r12): the
+    # checkpointed blocks are MEMORY_AND_DISK and are released by the
+    # ContextCleaner once the returned frame is garbage-collected; under
+    # storage pressure in a long shared session they degrade to disk,
+    # not failure, so no explicit unpersist hook is threaded through.
     cand = minhash_candidate_pairs(spark, sf_dir).select(
         "doc_a", "doc_b"
     ).localCheckpoint(eager=True)

@@ -50,7 +50,21 @@ def shuffle_partitions(spark: SparkSession) -> int:
     whatever is set here."""
     env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
     if env:
-        return int(env)
+        # Validate here so a malformed/zero/negative value fails softly
+        # at the knob instead of crashing tune()/get_spark() far from
+        # the env var (ADVICE r12).
+        try:
+            n = int(env)
+        except ValueError:
+            n = 0
+        if n > 0:
+            return n
+        import warnings
+
+        warnings.warn(
+            f"SPARK_GRAFT_SHUFFLE_PARTITIONS={env!r} is not a positive "
+            "int; falling back to defaultParallelism"
+        )
     return fanout(spark)
 
 

@@ -47,6 +47,17 @@ EXTENDED = [
     "evt_pipeline_e2e",
 ]
 
+# Round-13 additions (contract: entries may be ADDED, never removed or
+# renamed): the keys this optimization round rewrote, timed identically
+# (2 runs, noop sink) but reported in their OWN field so `value`,
+# `queries` and `extended_*` stay directly comparable to BENCH_r12 and
+# earlier artifacts.
+ROUND13 = [
+    "llm_incremental_minhash",
+    "graph_shortest_path",
+    "stream_stream_join",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -84,7 +95,9 @@ def main() -> None:
     per_query_first: dict[str, float] = {}
     ext_query: dict[str, float] = {}
     ext_query_first: dict[str, float] = {}
-    for key in HEADLINE + EXTENDED:
+    r13_query: dict[str, float] = {}
+    r13_query_first: dict[str, float] = {}
+    for key in HEADLINE + EXTENDED + ROUND13:
         runs = []
         for _ in range(3 if key in HEADLINE else 2):
             t0 = time.perf_counter()
@@ -93,8 +106,10 @@ def main() -> None:
         first, best = round(runs[0], 3), round(min(runs), 3)
         if key in HEADLINE:
             per_query_first[key], per_query[key] = first, best
-        else:
+        elif key in EXTENDED:
             ext_query_first[key], ext_query[key] = first, best
+        else:
+            r13_query_first[key], r13_query[key] = first, best
 
     total = round(sum(per_query.values()), 3)
     total_first = round(sum(per_query_first.values()), 3)
@@ -148,6 +163,8 @@ def main() -> None:
                 "extended_queries": ext_query,
                 "extended_queries_first_run": ext_query_first,
                 "extended_total": round(sum(ext_query.values()), 3),
+                "round13_queries": r13_query,
+                "round13_queries_first_run": r13_query_first,
                 "sf": sf,
             }
         )

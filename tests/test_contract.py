@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 
 def test_entry_smoke(spark):
     import __spark_entry__ as mod
@@ -29,9 +31,12 @@ def test_registry_consistency(registry):
     assert rows_only == set(), f"unexpected rows-only keys: {rows_only}"
 
 
+@pytest.mark.slow
 def test_all_queries_at_sf0001(spark, registry):
     """Every registered query runs and returns a well-formed DataFrame at
-    the smoke scale factor (full value verification is test_oracle)."""
+    the smoke scale factor (full value verification is test_oracle —
+    which parametrizes the same key set, making this 5.7-minute pass
+    value-redundant: slow tier, pytest.ini)."""
     from tests.conftest import SF_DIR
 
     qs, _ = registry

@@ -16,6 +16,10 @@ example set every run — this is a regression net, not a flaky explorer.
 from __future__ import annotations
 
 import pytest
+
+# Slow tier (pytest.ini): randomized differential fuzz is the long tail
+# of the suite (~5.5 min); the driver's default gate runs the fast tier.
+pytestmark = pytest.mark.slow
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F

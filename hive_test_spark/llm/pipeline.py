@@ -1342,12 +1342,45 @@ def llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     want to know before deleting 10% of a corpus."""
     tune(spark)
     d = load_table(spark, sf_dir, "documents")
-    toks, sig = _minhash_sig_from(d)
-    cand = _candidate_pairs(_band_keys(sig))
+    # r13: the sweep now rides the WIDE signature chain (one aggregation,
+    # band keys by projection — the llm_minhash_det shape) instead of the
+    # narrow sig + second band aggregation, and scores candidates with
+    # |A∪B| = |A|+|B|−|A∩B| (exact: token arrays are distinct) instead of
+    # array_distinct(concat(...)) per pair.
+    toks, mins = _minhash_wide(d)
+    buckets = (
+        _bands_from_wide(mins)
+        .groupBy("band", "bkey")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .repartition(fanout(spark))
+    )
+    # Value-identical prefilter at the sweep's FLOOR tau with a rounding
+    # margin: a dropped pair has fl(jac) <= fl(min/max) < 0.6999 (the r8
+    # monotone-rounding proof), so even its ROUND(jac, 6) stays < 0.7 =
+    # min(_SWEEP_TAUS) — it could never be counted by any tau row; only
+    # never-hit pairs are dropped, every aggregate is unchanged.
+    _pre = min(_SWEEP_TAUS) - 1e-4
+    pairs = (
+        buckets.select(F.posexplode("ids").alias("i", "a"), "ids")
+        .select(
+            "a", F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("b")
+        )
+        .filter(
+            F.least(F.col("a.n"), F.col("b.n")).cast("double")
+            / F.greatest(F.col("a.n"), F.col("b.n"))
+            >= _pre
+        )
+    )
+    cand = pairs.select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    ).distinct()
     ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("tok_a"))
     tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
     inter = F.size(F.array_intersect("tok_a", "tok_b")).cast("double")
-    union = F.size(F.array_distinct(F.concat("tok_a", "tok_b")))
+    union = (
+        F.size("tok_a") + F.size("tok_b") - F.size(F.array_intersect("tok_a", "tok_b"))
+    )
     scored = (
         # Size-gated attach (r13): see io.attach_side — broadcast at
         # fixture scale, doc_id-keyed shuffled hash join at 100 TB.

@@ -482,29 +482,35 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash): the Spark twin of _DUCK_SIMHASH_PREFIX +
     _DUCK_SIMHASH_FP — shared by the llm_simhash exhibit and the
-    llm_simhash_hamming banded index."""
+    llm_simhash_hamming banded index.
+
+    r13 WIDE form (the _minhash_wide trick, guide §2.3): the per-bit ±1
+    votes are {_SIMHASH_BITS} parallel integer-sum columns over the
+    UN-exploded token-hash rows — the old crossJoin(bits) ×48 row
+    blow-up and its second aggregation never materialize. Values are
+    bitwise identical: same md5-derived h per (doc, token), same
+    additive vote per (doc, bit) (integer sums are order-independent),
+    same sign → bit composition."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t"))
     tok_hash = tok.select(
         "doc_id", F.conv(F.substring(F.md5("t"), 1, 12), 16, 10).cast("bigint").alias("h")
     )
-    bits = spark.range(_SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
-    scored = (
-        tok_hash.crossJoin(F.broadcast(bits))
-        .groupBy("doc_id", "bit")
-        .agg(
+    scored = tok_hash.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(F.expr("shiftright(h, bit) & 1") == 1, 1).otherwise(-1)
-            ).alias("score")
-        )
+                F.when(F.expr(f"shiftright(h, {b}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
     )
-    return scored.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("score") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
-                F.lit(0).cast("bigint")
-            )
-        ).alias("simhash")
-    )
+    simhash = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(
+            F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        simhash = term if simhash is None else simhash + term
+    return scored.select("doc_id", simhash.alias("simhash"))
 
 
 # Banded Hamming search over the 48-bit fingerprints: 4 bands x 12 bits.
@@ -573,13 +579,24 @@ def llm_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"shiftright(simhash, band * {_SH_BAND_BITS}) & {_SH_BAND_MASK}"
         ).alias("bval"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    # SINGLE-SIDED candidate generation (r13 — the _candidate_pairs
+    # shape): the old (band, bval) equi-self-join evaluated the whole
+    # fingerprint chain twice (exchange reuse dies at the broadcast
+    # boundary) and ran the pair explosion on the AQE-coalesced tiny
+    # post-agg layout. Buckets collect their sorted (doc_id, simhash)
+    # members once, re-spread, and emit each ordered pair by nested
+    # explode — identical DISTINCT pair set (array_sort orders the
+    # structs by doc_id, so a < b holds per emission).
+    buckets = (
+        bands.groupBy("band", "bval")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .repartition(fanout(spark))
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bval") == F.col("b.bval"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(F.posexplode("ids").alias("i", "a"), "ids")
+        .select(
+            "a", F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("b")
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
